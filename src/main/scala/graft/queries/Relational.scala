@@ -1,0 +1,416 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Relational operator pack — the batch query surface of the engine.
+  *
+  * Each query models one operator family from SURVEY.md §2 on the driver
+  * test tables, paired with an ANSI-SQL oracle (DuckDB) in [[oracles]].
+  * Column aliases are identical on both sides (the driver sorts columns by
+  * name before hashing).
+  *
+  * Scale notes (100 TB discipline):
+  *  - aggregations rely on partial (map-side) aggregation — no row explosion
+  *    crosses the shuffle except the grouped partials;
+  *  - dimension joins (nation/region/customer at TPC-H ratios) are
+  *    broadcast — no shuffle of the fact table for them;
+  *  - fact-fact joins (lineitem ⋈ orders) shuffle on the join key once and
+  *    AQE handles skew;
+  *  - every scan projects only needed columns so parquet reads stay narrow.
+  */
+object Relational {
+
+  /** A2-style fold + TPC-H Q1 pricing summary (SURVEY §2.3 A1/A2).
+    * Doubles are rounded to 2dp on both sides so summation order can't
+    * flip the hash.
+    */
+  def q1PricingSummary(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .filter($"l_shipdate" <= lit("1995-09-02").cast("timestamp"))
+      .groupBy($"l_returnflag", $"l_linestatus")
+      .agg(
+        round(sum($"l_quantity"), 2).as("sum_qty"),
+        round(sum($"l_extendedprice"), 2).as("sum_base_price"),
+        round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 2).as("sum_disc_price"),
+        round(avg($"l_quantity"), 4).as("avg_qty"),
+        count(lit(1)).as("count_order"))
+      .orderBy($"l_returnflag", $"l_linestatus")
+  }
+
+  /** Parquet scan with projection + predicate pushdown (SURVEY §2.1 S1/S8):
+    * keyset-paginated slice, mirroring the refresh runner's
+    * `WHERE pk > min AND pk <= max` batches
+    * (reference: tools/copy_table_to_blackhole_table.py:399-412).
+    */
+  def qKeysetScan(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, dir)
+      .filter($"o_orderkey" > 1000L && $"o_orderkey" <= 2000L)
+      .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+      .orderBy($"o_orderkey")
+  }
+
+  /** Star-schema join: revenue per region/nation. Dimensions are broadcast
+    * (SURVEY §2.4 J1 — registry-dimension joins must never shuffle the
+    * fact side).
+    */
+  def qRegionRevenue(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val li = Tables.lineitem(spark, dir).select($"l_orderkey", $"l_extendedprice", $"l_discount")
+    val ord = Tables.orders(spark, dir).select($"o_orderkey", $"o_custkey")
+    val cust = Tables.customer(spark, dir).select($"c_custkey", $"c_nationkey")
+    val nat = Tables.nation(spark, dir).select($"n_nationkey", $"n_regionkey", $"n_name")
+    val reg = Tables.region(spark, dir).select($"r_regionkey", $"r_name")
+    li.join(ord, $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(cust), $"o_custkey" === $"c_custkey")
+      .join(broadcast(nat), $"c_nationkey" === $"n_nationkey")
+      .join(broadcast(reg), $"n_regionkey" === $"r_regionkey")
+      .groupBy($"r_name", $"n_name")
+      .agg(round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 2).as("revenue"),
+           count(lit(1)).as("n_items"))
+      .orderBy($"r_name", $"n_name")
+  }
+
+  /** Semi join — customers that have at least one urgent order
+    * (SURVEY §2.4: EXISTS-shaped registry membership checks).
+    */
+  def qSemiJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val urgent = Tables.orders(spark, dir)
+      .filter($"o_orderpriority" === "1-URGENT").select($"o_custkey")
+    Tables.customer(spark, dir)
+      .join(urgent, $"c_custkey" === $"o_custkey", "left_semi")
+      .select($"c_custkey", $"c_name", $"c_mktsegment")
+      .orderBy($"c_custkey")
+  }
+
+  /** Anti join — topic-set difference shape (SURVEY §2.5 O6:
+    * `consumer.py:274-286` new-vs-known topic sets): customers with no
+    * urgent order.
+    */
+  def qAntiJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val urgent = Tables.orders(spark, dir)
+      .filter($"o_orderpriority" === "1-URGENT").select($"o_custkey")
+    Tables.customer(spark, dir)
+      .join(urgent, $"c_custkey" === $"o_custkey", "left_anti")
+      .select($"c_custkey", $"c_name")
+      .orderBy($"c_custkey")
+  }
+
+  /** Fixed-window counts — the monitoring aggregation (SURVEY §2.3 A1,
+    * reference client.py:217-221: window = floor(ts/600)*600 aligned to
+    * epoch, one row per (window, topic-analog)).
+    */
+  def qMonitorWindows(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .groupBy(
+        (floor(unix_timestamp($"ts") / 600L) * 600L).cast("long").as("window_start"),
+        $"event_type")
+      .agg(count(lit(1)).as("message_count"),
+           round(sum($"value"), 2).as("total_value"))
+      .orderBy($"window_start", $"event_type")
+  }
+
+  /** Offset-commit fold (SURVEY §2.3 A2: per topic-partition
+    * max(offset)+1, base_consumer.py:578-611). event_type ~ topic,
+    * event_id ~ offset.
+    */
+  def qMaxOffsetFold(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .groupBy($"event_type")
+      .agg((max($"event_id") + 1L).as("commit_offset"),
+           count(lit(1)).as("n_messages"))
+      .orderBy($"event_type")
+  }
+
+  /** MIN/MAX primary-key bounds for keyset pagination (SURVEY §2.3 A4,
+    * copy_table_to_blackhole_table.py:414-439).
+    */
+  def qPkBounds(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir)
+      .agg(min(col("o_orderkey")).as("min_pk"),
+           max(col("o_orderkey")).as("max_pk"),
+           count(lit(1)).as("n_rows"))
+  }
+
+  /** Registrar last-seen fold (SURVEY §2.3 A7: max last-used timestamp per
+    * schema_id; user_id plays schema_id).
+    */
+  def qLastSeen(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .groupBy($"user_id")
+      .agg(max($"ts").as("last_seen_ts"), count(lit(1)).as("n_uses"))
+      .orderBy($"user_id")
+  }
+
+  /** Priority-queue ordering (SURVEY §2.5 O1/O2,
+    * priority_refresh_queue.py:68-98): rank within each source by
+    * priority DESC then created_at ASC, keep the head. Implemented as a
+    * single window pass — at scale this is one shuffle on the partition
+    * key, no driver-side sort.
+    */
+  def qPriorityHead(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"o_custkey")
+      .orderBy($"o_orderpriority".asc, $"o_orderdate".asc, $"o_orderkey".asc)
+    Tables.orders(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+      .select($"o_custkey", $"o_orderkey", $"o_orderpriority", $"o_orderdate")
+      .orderBy($"o_custkey")
+  }
+
+  /** Top-k with deterministic tiebreak (SURVEY §2.5 O3/O5: tailer
+    * `--message-limit`, newest-topic selection).
+    */
+  def qTopRevenue(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val li = Tables.lineitem(spark, dir).select($"l_orderkey", $"l_extendedprice", $"l_discount")
+    val ord = Tables.orders(spark, dir).select($"o_orderkey", $"o_custkey")
+    li.join(ord, $"l_orderkey" === $"o_orderkey")
+      .groupBy($"o_custkey")
+      .agg(round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 2).as("revenue"))
+      .orderBy($"revenue".desc, $"o_custkey".asc)
+      .limit(10)
+  }
+
+  /** Latest-event-per-user (SURVEY §2.5 O3: top-1 by updated_at —
+    * tailer.py:347-351) — window head, not a self-join.
+    */
+  def qLatestPerUser(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts".desc, $"event_id".desc)
+    Tables.events(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+      .select($"user_id", $"event_id", $"event_type", $"ts")
+      .orderBy($"user_id")
+  }
+
+  /** Set difference (SURVEY §2.5 O6): users who clicked but never
+    * purchased. `except` on projected key columns only.
+    */
+  def qSetDiff(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+      .filter($"ts" < lit("2024-01-02 00:00:00").cast("timestamp"))
+    val clickers = ev.filter($"event_type" === "click").select($"user_id").distinct()
+    val buyers = ev.filter($"event_type" === "purchase").select($"user_id").distinct()
+    clickers.except(buyers).orderBy($"user_id")
+  }
+
+  /** Dedup on a compound key (SURVEY §2.5 O7: commit-offset dedup —
+    * dropDuplicates = SELECT DISTINCT; at scale a single hash shuffle).
+    */
+  def qDistinctPairs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .select($"user_id", $"event_type")
+      .distinct()
+      .orderBy($"user_id", $"event_type")
+  }
+
+  /** Update-message field diff (SURVEY §2.2 P8, message.py:780-798):
+    * previous vs current payload via lag() over the per-user stream;
+    * has_changed = value != previous value.
+    */
+  def qFieldDiff(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts".asc, $"event_id".asc)
+    Tables.events(spark, dir)
+      .withColumn("prev_value", lag($"value", 1).over(w))
+      .withColumn("prev_type", lag($"event_type", 1).over(w))
+      .filter($"prev_value".isNotNull)
+      .select(
+        $"user_id", $"event_id",
+        $"prev_value", $"value",
+        ($"value" =!= $"prev_value").as("value_changed"),
+        ($"event_type" =!= $"prev_type").as("type_changed"))
+      .orderBy($"user_id", $"event_id")
+  }
+
+  /** Tailer projection + time formatting + range filter (SURVEY §2.2
+    * P11/P12, tools/tailer.py:411-458): ISO-8601 formatting, timestamp
+    * bounds, deterministic limit.
+    */
+  def qTailerProjection(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .filter($"ts" >= lit("2024-01-02 00:00:00").cast("timestamp") &&
+              $"ts" < lit("2024-01-03 00:00:00").cast("timestamp"))
+      .select(
+        $"event_id",
+        $"event_type",
+        date_format($"ts", "yyyy-MM-dd'T'HH:mm:ss").as("iso_time"),
+        $"user_id")
+      .orderBy($"event_id")
+      .limit(500)
+  }
+
+  /** Scalar-function pack (SURVEY §2.6 F2/F3/F7/F8): hex/md5, base64,
+    * namespace-style split, regex extraction over the props JSON-ish
+    * string, case/coalesce.
+    */
+  def qScalarPack(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .filter($"event_id" < 200L)
+      .select(
+        $"event_id",
+        md5(concat($"event_type", lit(":"), $"user_id".cast("string"))).as("row_md5"),
+        upper($"event_type").as("type_upper"),
+        substring($"event_type", 1, 3).as("type_prefix"),
+        regexp_extract($"props", "\\\"k\\\": (\\d+)", 1).cast("long").as("prop_k"),
+        base64($"event_type".cast("binary")).as("type_b64"),
+        when($"value" > 10.0, lit("high")).otherwise(lit("low")).as("value_band"))
+      .orderBy($"event_id")
+  }
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_pricing_summary" -> (q1PricingSummary _),
+    "q_keyset_scan" -> (qKeysetScan _),
+    "q_region_revenue" -> (qRegionRevenue _),
+    "q_semi_join" -> (qSemiJoin _),
+    "q_anti_join" -> (qAntiJoin _),
+    "q_monitor_windows" -> (qMonitorWindows _),
+    "q_max_offset_fold" -> (qMaxOffsetFold _),
+    "q_pk_bounds" -> (qPkBounds _),
+    "q_last_seen" -> (qLastSeen _),
+    "q_priority_head" -> (qPriorityHead _),
+    "q_top_revenue" -> (qTopRevenue _),
+    "q_latest_per_user" -> (qLatestPerUser _),
+    "q_set_diff" -> (qSetDiff _),
+    "q_distinct_pairs" -> (qDistinctPairs _),
+    "q_field_diff" -> (qFieldDiff _),
+    "q_tailer_projection" -> (qTailerProjection _),
+    "q_scalar_pack" -> (qScalarPack _)
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+         round(sum(l_quantity), 2) AS sum_qty,
+         round(sum(l_extendedprice), 2) AS sum_base_price,
+         round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
+         round(avg(l_quantity), 4) AS avg_qty,
+         count(*) AS count_order
+         FROM lineitem
+         WHERE l_shipdate <= TIMESTAMP '1995-09-02 00:00:00'
+         GROUP BY l_returnflag, l_linestatus
+         ORDER BY l_returnflag, l_linestatus""",
+    "q_keyset_scan" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+         WHERE o_orderkey > 1000 AND o_orderkey <= 2000
+         ORDER BY o_orderkey""",
+    "q_region_revenue" ->
+      """SELECT r_name, n_name,
+         round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+         count(*) AS n_items
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         GROUP BY r_name, n_name
+         ORDER BY r_name, n_name""",
+    "q_semi_join" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+         WHERE EXISTS (SELECT 1 FROM orders
+                       WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+         ORDER BY c_custkey""",
+    "q_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE NOT EXISTS (SELECT 1 FROM orders
+                           WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+         ORDER BY c_custkey""",
+    "q_monitor_windows" ->
+      """SELECT CAST(floor(epoch(ts) / 600) * 600 AS BIGINT) AS window_start,
+         event_type,
+         count(*) AS message_count,
+         round(sum(value), 2) AS total_value
+         FROM events
+         GROUP BY 1, 2
+         ORDER BY window_start, event_type""",
+    "q_max_offset_fold" ->
+      """SELECT event_type, max(event_id) + 1 AS commit_offset, count(*) AS n_messages
+         FROM events GROUP BY event_type ORDER BY event_type""",
+    "q_pk_bounds" ->
+      """SELECT min(o_orderkey) AS min_pk, max(o_orderkey) AS max_pk, count(*) AS n_rows
+         FROM orders""",
+    "q_last_seen" ->
+      """SELECT user_id, max(ts) AS last_seen_ts, count(*) AS n_uses
+         FROM events GROUP BY user_id ORDER BY user_id""",
+    "q_priority_head" ->
+      """SELECT o_custkey, o_orderkey, o_orderpriority, o_orderdate FROM (
+           SELECT o_custkey, o_orderkey, o_orderpriority, o_orderdate,
+                  row_number() OVER (PARTITION BY o_custkey
+                    ORDER BY o_orderpriority ASC, o_orderdate ASC, o_orderkey ASC) AS rn
+           FROM orders) t
+         WHERE rn = 1 ORDER BY o_custkey""",
+    "q_top_revenue" ->
+      """SELECT o_custkey,
+         round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         GROUP BY o_custkey
+         ORDER BY revenue DESC, o_custkey ASC
+         LIMIT 10""",
+    "q_latest_per_user" ->
+      """SELECT user_id, event_id, event_type, ts FROM (
+           SELECT user_id, event_id, event_type, ts,
+                  row_number() OVER (PARTITION BY user_id
+                    ORDER BY ts DESC, event_id DESC) AS rn
+           FROM events) t
+         WHERE rn = 1 ORDER BY user_id""",
+    "q_set_diff" ->
+      """SELECT DISTINCT user_id FROM events
+         WHERE event_type = 'click' AND ts < TIMESTAMP '2024-01-02 00:00:00'
+         EXCEPT
+         SELECT DISTINCT user_id FROM events
+         WHERE event_type = 'purchase' AND ts < TIMESTAMP '2024-01-02 00:00:00'
+         ORDER BY user_id""",
+    "q_distinct_pairs" ->
+      """SELECT DISTINCT user_id, event_type FROM events
+         ORDER BY user_id, event_type""",
+    "q_field_diff" ->
+      """SELECT user_id, event_id, prev_value, value,
+                value <> prev_value AS value_changed,
+                event_type <> prev_type AS type_changed
+         FROM (
+           SELECT user_id, event_id, value, event_type, ts,
+                  lag(value) OVER w AS prev_value,
+                  lag(event_type) OVER w AS prev_type
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)) t
+         WHERE prev_value IS NOT NULL
+         ORDER BY user_id, event_id""",
+    "q_tailer_projection" ->
+      """SELECT event_id, event_type,
+                strftime(ts, '%Y-%m-%dT%H:%M:%S') AS iso_time,
+                user_id
+         FROM events
+         WHERE ts >= TIMESTAMP '2024-01-02 00:00:00'
+           AND ts < TIMESTAMP '2024-01-03 00:00:00'
+         ORDER BY event_id
+         LIMIT 500""",
+    "q_scalar_pack" ->
+      """SELECT event_id,
+                md5(event_type || ':' || CAST(user_id AS VARCHAR)) AS row_md5,
+                upper(event_type) AS type_upper,
+                substr(event_type, 1, 3) AS type_prefix,
+                CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) AS prop_k,
+                base64(CAST(event_type AS BLOB)) AS type_b64,
+                CASE WHEN value > 10.0 THEN 'high' ELSE 'low' END AS value_band
+         FROM events
+         WHERE event_id < 200
+         ORDER BY event_id"""
+  )
+}
