@@ -1,0 +1,136 @@
+package graft.functions
+
+import org.apache.avro.generic.GenericRecord
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.types._
+
+import graft.core.Envelope
+import graft.schema.AvroConversions
+
+/** Catalyst expressions for the envelope/payload serde — the engine's one
+  * genuinely custom serde problem (SURVEY §2.9, §7.3): Spark's `from_avro`
+  * takes a static schema per column, but pipeline payloads carry a
+  * per-message writer `schema_id` resolved against the registry
+  * (reference: data_pipeline/_avro_payload.py:136-167).
+  *
+  * All expressions are deterministic and per-JVM cache-backed (AvroCodec);
+  * CodegenFallback keeps them usable inside whole-stage-codegen'd stages
+  * (the avro codec dominates cost, not the eval dispatch).
+  */
+
+/** Envelope struct → framed transport bytes
+  * (reference: envelope.py:73-101 pack; 'a'+base64 ASCII variant). */
+case class PackEnvelope(child: Expression, ascii: Boolean)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = BinaryType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "pack_envelope"
+
+  override def nullSafeEval(input: Any): Any = {
+    val record = AvroConversions
+      .toAvro(input.asInstanceOf[InternalRow], Envelope.sparkType, envelopeSchema)
+      .asInstanceOf[GenericRecord]
+    val avroBytes = AvroCodec.encode(record, Envelope.avroSchemaJson)
+    if (ascii) AvroCodec.frameAscii(avroBytes) else AvroCodec.frameBinary(avroBytes)
+  }
+
+  @transient private lazy val envelopeSchema = AvroCodec.parse(Envelope.avroSchemaJson)
+
+  override protected def withNewChildInternal(newChild: Expression): PackEnvelope =
+    copy(child = newChild)
+}
+
+/** Framed transport bytes → envelope struct; auto-detects binary vs ASCII
+  * transport from the magic byte (reference: envelope.py:103-121). */
+case class UnpackEnvelope(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = Envelope.sparkType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "unpack_envelope"
+
+  override def nullSafeEval(input: Any): Any = {
+    val avroBytes = AvroCodec.unframe(input.asInstanceOf[Array[Byte]])
+    val record = AvroCodec.decode(avroBytes, Envelope.avroSchemaJson, Envelope.avroSchemaJson)
+    AvroConversions.toCatalyst(record, envelopeSchema)
+  }
+
+  @transient private lazy val envelopeSchema = AvroCodec.parse(Envelope.avroSchemaJson)
+
+  override protected def withNewChildInternal(newChild: Expression): UnpackEnvelope =
+    copy(child = newChild)
+}
+
+/** Payload struct → Avro bytes under a fixed writer schema
+  * (reference: _avro_payload.py:144-149 encode side). */
+case class EncodePayload(child: Expression, schemaJson: String)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = BinaryType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "encode_payload"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case _: StructType => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"encode_payload expects a struct column, got $other")
+    }
+
+  override def nullSafeEval(input: Any): Any = {
+    val record = AvroConversions
+      .toAvro(input.asInstanceOf[InternalRow], child.dataType.asInstanceOf[StructType], schema)
+      .asInstanceOf[GenericRecord]
+    AvroCodec.encode(record, schemaJson)
+  }
+
+  @transient private lazy val schema = AvroCodec.parse(schemaJson)
+
+  override protected def withNewChildInternal(newChild: Expression): EncodePayload =
+    copy(child = newChild)
+}
+
+/** (payload bytes, writer schema_id) → payload struct under a fixed reader
+  * schema, with per-message writer-schema dispatch against a registry
+  * snapshot — Avro reader/writer resolution exactly as the reference's
+  * consumer decode (reference: _avro_payload.py:156-167,
+  * base_consumer.py:291-313 reader-schema forcing).
+  *
+  * `registrySnapshot` rides with the serialized expression to every
+  * executor; schemas parse once per JVM (AvroCodec cache). Unknown
+  * schema_ids yield null (dead-letter filterable) rather than failing the
+  * task — at 100 TB a single poisoned message must not kill the job.
+  */
+case class DecodePayload(
+    payload: Expression,
+    schemaId: Expression,
+    registrySnapshot: Map[Int, String],
+    readerSchemaId: Int)
+    extends BinaryExpression with CodegenFallback {
+
+  override def left: Expression = payload
+  override def right: Expression = schemaId
+  override def prettyName: String = "decode_payload"
+  override def nullable: Boolean = true
+
+  private val readerJson: String = registrySnapshot.getOrElse(readerSchemaId,
+    throw new IllegalArgumentException(s"reader schema id $readerSchemaId not in registry snapshot"))
+
+  override val dataType: DataType =
+    AvroConversions.toStructType(AvroCodec.parse(readerJson))
+
+  override def nullSafeEval(payloadBytes: Any, writerId: Any): Any = {
+    registrySnapshot.get(writerId.asInstanceOf[Int]) match {
+      case Some(writerJson) =>
+        val record = AvroCodec.decode(payloadBytes.asInstanceOf[Array[Byte]], writerJson, readerJson)
+        AvroConversions.toCatalyst(record, readerSchema)
+      case None => null
+    }
+  }
+
+  @transient private lazy val readerSchema = AvroCodec.parse(readerJson)
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DecodePayload =
+    copy(payload = newLeft, schemaId = newRight)
+}

@@ -1,0 +1,178 @@
+package graft.schema
+
+import java.util.concurrent.atomic.AtomicInteger
+
+import scala.collection.concurrent.TrieMap
+import scala.jdk.CollectionConverters._
+
+import org.apache.avro.{Schema, SchemaCompatibility}
+import org.apache.avro.SchemaCompatibility.SchemaCompatibilityType
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.functions.AvroCodec
+
+/** Embedded schema registry — the engine's control plane.
+  *
+  * Replaces the reference's Schematizer HTTP service + client cache
+  * (reference: schematizer_clientlib/schematizer.py:78-1341) with an
+  * in-process catalog: namespace → source → topic → schema hierarchy,
+  * schema registration with Avro compatibility checks (incompatible
+  * changes spawn a new topic, compatible ones a new schema version on the
+  * same topic — schematizer.py:474-742 semantics), primary keys from
+  * `pkey` field attributes, and PII flags.
+  *
+  * Reads are lock-free (TrieMap); `snapshot` produces the immutable
+  * schema_id → avro-json map the decode expressions ship to executors —
+  * the Message ⋈ registry "join" is an executor-side map lookup, never a
+  * shuffle (SURVEY §2.4 J1).
+  */
+class SchemaRegistry extends Serializable {
+
+  final case class TopicEntry(
+      topicId: Int,
+      name: String,
+      namespaceName: String,
+      sourceName: String,
+      containsPii: Boolean,
+      createdAt: Long)
+
+  final case class SchemaEntry(
+      schemaId: Int,
+      topicId: Int,
+      topicName: String,
+      namespaceName: String,
+      sourceName: String,
+      schemaJson: String,
+      primaryKeys: Seq[String],
+      containsPii: Boolean,
+      baseSchemaId: Option[Int],
+      createdAt: Long)
+
+  private val nextSchemaId = new AtomicInteger(0)
+  private val nextTopicId = new AtomicInteger(0)
+  private val schemasById = TrieMap.empty[Int, SchemaEntry]
+  private val topicsById = TrieMap.empty[Int, TopicEntry]
+  private val clock = new AtomicInteger(0) // deterministic created_at ticks
+
+  // --- registration ---------------------------------------------------
+
+  /** Register a schema under namespace/source. Returns the existing entry
+    * if the identical schema is already registered for the source's latest
+    * topic; otherwise a new schema version on the latest topic when
+    * mutually read-compatible, or a brand-new topic when not.
+    */
+  def registerSchema(
+      namespace: String,
+      source: String,
+      schemaJson: String,
+      containsPii: Boolean = false,
+      baseSchemaId: Option[Int] = None): SchemaEntry = synchronized {
+    val parsed = new Schema.Parser().parse(schemaJson)
+    val canonical = parsed.toString // normalized form for identity compare
+    val existingTopics = topicsBySource(namespace, source)
+    val latestTopic = existingTopics.sortBy(t => (t.createdAt, t.topicId)).lastOption
+
+    latestTopic.flatMap { t =>
+      schemasByTopic(t.name).find(s => AvroCodec.parse(s.schemaJson).toString == canonical)
+    } match {
+      case Some(existing) => existing
+      case None =>
+        val compatible = latestTopic.exists { t =>
+          schemasByTopic(t.name).forall(s => isFullyCompatible(parsed, AvroCodec.parse(s.schemaJson)))
+        }
+        val topic = if (compatible) latestTopic.get else {
+          val id = nextTopicId.incrementAndGet()
+          val entry = TopicEntry(id, s"$namespace.$source.v$id", namespace, source,
+            containsPii, clock.incrementAndGet().toLong)
+          topicsById.put(id, entry)
+          entry
+        }
+        val id = nextSchemaId.incrementAndGet()
+        val entry = SchemaEntry(id, topic.topicId, topic.name, namespace, source,
+          schemaJson, primaryKeysOf(parsed), topic.containsPii, baseSchemaId,
+          clock.incrementAndGet().toLong)
+        schemasById.put(id, entry)
+        entry
+    }
+  }
+
+  /** Mutual read compatibility (read + write), the reference's FULL check
+    * (reference: schematizer.py:1191 is_avro_schema_compatible). */
+  def isFullyCompatible(a: Schema, b: Schema): Boolean = {
+    def canRead(reader: Schema, writer: Schema): Boolean =
+      SchemaCompatibility.checkReaderWriterCompatibility(reader, writer)
+        .getType == SchemaCompatibilityType.COMPATIBLE
+    canRead(a, b) && canRead(b, a)
+  }
+
+  /** Primary keys from `pkey` field attributes, ordered by their ordinal
+    * (reference: conftest pkey fixture — FIXTURES.md §2; used for Kafka
+    * keys message.py:340-384 and compaction schematizer.py:1221-1242). */
+  private def primaryKeysOf(schema: Schema): Seq[String] =
+    schema.getFields.asScala
+      .flatMap { f =>
+        Option(f.getObjectProp("pkey")).collect {
+          case n: java.lang.Number => (n.intValue(), f.name())
+        }
+      }
+      .sortBy(_._1).map(_._2).toSeq
+
+  // --- lookups (SURVEY §2.8 catalog surface) --------------------------
+
+  def getSchemaById(id: Int): Option[SchemaEntry] = schemasById.get(id)
+
+  def schemaStructType(id: Int): org.apache.spark.sql.types.StructType =
+    AvroConversions.toStructType(AvroCodec.parse(
+      schemasById(id).schemaJson))
+
+  def topics: Seq[TopicEntry] = topicsById.values.toSeq.sortBy(_.topicId)
+  def schemas: Seq[SchemaEntry] = schemasById.values.toSeq.sortBy(_.schemaId)
+
+  def getTopicByName(name: String): Option[TopicEntry] = topics.find(_.name == name)
+
+  def topicsBySource(namespace: String, source: String): Seq[TopicEntry] =
+    topics.filter(t => t.namespaceName == namespace && t.sourceName == source)
+
+  def namespaces: Seq[String] = topics.map(_.namespaceName).distinct.sorted
+  def sources(namespace: String): Seq[String] =
+    topics.filter(_.namespaceName == namespace).map(_.sourceName).distinct.sorted
+
+  def schemasByTopic(topicName: String): Seq[SchemaEntry] =
+    schemas.filter(_.topicName == topicName)
+
+  def getLatestSchemaByTopicName(topicName: String): Option[SchemaEntry] =
+    schemasByTopic(topicName).sortBy(s => (s.createdAt, s.schemaId)).lastOption
+
+  def getLatestTopicBySource(namespace: String, source: String): Option[TopicEntry] =
+    topicsBySource(namespace, source).sortBy(t => (t.createdAt, t.topicId)).lastOption
+
+  def topicsCreatedAfter(tick: Long): Seq[TopicEntry] = topics.filter(_.createdAt > tick)
+
+  /** Topics whose latest schema declares primary keys — the compaction
+    * eligibility filter (reference: schematizer.py:1221-1242,
+    * tools/compaction_setter.py). */
+  def topicsWithPrimaryKeys: Seq[TopicEntry] =
+    topics.filter(t => getLatestSchemaByTopicName(t.name).exists(_.primaryKeys.nonEmpty))
+
+  def piiTopics: Set[String] = topics.filter(_.containsPii).map(_.name).toSet
+
+  /** Immutable schema_id → avro json map for executor-side decode. */
+  def snapshot: Map[Int, String] =
+    schemas.map(s => s.schemaId -> s.schemaJson).toMap
+
+  // --- catalog as DataFrames (for catalog queries / introspection) -----
+
+  def topicsDF(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    topics.map(t => (t.topicId, t.name, t.namespaceName, t.sourceName, t.containsPii, t.createdAt))
+      .toDF("topic_id", "name", "namespace", "source", "contains_pii", "created_at")
+  }
+
+  def schemasDF(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    schemas.map(s => (s.schemaId, s.topicName, s.namespaceName, s.sourceName,
+        s.schemaJson, s.primaryKeys, s.containsPii, s.createdAt))
+      .toDF("schema_id", "topic", "namespace", "source", "schema_json",
+        "primary_keys", "contains_pii", "created_at")
+  }
+}

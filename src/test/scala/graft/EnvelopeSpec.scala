@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.core.Envelope
+import graft.functions._
+
+/** Envelope pack/unpack round trips (reference behavior:
+  * envelope.py:73-121 incl. the 'a'+base64 ASCII transport). */
+class EnvelopeSpec extends SparkTestBase {
+
+  private def envelopeDF = {
+    val rows = (0 until 50).map { i =>
+      Row(
+        Array.tabulate[Byte](16)(b => ((i + b) % 127).toByte),
+        if (i % 4 == 0) "update" else "create",
+        i % 7,
+        Array[Byte](1, 2, 3, i.toByte),
+        if (i % 4 == 0) Array[Byte](9, 9, i.toByte) else null,
+        if (i % 3 == 0) Seq(Row(i % 7, Array[Byte](5, i.toByte))) else null,
+        if (i % 5 == 0) "AES_MODE_CBC-1" else null,
+        1700000000 + i)
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2), Envelope.sparkType)
+  }
+
+  /** Row.toString prints Array[Byte] by identity — canonicalize to hex. */
+  private def canon(v: Any): String = v match {
+    case b: Array[Byte] => b.map(x => f"$x%02x").mkString
+    case r: Row => r.toSeq.map(canon).mkString("(", ",", ")")
+    case s: scala.collection.Seq[_] => s.map(canon).mkString("[", ",", "]")
+    case other => String.valueOf(other)
+  }
+
+  private def roundTrip(ascii: Boolean): Unit = {
+    val packed =
+      if (ascii) envelopeDF.select(pack_envelope_ascii(struct(col("*"))).as("value"))
+      else envelopeDF.select(pack_envelope(struct(col("*"))).as("value"))
+    val unpacked = packed.select(unpack_envelope(col("value")).as("env")).select("env.*")
+    val before = envelopeDF.collect().map(canon).sorted
+    val after = unpacked.collect().map(canon).sorted
+    assert(after.toSeq == before.toSeq)
+  }
+
+  test("binary transport round trip preserves every envelope field") {
+    roundTrip(ascii = false)
+  }
+
+  test("ASCII transport round trip preserves every envelope field") {
+    roundTrip(ascii = true)
+  }
+
+  test("binary frames start with 0x00, ASCII frames with 'a'") {
+    val b = envelopeDF.select(pack_envelope(struct(col("*"))).as("v")).head().getAs[Array[Byte]](0)
+    val a = envelopeDF.select(pack_envelope_ascii(struct(col("*"))).as("v")).head().getAs[Array[Byte]](0)
+    assert(b(0) == 0x00)
+    assert(a(0) == 'a'.toByte)
+    // ASCII frames must be pure printable ASCII after the magic byte
+    assert(a.drop(1).forall(c => c >= 32 && c < 127))
+  }
+
+  test("unpack rejects unknown magic bytes") {
+    val bad = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(Array[Byte](0x7f, 1, 2)))),
+      StructType(Seq(StructField("value", BinaryType))))
+    val e = intercept[Exception] {
+      bad.select(unpack_envelope(col("value"))).collect()
+    }
+    assert(e.getMessage != null)
+  }
+}

@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.functions._
+import graft.schema.{AvroConversions, SchemaRegistry}
+
+/** Payload encode/decode with registry dispatch and reader/writer schema
+  * resolution (reference semantics: _avro_payload.py:72-167,
+  * base_consumer.py:291-313 reader-schema forcing). */
+class PayloadCodecSpec extends SparkTestBase {
+
+  private val v1Json =
+    """{"type":"record","name":"biz","namespace":"t","fields":[
+         {"name":"id","type":"int"},
+         {"name":"name","type":"string"}]}"""
+  // compatible evolution: adds a defaulted field (FIXTURES.md §1)
+  private val v2Json =
+    """{"type":"record","name":"biz","namespace":"t","fields":[
+         {"name":"id","type":"int"},
+         {"name":"name","type":"string"},
+         {"name":"rating","type":"int","default":5}]}"""
+
+  private def freshRegistry = {
+    val reg = new SchemaRegistry
+    val s1 = reg.registerSchema("ns", "biz", v1Json)
+    val s2 = reg.registerSchema("ns", "biz", v2Json)
+    (reg, s1, s2)
+  }
+
+  test("encode then decode under the same schema is identity") {
+    val (reg, s1, _) = freshRegistry
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(Row(1, "alpha")), Row(Row(2, "beta"))), 2),
+      StructType(Seq(StructField("p", StructType(Seq(
+        StructField("id", IntegerType), StructField("name", StringType)))))))
+    val out = df
+      .select(encode_payload(col("p"), v1Json).as("bytes"))
+      .select(decode_payload(col("bytes"), lit(s1.schemaId), reg, s1.schemaId).as("p"))
+      .select("p.id", "p.name")
+      .collect().map(r => (r.getInt(0), r.getString(1))).sorted
+    assert(out.toSeq == Seq((1, "alpha"), (2, "beta")))
+  }
+
+  test("old-writer data reads under new reader schema with defaults filled") {
+    val (reg, s1, s2) = freshRegistry
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(Row(7, "legacy"))), 1),
+      StructType(Seq(StructField("p", StructType(Seq(
+        StructField("id", IntegerType), StructField("name", StringType)))))))
+    val out = df
+      .select(encode_payload(col("p"), v1Json).as("bytes"), lit(s1.schemaId).as("sid"))
+      .select(decode_payload(col("bytes"), col("sid"), reg, s2.schemaId).as("p"))
+      .select("p.id", "p.name", "p.rating")
+      .head()
+    assert((out.getInt(0), out.getString(1), out.getInt(2)) == ((7, "legacy", 5)))
+  }
+
+  test("unknown writer schema_id dead-letters to null instead of failing the task") {
+    val (reg, s1, _) = freshRegistry
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(Row(1, "x"))), 1),
+      StructType(Seq(StructField("p", StructType(Seq(
+        StructField("id", IntegerType), StructField("name", StringType)))))))
+    val out = df
+      .select(encode_payload(col("p"), v1Json).as("bytes"))
+      .select(decode_payload(col("bytes"), lit(99999), reg, s1.schemaId).as("p"))
+      .collect()
+    assert(out.length == 1 && out(0).isNullAt(0))
+  }
+
+  test("avro nested/array/map/enum/fixed types convert both ways") {
+    val json =
+      """{"type":"record","name":"kitchen","namespace":"t","fields":[
+           {"name":"tags","type":{"type":"array","items":"string"}},
+           {"name":"attrs","type":{"type":"map","values":"long"}},
+           {"name":"color","type":{"type":"enum","name":"c","symbols":["red","blue"]}},
+           {"name":"fp","type":{"type":"fixed","name":"f16","size":4}},
+           {"name":"inner","type":{"type":"record","name":"inner_t","fields":[
+             {"name":"x","type":["null","double"],"default":null}]}}]}"""
+    val reg = new SchemaRegistry
+    val s = reg.registerSchema("ns", "kitchen", json)
+    val sparkType = AvroConversions.toStructType(
+      new org.apache.avro.Schema.Parser().parse(json))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(Row(
+        Seq("a", "b"), Map("k" -> 9L), "blue", Array[Byte](1, 2, 3, 4), Row(2.5)))), 1),
+      StructType(Seq(StructField("p", sparkType))))
+    val out = df
+      .select(encode_payload(col("p"), json).as("bytes"))
+      .select(decode_payload(col("bytes"), lit(s.schemaId), reg, s.schemaId).as("p"))
+      .select("p.tags", "p.attrs", "p.color", "p.fp", "p.inner.x")
+      .head()
+    assert(out.getSeq[String](0) == Seq("a", "b"))
+    assert(out.getMap[String, Long](1) == Map("k" -> 9L))
+    assert(out.getString(2) == "blue")
+    assert(out.getAs[Array[Byte]](3).toSeq == Seq[Byte](1, 2, 3, 4))
+    assert(out.getDouble(4) == 2.5)
+  }
+}
