@@ -1,0 +1,80 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Document deduplication primitives for training-data pipelines.
+  *
+  * Designed around the shuffle structure that survives 100 TB:
+  *  - shingling explodes each document into (doc_id, shingle) rows — the
+  *    dominant intermediate; `array_distinct` before explode keeps it
+  *    minimal and the explode is pipelined (no shuffle);
+  *  - MinHash signatures reduce via partial min() aggregation — one
+  *    shuffle of k×32-byte digests per doc, independent of doc length;
+  *  - LSH banding turns all-pairs O(n²) into an equi-join on
+  *    (band_id, band_hash) — only colliding docs meet; hot buckets (boiler-
+  *    plate shingles) are the skew risk → AQE skew join or salt the band
+  *    key at scale;
+  *  - exact Jaccard verification runs only on LSH candidates.
+  *
+  * Hashes are md5-hex with lexicographic min — deliberately portable
+  * (identical in any engine) so results are reproducible across the fleet
+  * and against the DuckDB oracle.
+  */
+object Dedup {
+
+  /** Distinct word n-gram shingles: (id, g). 1-based positions i..i+n-1. */
+  def wordShingles(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    val ws = split(trim(col(textCol)), "\\s+")
+    val positions = sequence(lit(1), size(ws) - (n - 1))
+    val grams = transform(positions, i =>
+      concat_ws(" ", (0 until n).map(o => element_at(ws, i + o)): _*))
+    docs
+      .filter(size(ws) >= n)
+      .select(col(idCol).as("id"), explode(array_distinct(grams)).as("g"))
+  }
+
+  /** k md5-based minhash signature columns s0..s{k-1} per id. */
+  def minhashSignatures(shingles: DataFrame, k: Int): DataFrame =
+    shingles.groupBy(col("id"))
+      .agg(
+        min(md5(concat(col("g"), lit("#0")))).as("s0"),
+        (1 until k).map(i => min(md5(concat(col("g"), lit(s"#$i")))).as(s"s$i")): _*)
+
+  /** LSH banding: (id, band_id, h) with rows-per-band = k / bands. */
+  def lshBands(signatures: DataFrame, k: Int, bands: Int): DataFrame = {
+    val rowsPerBand = k / bands
+    require(bands * rowsPerBand == k, s"bands=$bands must divide k=$k")
+    val bandCols = (0 until bands).map { b =>
+      val sigCols = (0 until rowsPerBand).map(r => col(s"s${b * rowsPerBand + r}"))
+      struct(lit(b).as("band_id"), md5(concat_ws(",", sigCols: _*)).as("h"))
+    }
+    signatures.select(col("id"), explode(array(bandCols: _*)).as("band"))
+      .select(col("id"), col("band.band_id"), col("band.h"))
+  }
+
+  /** Candidate pairs (d1 < d2) sharing at least one LSH band. */
+  def lshCandidatePairs(bands: DataFrame): DataFrame = {
+    val a = bands.select(col("id").as("d1"), col("band_id"), col("h"))
+    val b = bands.select(col("id").as("d2"), col("band_id"), col("h"))
+    a.join(b, Seq("band_id", "h"))
+      .filter(col("d1") < col("d2"))
+      .select("d1", "d2").distinct()
+  }
+
+  /** Exact Jaccard over the shingle sets of the given pairs only. */
+  def verifyJaccard(pairs: DataFrame, shingles: DataFrame, threshold: Double): DataFrame = {
+    val sizes = shingles.groupBy(col("id")).agg(count(lit(1)).as("n"))
+    val sa = shingles.select(col("id").as("d1"), col("g"))
+    val sb = shingles.select(col("id").as("d2"), col("g"))
+    val inter = pairs
+      .join(sa, "d1").join(sb, Seq("d2", "g"))
+      .groupBy("d1", "d2").agg(count(lit(1)).as("i"))
+    val jac: Column = col("i") / (col("n1") + col("n2") - col("i"))
+    inter
+      .join(sizes.withColumnRenamed("id", "d1").withColumnRenamed("n", "n1"), "d1")
+      .join(sizes.withColumnRenamed("id", "d2").withColumnRenamed("n", "n2"), "d2")
+      .filter(jac >= threshold)
+      .select(col("d1"), col("d2"), round(jac, 6).as("jaccard"))
+  }
+}

@@ -1,0 +1,238 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.Dedup
+
+/** Training-data pipeline operators over the documents/embeddings tables:
+  * dedup (exact, n-gram Jaccard, MinHash-LSH), text analysis, document
+  * fingerprinting, similarity search. Every oracle replicates the SAME
+  * deterministic algorithm (md5-hex minhash, rounded cosine) so the gate
+  * checks algorithmic parity, not just aggregate shape.
+  */
+object LlmOps {
+
+  private val ShingleN = 3
+  private val MinhashK = 12
+  private val LshBands = 4
+  private val JaccardThreshold = 0.6
+
+  /** Exact dedup by content hash (SURVEY north-star: exact dedup).
+    * Input is documents ∪ a re-keyed copy of every 7th doc — planted
+    * exact duplicates — and the operator keeps the smallest doc_id per
+    * content hash. One hash-shuffle, map-side combinable.
+    */
+  def qExactDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir).select($"doc_id", $"text")
+    val dupes = docs.filter($"doc_id" % 7 === 0)
+      .select(($"doc_id" + 100000L).as("doc_id"), $"text")
+    docs.union(dupes)
+      .groupBy(md5($"text").as("content_md5"))
+      .agg(min($"doc_id").as("kept_doc_id"), count(lit(1)).as("n_copies"))
+      .orderBy($"kept_doc_id")
+  }
+
+  /** Near-dup pairs by exact word-trigram Jaccard — the O(n²)-safe
+    * formulation: join on shingle, count intersections, filter. */
+  def qNgramNearDups(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sh = Dedup.wordShingles(Tables.documents(spark, dir), "doc_id", "text", ShingleN)
+    val sizes = sh.groupBy($"id").agg(count(lit(1)).as("n"))
+    val a = sh.select($"id".as("d1"), $"g")
+    val b = sh.select($"id".as("d2"), $"g")
+    val inter = a.join(b, Seq("g")).filter($"d1" < $"d2")
+      .groupBy($"d1", $"d2").agg(count(lit(1)).as("i"))
+    val jac = $"i" / ($"n1" + $"n2" - $"i")
+    inter
+      .join(sizes.withColumnRenamed("id", "d1").withColumnRenamed("n", "n1"), "d1")
+      .join(sizes.withColumnRenamed("id", "d2").withColumnRenamed("n", "n2"), "d2")
+      .filter(jac >= JaccardThreshold)
+      .select($"d1", $"d2", round(jac, 6).as("jaccard"))
+      .orderBy($"d1", $"d2")
+  }
+
+  /** MinHash + LSH near-dup detection: signatures → bands → candidate
+    * pairs → exact verification. Same 25 planted pairs as the exhaustive
+    * query, found without the all-pairs join. */
+  def qMinhashLsh(spark: SparkSession, dir: String): DataFrame = {
+    val sh = Dedup.wordShingles(Tables.documents(spark, dir), "doc_id", "text", ShingleN)
+    val sigs = Dedup.minhashSignatures(sh, MinhashK)
+    val bands = Dedup.lshBands(sigs, MinhashK, LshBands)
+    val cands = Dedup.lshCandidatePairs(bands)
+    Dedup.verifyJaccard(cands, sh, JaccardThreshold)
+      .orderBy(col("d1"), col("d2"))
+  }
+
+  /** Per-document text statistics: token counts, type-token ratio,
+    * stopword ratio, mean token length, quality band (SURVEY north-star:
+    * quality scoring + token counting). All narrow ops — no shuffle. */
+  def qDocStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ws = split(trim($"text"), "\\s+")
+    Tables.documents(spark, dir)
+      .select($"doc_id", ws.as("ws"), $"n_chars")
+      .select(
+        $"doc_id",
+        size($"ws").cast("long").as("n_tokens"),
+        size(array_distinct($"ws")).cast("long").as("n_distinct"),
+        round(size(array_distinct($"ws")).cast("double") / size($"ws"), 6).as("type_token_ratio"),
+        round(expr("aggregate(ws, 0D, (acc, w) -> acc + length(w))") / size($"ws"), 6)
+          .as("avg_token_len"),
+        round(expr("size(filter(ws, w -> w IN ('the', 'a', 'is', 'of')))").cast("double")
+          / size($"ws"), 6).as("stopword_ratio"),
+        $"n_chars")
+      .withColumn("quality_band",
+        when($"n_tokens" >= 60 && $"type_token_ratio" >= 0.3, "good")
+          .when($"n_tokens" >= 20, "ok")
+          .otherwise("short"))
+      .orderBy($"doc_id")
+  }
+
+  /** Document fingerprint: lexicographic-min md5 over trigram shingles
+    * (a 1-row MinHash) + shingle cardinality — cheap near-identity for
+    * incremental dedup against a fingerprint store. */
+  def qDocFingerprint(spark: SparkSession, dir: String): DataFrame = {
+    Dedup.wordShingles(Tables.documents(spark, dir), "doc_id", "text", ShingleN)
+      .groupBy(col("id").as("doc_id"))
+      .agg(min(md5(col("g"))).as("fingerprint"), count(lit(1)).as("n_shingles"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Brute-force cosine top-k (SURVEY north-star: similarity search
+    * baseline): 5 probe vectors against the full table via broadcast —
+    * the fact side never shuffles. Cosines rounded to 4dp before ranking
+    * so ordering is reproducible across engines. */
+  def qKnnCosine(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val vecs = Tables.embeddings(spark, dir)
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+    val probes = vecs.filter($"vec_id" < 5)
+      .select($"vec_id".as("probe_id"), $"v".as("p"))
+    val dot = expr("aggregate(zip_with(v, p, (x, y) -> x * y), 0D, (acc, z) -> acc + z)")
+    val nv = expr("sqrt(aggregate(v, 0D, (acc, x) -> acc + x * x))")
+    val np = expr("sqrt(aggregate(p, 0D, (acc, x) -> acc + x * x))")
+    val scored = vecs.crossJoin(broadcast(probes))
+      .filter($"vec_id" =!= $"probe_id")
+      .select($"probe_id", $"vec_id",
+        round(dot / (nv * np), 4).as("cosine"))
+    val w = Window.partitionBy($"probe_id").orderBy($"cosine".desc, $"vec_id".asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter($"rank" <= 3)
+      .select($"probe_id", $"vec_id", $"cosine", $"rank")
+      .orderBy($"probe_id", $"rank")
+  }
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d_exact_dedup" -> (qExactDedup _),
+    "d_ngram_near_dups" -> (qNgramNearDups _),
+    "d_minhash_lsh" -> (qMinhashLsh _),
+    "t_doc_stats" -> (qDocStats _),
+    "t_doc_fingerprint" -> (qDocFingerprint _),
+    "sim_knn_cosine" -> (qKnnCosine _)
+  )
+
+  private val shingleSql =
+    """sh AS (
+         SELECT doc_id AS id,
+                unnest(list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                                      for i in range(1, len(ws) - 1)])) AS g
+         FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws FROM documents)
+         WHERE len(ws) >= 3)"""
+
+  val oracles: Map[String, String] = Map(
+    "d_exact_dedup" ->
+      """WITH all_docs AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 7 = 0)
+         SELECT md5(text) AS content_md5, min(doc_id) AS kept_doc_id, count(*) AS n_copies
+         FROM all_docs GROUP BY 1 ORDER BY kept_doc_id""",
+    "d_ngram_near_dups" ->
+      s"""WITH $shingleSql,
+          sizes AS (SELECT id, count(*) AS n FROM sh GROUP BY 1),
+          inter AS (
+            SELECT a.id AS d1, b.id AS d2, count(*) AS i
+            FROM sh a JOIN sh b ON a.g = b.g AND a.id < b.id
+            GROUP BY 1, 2)
+          SELECT d1, d2, round(i * 1.0 / (s1.n + s2.n - i), 6) AS jaccard
+          FROM inter JOIN sizes s1 ON d1 = s1.id JOIN sizes s2 ON d2 = s2.id
+          WHERE i * 1.0 / (s1.n + s2.n - i) >= 0.6
+          ORDER BY d1, d2""",
+    "d_minhash_lsh" ->
+      s"""WITH $shingleSql,
+          sig AS (
+            SELECT id,
+                   min(md5(g || '#0')) AS s0, min(md5(g || '#1')) AS s1,
+                   min(md5(g || '#2')) AS s2, min(md5(g || '#3')) AS s3,
+                   min(md5(g || '#4')) AS s4, min(md5(g || '#5')) AS s5,
+                   min(md5(g || '#6')) AS s6, min(md5(g || '#7')) AS s7,
+                   min(md5(g || '#8')) AS s8, min(md5(g || '#9')) AS s9,
+                   min(md5(g || '#10')) AS s10, min(md5(g || '#11')) AS s11
+            FROM sh GROUP BY id),
+          bands AS (
+            SELECT id, 0 AS band_id, md5(s0 || ',' || s1 || ',' || s2) AS h FROM sig
+            UNION ALL
+            SELECT id, 1, md5(s3 || ',' || s4 || ',' || s5) FROM sig
+            UNION ALL
+            SELECT id, 2, md5(s6 || ',' || s7 || ',' || s8) FROM sig
+            UNION ALL
+            SELECT id, 3, md5(s9 || ',' || s10 || ',' || s11) FROM sig),
+          cand AS (
+            SELECT DISTINCT a.id AS d1, b.id AS d2
+            FROM bands a JOIN bands b ON a.band_id = b.band_id AND a.h = b.h AND a.id < b.id),
+          sizes AS (SELECT id, count(*) AS n FROM sh GROUP BY 1),
+          inter AS (
+            SELECT c.d1, c.d2, count(*) AS i
+            FROM cand c JOIN sh a ON a.id = c.d1 JOIN sh b ON b.id = c.d2 AND b.g = a.g
+            GROUP BY 1, 2)
+          SELECT d1, d2, round(i * 1.0 / (s1.n + s2.n - i), 6) AS jaccard
+          FROM inter JOIN sizes s1 ON d1 = s1.id JOIN sizes s2 ON d2 = s2.id
+          WHERE i * 1.0 / (s1.n + s2.n - i) >= 0.6
+          ORDER BY d1, d2""",
+    "t_doc_stats" ->
+      """SELECT doc_id,
+                len(ws) AS n_tokens,
+                len(list_distinct(ws)) AS n_distinct,
+                round(len(list_distinct(ws)) * 1.0 / len(ws), 6) AS type_token_ratio,
+                round(list_sum(list_transform(ws, w -> length(w))) * 1.0 / len(ws), 6)
+                  AS avg_token_len,
+                round(len(list_filter(ws, w -> w IN ('the', 'a', 'is', 'of'))) * 1.0
+                  / len(ws), 6) AS stopword_ratio,
+                n_chars,
+                CASE
+                  WHEN len(ws) >= 60
+                       AND len(list_distinct(ws)) * 1.0 / len(ws) >= 0.3 THEN 'good'
+                  WHEN len(ws) >= 20 THEN 'ok'
+                  ELSE 'short'
+                END AS quality_band
+         FROM (SELECT doc_id, n_chars, string_split_regex(trim(text), '\s+') AS ws
+               FROM documents)
+         ORDER BY doc_id""",
+    "t_doc_fingerprint" ->
+      s"""WITH $shingleSql
+          SELECT id AS doc_id, min(md5(g)) AS fingerprint, count(*) AS n_shingles
+          FROM sh GROUP BY 1 ORDER BY doc_id""",
+    "sim_knn_cosine" ->
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+          probes AS (SELECT vec_id AS probe_id, e AS p FROM v WHERE vec_id < 5),
+          scored AS (
+            SELECT probe_id, vec_id,
+                   round(
+                     list_sum([p[i] * e[i] for i in range(1, 65)]) /
+                     (sqrt(list_sum([e[i] * e[i] for i in range(1, 65)])) *
+                      sqrt(list_sum([p[i] * p[i] for i in range(1, 65)]))), 4) AS cosine
+            FROM v, probes WHERE vec_id <> probe_id),
+          ranked AS (
+            SELECT probe_id, vec_id, cosine,
+                   row_number() OVER (PARTITION BY probe_id
+                                      ORDER BY cosine DESC, vec_id ASC) AS rank
+            FROM scored)
+          SELECT probe_id, vec_id, cosine, rank
+          FROM ranked WHERE rank <= 3
+          ORDER BY probe_id, rank"""
+  )
+}
