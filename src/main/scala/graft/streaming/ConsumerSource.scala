@@ -1,0 +1,82 @@
+package graft.streaming
+
+import graft.schema.SchemaRegistry
+
+/** Registry-driven topic discovery (reference: consumer_source.py:27-265 —
+  * the nine ConsumerSource variants; refresh tick consumer.py:270-294).
+  *
+  * Structured Streaming cannot mutate a running query's topic set, so
+  * discovery is a two-part design: resolvers compute the topic set from
+  * the registry, and [[TopicRefreshController]] diffs successive
+  * resolutions — a change means drain + checkpoint + restart the query
+  * with the new subscription (same offsets semantics as the reference's
+  * stop/commit/re-plan cycle).
+  */
+sealed trait ConsumerSource {
+  def resolve(registry: SchemaRegistry): Set[String]
+}
+
+object ConsumerSource {
+
+  /** Explicit topic list (reference: FixedTopics). */
+  final case class FixedTopics(topics: Set[String]) extends ConsumerSource {
+    def resolve(registry: SchemaRegistry): Set[String] = topics
+  }
+
+  /** All topics of the given namespaces (TopicsInFixedNamespaces). */
+  final case class TopicsInNamespaces(namespaces: Set[String]) extends ConsumerSource {
+    def resolve(registry: SchemaRegistry): Set[String] =
+      registry.topics.filter(t => namespaces.contains(t.namespaceName)).map(_.name).toSet
+  }
+
+  /** All topics of one source (TopicInSource). */
+  final case class TopicsInSource(namespace: String, source: String) extends ConsumerSource {
+    def resolve(registry: SchemaRegistry): Set[String] =
+      registry.topicsBySource(namespace, source).map(_.name).toSet
+  }
+
+  /** Only the newest topic of one source (NewTopicOnlyInSource). */
+  final case class LatestTopicInSource(namespace: String, source: String) extends ConsumerSource {
+    def resolve(registry: SchemaRegistry): Set[String] =
+      registry.getLatestTopicBySource(namespace, source).map(_.name).toSet
+  }
+
+  /** Topics owning the given schema ids, with those ids forced as reader
+    * schemas (FixedSchemas — reference: consumer_source.py:120-147). */
+  final case class FixedSchemas(schemaIds: Set[Int]) extends ConsumerSource {
+    def resolve(registry: SchemaRegistry): Set[String] =
+      schemaIds.flatMap(id => registry.getSchemaById(id).map(_.topicName))
+    /** topic → forced reader schema id */
+    def readerSchemaByTopic(registry: SchemaRegistry): Map[String, Int] =
+      schemaIds.flatMap(id => registry.getSchemaById(id).map(_.topicName -> id)).toMap
+  }
+
+  /** Topics created after a registry tick (NewTopicsOnly variants). */
+  final case class TopicsCreatedAfter(tick: Long) extends ConsumerSource {
+    def resolve(registry: SchemaRegistry): Set[String] =
+      registry.topicsCreatedAfter(tick).map(_.name).toSet
+  }
+}
+
+/** Diffs successive topic resolutions; a non-empty diff signals the query
+  * restart (reference semantics: base_consumer.py:829-947
+  * refresh_new_topics / refresh_topics). */
+final class TopicRefreshController(source: ConsumerSource, registry: SchemaRegistry) {
+
+  @volatile private var current: Set[String] = Set.empty
+
+  final case class Refresh(added: Set[String], removed: Set[String], topics: Set[String]) {
+    def changed: Boolean = added.nonEmpty || removed.nonEmpty
+  }
+
+  def currentTopics: Set[String] = current
+
+  /** One discovery tick. Returns the diff; caller restarts the streaming
+    * query iff `changed`. */
+  def tick(): Refresh = synchronized {
+    val next = source.resolve(registry)
+    val refresh = Refresh(next -- current, current -- next, next)
+    current = next
+    refresh
+  }
+}

@@ -1,0 +1,143 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.core.Envelope
+import graft.functions._
+import graft.schema.SchemaRegistry
+
+/** Producer/consumer surface of the engine: payload rows ⇄ enveloped
+  * transport messages.
+  *
+  * Works identically on batch DataFrames and streaming DataFrames — the
+  * envelope expressions are row-local, so the same plan fragment serves
+  * `spark.read` and `spark.readStream`. Against a real cluster the sink is
+  * `format("kafka")` with the registry topic as the `topic` column and
+  * `encoded_keys` as the message key (reference hot path:
+  * producer.py:257-289 → _kafka_producer.py:107-247); batching/linger and
+  * idempotent produce are the Kafka client's job, checkpointing is
+  * Spark's — the reference's hand-rolled buffer/flush/retry machinery
+  * (SURVEY §2.7 ST1-ST4) collapses into those two built-ins.
+  */
+object Pipeline {
+
+  /** Wrap payload columns into enveloped transport bytes.
+    *
+    * @param payload     struct column of the payload fields (must match the
+    *                    registered writer schema)
+    * @param messageType create/update/delete/refresh/log
+    * @param entry       the registered schema this payload is written under
+    * @param timestamp   unix-seconds column for the envelope
+    * @param uuid        16-byte uuid column; defaults to a deterministic
+    *                    surrogate (at-cluster this is `uuid()`-derived)
+    */
+  def envelopeFor(
+      payload: Column,
+      messageType: String,
+      entry: SchemaRegistry#SchemaEntry,
+      timestamp: Column,
+      uuid: Column,
+      ascii: Boolean = false,
+      previousPayload: Option[Column] = None): Column = {
+    val metaType = Envelope.sparkType("meta").dataType
+    val env = struct(
+      uuid.as("uuid"),
+      lit(messageType).as("message_type"),
+      lit(entry.schemaId).as("schema_id"),
+      encode_payload(payload, entry.schemaJson).as("payload"),
+      previousPayload.map(encode_payload(_, entry.schemaJson))
+        .getOrElse(lit(null).cast("binary")).as("previous_payload"),
+      lit(null).cast(metaType).as("meta"),
+      lit(null).cast("string").as("encryption_type"),
+      timestamp.cast("int").as("timestamp"))
+    if (ascii) pack_envelope_ascii(env) else pack_envelope(env)
+  }
+
+  /** Producer: payload df → (topic, key, value) transport rows.
+    * PII topics are dropped when `skipPii` (reference:
+    * _kafka_producer.py:107-124) — the filter is a broadcast-set lookup,
+    * applied before serialization so skipped rows cost nothing.
+    */
+  def produce(
+      df: DataFrame,
+      payload: Column,
+      messageType: String,
+      entry: SchemaRegistry#SchemaEntry,
+      timestamp: Column,
+      uuid: Column,
+      registry: SchemaRegistry,
+      skipPii: Boolean = false): DataFrame = {
+    val piiTopics = registry.piiTopics
+    val out = df.select(
+      lit(entry.topicName).as("topic"),
+      keyFor(payload, entry).as("key"),
+      envelopeFor(payload, messageType, entry, timestamp, uuid).as("value"))
+    if (skipPii && piiTopics.contains(entry.topicName)) out.limit(0) else out
+  }
+
+  /** Kafka message key: the Avro-encoded primary-key projection of the
+    * payload (reference: message.py:340-384 keys/encoded_keys). Null when
+    * the schema declares no pkeys (round-robin partitioning). */
+  def keyFor(payload: Column, entry: SchemaRegistry#SchemaEntry): Column =
+    if (entry.primaryKeys.isEmpty) lit(null).cast("binary")
+    else {
+      val pkStruct = struct(entry.primaryKeys.map(k => payload.getField(k)): _*)
+      val pkSchemaJson = primaryKeySchemaJson(entry)
+      encode_payload(pkStruct, pkSchemaJson)
+    }
+
+  /** Synthesized Avro record of just the pkey fields, in pkey order. */
+  def primaryKeySchemaJson(entry: SchemaRegistry#SchemaEntry): String = {
+    val parsed = graft.functions.AvroCodec.parse(entry.schemaJson)
+    val fields = entry.primaryKeys.map { k =>
+      val f = parsed.getField(k)
+      require(f != null, s"pkey field $k not in schema")
+      s"""{"name":"$k","type":${f.schema().toString}}"""
+    }
+    s"""{"type":"record","name":"${parsed.getName}_pkeys","namespace":"${parsed.getNamespace}",
+        "fields":[${fields.mkString(",")}]}"""
+  }
+
+  /** Consumer: transport rows → unpacked envelope + decoded payload under
+    * the reader schema (reference: message.py:817-856
+    * create_from_kafka_message; reader-schema forcing
+    * base_consumer.py:291-313). Keeps envelope metadata columns alongside
+    * the decoded struct — column pruning drops whatever the query doesn't
+    * project. */
+  def consume(
+      transport: DataFrame,
+      registry: SchemaRegistry,
+      readerSchemaId: Int,
+      valueCol: String = "value"): DataFrame = {
+    transport
+      .withColumn("env", unpack_envelope(col(valueCol)))
+      .select(
+        col("env.uuid").as("uuid"),
+        col("env.message_type").as("message_type"),
+        col("env.schema_id").as("schema_id"),
+        col("env.timestamp").as("timestamp"),
+        col("env.encryption_type").as("encryption_type"),
+        decode_payload(col("env.payload"), col("env.schema_id"),
+          registry, readerSchemaId).as("payload"),
+        when(col("env.previous_payload").isNotNull,
+          decode_payload(col("env.previous_payload"), col("env.schema_id"),
+            registry, readerSchemaId)).as("previous_payload"))
+  }
+
+  /** Update-message field diff on a consumed stream: per-field
+    * {old, current} pairs for fields that changed (reference:
+    * message.py:394-398, 780-798 payload_diff/has_changed). */
+  def payloadDiff(consumed: DataFrame, fields: Seq[String]): DataFrame = {
+    val diffs = fields.map { f =>
+      struct(
+        col(s"previous_payload.$f").as("old"),
+        col(s"payload.$f").as("current"),
+        (col(s"previous_payload.$f") =!= col(s"payload.$f")).as("changed")
+      ).as(s"diff_$f")
+    }
+    consumed
+      .filter(col("message_type") === "update")
+      .select(col("uuid") +: col("schema_id") +: diffs: _*)
+  }
+}

@@ -1,0 +1,150 @@
+package graft
+
+import graft.refresh._
+import graft.schema.SchemaRegistry
+import graft.streaming.{ConsumerSource, ExactlyOnce, TopicRefreshController}
+
+/** Driver-side control plane: exactly-once reconciliation, topic
+  * discovery/refresh, priority scheduling, throughput caps, keyset scan
+  * planning. */
+class ControlPlaneSpec extends SparkTestBase {
+
+  // --- exactly-once audit (reference: producer.py:291-422) -------------
+
+  test("reconcile republishes only the unpublished tail") {
+    val d = ExactlyOnce.reconcile(ExactlyOnce.TopicState(savedOffset = 100, highWatermark = 103),
+      replaySize = 5)
+    assert(d == ExactlyOnce.RepublishFrom(3))
+  }
+
+  test("reconcile with nothing published replays everything") {
+    assert(ExactlyOnce.reconcile(ExactlyOnce.TopicState(100, 100), 5) ==
+      ExactlyOnce.RepublishFrom(0))
+  }
+
+  test("watermark beyond the replay window is unensurable unless forced") {
+    val st = ExactlyOnce.TopicState(100, 110)
+    assert(ExactlyOnce.reconcile(st, 5) == ExactlyOnce.Unensurable(10, 5))
+    assert(ExactlyOnce.reconcile(st, 5, allowForcedRecovery = true) ==
+      ExactlyOnce.RepublishFrom(0))
+  }
+
+  test("failed produce whose count closed the watermark gap actually succeeded") {
+    assert(ExactlyOnce.retrySucceededDespiteError(100, 105, 5))
+    assert(!ExactlyOnce.retrySucceededDespiteError(100, 104, 5))
+  }
+
+  // --- consumer sources + refresh tick (consumer_source.py, ST7) -------
+
+  private val schemaJson =
+    """{"type":"record","name":"s1","namespace":"g","fields":[
+         {"name":"f","type":"int","default":0}]}"""
+  private val incompatibleJson =
+    """{"type":"record","name":"s1","namespace":"g","fields":[
+         {"name":"f","type":"string"}]}"""
+
+  test("consumer sources resolve topic sets from the registry") {
+    val reg = new SchemaRegistry
+    val a = reg.registerSchema("ns1", "src_a", schemaJson)
+    val b = reg.registerSchema("ns2", "src_b", schemaJson)
+    assert(ConsumerSource.FixedTopics(Set("x")).resolve(reg) == Set("x"))
+    assert(ConsumerSource.TopicsInNamespaces(Set("ns1")).resolve(reg) == Set(a.topicName))
+    assert(ConsumerSource.TopicsInSource("ns2", "src_b").resolve(reg) == Set(b.topicName))
+    assert(ConsumerSource.FixedSchemas(Set(a.schemaId)).resolve(reg) == Set(a.topicName))
+    assert(ConsumerSource.FixedSchemas(Set(a.schemaId)).readerSchemaByTopic(reg) ==
+      Map(a.topicName -> a.schemaId))
+  }
+
+  test("topic refresh tick reports added topics after incompatible evolution") {
+    val reg = new SchemaRegistry
+    val a = reg.registerSchema("ns", "src", schemaJson)
+    val ctl = new TopicRefreshController(ConsumerSource.TopicsInSource("ns", "src"), reg)
+    val first = ctl.tick()
+    assert(first.changed && first.topics == Set(a.topicName))
+    assert(!ctl.tick().changed) // steady state
+    val b = reg.registerSchema("ns", "src", incompatibleJson) // new topic
+    val third = ctl.tick()
+    assert(third.changed && third.added == Set(b.topicName) && third.removed.isEmpty)
+  }
+
+  test("latest-topic source follows the newest topic across evolution") {
+    val reg = new SchemaRegistry
+    val a = reg.registerSchema("ns", "src", schemaJson)
+    val src = ConsumerSource.LatestTopicInSource("ns", "src")
+    assert(src.resolve(reg) == Set(a.topicName))
+    val b = reg.registerSchema("ns", "src", incompatibleJson)
+    assert(src.resolve(reg) == Set(b.topicName))
+  }
+
+  // --- priority refresh queue (priority_refresh_queue.py:68-116) -------
+
+  private def job(id: Int, src: String, status: RefreshStatus.Value,
+                  priority: Int, created: Long) =
+    RefreshJob(id, "ns", src, status, 0L, 100, priority, None, None, created)
+
+  test("queue orders by priority desc, paused-first, created asc; one per source") {
+    val jobs = Seq(
+      job(1, "s1", RefreshStatus.NotStarted, 50, 10),
+      job(2, "s1", RefreshStatus.Paused, 50, 20), // paused beats not-started at same prio
+      job(3, "s1", RefreshStatus.NotStarted, 100, 30), // higher priority wins
+      job(4, "s2", RefreshStatus.NotStarted, 75, 5),
+      job(5, "s3", RefreshStatus.Success, 100, 1)) // terminal: not queueable
+    val sched = PriorityRefreshQueue.schedule(jobs)
+    assert(sched.map(_.refreshId) == Seq(3, 4))
+  }
+
+  test("paused-first applies within equal priority") {
+    val jobs = Seq(
+      job(1, "s1", RefreshStatus.NotStarted, 50, 1),
+      job(2, "s1", RefreshStatus.Paused, 50, 99))
+    assert(PriorityRefreshQueue.schedule(jobs).map(_.refreshId) == Seq(2))
+  }
+
+  test("DataFrame scheduling matches the in-memory queue") {
+    import spark.implicits._
+    val df = Seq(
+      (1, "ns", "s1", "NOT_STARTED", 50, 10L),
+      (2, "ns", "s1", "PAUSED", 50, 20L),
+      (3, "ns", "s1", "NOT_STARTED", 100, 30L),
+      (4, "ns", "s2", "NOT_STARTED", 75, 5L),
+      (5, "ns", "s3", "SUCCESS", 100, 1L)
+    ).toDF("refresh_id", "namespace_name", "source_name", "status", "priority", "created_at")
+    val got = PriorityRefreshQueue.scheduleDF(df).select("refresh_id")
+      .collect().map(_.getInt(0)).toSeq
+    assert(got == Seq(3, 4))
+  }
+
+  // --- throughput allocation (refresh_manager.py:331-365) --------------
+
+  test("caps pass through under budget and scale down proportionally over it") {
+    val under = Seq(job(1, "a", RefreshStatus.NotStarted, 50, 1),
+      job(2, "b", RefreshStatus.NotStarted, 50, 2))
+    assert(ThroughputAllocator.allocate(under) == Map(1 -> 50, 2 -> 50))
+    val over = (1 to 30).map(i => job(i, s"s$i", RefreshStatus.NotStarted, 50, i.toLong))
+    val caps = ThroughputAllocator.allocate(over) // 30*50=1500 > 1000
+    assert(caps.values.sum <= 1000)
+    assert(caps.values.forall(c => c == 33))
+  }
+
+  // --- keyset scan planning (copy_table_to_blackhole_table.py) ---------
+
+  test("keyset ranges tile (min, max] without overlap") {
+    val ranges = RefreshScan.keysetRanges(0, 1000, 300)
+    assert(ranges == Seq((0L, 300L), (300L, 600L), (600L, 900L), (900L, 1000L)))
+    val preds = RefreshScan.keysetPredicates("pk", 0, 700, 300, where = Some("x > 1"))
+    assert(preds.head == "pk > 0 AND pk <= 300 AND (x > 1)")
+    assert(preds.length == 3)
+  }
+
+  test("scan batches cover the orders table exactly once") {
+    val orders = Tables.orders(spark, sf())
+    val bounds = orders.agg(
+      org.apache.spark.sql.functions.min("o_orderkey"),
+      org.apache.spark.sql.functions.max("o_orderkey")).head()
+    val (lo, hi) = (bounds.getLong(0) - 1, bounds.getLong(1))
+    val total = RefreshScan.keysetRanges(lo, hi, 500).map { case (a, b) =>
+      RefreshScan.scanBatch(orders, "o_orderkey", a, b).count()
+    }.sum
+    assert(total == orders.count())
+  }
+}

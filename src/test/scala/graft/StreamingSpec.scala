@@ -1,0 +1,124 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.schema.SchemaRegistry
+import graft.streaming.{MonitorStream, Pipeline}
+
+/** End-to-end streaming behavior over MemoryStream sources: envelope
+  * produce/consume round trip and the watermarked monitor aggregation. */
+class StreamingSpec extends SparkTestBase {
+
+  private val bizJson =
+    """{"type":"record","name":"biz","namespace":"s","fields":[
+         {"name":"id","type":"int","pkey":1},
+         {"name":"name","type":"string"}]}"""
+
+  test("streaming produce -> consume round trip through the envelope") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val reg = new SchemaRegistry
+    val entry = reg.registerSchema("s", "biz", bizJson)
+
+    val input = MemoryStream[(Int, String, Long)]
+    val payloadDf = input.toDF().toDF("id", "name", "epoch")
+    val transport = Pipeline.produce(
+      payloadDf,
+      payload = struct($"id", $"name"),
+      messageType = "create",
+      entry = entry,
+      timestamp = $"epoch",
+      uuid = unhex(md5($"id".cast("string"))),
+      registry = reg)
+    val consumed = Pipeline.consume(transport, reg, entry.schemaId)
+      .select($"payload.id", $"payload.name", $"message_type", $"schema_id")
+
+    val q = consumed.writeStream.format("memory").queryName("rt_out")
+      .outputMode("append").start()
+    try {
+      input.addData((1, "alpha", 1700000000L), (2, "beta", 1700000001L))
+      q.processAllAvailable()
+      input.addData((3, "gamma", 1700000002L))
+      q.processAllAvailable()
+      val rows = spark.table("rt_out")
+        .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getInt(3))).sorted
+      assert(rows.toSeq == Seq(
+        (1, "alpha", "create", entry.schemaId),
+        (2, "beta", "create", entry.schemaId),
+        (3, "gamma", "create", entry.schemaId)))
+    } finally q.stop()
+  }
+
+  test("producer skips PII topics when skip_messages_with_pii is set") {
+    import spark.implicits._
+    val reg = new SchemaRegistry
+    val entry = reg.registerSchema("s", "secrets", bizJson, containsPii = true)
+    val df = Seq((1, "x", 1700000000L)).toDF("id", "name", "epoch")
+    val out = Pipeline.produce(df, struct($"id", $"name"), "create", entry,
+      $"epoch", unhex(md5($"id".cast("string"))), reg, skipPii = true)
+    assert(out.count() == 0)
+    val kept = Pipeline.produce(df, struct($"id", $"name"), "create", entry,
+      $"epoch", unhex(md5($"id".cast("string"))), reg, skipPii = false)
+    assert(kept.count() == 1)
+  }
+
+  test("kafka key is the avro-encoded pkey projection") {
+    import spark.implicits._
+    val reg = new SchemaRegistry
+    val entry = reg.registerSchema("s", "biz", bizJson)
+    assert(entry.primaryKeys == Seq("id"))
+    val df = Seq((7, "x", 1700000000L)).toDF("id", "name", "epoch")
+    val out = Pipeline.produce(df, struct($"id", $"name"), "create", entry,
+      $"epoch", unhex(md5($"id".cast("string"))), reg)
+    val key = out.select($"key").head().getAs[Array[Byte]](0)
+    // avro zig-zag varint of int 7 is one byte 0x0e
+    assert(key.toSeq == Seq(0x0e.toByte))
+  }
+
+  test("monitor stream emits one count per epoch-aligned window and topic") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val input = MemoryStream[(Timestamp, String)]
+    val df = input.toDF().toDF("ts", "topic")
+    val counts = MonitorStream.monitorCounts(df, "test-client", "producer", windowSec = 600)
+    val q = counts.writeStream.format("memory").queryName("mon_out")
+      .outputMode("complete").start()
+    try {
+      def t(sec: Long) = new Timestamp(sec * 1000)
+      input.addData(
+        (t(1200), "topic_a"), (t(1300), "topic_a"), (t(1799), "topic_a"),
+        (t(1800), "topic_a"), // next window
+        (t(1250), "topic_b"))
+      q.processAllAvailable()
+      val rows = spark.table("mon_out")
+        .select($"topic", $"start_timestamp", $"message_count")
+        .collect().map(r => (r.getString(0), r.getInt(1), r.getInt(2))).sorted
+      assert(rows.toSeq == Seq(
+        ("topic_a", 1200, 3), ("topic_a", 1800, 1), ("topic_b", 1200, 1)))
+    } finally q.stop()
+  }
+
+  test("payload diff surfaces changed fields on update messages") {
+    import spark.implicits._
+    val reg = new SchemaRegistry
+    val entry = reg.registerSchema("s", "biz", bizJson)
+    val df = Seq((1, "new", "old", 1700000000L)).toDF("id", "name", "prev_name", "epoch")
+    val transport = df.select(
+      Pipeline.envelopeFor(
+        struct($"id", $"name"), "update", entry, $"epoch",
+        unhex(md5($"id".cast("string"))),
+        previousPayload = Some(struct($"id", $"prev_name".as("name")))).as("value"))
+    val consumed = Pipeline.consume(transport, reg, entry.schemaId)
+    val diff = Pipeline.payloadDiff(consumed, Seq("id", "name")).head()
+    val idDiff = diff.getStruct(2)
+    val nameDiff = diff.getStruct(3)
+    assert(!idDiff.getBoolean(2)) // id unchanged
+    assert(nameDiff.getString(0) == "old" && nameDiff.getString(1) == "new"
+      && nameDiff.getBoolean(2))
+  }
+}
