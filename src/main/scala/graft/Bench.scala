@@ -1,24 +1,102 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Per-round benchmark harness (driver contract): runs the headline
+  * queries on SPARK_GRAFT_SF_DIR and prints ONE JSON line.
+  *
+  * Each query gets one warm-up execution (JIT + codegen + classloading)
+  * and one timed execution — steady-state numbers, not JVM cold start.
+  * A dedicated serde throughput metric measures rows/s through the full
+  * envelope path (encode → pack → unpack → decode), the BASELINE.md
+  * bench gate (~90k rows/s/core target).
+  */
 object Bench {
+
+  /** Heavier representative subset of SparkEntry.queries. */
+  private val headline = Seq(
+    "q1_pricing_summary",
+    "q_region_revenue",
+    "q_top_revenue",
+    "q_priority_head",
+    "q_monitor_windows",
+    "q_field_diff",
+    "d_ngram_near_dups",
+    "d_minhash_lsh",
+    "t_doc_stats",
+    "sim_knn_cosine",
+    "env_roundtrip")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    def timed(fn: () => Unit): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      fn()
+      (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+
+    val results = headline.flatMap { name =>
+      SparkEntry.queries.get(name).map { fn =>
+        try {
+          fn(spark, sfDir).count() // warm-up: codegen + JIT
+          name -> timed(() => fn(spark, sfDir).count())
+        } catch { case _: Throwable => name -> -1.0 }
+      }
+    }
+
+    // serde throughput: full envelope round trip (encode → pack → unpack
+    // → decode) at ≥1M rows so scheduling overhead doesn't mask the codec.
+    val serdeRowsPerSec =
+      try {
+        import org.apache.spark.sql.functions._
+        val reg = new graft.schema.SchemaRegistry
+        val entry = reg.registerSchema("bench", "event", queries.EnvelopeOps.eventSchemaJson)
+        val base = Tables.events(spark, sfDir)
+          .select(col("event_id"), col("user_id"), col("event_type"), col("value"), col("ts"))
+        val factor = math.max(1, (1000000 / math.max(1L, base.count())).toInt)
+        // single-file parquet input arrives as 1-2 partitions; spread the
+        // replicated rows across every core before the codec chain.
+        val big = base.withColumn("rep", explode(lit((0 until factor).toArray)))
+          .repartition(cpus.toInt).cache()
+        val n = big.count().toDouble
+        def roundTrip() = {
+          val env = struct(
+            unhex(md5(col("event_id").cast("string"))).as("uuid"),
+            lit("create").as("message_type"),
+            lit(entry.schemaId).as("schema_id"),
+            graft.functions.encode_payload(
+              struct(col("event_id"), col("user_id"), col("event_type"), col("value")),
+              queries.EnvelopeOps.eventSchemaJson).as("payload"),
+            lit(null).cast("binary").as("previous_payload"),
+            lit(null).cast(graft.core.Envelope.sparkType("meta").dataType).as("meta"),
+            lit(null).cast("string").as("encryption_type"),
+            unix_timestamp(col("ts")).cast("int").as("timestamp"))
+          big.select(graft.functions.pack_envelope(env).as("value"))
+            .select(graft.functions.unpack_envelope(col("value")).as("env"))
+            .select(graft.functions.decode_payload(
+              col("env.payload"), col("env.schema_id"), reg, entry.schemaId).as("p"))
+            .select(sum(col("p.event_id"))).head()
+        }
+        roundTrip() // warm-up
+        val secs = timed(() => roundTrip())
+        if (secs > 0) n / secs else -1.0
+      } catch { case _: Throwable => -1.0 }
+
+    val qs = results.map { case (k, v) => "\"" + k + f"""\":$v%.4f""" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2).filter(_ >= 0).sum
+    println(
+      f"""{"metric":"total","value":$total%.4f,"unit":"sec","queries":$qs,"serde_rows_per_sec":$serdeRowsPerSec%.0f,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -40,7 +40,10 @@ object LlmOps {
     * formulation: join on shingle, count intersections, filter. */
   def qNgramNearDups(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val sh = Dedup.wordShingles(Tables.documents(spark, dir), "doc_id", "text", ShingleN)
+    // the shingle frame feeds three plan branches (sizes + both join
+    // sides); cache it — Spark self-joins recompute lineage otherwise.
+    // At cluster scale this is persist(DISK_ONLY) or a checkpoint.
+    val sh = Dedup.wordShingles(Tables.documents(spark, dir), "doc_id", "text", ShingleN).cache()
     val sizes = sh.groupBy($"id").agg(count(lit(1)).as("n"))
     val a = sh.select($"id".as("d1"), $"g")
     val b = sh.select($"id".as("d2"), $"g")
@@ -59,7 +62,7 @@ object LlmOps {
     * pairs → exact verification. Same 25 planted pairs as the exhaustive
     * query, found without the all-pairs join. */
   def qMinhashLsh(spark: SparkSession, dir: String): DataFrame = {
-    val sh = Dedup.wordShingles(Tables.documents(spark, dir), "doc_id", "text", ShingleN)
+    val sh = Dedup.wordShingles(Tables.documents(spark, dir), "doc_id", "text", ShingleN).cache()
     val sigs = Dedup.minhashSignatures(sh, MinhashK)
     val bands = Dedup.lshBands(sigs, MinhashK, LshBands)
     val cands = Dedup.lshCandidatePairs(bands)

@@ -156,19 +156,21 @@ object AvroConversions {
       case (dt: DecimalType, Schema.Type.BYTES) =>
         ByteBuffer.wrap(value.asInstanceOf[Decimal].toJavaBigDecimal.unscaledValue().toByteArray)
       case (st: StructType, Schema.Type.RECORD) =>
+        // direct GenericData.Record by field position — GenericRecordBuilder
+        // re-validates and default-fills every field per row, which dominates
+        // the encode hot path at millions of rows.
         val row = value.asInstanceOf[InternalRow]
-        val b = new GenericRecordBuilder(s)
-        val fields = s.getFields.asScala
+        val rec = new GenericData.Record(s)
         var i = 0
         while (i < st.fields.length) {
           val f = st.fields(i)
           val avroField = s.getField(f.name)
           require(avroField != null, s"field ${f.name} missing from avro schema ${s.getFullName}")
           val v = if (row.isNullAt(i)) null else row.get(i, f.dataType)
-          b.set(avroField, toAvro(v, f.dataType, avroField.schema()))
+          rec.put(avroField.pos(), toAvro(v, f.dataType, avroField.schema()))
           i += 1
         }
-        b.build()
+        rec
       case (at: ArrayType, Schema.Type.ARRAY) =>
         val arr = value.asInstanceOf[ArrayData]
         val out = new java.util.ArrayList[AnyRef](arr.numElements())
