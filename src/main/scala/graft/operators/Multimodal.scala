@@ -1,0 +1,107 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column handling: image/audio/video as opaque binary columns
+  * with typed metadata (north-star requirement).
+  *
+  * The Spark-side plumbing — schema, batched per-partition decode,
+  * partition sizing — is real; the codec itself is STUBBED with a
+  * deterministic fake header format because no image/audio libraries ship
+  * in this container. `decodeBatch` is the single replacement point: swap
+  * the fake header parser for JNI/FFI codec calls (or route the same
+  * batches through `mapInArrow`/Pandas UDFs from PySpark) and nothing
+  * upstream changes.
+  *
+  * Fake wire format (deterministic, self-describing):
+  *   bytes 0-3   magic "GMM1"
+  *   bytes 4-7   width  (int32 BE)
+  *   bytes 8-11  height (int32 BE)
+  *   bytes 12+   payload
+  */
+object Multimodal {
+
+  val MediaMetaType: StructType = StructType(Seq(
+    StructField("kind", StringType, nullable = false),
+    StructField("width", IntegerType, nullable = true),
+    StructField("height", IntegerType, nullable = true),
+    StructField("n_bytes", LongType, nullable = false)))
+
+  val Magic: Array[Byte] = "GMM1".getBytes("US-ASCII")
+
+  /** Deterministic fake encoder (test/bench stand-in for real media). */
+  def syntheticContent(width: Column, height: Column, payload: Column): Column =
+    concat(
+      lit(Magic),
+      intBe(width),
+      intBe(height),
+      payload.cast("binary"))
+
+  private def intBe(c: Column): Column =
+    unhex(lpad(hex(c.cast("int")), 8, "0"))
+
+  /** Header-only metadata extraction as pure column ops (codegen'd, no
+    * decode of the payload bytes — the cheap path for filtering/routing
+    * before any expensive codec work). */
+  def extractMeta(content: Column, kind: String): Column =
+    struct(
+      lit(kind).as("kind"),
+      conv(substring(hex(content), 9, 8), 16, 10).cast("int").as("width"),
+      conv(substring(hex(content), 17, 8), 16, 10).cast("int").as("height"),
+      length(content).cast("long").as("n_bytes"))
+
+  /** Batched per-partition decode — the real-codec integration seam.
+    *
+    * Iterates each partition in `batchSize` groups (the shape a vectorized
+    * codec wants: one native call per batch, not per row). The stub
+    * "decode" parses the fake header and summarizes the payload; a real
+    * deployment replaces only `decodeBatch`.
+    */
+  def decodePartitioned(
+      df: DataFrame,
+      contentCol: String,
+      batchSize: Int = 64): DataFrame = {
+    val schema = StructType(df.schema.fields ++ Array(
+      StructField("decoded_width", IntegerType, nullable = true),
+      StructField("decoded_height", IntegerType, nullable = true),
+      StructField("payload_checksum", LongType, nullable = true)))
+    val contentIx = df.schema.fieldIndex(contentCol)
+    val rdd = df.rdd.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        val decoded = decodeBatch(batch.map(_.getAs[Array[Byte]](contentIx)))
+        batch.lazyZip(decoded).map { case (row, d) =>
+          Row.fromSeq(row.toSeq ++ Seq(d._1, d._2, d._3))
+        }
+      }
+    }
+    df.sparkSession.createDataFrame(rdd, schema)
+  }
+
+  /** STUB decoder — one call per batch. Replace with a real codec binding
+    * (libjpeg/ffmpeg/...); the deterministic fake keeps tests meaningful. */
+  private def decodeBatch(contents: Seq[Array[Byte]]): Seq[(Integer, Integer, java.lang.Long)] =
+    contents.map { c =>
+      if (c == null || c.length < 12 || !c.startsWith(Magic)) (null, null, null)
+      else {
+        def be(off: Int): Int =
+          ((c(off) & 0xff) << 24) | ((c(off + 1) & 0xff) << 16) |
+            ((c(off + 2) & 0xff) << 8) | (c(off + 3) & 0xff)
+        var sum = 0L
+        var i = 12
+        while (i < c.length) { sum += (c(i) & 0xff); i += 1 }
+        (Integer.valueOf(be(4)), Integer.valueOf(be(8)), java.lang.Long.valueOf(sum))
+      }
+    }
+
+  /** Frame sampling stub: slice the payload into `n` equal byte ranges
+    * (stand-in for video frame extraction; pure column ops). */
+  def frameSlices(content: Column, n: Int): Column = {
+    val payloadLen = length(content) - 12
+    array((0 until n).map { i =>
+      substr(content, lit(13) + ((payloadLen * lit(i)) / lit(n)).cast("int"),
+        (payloadLen / lit(n)).cast("int"))
+    }: _*)
+  }
+}

@@ -1,0 +1,52 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text analysis for training-data pipelines: language identification,
+  * token classing, quality signals (north-star requirements). All pure
+  * column expressions — codegen'd, shuffle-free, safe at any scale.
+  */
+object TextAnalysis {
+
+  /** Tiny per-language stopword profiles for the n-gram/stopword
+    * heuristic. Deliberately small: language ID here is a routing signal,
+    * not a classifier — precision comes from downstream filtering. */
+  val StopwordProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "is", "of", "and", "to"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "es" -> Seq("el", "los", "las", "y", "una"),
+    "fr" -> Seq("le", "les", "et", "est", "une"))
+
+  private def hits(tokens: Column, words: Seq[String]): Column =
+    size(filter(tokens, t => t.isin(words.map(lit(_)): _*)))
+
+  /** Stopword-profile hit counts per language: struct(en, de, es, fr). */
+  def languageScores(tokens: Column): Column =
+    struct(StopwordProfiles.map { case (lang, words) =>
+      hits(tokens, words).as(lang)
+    }: _*)
+
+  /** Argmax language with deterministic precedence (en > de > es > fr),
+    * 'und' when no profile hits at all. */
+  def languageGuess(tokens: Column): Column = {
+    val s = languageScores(tokens)
+    val (en, de, es, fr) =
+      (s.getField("en"), s.getField("de"), s.getField("es"), s.getField("fr"))
+    when(en >= de && en >= es && en >= fr && en > 0, "en")
+      .when(de >= es && de >= fr && de > 0, "de")
+      .when(es >= fr && es > 0, "es")
+      .when(fr > 0, "fr")
+      .otherwise("und")
+  }
+
+  /** BPE-ish token classing over raw text: alphabetic words, numbers,
+    * and symbol tokens, counted separately (token-count estimation
+    * without a real tokenizer in the loop). */
+  def tokenClassCounts(text: Column): (Column, Column, Column) = {
+    val lowered = lower(text)
+    (size(regexp_extract_all(lowered, lit("[a-z]+"), lit(0))).cast("long"),
+      size(regexp_extract_all(lowered, lit("[0-9]+"), lit(0))).cast("long"),
+      size(regexp_extract_all(lowered, lit("[^a-z0-9\\s]"), lit(0))).cast("long"))
+  }
+}

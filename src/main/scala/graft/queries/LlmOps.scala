@@ -129,12 +129,52 @@ object LlmOps {
       .orderBy($"probe_id", $"rank")
   }
 
+  /** Language ID via stopword-profile argmax (north-star: language-ID
+    * heuristic). Oracle replicates the same profiles + precedence. */
+  def qLangId(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val toks = split(trim(lower($"text")), "\\s+")
+    Tables.documents(spark, dir)
+      .select($"doc_id", $"lang".as("declared_lang"),
+        graft.operators.TextAnalysis.languageGuess(toks).as("lang_guess"))
+      .orderBy($"doc_id")
+  }
+
+  /** BPE-ish token classing: words / numbers / symbols counted per doc. */
+  def qTokenClasses(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (words, nums, syms) = graft.operators.TextAnalysis.tokenClassCounts($"text")
+    Tables.documents(spark, dir)
+      .select($"doc_id", words.as("n_word_tokens"), nums.as("n_num_tokens"),
+        syms.as("n_sym_tokens"))
+      .orderBy($"doc_id")
+  }
+
+  /** Multimodal metadata extraction: synthesize fake-format media binaries
+    * from document fields, then recover width/height/size from the header
+    * bytes only (north-star: multimodal columns; the identity oracle
+    * checks the header codec). */
+  def qMediaMeta(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.operators.Multimodal
+    val content = Multimodal.syntheticContent(
+      ($"n_chars" % 1920).cast("int"), (($"doc_id" * 7) % 1080).cast("int"), $"text")
+    Tables.documents(spark, dir)
+      .select($"doc_id", content.as("content"))
+      .select($"doc_id", Multimodal.extractMeta($"content", "image").as("m"))
+      .select($"doc_id", $"m.kind", $"m.width", $"m.height", $"m.n_bytes")
+      .orderBy($"doc_id")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d_exact_dedup" -> (qExactDedup _),
     "d_ngram_near_dups" -> (qNgramNearDups _),
     "d_minhash_lsh" -> (qMinhashLsh _),
     "t_doc_stats" -> (qDocStats _),
     "t_doc_fingerprint" -> (qDocFingerprint _),
+    "t_lang_id" -> (qLangId _),
+    "t_token_classes" -> (qTokenClasses _),
+    "m_media_meta" -> (qMediaMeta _),
     "sim_knn_cosine" -> (qKnnCosine _)
   )
 
@@ -219,6 +259,38 @@ object LlmOps {
       s"""WITH $shingleSql
           SELECT id AS doc_id, min(md5(g)) AS fingerprint, count(*) AS n_shingles
           FROM sh GROUP BY 1 ORDER BY doc_id""",
+    "t_lang_id" ->
+      """SELECT doc_id, lang AS declared_lang,
+                CASE
+                  WHEN en >= de AND en >= es AND en >= fr AND en > 0 THEN 'en'
+                  WHEN de >= es AND de >= fr AND de > 0 THEN 'de'
+                  WHEN es >= fr AND es > 0 THEN 'es'
+                  WHEN fr > 0 THEN 'fr'
+                  ELSE 'und'
+                END AS lang_guess
+         FROM (
+           SELECT doc_id, lang,
+             len(list_filter(ws, t -> t IN ('the','a','is','of','and','to'))) AS en,
+             len(list_filter(ws, t -> t IN ('der','die','das','und','ist'))) AS de,
+             len(list_filter(ws, t -> t IN ('el','los','las','y','una'))) AS es,
+             len(list_filter(ws, t -> t IN ('le','les','et','est','une'))) AS fr
+           FROM (SELECT doc_id, lang,
+                        string_split_regex(trim(lower(text)), '\s+') AS ws
+                 FROM documents))
+         ORDER BY doc_id""",
+    "t_token_classes" ->
+      """SELECT doc_id,
+                len(regexp_extract_all(lower(text), '[a-z]+')) AS n_word_tokens,
+                len(regexp_extract_all(lower(text), '[0-9]+')) AS n_num_tokens,
+                len(regexp_extract_all(lower(text), '[^a-z0-9\s]')) AS n_sym_tokens
+         FROM documents ORDER BY doc_id""",
+    "m_media_meta" ->
+      """SELECT doc_id,
+                'image' AS kind,
+                CAST(n_chars % 1920 AS INTEGER) AS width,
+                CAST((doc_id * 7) % 1080 AS INTEGER) AS height,
+                CAST(12 + strlen(text) AS BIGINT) AS n_bytes
+         FROM documents ORDER BY doc_id""",
     "sim_knn_cosine" ->
       """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
           probes AS (SELECT vec_id AS probe_id, e AS p FROM v WHERE vec_id < 5),

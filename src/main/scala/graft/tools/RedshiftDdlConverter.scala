@@ -1,0 +1,141 @@
+package graft.tools
+
+import scala.util.matching.Regex
+
+import org.apache.spark.sql.types._
+
+/** Redshift `CREATE TABLE` DDL → Avro schema JSON + Spark StructType
+  * (reference: tools/redshift_sql_to_avsc.py:31-230 — the bootstrapper's
+  * schema-conversion path).
+  *
+  * Type mapping follows the reference's conventions: integer families →
+  * int/long, varchar/text → string with `maxlen` meta, char → string with
+  * `fixlen` meta, decimal/numeric → double with `fixed_pt`/`precision`/
+  * `scale` metas, timestamp/date → long with a `timestamp`/`date` meta,
+  * NULLable columns → unions ordered by whether the default is null
+  * (`["null", T]` vs `[T, "null"]`), primary keys → `pkey: <ordinal>`.
+  */
+object RedshiftDdlConverter {
+
+  final case class ColumnSpec(
+      name: String,
+      avroType: String, // base avro primitive
+      nullable: Boolean,
+      defaultIsNull: Boolean,
+      metas: Seq[(String, String)], // rendered as extra json attributes
+      pkeyOrdinal: Option[Int],
+      sparkType: DataType)
+
+  final case class TableSpec(schema: String, table: String, columns: Seq[ColumnSpec]) {
+
+    def avroSchemaJson: String = {
+      val fields = columns.map { c =>
+        val tpe =
+          if (!c.nullable) s""""${c.avroType}""""
+          else if (c.defaultIsNull) s"""["null", "${c.avroType}"]"""
+          else s"""["${c.avroType}", "null"]"""
+        val metaAttrs = c.metas.map { case (k, v) => s""","$k": $v""" }.mkString
+        val pkeyAttr = c.pkeyOrdinal.map(o => s""","pkey": $o""").getOrElse("")
+        val defaultAttr = if (c.nullable && c.defaultIsNull) s""","default": null""" else ""
+        s"""{"name": "${c.name}", "type": $tpe$metaAttrs$pkeyAttr$defaultAttr}"""
+      }
+      s"""{"type": "record", "namespace": "$schema", "name": "$table",
+         | "fields": [${fields.mkString(", ")}]}""".stripMargin
+    }
+
+    def structType: StructType =
+      StructType(columns.map(c => StructField(c.name, c.sparkType, c.nullable)))
+
+    def primaryKeys: Seq[String] =
+      columns.filter(_.pkeyOrdinal.isDefined).sortBy(_.pkeyOrdinal.get).map(_.name)
+  }
+
+  private val createRe: Regex =
+    """(?is)CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?(?:"?([\w]+)"?\.)?"?([\w]+)"?\s*\((.*)\)[^)]*;?\s*$""".r
+
+  /** Split the column body on top-level commas (decimal(10,2) safe). */
+  private def splitColumns(body: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val sb = new StringBuilder
+    var depth = 0
+    body.foreach {
+      case '(' => depth += 1; sb.append('(')
+      case ')' => depth -= 1; sb.append(')')
+      case ',' if depth == 0 => out += sb.toString; sb.clear()
+      case c => sb.append(c)
+    }
+    if (sb.nonEmpty) out += sb.toString
+    out.toSeq.map(_.trim).filter(_.nonEmpty)
+  }
+
+  private val colRe: Regex =
+    """(?is)^"?([\w]+)"?\s+([\w]+)(?:\s*\(\s*(\d+)\s*(?:,\s*(\d+))?\s*\))?(.*)$""".r
+
+  def parse(ddl: String): TableSpec = {
+    val (schemaName, tableName, body) = ddl match {
+      case createRe(s, t, b) => (Option(s).getOrElse("public"), t, b)
+      case _ => throw new IllegalArgumentException(s"unparseable CREATE TABLE: $ddl")
+    }
+    val tableConstraints = scala.collection.mutable.ArrayBuffer.empty[String]
+    val cols = splitColumns(body).flatMap { raw =>
+      val upper = raw.toUpperCase
+      if (upper.startsWith("PRIMARY KEY")) {
+        tableConstraints += raw; None
+      } else if (upper.startsWith("UNIQUE") || upper.startsWith("FOREIGN KEY")) {
+        None
+      } else raw match {
+        case colRe(name, tpe, len, scale, rest) =>
+          Some(buildColumn(name, tpe.toLowerCase,
+            Option(len).map(_.toInt), Option(scale).map(_.toInt), rest))
+        case _ => None
+      }
+    }
+    // table-level PRIMARY KEY (a, b) overrides/augments inline pkeys
+    val tablePk: Seq[String] = tableConstraints.headOption.toSeq.flatMap { c =>
+      """(?i)PRIMARY\s+KEY\s*\(([^)]*)\)""".r.findFirstMatchIn(c).toSeq
+        .flatMap(_.group(1).split(",").map(_.trim.stripPrefix("\"").stripSuffix("\"")))
+    }
+    val withPk =
+      if (tablePk.isEmpty) cols
+      else cols.map { c =>
+        val ix = tablePk.indexWhere(_.equalsIgnoreCase(c.name))
+        if (ix >= 0) c.copy(pkeyOrdinal = Some(ix + 1)) else c
+      }
+    TableSpec(schemaName, tableName, withPk)
+  }
+
+  private def buildColumn(name: String, tpe: String, len: Option[Int],
+                          scale: Option[Int], rest: String): ColumnSpec = {
+    val upperRest = rest.toUpperCase
+    val notNull = upperRest.contains("NOT NULL")
+    val isInlinePk = upperRest.contains("PRIMARY KEY")
+    val defaultNull = !upperRest.contains("DEFAULT") ||
+      """(?i)DEFAULT\s+NULL""".r.findFirstIn(rest).isDefined
+    val nullable = !notNull && !isInlinePk
+
+    val (avroType, metas, sparkType): (String, Seq[(String, String)], DataType) = tpe match {
+      case "smallint" | "int2" => ("int", Nil, ShortType)
+      case "integer" | "int" | "int4" => ("int", Nil, IntegerType)
+      case "bigint" | "int8" => ("long", Nil, LongType)
+      case "real" | "float4" => ("float", Nil, FloatType)
+      case "double" | "float8" | "float" => ("double", Nil, DoubleType)
+      case "boolean" | "bool" => ("boolean", Nil, BooleanType)
+      case "decimal" | "numeric" =>
+        val p = len.getOrElse(18); val s = scale.getOrElse(0)
+        ("double",
+          Seq("fixed_pt" -> "true", "precision" -> p.toString, "scale" -> s.toString),
+          DecimalType(p, s))
+      case "varchar" | "character varying" | "text" =>
+        ("string", len.map(l => "maxlen" -> l.toString).toSeq, StringType)
+      case "char" | "character" | "nchar" | "bpchar" =>
+        ("string", len.map(l => "fixlen" -> l.toString).toSeq, StringType)
+      case "timestamp" | "timestamptz" =>
+        ("long", Seq("timestamp" -> "true"), TimestampType)
+      case "date" => ("long", Seq("date" -> "true"), DateType)
+      case other =>
+        throw new IllegalArgumentException(s"unsupported redshift type: $other")
+    }
+    ColumnSpec(name, avroType, nullable, defaultNull, metas,
+      if (isInlinePk) Some(1) else None, sparkType)
+  }
+}

@@ -1,0 +1,61 @@
+package graft.tools
+
+import scala.util.matching.Regex
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Topic tailing surface (reference: tools/tailer.py): consume a topic
+  * from optional offsets/timestamps, project requested message fields,
+  * format timestamps ISO-8601, JSON-encode, bounded by a message limit.
+  *
+  * Works over any consumed frame (batch or streaming) that carries the
+  * envelope metadata columns; on a cluster the offset/timestamp bounds
+  * map to the Kafka source's `startingOffsets` /
+  * `startingOffsetsByTimestamp` options instead of post-filters.
+  */
+object Tailer {
+
+  /** `topic_name|offset` spec (reference: tailer.py:317-327). */
+  final case class TopicSpec(topic: String, offset: Option[Long])
+
+  private val specRe: Regex = """^([^|]+)(?:\|(\d+))?$""".r
+
+  def parseTopicSpec(spec: String): TopicSpec = spec match {
+    case specRe(t, null) => TopicSpec(t, None)
+    case specRe(t, off) => TopicSpec(t, Some(off.toLong))
+    case _ => throw new IllegalArgumentException(s"bad topic spec: $spec")
+  }
+
+  /** Offset-range validation against topic watermarks (reference:
+    * tailer.py:278-308): requested offset must lie in [low, high]. */
+  def validateOffset(requested: Long, lowWatermark: Long, highWatermark: Long): Unit =
+    require(requested >= lowWatermark && requested <= highWatermark,
+      s"offset $requested outside [$lowWatermark, $highWatermark]")
+
+  final val DefaultFields: Seq[String] = Seq("message_type", "schema_id", "payload")
+
+  /** Tail projection: select fields, optional ISO-8601 time, optional
+    * timestamp bounds and message limit, JSON lines output column. */
+  def tail(
+      consumed: DataFrame,
+      fields: Seq[String] = DefaultFields,
+      isoTime: Boolean = false,
+      startTimestamp: Option[Long] = None,
+      endTimestamp: Option[Long] = None,
+      messageLimit: Option[Int] = None,
+      json: Boolean = false): DataFrame = {
+    var df = consumed
+    startTimestamp.foreach(t => df = df.filter(col("timestamp") >= t))
+    endTimestamp.foreach(t => df = df.filter(col("timestamp") < t))
+    val projected: Seq[Column] = fields.map {
+      case "timestamp" if isoTime =>
+        date_format(to_timestamp(col("timestamp")), "yyyy-MM-dd'T'HH:mm:ss").as("timestamp")
+      case "uuid" => hex(col("uuid")).as("uuid")
+      case f => col(f)
+    }
+    df = df.select(projected: _*)
+    messageLimit.foreach(n => df = df.limit(n))
+    if (json) df.select(to_json(struct(col("*"))).as("line")) else df
+  }
+}

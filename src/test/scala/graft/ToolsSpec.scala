@@ -1,0 +1,160 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.core.NamespaceInfo
+import graft.functions.SimHash64
+import graft.operators.Multimodal
+import graft.schema.SchemaRegistry
+import graft.tools.{Introspector, RedshiftDdlConverter, Tailer}
+
+class ToolsSpec extends SparkTestBase {
+
+  // --- Redshift DDL -> Avro (redshift_sql_to_avsc.py semantics) --------
+
+  test("redshift DDL converts with type metas, nullability and pkeys") {
+    val spec = RedshiftDdlConverter.parse(
+      """CREATE TABLE analytics.prices (
+           id BIGINT NOT NULL PRIMARY KEY,
+           name VARCHAR(64) NULL DEFAULT NULL,
+           code CHAR(3),
+           price DECIMAL(10,2),
+           n_units INT DEFAULT 0,
+           created TIMESTAMP,
+           day DATE
+         );""")
+    assert(spec.schema == "analytics" && spec.table == "prices")
+    assert(spec.primaryKeys == Seq("id"))
+    val json = spec.avroSchemaJson
+    val parsed = new org.apache.avro.Schema.Parser().parse(json)
+    assert(parsed.getField("id").schema().getType == org.apache.avro.Schema.Type.LONG)
+    // nullable with default null -> ["null", T]
+    assert(parsed.getField("name").schema().getTypes.get(0).getType ==
+      org.apache.avro.Schema.Type.NULL)
+    // nullable with non-null default -> [T, "null"]
+    assert(parsed.getField("n_units").schema().getTypes.get(0).getType ==
+      org.apache.avro.Schema.Type.INT)
+    assert(parsed.getField("name").getObjectProp("maxlen") == 64)
+    assert(parsed.getField("code").getObjectProp("fixlen") == 3)
+    assert(parsed.getField("price").getObjectProp("fixed_pt") == true)
+    assert(parsed.getField("price").getObjectProp("precision") == 10)
+    assert(parsed.getField("created").getObjectProp("timestamp") == true)
+    assert(spec.structType.fields.map(_.dataType).toSeq.contains(
+      org.apache.spark.sql.types.DecimalType(10, 2)))
+  }
+
+  test("table-level PRIMARY KEY assigns pkey ordinals in list order") {
+    val spec = RedshiftDdlConverter.parse(
+      """CREATE TABLE s.t (a INT, b VARCHAR(10), c INT, PRIMARY KEY (b, a));""")
+    assert(spec.primaryKeys == Seq("b", "a"))
+    // converted schema registers cleanly and pkeys flow to the registry
+    val reg = new SchemaRegistry
+    val entry = reg.registerSchema(spec.schema, spec.table, spec.avroSchemaJson)
+    assert(entry.primaryKeys == Seq("b", "a"))
+  }
+
+  // --- Tailer (tools/tailer.py) -----------------------------------------
+
+  test("topic spec parses with and without offsets; offsets validate") {
+    assert(Tailer.parseTopicSpec("my.topic.v1|42") ==
+      Tailer.TopicSpec("my.topic.v1", Some(42L)))
+    assert(Tailer.parseTopicSpec("my.topic.v1") == Tailer.TopicSpec("my.topic.v1", None))
+    Tailer.validateOffset(5, 0, 10)
+    intercept[IllegalArgumentException](Tailer.validateOffset(11, 0, 10))
+  }
+
+  test("tail projects fields, formats ISO time, bounds and limits") {
+    import spark.implicits._
+    val consumed = Seq(
+      (Array[Byte](1, 2), "create", 1, 1700000000),
+      (Array[Byte](3, 4), "update", 1, 1700000600),
+      (Array[Byte](5, 6), "delete", 1, 1700001200)
+    ).toDF("uuid", "message_type", "schema_id", "timestamp")
+    val out = Tailer.tail(consumed,
+      fields = Seq("uuid", "message_type", "timestamp"),
+      isoTime = true,
+      startTimestamp = Some(1700000300L),
+      messageLimit = Some(1))
+    val row = out.head()
+    assert(row.getString(0) == "0304")
+    assert(row.getString(2) == "2023-11-14T22:23:20")
+    assert(out.count() == 1)
+    val json = Tailer.tail(consumed, fields = Seq("message_type"), json = true)
+      .collect().map(_.getString(0)).sorted
+    assert(json.head == """{"message_type":"create"}""")
+  }
+
+  // --- Introspector ------------------------------------------------------
+
+  test("introspector reports topic info and watermarks") {
+    import spark.implicits._
+    val reg = new SchemaRegistry
+    val s1 = reg.registerSchema("ns", "src",
+      """{"type":"record","name":"r","namespace":"g","fields":[
+           {"name":"f","type":"int","default":0}]}""")
+    val info = Introspector.topicInfo(spark, reg)
+    assert(info.count() == 1)
+    assert(info.head().getAs[Int]("latest_schema_id") == s1.schemaId)
+
+    val transport = Seq(("t1", 5L), ("t1", 9L), ("t2", 0L)).toDF("topic", "offset")
+    val w = Introspector.topicWatermarks(transport).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(w.toSeq == Seq(("t1", 5L, 10L), ("t2", 0L, 1L)))
+  }
+
+  // --- namespace util (_namespace_util.py) ------------------------------
+
+  test("namespace names parse and rebuild") {
+    val n = NamespaceInfo.parse("main.db01.yelp.transformed")
+    assert(n == NamespaceInfo(Some("main"), "db01", "yelp", Seq("transformed")))
+    assert(n.name == "main.db01.yelp.transformed")
+    assert(NamespaceInfo.parse("db01.yelp") == NamespaceInfo(None, "db01", "yelp", Nil))
+    intercept[IllegalArgumentException](NamespaceInfo.parse("solo"))
+  }
+
+  // --- simhash -----------------------------------------------------------
+
+  test("simhash: identical token sets collide, near sets are close, far sets far") {
+    import spark.implicits._
+    val df = Seq(
+      (1, "the quick brown fox jumps over the lazy dog"),
+      (2, "the quick brown fox jumps over the lazy dog"),
+      (3, "the quick brown fox leaps over the lazy dog"),
+      (4, "completely unrelated words about spark query engines")
+    ).toDF("id", "text")
+      .select($"id", SimHash64.simhash64(split($"text", " ")).as("h"))
+    val h = df.collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(h(1) == h(2))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(h(1), h(3)) < 20)
+    assert(ham(h(1), h(4)) > ham(h(1), h(3)))
+    // builtin hamming column matches JVM bitCount
+    val viaCol = Seq((h(1), h(3))).toDF("a", "b")
+      .select(SimHash64.hamming($"a", $"b")).head().getInt(0)
+    assert(viaCol == ham(h(1), h(3)))
+  }
+
+  // --- multimodal --------------------------------------------------------
+
+  test("multimodal: header meta and batched decode recover synthesized dims") {
+    import spark.implicits._
+    val df = Seq((1, 640, 480, "payload-bytes-here"), (2, 100, 50, "x"))
+      .toDF("id", "w", "h", "data")
+      .select($"id", $"w", $"h",
+        Multimodal.syntheticContent($"w", $"h", $"data").as("content"))
+    val meta = df.select($"id", Multimodal.extractMeta($"content", "image").as("m"))
+      .select($"id", $"m.width", $"m.height").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2))).sortBy(_._1)
+    assert(meta.toSeq == Seq((1, 640, 480), (2, 100, 50)))
+
+    val decoded = Multimodal.decodePartitioned(df, "content", batchSize = 1)
+    val rows = decoded.select($"id", $"decoded_width", $"decoded_height", $"payload_checksum")
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getLong(3))).sortBy(_._1)
+    assert(rows(0)._2 == 640 && rows(0)._3 == 480)
+    assert(rows(0)._4 == "payload-bytes-here".getBytes("UTF-8").map(_ & 0xff).sum.toLong)
+    // garbage content dead-letters to nulls, not task failure
+    val bad = Seq((9, Array[Byte](1, 2, 3))).toDF("id", "content")
+    val badOut = Multimodal.decodePartitioned(bad, "content").head()
+    assert(badOut.isNullAt(2) && badOut.isNullAt(3))
+  }
+}
