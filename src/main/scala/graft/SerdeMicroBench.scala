@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.core.Envelope
+import graft.functions.{AvroCodec, DecodePayload, PackEnvelope, UnpackEnvelope}
+import graft.schema.AvroConversions
+
+/** Single-threaded microbenchmark of the envelope serde stages, no Spark
+  * job machinery — isolates codec cost to guide optimization. */
+object SerdeMicroBench {
+  def main(args: Array[String]): Unit = {
+    val n = args.headOption.map(_.toInt).getOrElse(500000)
+    val payloadJson = queries.EnvelopeOps.eventSchemaJson
+    val payloadSchema = AvroCodec.parse(payloadJson)
+    val payloadType = AvroConversions.toStructType(payloadSchema)
+    val envelopeSchema = AvroCodec.parse(Envelope.avroSchemaJson)
+
+    def mkPayloadRow(i: Int): InternalRow = new GenericInternalRow(Array[Any](
+      i.toLong, (i % 150).toLong, UTF8String.fromString("click"), i * 0.5))
+
+    def time(label: String)(f: => Unit): Unit = {
+      val t0 = System.nanoTime()
+      f
+      val secs = (System.nanoTime() - t0) / 1e9
+      println(f"$label%-28s ${n / secs}%,12.0f rows/s  (${secs}%.2f s)")
+    }
+
+    // stage 1: payload struct -> avro bytes
+    val rows = Array.tabulate(n)(mkPayloadRow)
+    var payloadBytes: Array[Array[Byte]] = null
+    time("encode_payload") {
+      payloadBytes = rows.map { r =>
+        AvroCodec.encode(
+          AvroConversions.toAvro(r, payloadType, payloadSchema)
+            .asInstanceOf[org.apache.avro.generic.GenericRecord], payloadJson)
+      }
+    }
+
+    // stage 2: envelope struct -> framed bytes
+    val uuid = Array.fill[Byte](16)(7)
+    def mkEnvRow(i: Int): InternalRow = new GenericInternalRow(Array[Any](
+      uuid, UTF8String.fromString("create"), 1, payloadBytes(i), null, null, null, 1700000000))
+    val envRows = Array.tabulate(n)(mkEnvRow)
+    var framed: Array[Array[Byte]] = null
+    time("pack_envelope") {
+      framed = envRows.map { r =>
+        AvroCodec.frameBinary(AvroCodec.encode(
+          AvroConversions.toAvro(r, Envelope.sparkType, envelopeSchema)
+            .asInstanceOf[org.apache.avro.generic.GenericRecord], Envelope.avroSchemaJson))
+      }
+    }
+
+    // stage 3: framed bytes -> envelope struct
+    var unpacked: Array[InternalRow] = null
+    time("unpack_envelope") {
+      unpacked = framed.map { f =>
+        val avro = AvroCodec.unframe(f)
+        AvroConversions.toCatalyst(
+          AvroCodec.decode(avro, Envelope.avroSchemaJson, Envelope.avroSchemaJson),
+          envelopeSchema).asInstanceOf[InternalRow]
+      }
+    }
+
+    // stage 4: payload bytes -> struct
+    time("decode_payload") {
+      var i = 0
+      while (i < n) {
+        AvroConversions.toCatalyst(
+          AvroCodec.decode(payloadBytes(i), payloadJson, payloadJson), payloadSchema)
+        i += 1
+      }
+    }
+  }
+}

@@ -32,7 +32,7 @@ case class PackEnvelope(child: Expression, ascii: Boolean)
     val record = AvroConversions
       .toAvro(input.asInstanceOf[InternalRow], Envelope.sparkType, envelopeSchema)
       .asInstanceOf[GenericRecord]
-    val avroBytes = AvroCodec.encode(record, Envelope.avroSchemaJson)
+    val avroBytes = AvroCodec.encode(record, envelopeSchema)
     if (ascii) AvroCodec.frameAscii(avroBytes) else AvroCodec.frameBinary(avroBytes)
   }
 
@@ -52,7 +52,7 @@ case class UnpackEnvelope(child: Expression)
 
   override def nullSafeEval(input: Any): Any = {
     val avroBytes = AvroCodec.unframe(input.asInstanceOf[Array[Byte]])
-    val record = AvroCodec.decode(avroBytes, Envelope.avroSchemaJson, Envelope.avroSchemaJson)
+    val record = AvroCodec.decode(avroBytes, envelopeSchema, envelopeSchema)
     AvroConversions.toCatalyst(record, envelopeSchema)
   }
 
@@ -81,7 +81,7 @@ case class EncodePayload(child: Expression, schemaJson: String)
     val record = AvroConversions
       .toAvro(input.asInstanceOf[InternalRow], child.dataType.asInstanceOf[StructType], schema)
       .asInstanceOf[GenericRecord]
-    AvroCodec.encode(record, schemaJson)
+    AvroCodec.encode(record, schema)
   }
 
   @transient private lazy val schema = AvroCodec.parse(schemaJson)
@@ -120,15 +120,20 @@ case class DecodePayload(
     AvroConversions.toStructType(AvroCodec.parse(readerJson))
 
   override def nullSafeEval(payloadBytes: Any, writerId: Any): Any = {
-    registrySnapshot.get(writerId.asInstanceOf[Int]) match {
-      case Some(writerJson) =>
-        val record = AvroCodec.decode(payloadBytes.asInstanceOf[Array[Byte]], writerJson, readerJson)
-        AvroConversions.toCatalyst(record, readerSchema)
-      case None => null
+    val writerSchema = writerSchemaById.get(writerId.asInstanceOf[Int]).orNull
+    if (writerSchema == null) null
+    else {
+      val record = AvroCodec.decode(
+        payloadBytes.asInstanceOf[Array[Byte]], writerSchema, readerSchema)
+      AvroConversions.toCatalyst(record, readerSchema)
     }
   }
 
   @transient private lazy val readerSchema = AvroCodec.parse(readerJson)
+  // parsed once per executor: per-row json parsing/hashing is the serde
+  // hot-path killer (schema json is O(KB))
+  @transient private lazy val writerSchemaById: Map[Int, org.apache.avro.Schema] =
+    registrySnapshot.map { case (id, json) => id -> AvroCodec.parse(json) }
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): DecodePayload =
