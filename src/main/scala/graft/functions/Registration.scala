@@ -1,0 +1,49 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+
+import graft.schema.SchemaRegistry
+
+/** SQL surface for the custom expressions: after `registerAll`, plain
+  * `spark.sql` queries can call pack_envelope / unpack_envelope /
+  * encode_payload / decode_payload / simhash64 — the engine is usable from
+  * pure SQL, not just the Scala DSL.
+  */
+object Registration {
+
+  /** Register session-scoped SQL functions. `registry` backs
+    * decode_payload's schema_id dispatch; encode_payload/decode_payload
+    * take the writer/reader schema id as a literal second/third argument.
+    */
+  def registerAll(spark: SparkSession, registry: SchemaRegistry): Unit = {
+    val fr = spark.sessionState.functionRegistry
+    val snapshot = registry.snapshot
+
+    fr.createOrReplaceTempFunction("pack_envelope",
+      exprs => PackEnvelope(exprs.head, ascii = false), "scala_udf")
+    fr.createOrReplaceTempFunction("pack_envelope_ascii",
+      exprs => PackEnvelope(exprs.head, ascii = true), "scala_udf")
+    fr.createOrReplaceTempFunction("unpack_envelope",
+      exprs => UnpackEnvelope(exprs.head), "scala_udf")
+    fr.createOrReplaceTempFunction("encode_payload",
+      exprs => EncodePayload(exprs.head, literalString(exprs(1), "encode_payload schema")),
+      "scala_udf")
+    fr.createOrReplaceTempFunction("decode_payload",
+      exprs => DecodePayload(exprs.head, exprs(1), snapshot,
+        literalInt(exprs(2), "decode_payload reader schema id")), "scala_udf")
+    fr.createOrReplaceTempFunction("simhash64",
+      exprs => SimHash64(exprs.head), "scala_udf")
+  }
+
+  private def literalString(e: org.apache.spark.sql.catalyst.expressions.Expression,
+                            what: String): String = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v, _) if v != null => v.toString
+    case other => throw new IllegalArgumentException(s"$what must be a string literal, got $other")
+  }
+
+  private def literalInt(e: org.apache.spark.sql.catalyst.expressions.Expression,
+                         what: String): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(s"$what must be an int literal, got $other")
+  }
+}

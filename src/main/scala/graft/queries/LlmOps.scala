@@ -115,16 +115,21 @@ object LlmOps {
       .select($"vec_id", $"embedding".cast("array<double>").as("v"))
     val probes = vecs.filter($"vec_id" < 5)
       .select($"vec_id".as("probe_id"), $"v".as("p"))
-    val dot = expr("aggregate(zip_with(v, p, (x, y) -> x * y), 0D, (acc, z) -> acc + z)")
-    val nv = expr("sqrt(aggregate(v, 0D, (acc, x) -> acc + x * x))")
-    val np = expr("sqrt(aggregate(p, 0D, (acc, x) -> acc + x * x))")
-    val scored = vecs.crossJoin(broadcast(probes))
-      .filter($"vec_id" =!= $"probe_id")
-      .select($"probe_id", $"vec_id",
-        round(dot / (nv * np), 4).as("cosine"))
-    val w = Window.partitionBy($"probe_id").orderBy($"cosine".desc, $"vec_id".asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter($"rank" <= 3)
+    graft.operators.Similarity.bruteForceTopK(vecs, probes, k = 3)
+      .select($"probe_id", $"vec_id", $"cosine", $"rank")
+      .orderBy($"probe_id", $"rank")
+  }
+
+  /** IVF-bucketed ANN (north-star: similarity search scale path): probes
+    * route to the nearest centroid, exact search within that cluster only.
+    * Oracle replicates centroids + routing + ranking. */
+  def qIvfTopK(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val vecs = Tables.embeddings(spark, dir)
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"), $"label")
+    val probes = vecs.filter($"vec_id" < 5)
+      .select($"vec_id".as("probe_id"), $"v".as("p"))
+    graft.operators.Similarity.ivfTopK(vecs, "label", probes, k = 3, nprobe = 1)
       .select($"probe_id", $"vec_id", $"cosine", $"rank")
       .orderBy($"probe_id", $"rank")
   }
@@ -175,7 +180,8 @@ object LlmOps {
     "t_lang_id" -> (qLangId _),
     "t_token_classes" -> (qTokenClasses _),
     "m_media_meta" -> (qMediaMeta _),
-    "sim_knn_cosine" -> (qKnnCosine _)
+    "sim_knn_cosine" -> (qKnnCosine _),
+    "sim_ivf_topk" -> (qIvfTopK _)
   )
 
   private val shingleSql =
@@ -301,6 +307,41 @@ object LlmOps {
                      (sqrt(list_sum([e[i] * e[i] for i in range(1, 65)])) *
                       sqrt(list_sum([p[i] * p[i] for i in range(1, 65)]))), 4) AS cosine
             FROM v, probes WHERE vec_id <> probe_id),
+          ranked AS (
+            SELECT probe_id, vec_id, cosine,
+                   row_number() OVER (PARTITION BY probe_id
+                                      ORDER BY cosine DESC, vec_id ASC) AS rank
+            FROM scored)
+          SELECT probe_id, vec_id, cosine, rank
+          FROM ranked WHERE rank <= 3
+          ORDER BY probe_id, rank""",
+    "sim_ivf_topk" ->
+      """WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),
+          dims AS (
+            SELECT label, i, avg(e[i]) AS m
+            FROM v, range(1, 65) t(i) GROUP BY 1, 2),
+          cents AS (SELECT label, list(m ORDER BY i) AS c FROM dims GROUP BY 1),
+          probes AS (SELECT vec_id AS pid, e AS p FROM v WHERE vec_id < 5),
+          probe_cent AS (
+            SELECT pid, p, label,
+                   round(
+                     list_sum([c[i] * p[i] for i in range(1, 65)]) /
+                     (sqrt(list_sum([c[i] * c[i] for i in range(1, 65)])) *
+                      sqrt(list_sum([p[i] * p[i] for i in range(1, 65)]))), 6) AS ccos
+            FROM probes, cents),
+          routed AS (
+            SELECT pid, p, label FROM (
+              SELECT pid, p, label,
+                     row_number() OVER (PARTITION BY pid
+                                        ORDER BY ccos DESC, label ASC) AS crank
+              FROM probe_cent) WHERE crank <= 1),
+          scored AS (
+            SELECT r.pid AS probe_id, v.vec_id,
+                   round(
+                     list_sum([v.e[i] * r.p[i] for i in range(1, 65)]) /
+                     (sqrt(list_sum([v.e[i] * v.e[i] for i in range(1, 65)])) *
+                      sqrt(list_sum([r.p[i] * r.p[i] for i in range(1, 65)]))), 4) AS cosine
+            FROM v JOIN routed r ON v.label = r.label AND v.vec_id <> r.pid),
           ranked AS (
             SELECT probe_id, vec_id, cosine,
                    row_number() OVER (PARTITION BY probe_id

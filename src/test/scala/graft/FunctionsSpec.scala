@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.functions.{Registration, Scrub}
+import graft.schema.SchemaRegistry
+
+class FunctionsSpec extends SparkTestBase {
+
+  test("scrubbed replaces leaf values with type names, keeps shape and nulls") {
+    import spark.implicits._
+    val df = Seq((1, "secret-name", Seq(1.5, 2.5), null.asInstanceOf[String]))
+      .toDF("id", "name", "scores", "note")
+      .select(struct($"id", $"name", $"scores", $"note").as("p"))
+    val schema = StructType(Seq(
+      StructField("id", IntegerType), StructField("name", StringType),
+      StructField("scores", ArrayType(DoubleType)), StructField("note", StringType)))
+    val row = df.select(Scrub.scrubbed($"p", schema).as("s")).select("s.*").head()
+    assert(row.getString(0) == "int")
+    assert(row.getString(1) == "string")
+    assert(row.getSeq[String](2) == Seq("double", "double"))
+    assert(row.isNullAt(3)) // nulls stay null — absence is not a value
+  }
+
+  test("registered SQL functions run the envelope round trip from pure SQL") {
+    val reg = new SchemaRegistry
+    val entry = reg.registerSchema("sqlns", "ev",
+      queries.EnvelopeOps.eventSchemaJson)
+    Registration.registerAll(spark, reg)
+    Tables.events(spark, sf()).limit(10).createOrReplaceTempView("ev_src")
+    val out = spark.sql(
+      s"""SELECT p.event_id, p.event_type FROM (
+            SELECT decode_payload(env.payload, env.schema_id, ${entry.schemaId}) AS p FROM (
+              SELECT unpack_envelope(pack_envelope(named_struct(
+                'uuid', unhex(md5(cast(event_id AS string))),
+                'message_type', 'create',
+                'schema_id', ${entry.schemaId},
+                'payload', encode_payload(
+                   named_struct('event_id', event_id, 'user_id', user_id,
+                                'event_type', event_type, 'value', value),
+                   '${queries.EnvelopeOps.eventSchemaJson.replace("\n", " ")}'),
+                'previous_payload', cast(null AS binary),
+                'meta', cast(null AS array<struct<schema_id:int,payload:binary>>),
+                'encryption_type', cast(null AS string),
+                'timestamp', cast(unix_timestamp(ts) AS int)))) AS env
+              FROM ev_src))""")
+    val rows = out.collect()
+    assert(rows.length == 10)
+    assert(rows.forall(r => !r.isNullAt(0) && r.getString(1).nonEmpty))
+    // simhash64 from SQL too
+    val h = spark.sql("SELECT simhash64(split('a b c', ' '))").head().getLong(0)
+    assert(h != 0L)
+  }
+}
