@@ -118,6 +118,18 @@ object Relational {
       .orderBy($"window_start", $"event_type")
   }
 
+  /** Monitor counts with catch-up flush (SURVEY §2.3 A1, client.py:316-324):
+    * zero-count rows for quiet windows between a topic's first and last
+    * activity. */
+  def qMonitorCatchup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val messages = Tables.events(spark, dir)
+      .select($"event_type".as("topic"), $"ts")
+    graft.streaming.MonitorStream
+      .monitorCountsWithCatchup(messages, "mon", "consumer")
+      .orderBy($"topic", $"start_timestamp")
+  }
+
   /** Offset-commit fold (SURVEY §2.3 A2: per topic-partition
     * max(offset)+1, base_consumer.py:578-611). event_type ~ topic,
     * event_id ~ offset.
@@ -282,6 +294,7 @@ object Relational {
     "q_semi_join" -> (qSemiJoin _),
     "q_anti_join" -> (qAntiJoin _),
     "q_monitor_windows" -> (qMonitorWindows _),
+    "q_monitor_catchup" -> (qMonitorCatchup _),
     "q_max_offset_fold" -> (qMaxOffsetFold _),
     "q_pk_bounds" -> (qPkBounds _),
     "q_last_seen" -> (qLastSeen _),
@@ -340,6 +353,25 @@ object Relational {
          FROM events
          GROUP BY 1, 2
          ORDER BY window_start, event_type""",
+    "q_monitor_catchup" ->
+      """WITH counts AS (
+           SELECT event_type AS topic,
+                  CAST(floor(epoch(ts) / 600) * 600 AS BIGINT) AS start_timestamp,
+                  count(*) AS observed
+           FROM events GROUP BY 1, 2),
+         ranges AS (
+           SELECT topic,
+                  unnest(generate_series(min(start_timestamp), max(start_timestamp), 600))
+                    AS start_timestamp
+           FROM counts GROUP BY topic)
+         SELECT r.topic,
+                'mon' AS client_name,
+                'consumer' AS client_type,
+                CAST(coalesce(c.observed, 0) AS INTEGER) AS message_count,
+                r.start_timestamp
+         FROM ranges r
+         LEFT JOIN counts c ON r.topic = c.topic AND r.start_timestamp = c.start_timestamp
+         ORDER BY r.topic, r.start_timestamp""",
     "q_max_offset_fold" ->
       """SELECT event_type, max(event_id) + 1 AS commit_offset, count(*) AS n_messages
          FROM events GROUP BY event_type ORDER BY event_type""",

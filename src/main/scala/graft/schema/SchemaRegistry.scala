@@ -108,7 +108,10 @@ class SchemaRegistry extends Serializable {
   /** Primary keys from `pkey` field attributes, ordered by their ordinal
     * (reference: conftest pkey fixture — FIXTURES.md §2; used for Kafka
     * keys message.py:340-384 and compaction schematizer.py:1221-1242). */
-  private def primaryKeysOf(schema: Schema): Seq[String] =
+  private def primaryKeysOf(schema: Schema): Seq[String] = {
+    // non-record payloads are legal (e.g. the fixed(16) IV schema —
+    // reference _avro_payload.py:114-130) and have no keys
+    if (schema.getType != Schema.Type.RECORD) return Seq.empty
     schema.getFields.asScala
       .flatMap { f =>
         Option(f.getObjectProp("pkey")).collect {
@@ -116,6 +119,7 @@ class SchemaRegistry extends Serializable {
         }
       }
       .sortBy(_._1).map(_._2).toSeq
+  }
 
   // --- lookups (SURVEY §2.8 catalog surface) --------------------------
 
@@ -159,6 +163,82 @@ class SchemaRegistry extends Serializable {
   /** Immutable schema_id → avro json map for executor-side decode. */
   def snapshot: Map[Int, String] =
     schemas.map(s => s.schemaId -> s.schemaJson).toMap
+
+  // --- data targets / consumer groups (schematizer.py:861-1189) --------
+
+  final case class DataTarget(dataTargetId: Int, name: String,
+                              targetType: String, destination: String)
+  final case class ConsumerGroup(consumerGroupId: Int, name: String, dataTargetId: Int)
+
+  private val nextDataTargetId = new AtomicInteger(0)
+  private val nextConsumerGroupId = new AtomicInteger(0)
+  private val dataTargetsById = TrieMap.empty[Int, DataTarget]
+  private val consumerGroupsById = TrieMap.empty[Int, ConsumerGroup]
+  // consumer group -> data sources (namespace or source scoped)
+  private val groupSources = TrieMap.empty[Int, Set[(String, Option[String])]]
+
+  def createDataTarget(name: String, targetType: String, destination: String): DataTarget = {
+    val t = DataTarget(nextDataTargetId.incrementAndGet(), name, targetType, destination)
+    dataTargetsById.put(t.dataTargetId, t)
+    t
+  }
+
+  def createConsumerGroup(name: String, dataTargetId: Int): ConsumerGroup = {
+    require(dataTargetsById.contains(dataTargetId), s"no data target $dataTargetId")
+    val g = ConsumerGroup(nextConsumerGroupId.incrementAndGet(), name, dataTargetId)
+    consumerGroupsById.put(g.consumerGroupId, g)
+    g
+  }
+
+  /** Attach a namespace (source=None) or a single source to a group. */
+  def addConsumerGroupDataSource(consumerGroupId: Int, namespace: String,
+                                 source: Option[String]): Unit = {
+    require(consumerGroupsById.contains(consumerGroupId), s"no consumer group $consumerGroupId")
+    groupSources.updateWith(consumerGroupId) {
+      case Some(s) => Some(s + ((namespace, source)))
+      case None => Some(Set((namespace, source)))
+    }
+  }
+
+  def dataTargets: Seq[DataTarget] = dataTargetsById.values.toSeq.sortBy(_.dataTargetId)
+  def consumerGroups: Seq[ConsumerGroup] =
+    consumerGroupsById.values.toSeq.sortBy(_.consumerGroupId)
+
+  /** All topics feeding a data target via its consumer groups' sources
+    * (reference: TopicInDataTarget consumer source). */
+  def topicsByDataTarget(dataTargetId: Int): Seq[TopicEntry] = {
+    val sources = consumerGroups.filter(_.dataTargetId == dataTargetId)
+      .flatMap(g => groupSources.getOrElse(g.consumerGroupId, Set.empty))
+    topics.filter(t => sources.exists {
+      case (ns, None) => t.namespaceName == ns
+      case (ns, Some(src)) => t.namespaceName == ns && t.sourceName == src
+    })
+  }
+
+  // --- meta-attribute mappings (schematizer.py:523-689) -----------------
+
+  // (namespace, Option(source)) -> meta attribute schema ids
+  private val metaAttrMappings = TrieMap.empty[(String, Option[String]), Set[Int]]
+
+  /** Require a meta attribute on everything in a namespace (source=None)
+    * or one source. */
+  def registerMetaAttributeMapping(namespace: String, source: Option[String],
+                                   metaAttributeSchemaId: Int): Unit = {
+    require(schemasById.contains(metaAttributeSchemaId),
+      s"meta attribute schema $metaAttributeSchemaId not registered")
+    metaAttrMappings.updateWith((namespace, source)) {
+      case Some(s) => Some(s + metaAttributeSchemaId)
+      case None => Some(Set(metaAttributeSchemaId))
+    }
+  }
+
+  /** Mandatory meta attribute schema ids for a payload schema: namespace-
+    * level ∪ source-level mappings. */
+  def mandatoryMetaAttributes(schemaId: Int): Set[Int] =
+    schemasById.get(schemaId).map { s =>
+      metaAttrMappings.getOrElse((s.namespaceName, None), Set.empty) ++
+        metaAttrMappings.getOrElse((s.namespaceName, Some(s.sourceName)), Set.empty)
+    }.getOrElse(Set.empty)
 
   // --- catalog as DataFrames (for catalog queries / introspection) -----
 

@@ -51,6 +51,13 @@ object ConsumerSource {
       schemaIds.flatMap(id => registry.getSchemaById(id).map(_.topicName -> id)).toMap
   }
 
+  /** Topics feeding a data target via its consumer groups
+    * (TopicInDataTarget — reference: consumer_source.py). */
+  final case class TopicsInDataTarget(dataTargetId: Int) extends ConsumerSource {
+    def resolve(registry: SchemaRegistry): Set[String] =
+      registry.topicsByDataTarget(dataTargetId).map(_.name).toSet
+  }
+
   /** Topics created after a registry tick (NewTopicsOnly variants). */
   final case class TopicsCreatedAfter(tick: Long) extends ConsumerSource {
     def resolve(registry: SchemaRegistry): Set[String] =

@@ -42,4 +42,31 @@ object MonitorStream {
         col("message_count"),
         unix_timestamp(col("w.start")).cast("int").as("start_timestamp"))
   }
+
+  /** Batch variant with the reference's catch-up flush (client.py:316-324):
+    * quiet windows between a topic's first and last activity emit explicit
+    * zero-count rows, so auditors can distinguish "stalled" from "empty".
+    * The window range generates per topic (sequence + explode) and
+    * left-joins the observed counts — no per-window state. */
+  def monitorCountsWithCatchup(
+      messages: DataFrame,
+      clientName: String,
+      clientType: String,
+      windowSec: Int = DefaultWindowSeconds): DataFrame = {
+    val aligned = (floor(unix_timestamp(col("ts")) / windowSec) * windowSec).cast("long")
+    val counts = messages
+      .groupBy(col("topic"), aligned.as("start_timestamp"))
+      .agg(count(lit(1)).cast("int").as("observed"))
+    val ranges = counts.groupBy(col("topic"))
+      .agg(min(col("start_timestamp")).as("w0"), max(col("start_timestamp")).as("w1"))
+      .select(col("topic"),
+        explode(sequence(col("w0"), col("w1"), lit(windowSec.toLong))).as("start_timestamp"))
+    ranges.join(counts, Seq("topic", "start_timestamp"), "left")
+      .select(
+        col("topic"),
+        lit(clientName).as("client_name"),
+        lit(clientType).as("client_type"),
+        coalesce(col("observed"), lit(0)).as("message_count"),
+        col("start_timestamp"))
+  }
 }

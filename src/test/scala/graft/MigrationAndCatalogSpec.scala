@@ -1,0 +1,81 @@
+package graft
+
+import java.sql.Timestamp
+
+import graft.schema.SchemaRegistry
+import graft.streaming.{ConsumerSource, MonitorStream}
+import graft.tools.SchemaMigration
+
+class MigrationAndCatalogSpec extends SparkTestBase {
+
+  private val v1 =
+    """{"type":"record","name":"t","namespace":"g","fields":[
+         {"name":"id","type":"long"},
+         {"name":"old_col","type":"string"},
+         {"name":"amount","type":"int"}]}"""
+  private val v2 =
+    """{"type":"record","name":"t","namespace":"g","fields":[
+         {"name":"id","type":"long"},
+         {"name":"amount","type":"long"},
+         {"name":"note","type":["null","string"],"default":null},
+         {"name":"n","type":"int","default":7}]}"""
+
+  test("migration plan: create, drop, add with default, retype") {
+    val create = SchemaMigration.plan(None, v1, "g.t")
+    assert(create.size == 1 && create.head.startsWith("CREATE TABLE g.t"))
+    assert(create.head.contains("old_col VARCHAR NOT NULL"))
+
+    val alter = SchemaMigration.plan(Some(v1), v2, "g.t")
+    assert(alter.contains("ALTER TABLE g.t DROP COLUMN old_col;"))
+    assert(alter.contains("ALTER TABLE g.t ADD COLUMN note VARCHAR;"))
+    assert(alter.contains("ALTER TABLE g.t ADD COLUMN n INTEGER NOT NULL DEFAULT 7;"))
+    assert(alter.contains("ALTER TABLE g.t ALTER COLUMN amount TYPE BIGINT NOT NULL;"))
+  }
+
+  private val payloadJson =
+    """{"type":"record","name":"p","namespace":"g","fields":[
+         {"name":"f","type":"int","default":0}]}"""
+
+  test("data targets and consumer groups resolve topic sets") {
+    val reg = new SchemaRegistry
+    val a = reg.registerSchema("ns1", "src_a", payloadJson)
+    val b = reg.registerSchema("ns2", "src_b", payloadJson)
+    reg.registerSchema("ns2", "src_c", payloadJson)
+    val target = reg.createDataTarget("redshift-main", "redshift", "jdbc://rs/main")
+    val group = reg.createConsumerGroup("warehouse-loaders", target.dataTargetId)
+    reg.addConsumerGroupDataSource(group.consumerGroupId, "ns1", None) // whole namespace
+    reg.addConsumerGroupDataSource(group.consumerGroupId, "ns2", Some("src_b"))
+    val topics = ConsumerSource.TopicsInDataTarget(target.dataTargetId).resolve(reg)
+    assert(topics == Set(a.topicName, b.topicName))
+  }
+
+  test("meta attribute mappings: namespace-level union source-level") {
+    val reg = new SchemaRegistry
+    val meta1 = reg.registerSchema("meta", "audit", payloadJson)
+    val meta2 = reg.registerSchema("meta", "lineage", payloadJson)
+    val biz = reg.registerSchema("ns", "biz", payloadJson)
+    reg.registerMetaAttributeMapping("ns", None, meta1.schemaId)
+    reg.registerMetaAttributeMapping("ns", Some("biz"), meta2.schemaId)
+    assert(reg.mandatoryMetaAttributes(biz.schemaId) == Set(meta1.schemaId, meta2.schemaId))
+    assert(reg.mandatoryMetaAttributes(meta1.schemaId) == Set.empty)
+  }
+
+  test("monitor catch-up emits zero-count rows for quiet windows") {
+    import spark.implicits._
+    def t(s: String) = Timestamp.valueOf(s)
+    // topic_a: activity in window 0 and window 3 -> windows 1,2 must zero-fill
+    val df = Seq(
+      (t("2024-01-01 00:01:00"), "topic_a"),
+      (t("2024-01-01 00:31:00"), "topic_a"),
+      (t("2024-01-01 00:05:00"), "topic_b")
+    ).toDF("ts", "topic")
+    val out = MonitorStream.monitorCountsWithCatchup(df, "c", "consumer")
+      .select($"topic", $"start_timestamp", $"message_count")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2))).sorted
+    val base = t("2024-01-01 00:00:00").getTime / 1000
+    assert(out.toSeq == Seq(
+      ("topic_a", base, 1), ("topic_a", base + 600, 0), ("topic_a", base + 1200, 0),
+      ("topic_a", base + 1800, 1),
+      ("topic_b", base, 1)))
+  }
+}
