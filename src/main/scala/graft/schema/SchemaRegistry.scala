@@ -255,4 +255,36 @@ class SchemaRegistry extends Serializable {
       .toDF("schema_id", "topic", "namespace", "source", "schema_json",
         "primary_keys", "contains_pii", "created_at")
   }
+
+  // --- persistence ------------------------------------------------------
+
+  /** Persist the catalog as parquet tables (schemas + topics). The store
+    * is the registry's durability layer — an embedded stand-in for the
+    * Schematizer's MySQL (at cluster scale: a shared object-store path or
+    * Delta table). */
+  def save(spark: SparkSession, dir: String): Unit = {
+    topicsDF(spark).write.mode("overwrite").parquet(s"$dir/topics")
+    schemasDF(spark).write.mode("overwrite").parquet(s"$dir/schemas")
+  }
+}
+
+object SchemaRegistry {
+
+  /** Rehydrate a registry from [[SchemaRegistry#save]] output. Entries are
+    * re-registered in original schema_id order; ids and topic assignment
+    * are reproduced because registration is deterministic. */
+  def load(spark: SparkSession, dir: String): SchemaRegistry = {
+    val reg = new SchemaRegistry
+    val rows = spark.read.parquet(s"$dir/schemas")
+      .select("schema_id", "namespace", "source", "schema_json", "contains_pii")
+      .collect().sortBy(_.getAs[Int]("schema_id"))
+    rows.foreach { r =>
+      val entry = reg.registerSchema(
+        r.getAs[String]("namespace"), r.getAs[String]("source"),
+        r.getAs[String]("schema_json"), r.getAs[Boolean]("contains_pii"))
+      require(entry.schemaId == r.getAs[Int]("schema_id"),
+        s"catalog reload drifted: got ${entry.schemaId}, expected ${r.getAs[Int]("schema_id")}")
+    }
+    reg
+  }
 }

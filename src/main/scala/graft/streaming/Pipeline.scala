@@ -125,6 +125,34 @@ object Pipeline {
             registry, readerSchemaId)).as("previous_payload"))
   }
 
+  /** Consume with an explicit dead-letter split (SURVEY §2.2 P5 error
+    * side-output): rows whose payload failed to decode (unknown schema_id,
+    * corrupt bytes → null) route to the second frame with the raw envelope
+    * intact for replay, instead of silently vanishing or killing the task.
+    */
+  def consumeWithDeadLetters(
+      transport: DataFrame,
+      registry: SchemaRegistry,
+      readerSchemaId: Int,
+      valueCol: String = "value"): (DataFrame, DataFrame) = {
+    val consumed = consume(transport, registry, readerSchemaId, valueCol)
+    (consumed.filter(col("payload").isNotNull),
+      consumed.filter(col("payload").isNull))
+  }
+
+  /** Heartbeat rows for quiet-topic keep-alive (SURVEY §2.7 ST5): in
+    * streaming mode wire `spark.readStream.format("rate")` through this to
+    * union synthetic heartbeats into a transport stream so downstream
+    * auditors can distinguish stalled from empty topics. */
+  def heartbeats(ticks: DataFrame, topics: Seq[String], tsCol: String = "timestamp"): DataFrame = {
+    val topicCol = explode(array(topics.map(lit(_)): _*))
+    ticks.select(
+      topicCol.as("topic"),
+      lit(null).cast("binary").as("key"),
+      lit("heartbeat").as("message_type"),
+      unix_timestamp(col(tsCol)).cast("int").as("timestamp"))
+  }
+
   /** Update-message field diff on a consumed stream: per-field
     * {old, current} pairs for fields that changed (reference:
     * message.py:394-398, 780-798 payload_diff/has_changed). */

@@ -78,4 +78,53 @@ class MigrationAndCatalogSpec extends SparkTestBase {
       ("topic_a", base + 1800, 1),
       ("topic_b", base, 1)))
   }
+
+  test("registry save/load reproduces ids, topics and snapshot") {
+    val dir = java.nio.file.Files.createTempDirectory("reg_store").toString
+    val reg = new SchemaRegistry
+    reg.registerSchema("ns", "a", payloadJson)
+    reg.registerSchema("ns", "a",
+      """{"type":"record","name":"p","namespace":"g","fields":[
+           {"name":"f","type":"int","default":0},
+           {"name":"g","type":"int","default":1}]}""")
+    reg.registerSchema("ns2", "b", payloadJson, containsPii = true)
+    reg.save(spark, dir)
+    val back = SchemaRegistry.load(spark, dir)
+    assert(back.snapshot == reg.snapshot)
+    assert(back.topics.map(t => (t.name, t.containsPii)) ==
+      reg.topics.map(t => (t.name, t.containsPii)))
+  }
+
+  test("consume splits dead letters from decodable rows") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val reg2 = new SchemaRegistry
+    val entry = reg2.registerSchema("s", "ev", graft.queries.EnvelopeOps.eventSchemaJson)
+    val good = Seq((1L, 10L, "click", 1.5)).toDF("event_id", "user_id", "event_type", "value")
+      .select(graft.streaming.Pipeline.envelopeFor(
+        struct($"event_id", $"user_id", $"event_type", $"value"), "create", entry,
+        lit(1700000000L), unhex(md5($"event_id".cast("string")))).as("value"))
+    // forge an envelope whose schema_id is not in the registry
+    val orphanReg = new SchemaRegistry
+    val orphan = orphanReg.registerSchema("x", "unknown1", payloadJson)
+    val orphan2 = orphanReg.registerSchema("x", "unknown2",
+      """{"type":"record","name":"q","namespace":"g","fields":[
+           {"name":"z","type":"int","default":0}]}""")
+    val bad = Seq(5).toDF("z")
+      .select(graft.streaming.Pipeline.envelopeFor(
+        struct($"z"), "create", orphan2, lit(1700000001L), unhex(md5(lit("x")))).as("value"))
+    val (ok, dead) = graft.streaming.Pipeline.consumeWithDeadLetters(
+      good.union(bad), reg2, entry.schemaId)
+    assert(ok.count() == 1 && dead.count() == 1)
+    assert(dead.select($"schema_id").head().getInt(0) == orphan2.schemaId)
+    assert(orphan.schemaId >= 0) // silence unused warning
+  }
+
+  test("heartbeats fan out per topic from tick rows") {
+    import spark.implicits._
+    val ticks = Seq(java.sql.Timestamp.valueOf("2024-01-01 00:00:00")).toDF("timestamp")
+    val hb = graft.streaming.Pipeline.heartbeats(ticks, Seq("t1", "t2"))
+    val rows = hb.collect().map(r => (r.getString(0), r.getString(2))).sorted
+    assert(rows.toSeq == Seq(("t1", "heartbeat"), ("t2", "heartbeat")))
+  }
 }
