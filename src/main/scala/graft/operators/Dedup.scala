@@ -62,6 +62,63 @@ object Dedup {
       .select("d1", "d2").distinct()
   }
 
+  /** Portable 64-bit SimHash fingerprints: (id, f).
+    *
+    * Token hash = first 16 hex digits of md5(token), bit votes extracted
+    * digit-wise with integer arithmetic only — bit-identical in any engine
+    * that has md5/substring/instr, which is what lets the DuckDB oracle
+    * replicate it. The Murmur3-based [[graft.functions.SimHash64]]
+    * expression is the faster (no hex-string materialization) in-engine
+    * variant with the same semantics.
+    *
+    * Shuffle shape: explode tokens (pipelined, no shuffle) → one hash
+    * shuffle of 64 int partial sums per doc — map-side combined, so the
+    * shuffle volume is docs × 256 bytes regardless of doc length.
+    */
+  def simhashFingerprints(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = docs
+      .select(col(idCol).as("id"),
+        explode(split(trim(lower(col(textCol))), "\\s+")).as("t"))
+      .select(col("id"), substring(md5(col("t")), 1, 16).as("h16"))
+    val votes = (0 until 64).map { b =>
+      val digit = s"(instr('0123456789abcdef', substring(h16, ${1 + b / 4}, 1)) - 1)"
+      sum(expr(s"(($digit div ${1 << (b % 4)}) % 2) * 2 - 1")).as(s"v$b")
+    }
+    val sums = toks.groupBy(col("id")).agg(votes.head, votes.tail: _*)
+    val fp = (0 until 64)
+      .map(b => shiftleft(when(col(s"v$b") > 0, lit(1L)).otherwise(lit(0L)), b))
+      .reduce(_ + _)
+    sums.select(col("id"), fp.as("f"))
+  }
+
+  /** Near-dup pairs by SimHash Hamming distance, via banded self-join.
+    *
+    * With `bands` bands of 64/bands bits, any pair within Hamming distance
+    * `maxHamming ≤ bands - 1` matches exactly on at least one band
+    * (pigeonhole), so the banded join is EXACT — same result as the
+    * all-pairs O(n²) scan, at the cost of an equi-join on (band, code).
+    */
+  def simhashNearDups(fps: DataFrame, maxHamming: Int = 3, bands: Int = 4): DataFrame = {
+    require(maxHamming < bands, s"exactness needs maxHamming < bands (pigeonhole)")
+    require(64 % bands == 0, s"bands=$bands must divide 64")
+    val bits = 64 / bands
+    val mask = (1L << bits) - 1
+    val bandCols = (0 until bands).map(b => struct(
+      lit(b).as("band"),
+      shiftrightunsigned(col("f"), b * bits).bitwiseAND(lit(mask)).as("code")))
+    val codes = fps
+      .select(col("id"), col("f"), explode(array(bandCols: _*)).as("bc"))
+      .select(col("id"), col("f"), col("bc.band").as("band"), col("bc.code").as("code"))
+    val a = codes.select(col("id").as("d1"), col("f").as("f1"), col("band"), col("code"))
+    val b = codes.select(col("id").as("d2"), col("f").as("f2"), col("band"), col("code"))
+    a.join(b, Seq("band", "code"))
+      .filter(col("d1") < col("d2"))
+      .select(col("d1"), col("d2"),
+        bit_count(col("f1").bitwiseXOR(col("f2"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** Exact Jaccard over the shingle sets of the given pairs only. */
   def verifyJaccard(pairs: DataFrame, shingles: DataFrame, threshold: Double): DataFrame = {
     val sizes = shingles.groupBy(col("id")).agg(count(lit(1)).as("n"))

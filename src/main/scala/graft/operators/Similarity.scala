@@ -53,6 +53,65 @@ object Similarity {
       .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("pairs"))
       .select(col("cluster"), expr("transform(pairs, q -> q.m)").as("c"))
 
+  /** Deterministic ±1 hyperplane components from md5-hex parity — portable
+    * across engines (the DuckDB oracle regenerates the identical planes
+    * from the same `md5("hp:<plane>:<dim>")` formula). */
+  def hyperplaneSigns(nPlanes: Int, dim: Int): Array[Array[Double]] =
+    Array.tabulate(nPlanes, dim) { (p, i) =>
+      val digest = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"hp:$p:$i".getBytes("UTF-8"))
+      if (((digest(0) >> 4) & 0xf) % 2 == 0) 1.0 else -1.0
+    }
+
+  /** Embedding-cosine near-duplicate pairs via sign-random-projection LSH
+    * (north-star dedup family: embedding near-dup).
+    *
+    * Each vector gets an `nPlanes`-bit signature (sign of the dot product
+    * with fixed random hyperplanes), cut into bands; pairs colliding in at
+    * least one band are candidates, then verified with exact cosine ≥
+    * `threshold`. Approximate by construction: a pair at angle θ collides
+    * on one bit with p = 1 − θ/π, so low thresholds trade recall for
+    * pruning — the candidate equi-join on (band, code) replaces the O(n²)
+    * cross join that cannot exist at 100 TB. Projections are rounded to
+    * 6 dp before the sign test so bit assignment is stable across
+    * summation orders.
+    */
+  def cosineNearDups(vectors: DataFrame, threshold: Double, dim: Int,
+                     nPlanes: Int = 16, bandBits: Int = 4,
+                     roundTo: Int = 4): DataFrame = {
+    require(nPlanes % bandBits == 0, s"bandBits=$bandBits must divide nPlanes=$nPlanes")
+    val signs = hyperplaneSigns(nPlanes, dim)
+    val bitCols = (0 until nPlanes).map { p =>
+      val proj = aggregate(
+        zip_with(col("v"), typedLit(signs(p).toSeq), (x, y) => x * y),
+        lit(0.0), (acc, z) => acc + z)
+      when(round(proj, 6) >= 0, 1).otherwise(0).as(s"b$p")
+    }
+    val bits = vectors.select(col("vec_id") +: bitCols: _*)
+    val bandCols = (0 until nPlanes / bandBits).map { b =>
+      val code = (0 until bandBits)
+        .map(j => col(s"b${b * bandBits + j}") * lit(1 << j)).reduce(_ + _)
+      struct(lit(b).as("band"), code.as("code"))
+    }
+    val codes = bits
+      .select(col("vec_id"), explode(array(bandCols: _*)).as("bc"))
+      .select(col("vec_id"), col("bc.band").as("band"), col("bc.code").as("code"))
+    val cands = codes.select(col("vec_id").as("v1"), col("band"), col("code"))
+      .join(codes.select(col("vec_id").as("v2"), col("band"), col("code")),
+        Seq("band", "code"))
+      .filter(col("v1") < col("v2"))
+      .select(col("v1"), col("v2")).distinct()
+    val cos = round(
+      expr("aggregate(zip_with(va, vb, (x, y) -> x * y), 0D, (acc, z) -> acc + z)") /
+        (expr("sqrt(aggregate(va, 0D, (acc, x) -> acc + x * x))") *
+          expr("sqrt(aggregate(vb, 0D, (acc, x) -> acc + x * x))")), roundTo)
+    cands
+      .join(vectors.select(col("vec_id").as("v1"), col("v").as("va")), "v1")
+      .join(vectors.select(col("vec_id").as("v2"), col("v").as("vb")), "v2")
+      .select(col("v1"), col("v2"), cos.as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+
   /** IVF search: route each probe to its `nprobe` closest centroids, then
     * exact top-k within those clusters only. */
   def ivfTopK(vectors: DataFrame, clusterCol: String, probes: DataFrame,

@@ -70,6 +70,29 @@ object LlmOps {
       .orderBy(col("d1"), col("d2"))
   }
 
+  /** SimHash near-dup pairs (north-star dedup family, SimHash flavor):
+    * portable 64-bit fingerprints → banded self-join → Hamming ≤ 3. The
+    * banding is exact for this threshold (pigeonhole over 4×16-bit bands),
+    * so the oracle's brute-force all-pairs scan must agree verbatim. */
+  def qSimhashNearDups(spark: SparkSession, dir: String): DataFrame = {
+    val fps = Dedup.simhashFingerprints(
+      Tables.documents(spark, dir), "doc_id", "text")
+    Dedup.simhashNearDups(fps, maxHamming = 3, bands = 4)
+      .orderBy(col("d1"), col("d2"))
+  }
+
+  /** Embedding-cosine near-dup pairs (north-star dedup family, embedding
+    * flavor): 16 md5-derived hyperplanes, 4×4-bit bands, exact-cosine
+    * verification at ≥ 0.4. Oracle regenerates the identical hyperplanes
+    * and banding, checking algorithmic parity end to end. */
+  def qEmbeddingCosineNearDups(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val vecs = Tables.embeddings(spark, dir)
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+    graft.operators.Similarity.cosineNearDups(vecs, threshold = 0.4, dim = 64)
+      .orderBy($"v1", $"v2")
+  }
+
   /** Per-document text statistics: token counts, type-token ratio,
     * stopword ratio, mean token length, quality band (SURVEY north-star:
     * quality scoring + token counting). All narrow ops — no shuffle. */
@@ -175,6 +198,8 @@ object LlmOps {
     "d_exact_dedup" -> (qExactDedup _),
     "d_ngram_near_dups" -> (qNgramNearDups _),
     "d_minhash_lsh" -> (qMinhashLsh _),
+    "d_simhash" -> (qSimhashNearDups _),
+    "d_embedding_cosine" -> (qEmbeddingCosineNearDups _),
     "t_doc_stats" -> (qDocStats _),
     "t_doc_fingerprint" -> (qDocFingerprint _),
     "t_lang_id" -> (qLangId _),
@@ -242,6 +267,53 @@ object LlmOps {
           FROM inter JOIN sizes s1 ON d1 = s1.id JOIN sizes s2 ON d2 = s2.id
           WHERE i * 1.0 / (s1.n + s2.n - i) >= 0.6
           ORDER BY d1, d2""",
+    "d_simhash" ->
+      """WITH toks AS (
+           SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS t
+           FROM documents),
+         th AS (SELECT doc_id, substr(md5(t), 1, 16) AS h16 FROM toks),
+         bits AS (
+           SELECT doc_id, b,
+                  CASE WHEN sum(((strpos('0123456789abcdef', substr(h16, 1 + b // 4, 1)) - 1)
+                                 // power(2, b % 4)::INT) % 2 * 2 - 1) > 0
+                       THEN 1 ELSE 0 END AS bit
+           FROM th, range(0, 64) r(b)
+           GROUP BY doc_id, b),
+         fp AS (
+           SELECT doc_id, sum(CASE WHEN bit = 1 AND b < 63 THEN (power(2, b))::BIGINT
+                                   WHEN bit = 1 THEN -9223372036854775808 ELSE 0 END)::BIGINT AS f
+           FROM bits GROUP BY doc_id)
+         SELECT a.doc_id AS d1, b.doc_id AS d2, bit_count(xor(a.f, b.f)) AS hamming
+         FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+         WHERE bit_count(xor(a.f, b.f)) <= 3
+         ORDER BY d1, d2""",
+    "d_embedding_cosine" ->
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+         hp AS (
+           SELECT p, i,
+                  CASE WHEN (strpos('0123456789abcdef',
+                             substr(md5('hp:' || p || ':' || i), 1, 1)) - 1) % 2 = 0
+                       THEN 1.0 ELSE -1.0 END AS s
+           FROM range(0, 16) r(p), range(0, 64) q(i)),
+         bits AS (
+           SELECT vec_id, p,
+                  CASE WHEN round(sum(s * e[i + 1]), 6) >= 0 THEN 1 ELSE 0 END AS bit
+           FROM v, hp GROUP BY vec_id, p),
+         codes AS (
+           SELECT vec_id, p // 4 AS band,
+                  sum(bit * power(2, p % 4)::INT)::INT AS code
+           FROM bits GROUP BY vec_id, p // 4),
+         cand AS (
+           SELECT DISTINCT a.vec_id AS v1, b.vec_id AS v2
+           FROM codes a JOIN codes b
+             ON a.band = b.band AND a.code = b.code AND a.vec_id < b.vec_id),
+         verified AS (
+           SELECT c.v1, c.v2,
+                  round(list_sum([a.e[i] * b.e[i] for i in range(1, 65)]) /
+                        (sqrt(list_sum([a.e[i] * a.e[i] for i in range(1, 65)])) *
+                         sqrt(list_sum([b.e[i] * b.e[i] for i in range(1, 65)]))), 4) AS cosine
+           FROM cand c JOIN v a ON a.vec_id = c.v1 JOIN v b ON b.vec_id = c.v2)
+         SELECT v1, v2, cosine FROM verified WHERE cosine >= 0.4 ORDER BY v1, v2""",
     "t_doc_stats" ->
       """SELECT doc_id,
                 len(ws) AS n_tokens,

@@ -52,4 +52,34 @@ class FunctionsSpec extends SparkTestBase {
     val h = spark.sql("SELECT simhash64(split('a b c', ' '))").head().getLong(0)
     assert(h != 0L)
   }
+
+  test("banded simhash near-dups equal the brute-force all-pairs result") {
+    import graft.operators.Dedup
+    val fps = Dedup.simhashFingerprints(
+      Tables.documents(spark, sf()), "doc_id", "text").cache()
+    val banded = Dedup.simhashNearDups(fps, maxHamming = 3, bands = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val a = fps.select(col("id").as("d1"), col("f").as("f1"))
+    val b = fps.select(col("id").as("d2"), col("f").as("f2"))
+    val brute = a.crossJoin(b).filter(col("d1") < col("d2"))
+      .select(col("d1"), col("d2"),
+        bit_count(col("f1").bitwiseXOR(col("f2"))).as("hamming"))
+      .filter(col("hamming") <= 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(banded == brute)
+    fps.unpersist()
+  }
+
+  test("hyperplane signs are deterministic and match the md5-parity formula") {
+    import graft.operators.Similarity
+    val s1 = Similarity.hyperplaneSigns(16, 64)
+    val s2 = Similarity.hyperplaneSigns(16, 64)
+    assert(s1.map(_.toSeq).toSeq == s2.map(_.toSeq).toSeq)
+    assert(s1.flatten.forall(v => v == 1.0 || v == -1.0))
+    // spot-check one cell against an independently computed md5 hex digit
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest("hp:3:7".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val expected = if ("02468ace".contains(hex.charAt(0))) 1.0 else -1.0
+    assert(s1(3)(7) == expected)
+  }
 }
