@@ -53,14 +53,44 @@ object Dedup {
       .select(col("id"), col("band.band_id"), col("band.h"))
   }
 
-  /** Candidate pairs (d1 < d2) sharing at least one LSH band. */
-  def lshCandidatePairs(bands: DataFrame): DataFrame = {
-    val a = bands.select(col("id").as("d1"), col("band_id"), col("h"))
-    val b = bands.select(col("id").as("d2"), col("band_id"), col("h"))
-    a.join(b, Seq("band_id", "h"))
-      .filter(col("d1") < col("d2"))
-      .select("d1", "d2").distinct()
+  /** Unordered within-bucket pairs via collect_list + pair explode.
+    *
+    * The naive formulation is a bucket-key self-join, but that evaluates
+    * the bucket frame's WHOLE lineage twice (for LSH that means the
+    * signature aggregation — the dominant shuffle — runs 2×) and emits k²
+    * join rows per bucket. Grouping once and exploding emits k(k−1)/2
+    * pairs off a single evaluation. Items sort ascending within the
+    * bucket, so `x < y` holds per pair by construction. Output columns:
+    * `x`, `y` (structs of `pid` + optional `pval`), one row per
+    * co-bucketed pair, duplicated across buckets — caller dedups.
+    *
+    * Scale note: a bucket of k items makes a k-element array in one task;
+    * same k² skew exposure as the self-join, concentrated in collect_list.
+    * Salt hot keys or drop boilerplate buckets above a size cap when the
+    * data has degenerate collisions.
+    */
+  def bucketPairs(buckets: DataFrame, keyCols: Seq[String], idCol: String,
+                  valCol: Option[String] = None): DataFrame = {
+    val item = valCol match {
+      case Some(v) => struct(col(idCol).as("pid"), col(v).as("pval"))
+      case None    => struct(col(idCol).as("pid"))
+    }
+    buckets
+      .groupBy(keyCols.map(col): _*)
+      .agg(sort_array(collect_list(item)).as("items"))
+      .filter(size(col("items")) >= 2)
+      .select(explode(expr(
+        """flatten(transform(items, (x, i) ->
+             transform(slice(items, i + 2, size(items)), y -> struct(x, y))))"""))
+        .as("p"))
+      .select(col("p.x").as("x"), col("p.y").as("y"))
   }
+
+  /** Candidate pairs (d1 < d2) sharing at least one LSH band. */
+  def lshCandidatePairs(bands: DataFrame): DataFrame =
+    bucketPairs(bands, Seq("band_id", "h"), "id")
+      .select(col("x.pid").as("d1"), col("y.pid").as("d2"))
+      .distinct()
 
   /** Portable 64-bit SimHash fingerprints: (id, f).
     *
@@ -109,12 +139,9 @@ object Dedup {
     val codes = fps
       .select(col("id"), col("f"), explode(array(bandCols: _*)).as("bc"))
       .select(col("id"), col("f"), col("bc.band").as("band"), col("bc.code").as("code"))
-    val a = codes.select(col("id").as("d1"), col("f").as("f1"), col("band"), col("code"))
-    val b = codes.select(col("id").as("d2"), col("f").as("f2"), col("band"), col("code"))
-    a.join(b, Seq("band", "code"))
-      .filter(col("d1") < col("d2"))
-      .select(col("d1"), col("d2"),
-        bit_count(col("f1").bitwiseXOR(col("f2"))).as("hamming"))
+    bucketPairs(codes, Seq("band", "code"), "id", Some("f"))
+      .select(col("x.pid").as("d1"), col("y.pid").as("d2"),
+        bit_count(col("x.pval").bitwiseXOR(col("y.pval"))).as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }

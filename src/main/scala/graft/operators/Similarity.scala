@@ -96,11 +96,9 @@ object Similarity {
     val codes = bits
       .select(col("vec_id"), explode(array(bandCols: _*)).as("bc"))
       .select(col("vec_id"), col("bc.band").as("band"), col("bc.code").as("code"))
-    val cands = codes.select(col("vec_id").as("v1"), col("band"), col("code"))
-      .join(codes.select(col("vec_id").as("v2"), col("band"), col("code")),
-        Seq("band", "code"))
-      .filter(col("v1") < col("v2"))
-      .select(col("v1"), col("v2")).distinct()
+    val cands = Dedup.bucketPairs(codes, Seq("band", "code"), "vec_id")
+      .select(col("x.pid").as("v1"), col("y.pid").as("v2"))
+      .distinct()
     val cos = round(
       expr("aggregate(zip_with(va, vb, (x, y) -> x * y), 0D, (acc, z) -> acc + z)") /
         (expr("sqrt(aggregate(va, 0D, (acc, x) -> acc + x * x))") *

@@ -45,9 +45,11 @@ object LlmOps {
     // At cluster scale this is persist(DISK_ONLY) or a checkpoint.
     val sh = Dedup.wordShingles(Tables.documents(spark, dir), "doc_id", "text", ShingleN).cache()
     val sizes = sh.groupBy($"id").agg(count(lit(1)).as("n"))
-    val a = sh.select($"id".as("d1"), $"g")
-    val b = sh.select($"id".as("d2"), $"g")
-    val inter = a.join(b, Seq("g")).filter($"d1" < $"d2")
+    // intersections via one groupBy(g) + pair explode — the self-join
+    // alternative shuffles the shingle frame (the dominant intermediate)
+    // twice and emits k² rows per shingle instead of k(k−1)/2.
+    val inter = Dedup.bucketPairs(sh, Seq("g"), "id")
+      .select($"x.pid".as("d1"), $"y.pid".as("d2"))
       .groupBy($"d1", $"d2").agg(count(lit(1)).as("i"))
     val jac = $"i" / ($"n1" + $"n2" - $"i")
     inter
