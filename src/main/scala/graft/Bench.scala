@@ -25,6 +25,8 @@ object Bench {
     "d_minhash_lsh",
     "t_doc_stats",
     "sim_knn_cosine",
+    "d_contamination",
+    "q_sessionize",
     "env_roundtrip")
 
   def main(args: Array[String]): Unit = {

@@ -41,6 +41,21 @@ object Scratch {
                   "d_embedding_cosine")) {
       timed(q) { SparkEntry.queries(q)(spark, dir).count() }
     }
+
+    // contamination dissection
+    import graft.operators.{Curation, Dedup}
+    val dd = Tables.documents(spark, dir)
+    val train = dd.filter(col("doc_id") % 11 =!= 0)
+    val bench = dd.filter(col("doc_id") % 11 === 0)
+    timed("contam-train-grams") {
+      Dedup.wordShingles(train, "doc_id", "text", 5).count()
+    }
+    timed("contam-bench-grams") {
+      Dedup.wordShingles(bench, "doc_id", "text", 5).count()
+    }
+    timed("contam-full") {
+      Curation.ngramContamination(train, bench, "doc_id", "text", 5, 0.5).count()
+    }
     spark.stop()
   }
 }

@@ -1,0 +1,91 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators for training-data pipelines: benchmark
+  * contamination detection, deterministic stratified sampling (data
+  * mixing), token-budget sequence packing, and event sessionization.
+  *
+  * Scale discipline:
+  *  - contamination broadcasts the benchmark side (benchmark suites are
+  *    KBs–MBs against a 100 TB corpus) so the corpus never shuffles for
+  *    the join — only matched grams enter the pair aggregation;
+  *  - sampling is a pure column expression on a content-derived hash —
+  *    shuffle-free, reproducible across runs and engines, no RNG state;
+  *  - packing windows partition by stratum, so parallelism is bounded by
+  *    strata count — at cluster scale partition by (stratum, shard) with
+  *    a deterministic shard key to restore parallelism;
+  *  - sessionization shuffles once on the user key; the window sort is
+  *    within-partition only.
+  */
+object Curation {
+
+  /** (train_id, bench_id, coverage) pairs where ≥ `threshold` of the
+    * benchmark doc's distinct word n-grams appear in the training doc —
+    * the standard n-gram-overlap decontamination check run before
+    * training. Benchmark grams are broadcast: the corpus side joins
+    * map-side with no shuffle.
+    */
+  def ngramContamination(train: DataFrame, bench: DataFrame, idCol: String,
+                         textCol: String, n: Int, threshold: Double): DataFrame = {
+    val tg = Dedup.wordShingles(train, idCol, textCol, n)
+      .select(col("id").as("train_id"), col("g"))
+    val bg = Dedup.wordShingles(bench, idCol, textCol, n)
+      .select(col("id").as("bench_id"), col("g"))
+    val bn = bg.groupBy(col("bench_id")).agg(count(lit(1)).as("bn"))
+    tg.join(broadcast(bg), "g")
+      .groupBy(col("train_id"), col("bench_id")).agg(count(lit(1)).as("i"))
+      .join(broadcast(bn), "bench_id")
+      .filter(col("i") / col("bn") >= threshold)
+      .select(col("train_id"), col("bench_id"),
+        round(col("i") / col("bn"), 6).as("coverage"))
+  }
+
+  /** Deterministic keep/drop decision for hash-based stratified sampling
+    * (language/domain mixing): keep a row iff the uniform draw derived
+    * from md5(salt || key) is below the stratum's rate. The hash is the
+    * first 6 hex digits as an integer in [0, 16^6) — portable to any
+    * engine with md5, so mixtures are reproducible byte-for-byte.
+    */
+  def sampleKeep(keyExpr: org.apache.spark.sql.Column,
+                 strataCol: org.apache.spark.sql.Column,
+                 rates: Map[String, Double], defaultRate: Double,
+                 salt: String): org.apache.spark.sql.Column = {
+    val u = conv(substring(md5(concat(lit(salt), keyExpr)), 1, 6), 16, 10)
+      .cast("long")
+    val rate = rates.foldLeft(lit(defaultRate)) { case (acc, (k, r)) =>
+      when(strataCol === k, lit(r)).otherwise(acc)
+    }
+    u < rate * (1L << 24)
+  }
+
+  /** Contiguous token-budget packing: within each stratum, rows ordered by
+    * `orderCol` are assigned batch_id = floor(starting_token_offset /
+    * budget) — the deterministic "greedy fill, spill overflow" packing
+    * used to build fixed-budget training batches. Adds `batch_id`.
+    */
+  def packBatches(rows: DataFrame, strataCol: String, orderCol: String,
+                  tokensCol: String, budget: Long): DataFrame = {
+    val w = Window.partitionBy(col(strataCol))
+      .orderBy(col(orderCol)).rowsBetween(Window.unboundedPreceding, 0)
+    rows.withColumn("batch_id",
+      floor((sum(col(tokensCol)).over(w) - col(tokensCol)) / budget))
+  }
+
+  /** Gap-based sessionization: a new session starts when the time since
+    * the user's previous event exceeds `gapMillis`. Adds 1-based
+    * `session_id` per user. One shuffle on the user key.
+    */
+  def sessionize(events: DataFrame, userCol: String, tsCol: String,
+                 tieCol: String, gapMillis: Long): DataFrame = {
+    val order = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(tieCol))
+    val prev = lag(unix_millis(col(tsCol)), 1).over(order)
+    val isNew = when(prev.isNull ||
+      unix_millis(col(tsCol)) - prev > gapMillis, 1L).otherwise(0L)
+    events
+      .withColumn("session_id",
+        sum(isNew).over(order.rowsBetween(Window.unboundedPreceding, 0)))
+  }
+}

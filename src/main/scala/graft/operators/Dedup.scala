@@ -23,15 +23,24 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** Distinct word n-gram shingles: (id, g). 1-based positions i..i+n-1. */
+  /** Distinct word n-gram shingles: (id, g). 1-based positions i..i+n-1.
+    *
+    * The token array is materialized as its own projection before the gram
+    * transform: the lambda references `ws` n times per position, and an
+    * inlined `split()` would re-run the regex for every reference
+    * (~n×positions evaluations per document — measured 5× slowdown at
+    * n=5). As a separate non-cheap alias it survives CollapseProject and
+    * evaluates once per row.
+    */
   def wordShingles(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
-    val ws = split(trim(col(textCol)), "\\s+")
+    val ws = col("__ws")
     val positions = sequence(lit(1), size(ws) - (n - 1))
     val grams = transform(positions, i =>
       concat_ws(" ", (0 until n).map(o => element_at(ws, i + o)): _*))
     docs
+      .select(col(idCol).as("id"), split(trim(col(textCol)), "\\s+").as("__ws"))
       .filter(size(ws) >= n)
-      .select(col(idCol).as("id"), explode(array_distinct(grams)).as("g"))
+      .select(col("id"), explode(array_distinct(grams)).as("g"))
   }
 
   /** k md5-based minhash signature columns s0..s{k-1} per id. */

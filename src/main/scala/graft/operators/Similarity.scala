@@ -99,13 +99,18 @@ object Similarity {
     val cands = Dedup.bucketPairs(codes, Seq("band", "code"), "vec_id")
       .select(col("x.pid").as("v1"), col("y.pid").as("v2"))
       .distinct()
+    // Norms precomputed once per vector, not once per candidate pair. The
+    // arithmetic per pair (sqrt(Σx²)·sqrt(Σy²), then divide) is unchanged,
+    // so the 4-dp rounded cosine is bit-identical to the naive form — the
+    // oracle hash can't drift.
+    val withNorm = vectors.select(col("vec_id"), col("v"),
+      expr("sqrt(aggregate(v, 0D, (acc, x) -> acc + x * x))").as("nrm"))
     val cos = round(
       expr("aggregate(zip_with(va, vb, (x, y) -> x * y), 0D, (acc, z) -> acc + z)") /
-        (expr("sqrt(aggregate(va, 0D, (acc, x) -> acc + x * x))") *
-          expr("sqrt(aggregate(vb, 0D, (acc, x) -> acc + x * x))")), roundTo)
+        (col("na") * col("nb")), roundTo)
     cands
-      .join(vectors.select(col("vec_id").as("v1"), col("v").as("va")), "v1")
-      .join(vectors.select(col("vec_id").as("v2"), col("v").as("vb")), "v2")
+      .join(withNorm.select(col("vec_id").as("v1"), col("v").as("va"), col("nrm").as("na")), "v1")
+      .join(withNorm.select(col("vec_id").as("v2"), col("v").as("vb"), col("nrm").as("nb")), "v2")
       .select(col("v1"), col("v2"), cos.as("cosine"))
       .filter(col("cosine") >= threshold)
   }

@@ -1,0 +1,173 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.Curation
+
+/** Corpus-curation query pack: contamination, mixing, packing, profiling,
+  * sessionization — the operations that sit between raw dedup and actual
+  * training-batch emission in a data pipeline. Every query has a DuckDB
+  * oracle replicating the identical deterministic algorithm.
+  */
+object CurationOps {
+
+  private val ContamN = 5
+  private val ContamThreshold = 0.5
+  private val PackBudget = 2048L
+  private val SessionGapMs = 86400000L // 24 h
+
+  /** Benchmark contamination: docs with doc_id % 11 == 0 stand in for a
+    * held-out benchmark suite; flag training docs covering ≥ 50% of a
+    * benchmark doc's distinct 5-grams. Benchmark side broadcasts. */
+  def qContamination(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    Curation.ngramContamination(
+      docs.filter($"doc_id" % 11 =!= 0), docs.filter($"doc_id" % 11 === 0),
+      "doc_id", "text", ContamN, ContamThreshold)
+      .orderBy($"train_id", $"bench_id")
+  }
+
+  /** Deterministic stratified sampling for language mixing: downsample
+    * dominant English to 30%, drop zh (no quality filter for it yet),
+    * keep the rest. Reproducible across engines via the md5 draw. */
+  def qStratifiedSample(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .filter(Curation.sampleKeep(
+        $"doc_id".cast("string"), $"lang",
+        rates = Map("en" -> 0.3, "zh" -> 0.0), defaultRate = 1.0,
+        salt = "smp:"))
+      .select($"doc_id", $"lang")
+      .orderBy($"doc_id")
+  }
+
+  /** Token-budget packing: per language, docs in doc_id order packed into
+    * 2048-token batches; emits per-batch doc/token totals. */
+  def qPackBatches(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+      .select($"doc_id", $"lang",
+        size(split(trim($"text"), "\\s+")).cast("long").as("n_tokens"))
+    Curation.packBatches(docs, "lang", "doc_id", "n_tokens", PackBudget)
+      .groupBy($"lang", $"batch_id")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_tokens").as("batch_tokens"))
+      .orderBy($"lang", $"batch_id")
+  }
+
+  /** Corpus length profiling: exact interpolated token-count quantiles per
+    * language. At 100 TB this becomes approx_percentile (t-digest); the
+    * exact form is the oracle-checkable reference semantics. */
+  def qLengthQuantiles(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select($"lang", size(split(trim($"text"), "\\s+")).cast("long").as("n_tokens"))
+      .groupBy($"lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        round(expr("percentile(n_tokens, 0.5)"), 4).as("p50_tokens"),
+        round(expr("percentile(n_tokens, 0.9)"), 4).as("p90_tokens"))
+      .orderBy($"lang")
+  }
+
+  /** Gap-based sessionization of the events stream (24 h inactivity gap):
+    * per-session event counts, value totals, duration. */
+  def qSessionize(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Curation.sessionize(Tables.events(spark, dir), "user_id", "ts", "event_id",
+      SessionGapMs)
+      .groupBy($"user_id", $"session_id")
+      .agg(
+        count(lit(1)).as("n_events"),
+        round(sum($"value"), 4).as("total_value"),
+        (unix_millis(max($"ts")) - unix_millis(min($"ts"))).as("duration_ms"))
+      .orderBy($"user_id", $"session_id")
+  }
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d_contamination" -> (qContamination _),
+    "t_stratified_sample" -> (qStratifiedSample _),
+    "t_pack_batches" -> (qPackBatches _),
+    "t_length_quantiles" -> (qLengthQuantiles _),
+    "q_sessionize" -> (qSessionize _)
+  )
+
+  private val gramSql =
+    """sh AS (
+         SELECT doc_id AS id,
+                unnest(list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                                      || ' ' || ws[i+3] || ' ' || ws[i+4]
+                                      for i in range(1, len(ws) - 3)])) AS g
+         FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws FROM documents)
+         WHERE len(ws) >= 5)"""
+
+  val oracles: Map[String, String] = Map(
+    "d_contamination" ->
+      s"""WITH $gramSql,
+          bench AS (SELECT * FROM sh WHERE id % 11 = 0),
+          train AS (SELECT * FROM sh WHERE id % 11 <> 0),
+          bn AS (SELECT id, count(*) AS bn FROM bench GROUP BY 1),
+          inter AS (
+            SELECT t.id AS train_id, b.id AS bench_id, count(*) AS i
+            FROM train t JOIN bench b ON t.g = b.g GROUP BY 1, 2)
+          SELECT train_id, bench_id, round(i * 1.0 / bn.bn, 6) AS coverage
+          FROM inter JOIN bn ON bench_id = bn.id
+          WHERE i * 1.0 / bn.bn >= 0.5
+          ORDER BY train_id, bench_id""",
+    "t_stratified_sample" ->
+      """SELECT doc_id, lang
+         FROM (
+           SELECT doc_id, lang,
+                  list_sum([(strpos('0123456789abcdef',
+                                    substr(md5('smp:' || doc_id), i, 1)) - 1)
+                            * power(16, 6 - i)::BIGINT
+                            for i in range(1, 7)])::BIGINT AS u
+           FROM documents)
+         WHERE u < (CASE lang WHEN 'en' THEN 0.3 WHEN 'zh' THEN 0.0
+                    ELSE 1.0 END) * 16777216
+         ORDER BY doc_id""",
+    "t_pack_batches" ->
+      """WITH toks AS (
+           SELECT doc_id, lang,
+                  len(string_split_regex(trim(text), '\s+')) AS n_tokens
+           FROM documents),
+         packed AS (
+           SELECT lang, doc_id, n_tokens,
+                  (sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                                       ROWS UNBOUNDED PRECEDING) - n_tokens)
+                  // 2048 AS batch_id
+           FROM toks)
+         SELECT lang, batch_id, count(*) AS n_docs, sum(n_tokens) AS batch_tokens
+         FROM packed GROUP BY 1, 2 ORDER BY lang, batch_id""",
+    "t_length_quantiles" ->
+      """SELECT lang, count(*) AS n_docs,
+                round(quantile_cont(n_tokens, 0.5), 4) AS p50_tokens,
+                round(quantile_cont(n_tokens, 0.9), 4) AS p90_tokens
+         FROM (SELECT lang, len(string_split_regex(trim(text), '\s+')) AS n_tokens
+               FROM documents)
+         GROUP BY lang ORDER BY lang""",
+    "q_sessionize" ->
+      """WITH ordered AS (
+           SELECT user_id, event_id, ts, value,
+                  lag(epoch_ms(ts)) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) AS prev_ms
+           FROM events),
+         flagged AS (
+           SELECT user_id, event_id, ts, value,
+                  CASE WHEN prev_ms IS NULL
+                            OR epoch_ms(ts) - prev_ms > 86400000
+                       THEN 1 ELSE 0 END AS is_new
+           FROM ordered),
+         numbered AS (
+           SELECT user_id, ts, value,
+                  sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+           FROM flagged)
+         SELECT user_id, session_id, count(*) AS n_events,
+                round(sum(value), 4) AS total_value,
+                epoch_ms(max(ts)) - epoch_ms(min(ts)) AS duration_ms
+         FROM numbered GROUP BY 1, 2 ORDER BY user_id, session_id"""
+  )
+}

@@ -1,0 +1,94 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Curation, Dedup}
+
+class CurationSpec extends SparkTestBase {
+
+  // --- contamination ---------------------------------------------------
+
+  test("ngram contamination flags coverage of benchmark docs and broadcasts the bench side") {
+    import spark.implicits._
+    val train = Seq(
+      (1L, "a b c d e f g h"),      // covers all of bench 10's grams
+      (2L, "a b c d e x y z"),      // covers 1 of 4 grams of bench 10
+      (3L, "q r s t u v w")         // disjoint
+    ).toDF("doc_id", "text")
+    val bench = Seq((10L, "a b c d e f g h")).toDF("doc_id", "text")
+
+    val hits = Curation.ngramContamination(train, bench, "doc_id", "text",
+      n = 5, threshold = 0.5).collect()
+    assert(hits.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 10L)))
+    assert(hits.head.getDouble(2) == 1.0)
+
+    val plan = Curation.ngramContamination(train, bench, "doc_id", "text", 5, 0.5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"bench side must broadcast, got:\n$plan")
+  }
+
+  // --- stratified sampling ---------------------------------------------
+
+  test("stratified sampling is deterministic and respects per-stratum rates") {
+    import spark.implicits._
+    val rows = (0L until 2000L).map(i => (i, if (i % 2 == 0) "en" else "de"))
+      .toDF("doc_id", "lang")
+    val keep = Curation.sampleKeep($"doc_id".cast("string"), $"lang",
+      Map("en" -> 0.25, "zh" -> 0.0), defaultRate = 1.0, salt = "smp:")
+    val kept = rows.filter(keep).groupBy($"lang").count().as[(String, Long)]
+      .collect().toMap
+    assert(kept("de") == 1000L)                 // default rate keeps all
+    assert(kept("en") > 150 && kept("en") < 350) // ~250 of 1000
+    // reproducible: same expression, same result
+    val again = rows.filter(keep).count()
+    assert(again == kept.values.sum)
+  }
+
+  // --- packing ----------------------------------------------------------
+
+  test("packBatches fills contiguous token budgets per stratum") {
+    import spark.implicits._
+    val rows = Seq(
+      ("en", 1L, 1000L), ("en", 2L, 1000L), ("en", 3L, 100L), ("en", 4L, 2000L),
+      ("de", 1L, 2049L), ("de", 2L, 1L)
+    ).toDF("lang", "doc_id", "n_tokens")
+    val got = Curation.packBatches(rows, "lang", "doc_id", "n_tokens", 2048L)
+      .select($"lang", $"doc_id", $"batch_id").as[(String, Long, Long)]
+      .collect().toSet
+    assert(got == Set(
+      ("en", 1L, 0L), ("en", 2L, 0L),  // offsets 0, 1000
+      ("en", 3L, 0L),                  // offset 2000 < 2048
+      ("en", 4L, 1L),                  // offset 2100 -> batch 1
+      ("de", 1L, 0L), ("de", 2L, 1L))) // 2049 overflows de batch 0
+  }
+
+  // --- sessionization ---------------------------------------------------
+
+  test("sessionize splits on inactivity gaps per user") {
+    import spark.implicits._
+    def ts(s: Long) = new Timestamp(s * 1000)
+    val ev = Seq(
+      (1L, ts(0), 100L), (1L, ts(10), 101L), (1L, ts(4000), 102L),
+      (2L, ts(0), 200L)
+    ).toDF("user_id", "ts", "event_id")
+    val got = Curation.sessionize(ev, "user_id", "ts", "event_id", gapMillis = 3600000L)
+      .select($"user_id", $"event_id", $"session_id").as[(Long, Long, Long)]
+      .collect().toSet
+    assert(got == Set((1L, 100L, 1L), (1L, 101L, 1L), (1L, 102L, 2L), (2L, 200L, 1L)))
+  }
+
+  // --- bucketPairs (shared LSH pair kernel) ------------------------------
+
+  test("bucketPairs emits each unordered co-bucket pair exactly once per bucket") {
+    import spark.implicits._
+    val buckets = Seq((1, "a"), (2, "a"), (3, "a"), (4, "b"), (5, "b"), (6, "c"))
+      .toDF("id", "k")
+    val got = Dedup.bucketPairs(buckets, Seq("k"), "id")
+      .select($"x.pid", $"y.pid").as[(Int, Int)].collect().toSeq
+    assert(got.sorted == Seq((1, 2), (1, 3), (2, 3), (4, 5)))
+    assert(got.forall { case (a, b) => a < b })
+  }
+}
