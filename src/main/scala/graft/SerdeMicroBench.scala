@@ -11,6 +11,46 @@ import graft.schema.AvroConversions
 /** Single-threaded microbenchmark of the envelope serde stages, no Spark
   * job machinery — isolates codec cost to guide optimization. */
 object SerdeMicroBench {
+
+  /** Full-chain (encode → pack → unpack → decode) single-thread throughput
+    * in rows/s — the per-core codec ceiling, comparable to the reference's
+    * single-process message numbers (BASELINE.md). */
+  def chainRowsPerSecCore(n: Int): Double = {
+    val payloadJson = queries.EnvelopeOps.eventSchemaJson
+    val payloadSchema = AvroCodec.parse(payloadJson)
+    val payloadType = AvroConversions.toStructType(payloadSchema)
+    val envelopeSchema = AvroCodec.parse(Envelope.avroSchemaJson)
+    val uuid = Array.fill[Byte](16)(7)
+    def once(): Unit = {
+      var i = 0
+      while (i < n) {
+        val payload = AvroCodec.encode(
+          AvroConversions.toAvro(
+            new GenericInternalRow(Array[Any](
+              i.toLong, (i % 150).toLong, UTF8String.fromString("click"), i * 0.5)),
+            payloadType, payloadSchema)
+            .asInstanceOf[org.apache.avro.generic.GenericRecord], payloadJson)
+        val framed = AvroCodec.frameBinary(AvroCodec.encode(
+          AvroConversions.toAvro(
+            new GenericInternalRow(Array[Any](
+              uuid, UTF8String.fromString("create"), 1, payload, null, null, null,
+              1700000000)),
+            Envelope.sparkType, envelopeSchema)
+            .asInstanceOf[org.apache.avro.generic.GenericRecord],
+          Envelope.avroSchemaJson))
+        val env = AvroConversions.toCatalyst(
+          AvroCodec.decode(AvroCodec.unframe(framed), Envelope.avroSchemaJson,
+            Envelope.avroSchemaJson), envelopeSchema).asInstanceOf[InternalRow]
+        AvroConversions.toCatalyst(
+          AvroCodec.decode(env.getBinary(3), payloadJson, payloadJson), payloadSchema)
+        i += 1
+      }
+    }
+    once() // warm-up: JIT
+    val t0 = System.nanoTime()
+    once()
+    n / ((System.nanoTime() - t0) / 1e9)
+  }
   def main(args: Array[String]): Unit = {
     val n = args.headOption.map(_.toInt).getOrElse(500000)
     val payloadJson = queries.EnvelopeOps.eventSchemaJson

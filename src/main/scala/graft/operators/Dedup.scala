@@ -75,16 +75,33 @@ object Dedup {
     *
     * Scale note: a bucket of k items makes a k-element array in one task;
     * same k² skew exposure as the self-join, concentrated in collect_list.
-    * Salt hot keys or drop boilerplate buckets above a size cap when the
-    * data has degenerate collisions.
+    * `maxBucket` drops buckets above a size cap — standard LSH hygiene: a
+    * band key shared by thousands of documents is boilerplate (headers,
+    * license text, templating), its pairs are low-value, and its k² cost
+    * is exactly the skew that kills the stage at corpus scale. Uncapped by
+    * default because capping changes results (the oracle-gated queries
+    * keep exhaustive semantics).
     */
   def bucketPairs(buckets: DataFrame, keyCols: Seq[String], idCol: String,
-                  valCol: Option[String] = None): DataFrame = {
+                  valCol: Option[String] = None,
+                  maxBucket: Option[Int] = None): DataFrame = {
     val item = valCol match {
       case Some(v) => struct(col(idCol).as("pid"), col(v).as("pval"))
       case None    => struct(col(idCol).as("pid"))
     }
-    buckets
+    val capped = maxBucket match {
+      // hot keys found with a map-side-combined count (shuffles one long
+      // per key, never the rows), then removed with a broadcast anti-join
+      // BEFORE the collect_list shuffle — the capped bucket's array is
+      // never materialized, so one hot key can't blow a task's memory.
+      case Some(cap) =>
+        val hot = buckets.groupBy(keyCols.map(col): _*)
+          .agg(count(lit(1)).as("__bk")).filter(col("__bk") > cap)
+          .select(keyCols.map(col): _*)
+        buckets.join(broadcast(hot), keyCols, "left_anti")
+      case None => buckets
+    }
+    capped
       .groupBy(keyCols.map(col): _*)
       .agg(sort_array(collect_list(item)).as("items"))
       .filter(size(col("items")) >= 2)

@@ -91,4 +91,13 @@ class CurationSpec extends SparkTestBase {
     assert(got.sorted == Seq((1, 2), (1, 3), (2, 3), (4, 5)))
     assert(got.forall { case (a, b) => a < b })
   }
+
+  test("bucketPairs maxBucket drops degenerate hot buckets before pairing") {
+    import spark.implicits._
+    val buckets = ((1 to 50).map(i => (i, "hot")) ++ Seq((60, "ok"), (61, "ok")))
+      .toDF("id", "k")
+    val got = Dedup.bucketPairs(buckets, Seq("k"), "id", maxBucket = Some(10))
+      .select($"x.pid", $"y.pid").as[(Int, Int)].collect().toSeq
+    assert(got == Seq((60, 61)))
+  }
 }
