@@ -49,4 +49,29 @@ object TextAnalysis {
       size(regexp_extract_all(lowered, lit("[0-9]+"), lit(0))).cast("long"),
       size(regexp_extract_all(lowered, lit("[^a-z0-9\\s]"), lit(0))).cast("long"))
   }
+
+  /** Gopher-style repetition signal: the fraction of a document's word
+    * n-grams taken by its single most frequent n-gram. High values mark
+    * degenerate/templated text that dedup alone won't catch.
+    *
+    * Shuffle shape: explode n-grams (pipelined) → (id, gram) count with
+    * map-side combine → per-id max/sum fold. Gram strings never cross the
+    * second shuffle — only the per-id counts do.
+    */
+  def topNgramFraction(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                       textCol: String, n: Int): org.apache.spark.sql.DataFrame = {
+    val ws = col("__ws")
+    val grams = transform(
+      sequence(lit(1), size(ws) - (n - 1)),
+      i => concat_ws(" ", (0 until n).map(o => element_at(ws, i + o)): _*))
+    docs
+      .select(col(idCol).as("id"), split(trim(lower(col(textCol))), "\\s+").as("__ws"))
+      .filter(size(ws) >= n)
+      .select(col("id"), explode(grams).as("g"))
+      .groupBy(col("id"), col("g")).agg(count(lit(1)).as("c"))
+      .groupBy(col("id"))
+      .agg(sum(col("c")).as("n_ngrams"), max(col("c")).as("top_ngram_n"))
+      .select(col("id"), col("n_ngrams"), col("top_ngram_n"),
+        round(col("top_ngram_n") / col("n_ngrams"), 6).as("top_ngram_frac"))
+  }
 }

@@ -72,6 +72,16 @@ object CurationOps {
       .orderBy($"lang")
   }
 
+  /** Repetition scoring: fraction of each doc's word bigrams taken by its
+    * most frequent bigram (Gopher-style quality rule). */
+  def qRepetition(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.operators.TextAnalysis
+      .topNgramFraction(Tables.documents(spark, dir), "doc_id", "text", 2)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy($"doc_id")
+  }
+
   /** Gap-based sessionization of the events stream (24 h inactivity gap):
     * per-session event counts, value totals, duration. */
   def qSessionize(spark: SparkSession, dir: String): DataFrame = {
@@ -91,6 +101,7 @@ object CurationOps {
     "t_stratified_sample" -> (qStratifiedSample _),
     "t_pack_batches" -> (qPackBatches _),
     "t_length_quantiles" -> (qLengthQuantiles _),
+    "t_repetition" -> (qRepetition _),
     "q_sessionize" -> (qSessionize _)
   )
 
@@ -148,6 +159,17 @@ object CurationOps {
          FROM (SELECT lang, len(string_split_regex(trim(text), '\s+')) AS n_tokens
                FROM documents)
          GROUP BY lang ORDER BY lang""",
+    "t_repetition" ->
+      """WITH grams AS (
+           SELECT doc_id,
+                  unnest([ws[i] || ' ' || ws[i+1] for i in range(1, len(ws))]) AS g
+           FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ws
+                 FROM documents)
+           WHERE len(ws) >= 2),
+         counts AS (SELECT doc_id, g, count(*) AS c FROM grams GROUP BY 1, 2)
+         SELECT doc_id, sum(c) AS n_ngrams, max(c) AS top_ngram_n,
+                round(max(c) * 1.0 / sum(c), 6) AS top_ngram_frac
+         FROM counts GROUP BY doc_id ORDER BY doc_id""",
     "q_sessionize" ->
       """WITH ordered AS (
            SELECT user_id, event_id, ts, value,

@@ -140,6 +140,21 @@ object Pipeline {
       consumed.filter(col("payload").isNull))
   }
 
+  /** Effectively-once delivery on an at-least-once transport (SURVEY §2.7
+    * ST1/ST2 consumer side): drop redelivered messages by envelope uuid,
+    * with state bounded by a watermark on the envelope timestamp instead
+    * of growing forever — the Spark-idiomatic form of the reference's
+    * offset-audit dedup (producer.py:291-422). `horizon` must exceed the
+    * transport's worst-case redelivery window (broker retention for a
+    * reprocessed batch; seconds for a producer retry).
+    */
+  def dedupeEffectivelyOnce(consumed: DataFrame, horizon: String): DataFrame =
+    consumed
+      .withColumn("__event_time", timestamp_seconds(col("timestamp")))
+      .withWatermark("__event_time", horizon)
+      .dropDuplicatesWithinWatermark("uuid")
+      .drop("__event_time")
+
   /** Heartbeat rows for quiet-topic keep-alive (SURVEY §2.7 ST5): in
     * streaming mode wire `spark.readStream.format("rate")` through this to
     * union synthetic heartbeats into a transport stream so downstream
