@@ -104,4 +104,50 @@ object Multimodal {
         (payloadLen / lit(n)).cast("int"))
     }: _*)
   }
+
+  /** Resize stub: rewrite the header to the new dimensions and crop the
+    * payload to the width ratio (stand-in for a real scaler — the header
+    * rewrite and proportional byte budget are the plumbing a codec swap
+    * keeps). */
+  def resizeStub(content: Column, newWidth: Column, newHeight: Column): Column = {
+    val oldWidth = conv(substring(hex(content), 9, 8), 16, 10).cast("int")
+    val payloadLen = length(content) - 12
+    val keep = greatest(lit(1),
+      ((payloadLen * newWidth) / greatest(oldWidth, lit(1))).cast("int"))
+    syntheticContent(newWidth, newHeight, substr(content, lit(13), keep))
+  }
+
+  /** Feature extraction through the batched decode seam: per-content
+    * code-point histogram (`codePoint % bins`) over the payload, appended
+    * as a `hist: array<long>` column. Same batch shape as
+    * `decodePartitioned` — a real deployment swaps the histogram for a
+    * vision/audio model call over the same batches. Payload is assumed
+    * UTF-8 text for the stub (the synthetic corpus is ASCII, so
+    * bytes == code points and a SQL oracle can replicate it exactly).
+    */
+  def byteHistogram(
+      df: DataFrame,
+      contentCol: String,
+      bins: Int = 16,
+      batchSize: Int = 64): DataFrame = {
+    val schema = StructType(df.schema.fields :+
+      StructField("hist", ArrayType(LongType, containsNull = false), nullable = true))
+    val contentIx = df.schema.fieldIndex(contentCol)
+    val rdd = df.rdd.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        val hists = batch.map { row =>
+          val c = row.getAs[Array[Byte]](contentIx)
+          if (c == null || c.length < 12 || !c.startsWith(Magic)) null
+          else {
+            val h = new Array[Long](bins)
+            new String(c, 12, c.length - 12, "UTF-8").codePoints()
+              .forEach(cp => h(cp % bins) += 1L)
+            h.toSeq
+          }
+        }
+        batch.lazyZip(hists).map { case (row, h) => Row.fromSeq(row.toSeq :+ h) }
+      }
+    }
+    df.sparkSession.createDataFrame(rdd, schema)
+  }
 }

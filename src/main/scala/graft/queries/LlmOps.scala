@@ -196,6 +196,43 @@ object LlmOps {
       .orderBy($"doc_id")
   }
 
+  /** Frame sampling over fake video content: slice each payload into 4
+    * equal byte ranges (the frame-extraction stand-in) and emit per-frame
+    * length + md5 — the identity oracle checks the slicing arithmetic a
+    * real frame grabber would inherit. */
+  def qFrameSample(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.operators.Multimodal
+    val content = Multimodal.syntheticContent(
+      ($"n_chars" % 1920).cast("int"), (($"doc_id" * 7) % 1080).cast("int"), $"text")
+    Tables.documents(spark, dir)
+      .select($"doc_id", content.as("content"))
+      .select($"doc_id", posexplode(Multimodal.frameSlices($"content", 4)))
+      .select($"doc_id", $"pos".cast("int").as("frame_ix"),
+        length($"col").cast("long").as("frame_len"), md5($"col").as("frame_md5"))
+      .orderBy($"doc_id", $"frame_ix")
+  }
+
+  /** Feature extraction through the batched multimodal decode seam:
+    * 16-bin code-point histogram per payload (the embedding stand-in),
+    * exploded to (doc_id, bin, count, freq) rows so the oracle checks
+    * every bin of every vector. */
+  def qMediaEmbed(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.operators.Multimodal
+    val content = Multimodal.syntheticContent(
+      ($"n_chars" % 1920).cast("int"), (($"doc_id" * 7) % 1080).cast("int"), $"text")
+    val withHist = Multimodal.byteHistogram(
+      Tables.documents(spark, dir).select($"doc_id", $"n_chars", content.as("content")),
+      "content", bins = 16)
+    withHist
+      .select($"doc_id", $"n_chars", posexplode($"hist"))
+      .select($"doc_id", $"pos".cast("int").as("bin"),
+        $"col".as("bin_count"),
+        round($"col" / $"n_chars", 6).as("freq"))
+      .orderBy($"doc_id", $"bin")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d_exact_dedup" -> (qExactDedup _),
     "d_ngram_near_dups" -> (qNgramNearDups _),
@@ -207,6 +244,8 @@ object LlmOps {
     "t_lang_id" -> (qLangId _),
     "t_token_classes" -> (qTokenClasses _),
     "m_media_meta" -> (qMediaMeta _),
+    "m_frame_sample" -> (qFrameSample _),
+    "m_media_embed" -> (qMediaEmbed _),
     "sim_knn_cosine" -> (qKnnCosine _),
     "sim_ivf_topk" -> (qIvfTopK _)
   )
@@ -371,6 +410,27 @@ object LlmOps {
                 CAST((doc_id * 7) % 1080 AS INTEGER) AS height,
                 CAST(12 + strlen(text) AS BIGINT) AS n_bytes
          FROM documents ORDER BY doc_id""",
+    "m_frame_sample" ->
+      """WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents)
+         SELECT doc_id,
+                CAST(i AS INTEGER) AS frame_ix,
+                CAST(n // 4 AS BIGINT) AS frame_len,
+                md5(substr(text, 1 + (n * i) // 4, n // 4)) AS frame_md5
+         FROM d, range(0, 4) r(i)
+         ORDER BY doc_id, frame_ix""",
+    "m_media_embed" ->
+      """WITH cnt AS (
+           SELECT doc_id, ascii(c) % 16 AS bin, count(*) AS n
+           FROM (SELECT doc_id, unnest(string_split(text, '')) AS c FROM documents)
+           GROUP BY 1, 2),
+         d AS (SELECT doc_id, length(text) AS len FROM documents)
+         SELECT d.doc_id,
+                CAST(r.bin AS INTEGER) AS bin,
+                CAST(coalesce(cnt.n, 0) AS BIGINT) AS bin_count,
+                round(coalesce(cnt.n, 0) * 1.0 / d.len, 6) AS freq
+         FROM d CROSS JOIN range(0, 16) r(bin)
+         LEFT JOIN cnt ON cnt.doc_id = d.doc_id AND cnt.bin = r.bin
+         ORDER BY 1, 2""",
     "sim_knn_cosine" ->
       """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
           probes AS (SELECT vec_id AS probe_id, e AS p FROM v WHERE vec_id < 5),

@@ -157,4 +157,30 @@ class ToolsSpec extends SparkTestBase {
     val badOut = Multimodal.decodePartitioned(bad, "content").head()
     assert(badOut.isNullAt(2) && badOut.isNullAt(3))
   }
+
+  test("multimodal: resize stub rewrites header and crops payload proportionally") {
+    import spark.implicits._
+    val df = Seq((1, 640, 480, "0123456789abcdef")).toDF("id", "w", "h", "data")
+      .select($"id", Multimodal.syntheticContent($"w", $"h", $"data").as("content"))
+    val resized = df.select($"id",
+      Multimodal.resizeStub($"content", lit(320), lit(240)).as("content"))
+    val m = resized.select(Multimodal.extractMeta($"content", "image").as("m"))
+      .select($"m.width", $"m.height", $"m.n_bytes").head()
+    assert(m.getInt(0) == 320 && m.getInt(1) == 240)
+    assert(m.getLong(2) == 12 + 8) // 16 payload bytes * 320/640
+  }
+
+  test("multimodal: byteHistogram counts payload code points mod bins") {
+    import spark.implicits._
+    val df = Seq((1, "aAaB")).toDF("id", "data")
+      .select($"id", Multimodal.syntheticContent(lit(4), lit(2), $"data").as("content"))
+    val hist = Multimodal.byteHistogram(df, "content", bins = 16)
+      .select($"hist").head().getSeq[Long](0)
+    // 'a'=97 -> bin 1 (x2), 'A'=65 -> bin 1, 'B'=66 -> bin 2
+    assert(hist.sum == 4L)
+    assert(hist(1) == 3L && hist(2) == 1L)
+    // garbage content yields null hist, not task failure
+    val bad = Seq((9, Array[Byte](1, 2, 3))).toDF("id", "content")
+    assert(Multimodal.byteHistogram(bad, "content").select($"hist").head().isNullAt(0))
+  }
 }
