@@ -74,6 +74,40 @@ object Curation {
       floor((sum(col(tokensCol)).over(w) - col(tokensCol)) / budget))
   }
 
+  /** Corpus-wide boilerplate token removal: tokens present in more than
+    * `floor(dfRatio × corpus size)` documents form a stoplist, and every
+    * document is rewritten without them (order preserved, single-space
+    * joined). The CCNet/RefinedWeb-style "drop what everyone repeats"
+    * cleanup.
+    *
+    * Shuffle shape: one map-side-combined count shuffle of (token, df) —
+    * tokens are `array_distinct`ed per doc first, so shuffle volume is
+    * vocabulary-bounded, not corpus-bounded. The stoplist is tiny by
+    * construction (only near-universal tokens qualify) and ships to
+    * executors as a literal; the rewrite itself is a narrow map — the
+    * corpus text never shuffles.
+    *
+    * Returns (idCol, n_tokens, n_kept, clean_text).
+    */
+  def stripBoilerplate(docs: DataFrame, idCol: String, textCol: String,
+                       dfRatio: Double): DataFrame = {
+    val nDocs = docs.count()
+    val minDf = math.floor(dfRatio * nDocs).toLong
+    val ws = split(trim(col(textCol)), "\\s+")
+    val stop = docs
+      .select(explode(array_distinct(ws)).as("t"))
+      .groupBy(col("t")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > minDf)
+      .collect().map(_.getString(0)).toSeq.sorted
+    val stopArr = typedLit(stop)
+    val kept = filter(ws, w => !array_contains(stopArr, w))
+    docs.select(
+      col(idCol),
+      size(ws).cast("long").as("n_tokens"),
+      size(kept).cast("long").as("n_kept"),
+      array_join(kept, " ").as("clean_text"))
+  }
+
   /** Gap-based sessionization: a new session starts when the time since
     * the user's previous event exceeds `gapMillis`. Adds 1-based
     * `session_id` per user. One shuffle on the user key.

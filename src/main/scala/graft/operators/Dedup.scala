@@ -172,6 +172,45 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Connected components over a near-dup pair graph: (doc_id,
+    * cluster_rep) where cluster_rep = min doc id reachable through the
+    * pairs. Dedup pipelines need clusters, not pairs — the canonical
+    * document per cluster is what survives, everything else drops.
+    *
+    * Min-label propagation: each round every node takes the min of its own
+    * label and its neighbors' labels, until no label changes — O(cluster
+    * diameter) rounds, and near-dup clusters are shallow (most are
+    * 2-3 docs, so 1-2 rounds). Each round shuffles (edges + nodes) keyed
+    * rows; `localCheckpoint` truncates the growing lineage so round N
+    * doesn't re-run rounds 1..N-1 (at cluster scale use
+    * `spark.cleaner.referenceTracking` defaults + reliable checkpoint to
+    * survive executor loss).
+    */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("d1").as("a"), col("d2").as("b"))
+      .union(pairs.select(col("d2").as("a"), col("d1").as("b")))
+      .localCheckpoint()
+    var labels = edges.select(col("a").as("id")).distinct()
+      .select(col("id"), col("id").as("rep"))
+      .localCheckpoint()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val neighborMin = edges
+        .join(labels.select(col("id").as("b"), col("rep").as("nrep")), "b")
+        .groupBy(col("a").as("id")).agg(min(col("nrep")).as("nmin"))
+      val updated = labels
+        .join(neighborMin, Seq("id"), "left")
+        .select(col("id"), col("rep"),
+          least(col("rep"), coalesce(col("nmin"), col("rep"))).as("next"))
+        .localCheckpoint()
+      converged = updated.filter(col("next") < col("rep")).isEmpty
+      labels = updated.select(col("id"), col("next").as("rep"))
+      iter += 1
+    }
+    labels.select(col("id").as("doc_id"), col("rep").as("cluster_rep"))
+  }
+
   /** Exact Jaccard over the shingle sets of the given pairs only. */
   def verifyJaccard(pairs: DataFrame, shingles: DataFrame, threshold: Double): DataFrame = {
     val sizes = shingles.groupBy(col("id")).agg(count(lit(1)).as("n"))

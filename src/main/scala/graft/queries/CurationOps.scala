@@ -82,6 +82,16 @@ object CurationOps {
       .orderBy($"doc_id")
   }
 
+  /** Corpus-wide boilerplate removal: tokens in > 79% of documents form a
+    * stoplist; every doc is rewritten without them. One vocabulary-bounded
+    * count shuffle; the rewrite is a narrow map (text never shuffles). */
+  def qBoilerplate(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Curation.stripBoilerplate(Tables.documents(spark, dir), "doc_id", "text",
+      dfRatio = 0.79)
+      .orderBy($"doc_id")
+  }
+
   /** Gap-based sessionization of the events stream (24 h inactivity gap):
     * per-session event counts, value totals, duration. */
   def qSessionize(spark: SparkSession, dir: String): DataFrame = {
@@ -102,6 +112,7 @@ object CurationOps {
     "t_pack_batches" -> (qPackBatches _),
     "t_length_quantiles" -> (qLengthQuantiles _),
     "t_repetition" -> (qRepetition _),
+    "t_boilerplate" -> (qBoilerplate _),
     "q_sessionize" -> (qSessionize _)
   )
 
@@ -170,6 +181,25 @@ object CurationOps {
          SELECT doc_id, sum(c) AS n_ngrams, max(c) AS top_ngram_n,
                 round(max(c) * 1.0 / sum(c), 6) AS top_ngram_frac
          FROM counts GROUP BY doc_id ORDER BY doc_id""",
+    "t_boilerplate" ->
+      """WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+                    FROM documents),
+         toks AS (SELECT doc_id, unnest(ws) AS tok,
+                         generate_subscripts(ws, 1) AS pos FROM d),
+         dfreq AS (SELECT tok, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+         hot AS (SELECT tok FROM dfreq
+                 WHERE df > floor(0.79 * (SELECT count(*) FROM d))),
+         kept AS (SELECT t.doc_id, t.pos, t.tok
+                  FROM toks t ANTI JOIN hot h ON t.tok = h.tok),
+         agg AS (SELECT doc_id, count(*) AS n_kept,
+                        string_agg(tok, ' ' ORDER BY pos) AS clean_text
+                 FROM kept GROUP BY 1)
+         SELECT d.doc_id,
+                CAST(len(d.ws) AS BIGINT) AS n_tokens,
+                CAST(coalesce(a.n_kept, 0) AS BIGINT) AS n_kept,
+                coalesce(a.clean_text, '') AS clean_text
+         FROM d LEFT JOIN agg a ON d.doc_id = a.doc_id
+         ORDER BY d.doc_id""",
     "q_sessionize" ->
       """WITH ordered AS (
            SELECT user_id, event_id, ts, value,

@@ -72,6 +72,20 @@ object LlmOps {
       .orderBy(col("d1"), col("d2"))
   }
 
+  /** Near-dup cluster formation: MinHash-LSH verified pairs → connected
+    * components → (doc_id, cluster_rep). Pairs alone don't dedup a corpus;
+    * the min-id representative per component is what survives. Converges
+    * in O(cluster diameter) label-propagation rounds (near-dup clusters
+    * are shallow). */
+  def qDupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val sh = Dedup.wordShingles(Tables.documents(spark, dir), "doc_id", "text", ShingleN).cache()
+    val sigs = Dedup.minhashSignatures(sh, MinhashK)
+    val bands = Dedup.lshBands(sigs, MinhashK, LshBands)
+    val pairs = Dedup.verifyJaccard(Dedup.lshCandidatePairs(bands), sh, JaccardThreshold)
+      .select(col("d1"), col("d2"))
+    Dedup.connectedComponents(pairs).orderBy(col("doc_id"))
+  }
+
   /** SimHash near-dup pairs (north-star dedup family, SimHash flavor):
     * portable 64-bit fingerprints → banded self-join → Hamming ≤ 3. The
     * banding is exact for this threshold (pigeonhole over 4×16-bit bands),
@@ -237,6 +251,7 @@ object LlmOps {
     "d_exact_dedup" -> (qExactDedup _),
     "d_ngram_near_dups" -> (qNgramNearDups _),
     "d_minhash_lsh" -> (qMinhashLsh _),
+    "d_dup_clusters" -> (qDupClusters _),
     "d_simhash" -> (qSimhashNearDups _),
     "d_embedding_cosine" -> (qEmbeddingCosineNearDups _),
     "t_doc_stats" -> (qDocStats _),
@@ -258,27 +273,11 @@ object LlmOps {
          FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws FROM documents)
          WHERE len(ws) >= 3)"""
 
-  val oracles: Map[String, String] = Map(
-    "d_exact_dedup" ->
-      """WITH all_docs AS (
-           SELECT doc_id, text FROM documents
-           UNION ALL
-           SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 7 = 0)
-         SELECT md5(text) AS content_md5, min(doc_id) AS kept_doc_id, count(*) AS n_copies
-         FROM all_docs GROUP BY 1 ORDER BY kept_doc_id""",
-    "d_ngram_near_dups" ->
-      s"""WITH $shingleSql,
-          sizes AS (SELECT id, count(*) AS n FROM sh GROUP BY 1),
-          inter AS (
-            SELECT a.id AS d1, b.id AS d2, count(*) AS i
-            FROM sh a JOIN sh b ON a.g = b.g AND a.id < b.id
-            GROUP BY 1, 2)
-          SELECT d1, d2, round(i * 1.0 / (s1.n + s2.n - i), 6) AS jaccard
-          FROM inter JOIN sizes s1 ON d1 = s1.id JOIN sizes s2 ON d2 = s2.id
-          WHERE i * 1.0 / (s1.n + s2.n - i) >= 0.6
-          ORDER BY d1, d2""",
-    "d_minhash_lsh" ->
-      s"""WITH $shingleSql,
+  /** The MinHash-LSH pair pipeline (shingles → signatures → bands →
+    * candidates → intersections) as a CTE chain shared by the pair and
+    * cluster oracles. */
+  private val minhashPairCtes =
+    s"""$shingleSql,
           sig AS (
             SELECT id,
                    min(md5(g || '#0')) AS s0, min(md5(g || '#1')) AS s1,
@@ -303,11 +302,48 @@ object LlmOps {
           inter AS (
             SELECT c.d1, c.d2, count(*) AS i
             FROM cand c JOIN sh a ON a.id = c.d1 JOIN sh b ON b.id = c.d2 AND b.g = a.g
+            GROUP BY 1, 2)"""
+
+  val oracles: Map[String, String] = Map(
+    "d_exact_dedup" ->
+      """WITH all_docs AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 7 = 0)
+         SELECT md5(text) AS content_md5, min(doc_id) AS kept_doc_id, count(*) AS n_copies
+         FROM all_docs GROUP BY 1 ORDER BY kept_doc_id""",
+    "d_ngram_near_dups" ->
+      s"""WITH $shingleSql,
+          sizes AS (SELECT id, count(*) AS n FROM sh GROUP BY 1),
+          inter AS (
+            SELECT a.id AS d1, b.id AS d2, count(*) AS i
+            FROM sh a JOIN sh b ON a.g = b.g AND a.id < b.id
             GROUP BY 1, 2)
           SELECT d1, d2, round(i * 1.0 / (s1.n + s2.n - i), 6) AS jaccard
           FROM inter JOIN sizes s1 ON d1 = s1.id JOIN sizes s2 ON d2 = s2.id
           WHERE i * 1.0 / (s1.n + s2.n - i) >= 0.6
           ORDER BY d1, d2""",
+    "d_minhash_lsh" ->
+      s"""WITH $minhashPairCtes
+          SELECT d1, d2, round(i * 1.0 / (s1.n + s2.n - i), 6) AS jaccard
+          FROM inter JOIN sizes s1 ON d1 = s1.id JOIN sizes s2 ON d2 = s2.id
+          WHERE i * 1.0 / (s1.n + s2.n - i) >= 0.6
+          ORDER BY d1, d2""",
+    "d_dup_clusters" ->
+      s"""WITH RECURSIVE $minhashPairCtes,
+          verified AS (
+            SELECT d1, d2
+            FROM inter JOIN sizes s1 ON d1 = s1.id JOIN sizes s2 ON d2 = s2.id
+            WHERE i * 1.0 / (s1.n + s2.n - i) >= 0.6),
+          edges AS (
+            SELECT d1 AS a, d2 AS b FROM verified
+            UNION SELECT d2, d1 FROM verified),
+          reach(a, b) AS (
+            SELECT a, b FROM edges
+            UNION
+            SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+          SELECT a AS doc_id, least(a, min(b)) AS cluster_rep
+          FROM reach GROUP BY a ORDER BY doc_id""",
     "d_simhash" ->
       """WITH toks AS (
            SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS t

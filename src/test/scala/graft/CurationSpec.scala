@@ -100,4 +100,32 @@ class CurationSpec extends SparkTestBase {
       .select($"x.pid", $"y.pid").as[(Int, Int)].collect().toSeq
     assert(got == Seq((60, 61)))
   }
+
+  // --- connected components ---------------------------------------------
+
+  test("connectedComponents propagates min labels through chained pairs") {
+    import spark.implicits._
+    // chain 1-2-3-4 (diameter 3, needs >1 round), pair 8-9, isolated 5-6
+    val pairs = Seq((2L, 3L), (1L, 2L), (3L, 4L), (8L, 9L), (5L, 6L))
+      .toDF("d1", "d2")
+    val got = Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 1L), (2L, 1L), (3L, 1L), (4L, 1L),
+      (8L, 8L), (9L, 8L), (5L, 5L), (6L, 5L)))
+  }
+
+  // --- boilerplate removal ----------------------------------------------
+
+  test("stripBoilerplate drops near-universal tokens and preserves order") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the cat sat"), (2L, "the dog ran"), (3L, "the end"),
+      (4L, "the the the")).toDF("doc_id", "text")
+    // 'the' is in 4/4 docs; threshold 0.5 -> minDf = 2, so only 'the' drops
+    val got = Curation.stripBoilerplate(docs, "doc_id", "text", dfRatio = 0.5)
+      .as[(Long, Long, Long, String)].collect().toSet
+    assert(got == Set(
+      (1L, 3L, 2L, "cat sat"), (2L, 3L, 2L, "dog ran"),
+      (3L, 2L, 1L, "end"), (4L, 3L, 0L, "")))
+  }
 }
