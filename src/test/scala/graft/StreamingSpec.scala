@@ -6,7 +6,7 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 
 import graft.schema.SchemaRegistry
-import graft.streaming.{MonitorStream, Pipeline}
+import graft.streaming.{MonitorStream, Pipeline, Sessionizer}
 
 /** End-to-end streaming behavior over MemoryStream sources: envelope
   * produce/consume round trip and the watermarked monitor aggregation. */
@@ -129,6 +129,42 @@ class StreamingSpec extends SparkTestBase {
         .collect().map(r => (r.getString(0), r.getInt(1), r.getInt(2))).sorted
       assert(rows.toSeq == Seq(
         ("topic_a", 1200, 3), ("topic_a", 1800, 1), ("topic_b", 1200, 1)))
+    } finally q.stop()
+  }
+
+  test("streaming sessionizer closes sessions in-line on gap and via event-time timeout") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    def t(sec: Long) = new Timestamp(sec * 1000)
+    val input = MemoryStream[Sessionizer.Event]
+    val out = Sessionizer.sessions(input.toDS(), gapMillis = 3600000L, delay = "1 second")
+
+    val q = out.writeStream.format("memory").queryName("sess_out")
+      .outputMode("append").start()
+    try {
+      // session 1 for user 1: two events 10 s apart
+      input.addData(Sessionizer.Event(1L, t(1000), 100L, 1.5),
+        Sessionizer.Event(1L, t(1010), 101L, 2.5))
+      q.processAllAvailable()
+      assert(spark.table("sess_out").isEmpty) // still open
+
+      // gap > 1 h: closes session 1 in-line, opens session 2
+      input.addData(Sessionizer.Event(1L, t(5000), 102L, 4.0))
+      q.processAllAvailable()
+      val afterGap = spark.table("sess_out")
+        .as[Sessionizer.ClosedSession].collect().toSeq
+      assert(afterGap == Seq(Sessionizer.ClosedSession(1L, 1L, 2L, 4.0, 10000L)))
+
+      // another user far in the future advances the watermark past
+      // user 1's gap horizon -> session 2 closes via timeout
+      input.addData(Sessionizer.Event(2L, t(11000), 200L, 9.0))
+      q.processAllAvailable()
+      input.addData(Sessionizer.Event(2L, t(11001), 201L, 1.0))
+      q.processAllAvailable()
+      val afterTimeout = spark.table("sess_out")
+        .as[Sessionizer.ClosedSession].collect().toSet
+      assert(afterTimeout.contains(Sessionizer.ClosedSession(1L, 2L, 1L, 4.0, 0L)))
     } finally q.stop()
   }
 
