@@ -1,0 +1,69 @@
+package graft.tools
+
+import java.nio.file.{FileSystems, Files, Path, Paths}
+
+import scala.jdk.CollectionConverters._
+
+import graft.functions.AvroCodec
+import graft.schema.SchemaRegistry
+
+/** Schema bootstrapper: register `.avsc` Avro schemas and `.sql` Redshift
+  * `CREATE TABLE` files from glob patterns into the embedded registry
+  * (reference: tools/bootstrapper.py:37-530, glob expansion
+  * tools/_glob_util.py). Driver-side file IO — not a Spark job
+  * (SURVEY §2.1 S11).
+  *
+  * Registration is idempotent (identical schemas return the existing
+  * entry), so re-running over the same tree is safe.
+  */
+object Bootstrapper {
+
+  private val GlobChars = "*?[{"
+
+  /** Expand glob patterns to regular files (recursive `**` supported),
+    * deduped and sorted for deterministic registration order. */
+  def filesMatching(patterns: Seq[String]): Seq[Path] =
+    patterns.flatMap(expand).distinct.sortBy(_.toString)
+
+  private def expand(pattern: String): Seq[Path] = {
+    val hasGlob = pattern.exists(c => GlobChars.indexOf(c.toInt) >= 0)
+    val p = Paths.get(pattern)
+    if (!hasGlob) return if (Files.isRegularFile(p)) Seq(p) else Seq.empty
+    val segs = (0 until p.getNameCount).map(p.getName(_).toString)
+    val globIx = segs.indexWhere(s => s.exists(c => GlobChars.indexOf(c.toInt) >= 0))
+    val base = Paths.get((if (p.isAbsolute) "/" else "") + segs.take(globIx).mkString("/"))
+    if (!Files.isDirectory(base)) return Seq.empty
+    val matcher = FileSystems.getDefault.getPathMatcher("glob:" + pattern)
+    val stream = Files.walk(base)
+    try stream.iterator().asScala
+      .filter(f => Files.isRegularFile(f) && matcher.matches(f)).toList
+    finally stream.close()
+  }
+
+  /** Register one `.avsc` file; namespace/source come from the schema's
+    * own namespace and record name. */
+  def registerAvsc(reg: SchemaRegistry, path: Path,
+                   containsPii: Boolean = false): SchemaRegistry#SchemaEntry = {
+    val json = new String(Files.readAllBytes(path), "UTF-8")
+    val parsed = AvroCodec.parse(json)
+    val ns = Option(parsed.getNamespace).getOrElse("default")
+    reg.registerSchema(ns, parsed.getName, json, containsPii)
+  }
+
+  /** Register one Redshift `.sql` file: DDL → Avro via
+    * [[RedshiftDdlConverter]]; namespace/source = schema/table name. */
+  def registerSql(reg: SchemaRegistry, path: Path): SchemaRegistry#SchemaEntry = {
+    val spec = RedshiftDdlConverter.parse(new String(Files.readAllBytes(path), "UTF-8"))
+    reg.registerSchema(spec.schema, spec.table, spec.avroSchemaJson)
+  }
+
+  /** Bootstrap every `.avsc`/`.sql` file matching the patterns; other
+    * extensions are skipped. */
+  def bootstrap(reg: SchemaRegistry, patterns: Seq[String]): Seq[SchemaRegistry#SchemaEntry] =
+    filesMatching(patterns).flatMap { p =>
+      val name = p.toString
+      if (name.endsWith(".sql")) Some(registerSql(reg, p))
+      else if (name.endsWith(".avsc")) Some(registerAvsc(reg, p))
+      else None
+    }
+}

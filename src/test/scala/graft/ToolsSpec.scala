@@ -158,6 +158,33 @@ class ToolsSpec extends SparkTestBase {
     assert(badOut.isNullAt(2) && badOut.isNullAt(3))
   }
 
+  test("bootstrapper registers avsc and sql files from globs, idempotently") {
+    import java.nio.file.Files
+    import graft.schema.SchemaRegistry
+    import graft.tools.Bootstrapper
+    val dir = Files.createTempDirectory("bootstrap")
+    Files.write(dir.resolve("biz.avsc"),
+      """{"type":"record","name":"biz","namespace":"yelp","fields":[
+           {"name":"id","type":"int","pkey":1}]}""".getBytes("UTF-8"))
+    Files.write(dir.resolve("users.sql"),
+      """CREATE TABLE app.users (
+           user_id BIGINT PRIMARY KEY,
+           name VARCHAR(64) NOT NULL
+         );""".getBytes("UTF-8"))
+    Files.write(dir.resolve("notes.txt"), "ignored".getBytes("UTF-8"))
+
+    val reg = new SchemaRegistry
+    val entries = Bootstrapper.bootstrap(reg, Seq(s"$dir/*.avsc", s"$dir/*.sql"))
+    assert(entries.map(e => (e.namespaceName, e.sourceName)) ==
+      Seq(("yelp", "biz"), ("app", "users")))
+    assert(entries.head.primaryKeys == Seq("id"))
+    assert(entries(1).primaryKeys == Seq("user_id"))
+    // idempotent: same files -> same schema ids, no new topics
+    val again = Bootstrapper.bootstrap(reg, Seq(s"$dir/*.avsc", s"$dir/*.sql"))
+    assert(again.map(_.schemaId) == entries.map(_.schemaId))
+    assert(reg.topics.size == 2)
+  }
+
   test("multimodal: resize stub rewrites header and crops payload proportionally") {
     import spark.implicits._
     val df = Seq((1, 640, 480, "0123456789abcdef")).toDF("id", "w", "h", "data")
