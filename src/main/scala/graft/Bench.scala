@@ -26,6 +26,8 @@ object Bench {
     "t_doc_stats",
     "sim_knn_cosine",
     "d_contamination",
+    "d_dup_clusters",
+    "t_boilerplate",
     "q_sessionize",
     "env_roundtrip")
 

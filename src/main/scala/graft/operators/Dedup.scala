@@ -187,8 +187,14 @@ object Dedup {
     * survive executor loss).
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
-    val edges = pairs.select(col("d1").as("a"), col("d2").as("b"))
-      .union(pairs.select(col("d2").as("a"), col("d1").as("b")))
+    // both edge directions via explode, not union — a union of two
+    // branches would evaluate the pair frame's whole lineage (for LSH
+    // clusters: the signature + verify pipeline) twice
+    val edges = pairs
+      .select(explode(array(
+        struct(col("d1").as("a"), col("d2").as("b")),
+        struct(col("d2").as("a"), col("d1").as("b")))).as("e"))
+      .select(col("e.a").as("a"), col("e.b").as("b"))
       .localCheckpoint()
     var labels = edges.select(col("a").as("id")).distinct()
       .select(col("id"), col("id").as("rep"))
