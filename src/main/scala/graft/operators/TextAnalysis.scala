@@ -50,6 +50,27 @@ object TextAnalysis {
       size(regexp_extract_all(lowered, lit("[^a-z0-9\\s]"), lit(0))).cast("long"))
   }
 
+  /** Free-text PII patterns: deliberately simple regexes (no lookaround,
+    * no \b) so they behave identically under Java regex (Spark) and RE2
+    * (DuckDB/engines) — redaction must be reproducible across the fleet. */
+  val EmailRe = "[a-z0-9._]+@[a-z0-9.]+"
+  val PhoneRe = "[0-9]{3}-[0-9]{4}"
+
+  /** Redact emails then phone-like numbers (the text-level PII scrub every
+    * web-corpus pipeline runs; the schema-flagged payload scrub in
+    * `functions.Scrub` is the structured-data counterpart). Pure column
+    * expression — codegen'd, shuffle-free. */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(text, EmailRe, "<EMAIL>"),
+      PhoneRe, "<PHONE>")
+
+  /** (email, phone) match counts — the audit signal logged alongside
+    * redaction. */
+  def piiCounts(text: Column): (Column, Column) =
+    (size(regexp_extract_all(text, lit(EmailRe), lit(0))).cast("long"),
+      size(regexp_extract_all(text, lit(PhoneRe), lit(0))).cast("long"))
+
   /** Gopher-style repetition signal: the fraction of a document's word
     * n-grams taken by its single most frequent n-gram. High values mark
     * degenerate/templated text that dedup alone won't catch.

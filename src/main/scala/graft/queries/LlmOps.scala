@@ -184,6 +184,26 @@ object LlmOps {
       .orderBy($"doc_id")
   }
 
+  /** Text-level PII redaction: plant deterministic emails/phone numbers in
+    * the (PII-free) corpus text, then count and redact them — the
+    * web-corpus scrub, oracle-checked end to end (synthesis + counts +
+    * replacement). */
+  def qPiiRedact(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    val withPii = concat($"text",
+      lit(" contact user"), $"doc_id".cast("string"), lit("@test.org"),
+      when($"doc_id" % 3 === 0, lit(" cc admin@test.org")).otherwise(lit("")),
+      lit(" call 555-"), lpad(($"doc_id" % 10000).cast("string"), 4, "0"))
+    val (emails, phones) = (TextAnalysis.piiCounts(col("s"))._1,
+      TextAnalysis.piiCounts(col("s"))._2)
+    Tables.documents(spark, dir)
+      .select($"doc_id", withPii.as("s"))
+      .select($"doc_id", emails.as("n_emails"), phones.as("n_phones"),
+        TextAnalysis.redactPii($"s").as("redacted"))
+      .orderBy($"doc_id")
+  }
+
   /** BPE-ish token classing: words / numbers / symbols counted per doc. */
   def qTokenClasses(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -258,6 +278,7 @@ object LlmOps {
     "t_doc_fingerprint" -> (qDocFingerprint _),
     "t_lang_id" -> (qLangId _),
     "t_token_classes" -> (qTokenClasses _),
+    "t_pii_redact" -> (qPiiRedact _),
     "m_media_meta" -> (qMediaMeta _),
     "m_frame_sample" -> (qFrameSample _),
     "m_media_embed" -> (qMediaEmbed _),
@@ -439,6 +460,22 @@ object LlmOps {
                 len(regexp_extract_all(lower(text), '[0-9]+')) AS n_num_tokens,
                 len(regexp_extract_all(lower(text), '[^a-z0-9\s]')) AS n_sym_tokens
          FROM documents ORDER BY doc_id""",
+    "t_pii_redact" ->
+      """WITH pii AS (
+           SELECT doc_id,
+                  text || ' contact user' || doc_id || '@test.org' ||
+                  (CASE WHEN doc_id % 3 = 0 THEN ' cc admin@test.org' ELSE '' END) ||
+                  ' call 555-' || lpad((doc_id % 10000)::VARCHAR, 4, '0') AS s
+           FROM documents)
+         SELECT doc_id,
+                CAST(len(regexp_extract_all(s, '[a-z0-9._]+@[a-z0-9.]+')) AS BIGINT)
+                  AS n_emails,
+                CAST(len(regexp_extract_all(s, '[0-9]{3}-[0-9]{4}')) AS BIGINT)
+                  AS n_phones,
+                regexp_replace(
+                  regexp_replace(s, '[a-z0-9._]+@[a-z0-9.]+', '<EMAIL>', 'g'),
+                  '[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS redacted
+         FROM pii ORDER BY doc_id""",
     "m_media_meta" ->
       """SELECT doc_id,
                 'image' AS kind,

@@ -158,6 +158,17 @@ class ToolsSpec extends SparkTestBase {
     assert(badOut.isNullAt(2) && badOut.isNullAt(3))
   }
 
+  test("pii redaction replaces emails and phone-like numbers, counts match") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    val df = Seq((1L, "write to bob.smith@corp.io or call 555-1234 now maybe 555-999"))
+      .toDF("id", "s")
+    val (e, p) = TextAnalysis.piiCounts($"s")
+    val row = df.select(TextAnalysis.redactPii($"s"), e, p).head()
+    assert(row.getString(0) == "write to <EMAIL> or call <PHONE> now maybe 555-999")
+    assert(row.getLong(1) == 1L && row.getLong(2) == 1L)
+  }
+
   test("bootstrapper registers avsc and sql files from globs, idempotently") {
     import java.nio.file.Files
     import graft.schema.SchemaRegistry
