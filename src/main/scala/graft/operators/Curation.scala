@@ -62,16 +62,23 @@ object Curation {
   }
 
   /** Contiguous token-budget packing: within each stratum, rows ordered by
-    * `orderCol` are assigned batch_id = floor(starting_token_offset /
-    * budget) — the deterministic "greedy fill, spill overflow" packing
-    * used to build fixed-budget training batches. Adds `batch_id`.
+    * `orderCol` are assigned batch_id = starting_token_offset div budget —
+    * the deterministic "greedy fill, spill overflow" packing used to build
+    * fixed-budget training batches. Adds `batch_id`.
+    *
+    * Pure long arithmetic (`div`, no double division): exact past 2^53
+    * cumulative tokens — a 100 TB corpus overflows double-precision token
+    * offsets, integer division does not — and bit-identical across
+    * engines.
     */
   def packBatches(rows: DataFrame, strataCol: String, orderCol: String,
                   tokensCol: String, budget: Long): DataFrame = {
     val w = Window.partitionBy(col(strataCol))
       .orderBy(col(orderCol)).rowsBetween(Window.unboundedPreceding, 0)
-    rows.withColumn("batch_id",
-      floor((sum(col(tokensCol)).over(w) - col(tokensCol)) / budget))
+    rows
+      .withColumn("__tok_start", sum(col(tokensCol)).over(w) - col(tokensCol))
+      .withColumn("batch_id", expr(s"__tok_start div ${budget}L"))
+      .drop("__tok_start")
   }
 
   /** Corpus-wide boilerplate token removal: tokens present in more than

@@ -71,9 +71,12 @@ object TextAnalysis {
     (size(regexp_extract_all(text, lit(EmailRe), lit(0))).cast("long"),
       size(regexp_extract_all(text, lit(PhoneRe), lit(0))).cast("long"))
 
-  /** Gopher-style repetition signal: the fraction of a document's word
-    * n-grams taken by its single most frequent n-gram. High values mark
-    * degenerate/templated text that dedup alone won't catch.
+  /** Gopher-style repetition signal: the share of a document's word
+    * n-grams taken by its single most frequent n-gram, reported in exact
+    * integer parts-per-million (`top_ngram_ppm`). High values mark
+    * degenerate/templated text that dedup alone won't catch. Pure integer
+    * arithmetic end-to-end: the score is bit-identical on any engine and
+    * under any aggregation order — no float rounding surface.
     *
     * Shuffle shape: explode n-grams (pipelined) → (id, gram) count with
     * map-side combine → per-id max/sum fold. Gram strings never cross the
@@ -93,6 +96,6 @@ object TextAnalysis {
       .groupBy(col("id"))
       .agg(sum(col("c")).as("n_ngrams"), max(col("c")).as("top_ngram_n"))
       .select(col("id"), col("n_ngrams"), col("top_ngram_n"),
-        round(col("top_ngram_n") / col("n_ngrams"), 6).as("top_ngram_frac"))
+        expr("(1000000 * top_ngram_n) div n_ngrams").as("top_ngram_ppm"))
   }
 }

@@ -93,7 +93,11 @@ object CurationOps {
   }
 
   /** Gap-based sessionization of the events stream (24 h inactivity gap):
-    * per-session event counts, value totals, duration. */
+    * per-session event counts, value totals, duration. The value total is
+    * summed in exact integer micro-units (floor(value·10^6), a long):
+    * double-sum results depend on aggregation order, which varies with
+    * partitioning — integer sums are bit-identical on any engine at any
+    * parallelism. */
   def qSessionize(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Curation.sessionize(Tables.events(spark, dir), "user_id", "ts", "event_id",
@@ -101,7 +105,7 @@ object CurationOps {
       .groupBy($"user_id", $"session_id")
       .agg(
         count(lit(1)).as("n_events"),
-        round(sum($"value"), 4).as("total_value"),
+        sum(floor($"value" * 1000000L)).as("total_value_micros"),
         (unix_millis(max($"ts")) - unix_millis(min($"ts"))).as("duration_ms"))
       .orderBy($"user_id", $"session_id")
   }
@@ -153,15 +157,16 @@ object CurationOps {
     "t_pack_batches" ->
       """WITH toks AS (
            SELECT doc_id, lang,
-                  len(string_split_regex(trim(text), '\s+')) AS n_tokens
+                  CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
            FROM documents),
          packed AS (
            SELECT lang, doc_id, n_tokens,
-                  (sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
-                                       ROWS UNBOUNDED PRECEDING) - n_tokens)
-                  // 2048 AS batch_id
+                  CAST((CAST(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                                                 ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                        - n_tokens) // 2048 AS BIGINT) AS batch_id
            FROM toks)
-         SELECT lang, batch_id, count(*) AS n_docs, sum(n_tokens) AS batch_tokens
+         SELECT lang, batch_id, count(*) AS n_docs,
+                CAST(sum(n_tokens) AS BIGINT) AS batch_tokens
          FROM packed GROUP BY 1, 2 ORDER BY lang, batch_id""",
     "t_length_quantiles" ->
       """SELECT lang, count(*) AS n_docs,
@@ -178,8 +183,10 @@ object CurationOps {
                  FROM documents)
            WHERE len(ws) >= 2),
          counts AS (SELECT doc_id, g, count(*) AS c FROM grams GROUP BY 1, 2)
-         SELECT doc_id, sum(c) AS n_ngrams, max(c) AS top_ngram_n,
-                round(max(c) * 1.0 / sum(c), 6) AS top_ngram_frac
+         SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_ngrams,
+                CAST(max(c) AS BIGINT) AS top_ngram_n,
+                CAST((1000000 * max(c)) // CAST(sum(c) AS BIGINT) AS BIGINT)
+                  AS top_ngram_ppm
          FROM counts GROUP BY doc_id ORDER BY doc_id""",
     "t_boilerplate" ->
       """WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
@@ -214,11 +221,13 @@ object CurationOps {
            FROM ordered),
          numbered AS (
            SELECT user_id, ts, value,
-                  sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                    ROWS UNBOUNDED PRECEDING) AS session_id
+                  CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                         ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                    AS session_id
            FROM flagged)
          SELECT user_id, session_id, count(*) AS n_events,
-                round(sum(value), 4) AS total_value,
+                CAST(sum(CAST(floor(value * 1000000) AS BIGINT)) AS BIGINT)
+                  AS total_value_micros,
                 epoch_ms(max(ts)) - epoch_ms(min(ts)) AS duration_ms
          FROM numbered GROUP BY 1, 2 ORDER BY user_id, session_id"""
   )

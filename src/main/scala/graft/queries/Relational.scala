@@ -114,7 +114,9 @@ object Relational {
         (floor(unix_timestamp($"ts") / 600L) * 600L).cast("long").as("window_start"),
         $"event_type")
       .agg(count(lit(1)).as("message_count"),
-           round(sum($"value"), 2).as("total_value"))
+           // exact integer micro-units: double sums are aggregation-order-
+           // dependent, so they drift across engines/parallelism; longs don't
+           sum(floor($"value" * 1000000L)).as("total_value_micros"))
       .orderBy($"window_start", $"event_type")
   }
 
@@ -349,7 +351,8 @@ object Relational {
       """SELECT CAST(floor(epoch(ts) / 600) * 600 AS BIGINT) AS window_start,
          event_type,
          count(*) AS message_count,
-         round(sum(value), 2) AS total_value
+         CAST(sum(CAST(floor(value * 1000000) AS BIGINT)) AS BIGINT)
+           AS total_value_micros
          FROM events
          GROUP BY 1, 2
          ORDER BY window_start, event_type""",
