@@ -30,9 +30,9 @@ object Envelope {
          "doc": "16-byte message uuid"},
         {"name": "message_type",
          "type": {"type": "enum", "name": "msg_type",
-                  "symbols": ["log", "create", "update", "delete", "refresh",
-                              "heartbeat", "monitor", "registration"]},
-         "doc": "CDC message taxonomy"},
+                  "symbols": ["create", "update", "delete", "refresh",
+                              "heartbeat", "monitor", "registration", "log"]},
+         "doc": "CDC message taxonomy; symbol order matches the reference envelope_v1.avsc exactly — Avro enums encode the symbol index, so order IS the wire format"},
         {"name": "schema_id", "type": "int", "doc": "registry id of the payload writer schema"},
         {"name": "payload", "type": "bytes", "doc": "Avro-encoded payload (possibly encrypted)"},
         {"name": "previous_payload", "type": ["null", "bytes"], "default": null,

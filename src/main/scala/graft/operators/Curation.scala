@@ -116,17 +116,22 @@ object Curation {
   }
 
   /** Gap-based sessionization: a new session starts when the time since
-    * the user's previous event exceeds `gapMillis`. Adds 1-based
-    * `session_id` per user. One shuffle on the user key.
+    * the user's previous event exceeds `gapMillis`. Adds `session_id` =
+    * the session's start time in epoch millis — the same id contract as
+    * the streaming [[graft.streaming.Sessionizer]], and unlike a per-user
+    * ordinal it stays unique when computed incrementally (a restarted
+    * stream that has forgotten a user's history can still never mint a
+    * duplicate id, because session starts strictly increase). One shuffle
+    * on the user key.
     */
   def sessionize(events: DataFrame, userCol: String, tsCol: String,
                  tieCol: String, gapMillis: Long): DataFrame = {
     val order = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(tieCol))
-    val prev = lag(unix_millis(col(tsCol)), 1).over(order)
-    val isNew = when(prev.isNull ||
-      unix_millis(col(tsCol)) - prev > gapMillis, 1L).otherwise(0L)
+    val ms = unix_millis(col(tsCol))
+    val prev = lag(ms, 1).over(order)
+    val startMs = when(prev.isNull || ms - prev > gapMillis, ms)
     events
       .withColumn("session_id",
-        sum(isNew).over(order.rowsBetween(Window.unboundedPreceding, 0)))
+        max(startMs).over(order.rowsBetween(Window.unboundedPreceding, 0)))
   }
 }

@@ -51,9 +51,12 @@ object TextAnalysis {
   }
 
   /** Free-text PII patterns: deliberately simple regexes (no lookaround,
-    * no \b) so they behave identically under Java regex (Spark) and RE2
-    * (DuckDB/engines) — redaction must be reproducible across the fleet. */
-  val EmailRe = "[a-z0-9._]+@[a-z0-9.]+"
+    * no \b, explicit [A-Za-z] classes instead of a case-insensitive flag)
+    * so they behave identically under Java regex (Spark) and RE2
+    * (DuckDB/engines) — redaction must be reproducible across the fleet.
+    * Mixed-case emails (John.Doe@Example.COM) are real; a lowercase-only
+    * pattern silently leaks them through the scrub. */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+"
   val PhoneRe = "[0-9]{3}-[0-9]{4}"
 
   /** Redact emails then phone-like numbers (the text-level PII scrub every

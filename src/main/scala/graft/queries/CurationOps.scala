@@ -221,8 +221,9 @@ object CurationOps {
            FROM ordered),
          numbered AS (
            SELECT user_id, ts, value,
-                  CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                         ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                  CAST(max(CASE WHEN is_new = 1 THEN epoch_ms(ts) END)
+                         OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT)
                     AS session_id
            FROM flagged)
          SELECT user_id, session_id, count(*) AS n_events,

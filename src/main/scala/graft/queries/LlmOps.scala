@@ -193,7 +193,8 @@ object LlmOps {
     import graft.operators.TextAnalysis
     val withPii = concat($"text",
       lit(" contact user"), $"doc_id".cast("string"), lit("@test.org"),
-      when($"doc_id" % 3 === 0, lit(" cc admin@test.org")).otherwise(lit("")),
+      // mixed-case email: case-sensitivity regressions must fail the gate
+      when($"doc_id" % 3 === 0, lit(" cc John.Doe@Example.COM")).otherwise(lit("")),
       lit(" call 555-"), lpad(($"doc_id" % 10000).cast("string"), 4, "0"))
     val (emails, phones) = (TextAnalysis.piiCounts(col("s"))._1,
       TextAnalysis.piiCounts(col("s"))._2)
@@ -464,16 +465,16 @@ object LlmOps {
       """WITH pii AS (
            SELECT doc_id,
                   text || ' contact user' || doc_id || '@test.org' ||
-                  (CASE WHEN doc_id % 3 = 0 THEN ' cc admin@test.org' ELSE '' END) ||
+                  (CASE WHEN doc_id % 3 = 0 THEN ' cc John.Doe@Example.COM' ELSE '' END) ||
                   ' call 555-' || lpad((doc_id % 10000)::VARCHAR, 4, '0') AS s
            FROM documents)
          SELECT doc_id,
-                CAST(len(regexp_extract_all(s, '[a-z0-9._]+@[a-z0-9.]+')) AS BIGINT)
+                CAST(len(regexp_extract_all(s, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+')) AS BIGINT)
                   AS n_emails,
                 CAST(len(regexp_extract_all(s, '[0-9]{3}-[0-9]{4}')) AS BIGINT)
                   AS n_phones,
                 regexp_replace(
-                  regexp_replace(s, '[a-z0-9._]+@[a-z0-9.]+', '<EMAIL>', 'g'),
+                  regexp_replace(s, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+', '<EMAIL>', 'g'),
                   '[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS redacted
          FROM pii ORDER BY doc_id""",
     "m_media_meta" ->

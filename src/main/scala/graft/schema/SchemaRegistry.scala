@@ -60,6 +60,13 @@ class SchemaRegistry extends Serializable {
     * if the identical schema is already registered for the source's latest
     * topic; otherwise a new schema version on the latest topic when
     * mutually read-compatible, or a brand-new topic when not.
+    *
+    * A `containsPii` change is treated exactly like an incompatible schema
+    * change and forces a new topic (reference Schematizer semantics): a
+    * topic's PII flag is what `Scrub.scrubbedIfPii` and
+    * `Pipeline.produce(skipPii)` key on, so silently inheriting the old
+    * flag would let PII flow unredacted through a previously non-PII
+    * topic.
     */
   def registerSchema(
       namespace: String,
@@ -71,6 +78,7 @@ class SchemaRegistry extends Serializable {
     val canonical = parsed.toString // normalized form for identity compare
     val existingTopics = topicsBySource(namespace, source)
     val latestTopic = existingTopics.sortBy(t => (t.createdAt, t.topicId)).lastOption
+      .filter(_.containsPii == containsPii) // PII flip ⇒ never reuse the topic
 
     latestTopic.flatMap { t =>
       schemasByTopic(t.name).find(s => AvroCodec.parse(s.schemaJson).toString == canonical)

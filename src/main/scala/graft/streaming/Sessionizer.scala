@@ -26,13 +26,18 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * Within a micro-batch events sort by (ts, event_id); across batches
   * ordering is the watermark's job (late events beyond it are dropped by
   * Spark before reaching the state function).
+  *
+  * `session_id` = the session's start time in epoch millis — the same id
+  * contract as the batch operator. A per-user ordinal would restart at 1
+  * after an event-time timeout removes the user's state and mint duplicate
+  * (user_id, session_id) keys; start-derived ids stay unique with no extra
+  * state because session starts strictly increase per user.
   */
 object Sessionizer {
 
   case class Event(user_id: Long, ts: Timestamp, event_id: Long, value: Double)
 
   case class OpenSession(
-      sessionId: Long,
       startMs: Long,
       lastMs: Long,
       nEvents: Long,
@@ -57,7 +62,7 @@ object Sessionizer {
   }
 
   private def close(userId: Long, s: OpenSession): ClosedSession =
-    ClosedSession(userId, s.sessionId, s.nEvents, s.total, s.lastMs - s.startMs)
+    ClosedSession(userId, s.startMs, s.nEvents, s.total, s.lastMs - s.startMs)
 
   private def update(gapMillis: Long)(
       userId: Long,
@@ -78,9 +83,9 @@ object Sessionizer {
               nEvents = s.nEvents + 1, total = s.total + e.value))
           case Some(s) =>
             emitted += close(userId, s)
-            Some(OpenSession(s.sessionId + 1, ms, ms, 1L, e.value))
+            Some(OpenSession(ms, ms, 1L, e.value))
           case None =>
-            Some(OpenSession(1L, ms, ms, 1L, e.value))
+            Some(OpenSession(ms, ms, 1L, e.value))
         }
       }
       cur.foreach { s =>

@@ -77,7 +77,9 @@ class CurationSpec extends SparkTestBase {
     val got = Curation.sessionize(ev, "user_id", "ts", "event_id", gapMillis = 3600000L)
       .select($"user_id", $"event_id", $"session_id").as[(Long, Long, Long)]
       .collect().toSet
-    assert(got == Set((1L, 100L, 1L), (1L, 101L, 1L), (1L, 102L, 2L), (2L, 200L, 1L)))
+    // session_id = session start epoch ms (same contract as streaming)
+    assert(got == Set(
+      (1L, 100L, 0L), (1L, 101L, 0L), (1L, 102L, 4000000L), (2L, 200L, 0L)))
   }
 
   // --- bucketPairs (shared LSH pair kernel) ------------------------------

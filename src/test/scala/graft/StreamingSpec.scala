@@ -150,11 +150,12 @@ class StreamingSpec extends SparkTestBase {
       assert(spark.table("sess_out").isEmpty) // still open
 
       // gap > 1 h: closes session 1 in-line, opens session 2
+      // (session_id = session start epoch ms)
       input.addData(Sessionizer.Event(1L, t(5000), 102L, 4.0))
       q.processAllAvailable()
       val afterGap = spark.table("sess_out")
         .as[Sessionizer.ClosedSession].collect().toSeq
-      assert(afterGap == Seq(Sessionizer.ClosedSession(1L, 1L, 2L, 4.0, 10000L)))
+      assert(afterGap == Seq(Sessionizer.ClosedSession(1L, 1000000L, 2L, 4.0, 10000L)))
 
       // another user far in the future advances the watermark past
       // user 1's gap horizon -> session 2 closes via timeout
@@ -164,7 +165,21 @@ class StreamingSpec extends SparkTestBase {
       q.processAllAvailable()
       val afterTimeout = spark.table("sess_out")
         .as[Sessionizer.ClosedSession].collect().toSet
-      assert(afterTimeout.contains(Sessionizer.ClosedSession(1L, 2L, 1L, 4.0, 0L)))
+      assert(afterTimeout.contains(Sessionizer.ClosedSession(1L, 5000000L, 1L, 4.0, 0L)))
+
+      // user 1 returns AFTER the timeout wiped their state: the new
+      // session's id must not collide with any earlier one (the old
+      // ordinal scheme restarted at 1 here and minted duplicates)
+      input.addData(Sessionizer.Event(1L, t(12000), 103L, 7.0))
+      q.processAllAvailable()
+      input.addData(Sessionizer.Event(2L, t(20000), 202L, 1.0)) // advance watermark
+      q.processAllAvailable()
+      input.addData(Sessionizer.Event(2L, t(20001), 203L, 1.0))
+      q.processAllAvailable()
+      val ids = spark.table("sess_out").as[Sessionizer.ClosedSession]
+        .collect().filter(_.user_id == 1L).map(_.session_id).toSeq
+      assert(ids.distinct.size == ids.size, s"duplicate session ids: $ids")
+      assert(ids.contains(12000000L))
     } finally q.stop()
   }
 
