@@ -58,6 +58,13 @@ object Multimodal {
     * codec wants: one native call per batch, not per row). The stub
     * "decode" parses the fake header and summarizes the payload; a real
     * deployment replaces only `decodeBatch`.
+    *
+    * Runs as `Dataset.mapPartitions` with a row encoder — a MapPartitions
+    * node inside the Dataset plan, not a `df.rdd` detour: no lineage break
+    * to an ExistingRDD scan, upstream pushdown/pruning stay intact, and
+    * Tungsten serialization is applied once by the encoder instead of a
+    * GenericRow round trip per row. (`mapInArrow` is the equivalent seam
+    * when the codec lives in Python.)
     */
   def decodePartitioned(
       df: DataFrame,
@@ -68,15 +75,14 @@ object Multimodal {
       StructField("decoded_height", IntegerType, nullable = true),
       StructField("payload_checksum", LongType, nullable = true)))
     val contentIx = df.schema.fieldIndex(contentCol)
-    val rdd = df.rdd.mapPartitions { rows =>
+    df.mapPartitions { rows =>
       rows.grouped(batchSize).flatMap { batch =>
         val decoded = decodeBatch(batch.map(_.getAs[Array[Byte]](contentIx)))
         batch.lazyZip(decoded).map { case (row, d) =>
           Row.fromSeq(row.toSeq ++ Seq(d._1, d._2, d._3))
         }
       }
-    }
-    df.sparkSession.createDataFrame(rdd, schema)
+    }(org.apache.spark.sql.Encoders.row(schema))
   }
 
   /** STUB decoder — one call per batch. Replace with a real codec binding
@@ -133,7 +139,7 @@ object Multimodal {
     val schema = StructType(df.schema.fields :+
       StructField("hist", ArrayType(LongType, containsNull = false), nullable = true))
     val contentIx = df.schema.fieldIndex(contentCol)
-    val rdd = df.rdd.mapPartitions { rows =>
+    df.mapPartitions { rows =>
       rows.grouped(batchSize).flatMap { batch =>
         val hists = batch.map { row =>
           val c = row.getAs[Array[Byte]](contentIx)
@@ -147,7 +153,6 @@ object Multimodal {
         }
         batch.lazyZip(hists).map { case (row, h) => Row.fromSeq(row.toSeq :+ h) }
       }
-    }
-    df.sparkSession.createDataFrame(rdd, schema)
+    }(org.apache.spark.sql.Encoders.row(schema))
   }
 }

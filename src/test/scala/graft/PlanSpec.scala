@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.execution.FormattedMode
+
+/** Physical-plan assertions — the ExplainAudit eyeball checks as failing
+  * tests. A plan regression (lost pushdown, a join degrading to a shuffle
+  * or cartesian, an operator dropping out of the Dataset plan to an RDD
+  * scan) is a 100×-scale incident that row-level correctness gates can't
+  * see; these specs catch it at commit time.
+  */
+class PlanSpec extends SparkTestBase {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def planOf(name: String): String =
+    SparkEntry.queries(name)(spark, dir)
+      .queryExecution.explainString(FormattedMode)
+
+  test("q_keyset_scan pushes its pk-range filters into the parquet scan") {
+    val p = planOf("q_keyset_scan")
+    assert(p.contains("PushedFilters"), s"no pushdown section in plan:\n$p")
+    val pushed = p.linesIterator.filter(_.contains("PushedFilters")).mkString
+    assert(pushed.contains("GreaterThan") || pushed.contains("IsNotNull"),
+      s"pk-range predicates not pushed: $pushed")
+  }
+
+  test("scans prune to the projected columns (q_keyset_scan reads a narrow schema)") {
+    val p = planOf("q_keyset_scan")
+    val readSchemas = p.linesIterator.filter(_.contains("ReadSchema")).mkString("\n")
+    assert(!readSchemas.contains("o_comment"),
+      s"scan reads unprojected wide columns:\n$readSchemas")
+  }
+
+  test("q_region_revenue joins its dimensions with broadcast, not shuffle") {
+    val p = planOf("q_region_revenue")
+    assert(p.contains("BroadcastHashJoin"), s"no broadcast join in:\n$p")
+  }
+
+  test("d_contamination broadcasts the benchmark side") {
+    val p = planOf("d_contamination")
+    assert(p.contains("BroadcastHashJoin"), s"no broadcast join in:\n$p")
+  }
+
+  test("no query plans a CartesianProduct") {
+    SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
+      val p = planOf(name)
+      assert(!p.contains("CartesianProduct"),
+        s"$name plans a cartesian product:\n$p")
+    }
+  }
+
+  test("multimodal decode seams stay in the Dataset plan (no RDD scan boundary)") {
+    Seq("m_media_embed", "m_media_meta", "m_frame_sample").foreach { name =>
+      val p = planOf(name)
+      assert(!p.contains("Scan ExistingRDD"),
+        s"$name breaks lineage through df.rdd:\n$p")
+    }
+    // the batched-decode seam itself is a MapPartitions node inside the plan
+    assert(planOf("m_media_embed").contains("MapPartitions"))
+  }
+}
