@@ -104,6 +104,29 @@ class SchemaRegistry extends Serializable {
     }
   }
 
+  /** Register a schema converted from MySQL `CREATE TABLE` statements —
+    * the reference's primary CDC registration path (reference:
+    * schematizer.py:745 register_schema_from_mysql_stmts). When the old
+    * create + alter statements are supplied, they are validated to land on
+    * the declared new table (the Schematizer's consistency check) before
+    * registration; topic assignment / compatibility / PII handling then
+    * follow the normal [[registerSchema]] rules. */
+  def registerSchemaFromMysqlStmts(
+      namespace: String,
+      source: String,
+      newCreateTableStmt: String,
+      oldCreateTableStmt: Option[String] = None,
+      alterTableStmt: Option[String] = None,
+      containsPii: Boolean = false): SchemaEntry = {
+    val spec = (oldCreateTableStmt, alterTableStmt) match {
+      case (Some(o), Some(a)) =>
+        graft.tools.MysqlDdlConverter.validateStatementTriple(newCreateTableStmt, o, a)
+      case _ =>
+        graft.tools.MysqlDdlConverter.parse(newCreateTableStmt)
+    }
+    registerSchema(namespace, source, spec.avroSchemaJson, containsPii)
+  }
+
   /** Mutual read compatibility (read + write), the reference's FULL check
     * (reference: schematizer.py:1191 is_avro_schema_compatible). */
   def isFullyCompatible(a: Schema, b: Schema): Boolean = {

@@ -50,12 +50,25 @@ object Bootstrapper {
     reg.registerSchema(ns, parsed.getName, json, containsPii)
   }
 
-  /** Register one Redshift `.sql` file: DDL → Avro via
-    * [[RedshiftDdlConverter]]; namespace/source = schema/table name. */
+  /** Register one `.sql` file: DDL → Avro via the dialect-appropriate
+    * converter; namespace/source = schema/table name. MySQL DDL is
+    * recognized by its surface syntax (backticks, ENGINE=, UNSIGNED,
+    * AUTO_INCREMENT); anything else parses as Redshift, falling back to
+    * MySQL for the dialect-ambiguous remainder. */
   def registerSql(reg: SchemaRegistry, path: Path): SchemaRegistry#SchemaEntry = {
-    val spec = RedshiftDdlConverter.parse(new String(Files.readAllBytes(path), "UTF-8"))
+    val ddl = new String(Files.readAllBytes(path), "UTF-8")
+    val spec = parseSqlDdl(ddl)
     reg.registerSchema(spec.schema, spec.table, spec.avroSchemaJson)
   }
+
+  private val MysqlMarkers =
+    Seq("`", "ENGINE=", "engine=", "UNSIGNED", "unsigned", "AUTO_INCREMENT", "auto_increment")
+
+  private[tools] def parseSqlDdl(ddl: String): DdlModel.TableSpec =
+    if (MysqlMarkers.exists(ddl.contains)) MysqlDdlConverter.parse(ddl)
+    else
+      try RedshiftDdlConverter.parse(ddl)
+      catch { case _: IllegalArgumentException => MysqlDdlConverter.parse(ddl) }
 
   /** Bootstrap every `.avsc`/`.sql` file matching the patterns; other
     * extensions are skipped. */

@@ -1,0 +1,211 @@
+package graft.tools
+
+import scala.util.matching.Regex
+
+import org.apache.spark.sql.types._
+
+import DdlModel.{ColumnSpec, TableSpec}
+
+/** MySQL `CREATE TABLE` (+`ALTER TABLE`) DDL → Avro schema JSON + Spark
+  * StructType — the conversion behind the reference's primary CDC
+  * registration path (reference: schematizer_clientlib/schematizer.py:745
+  * register_schema_from_mysql_stmts;
+  * tools/introspector/register/mysql_command.py feeds the same triple of
+  * new/old/alter statements).
+  *
+  * Type mapping (MySQL semantics → the registry's Avro conventions shared
+  * with [[RedshiftDdlConverter]]):
+  *  - tinyint(1)/bool/boolean → boolean
+  *  - tinyint/smallint/mediumint → int (all fit, signed or unsigned)
+  *  - int/integer → int; `int unsigned` promotes to long (max 2^32-1)
+  *  - bigint → long (+ `unsigned: true` meta for bigint unsigned — callers
+  *    must treat the long as the unsigned bit pattern)
+  *  - float → float; double/real → double
+  *  - decimal/numeric(p,s) → double + `fixed_pt`/`precision`/`scale`
+  *  - char(n) → string + `fixlen`; varchar(n) → string + `maxlen`;
+  *    tinytext/text/mediumtext/longtext → string
+  *  - binary(n)/varbinary(n)/blob family → bytes (+ fixlen/maxlen)
+  *  - date → long + `date`; datetime/timestamp → long + `timestamp`;
+  *    time → long + `time`; year → int + `year`
+  *  - enum(...)/set(...) → string + `enum_values`/`set_values` meta
+  *  - json → string + `json: true` meta
+  * MySQL-isms handled: backtick quoting, UNSIGNED/ZEROFILL, CHARACTER
+  * SET/COLLATE noise, AUTO_INCREMENT, ENGINE=.../charset table suffix,
+  * KEY/INDEX/CONSTRAINT entries, inline and table-level PRIMARY KEY.
+  */
+object MysqlDdlConverter {
+
+  private val createRe: Regex =
+    """(?is)CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?(?:`?([\w]+)`?\.)?`?([\w]+)`?\s*\((.*)\)\s*[^)]*;?\s*$""".r
+
+  private val colRe: Regex =
+    """(?is)^`?([\w]+)`?\s+([\w]+)(?:\s*\(([^)]*)\))?(.*)$""".r
+
+  private val SkipPrefixes = Seq(
+    "PRIMARY KEY", "UNIQUE", "KEY", "INDEX", "CONSTRAINT", "FOREIGN KEY",
+    "FULLTEXT", "SPATIAL", "CHECK")
+
+  def parse(ddl: String): TableSpec = {
+    val (schemaName, tableName, body) = ddl match {
+      case createRe(s, t, b) => (Option(s).getOrElse("default"), t, b)
+      case _ => throw new IllegalArgumentException(s"unparseable CREATE TABLE: $ddl")
+    }
+    val tableConstraints = scala.collection.mutable.ArrayBuffer.empty[String]
+    val cols = DdlModel.splitColumns(body).flatMap { raw =>
+      val upper = raw.toUpperCase
+      if (upper.startsWith("PRIMARY KEY")) { tableConstraints += raw; None }
+      else if (SkipPrefixes.exists(upper.startsWith)) None
+      else raw match {
+        case colRe(name, tpe, args, rest) =>
+          Some(buildColumn(name, tpe.toLowerCase, Option(args), rest))
+        case _ => None
+      }
+    }
+    val tablePk: Seq[String] = tableConstraints.headOption.toSeq.flatMap { c =>
+      """(?i)PRIMARY\s+KEY\s*\(([^)]*)\)""".r.findFirstMatchIn(c).toSeq
+        .flatMap(_.group(1).split(",").map(_.trim.stripPrefix("`").stripSuffix("`")))
+    }
+    val withPk =
+      if (tablePk.isEmpty) cols
+      else cols.map { c =>
+        val ix = tablePk.indexWhere(_.equalsIgnoreCase(c.name))
+        if (ix >= 0) c.copy(pkeyOrdinal = Some(ix + 1)) else c
+      }
+    TableSpec(schemaName, tableName, withPk)
+  }
+
+  private def intArgs(args: Option[String]): (Option[Int], Option[Int]) = {
+    val parts = args.toSeq.flatMap(_.split(",")).map(_.trim).filter(_.matches("\\d+"))
+    (parts.headOption.map(_.toInt), parts.lift(1).map(_.toInt))
+  }
+
+  private def quotedList(args: Option[String]): Seq[String] =
+    args.toSeq.flatMap("'([^']*)'".r.findAllMatchIn(_).map(_.group(1)))
+
+  private def buildColumn(name: String, tpe: String, args: Option[String],
+                          rest: String): ColumnSpec = {
+    val upperRest = rest.toUpperCase
+    val unsigned = upperRest.contains("UNSIGNED")
+    val notNull = upperRest.contains("NOT NULL")
+    val isInlinePk = upperRest.contains("PRIMARY KEY")
+    val defaultNull = !upperRest.contains("DEFAULT") ||
+      """(?i)DEFAULT\s+NULL""".r.findFirstIn(rest).isDefined
+    val nullable = !notNull && !isInlinePk
+    val (len, scale) = intArgs(args)
+
+    val (avroType, metas, sparkType): (String, Seq[(String, String)], DataType) =
+      tpe match {
+        case "tinyint" if len.contains(1) => ("boolean", Nil, BooleanType)
+        case "bool" | "boolean" => ("boolean", Nil, BooleanType)
+        case "tinyint" | "smallint" | "mediumint" => ("int", Nil, IntegerType)
+        case "int" | "integer" =>
+          if (unsigned) ("long", Nil, LongType) else ("int", Nil, IntegerType)
+        case "bigint" =>
+          ("long", if (unsigned) Seq("unsigned" -> "true") else Nil, LongType)
+        case "float" => ("float", Nil, FloatType)
+        case "double" | "real" => ("double", Nil, DoubleType)
+        case "decimal" | "numeric" | "dec" | "fixed" =>
+          val p = len.getOrElse(10); val s = scale.getOrElse(0)
+          ("double",
+            Seq("fixed_pt" -> "true", "precision" -> p.toString, "scale" -> s.toString),
+            DecimalType(p, s))
+        case "char" =>
+          ("string", len.map(l => "fixlen" -> l.toString).toSeq, StringType)
+        case "varchar" =>
+          ("string", len.map(l => "maxlen" -> l.toString).toSeq, StringType)
+        case "tinytext" | "text" | "mediumtext" | "longtext" =>
+          ("string", Nil, StringType)
+        case "binary" =>
+          ("bytes", len.map(l => "fixlen" -> l.toString).toSeq, BinaryType)
+        case "varbinary" =>
+          ("bytes", len.map(l => "maxlen" -> l.toString).toSeq, BinaryType)
+        case "tinyblob" | "blob" | "mediumblob" | "longblob" =>
+          ("bytes", Nil, BinaryType)
+        case "date" => ("long", Seq("date" -> "true"), DateType)
+        case "datetime" | "timestamp" => ("long", Seq("timestamp" -> "true"), TimestampType)
+        case "time" => ("long", Seq("time" -> "true"), LongType)
+        case "year" => ("int", Seq("year" -> "true"), IntegerType)
+        case "enum" =>
+          val vals = quotedList(args).map(v => s""""$v"""").mkString("[", ", ", "]")
+          ("string", Seq("enum_values" -> vals), StringType)
+        case "set" =>
+          val vals = quotedList(args).map(v => s""""$v"""").mkString("[", ", ", "]")
+          ("string", Seq("set_values" -> vals), StringType)
+        case "json" => ("string", Seq("json" -> "true"), StringType)
+        case other =>
+          throw new IllegalArgumentException(s"unsupported mysql type: $other")
+      }
+    ColumnSpec(name, avroType, nullable, defaultNull, metas,
+      if (isInlinePk) Some(1) else None, sparkType)
+  }
+
+  // --- ALTER TABLE validation -------------------------------------------
+
+  private val alterHeadRe: Regex =
+    """(?is)ALTER\s+TABLE\s+(?:`?[\w]+`?\.)?`?([\w]+)`?\s+(.*?);?\s*$""".r
+
+  /** Apply an `ALTER TABLE` statement (ADD/DROP/MODIFY/CHANGE COLUMN
+    * clauses) to a parsed table. Used to validate that old + alter ⇒ new
+    * before registration — the same consistency check the reference
+    * Schematizer performs on the (new, old, alter) statement triple. */
+  def applyAlter(table: TableSpec, alterStmt: String): TableSpec = {
+    val (t, clauses) = alterStmt match {
+      case alterHeadRe(name, body) => (name, DdlModel.splitColumns(body))
+      case _ => throw new IllegalArgumentException(s"unparseable ALTER TABLE: $alterStmt")
+    }
+    require(t.equalsIgnoreCase(table.table),
+      s"ALTER targets `$t` but table is `${table.table}`")
+    clauses.foldLeft(table) { (acc, clause) =>
+      val c = clause.trim
+      val upper = c.toUpperCase
+      def colDef(s: String): ColumnSpec = s.trim match {
+        case colRe(name, tpe, args, rest) =>
+          buildColumn(name, tpe.toLowerCase, Option(args), rest)
+        case other => throw new IllegalArgumentException(s"unparseable column def: $other")
+      }
+      def stripPositional(s: String): String =
+        s.replaceAll("(?i)\\s+(FIRST|AFTER\\s+`?[\\w]+`?)\\s*$", "")
+      if (upper.startsWith("ADD COLUMN") || (upper.startsWith("ADD ") &&
+          !upper.startsWith("ADD INDEX") && !upper.startsWith("ADD KEY") &&
+          !upper.startsWith("ADD CONSTRAINT") && !upper.startsWith("ADD PRIMARY"))) {
+        val body = stripPositional(c.replaceFirst("(?i)^ADD\\s+(COLUMN\\s+)?", ""))
+        acc.copy(columns = acc.columns :+ colDef(body))
+      } else if (upper.startsWith("DROP COLUMN") || (upper.startsWith("DROP ") &&
+          !upper.startsWith("DROP INDEX") && !upper.startsWith("DROP KEY") &&
+          !upper.startsWith("DROP PRIMARY") && !upper.startsWith("DROP FOREIGN"))) {
+        val name = c.replaceFirst("(?i)^DROP\\s+(COLUMN\\s+)?", "")
+          .trim.stripPrefix("`").stripSuffix("`")
+        require(acc.columns.exists(_.name.equalsIgnoreCase(name)),
+          s"DROP COLUMN `$name`: no such column")
+        acc.copy(columns = acc.columns.filterNot(_.name.equalsIgnoreCase(name)))
+      } else if (upper.startsWith("MODIFY")) {
+        val d = colDef(stripPositional(c.replaceFirst("(?i)^MODIFY\\s+(COLUMN\\s+)?", "")))
+        require(acc.columns.exists(_.name.equalsIgnoreCase(d.name)),
+          s"MODIFY COLUMN `${d.name}`: no such column")
+        acc.copy(columns = acc.columns.map(x =>
+          if (x.name.equalsIgnoreCase(d.name)) d.copy(pkeyOrdinal = x.pkeyOrdinal) else x))
+      } else if (upper.startsWith("CHANGE")) {
+        val body = stripPositional(c.replaceFirst("(?i)^CHANGE\\s+(COLUMN\\s+)?", ""))
+        val oldName = body.trim.takeWhile(!_.isWhitespace).stripPrefix("`").stripSuffix("`")
+        val d = colDef(body.trim.dropWhile(!_.isWhitespace))
+        require(acc.columns.exists(_.name.equalsIgnoreCase(oldName)),
+          s"CHANGE COLUMN `$oldName`: no such column")
+        acc.copy(columns = acc.columns.map(x =>
+          if (x.name.equalsIgnoreCase(oldName)) d.copy(pkeyOrdinal = x.pkeyOrdinal) else x))
+      } else acc // RENAME/ENGINE/index-only clauses don't affect the schema
+    }
+  }
+
+  /** Validate a (new, old, alter) statement triple: old + alter must land
+    * on the same column names/types as new. Returns the parsed new spec. */
+  def validateStatementTriple(newCreate: String, oldCreate: String,
+                              alter: String): TableSpec = {
+    val newSpec = parse(newCreate)
+    val derived = applyAlter(parse(oldCreate), alter)
+    def shape(t: TableSpec) = t.columns.map(c => (c.name.toLowerCase, c.avroType, c.nullable))
+    require(shape(derived) == shape(newSpec),
+      s"old + alter does not produce the new table: derived ${shape(derived)}, " +
+        s"declared ${shape(newSpec)}")
+    newSpec
+  }
+}

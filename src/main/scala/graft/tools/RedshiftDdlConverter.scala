@@ -4,6 +4,8 @@ import scala.util.matching.Regex
 
 import org.apache.spark.sql.types._
 
+import DdlModel.{ColumnSpec, TableSpec}
+
 /** Redshift `CREATE TABLE` DDL → Avro schema JSON + Spark StructType
   * (reference: tools/redshift_sql_to_avsc.py:31-230 — the bootstrapper's
   * schema-conversion path).
@@ -17,56 +19,8 @@ import org.apache.spark.sql.types._
   */
 object RedshiftDdlConverter {
 
-  final case class ColumnSpec(
-      name: String,
-      avroType: String, // base avro primitive
-      nullable: Boolean,
-      defaultIsNull: Boolean,
-      metas: Seq[(String, String)], // rendered as extra json attributes
-      pkeyOrdinal: Option[Int],
-      sparkType: DataType)
-
-  final case class TableSpec(schema: String, table: String, columns: Seq[ColumnSpec]) {
-
-    def avroSchemaJson: String = {
-      val fields = columns.map { c =>
-        val tpe =
-          if (!c.nullable) s""""${c.avroType}""""
-          else if (c.defaultIsNull) s"""["null", "${c.avroType}"]"""
-          else s"""["${c.avroType}", "null"]"""
-        val metaAttrs = c.metas.map { case (k, v) => s""","$k": $v""" }.mkString
-        val pkeyAttr = c.pkeyOrdinal.map(o => s""","pkey": $o""").getOrElse("")
-        val defaultAttr = if (c.nullable && c.defaultIsNull) s""","default": null""" else ""
-        s"""{"name": "${c.name}", "type": $tpe$metaAttrs$pkeyAttr$defaultAttr}"""
-      }
-      s"""{"type": "record", "namespace": "$schema", "name": "$table",
-         | "fields": [${fields.mkString(", ")}]}""".stripMargin
-    }
-
-    def structType: StructType =
-      StructType(columns.map(c => StructField(c.name, c.sparkType, c.nullable)))
-
-    def primaryKeys: Seq[String] =
-      columns.filter(_.pkeyOrdinal.isDefined).sortBy(_.pkeyOrdinal.get).map(_.name)
-  }
-
   private val createRe: Regex =
     """(?is)CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?(?:"?([\w]+)"?\.)?"?([\w]+)"?\s*\((.*)\)[^)]*;?\s*$""".r
-
-  /** Split the column body on top-level commas (decimal(10,2) safe). */
-  private def splitColumns(body: String): Seq[String] = {
-    val out = scala.collection.mutable.ArrayBuffer.empty[String]
-    val sb = new StringBuilder
-    var depth = 0
-    body.foreach {
-      case '(' => depth += 1; sb.append('(')
-      case ')' => depth -= 1; sb.append(')')
-      case ',' if depth == 0 => out += sb.toString; sb.clear()
-      case c => sb.append(c)
-    }
-    if (sb.nonEmpty) out += sb.toString
-    out.toSeq.map(_.trim).filter(_.nonEmpty)
-  }
 
   private val colRe: Regex =
     """(?is)^"?([\w]+)"?\s+([\w]+)(?:\s*\(\s*(\d+)\s*(?:,\s*(\d+))?\s*\))?(.*)$""".r
@@ -77,7 +31,7 @@ object RedshiftDdlConverter {
       case _ => throw new IllegalArgumentException(s"unparseable CREATE TABLE: $ddl")
     }
     val tableConstraints = scala.collection.mutable.ArrayBuffer.empty[String]
-    val cols = splitColumns(body).flatMap { raw =>
+    val cols = DdlModel.splitColumns(body).flatMap { raw =>
       val upper = raw.toUpperCase
       if (upper.startsWith("PRIMARY KEY")) {
         tableConstraints += raw; None

@@ -1,0 +1,113 @@
+package graft
+
+import org.apache.avro.Schema
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.schema.SchemaRegistry
+import graft.tools.MysqlDdlConverter
+
+/** MySQL `CREATE TABLE` → Avro conversion + registration
+  * (reference: schematizer.py:745 register_schema_from_mysql_stmts;
+  * tools/introspector/register/mysql_command.py statement triple). */
+class MysqlDdlSpec extends AnyFunSuite {
+
+  private val bizDdl =
+    """CREATE TABLE `yelp`.`business` (
+      |  `id` BIGINT UNSIGNED NOT NULL AUTO_INCREMENT,
+      |  `name` VARCHAR(64) NOT NULL,
+      |  `acronym` CHAR(3) DEFAULT NULL,
+      |  `review_count` INT NOT NULL DEFAULT 0,
+      |  `rating` DECIMAL(3, 2),
+      |  `is_open` TINYINT(1) NOT NULL,
+      |  `flavor` ENUM('plain','fancy') NOT NULL,
+      |  `blob_data` VARBINARY(256),
+      |  `opened_on` DATE,
+      |  `updated_at` TIMESTAMP NOT NULL,
+      |  PRIMARY KEY (`id`, `name`),
+      |  KEY `ix_name` (`name`)
+      |) ENGINE=InnoDB DEFAULT CHARSET=utf8;""".stripMargin
+
+  test("types, nullability, defaults, metas and pkeys convert faithfully") {
+    val spec = MysqlDdlConverter.parse(bizDdl)
+    assert(spec.schema == "yelp" && spec.table == "business")
+    assert(spec.primaryKeys == Seq("id", "name"))
+
+    val byName = spec.columns.map(c => c.name -> c).toMap
+    assert(byName("id").avroType == "long" &&
+      byName("id").metas.contains("unsigned" -> "true") && !byName("id").nullable)
+    assert(byName("name").avroType == "string" &&
+      byName("name").metas.contains("maxlen" -> "64"))
+    assert(byName("acronym").nullable && byName("acronym").defaultIsNull &&
+      byName("acronym").metas.contains("fixlen" -> "3"))
+    assert(!byName("review_count").nullable && byName("review_count").avroType == "int")
+    assert(byName("rating").metas.toMap == Map(
+      "fixed_pt" -> "true", "precision" -> "3", "scale" -> "2"))
+    assert(byName("rating").sparkType == DecimalType(3, 2))
+    assert(byName("is_open").avroType == "boolean") // tinyint(1) convention
+    assert(byName("flavor").metas.contains("enum_values" -> """["plain", "fancy"]"""))
+    assert(byName("blob_data").avroType == "bytes" && byName("blob_data").sparkType == BinaryType)
+    assert(byName("opened_on").metas.contains("date" -> "true"))
+    assert(byName("updated_at").metas.contains("timestamp" -> "true") &&
+      byName("updated_at").sparkType == TimestampType)
+
+    // the emitted json is a valid Avro record with union order by default
+    val avro = new Schema.Parser().parse(spec.avroSchemaJson)
+    assert(avro.getField("acronym").schema().getTypes.get(0).getType == Schema.Type.NULL)
+    assert(avro.getField("rating").schema().getTypes.get(1).getType == Schema.Type.DOUBLE)
+  }
+
+  test("int unsigned promotes to long; signed stays int") {
+    val spec = MysqlDdlConverter.parse(
+      "CREATE TABLE t (a INT UNSIGNED NOT NULL, b INT NOT NULL, c SMALLINT UNSIGNED)")
+    val byName = spec.columns.map(c => c.name -> c).toMap
+    assert(byName("a").avroType == "long")
+    assert(byName("b").avroType == "int")
+    assert(byName("c").avroType == "int") // smallint unsigned still fits int
+  }
+
+  test("applyAlter replays ADD/DROP/MODIFY/CHANGE clauses") {
+    val old = MysqlDdlConverter.parse(
+      "CREATE TABLE t (`a` INT NOT NULL, `b` VARCHAR(10), `c` TEXT)")
+    val altered = MysqlDdlConverter.applyAlter(old,
+      """ALTER TABLE t ADD COLUMN `d` BIGINT NOT NULL AFTER `a`,
+        |DROP COLUMN `c`,
+        |MODIFY COLUMN `b` VARCHAR(20) NOT NULL,
+        |CHANGE COLUMN `a` `a2` INT NOT NULL;""".stripMargin)
+    assert(altered.columns.map(_.name) == Seq("a2", "b", "d"))
+    assert(altered.columns.find(_.name == "b").get.metas.contains("maxlen" -> "20"))
+    assert(!altered.columns.find(_.name == "b").get.nullable)
+  }
+
+  test("registerSchemaFromMysqlStmts validates the (new, old, alter) triple") {
+    val reg = new SchemaRegistry
+    val entry = reg.registerSchemaFromMysqlStmts(
+      "yelp", "business",
+      newCreateTableStmt = "CREATE TABLE business (`id` INT NOT NULL PRIMARY KEY, `name` VARCHAR(8) NOT NULL)",
+      oldCreateTableStmt = Some("CREATE TABLE business (`id` INT NOT NULL PRIMARY KEY)"),
+      alterTableStmt = Some("ALTER TABLE business ADD COLUMN `name` VARCHAR(8) NOT NULL"))
+    assert(entry.primaryKeys == Seq("id"))
+    assert(reg.getTopicByName(entry.topicName).isDefined)
+
+    // a lying triple is rejected before anything is registered
+    val err = intercept[IllegalArgumentException] {
+      reg.registerSchemaFromMysqlStmts(
+        "yelp", "biz2",
+        newCreateTableStmt = "CREATE TABLE biz2 (`id` INT NOT NULL, `extra` TEXT)",
+        oldCreateTableStmt = Some("CREATE TABLE biz2 (`id` INT NOT NULL)"),
+        alterTableStmt = Some("ALTER TABLE biz2 ADD COLUMN `other` TEXT"))
+    }
+    assert(err.getMessage.contains("does not produce"))
+  }
+
+  test("evolving a mysql source with an added defaulted column stays on-topic") {
+    val reg = new SchemaRegistry
+    val v1 = reg.registerSchemaFromMysqlStmts("yelp", "user",
+      "CREATE TABLE user (`id` INT NOT NULL PRIMARY KEY, `name` TEXT NOT NULL)")
+    val v2 = reg.registerSchemaFromMysqlStmts("yelp", "user",
+      "CREATE TABLE user (`id` INT NOT NULL PRIMARY KEY, `name` TEXT NOT NULL, `bio` TEXT DEFAULT NULL)")
+    // nullable-with-null-default is mutually compatible ⇒ same topic
+    assert(v1.topicName == v2.topicName)
+    assert(v1.schemaId != v2.schemaId)
+  }
+}
