@@ -16,6 +16,18 @@ import org.apache.spark.sql.functions._
   */
 object RefreshStatus extends Enumeration {
   val NotStarted, InProgress, Paused, Success, Failed = Value
+
+  /** Reference wire strings (models/refresh.py:73-79 RefreshStatus enum). */
+  def wire(v: Value): String = v match {
+    case NotStarted => "NOT_STARTED"
+    case InProgress => "IN_PROGRESS"
+    case Paused => "PAUSED"
+    case Success => "SUCCESS"
+    case Failed => "FAILED"
+  }
+
+  def fromWire(s: String): Value = values.find(wire(_) == s).getOrElse(
+    throw new IllegalArgumentException(s"unknown refresh status: $s"))
 }
 
 final case class RefreshJob(
@@ -28,7 +40,8 @@ final case class RefreshJob(
     priority: Int, // 25/50/75/100
     filterCondition: Option[String],
     avgRowsPerSecondCap: Option[Int],
-    createdAt: Long)
+    createdAt: Long,
+    updatedAt: Long = 0L)
 
 /** Priority queue semantics (reference: priority_refresh_queue.py:68-116):
   * one active job per source; ordering is priority DESC, then PAUSED

@@ -246,6 +246,77 @@ class SchemaRegistry extends Serializable {
     })
   }
 
+  // --- refresh jobs (schematizer.py:981-1109; models/refresh.py) --------
+
+  import graft.refresh.{RefreshJob, RefreshStatus}
+
+  private val nextRefreshId = new AtomicInteger(0)
+  private val refreshesById = TrieMap.empty[Int, RefreshJob]
+
+  /** Register a refresh for a known source (reference: create_refresh,
+    * schematizer.py:1016-1054). Refresh rows are catalog state like topics
+    * and schemas — they persist through [[save]]/[[SchemaRegistry.load]],
+    * so a manager restart resumes the queue from the stored offsets
+    * instead of losing it. */
+  def createRefresh(namespace: String, source: String, offset: Long,
+                    batchSize: Int, priority: Int,
+                    filterCondition: Option[String] = None,
+                    avgRowsPerSecondCap: Option[Int] = None): RefreshJob = synchronized {
+    require(topicsBySource(namespace, source).nonEmpty,
+      s"no source $namespace.$source to refresh")
+    val now = clock.incrementAndGet().toLong
+    val j = RefreshJob(nextRefreshId.incrementAndGet(), namespace, source,
+      RefreshStatus.NotStarted, offset, batchSize, priority,
+      filterCondition, avgRowsPerSecondCap, now, now)
+    refreshesById.put(j.refreshId, j)
+    j
+  }
+
+  /** Update status + resume offset (reference: update_refresh,
+    * schematizer.py:1057-1077). */
+  def updateRefresh(refreshId: Int, status: RefreshStatus.Value,
+                    offset: Long): RefreshJob = synchronized {
+    val j = refreshesById.getOrElse(refreshId,
+      throw new NoSuchElementException(s"no refresh $refreshId"))
+    val updated = j.copy(status = status, offset = offset,
+      updatedAt = clock.incrementAndGet().toLong)
+    refreshesById.put(refreshId, updated)
+    updated
+  }
+
+  def getRefreshById(refreshId: Int): Option[RefreshJob] = refreshesById.get(refreshId)
+
+  def refreshes: Seq[RefreshJob] = refreshesById.values.toSeq.sortBy(_.refreshId)
+
+  def getRefreshesByNamespace(namespace: String): Seq[RefreshJob] =
+    refreshes.filter(_.namespaceName == namespace)
+
+  /** Criteria query (reference: get_refreshes_by_criteria,
+    * schematizer.py:981-1014 — all criteria optional and conjunctive;
+    * created/updated bounds are inclusive). */
+  def getRefreshesByCriteria(
+      namespace: Option[String] = None,
+      status: Option[RefreshStatus.Value] = None,
+      createdAfter: Option[Long] = None,
+      updatedAfter: Option[Long] = None): Seq[RefreshJob] =
+    refreshes
+      .filter(j => namespace.forall(_ == j.namespaceName))
+      .filter(j => status.forall(_ == j.status))
+      .filter(j => createdAfter.forall(j.createdAt >= _))
+      .filter(j => updatedAfter.forall(j.updatedAt >= _))
+
+  /** Refresh catalog as a DataFrame, shaped for
+    * [[graft.refresh.PriorityRefreshQueue.scheduleDF]]. */
+  def refreshesDF(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    refreshes.map(j => (j.refreshId, j.namespaceName, j.sourceName,
+        RefreshStatus.wire(j.status), j.offset, j.batchSize, j.priority,
+        j.filterCondition, j.avgRowsPerSecondCap, j.createdAt, j.updatedAt))
+      .toDF("refresh_id", "namespace_name", "source_name", "status", "offset",
+        "batch_size", "priority", "filter_condition", "avg_rows_per_second_cap",
+        "created_at", "updated_at")
+  }
+
   // --- meta-attribute mappings (schematizer.py:523-689) -----------------
 
   // (namespace, Option(source)) -> meta attribute schema ids
@@ -289,21 +360,37 @@ class SchemaRegistry extends Serializable {
 
   // --- persistence ------------------------------------------------------
 
-  /** Persist the catalog as parquet tables (schemas + topics). The store
-    * is the registry's durability layer — an embedded stand-in for the
-    * Schematizer's MySQL (at cluster scale: a shared object-store path or
-    * Delta table). */
+  /** Persist the catalog as parquet tables (schemas + topics + refreshes).
+    * The store is the registry's durability layer — an embedded stand-in
+    * for the Schematizer's MySQL (at cluster scale: a shared object-store
+    * path or Delta table). */
   def save(spark: SparkSession, dir: String): Unit = {
     topicsDF(spark).write.mode("overwrite").parquet(s"$dir/topics")
     schemasDF(spark).write.mode("overwrite").parquet(s"$dir/schemas")
+    refreshesDF(spark).write.mode("overwrite").parquet(s"$dir/refreshes")
+  }
+
+  /** Restore a refresh row verbatim (reload path: ids, offsets and states
+    * must survive a manager restart exactly). */
+  private[schema] def restoreRefresh(j: RefreshJob): Unit = synchronized {
+    refreshesById.put(j.refreshId, j)
+    var cur = nextRefreshId.get()
+    while (cur < j.refreshId && !nextRefreshId.compareAndSet(cur, j.refreshId))
+      cur = nextRefreshId.get()
+    val tick = math.max(j.createdAt, j.updatedAt).toInt
+    var c = clock.get()
+    while (c < tick && !clock.compareAndSet(c, tick)) c = clock.get()
   }
 }
 
 object SchemaRegistry {
 
-  /** Rehydrate a registry from [[SchemaRegistry#save]] output. Entries are
-    * re-registered in original schema_id order; ids and topic assignment
-    * are reproduced because registration is deterministic. */
+  /** Rehydrate a registry from [[SchemaRegistry#save]] output. Schema
+    * entries are re-registered in original schema_id order; ids and topic
+    * assignment are reproduced because registration is deterministic.
+    * Refresh rows restore verbatim — their offsets/states are runtime
+    * progress, not derivable, and a restarted manager must resume from
+    * them exactly. */
   def load(spark: SparkSession, dir: String): SchemaRegistry = {
     val reg = new SchemaRegistry
     val rows = spark.read.parquet(s"$dir/schemas")
@@ -315,6 +402,26 @@ object SchemaRegistry {
         r.getAs[String]("schema_json"), r.getAs[Boolean]("contains_pii"))
       require(entry.schemaId == r.getAs[Int]("schema_id"),
         s"catalog reload drifted: got ${entry.schemaId}, expected ${r.getAs[Int]("schema_id")}")
+    }
+    val refreshPath = new java.io.File(s"$dir/refreshes")
+    if (refreshPath.exists()) {
+      spark.read.parquet(s"$dir/refreshes").collect()
+        .sortBy(_.getAs[Int]("refresh_id"))
+        .foreach { r =>
+          reg.restoreRefresh(graft.refresh.RefreshJob(
+            r.getAs[Int]("refresh_id"),
+            r.getAs[String]("namespace_name"),
+            r.getAs[String]("source_name"),
+            graft.refresh.RefreshStatus.fromWire(r.getAs[String]("status")),
+            r.getAs[Long]("offset"),
+            r.getAs[Int]("batch_size"),
+            r.getAs[Int]("priority"),
+            Option(r.getAs[String]("filter_condition")),
+            Option(r.get(r.fieldIndex("avg_rows_per_second_cap")))
+              .map(_.asInstanceOf[Int]),
+            r.getAs[Long]("created_at"),
+            r.getAs[Long]("updated_at")))
+        }
     }
     reg
   }

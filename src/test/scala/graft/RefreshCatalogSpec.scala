@@ -1,0 +1,83 @@
+package graft
+
+import graft.refresh.{PriorityRefreshQueue, RefreshStatus}
+import graft.schema.SchemaRegistry
+
+/** Refresh jobs as persisted catalog state (reference:
+  * schematizer.py:981-1109 refresh CRUD; models/refresh.py): a manager
+  * restart must find the queue — statuses, priorities, resume offsets —
+  * exactly where it left it. */
+class RefreshCatalogSpec extends SparkTestBase {
+
+  private val userJson =
+    """{"type":"record","name":"user","namespace":"yelp","fields":[
+       |{"name":"id","type":"int","pkey":1},{"name":"name","type":"string"}]}""".stripMargin
+
+  test("refresh CRUD: create for a known source, update status+offset, criteria queries") {
+    val reg = new SchemaRegistry
+    reg.registerSchema("yelp", "user", userJson)
+
+    intercept[IllegalArgumentException] {
+      reg.createRefresh("yelp", "nope", 0L, 500, 50)
+    }
+
+    val r1 = reg.createRefresh("yelp", "user", 0L, 500, priority = 75)
+    assert(r1.status == RefreshStatus.NotStarted && r1.refreshId == 1)
+
+    val started = reg.updateRefresh(r1.refreshId, RefreshStatus.InProgress, 1000L)
+    assert(started.offset == 1000L && started.updatedAt > r1.updatedAt)
+    assert(reg.getRefreshById(r1.refreshId).get.status == RefreshStatus.InProgress)
+
+    reg.registerSchema("other_ns", "t", userJson.replace("\"user\"", "\"t\""))
+    val r2 = reg.createRefresh("other_ns", "t", 0L, 100, priority = 25)
+
+    assert(reg.getRefreshesByNamespace("yelp").map(_.refreshId) == Seq(1))
+    assert(reg.getRefreshesByCriteria(status = Some(RefreshStatus.NotStarted))
+      .map(_.refreshId) == Seq(r2.refreshId))
+    assert(reg.getRefreshesByCriteria(createdAfter = Some(r2.createdAt))
+      .map(_.refreshId) == Seq(r2.refreshId))
+    assert(reg.getRefreshesByCriteria(updatedAfter = Some(started.updatedAt))
+      .map(_.refreshId) == Seq(1, r2.refreshId))
+    assert(reg.getRefreshesByCriteria().size == 2)
+  }
+
+  test("a paused refresh survives save/load and resumes from its stored offset") {
+    import org.apache.spark.sql.functions.col
+    val reg = new SchemaRegistry
+    reg.registerSchema("yelp", "user", userJson)
+    reg.registerSchema("yelp", "biz", userJson.replace("\"user\"", "\"biz\""))
+
+    val active = reg.createRefresh("yelp", "user", 0L, 500, priority = 100)
+    val waiting = reg.createRefresh("yelp", "biz", 0L, 500, priority = 50)
+    reg.updateRefresh(active.refreshId, RefreshStatus.InProgress, 0L)
+    // SIGTERM analog: pause with the last processed pk (ST8 semantics)
+    reg.updateRefresh(active.refreshId, RefreshStatus.Paused, 4200L)
+
+    val dir = java.nio.file.Files.createTempDirectory("refresh_catalog").toString
+    reg.save(spark, dir)
+
+    // manager restart
+    val reloaded = SchemaRegistry.load(spark, dir)
+    val revived = reloaded.getRefreshById(active.refreshId).get
+    assert(revived.status == RefreshStatus.Paused)
+    assert(revived.offset == 4200L) // resume position intact
+    assert(reloaded.refreshes.size == 2)
+
+    // the scheduler runs off the persisted catalog: PAUSED resume beats
+    // NOT_STARTED start (priority first, then status rank)
+    val sched = PriorityRefreshQueue.scheduleDF(reloaded.refreshesDF(spark))
+      .select(col("refresh_id")).collect().map(_.getInt(0)).toSeq
+    assert(sched == Seq(active.refreshId, waiting.refreshId))
+
+    // new work after reload continues the id sequence, no collisions
+    reg.registerSchema("yelp", "review", userJson.replace("\"user\"", "\"review\""))
+    val next = reloaded.getRefreshesByCriteria().map(_.refreshId).max
+    val r3 = reloaded.createRefresh("yelp", "user", 0L, 100, 25)
+    assert(r3.refreshId == next + 1)
+
+    // resume completes the state machine
+    reloaded.updateRefresh(active.refreshId, RefreshStatus.InProgress, 4200L)
+    reloaded.updateRefresh(active.refreshId, RefreshStatus.Success, 9999L)
+    assert(reloaded.getRefreshById(active.refreshId).get.status == RefreshStatus.Success)
+  }
+}
