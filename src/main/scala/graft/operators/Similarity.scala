@@ -115,6 +115,54 @@ object Similarity {
       .filter(col("cosine") >= threshold)
   }
 
+  /** Deterministic Lloyd k-means (cosine metric) for IVF training —
+    * replaces "inherit the fixture's labels" with computed clusters while
+    * staying engine-replicable: initial centroids are the `k` lowest-id
+    * vectors (cluster j = rank j), each iteration assigns every vector to
+    * its max-cosine centroid (cosines rounded to 6 dp before comparison,
+    * ties to the lower cluster id) and recomputes elementwise-mean
+    * centroids rounded to 6 dp. No RNG, no iteration-order dependence —
+    * an SQL oracle regenerates identical clusters step for step.
+    *
+    * Scale shape: centroids are always a broadcast dim (k·dim doubles), so
+    * each iteration is one full scan + a (vec_id-keyed) argmax — vectors
+    * never shuffle against each other. At 100 TB, train on a bounded
+    * sample with this same loop, then run one final assignment pass over
+    * the full table; the code path is identical, only the input differs.
+    *
+    * Returns (vec_id, v, cluster) after `iters` assignment rounds.
+    */
+  def kmeansLabels(vectors: DataFrame, k: Int, iters: Int): DataFrame = {
+    require(iters >= 1, "k-means needs at least one assignment round")
+    val cosVC =
+      expr("aggregate(zip_with(v, c, (x, y) -> x * y), 0D, (acc, z) -> acc + z)") /
+        (expr("sqrt(aggregate(v, 0D, (acc, x) -> acc + x * x))") *
+          expr("sqrt(aggregate(c, 0D, (acc, x) -> acc + x * x))"))
+    var cents = vectors.orderBy(col("vec_id")).limit(k)
+      .withColumn("cluster", row_number().over(Window.orderBy(col("vec_id"))) - 1)
+      .select(col("cluster"), col("v").as("c"))
+    var assigned: DataFrame = null
+    for (it <- 1 to iters) {
+      val w = Window.partitionBy(col("vec_id"))
+        .orderBy(col("ccos").desc, col("cluster").asc)
+      assigned = vectors.crossJoin(broadcast(cents))
+        .withColumn("ccos", round(cosVC, 6))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("v"), col("cluster"))
+      if (it < iters) {
+        cents = assigned
+          .select(col("cluster"), posexplode(col("v")).as(Seq("dim", "x")))
+          .groupBy(col("cluster"), col("dim"))
+          .agg(round(avg(col("x")), 6).as("m"))
+          .groupBy(col("cluster"))
+          .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("pairs"))
+          .select(col("cluster"), expr("transform(pairs, q -> q.m)").as("c"))
+      }
+    }
+    assigned
+  }
+
   /** IVF search: route each probe to its `nprobe` closest centroids, then
     * exact top-k within those clusters only. */
   def ivfTopK(vectors: DataFrame, clusterCol: String, probes: DataFrame,

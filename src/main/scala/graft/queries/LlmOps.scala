@@ -159,16 +159,20 @@ object LlmOps {
       .orderBy($"probe_id", $"rank")
   }
 
-  /** IVF-bucketed ANN (north-star: similarity search scale path): probes
-    * route to the nearest centroid, exact search within that cluster only.
-    * Oracle replicates centroids + routing + ranking. */
+  /** IVF-bucketed ANN (north-star: similarity search scale path): clusters
+    * come from deterministic k-means training (k=8, 2 assignment rounds —
+    * no fixture labels), probes route to the nearest computed centroid,
+    * exact search within that cluster only. Oracle replicates training +
+    * centroids + routing + ranking step for step. */
   def qIvfTopK(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val vecs = Tables.embeddings(spark, dir)
-      .select($"vec_id", $"embedding".cast("array<double>").as("v"), $"label")
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
     val probes = vecs.filter($"vec_id" < 5)
       .select($"vec_id".as("probe_id"), $"v".as("p"))
-    graft.operators.Similarity.ivfTopK(vecs, "label", probes, k = 3, nprobe = 1)
+    val labeled = graft.operators.Similarity
+      .kmeansLabels(vecs, k = 8, iters = 2).cache()
+    graft.operators.Similarity.ivfTopK(labeled, "cluster", probes, k = 3, nprobe = 1)
       .select($"probe_id", $"vec_id", $"cosine", $"rank")
       .orderBy($"probe_id", $"rank")
   }
@@ -524,32 +528,58 @@ object LlmOps {
           FROM ranked WHERE rank <= 3
           ORDER BY probe_id, rank""",
     "sim_ivf_topk" ->
-      """WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+          c0 AS (
+            SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster, e AS cv
+            FROM v ORDER BY vec_id LIMIT 8),
+          a1 AS (
+            SELECT vec_id, e, cluster FROM (
+              SELECT v.vec_id, v.e, kc.cluster,
+                     row_number() OVER (PARTITION BY v.vec_id ORDER BY
+                       round(
+                         list_sum([v.e[i] * kc.cv[i] for i in range(1, 65)]) /
+                         (sqrt(list_sum([v.e[i] * v.e[i] for i in range(1, 65)])) *
+                          sqrt(list_sum([kc.cv[i] * kc.cv[i] for i in range(1, 65)]))), 6)
+                       DESC, kc.cluster ASC) AS rn
+              FROM v, c0 kc) WHERE rn = 1),
+          d1 AS (SELECT cluster, i, round(avg(e[i]), 6) AS m
+                 FROM a1, range(1, 65) t(i) GROUP BY 1, 2),
+          c1 AS (SELECT cluster, list(m ORDER BY i) AS cv FROM d1 GROUP BY 1),
+          a2 AS (
+            SELECT vec_id, e, cluster FROM (
+              SELECT v.vec_id, v.e, kc.cluster,
+                     row_number() OVER (PARTITION BY v.vec_id ORDER BY
+                       round(
+                         list_sum([v.e[i] * kc.cv[i] for i in range(1, 65)]) /
+                         (sqrt(list_sum([v.e[i] * v.e[i] for i in range(1, 65)])) *
+                          sqrt(list_sum([kc.cv[i] * kc.cv[i] for i in range(1, 65)]))), 6)
+                       DESC, kc.cluster ASC) AS rn
+              FROM v, c1 kc) WHERE rn = 1),
           dims AS (
-            SELECT label, i, avg(e[i]) AS m
-            FROM v, range(1, 65) t(i) GROUP BY 1, 2),
-          cents AS (SELECT label, list(m ORDER BY i) AS c FROM dims GROUP BY 1),
+            SELECT cluster, i, avg(e[i]) AS m
+            FROM a2, range(1, 65) t(i) GROUP BY 1, 2),
+          cents AS (SELECT cluster, list(m ORDER BY i) AS cv FROM dims GROUP BY 1),
           probes AS (SELECT vec_id AS pid, e AS p FROM v WHERE vec_id < 5),
           probe_cent AS (
-            SELECT pid, p, label,
+            SELECT pid, p, cluster,
                    round(
-                     list_sum([c[i] * p[i] for i in range(1, 65)]) /
-                     (sqrt(list_sum([c[i] * c[i] for i in range(1, 65)])) *
+                     list_sum([cv[i] * p[i] for i in range(1, 65)]) /
+                     (sqrt(list_sum([cv[i] * cv[i] for i in range(1, 65)])) *
                       sqrt(list_sum([p[i] * p[i] for i in range(1, 65)]))), 6) AS ccos
             FROM probes, cents),
           routed AS (
-            SELECT pid, p, label FROM (
-              SELECT pid, p, label,
+            SELECT pid, p, cluster FROM (
+              SELECT pid, p, cluster,
                      row_number() OVER (PARTITION BY pid
-                                        ORDER BY ccos DESC, label ASC) AS crank
+                                        ORDER BY ccos DESC, cluster ASC) AS crank
               FROM probe_cent) WHERE crank <= 1),
           scored AS (
-            SELECT r.pid AS probe_id, v.vec_id,
+            SELECT r.pid AS probe_id, a.vec_id,
                    round(
-                     list_sum([v.e[i] * r.p[i] for i in range(1, 65)]) /
-                     (sqrt(list_sum([v.e[i] * v.e[i] for i in range(1, 65)])) *
+                     list_sum([a.e[i] * r.p[i] for i in range(1, 65)]) /
+                     (sqrt(list_sum([a.e[i] * a.e[i] for i in range(1, 65)])) *
                       sqrt(list_sum([r.p[i] * r.p[i] for i in range(1, 65)]))), 4) AS cosine
-            FROM v JOIN routed r ON v.label = r.label AND v.vec_id <> r.pid),
+            FROM a2 a JOIN routed r ON a.cluster = r.cluster AND a.vec_id <> r.pid),
           ranked AS (
             SELECT probe_id, vec_id, cosine,
                    row_number() OVER (PARTITION BY probe_id

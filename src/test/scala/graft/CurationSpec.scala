@@ -130,4 +130,25 @@ class CurationSpec extends SparkTestBase {
       (1L, 3L, 2L, "cat sat"), (2L, 3L, 2L, "dog ran"),
       (3L, 2L, 1L, "end"), (4L, 3L, 0L, "")))
   }
+
+  // --- k-means IVF training ---------------------------------------------
+
+  test("kmeansLabels separates well-formed clusters deterministically") {
+    import spark.implicits._
+    // two tight clusters on orthogonal axes + ids chosen so the two
+    // lowest-id seeds land one in each cluster
+    val vecs = Seq(
+      (0L, Seq(1.0, 0.0, 0.1)), (2L, Seq(0.9, 0.1, 0.0)), (4L, Seq(1.0, 0.1, 0.1)),
+      (1L, Seq(0.0, 1.0, 0.1)), (3L, Seq(0.1, 0.9, 0.0)), (5L, Seq(0.0, 1.0, 0.0))
+    ).toDF("vec_id", "v")
+    val got = graft.operators.Similarity.kmeansLabels(vecs, k = 2, iters = 2)
+      .select($"vec_id", $"cluster").as[(Long, Int)].collect().toMap
+    assert(got(0L) == got(2L) && got(2L) == got(4L))
+    assert(got(1L) == got(3L) && got(3L) == got(5L))
+    assert(got(0L) != got(1L))
+    // rerun is bit-identical (no RNG, no order dependence)
+    val again = graft.operators.Similarity.kmeansLabels(vecs, k = 2, iters = 2)
+      .select($"vec_id", $"cluster").as[(Long, Int)].collect().toMap
+    assert(again == got)
+  }
 }
