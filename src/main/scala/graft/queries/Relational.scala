@@ -289,8 +289,40 @@ object Relational {
       .orderBy($"event_id")
   }
 
+  /** Binlog text scan (SURVEY §2.1 S9, tools/binlog_analyzer.py:33-98):
+    * synthesize a deterministic `mysqlbinlog --verbose` transcript from
+    * the events table (SET TIMESTAMP + row-event header + `###` statement
+    * lines; every 4th event omits its header so the carry-forward
+    * semantics are exercised), then parse it back with
+    * [[graft.tools.BinlogAnalyzer]]. The oracle regenerates the expected
+    * rows from the same events directly. */
+  def qBinlogScan(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir).filter($"event_id" < 300)
+      .select($"event_id", $"ts", $"user_id")
+    val kind = $"event_id" % 3
+    val verb = when(kind === 0, "INSERT INTO").when(kind === 1, "UPDATE")
+      .otherwise("DELETE FROM")
+    val rowsKind = when(kind === 0, "Write_rows").when(kind === 1, "Update_rows")
+      .otherwise("Delete_rows")
+    val file = lit("mysql-bin.000405").as("file")
+    val setTs = ev.select(file, ($"event_id" * 3).as("line_no"),
+      concat(lit("SET TIMESTAMP="), unix_timestamp($"ts"), lit("/*!*/;")).as("line"))
+    val headers = ev.filter($"event_id" % 4 =!= 0)
+      .select(file, ($"event_id" * 3 + 1).as("line_no"),
+        concat(lit("#"), date_format($"ts", "yyMMdd HH:mm:ss"),
+          lit(" server id 1  end_log_pos 120 CRC32 0x1f2e3d4c  "), rowsKind,
+          lit(": table id 77 flags: STMT_END_F")).as("line"))
+    val stmts = ev.select(file, ($"event_id" * 3 + 2).as("line_no"),
+      concat(lit("### "), verb, lit(" yelp.tbl_"), $"user_id" % 5).as("line"))
+    graft.tools.BinlogAnalyzer
+      .parse(setTs.union(headers).union(stmts), "file", "line_no", "line")
+      .orderBy($"line_no")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing_summary" -> (q1PricingSummary _),
+    "q_binlog_scan" -> (qBinlogScan _),
     "q_keyset_scan" -> (qKeysetScan _),
     "q_region_revenue" -> (qRegionRevenue _),
     "q_semi_join" -> (qSemiJoin _),
@@ -311,6 +343,23 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_binlog_scan" ->
+      """WITH ev AS (
+           SELECT event_id, user_id,
+                  CAST(floor(epoch(ts)) AS BIGINT) AS hts
+           FROM events WHERE event_id < 300),
+         carried AS (
+           SELECT event_id, user_id,
+                  last_value(CASE WHEN event_id % 4 <> 0 THEN hts END IGNORE NULLS)
+                    OVER (ORDER BY event_id ROWS UNBOUNDED PRECEDING) AS cts
+           FROM ev)
+         SELECT 'mysql-bin.000405' AS file,
+                event_id * 3 + 2 AS line_no,
+                cts AS timestamp,
+                CASE event_id % 3 WHEN 0 THEN 'insert' WHEN 1 THEN 'update'
+                     ELSE 'delete' END AS statement_type,
+                'yelp.tbl_' || (user_id % 5) AS table_name
+         FROM carried ORDER BY line_no""",
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
          round(sum(l_quantity), 2) AS sum_qty,

@@ -221,4 +221,33 @@ class ToolsSpec extends SparkTestBase {
     val bad = Seq((9, Array[Byte](1, 2, 3))).toDF("id", "content")
     assert(Multimodal.byteHistogram(bad, "content").select($"hist").head().isNullAt(0))
   }
+
+  test("binlog analyzer carries header timestamps forward per file") {
+    import spark.implicits._
+    // two files: carry-forward must not leak across the partition key
+    val lines = Seq(
+      ("a", 1L, "SET TIMESTAMP=1700000000/*!*/;"),
+      ("a", 2L, "#231114 22:13:20 server id 3  end_log_pos 99 CRC32 0xdead  Write_rows: table id 5 flags: STMT_END_F"),
+      ("a", 3L, "### INSERT INTO db.users"),
+      ("a", 4L, "### UPDATE db.users"),     // no new header: same timestamp
+      ("a", 5L, "#231114 22:30:00 server id 3  end_log_pos 120 CRC32 0xbeef  Delete_rows: table id 5 flags: STMT_END_F"),
+      ("a", 6L, "### DELETE FROM db.orders"),
+      ("a", 7L, "# at 120"),                // noise lines don't emit or reset
+      ("b", 1L, "### INSERT INTO db.other") // file b has no header yet -> null ts
+    ).toDF("file", "line_no", "line")
+    val got = graft.tools.BinlogAnalyzer.parse(lines, "file", "line_no", "line")
+      .select($"file", $"line_no", $"timestamp", $"statement_type", $"table_name")
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2), r.getString(3), r.getString(4)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    val t1 = java.time.LocalDateTime.of(2023, 11, 14, 22, 13, 20)
+      .toEpochSecond(java.time.ZoneOffset.UTC)
+    val t2 = java.time.LocalDateTime.of(2023, 11, 14, 22, 30, 0)
+      .toEpochSecond(java.time.ZoneOffset.UTC)
+    assert(got == Seq(
+      ("a", 3L, t1, "insert", "db.users"),
+      ("a", 4L, t1, "update", "db.users"),
+      ("a", 6L, t2, "delete", "db.orders"),
+      ("b", 1L, -1L, "insert", "db.other")))
+  }
 }
