@@ -104,11 +104,27 @@ object Bench {
       try SerdeMicroBench.chainRowsPerSecCore(300000)
       catch { case _: Throwable => -1.0 }
 
+    // uuid4 generation rate through the codegen'd Uuid4Binary expression
+    // (reference headline: _fast_uuid.py — 385k/s PyPy-FFI, 29k/s stock).
+    val uuidRowsPerSec =
+      try {
+        import org.apache.spark.sql.functions._
+        val n = 8000000L
+        // project the uuid first (nondeterministic exprs can't live inside
+        // an Aggregate), then fold — length() forces full evaluation
+        def run() = spark.range(0, n, 1, cpus.toInt)
+          .select(graft.functions.uuid4_binary(42L).as("u"))
+          .select(sum(length(col("u")))).head()
+        run() // warm-up
+        val secs = timed(() => run())
+        if (secs > 0) n / secs else -1.0
+      } catch { case _: Throwable => -1.0 }
+
     val qs = results.map { case (k, v) => "\"" + k + f"""\":$v%.4f""" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     println(
-      f"""{"metric":"total","value":$total%.4f,"unit":"sec","queries":$qs,"serde_rows_per_sec":$serdeRowsPerSec%.0f,"serde_rows_per_sec_core":$serdePerCore%.0f,"sf":"$sfDir"}""")
+      f"""{"metric":"total","value":$total%.4f,"unit":"sec","queries":$qs,"serde_rows_per_sec":$serdeRowsPerSec%.0f,"serde_rows_per_sec_core":$serdePerCore%.0f,"uuid_rows_per_sec":$uuidRowsPerSec%.0f,"uuid_rows_per_sec_core":${uuidRowsPerSec / cpus.toInt}%.0f,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

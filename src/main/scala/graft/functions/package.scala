@@ -38,4 +38,11 @@ package object functions {
   def decode_payload(payload: Column, schemaId: Column,
                      snapshot: Map[Int, String], readerSchemaId: Int): Column =
     col(DecodePayload(expr(payload), expr(schemaId), snapshot, readerSchemaId))
+
+  /** Fresh 16-byte uuid4 per row (codegen'd; see [[Uuid4Binary]]). */
+  def uuid4_binary(): Column =
+    col(Uuid4Binary(new java.security.SecureRandom().nextLong()))
+
+  /** Seeded variant for replayable tests. */
+  def uuid4_binary(seed: Long): Column = col(Uuid4Binary(seed))
 }

@@ -29,15 +29,18 @@ object Pipeline {
     * @param messageType create/update/delete/refresh/log
     * @param entry       the registered schema this payload is written under
     * @param timestamp   unix-seconds column for the envelope
-    * @param uuid        16-byte uuid column; defaults to a deterministic
-    *                    surrogate (at-cluster this is `uuid()`-derived)
+    * @param uuid        16-byte uuid column; defaults to the codegen'd
+    *                    [[graft.functions.Uuid4Binary]] uuid4 generator
+    *                    (reference: _fast_uuid.py — uuid generation is the
+    *                    reference's headline hot path); pass a
+    *                    deterministic column for replayable tests/oracles
     */
   def envelopeFor(
       payload: Column,
       messageType: String,
       entry: SchemaRegistry#SchemaEntry,
       timestamp: Column,
-      uuid: Column,
+      uuid: Column = uuid4_binary(),
       ascii: Boolean = false,
       previousPayload: Option[Column] = None): Column = {
     val metaType = Envelope.sparkType("meta").dataType
@@ -65,8 +68,8 @@ object Pipeline {
       messageType: String,
       entry: SchemaRegistry#SchemaEntry,
       timestamp: Column,
-      uuid: Column,
       registry: SchemaRegistry,
+      uuid: Column = uuid4_binary(),
       skipPii: Boolean = false): DataFrame = {
     val piiTopics = registry.piiTopics
     val out = df.select(

@@ -82,4 +82,23 @@ class FunctionsSpec extends SparkTestBase {
     val expected = if ("02468ace".contains(hex.charAt(0))) 1.0 else -1.0
     assert(s1(3)(7) == expected)
   }
+
+  test("uuid4_binary emits unique RFC 4122 v4 ids and replays under a fixed seed") {
+    val rows = spark.range(0, 1000, 1, 4)
+      .select(graft.functions.uuid4_binary(7L).as("u"))
+      .collect().map(_.getAs[Array[Byte]](0))
+    assert(rows.forall(_.length == 16))
+    assert(rows.forall(b => (b(6) & 0xf0) == 0x40), "version nibble must be 4")
+    assert(rows.forall(b => (b(8) & 0xc0) == 0x80), "variant bits must be RFC 4122")
+    assert(rows.map(_.toSeq).distinct.length == 1000, "ids must be unique")
+    // seeded generation replays identically (task-retry recomputability)
+    val again = spark.range(0, 1000, 1, 4)
+      .select(graft.functions.uuid4_binary(7L).as("u"))
+      .collect().map(_.getAs[Array[Byte]](0))
+    assert(rows.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+    // unseeded calls draw distinct streams
+    val a = spark.range(1).select(graft.functions.uuid4_binary().as("u")).head().getAs[Array[Byte]](0)
+    val b = spark.range(1).select(graft.functions.uuid4_binary().as("u")).head().getAs[Array[Byte]](0)
+    assert(a.toSeq != b.toSeq)
+  }
 }

@@ -88,10 +88,10 @@ class StreamingSpec extends SparkTestBase {
     val entry = reg.registerSchema("s", "secrets", bizJson, containsPii = true)
     val df = Seq((1, "x", 1700000000L)).toDF("id", "name", "epoch")
     val out = Pipeline.produce(df, struct($"id", $"name"), "create", entry,
-      $"epoch", unhex(md5($"id".cast("string"))), reg, skipPii = true)
+      $"epoch", reg, unhex(md5($"id".cast("string"))), skipPii = true)
     assert(out.count() == 0)
     val kept = Pipeline.produce(df, struct($"id", $"name"), "create", entry,
-      $"epoch", unhex(md5($"id".cast("string"))), reg, skipPii = false)
+      $"epoch", reg, unhex(md5($"id".cast("string"))), skipPii = false)
     assert(kept.count() == 1)
   }
 
@@ -102,7 +102,7 @@ class StreamingSpec extends SparkTestBase {
     assert(entry.primaryKeys == Seq("id"))
     val df = Seq((7, "x", 1700000000L)).toDF("id", "name", "epoch")
     val out = Pipeline.produce(df, struct($"id", $"name"), "create", entry,
-      $"epoch", unhex(md5($"id".cast("string"))), reg)
+      $"epoch", reg, unhex(md5($"id".cast("string"))))
     val key = out.select($"key").head().getAs[Array[Byte]](0)
     // avro zig-zag varint of int 7 is one byte 0x0e
     assert(key.toSeq == Seq(0x0e.toByte))
