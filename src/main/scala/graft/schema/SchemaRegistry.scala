@@ -183,6 +183,11 @@ class SchemaRegistry extends Serializable {
 
   def topicsCreatedAfter(tick: Long): Seq[TopicEntry] = topics.filter(_.createdAt > tick)
 
+  /** Current logical-clock reading — the registry's "now" for stateful
+    * new-topics-only consumer sources (the reference uses wall time;
+    * the logical clock gives the same ordering deterministically). */
+  def currentTick: Long = clock.get().toLong
+
   /** Topics whose latest schema declares primary keys — the compaction
     * eligibility filter (reference: schematizer.py:1221-1242,
     * tools/compaction_setter.py). */

@@ -14,6 +14,13 @@ import graft.schema.SchemaRegistry
   */
 sealed trait ConsumerSource {
   def resolve(registry: SchemaRegistry): Set[String]
+
+  /** Incremental sources resolve only the *new* topics each tick (the
+    * NewTopicsOnly family); the controller appends them to the running
+    * subscription instead of replacing it (reference:
+    * base_consumer.py:829-882 refresh_new_topics vs :884-947
+    * refresh_topics). */
+  def incremental: Boolean = false
 }
 
 object ConsumerSource {
@@ -58,10 +65,63 @@ object ConsumerSource {
       registry.topicsByDataTarget(dataTargetId).map(_.name).toSet
   }
 
-  /** Topics created after a registry tick (NewTopicsOnly variants). */
+  /** Topics created after a fixed registry tick. */
   final case class TopicsCreatedAfter(tick: Long) extends ConsumerSource {
     def resolve(registry: SchemaRegistry): Set[String] =
       registry.topicsCreatedAfter(tick).map(_.name).toSet
+  }
+
+  /** New-topics-only in fixed namespaces, tracked per namespace
+    * (reference: NewTopicsOnlyInFixedNamespaces, consumer_source.py:167-196):
+    * each resolution remembers the registry clock per namespace and
+    * returns only topics created at-or-after the previous resolution
+    * (inclusive boundary, like the reference — an occasional re-resolve
+    * beats a missed topic). First resolution returns the namespace's full
+    * topic set. */
+  final class NewTopicsOnlyInNamespaces(namespaces: Set[String]) extends ConsumerSource {
+    private val lastQueryTick = scala.collection.mutable.Map.empty[String, Long]
+    override def incremental: Boolean = true
+    def resolve(registry: SchemaRegistry): Set[String] = synchronized {
+      namespaces.flatMap { ns =>
+        val cutoff = lastQueryTick.get(ns)
+        val now = registry.currentTick
+        val out = registry.topics
+          .filter(t => t.namespaceName == ns && cutoff.forall(t.createdAt >= _))
+          .map(_.name)
+        lastQueryTick(ns) = now
+        out
+      }
+    }
+  }
+
+  /** New-topics-only scoped to one source (reference: NewTopicOnlyInSource,
+    * consumer_source.py:199-229). */
+  final class NewTopicsOnlyInSource(namespace: String, source: String) extends ConsumerSource {
+    private var lastQueryTick: Option[Long] = None
+    override def incremental: Boolean = true
+    def resolve(registry: SchemaRegistry): Set[String] = synchronized {
+      val now = registry.currentTick
+      val out = registry.topicsBySource(namespace, source)
+        .filter(t => lastQueryTick.forall(t.createdAt >= _))
+        .map(_.name).toSet
+      lastQueryTick = Some(now)
+      out
+    }
+  }
+
+  /** New-topics-only scoped to a data target's consumer-group sources
+    * (reference: NewTopicOnlyInDataTarget, consumer_source.py:232-265). */
+  final class NewTopicsOnlyInDataTarget(dataTargetId: Int) extends ConsumerSource {
+    private var lastQueryTick: Option[Long] = None
+    override def incremental: Boolean = true
+    def resolve(registry: SchemaRegistry): Set[String] = synchronized {
+      val now = registry.currentTick
+      val out = registry.topicsByDataTarget(dataTargetId)
+        .filter(t => lastQueryTick.forall(t.createdAt >= _))
+        .map(_.name).toSet
+      lastQueryTick = Some(now)
+      out
+    }
   }
 }
 
@@ -79,9 +139,12 @@ final class TopicRefreshController(source: ConsumerSource, registry: SchemaRegis
   def currentTopics: Set[String] = current
 
   /** One discovery tick. Returns the diff; caller restarts the streaming
-    * query iff `changed`. */
+    * query iff `changed`. Incremental (NewTopicsOnly) sources append to
+    * the running subscription — topics are never dropped by a tick that
+    * simply found nothing new. */
   def tick(): Refresh = synchronized {
-    val next = source.resolve(registry)
+    val resolved = source.resolve(registry)
+    val next = if (source.incremental) current ++ resolved else resolved
     val refresh = Refresh(next -- current, current -- next, next)
     current = next
     refresh

@@ -76,6 +76,59 @@ class ControlPlaneSpec extends SparkTestBase {
     assert(src.resolve(reg) == Set(b.topicName))
   }
 
+  test("new-topics-only source returns the full set once, then only newcomers") {
+    val reg = new SchemaRegistry
+    val a = reg.registerSchema("ns", "src", schemaJson)
+    val src = new ConsumerSource.NewTopicsOnlyInSource("ns", "src")
+    assert(src.resolve(reg) == Set(a.topicName)) // first query: everything
+    assert(src.resolve(reg) == Set.empty)        // steady state: nothing new
+    val b = reg.registerSchema("ns", "src", incompatibleJson)
+    assert(src.resolve(reg) == Set(b.topicName)) // only the newcomer
+    assert(src.resolve(reg) == Set.empty)
+  }
+
+  test("new-topics-only per-namespace cursors advance independently") {
+    val reg = new SchemaRegistry
+    val a1 = reg.registerSchema("ns1", "sa", schemaJson)
+    val src = new ConsumerSource.NewTopicsOnlyInNamespaces(Set("ns1", "ns2"))
+    assert(src.resolve(reg) == Set(a1.topicName))
+    val b1 = reg.registerSchema("ns2", "sb", schemaJson)
+    val a2 = reg.registerSchema("ns1", "sa", incompatibleJson)
+    assert(src.resolve(reg) == Set(b1.topicName, a2.topicName))
+    assert(src.resolve(reg) == Set.empty)
+  }
+
+  test("new-topics-only data-target scope sees topics via consumer-group sources") {
+    val reg = new SchemaRegistry
+    val t = reg.createDataTarget("redshift", "redshift", "jdbc:...")
+    val g = reg.createConsumerGroup("etl", t.dataTargetId)
+    reg.addConsumerGroupDataSource(g.consumerGroupId, "ns", None)
+    val a = reg.registerSchema("ns", "src", schemaJson)
+    val src = new ConsumerSource.NewTopicsOnlyInDataTarget(t.dataTargetId)
+    assert(src.resolve(reg) == Set(a.topicName))
+    assert(src.resolve(reg) == Set.empty)
+    val b = reg.registerSchema("ns", "src", incompatibleJson)
+    assert(src.resolve(reg) == Set(b.topicName))
+    // out-of-scope namespaces never appear
+    reg.registerSchema("elsewhere", "x", schemaJson)
+    assert(src.resolve(reg) == Set.empty)
+  }
+
+  test("controller appends for incremental sources instead of dropping the subscription") {
+    val reg = new SchemaRegistry
+    val a = reg.registerSchema("ns", "src", schemaJson)
+    val ctl = new TopicRefreshController(
+      new ConsumerSource.NewTopicsOnlyInSource("ns", "src"), reg)
+    assert(ctl.tick().topics == Set(a.topicName))
+    // nothing new: an empty resolution must NOT unsubscribe topic a
+    val steady = ctl.tick()
+    assert(!steady.changed && steady.topics == Set(a.topicName))
+    val b = reg.registerSchema("ns", "src", incompatibleJson)
+    val grown = ctl.tick()
+    assert(grown.added == Set(b.topicName) && grown.removed.isEmpty &&
+      grown.topics == Set(a.topicName, b.topicName))
+  }
+
   // --- priority refresh queue (priority_refresh_queue.py:68-116) -------
 
   private def job(id: Int, src: String, status: RefreshStatus.Value,
