@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.schema.SchemaRegistry
+import graft.streaming.{ConsumerSource, KafkaTransport, Pipeline}
+
+/** The Kafka edge, testable without a broker: the option maps are pure and
+  * asserted against spark-sql-kafka's documented contract; writer/reader
+  * construction runs end-to-end from Pipeline transport rows; and start()
+  * is proven to reach Kafka data-source resolution (this sandbox ships no
+  * Kafka artifacts, so resolution failing on exactly the missing provider
+  * — not on our wiring — is the strongest available check: any break in
+  * the transport schema or option plumbing surfaces as a different
+  * error). */
+class KafkaTransportSpec extends SparkTestBase {
+
+  private val bizJson =
+    """{"type":"record","name":"biz","namespace":"s","fields":[
+         {"name":"id","type":"int","pkey":1},
+         {"name":"name","type":"string"}]}"""
+
+  test("sink options carry the reference producer semantics") {
+    val o = KafkaTransport.sinkOptions("broker1:9092,broker2:9092", "/chk/pipe")
+    assert(o("kafka.bootstrap.servers") == "broker1:9092,broker2:9092")
+    assert(o("kafka.acks") == "all")              // reference acks=-1
+    assert(o("kafka.enable.idempotence") == "true") // ST2 retry audit for free
+    assert(o("kafka.linger.ms") == "100")         // reference flush interval
+    assert(o("checkpointLocation") == "/chk/pipe")
+    assert(o("kafka.batch.size").toInt >= KafkaTransport.DefaultBatchMessages)
+  }
+
+  test("source options encode subscription, resume offsets and throughput caps") {
+    val o = KafkaTransport.sourceOptions("b:9092", Seq("t2", "t1"),
+      startingOffsets = Map(("t1", 0) -> 42L, ("t1", 1) -> 7L, ("t2", 0) -> 0L),
+      maxOffsetsPerTrigger = Some(5000L))
+    assert(o("subscribe") == "t1,t2")
+    assert(o("startingOffsets") ==
+      """{"t1": {"0": 42, "1": 7}, "t2": {"0": 0}}""")
+    assert(o("maxOffsetsPerTrigger") == "5000")
+    assert(o("failOnDataLoss") == "false")
+    // no resume state -> earliest (reference auto_offset_reset=smallest)
+    assert(KafkaTransport.sourceOptions("b:9092", Seq("t"))("startingOffsets") == "earliest")
+  }
+
+  test("timestamp seek delegates to startingOffsetsByTimestamp") {
+    val o = KafkaTransport.sourceOptionsByTimestamp("b:9092", Seq("t1", "t0"), 1700000000000L)
+    assert(o("startingOffsetsByTimestamp") ==
+      """{"t0": {"-1": 1700000000000}, "t1": {"-1": 1700000000000}}""")
+  }
+
+  test("produce rows wire into a kafka writer; start() reaches provider resolution") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val reg = new SchemaRegistry
+    val entry = reg.registerSchema("s", "biz", bizJson)
+
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Int, String, Long)]
+    val transport = Pipeline.produce(
+      input.toDF().toDF("id", "name", "epoch"),
+      payload = struct($"id", $"name"), messageType = "create", entry = entry,
+      timestamp = $"epoch", registry = reg)
+    assert(transport.isStreaming)
+
+    val writer = KafkaTransport.writer(transport, "b:9092",
+      java.nio.file.Files.createTempDirectory("kchk").toString)
+    // the sandbox has no spark-sql-kafka jar: start() must fail on exactly
+    // the missing provider, proving the wiring got that far intact
+    val err = intercept[Exception](writer.start())
+    assert(err.getMessage.toLowerCase.contains("kafka"), s"unexpected: ${err.getMessage}")
+
+    // a transport frame missing the sink contract fails fast, pre-kafka
+    val bad = intercept[IllegalArgumentException](
+      KafkaTransport.writer(transport.drop("value"), "b:9092", "/tmp/x"))
+    assert(bad.getMessage.contains("topic/value"))
+  }
+
+  test("consumer-source resolution wires into a kafka reader") {
+    val reg = new SchemaRegistry
+    val entry = reg.registerSchema("s", "biz", bizJson)
+    val reader = KafkaTransport.reader(spark, reg,
+      ConsumerSource.TopicsInSource("s", "biz"), "b:9092",
+      startingOffsets = Map((entry.topicName, 0) -> 10L))
+    val err = intercept[Exception](reader.load())
+    assert(err.getMessage.toLowerCase.contains("kafka"), s"unexpected: ${err.getMessage}")
+  }
+}
