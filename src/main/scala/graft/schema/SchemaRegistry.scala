@@ -200,6 +200,87 @@ class SchemaRegistry extends Serializable {
   def snapshot: Map[Int, String] =
     schemas.map(s => s.schemaId -> s.schemaJson).toMap
 
+  // --- paginated query surface (schematizer.py:141-254, 793-859) --------
+
+  final case class SchemaElement(
+      schemaId: Int,
+      elementName: String, // "record.field" key form
+      elementType: String,
+      doc: Option[String])
+
+  /** Field-level elements of a schema (reference:
+    * get_schema_elements_by_schema_id, schematizer.py:141-163 — whole-
+    * record elements are filtered out, field elements keep the
+    * `record.field` key form). */
+  def getSchemaElementsBySchemaId(schemaId: Int): Seq[SchemaElement] =
+    schemasById.get(schemaId).toSeq.flatMap { s =>
+      val parsed = AvroCodec.parse(s.schemaJson)
+      if (parsed.getType != Schema.Type.RECORD) Seq.empty
+      else parsed.getFields.asScala.map { f =>
+        SchemaElement(schemaId, s"${parsed.getName}.${f.name()}",
+          f.schema().getType.getName.toLowerCase, Option(f.doc()))
+      }.toSeq
+    }
+
+  /** One page of schemas: created at-or-after `createdAfter`, id ≥
+    * `minId`, ascending id, at most `count` rows (reference:
+    * get_schemas_by_criteria, schematizer.py:195-231). */
+  def getSchemasByCriteria(createdAfter: Long = 0L, minId: Int = 0,
+                           count: Int = 10): Seq[SchemaEntry] =
+    schemas.filter(s => s.createdAt >= createdAfter && s.schemaId >= minId)
+      .sortBy(_.schemaId).take(count)
+
+  /** All schemas created at-or-after the timestamp, fetched in `pageSize`
+    * keyset-paginated pages exactly like the reference client
+    * (schematizer.py:166-254): advance min_id past the last page's tail
+    * until a short page signals the end. */
+  def getSchemasCreatedAfterDate(createdAfter: Long, minId: Int = 0,
+                                 pageSize: Int = 10): Seq[SchemaEntry] = {
+    val out = Seq.newBuilder[SchemaEntry]
+    var cursor = minId
+    var lastPageSize = pageSize
+    while (lastPageSize == pageSize) {
+      val page = getSchemasByCriteria(createdAfter, cursor, pageSize)
+      out ++= page
+      page.lastOption.foreach(s => cursor = s.schemaId + 1)
+      lastPageSize = page.size
+    }
+    out.result()
+  }
+
+  val DefaultTopicPageSize = 20 // reference DEFAULT_PAGE_SIZE
+
+  /** Topics matching conjunctive criteria, internally keyset-paginated at
+    * page size 20 with an optional result cap (reference:
+    * get_topics_by_criteria, schematizer.py:793-859; created bound
+    * inclusive; ordered by topic id). */
+  def getTopicsByCriteria(namespace: Option[String] = None,
+                          source: Option[String] = None,
+                          createdAfter: Option[Long] = None,
+                          minId: Int = 0,
+                          maxCount: Option[Int] = None): Seq[TopicEntry] = {
+    def page(cursor: Int): Seq[TopicEntry] =
+      topics.filter { t =>
+        t.topicId >= cursor &&
+          namespace.forall(_ == t.namespaceName) &&
+          source.forall(_ == t.sourceName) &&
+          createdAfter.forall(t.createdAt >= _)
+      }.sortBy(_.topicId).take(DefaultTopicPageSize)
+    val out = Seq.newBuilder[TopicEntry]
+    var n = 0
+    var cursor = minId
+    var more = true
+    while (more) {
+      val p = page(cursor)
+      val capped = maxCount.map(c => p.take(c - n)).getOrElse(p)
+      out ++= capped
+      n += capped.size
+      p.lastOption.foreach(t => cursor = t.topicId + 1)
+      more = p.size >= DefaultTopicPageSize && maxCount.forall(n < _)
+    }
+    out.result()
+  }
+
   // --- data targets / consumer groups (schematizer.py:861-1189) --------
 
   final case class DataTarget(dataTargetId: Int, name: String,

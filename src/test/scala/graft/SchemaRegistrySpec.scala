@@ -80,4 +80,51 @@ class SchemaRegistrySpec extends SparkTestBase {
     assert(t.count() == 2 && s.count() == 2)
     assert(t.filter(t("contains_pii")).count() == 1)
   }
+
+  test("schema elements flatten record fields, excluding the whole-record element") {
+    val reg = new SchemaRegistry
+    val e = reg.registerSchema("ns", "src",
+      """{"type":"record","name":"biz","namespace":"ns","fields":[
+         {"name":"id","type":"int","doc":"pk"},
+         {"name":"name","type":"string"},
+         {"name":"tags","type":{"type":"array","items":"string"}}]}""")
+    val els = reg.getSchemaElementsBySchemaId(e.schemaId)
+    assert(els.map(_.elementName) == Seq("biz.id", "biz.name", "biz.tags"))
+    assert(els.map(_.elementType) == Seq("int", "string", "array"))
+    assert(els.head.doc.contains("pk"))
+    // non-record schemas (e.g. the fixed(16) IV) have no field elements
+    val iv = reg.registerSchema("graft.crypto", "iv",
+      graft.core.Envelope.initializationVectorSchemaJson)
+    assert(reg.getSchemaElementsBySchemaId(iv.schemaId).isEmpty)
+  }
+
+  test("created-after schema pagination walks keyset pages to the end") {
+    val reg = new SchemaRegistry
+    // 7 sources -> 7 schemas with distinct ids/ticks
+    val entries = (1 to 7).map(i => reg.registerSchema("ns", s"s$i", base))
+    val cutoffTick = entries(2).createdAt // entries 3..7 are at-or-after
+    val got = reg.getSchemasCreatedAfterDate(cutoffTick, pageSize = 2)
+    assert(got.map(_.schemaId) == entries.drop(2).map(_.schemaId))
+    // single page form respects count and min_id
+    val page = reg.getSchemasByCriteria(createdAfter = 0L,
+      minId = entries(3).schemaId, count = 2)
+    assert(page.map(_.schemaId) == entries.slice(3, 5).map(_.schemaId))
+  }
+
+  test("topics-by-criteria filters conjunctively, paginates, and caps results") {
+    val reg = new SchemaRegistry
+    val inNs = (1 to 25).map(i => reg.registerSchema("ns", s"s$i", base))
+    reg.registerSchema("other", "x", base)
+    val all = reg.getTopicsByCriteria(namespace = Some("ns"))
+    assert(all.size == 25) // crosses the 20-row internal page boundary
+    assert(all.map(_.topicId) == all.map(_.topicId).sorted)
+    val capped = reg.getTopicsByCriteria(namespace = Some("ns"), maxCount = Some(3))
+    assert(capped.size == 3 && capped.map(_.topicId) == all.take(3).map(_.topicId))
+    val bySource = reg.getTopicsByCriteria(namespace = Some("ns"), source = Some("s9"))
+    assert(bySource.map(_.name) == Seq(inNs(8).topicName))
+    val cutoff = reg.getTopicByName(inNs(20).topicName).get.createdAt
+    val late = reg.getTopicsByCriteria(createdAfter = Some(cutoff))
+    // inclusive bound: topics 21..25 of ns plus the later other/x topic
+    assert(late.map(_.name).contains(inNs(20).topicName) && late.size == 6)
+  }
 }
