@@ -98,13 +98,21 @@ object Curation {
     */
   def stripBoilerplate(docs: DataFrame, idCol: String, textCol: String,
                        dfRatio: Double): DataFrame = {
-    val nDocs = docs.count()
-    val minDf = math.floor(dfRatio * nDocs).toLong
     val ws = split(trim(col(textCol)), "\\s+")
-    val stop = docs
-      .select(explode(array_distinct(ws)).as("t"))
+    // single job, single scan: the grouped count carries a per-doc marker
+    // row ("" can never be a \s+-split token) whose df IS the corpus size,
+    // so the threshold comparison stays distributed — only the tiny
+    // stoplist ever reaches the driver, and the old separate docs.count()
+    // pre-scan is gone
+    val counts = docs
+      .select(explode(concat(array(lit("")), array_distinct(ws))).as("t"))
       .groupBy(col("t")).agg(count(lit(1)).as("df"))
-      .filter(col("df") > minDf)
+    val nDocs = counts.filter(col("t") === "").select(col("df").as("n"))
+    val stop = counts
+      .filter(col("t") =!= "")
+      .crossJoin(broadcast(nDocs))
+      .filter(col("df") > floor(lit(dfRatio) * col("n")))
+      .select(col("t"))
       .collect().map(_.getString(0)).toSeq.sorted
     val stopArr = typedLit(stop)
     val kept = filter(ws, w => !array_contains(stopArr, w))

@@ -477,9 +477,20 @@ object SchemaRegistry {
     * Refresh rows restore verbatim — their offsets/states are runtime
     * progress, not derivable, and a restarted manager must resume from
     * them exactly. */
+  /** Catalogs are control-plane metadata (thousands of schemas, not data
+    * rows); the reload path collects driver-side by design, and this guard
+    * turns a mis-pointed path (e.g. a data table) into a clear error
+    * instead of a driver OOM. */
+  val MaxCatalogRows: Long = 1L << 20
+
   def load(spark: SparkSession, dir: String): SchemaRegistry = {
     val reg = new SchemaRegistry
-    val rows = spark.read.parquet(s"$dir/schemas")
+    val catalog = spark.read.parquet(s"$dir/schemas")
+    val nRows = catalog.count() // parquet metadata only — no scan
+    require(nRows <= MaxCatalogRows,
+      s"refusing to rehydrate $nRows rows from $dir/schemas driver-side — " +
+        "is this really a catalog store?")
+    val rows = catalog
       .select("schema_id", "namespace", "source", "schema_json", "contains_pii")
       .collect().sortBy(_.getAs[Int]("schema_id"))
     rows.foreach { r =>
