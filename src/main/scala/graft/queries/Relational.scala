@@ -25,8 +25,12 @@ import graft.Tables
 object Relational {
 
   /** A2-style fold + TPC-H Q1 pricing summary (SURVEY §2.3 A1/A2).
-    * Doubles are rounded to 2dp on both sides so summation order can't
-    * flip the hash.
+    * Money/quantity totals are summed in exact integer micro-units
+    * (floor(x·10^6) longs): per-row the double arithmetic is IEEE-identical
+    * on any engine, and the long sum is aggregation-order-independent —
+    * round(sum(double)) is not, and is exactly the class of divergence
+    * that hash-failed three queries in round 1. avg derives from the
+    * exact sum by integer division.
     */
   def q1PricingSummary(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -34,11 +38,15 @@ object Relational {
       .filter($"l_shipdate" <= lit("1995-09-02").cast("timestamp"))
       .groupBy($"l_returnflag", $"l_linestatus")
       .agg(
-        round(sum($"l_quantity"), 2).as("sum_qty"),
-        round(sum($"l_extendedprice"), 2).as("sum_base_price"),
-        round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 2).as("sum_disc_price"),
-        round(avg($"l_quantity"), 4).as("avg_qty"),
+        sum(floor($"l_quantity" * 1000000L)).as("sum_qty_micros"),
+        sum(floor($"l_extendedprice" * 1000000L)).as("sum_base_price_micros"),
+        sum(floor($"l_extendedprice" * (lit(1.0) - $"l_discount") * 1000000L))
+          .as("sum_disc_price_micros"),
         count(lit(1)).as("count_order"))
+      .withColumn("avg_qty_micros", expr("sum_qty_micros div count_order"))
+      .select($"l_returnflag", $"l_linestatus", $"sum_qty_micros",
+        $"sum_base_price_micros", $"sum_disc_price_micros",
+        $"avg_qty_micros", $"count_order")
       .orderBy($"l_returnflag", $"l_linestatus")
   }
 
@@ -71,7 +79,9 @@ object Relational {
       .join(broadcast(nat), $"c_nationkey" === $"n_nationkey")
       .join(broadcast(reg), $"n_regionkey" === $"r_regionkey")
       .groupBy($"r_name", $"n_name")
-      .agg(round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 2).as("revenue"),
+      // exact integer micros: long sums are aggregation-order-independent
+      .agg(sum(floor($"l_extendedprice" * (lit(1.0) - $"l_discount") * 1000000L))
+             .as("revenue_micros"),
            count(lit(1)).as("n_items"))
       .orderBy($"r_name", $"n_name")
   }
@@ -192,8 +202,10 @@ object Relational {
     val ord = Tables.orders(spark, dir).select($"o_orderkey", $"o_custkey")
     li.join(ord, $"l_orderkey" === $"o_orderkey")
       .groupBy($"o_custkey")
-      .agg(round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 2).as("revenue"))
-      .orderBy($"revenue".desc, $"o_custkey".asc)
+      // exact integer micros: long sums are aggregation-order-independent
+      .agg(sum(floor($"l_extendedprice" * (lit(1.0) - $"l_discount") * 1000000L))
+        .as("revenue_micros"))
+      .orderBy($"revenue_micros".desc, $"o_custkey".asc)
       .limit(10)
   }
 
@@ -362,10 +374,14 @@ object Relational {
          FROM carried ORDER BY line_no""",
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
-         round(sum(l_quantity), 2) AS sum_qty,
-         round(sum(l_extendedprice), 2) AS sum_base_price,
-         round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
-         round(avg(l_quantity), 4) AS avg_qty,
+         CAST(sum(CAST(floor(l_quantity * 1000000) AS BIGINT)) AS BIGINT)
+           AS sum_qty_micros,
+         CAST(sum(CAST(floor(l_extendedprice * 1000000) AS BIGINT)) AS BIGINT)
+           AS sum_base_price_micros,
+         CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 1000000) AS BIGINT)) AS BIGINT)
+           AS sum_disc_price_micros,
+         CAST(CAST(sum(CAST(floor(l_quantity * 1000000) AS BIGINT)) AS BIGINT)
+              // count(*) AS BIGINT) AS avg_qty_micros,
          count(*) AS count_order
          FROM lineitem
          WHERE l_shipdate <= TIMESTAMP '1995-09-02 00:00:00'
@@ -377,7 +393,8 @@ object Relational {
          ORDER BY o_orderkey""",
     "q_region_revenue" ->
       """SELECT r_name, n_name,
-         round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+         CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 1000000) AS BIGINT)) AS BIGINT)
+           AS revenue_micros,
          count(*) AS n_items
          FROM lineitem
          JOIN orders ON l_orderkey = o_orderkey
@@ -442,10 +459,11 @@ object Relational {
          WHERE rn = 1 ORDER BY o_custkey""",
     "q_top_revenue" ->
       """SELECT o_custkey,
-         round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+         CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 1000000) AS BIGINT)) AS BIGINT)
+           AS revenue_micros
          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          GROUP BY o_custkey
-         ORDER BY revenue DESC, o_custkey ASC
+         ORDER BY revenue_micros DESC, o_custkey ASC
          LIMIT 10""",
     "q_latest_per_user" ->
       """SELECT user_id, event_id, event_type, ts FROM (
