@@ -398,10 +398,15 @@ object LlmOps {
                              substr(md5('hp:' || p || ':' || i), 1, 1)) - 1) % 2 = 0
                        THEN 1.0 ELSE -1.0 END AS s
            FROM range(0, 16) r(p), range(0, 64) q(i)),
+         hpl AS (SELECT p, list(s ORDER BY i) AS sv FROM hp GROUP BY p),
          bits AS (
-           SELECT vec_id, p,
-                  CASE WHEN round(sum(s * e[i + 1]), 6) >= 0 THEN 1 ELSE 0 END AS bit
-           FROM v, hp GROUP BY vec_id, p),
+           -- per-row sequential list fold (i ascending), matching Spark's
+           -- aggregate() order exactly — a group-sum over unnested dims
+           -- would be summation-order-dependent under parallel aggregation
+           SELECT v.vec_id, hpl.p,
+                  CASE WHEN round(list_sum([hpl.sv[i] * v.e[i] for i in range(1, 65)]), 6) >= 0
+                       THEN 1 ELSE 0 END AS bit
+           FROM v, hpl),
          codes AS (
            SELECT vec_id, p // 4 AS band,
                   sum(bit * power(2, p % 4)::INT)::INT AS code
