@@ -446,14 +446,30 @@ class SchemaRegistry extends Serializable {
 
   // --- persistence ------------------------------------------------------
 
-  /** Persist the catalog as parquet tables (schemas + topics + refreshes).
-    * The store is the registry's durability layer — an embedded stand-in
-    * for the Schematizer's MySQL (at cluster scale: a shared object-store
-    * path or Delta table). */
+  /** Persist the catalog as parquet tables (schemas + topics + refreshes +
+    * data targets/consumer groups/meta-attribute mappings). The store is
+    * the registry's durability layer — an embedded stand-in for the
+    * Schematizer's MySQL (at cluster scale: a shared object-store path or
+    * Delta table). */
   def save(spark: SparkSession, dir: String): Unit = {
+    import spark.implicits._
     topicsDF(spark).write.mode("overwrite").parquet(s"$dir/topics")
     schemasDF(spark).write.mode("overwrite").parquet(s"$dir/schemas")
     refreshesDF(spark).write.mode("overwrite").parquet(s"$dir/refreshes")
+    dataTargets.map(t => (t.dataTargetId, t.name, t.targetType, t.destination))
+      .toDF("data_target_id", "name", "target_type", "destination")
+      .write.mode("overwrite").parquet(s"$dir/data_targets")
+    consumerGroups.map(g => (g.consumerGroupId, g.name, g.dataTargetId))
+      .toDF("consumer_group_id", "name", "data_target_id")
+      .write.mode("overwrite").parquet(s"$dir/consumer_groups")
+    groupSources.toSeq
+      .flatMap { case (gid, srcs) => srcs.map(s => (gid, s._1, s._2)) }
+      .toDF("consumer_group_id", "namespace", "source")
+      .write.mode("overwrite").parquet(s"$dir/group_sources")
+    metaAttrMappings.toSeq
+      .flatMap { case ((ns, src), ids) => ids.map(id => (ns, src, id)) }
+      .toDF("namespace", "source", "meta_attribute_schema_id")
+      .write.mode("overwrite").parquet(s"$dir/meta_attr_mappings")
   }
 
   /** Restore a refresh row verbatim (reload path: ids, offsets and states
@@ -466,6 +482,20 @@ class SchemaRegistry extends Serializable {
     val tick = math.max(j.createdAt, j.updatedAt).toInt
     var c = clock.get()
     while (c < tick && !clock.compareAndSet(c, tick)) c = clock.get()
+  }
+
+  private[schema] def restoreDataTarget(t: DataTarget): Unit = synchronized {
+    dataTargetsById.put(t.dataTargetId, t)
+    var cur = nextDataTargetId.get()
+    while (cur < t.dataTargetId && !nextDataTargetId.compareAndSet(cur, t.dataTargetId))
+      cur = nextDataTargetId.get()
+  }
+
+  private[schema] def restoreConsumerGroup(g: ConsumerGroup): Unit = synchronized {
+    consumerGroupsById.put(g.consumerGroupId, g)
+    var cur = nextConsumerGroupId.get()
+    while (cur < g.consumerGroupId && !nextConsumerGroupId.compareAndSet(cur, g.consumerGroupId))
+      cur = nextConsumerGroupId.get()
   }
 }
 
@@ -500,25 +530,42 @@ object SchemaRegistry {
       require(entry.schemaId == r.getAs[Int]("schema_id"),
         s"catalog reload drifted: got ${entry.schemaId}, expected ${r.getAs[Int]("schema_id")}")
     }
-    val refreshPath = new java.io.File(s"$dir/refreshes")
-    if (refreshPath.exists()) {
-      spark.read.parquet(s"$dir/refreshes").collect()
-        .sortBy(_.getAs[Int]("refresh_id"))
-        .foreach { r =>
-          reg.restoreRefresh(graft.refresh.RefreshJob(
-            r.getAs[Int]("refresh_id"),
-            r.getAs[String]("namespace_name"),
-            r.getAs[String]("source_name"),
-            graft.refresh.RefreshStatus.fromWire(r.getAs[String]("status")),
-            r.getAs[Long]("offset"),
-            r.getAs[Int]("batch_size"),
-            r.getAs[Int]("priority"),
-            Option(r.getAs[String]("filter_condition")),
-            Option(r.get(r.fieldIndex("avg_rows_per_second_cap")))
-              .map(_.asInstanceOf[Int]),
-            r.getAs[Long]("created_at"),
-            r.getAs[Long]("updated_at")))
-        }
+    def table(name: String): Seq[org.apache.spark.sql.Row] = {
+      if (!new java.io.File(s"$dir/$name").exists()) Seq.empty
+      else spark.read.parquet(s"$dir/$name").collect().toSeq
+    }
+    table("refreshes").sortBy(_.getAs[Int]("refresh_id")).foreach { r =>
+      reg.restoreRefresh(graft.refresh.RefreshJob(
+        r.getAs[Int]("refresh_id"),
+        r.getAs[String]("namespace_name"),
+        r.getAs[String]("source_name"),
+        graft.refresh.RefreshStatus.fromWire(r.getAs[String]("status")),
+        r.getAs[Long]("offset"),
+        r.getAs[Int]("batch_size"),
+        r.getAs[Int]("priority"),
+        Option(r.getAs[String]("filter_condition")),
+        Option(r.get(r.fieldIndex("avg_rows_per_second_cap")))
+          .map(_.asInstanceOf[Int]),
+        r.getAs[Long]("created_at"),
+        r.getAs[Long]("updated_at")))
+    }
+    table("data_targets").sortBy(_.getAs[Int]("data_target_id")).foreach { r =>
+      reg.restoreDataTarget(reg.DataTarget(
+        r.getAs[Int]("data_target_id"), r.getAs[String]("name"),
+        r.getAs[String]("target_type"), r.getAs[String]("destination")))
+    }
+    table("consumer_groups").sortBy(_.getAs[Int]("consumer_group_id")).foreach { r =>
+      reg.restoreConsumerGroup(reg.ConsumerGroup(
+        r.getAs[Int]("consumer_group_id"), r.getAs[String]("name"),
+        r.getAs[Int]("data_target_id")))
+    }
+    table("group_sources").foreach { r =>
+      reg.addConsumerGroupDataSource(r.getAs[Int]("consumer_group_id"),
+        r.getAs[String]("namespace"), Option(r.getAs[String]("source")))
+    }
+    table("meta_attr_mappings").foreach { r =>
+      reg.registerMetaAttributeMapping(r.getAs[String]("namespace"),
+        Option(r.getAs[String]("source")), r.getAs[Int]("meta_attribute_schema_id"))
     }
     reg
   }

@@ -80,4 +80,30 @@ class RefreshCatalogSpec extends SparkTestBase {
     reloaded.updateRefresh(active.refreshId, RefreshStatus.Success, 9999L)
     assert(reloaded.getRefreshById(active.refreshId).get.status == RefreshStatus.Success)
   }
+
+  test("data targets, consumer groups and meta mappings survive save/load") {
+    val reg = new SchemaRegistry
+    val e = reg.registerSchema("yelp", "user", userJson)
+    val ivEntry = reg.registerSchema("graft.crypto", "iv",
+      graft.core.Envelope.initializationVectorSchemaJson)
+    val t = reg.createDataTarget("warehouse", "redshift", "jdbc:redshift://x")
+    val g = reg.createConsumerGroup("etl", t.dataTargetId)
+    reg.addConsumerGroupDataSource(g.consumerGroupId, "yelp", None)
+    reg.registerMetaAttributeMapping("yelp", Some("user"), ivEntry.schemaId)
+
+    val dir = java.nio.file.Files.createTempDirectory("dt_catalog").toString
+    reg.save(spark, dir)
+    val reloaded = SchemaRegistry.load(spark, dir)
+
+    assert(reloaded.dataTargets.map(t2 => (t2.dataTargetId, t2.name, t2.destination)) ==
+      Seq((t.dataTargetId, "warehouse", "jdbc:redshift://x")))
+    assert(reloaded.consumerGroups.map(g2 => (g2.consumerGroupId, g2.dataTargetId)) ==
+      Seq((g.consumerGroupId, t.dataTargetId)))
+    // the data-target topic resolution works off the reloaded wiring
+    assert(reloaded.topicsByDataTarget(t.dataTargetId).map(_.name)
+      .contains(e.topicName))
+    assert(reloaded.mandatoryMetaAttributes(e.schemaId) == Set(ivEntry.schemaId))
+    // id sequences continue past restored rows
+    assert(reloaded.createDataTarget("x", "y", "z").dataTargetId == t.dataTargetId + 1)
+  }
 }
