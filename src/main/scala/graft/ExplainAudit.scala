@@ -9,8 +9,8 @@ object ExplainAudit {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.01")
     val names = if (args.length > 1) args.drop(1).toSeq
       else Seq("q_region_revenue", "q_keyset_scan", "q1_pricing_summary",
-        "sim_knn_cosine", "d_minhash_lsh", "d_contamination",
-        "t_stratified_sample", "q_sessionize")
+        "sim_knn_cosine", "sim_ivf_topk", "d_minhash_lsh", "d_contamination",
+        "t_stratified_sample", "q_sessionize", "q_binlog_scan", "m_media_embed")
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.ui.enabled", "false").getOrCreate()

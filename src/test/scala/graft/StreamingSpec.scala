@@ -108,6 +108,35 @@ class StreamingSpec extends SparkTestBase {
     assert(key.toSeq == Seq(0x0e.toByte))
   }
 
+  test("observed throughput counters accumulate across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val listener = new graft.streaming.Metrics.CounterListener
+    spark.streams.addListener(listener)
+    val input = MemoryStream[(Long, String)]
+    val observed = graft.streaming.Metrics.observeThroughput(
+      input.toDF().toDF("id", "payload"), "produce",
+      bytesCol = Some(length($"payload").cast("long")))
+    val q = observed.writeStream.format("memory").queryName("metrics_out")
+      .outputMode("append").start()
+    try {
+      input.addData((1L, "aa"), (2L, "bbb"))
+      q.processAllAvailable()
+      input.addData((3L, "c"))
+      q.processAllAvailable()
+      // listener events are delivered asynchronously — poll briefly
+      val deadline = System.nanoTime() + 10_000_000_000L
+      while (listener.messageCount("produce") < 3 && System.nanoTime() < deadline)
+        Thread.sleep(50)
+      assert(listener.messageCount("produce") == 3L)
+      assert(listener.byteCount("produce") == 6L) // 2 + 3 + 1
+    } finally {
+      q.stop()
+      spark.streams.removeListener(listener)
+    }
+  }
+
   test("monitor stream emits one count per epoch-aligned window and topic") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
