@@ -196,6 +196,12 @@ class SchemaRegistry extends Serializable {
 
   def piiTopics: Set[String] = topics.filter(_.containsPii).map(_.name).toSet
 
+  /** Keep only topic names whose latest schema declares primary keys
+    * (reference: schematizer.py:1221-1242 filter_topics_by_pkeys — the
+    * compaction eligibility check). */
+  def filterTopicsByPkeys(names: Seq[String]): Seq[String] =
+    names.filter(n => getLatestSchemaByTopicName(n).exists(_.primaryKeys.nonEmpty))
+
   /** Immutable schema_id → avro json map for executor-side decode. */
   def snapshot: Map[Int, String] =
     schemas.map(s => s.schemaId -> s.schemaJson).toMap

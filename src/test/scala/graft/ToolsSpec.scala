@@ -222,6 +222,53 @@ class ToolsSpec extends SparkTestBase {
     assert(Multimodal.byteHistogram(bad, "content").select($"hist").head().isNullAt(0))
   }
 
+  test("compaction setter compacts pkey topics, honors overrides, reports misses") {
+    import graft.tools.CompactionSetter
+    val reg = new graft.schema.SchemaRegistry
+    val keyed = reg.registerSchema("ns", "keyed",
+      """{"type":"record","name":"keyed","namespace":"ns","fields":[
+         {"name":"id","type":"int","pkey":1},{"name":"v","type":"string"}]}""")
+    val keyless = reg.registerSchema("ns", "keyless",
+      """{"type":"record","name":"keyless","namespace":"ns","fields":[
+         {"name":"v","type":"string"}]}""")
+    val overridden = reg.registerSchema("ns", "overridden",
+      """{"type":"record","name":"overridden","namespace":"ns","fields":[
+         {"name":"id","type":"int","pkey":1}]}""")
+    val ghost = reg.registerSchema("ns", "ghost",
+      """{"type":"record","name":"ghost","namespace":"ns","fields":[
+         {"name":"id","type":"int","pkey":1}]}""")
+
+    // eligibility: only pkey topics qualify
+    val eligible = CompactionSetter.topicsToCompact(reg)
+    assert(eligible.toSet ==
+      Set(keyed.topicName, overridden.topicName, ghost.topicName))
+    assert(!eligible.contains(keyless.topicName))
+    assert(CompactionSetter.topicsToCompact(reg, Some(keyed.topicName)) ==
+      Seq(keyed.topicName))
+
+    // cluster knows all but the ghost; one has a manual policy override
+    val configs = scala.collection.mutable.Map(
+      keyed.topicName -> Map.empty[String, String],
+      keyless.topicName -> Map.empty[String, String],
+      overridden.topicName -> Map("cleanup.policy" -> "delete"))
+    val store = new CompactionSetter.TopicConfigStore {
+      def getConfig(t: String): Option[Map[String, String]] = configs.get(t)
+      def setConfig(t: String, c: Map[String, String]): Unit = configs(t) = c
+    }
+    val res = CompactionSetter.applyLogCompaction(store, eligible.sorted)
+    assert(res.compacted == Seq(keyed.topicName))
+    assert(res.skipped == Seq(overridden.topicName)) // manual override wins
+    assert(res.missed == Seq(ghost.topicName))
+    assert(configs(keyed.topicName)("cleanup.policy") == "compact")
+    assert(configs(overridden.topicName)("cleanup.policy") == "delete")
+
+    // dry run reports identically but writes nothing
+    configs(keyed.topicName) = Map.empty
+    val dry = CompactionSetter.applyLogCompaction(store, eligible.sorted, dryRun = true)
+    assert(dry.compacted == Seq(keyed.topicName))
+    assert(configs(keyed.topicName).isEmpty)
+  }
+
   test("binlog analyzer carries header timestamps forward per file") {
     import spark.implicits._
     // two files: carry-forward must not leak across the partition key
