@@ -35,6 +35,22 @@ object Tailer {
 
   final val DefaultFields: Seq[String] = Seq("message_type", "schema_id", "payload")
 
+  /** Kafka source options for the given topic specs: offset seeks map to
+    * startingOffsets (partition 0 — the reference producer always writes
+    * partition 0, _kafka_producer.py:243-247), a start timestamp to the
+    * broker-side startingOffsetsByTimestamp index. */
+  def kafkaOptions(bootstrapServers: String, specs: Seq[TopicSpec],
+                   startTimestampSec: Option[Long] = None): Map[String, String] =
+    startTimestampSec match {
+      case Some(ts) =>
+        graft.streaming.KafkaTransport.sourceOptionsByTimestamp(
+          bootstrapServers, specs.map(_.topic), ts * 1000L)
+      case None =>
+        graft.streaming.KafkaTransport.sourceOptions(
+          bootstrapServers, specs.map(_.topic),
+          specs.flatMap(s => s.offset.map(o => (s.topic, 0) -> o)).toMap)
+    }
+
   /** Tail projection: select fields, optional ISO-8601 time, optional
     * timestamp bounds and message limit, JSON lines output column. */
   def tail(

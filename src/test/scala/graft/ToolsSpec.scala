@@ -63,6 +63,16 @@ class ToolsSpec extends SparkTestBase {
     intercept[IllegalArgumentException](Tailer.validateOffset(11, 0, 10))
   }
 
+  test("tailer bounds wire into kafka source options") {
+    val specs = Seq(Tailer.TopicSpec("t.a.v1", Some(42L)), Tailer.TopicSpec("t.b.v2", None))
+    val byOffset = Tailer.kafkaOptions("b:9092", specs)
+    assert(byOffset("subscribe") == "t.a.v1,t.b.v2")
+    assert(byOffset("startingOffsets") == """{"t.a.v1": {"0": 42}}""")
+    val byTime = Tailer.kafkaOptions("b:9092", specs, startTimestampSec = Some(1700000000L))
+    assert(byTime("startingOffsetsByTimestamp") ==
+      """{"t.a.v1": {"-1": 1700000000000}, "t.b.v2": {"-1": 1700000000000}}""")
+  }
+
   test("tail projects fields, formats ISO time, bounds and limits") {
     import spark.implicits._
     val consumed = Seq(
