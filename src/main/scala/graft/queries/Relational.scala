@@ -317,18 +317,27 @@ object Relational {
       .otherwise("DELETE FROM")
     val rowsKind = when(kind === 0, "Write_rows").when(kind === 1, "Update_rows")
       .otherwise("Delete_rows")
-    val file = lit("mysql-bin.000405").as("file")
-    val setTs = ev.select(file, ($"event_id" * 3).as("line_no"),
-      concat(lit("SET TIMESTAMP="), unix_timestamp($"ts"), lit("/*!*/;")).as("line"))
-    val headers = ev.filter($"event_id" % 4 =!= 0)
-      .select(file, ($"event_id" * 3 + 1).as("line_no"),
-        concat(lit("#"), date_format($"ts", "yyMMdd HH:mm:ss"),
-          lit(" server id 1  end_log_pos 120 CRC32 0x1f2e3d4c  "), rowsKind,
-          lit(": table id 77 flags: STMT_END_F")).as("line"))
-    val stmts = ev.select(file, ($"event_id" * 3 + 2).as("line_no"),
-      concat(lit("### "), verb, lit(" yelp.tbl_"), $"user_id" % 5).as("line"))
+    // one scan, not a 3-way union (which would read events three times):
+    // each event expands to its 2-3 transcript lines via a conditional
+    // array explode — headerless events contribute a null element that the
+    // filter drops before exploding
+    val headerLine = when($"event_id" % 4 =!= 0,
+      concat(lit("#"), date_format($"ts", "yyMMdd HH:mm:ss"),
+        lit(" server id 1  end_log_pos 120 CRC32 0x1f2e3d4c  "), rowsKind,
+        lit(": table id 77 flags: STMT_END_F")))
+    val lineStructs = filter(
+      array(
+        struct(($"event_id" * 3).as("line_no"),
+          concat(lit("SET TIMESTAMP="), unix_timestamp($"ts"), lit("/*!*/;")).as("line")),
+        struct(($"event_id" * 3 + 1).as("line_no"), headerLine.as("line")),
+        struct(($"event_id" * 3 + 2).as("line_no"),
+          concat(lit("### "), verb, lit(" yelp.tbl_"), $"user_id" % 5).as("line"))),
+      s => s.getField("line").isNotNull)
     graft.tools.BinlogAnalyzer
-      .parse(setTs.union(headers).union(stmts), "file", "line_no", "line")
+      .parse(
+        ev.select(lit("mysql-bin.000405").as("file"), explode(lineStructs).as("l"))
+          .select($"file", $"l.line_no".as("line_no"), $"l.line".as("line")),
+        "file", "line_no", "line")
       .orderBy($"line_no")
   }
 
