@@ -166,8 +166,11 @@ object LlmOps {
     * centroids + routing + ranking step for step. */
   def qIvfTopK(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // cached: k-means references the vector table once per iteration
+    // (assignment) plus the final centroid/search passes — at cluster
+    // scale this is persist(DISK_ONLY) or train-on-sample
     val vecs = Tables.embeddings(spark, dir)
-      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+      .select($"vec_id", $"embedding".cast("array<double>").as("v")).cache()
     val probes = vecs.filter($"vec_id" < 5)
       .select($"vec_id".as("probe_id"), $"v".as("p"))
     val labeled = graft.operators.Similarity
