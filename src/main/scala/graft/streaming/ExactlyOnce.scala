@@ -47,6 +47,16 @@ object ExactlyOnce {
     }
   }
 
+  /** Reconcile every topic of an unclean-shutdown replay at once
+    * (reference: producer.py:291-422 walks the whole
+    * topic → message-list map; one unensurable topic aborts the recovery
+    * unless forced). */
+  def reconcileAll(states: Map[String, (TopicState, Int)],
+                   allowForcedRecovery: Boolean = false): Map[String, Decision] =
+    states.map { case (topic, (st, n)) =>
+      topic -> reconcile(st, n, allowForcedRecovery)
+    }
+
   /** Retry verification for a failed produce request (reference:
     * _producer_retry.py:120-182): a "failed" request whose message count
     * exactly closed the watermark gap actually succeeded — treat the

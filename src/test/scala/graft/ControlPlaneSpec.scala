@@ -34,6 +34,19 @@ class ControlPlaneSpec extends SparkTestBase {
     assert(!ExactlyOnce.retrySucceededDespiteError(100, 104, 5))
   }
 
+  test("multi-topic reconcile decides per topic; one unensurable doesn't mask the rest") {
+    val decisions = ExactlyOnce.reconcileAll(Map(
+      "t_ok" -> (ExactlyOnce.TopicState(100, 102), 5),      // 2 already out
+      "t_none" -> (ExactlyOnce.TopicState(50, 50), 3),      // nothing out
+      "t_bad" -> (ExactlyOnce.TopicState(10, 99), 4)))      // beyond the buffer
+    assert(decisions("t_ok") == ExactlyOnce.RepublishFrom(2))
+    assert(decisions("t_none") == ExactlyOnce.RepublishFrom(0))
+    assert(decisions("t_bad") == ExactlyOnce.Unensurable(89, 4))
+    val forced = ExactlyOnce.reconcileAll(
+      Map("t_bad" -> (ExactlyOnce.TopicState(10, 99), 4)), allowForcedRecovery = true)
+    assert(forced("t_bad") == ExactlyOnce.RepublishFrom(0))
+  }
+
   // --- consumer sources + refresh tick (consumer_source.py, ST7) -------
 
   private val schemaJson =
