@@ -81,6 +81,31 @@ object Curation {
       .drop("__tok_start")
   }
 
+  /** Token-budget packing with document splitting: like [[packBatches]]
+    * but a document whose tokens cross a batch boundary is split across
+    * the adjacent batches, so every batch except a stratum's last holds
+    * exactly `budget` tokens — the Megatron-style "concatenate and chop"
+    * sequence packing. Emits one row per (document, batch) chunk with
+    * `batch_id` and `tokens_in_batch`. Pure long arithmetic throughout;
+    * the explode adds ceil(n/budget) rows per document, no extra shuffle
+    * beyond the stratum window. */
+  def packBatchesSplitting(rows: DataFrame, strataCol: String, orderCol: String,
+                           tokensCol: String, budget: Long): DataFrame = {
+    val w = Window.partitionBy(col(strataCol))
+      .orderBy(col(orderCol)).rowsBetween(Window.unboundedPreceding, 0)
+    rows
+      .withColumn("__end", sum(col(tokensCol)).over(w))
+      .withColumn("__start", col("__end") - col(tokensCol))
+      .filter(col(tokensCol) > 0) // zero-token docs span no batch
+      .withColumn("batch_id",
+        explode(sequence(expr(s"__start div ${budget}L"),
+          expr(s"(__end - 1) div ${budget}L"))))
+      .withColumn("tokens_in_batch",
+        least(col("__end"), (col("batch_id") + 1) * budget) -
+          greatest(col("__start"), col("batch_id") * budget))
+      .drop("__start", "__end")
+  }
+
   /** Corpus-wide boilerplate token removal: tokens present in more than
     * `floor(dfRatio × corpus size)` documents form a stoplist, and every
     * document is rewritten without them (order preserved, single-space

@@ -57,6 +57,21 @@ object CurationOps {
       .orderBy($"lang", $"batch_id")
   }
 
+  /** Split-packing: same corpus as t_pack_batches but documents crossing a
+    * 2048-token boundary split across batches — every batch except each
+    * language's last must hold exactly 2048 tokens, which the oracle
+    * verifies structurally. */
+  def qPackSplit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+      .select($"doc_id", $"lang",
+        size(split(trim($"text"), "\\s+")).cast("long").as("n_tokens"))
+    Curation.packBatchesSplitting(docs, "lang", "doc_id", "n_tokens", PackBudget)
+      .groupBy($"lang", $"batch_id")
+      .agg(count(lit(1)).as("n_chunks"), sum($"tokens_in_batch").as("batch_tokens"))
+      .orderBy($"lang", $"batch_id")
+  }
+
   /** Corpus length profiling: exact interpolated token-count quantiles per
     * language. At 100 TB this becomes approx_percentile (t-digest); the
     * exact form is the oracle-checkable reference semantics. */
@@ -114,6 +129,7 @@ object CurationOps {
     "d_contamination" -> (qContamination _),
     "t_stratified_sample" -> (qStratifiedSample _),
     "t_pack_batches" -> (qPackBatches _),
+    "t_pack_split" -> (qPackSplit _),
     "t_length_quantiles" -> (qLengthQuantiles _),
     "t_repetition" -> (qRepetition _),
     "t_boilerplate" -> (qBoilerplate _),
@@ -168,6 +184,27 @@ object CurationOps {
          SELECT lang, batch_id, count(*) AS n_docs,
                 CAST(sum(n_tokens) AS BIGINT) AS batch_tokens
          FROM packed GROUP BY 1, 2 ORDER BY lang, batch_id""",
+    "t_pack_split" ->
+      """WITH toks AS (
+           SELECT doc_id, lang,
+                  CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n
+           FROM documents),
+         pos AS (
+           SELECT lang, doc_id, n,
+                  CAST(sum(n) OVER (PARTITION BY lang ORDER BY doc_id
+                                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS e
+           FROM toks),
+         chunks AS (
+           SELECT lang, doc_id, n, e, e - n AS s,
+                  unnest(generate_series((e - n) // 2048, (e - 1) // 2048)) AS batch_id
+           FROM pos WHERE n > 0),
+         sized AS (
+           SELECT lang, CAST(batch_id AS BIGINT) AS batch_id,
+                  least(e, (batch_id + 1) * 2048) - greatest(s, batch_id * 2048) AS t
+           FROM chunks)
+         SELECT lang, batch_id, count(*) AS n_chunks,
+                CAST(sum(t) AS BIGINT) AS batch_tokens
+         FROM sized GROUP BY 1, 2 ORDER BY lang, batch_id""",
     "t_length_quantiles" ->
       """SELECT lang, count(*) AS n_docs,
                 round(quantile_cont(n_tokens, 0.5), 4) AS p50_tokens,

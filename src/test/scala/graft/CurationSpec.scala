@@ -65,6 +65,27 @@ class CurationSpec extends SparkTestBase {
       ("de", 1L, 0L), ("de", 2L, 1L))) // 2049 overflows de batch 0
   }
 
+  test("packBatchesSplitting chops boundary-crossing docs so interior batches are full") {
+    import spark.implicits._
+    // budget 10: doc 2 (7 tokens) crosses the first boundary at offset 6
+    val rows = Seq(("en", 1L, 6L), ("en", 2L, 7L), ("en", 3L, 2L), ("de", 9L, 25L))
+      .toDF("lang", "doc_id", "n_tokens")
+    val got = Curation.packBatchesSplitting(rows, "lang", "doc_id", "n_tokens", 10L)
+      .select($"lang", $"doc_id", $"batch_id", $"tokens_in_batch")
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(got == Set(
+      ("en", 1L, 0L, 6L),
+      ("en", 2L, 0L, 4L), ("en", 2L, 1L, 3L), // split 7 = 4 + 3
+      ("en", 3L, 1L, 2L),
+      ("de", 9L, 0L, 10L), ("de", 9L, 1L, 10L), ("de", 9L, 2L, 5L))) // 25 = 10+10+5
+    // invariant: every batch except each stratum's last holds exactly budget
+    val perBatch = Curation.packBatchesSplitting(rows, "lang", "doc_id", "n_tokens", 10L)
+      .groupBy($"lang", $"batch_id").agg(sum($"tokens_in_batch").as("t"))
+      .as[(String, Long, Long)].collect()
+    val lastBatch = perBatch.groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+    assert(perBatch.forall { case (l, b, t) => t == 10L || b == lastBatch(l) })
+  }
+
   // --- sessionization ---------------------------------------------------
 
   test("sessionize splits on inactivity gaps per user") {
