@@ -64,10 +64,17 @@ class KafkaTransportSpec extends SparkTestBase {
 
     val writer = KafkaTransport.writer(transport, "b:9092",
       java.nio.file.Files.createTempDirectory("kchk").toString)
-    // the sandbox has no spark-sql-kafka jar: start() must fail on exactly
-    // the missing provider, proving the wiring got that far intact
-    val err = intercept[Exception](writer.start())
-    assert(err.getMessage.toLowerCase.contains("kafka"), s"unexpected: ${err.getMessage}")
+    // no spark-sql-kafka jar here: start() fails on the missing provider,
+    // proving the wiring got that far intact. (With the jar deployed the
+    // failure moves to the unreachable broker, surfaced by the query —
+    // accept either so the spec keeps meaning on a full classpath.)
+    val err = intercept[Exception] {
+      val q = writer.start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    val msg = err.getMessage.toLowerCase
+    assert(msg.contains("kafka") || msg.contains("9092") || msg.contains("timed out"),
+      s"unexpected: ${err.getMessage}")
 
     // a transport frame missing the sink contract fails fast, pre-kafka
     val bad = intercept[IllegalArgumentException](
@@ -82,6 +89,8 @@ class KafkaTransportSpec extends SparkTestBase {
       ConsumerSource.TopicsInSource("s", "biz"), "b:9092",
       startingOffsets = Map((entry.topicName, 0) -> 10L))
     val err = intercept[Exception](reader.load())
-    assert(err.getMessage.toLowerCase.contains("kafka"), s"unexpected: ${err.getMessage}")
+    val msg = err.getMessage.toLowerCase
+    assert(msg.contains("kafka") || msg.contains("9092") || msg.contains("timed out"),
+      s"unexpected: ${err.getMessage}")
   }
 }
