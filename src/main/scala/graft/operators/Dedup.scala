@@ -181,35 +181,39 @@ object Dedup {
     * label and its neighbors' labels, until no label changes — O(cluster
     * diameter) rounds, and near-dup clusters are shallow (most are
     * 2-3 docs, so 1-2 rounds). Each round shuffles (edges + nodes) keyed
-    * rows; `localCheckpoint` truncates the growing lineage so round N
-    * doesn't re-run rounds 1..N-1 (at cluster scale use
-    * `spark.cleaner.referenceTracking` defaults + reliable checkpoint to
-    * survive executor loss).
+    * rows; checkpointing truncates the growing lineage so round N doesn't
+    * re-run rounds 1..N-1.
+    *
+    * `reliable = false` uses `localCheckpoint` (executor-local blocks:
+    * fastest, but an executor loss mid-computation kills the job because
+    * the truncated lineage can't recompute). On a cluster, set the
+    * session's checkpoint dir (`sc.setCheckpointDir`, an HDFS/object-store
+    * path) and pass `reliable = true` for fault-tolerant checkpoints.
     */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20,
+                          reliable: Boolean = false): DataFrame = {
+    def chk(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint() else df.localCheckpoint()
     // both edge directions via explode, not union — a union of two
     // branches would evaluate the pair frame's whole lineage (for LSH
     // clusters: the signature + verify pipeline) twice
-    val edges = pairs
+    val edges = chk(pairs
       .select(explode(array(
         struct(col("d1").as("a"), col("d2").as("b")),
         struct(col("d2").as("a"), col("d1").as("b")))).as("e"))
-      .select(col("e.a").as("a"), col("e.b").as("b"))
-      .localCheckpoint()
-    var labels = edges.select(col("a").as("id")).distinct()
-      .select(col("id"), col("id").as("rep"))
-      .localCheckpoint()
+      .select(col("e.a").as("a"), col("e.b").as("b")))
+    var labels = chk(edges.select(col("a").as("id")).distinct()
+      .select(col("id"), col("id").as("rep")))
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
       val neighborMin = edges
         .join(labels.select(col("id").as("b"), col("rep").as("nrep")), "b")
         .groupBy(col("a").as("id")).agg(min(col("nrep")).as("nmin"))
-      val updated = labels
+      val updated = chk(labels
         .join(neighborMin, Seq("id"), "left")
         .select(col("id"), col("rep"),
-          least(col("rep"), coalesce(col("nmin"), col("rep"))).as("next"))
-        .localCheckpoint()
+          least(col("rep"), coalesce(col("nmin"), col("rep"))).as("next")))
       converged = updated.filter(col("next") < col("rep")).isEmpty
       labels = updated.select(col("id"), col("next").as("rep"))
       iter += 1
