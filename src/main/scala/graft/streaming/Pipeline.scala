@@ -128,6 +128,23 @@ object Pipeline {
             registry, readerSchemaId)).as("previous_payload"))
   }
 
+  /** Multi-topic consume with per-topic reader schemas (reference:
+    * consumer.py:230-233 reader_schema_map, consumer_source.py:120-147
+    * FixedSchemas): each topic's frame decodes under its forced reader.
+    * One frame per topic because reader schemas differ — heterogeneous
+    * payload structs can't share a column; Catalyst prunes each branch's
+    * scan to its topic filter. */
+  def consumeByTopic(
+      transport: DataFrame,
+      registry: SchemaRegistry,
+      readerSchemaByTopic: Map[String, Int],
+      topicCol: String = "topic",
+      valueCol: String = "value"): Map[String, DataFrame] =
+    readerSchemaByTopic.map { case (topic, readerId) =>
+      topic -> consume(
+        transport.filter(col(topicCol) === topic), registry, readerId, valueCol)
+    }
+
   /** Consume with an explicit dead-letter split (SURVEY §2.2 P5 error
     * side-output): rows whose payload failed to decode (unknown schema_id,
     * corrupt bytes → null) route to the second frame with the raw envelope

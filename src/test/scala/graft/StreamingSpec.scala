@@ -82,6 +82,40 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("per-topic reader schemas decode each topic's frame independently") {
+    import spark.implicits._
+    val reg = new SchemaRegistry
+    val biz = reg.registerSchema("s", "biz", bizJson)
+    // a second source with an extra defaulted field; its OWN v2 schema is
+    // the forced reader, while biz reads under its v1
+    val userV1 = reg.registerSchema("s", "user",
+      """{"type":"record","name":"user","namespace":"s","fields":[
+           {"name":"id","type":"int"}]}""")
+    val userV2 = reg.registerSchema("s", "user",
+      """{"type":"record","name":"user","namespace":"s","fields":[
+           {"name":"id","type":"int"},
+           {"name":"tier","type":"string","default":"free"}]}""")
+    assert(userV1.topicName == userV2.topicName)
+
+    val bizRows = Pipeline.produce(
+      Seq((1, "alpha", 1700000000L)).toDF("id", "name", "epoch"),
+      struct($"id", $"name"), "create", biz, $"epoch", reg,
+      unhex(md5($"id".cast("string"))))
+    val userRows = Pipeline.produce(
+      Seq((7, 1700000001L)).toDF("id", "epoch"),
+      struct($"id"), "create", userV1, $"epoch", reg,
+      unhex(md5($"id".cast("string"))))
+
+    val frames = Pipeline.consumeByTopic(
+      bizRows.union(userRows), reg,
+      Map(biz.topicName -> biz.schemaId, userV1.topicName -> userV2.schemaId))
+    val gotBiz = frames(biz.topicName).select($"payload.id", $"payload.name").head()
+    assert((gotBiz.getInt(0), gotBiz.getString(1)) == (1, "alpha"))
+    // v1-written payload read under the v2 reader: default fills in
+    val gotUser = frames(userV1.topicName).select($"payload.id", $"payload.tier").head()
+    assert((gotUser.getInt(0), gotUser.getString(1)) == (7, "free"))
+  }
+
   test("producer skips PII topics when skip_messages_with_pii is set") {
     import spark.implicits._
     val reg = new SchemaRegistry
