@@ -115,6 +115,29 @@ class CurationSpec extends SparkTestBase {
     assert(got.forall { case (a, b) => a < b })
   }
 
+  test("bucketPairs hot-bucket cap drops oversized buckets before materializing them") {
+    import spark.implicits._
+    val buckets = Seq((1, "hot"), (2, "hot"), (3, "hot"), (4, "hot"),
+      (5, "cold"), (6, "cold")).toDF("id", "k")
+    val got = Dedup.bucketPairs(buckets, Seq("k"), "id", maxBucket = Some(3))
+      .select($"x.pid", $"y.pid").as[(Int, Int)].collect().toSeq
+    // the 4-item "hot" bucket (boilerplate analog) contributes nothing;
+    // the 2-item bucket is untouched
+    assert(got.sorted == Seq((5, 6)))
+  }
+
+  test("approx_percentile tracks the exact quantiles (the stated 100 TB path)") {
+    import spark.implicits._
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(size(split(trim($"text"), "\\s+")).cast("long").as("n"))
+    val row = docs.agg(
+      expr("percentile(n, 0.9)").as("exact"),
+      expr("percentile_approx(n, 0.9, 10000)").cast("double").as("approx")).head()
+    val (exact, approx) = (row.getDouble(0), row.getDouble(1))
+    assert(math.abs(approx - exact) / exact < 0.02,
+      s"approx p90 $approx drifted from exact $exact")
+  }
+
   test("bucketPairs maxBucket drops degenerate hot buckets before pairing") {
     import spark.implicits._
     val buckets = ((1 to 50).map(i => (i, "hot")) ++ Seq((60, "ok"), (61, "ok")))
