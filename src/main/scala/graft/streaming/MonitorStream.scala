@@ -1,7 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Client monitoring aggregation (reference: client.py:170-347 `_Monitor`):
   * one message-count record per (topic, client, fixed window aligned to
@@ -68,5 +69,72 @@ object MonitorStream {
         lit(clientType).as("client_type"),
         coalesce(col("observed"), lit(0)).as("message_count"),
         col("start_timestamp"))
+  }
+
+  // --- streaming catch-up (client.py:303-324, incremental form) ----------
+
+  case class MonEvent(topic: String, ts: java.sql.Timestamp)
+  case class MonState(lastClosed: Long, open: Map[Long, Int])
+  case class MonitorRow(topic: String, message_count: Int, start_timestamp: Long)
+
+  /** Streaming monitor with the reference's catch-up flush: per topic,
+    * a window emits once the watermark passes its end, and quiet windows
+    * BETWEEN emissions flush as explicit zero rows (stalled vs empty
+    * stays distinguishable without heartbeat unions).
+    *
+    * State per topic is one long + the open-window count map, bounded by
+    * the watermark horizon (closed windows leave the map immediately);
+    * idle topics keep only `lastClosed` and schedule no timers, so an
+    * idle topic costs 16 bytes of state and zero wakeups — matching the
+    * reference, which flushes only up to the latest observed message. */
+  def monitorCountsWithCatchupStreaming(
+      events: Dataset[MonEvent],
+      clientName: String,
+      clientType: String,
+      windowSec: Int = DefaultWindowSeconds,
+      delay: String = "10 minutes"): DataFrame = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", delay)
+      .groupByKey(_.topic)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        catchupUpdate(windowSec))
+      .select(col("topic"), lit(clientName).as("client_name"),
+        lit(clientType).as("client_type"), col("message_count"),
+        col("start_timestamp"))
+  }
+
+  private def catchupUpdate(windowSec: Int)(
+      topic: String,
+      rows: Iterator[MonEvent],
+      state: GroupState[MonState]): Iterator[MonitorRow] = {
+    val step = windowSec.toLong
+    // window starts strictly below this are closed by the watermark
+    val closedBelow =
+      math.floorDiv(state.getCurrentWatermarkMs() / 1000, step) * step
+    var st = state.getOption.getOrElse(MonState(Long.MinValue, Map.empty))
+    rows.foreach { e =>
+      val w = math.floorDiv(e.ts.getTime / 1000, step) * step
+      st = st.copy(open = st.open + (w -> (st.open.getOrElse(w, 0) + 1)))
+    }
+    val toClose = st.open.keys.filter(_ < closedBelow).toSeq.sorted
+    val out = Seq.newBuilder[MonitorRow]
+    var last = st.lastClosed
+    toClose.foreach { w =>
+      if (last != Long.MinValue) {
+        var gap = last + step
+        while (gap < w) { out += MonitorRow(topic, 0, gap); gap += step }
+      }
+      out += MonitorRow(topic, st.open(w), w)
+      last = w
+    }
+    st = MonState(last, st.open -- toClose)
+    state.update(st)
+    // wake when the watermark can close the earliest still-open window;
+    // idle topics (nothing open) set no timer and cost nothing
+    st.open.keys.minOption.foreach { w =>
+      state.setTimeoutTimestamp((w + step) * 1000 + 1)
+    }
+    out.result().iterator
   }
 }

@@ -195,6 +195,46 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming monitor catch-up flushes quiet windows as zero rows") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def t(sec: Long) = new Timestamp(sec * 1000)
+
+    val input = MemoryStream[MonitorStream.MonEvent]
+    val out = MonitorStream.monitorCountsWithCatchupStreaming(
+      input.toDS(), "mon", "consumer", windowSec = 600, delay = "1 second")
+    val q = out.writeStream.format("memory").queryName("catchup_out")
+      .outputMode("append").start()
+    try {
+      input.addData(MonitorStream.MonEvent("a", t(1200)),
+        MonitorStream.MonEvent("a", t(1250)))
+      q.processAllAvailable()
+      assert(spark.table("catchup_out").isEmpty) // window 1200 still open
+
+      // activity two windows later closes 1200; 1800 hasn't been skipped yet
+      input.addData(MonitorStream.MonEvent("a", t(2500)))
+      q.processAllAvailable()
+      input.addData(MonitorStream.MonEvent("a", t(2501))) // advance watermark past 2400
+      q.processAllAvailable()
+      val afterClose = spark.table("catchup_out")
+        .select($"topic", $"message_count", $"start_timestamp")
+        .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSet
+      assert(afterClose == Set(("a", 2, 1200L)))
+
+      // another topic drives the watermark past window 2400's horizon:
+      // topic a's timer fires, closing 2400 AND zero-flushing skipped 1800
+      input.addData(MonitorStream.MonEvent("b", t(4000)))
+      q.processAllAvailable()
+      input.addData(MonitorStream.MonEvent("b", t(4001)))
+      q.processAllAvailable()
+      val afterCatchup = spark.table("catchup_out")
+        .select($"topic", $"message_count", $"start_timestamp")
+        .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSet
+      assert(afterCatchup == Set(
+        ("a", 2, 1200L), ("a", 0, 1800L), ("a", 2, 2400L)))
+    } finally q.stop()
+  }
+
   test("streaming sessionizer closes sessions in-line on gap and via event-time timeout") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
