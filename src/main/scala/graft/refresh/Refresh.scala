@@ -88,7 +88,11 @@ object PriorityRefreshQueue {
 /** Throughput cap allocation (reference: refresh_manager.py:331-365,
   * 443-449): each running job gets its own cap (default 50 rows/s) but the
   * fleet never exceeds the total budget (default 1000 rows/s); when
-  * oversubscribed, caps scale down proportionally. */
+  * oversubscribed, caps scale down proportionally, with every job kept
+  * alive at ≥ 1 row/s. The 1-row/s floors can push the proportional sum
+  * past the budget, so the excess is trimmed from the largest allocations
+  * (deterministically, by size then id) — the budget holds whenever it
+  * can, i.e. whenever the fleet is no larger than the budget itself. */
 object ThroughputAllocator {
   val DefaultPerJobCap = 50
   val DefaultTotalCap = 1000
@@ -100,7 +104,20 @@ object ThroughputAllocator {
     if (sum <= totalCap) requested.toMap
     else {
       val scale = totalCap.toDouble / sum
-      requested.map { case (id, cap) => id -> math.max(1, (cap * scale).toInt) }.toMap
+      val scaled = scala.collection.mutable.LinkedHashMap(
+        requested.map { case (id, cap) => id -> math.max(1, (cap * scale).toInt) }: _*)
+      var excess = scaled.values.sum - totalCap
+      if (excess > 0) {
+        val order = scaled.toSeq.sortBy { case (id, c) => (-c, id) }.map(_._1)
+        val it = order.iterator
+        while (excess > 0 && it.hasNext) {
+          val id = it.next()
+          val cut = math.min(scaled(id) - 1, excess)
+          scaled(id) -= cut
+          excess -= cut
+        }
+      }
+      scaled.toMap
     }
   }
 }

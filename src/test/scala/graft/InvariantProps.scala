@@ -1,0 +1,178 @@
+package graft
+
+import org.scalacheck.{Gen, Prop, Properties}
+import org.scalacheck.Prop.forAll
+
+import graft.refresh.{PriorityRefreshQueue, RefreshJob, RefreshScan, RefreshStatus, ThroughputAllocator}
+import graft.streaming.{ExactlyOnce, KafkaTransport}
+
+/** Property-based invariants over the pure control-plane kernels — the
+  * pieces whose algebra must hold for EVERY input, not just the fixtures:
+  * keyset tiling, throughput allocation, exactly-once reconciliation,
+  * priority scheduling, offset-JSON encoding, DDL conversion. */
+object InvariantProps extends Properties("graft.invariants") {
+
+  // --- RefreshScan.keysetRanges: exact tiling of (min, max] -------------
+
+  private val rangeGen = for {
+    min <- Gen.chooseNum(-1000L, 1000L)
+    span <- Gen.chooseNum(0L, 5000L)
+    batch <- Gen.chooseNum(1L, 700L)
+  } yield (min, min + span, batch)
+
+  property("keysetRanges tile (min, max] with no gaps or overlaps") =
+    forAll(rangeGen) { case (min, max, batch) =>
+      val ranges = RefreshScan.keysetRanges(min, max, batch)
+      val contiguous = ranges.zip(ranges.drop(1)).forall { case (a, b) => a._2 == b._1 }
+      val bounded = ranges.forall { case (lo, hi) => lo >= min && hi <= max && lo < hi }
+      val covers = if (min == max) ranges.isEmpty
+        else ranges.headOption.contains((min, math.min(min + batch, max))) &&
+          ranges.lastOption.exists(_._2 == max)
+      contiguous && bounded && covers
+    }
+
+  property("keysetPredicates emits one predicate per range") =
+    forAll(rangeGen) { case (min, max, batch) =>
+      RefreshScan.keysetPredicates("pk", min, max, batch).length ==
+        RefreshScan.keysetRanges(min, max, batch).length
+    }
+
+  // --- ThroughputAllocator ------------------------------------------------
+
+  private val jobsGen: Gen[List[RefreshJob]] =
+    Gen.listOf(for {
+      id <- Gen.chooseNum(1, 100000)
+      cap <- Gen.option(Gen.chooseNum(1, 400))
+    } yield RefreshJob(id, "ns", s"src$id", RefreshStatus.NotStarted, 0L, 100,
+      50, None, cap, id.toLong)).map(_.distinctBy(_.refreshId))
+
+  property("allocator never exceeds a requested cap and keeps every job alive") =
+    forAll(jobsGen, Gen.chooseNum(1, 2000)) { (jobs, total) =>
+      val caps = ThroughputAllocator.allocate(jobs, total)
+      jobs.forall { j =>
+        val requested = j.avgRowsPerSecondCap.getOrElse(ThroughputAllocator.DefaultPerJobCap)
+        caps(j.refreshId) >= 1 && caps(j.refreshId) <= requested
+      }
+    }
+
+  property("allocator respects the fleet budget whenever the budget can fit the fleet") =
+    forAll(jobsGen, Gen.chooseNum(1, 2000)) { (jobs, total) =>
+      val caps = ThroughputAllocator.allocate(jobs, total)
+      // with fewer jobs than budget units the scaled-down sum fits; a
+      // fleet larger than the budget degrades to 1 row/s each (the
+      // manager's concurrency limit keeps this from happening in practice)
+      jobs.size > total || caps.values.sum <= total
+    }
+
+  // --- ExactlyOnce.reconcile ---------------------------------------------
+
+  private val stateGen = for {
+    saved <- Gen.chooseNum(0L, 10000L)
+    delta <- Gen.chooseNum(-50L, 300L)
+    replay <- Gen.chooseNum(0, 200)
+  } yield (ExactlyOnce.TopicState(saved, saved + delta), replay)
+
+  property("reconcile republishes iff the watermark sits inside the replay window") =
+    forAll(stateGen) { case (st, replay) =>
+      val already = st.highWatermark - st.savedOffset
+      ExactlyOnce.reconcile(st, replay) match {
+        case ExactlyOnce.RepublishFrom(i) =>
+          already >= 0 && already <= replay && i == already
+        case ExactlyOnce.Unensurable(a, r) =>
+          (already < 0 || already > replay) && a == already && r == replay
+      }
+    }
+
+  property("forced recovery always yields a full republish when unensurable") =
+    forAll(stateGen) { case (st, replay) =>
+      ExactlyOnce.reconcile(st, replay, allowForcedRecovery = true) match {
+        case ExactlyOnce.RepublishFrom(i) => i >= 0 && i <= replay
+        case _: ExactlyOnce.Unensurable => false
+      }
+    }
+
+  // --- PriorityRefreshQueue.schedule ---------------------------------------
+
+  private val queueGen: Gen[List[RefreshJob]] =
+    Gen.listOf(for {
+      id <- Gen.chooseNum(1, 100000)
+      src <- Gen.oneOf("a", "b", "c")
+      status <- Gen.oneOf(RefreshStatus.NotStarted, RefreshStatus.Paused,
+        RefreshStatus.InProgress, RefreshStatus.Success)
+      prio <- Gen.oneOf(25, 50, 75, 100)
+      created <- Gen.chooseNum(0L, 1000L)
+    } yield RefreshJob(id, "ns", src, status, 0L, 100, prio, None, None, created))
+      .map(_.distinctBy(_.refreshId))
+
+  property("schedule yields at most one queueable job per source, queue-ordered") =
+    forAll(queueGen) { jobs =>
+      val sched = PriorityRefreshQueue.schedule(jobs)
+      val onePerSource = sched.groupBy(_.sourceName).values.forall(_.size == 1)
+      val queueable = sched.forall(j =>
+        j.status == RefreshStatus.Paused || j.status == RefreshStatus.NotStarted)
+      val ordered = sched.zip(sched.drop(1)).forall { case (a, b) =>
+        PriorityRefreshQueue.ordering.lteq(a, b)
+      }
+      onePerSource && queueable && ordered
+    }
+
+  // --- KafkaTransport.offsetsJson ------------------------------------------
+
+  private val offsetsGen: Gen[Map[(String, Int), Long]] =
+    Gen.mapOf(for {
+      t <- Gen.oneOf("t1", "t2", "t3")
+      p <- Gen.chooseNum(0, 8)
+      o <- Gen.chooseNum(0L, 1000000L)
+    } yield ((t, p), o))
+
+  property("offsetsJson carries every topic, partition and offset") =
+    forAll(offsetsGen) { offsets =>
+      val json = KafkaTransport.offsetsJson(offsets)
+      val balanced = json.count(_ == '{') == json.count(_ == '}')
+      val allThere = offsets.forall { case ((t, p), o) =>
+        json.contains(s""""$t"""") && json.contains(s""""$p": $o""")
+      }
+      balanced && allThere
+    }
+
+  // --- Uuid4Binary byte layout ---------------------------------------------
+
+  property("uuid bytes round-trip the 128-bit value big-endian") =
+    forAll { (m: Long, l: Long) =>
+      val bytes = graft.functions.Uuid4Binary.toBytes(new java.util.UUID(m, l))
+      val m2 = bytes.take(8).foldLeft(0L)((acc, b) => (acc << 8) | (b & 0xffL))
+      val l2 = bytes.drop(8).foldLeft(0L)((acc, b) => (acc << 8) | (b & 0xffL))
+      bytes.length == 16 && m2 == m && l2 == l
+    }
+
+  // --- DdlModel.splitColumns -------------------------------------------------
+
+  private val colBodyGen: Gen[List[String]] = Gen.listOf(Gen.oneOf(
+    "a INT NOT NULL", "b DECIMAL(10,2)", "c ENUM('x','y','z')",
+    "d VARCHAR(64) DEFAULT 'q'", "PRIMARY KEY (a, b)"))
+
+  property("splitColumns splits on top-level commas only") =
+    forAll(colBodyGen) { cols =>
+      val body = cols.mkString(", ")
+      val got = graft.tools.DdlModel.splitColumns(body)
+      got == cols.filter(_.nonEmpty)
+    }
+
+  // --- MysqlDdlConverter emits valid Avro ------------------------------------
+
+  private val mysqlColsGen: Gen[List[(String, String)]] = Gen.nonEmptyListOf(for {
+    n <- Gen.identifier.map(s => "c" + s.take(8))
+    t <- Gen.oneOf("INT", "BIGINT UNSIGNED", "VARCHAR(32)", "TEXT", "TINYINT(1)",
+      "DECIMAL(8,3)", "DATETIME", "DATE", "BLOB", "ENUM('a','b')", "JSON",
+      "SMALLINT NOT NULL", "DOUBLE")
+  } yield (n, t)).map(_.distinctBy(_._1))
+
+  property("mysql CREATE TABLE parses to valid Avro with one field per column") = {
+    forAll(mysqlColsGen) { cols =>
+      val ddl = s"CREATE TABLE db.t (${cols.map { case (n, t) => s"`$n` $t" }.mkString(", ")})"
+      val spec = graft.tools.MysqlDdlConverter.parse(ddl)
+      val avro = new org.apache.avro.Schema.Parser().parse(spec.avroSchemaJson)
+      Prop(avro.getFields.size == cols.size && spec.columns.size == cols.size)
+    }
+  }
+}
