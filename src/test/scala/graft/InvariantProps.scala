@@ -167,6 +167,50 @@ object InvariantProps extends Properties("graft.invariants") {
       "SMALLINT NOT NULL", "DOUBLE")
   } yield (n, t)).map(_.distinctBy(_._1))
 
+  // --- NamespaceInfo ---------------------------------------------------------
+
+  private val nsGen = for {
+    env <- Gen.option(Gen.oneOf(graft.core.NamespaceInfo.KnownEnvironments.toSeq))
+    cluster <- Gen.identifier.map("c" + _.take(6))
+    db <- Gen.identifier.map("d" + _.take(6))
+    sfx <- Gen.listOf(Gen.identifier.map("s" + _.take(4))).map(_.take(3))
+  } yield graft.core.NamespaceInfo(env, cluster, db, sfx)
+
+  property("namespace build/parse round-trips") = forAll(nsGen) { ns =>
+    graft.core.NamespaceInfo.parse(ns.name) == ns
+  }
+
+  // --- SchemaRegistry replay determinism (what load() relies on) -------------
+
+  private val schemaVariants = Vector(
+    """{"type":"record","name":"r","namespace":"g","fields":[
+        {"name":"f","type":"int","default":0}]}""",
+    """{"type":"record","name":"r","namespace":"g","fields":[
+        {"name":"f","type":"int","default":0},
+        {"name":"g","type":"string","default":""}]}""",
+    """{"type":"record","name":"r","namespace":"g","fields":[
+        {"name":"f","type":"string"}]}""") // incompatible with the others
+
+  private val registrationsGen: Gen[List[(String, String, Int, Boolean)]] =
+    Gen.listOf(for {
+      ns <- Gen.oneOf("ns1", "ns2")
+      src <- Gen.oneOf("a", "b")
+      v <- Gen.chooseNum(0, schemaVariants.size - 1)
+      pii <- Gen.oneOf(true, false)
+    } yield (ns, src, v, pii)).map(_.take(30))
+
+  property("registration replay reproduces ids, topics and pii exactly") =
+    forAll(registrationsGen) { regs =>
+      def run() = {
+        val reg = new graft.schema.SchemaRegistry
+        regs.map { case (ns, src, v, pii) =>
+          val e = reg.registerSchema(ns, src, schemaVariants(v), pii)
+          (e.schemaId, e.topicId, e.topicName, e.containsPii)
+        }
+      }
+      run() == run()
+    }
+
   property("mysql CREATE TABLE parses to valid Avro with one field per column") = {
     forAll(mysqlColsGen) { cols =>
       val ddl = s"CREATE TABLE db.t (${cols.map { case (n, t) => s"`$n` $t" }.mkString(", ")})"
