@@ -255,6 +255,24 @@ object LlmOps {
       .orderBy($"doc_id", $"frame_ix")
   }
 
+  /** Resize through the header-rewrite stub: every synthetic image scales
+    * to 320×240 with the payload cropped to the width ratio; the oracle
+    * recomputes the resulting header dims, byte size and payload md5 —
+    * the byte-budget arithmetic a real scaler swap inherits. */
+  def qMediaResize(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.operators.Multimodal
+    val content = Multimodal.syntheticContent(
+      ($"n_chars" % 1920).cast("int"), (($"doc_id" * 7) % 1080).cast("int"), $"text")
+    val resized = Multimodal.resizeStub(content, lit(320), lit(240))
+    Tables.documents(spark, dir)
+      .select($"doc_id", resized.as("content"))
+      .select($"doc_id", Multimodal.extractMeta($"content", "image").as("m"),
+        md5(substring($"content", 13, Int.MaxValue)).as("payload_md5"))
+      .select($"doc_id", $"m.width", $"m.height", $"m.n_bytes", $"payload_md5")
+      .orderBy($"doc_id")
+  }
+
   /** Feature extraction through the batched multimodal decode seam:
     * 16-bin code-point histogram per payload (the embedding stand-in),
     * exploded to (doc_id, bin, count, freq) rows so the oracle checks
@@ -290,6 +308,7 @@ object LlmOps {
     "m_media_meta" -> (qMediaMeta _),
     "m_frame_sample" -> (qFrameSample _),
     "m_media_embed" -> (qMediaEmbed _),
+    "m_media_resize" -> (qMediaResize _),
     "sim_knn_cosine" -> (qKnnCosine _),
     "sim_ivf_topk" -> (qIvfTopK _)
   )
@@ -425,6 +444,19 @@ object LlmOps {
                          sqrt(list_sum([b.e[i] * b.e[i] for i in range(1, 65)]))), 4) AS cosine
            FROM cand c JOIN v a ON a.vec_id = c.v1 JOIN v b ON b.vec_id = c.v2)
          SELECT v1, v2, cosine FROM verified WHERE cosine >= 0.4 ORDER BY v1, v2""",
+    "m_media_resize" ->
+      """WITH m AS (
+           SELECT doc_id, n_chars % 1920 AS ow, strlen(text) AS plen, text
+           FROM documents),
+         calc AS (
+           SELECT doc_id, text, plen,
+                  greatest(1, CAST(floor((plen * 320.0) / greatest(ow, 1)) AS BIGINT)) AS k
+           FROM m)
+         SELECT doc_id,
+                CAST(320 AS INTEGER) AS width, CAST(240 AS INTEGER) AS height,
+                CAST(12 + least(k, plen) AS BIGINT) AS n_bytes,
+                md5(substr(text, 1, CAST(k AS INT))) AS payload_md5
+         FROM calc ORDER BY doc_id""",
     "t_doc_stats" ->
       """SELECT doc_id,
                 len(ws) AS n_tokens,
