@@ -341,9 +341,34 @@ object Relational {
       .orderBy($"line_no")
   }
 
+  /** Display scrub on PII-flagged rows (SURVEY §2.2 P10,
+    * message.py:557-563): every leaf value of a flagged payload renders as
+    * its type name, unflagged rows pass through — the tailer-safety rule
+    * for PII topics, checked value-for-value by the oracle. */
+  def qPiiScrub(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("user_id", LongType), StructField("event_type", StringType)))
+    val payload = struct($"user_id", $"event_type")
+    val scrubbedStruct = graft.functions.Scrub.scrubbed(payload, schema)
+    val isPii = $"user_id" % 3 === 0
+    Tables.events(spark, dir)
+      .filter($"event_id" < 500)
+      .select(
+        $"event_id",
+        isPii.as("is_pii"),
+        when(isPii, scrubbedStruct.getField("user_id"))
+          .otherwise($"user_id".cast("string")).as("user_disp"),
+        when(isPii, scrubbedStruct.getField("event_type"))
+          .otherwise($"event_type").as("event_type_disp"))
+      .orderBy($"event_id")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing_summary" -> (q1PricingSummary _),
     "q_binlog_scan" -> (qBinlogScan _),
+    "q_pii_scrub" -> (qPiiScrub _),
     "q_keyset_scan" -> (qKeysetScan _),
     "q_region_revenue" -> (qRegionRevenue _),
     "q_semi_join" -> (qSemiJoin _),
@@ -364,6 +389,14 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_pii_scrub" ->
+      """SELECT event_id,
+                user_id % 3 = 0 AS is_pii,
+                CASE WHEN user_id % 3 = 0 THEN 'long'
+                     ELSE CAST(user_id AS VARCHAR) END AS user_disp,
+                CASE WHEN user_id % 3 = 0 THEN 'string'
+                     ELSE event_type END AS event_type_disp
+         FROM events WHERE event_id < 500 ORDER BY event_id""",
     "q_binlog_scan" ->
       """WITH ev AS (
            SELECT event_id, user_id,
