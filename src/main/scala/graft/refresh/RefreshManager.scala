@@ -1,0 +1,46 @@
+package graft.refresh
+
+import graft.schema.SchemaRegistry
+
+/** The refresh manager's poll step (reference: tools/refresh_manager.py:
+  * 461-534 — the daemon polls the registry, feeds the priority queue,
+  * spawns workers up to a concurrency limit, and allocates throughput).
+  *
+  * The OS-process management around it (worker spawning, SIGTERM→PAUSED,
+  * zombie reaping) is a deployment concern; what the engine owns is the
+  * decision function: which catalog jobs start now, and at what rate.
+  * Runs entirely off the persisted refresh catalog, so a restarted
+  * manager's first tick resumes exactly where the last one stopped
+  * (PAUSED resume beats NOT_STARTED start at equal priority).
+  */
+object RefreshManager {
+
+  final case class Tick(started: Seq[RefreshJob], caps: Map[Int, Int])
+
+  /** One poll: start the per-source queue heads while concurrency allows,
+    * mark them IN_PROGRESS in the catalog at their stored resume offsets,
+    * and allocate rate caps across everything running after the tick. */
+  def tick(registry: SchemaRegistry, maxConcurrent: Int = 8,
+           totalCap: Int = ThroughputAllocator.DefaultTotalCap): Tick = {
+    val all = registry.refreshes
+    val running = all.filter(_.status == RefreshStatus.InProgress)
+    val slots = maxConcurrent - running.size
+    val toStart =
+      if (slots <= 0) Seq.empty
+      else PriorityRefreshQueue.schedule(all)
+        .filterNot(j => running.exists(_.sourceName == j.sourceName)) // one per source
+        .take(slots)
+    val started = toStart.map(j =>
+      registry.updateRefresh(j.refreshId, RefreshStatus.InProgress, j.offset))
+    Tick(started, ThroughputAllocator.allocate(running ++ started, totalCap))
+  }
+
+  /** Worker-loss handling (refresh_manager.py:273-304 zombie sweep): jobs
+    * whose workers died flip to FAILED at their last stored offset so a
+    * later requester can re-queue them. */
+  def failLostJobs(registry: SchemaRegistry, lostRefreshIds: Set[Int]): Seq[RefreshJob] =
+    lostRefreshIds.toSeq.sorted
+      .flatMap(registry.getRefreshById)
+      .filter(_.status == RefreshStatus.InProgress)
+      .map(j => registry.updateRefresh(j.refreshId, RefreshStatus.Failed, j.offset))
+}

@@ -81,6 +81,41 @@ class RefreshCatalogSpec extends SparkTestBase {
     assert(reloaded.getRefreshById(active.refreshId).get.status == RefreshStatus.Success)
   }
 
+  test("manager tick starts queue heads within concurrency and allocates caps") {
+    import graft.refresh.RefreshManager
+    val reg = new SchemaRegistry
+    Seq("u1", "u2", "u3").foreach(s =>
+      reg.registerSchema("yelp", s, userJson.replace("\"user\"", s""""$s"""")))
+
+    val hi = reg.createRefresh("yelp", "u1", 0L, 500, priority = 100)
+    val mid = reg.createRefresh("yelp", "u2", 0L, 500, priority = 50,
+      avgRowsPerSecondCap = Some(200))
+    val lo = reg.createRefresh("yelp", "u3", 0L, 500, priority = 25)
+    // a second u1 job must NOT start while u1's first is running
+    val hiDup = reg.createRefresh("yelp", "u1", 0L, 500, priority = 100)
+
+    val t1 = RefreshManager.tick(reg, maxConcurrent = 2)
+    assert(t1.started.map(_.refreshId) == Seq(hi.refreshId, mid.refreshId))
+    assert(reg.getRefreshById(hi.refreshId).get.status == RefreshStatus.InProgress)
+    assert(t1.caps.keySet == Set(hi.refreshId, mid.refreshId))
+    assert(t1.caps(mid.refreshId) == 200) // under budget: requested cap passes through
+
+    // saturated: nothing new starts
+    assert(RefreshManager.tick(reg, maxConcurrent = 2).started.isEmpty)
+
+    // a slot opens -> lo starts; u1's duplicate still blocked by the running one
+    reg.updateRefresh(mid.refreshId, RefreshStatus.Success, 9999L)
+    val t3 = RefreshManager.tick(reg, maxConcurrent = 2)
+    assert(t3.started.map(_.refreshId) == Seq(lo.refreshId))
+
+    // worker loss: running jobs flip FAILED at their stored offsets
+    val failed = RefreshManager.failLostJobs(reg, Set(hi.refreshId, lo.refreshId))
+    assert(failed.map(_.status).toSet == Set(RefreshStatus.Failed))
+    // now u1's duplicate is startable again
+    val t4 = RefreshManager.tick(reg, maxConcurrent = 2)
+    assert(t4.started.map(_.refreshId) == Seq(hiDup.refreshId))
+  }
+
   test("data targets, consumer groups and meta mappings survive save/load") {
     val reg = new SchemaRegistry
     val e = reg.registerSchema("yelp", "user", userJson)
