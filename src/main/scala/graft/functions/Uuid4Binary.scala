@@ -1,5 +1,6 @@
 package graft.functions
 
+import org.apache.spark.TaskContext
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{LeafExpression, Nondeterministic}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode, FalseLiteral}
@@ -12,17 +13,24 @@ import org.apache.spark.sql.types.{BinaryType, DataType}
   * libuuid over FFI lifted message construction from ~25k/s to ~185k/s,
   * uuid4 generation alone to ~385k/s).
   *
-  * Spark-native equivalent: a `Stateful` leaf expression holding a
-  * per-partition `RandomUUIDGenerator` (the engine's own uuid4 PRNG —
-  * version/variant bits set per RFC 4122), emitted as raw 16-byte binary
-  * exactly as the envelope's `fixed(16)` uuid field wants it — no string
-  * formatting, no parsing, no per-row allocation beyond the output array.
-  * The partition-indexed seed keeps task retries from replaying into
-  * colliding streams while remaining deterministic per (seed, partition,
-  * row ordinal) — the property Spark's own `uuid()` relies on for
-  * recomputable lineage.
+  * Spark-native equivalent: a `Nondeterministic` leaf expression holding a
+  * per-partition `RandomUUIDGenerator` (version/variant bits set per RFC
+  * 4122), emitted as raw 16-byte binary exactly as the envelope's
+  * `fixed(16)` uuid field wants it — no string formatting, no parsing, no
+  * per-row allocation beyond the output array.
+  *
+  * Seeding has two modes:
+  *  - `perTaskEntropy = true` (the unseeded default): the task attempt id
+  *    is mixed into the seed, so every task of every micro-batch draws a
+  *    fresh stream — a streaming query that re-initializes the expression
+  *    per batch can never replay uuids across batches (message identity
+  *    must be globally unique; a replayed stream would make consumer-side
+  *    uuid dedup silently drop distinct messages).
+  *  - `perTaskEntropy = false` (explicit seed): fully deterministic per
+  *    (seed, partition, row ordinal) for replayable tests and benchmarks.
   */
-case class Uuid4Binary(seed: Long) extends LeafExpression with Nondeterministic {
+case class Uuid4Binary(seed: Long, perTaskEntropy: Boolean)
+    extends LeafExpression with Nondeterministic {
 
   override def nullable: Boolean = false
   override def dataType: DataType = BinaryType
@@ -31,7 +39,8 @@ case class Uuid4Binary(seed: Long) extends LeafExpression with Nondeterministic 
   @transient private[this] var gen: RandomUUIDGenerator = _
 
   override protected def initializeInternal(partitionIndex: Int): Unit =
-    gen = RandomUUIDGenerator(seed + partitionIndex)
+    gen = RandomUUIDGenerator(
+      Uuid4Binary.taskSeed(seed, partitionIndex, perTaskEntropy))
 
   override protected def evalInternal(input: InternalRow): Any =
     Uuid4Binary.toBytes(gen.getNextUUID())
@@ -41,7 +50,7 @@ case class Uuid4Binary(seed: Long) extends LeafExpression with Nondeterministic 
       "org.apache.spark.sql.catalyst.util.RandomUUIDGenerator", "uuid4Gen")
     ctx.addPartitionInitializationStatement(
       s"$genName = new org.apache.spark.sql.catalyst.util.RandomUUIDGenerator(" +
-        s"${seed}L + partitionIndex);")
+        s"graft.functions.Uuid4Binary.taskSeed(${seed}L, partitionIndex, $perTaskEntropy));")
     val u = ctx.freshName("uuid")
     ev.copy(
       code = code"""
@@ -58,6 +67,23 @@ case class Uuid4Binary(seed: Long) extends LeafExpression with Nondeterministic 
 }
 
 object Uuid4Binary {
+
+  /** Seed for one task's generator. With `perTaskEntropy`, the globally
+    * unique task attempt id is mixed in (golden-ratio multiplier spreads
+    * consecutive ids across the seed space); falls back to nanoTime when
+    * no TaskContext exists (driver-side evaluation). */
+  def taskSeed(seed: Long, partitionIndex: Int, perTaskEntropy: Boolean): Long = {
+    val base = seed + partitionIndex
+    if (!perTaskEntropy) base
+    else {
+      val attempt = Option(TaskContext.get()) match {
+        case Some(tc) => tc.taskAttemptId()
+        case None => System.nanoTime()
+      }
+      base ^ (attempt * 0x9E3779B97F4A7C15L)
+    }
+  }
+
   def toBytes(u: java.util.UUID): Array[Byte] = {
     val out = new Array[Byte](16)
     val m = u.getMostSignificantBits

@@ -39,10 +39,13 @@ package object functions {
                      snapshot: Map[Int, String], readerSchemaId: Int): Column =
     col(DecodePayload(expr(payload), expr(schemaId), snapshot, readerSchemaId))
 
-  /** Fresh 16-byte uuid4 per row (codegen'd; see [[Uuid4Binary]]). */
+  /** Fresh 16-byte uuid4 per row (codegen'd; see [[Uuid4Binary]]) —
+    * per-task entropy, so streaming micro-batches never replay a stream. */
   def uuid4_binary(): Column =
-    col(Uuid4Binary(new java.security.SecureRandom().nextLong()))
+    col(Uuid4Binary(new java.security.SecureRandom().nextLong(), perTaskEntropy = true))
 
-  /** Seeded variant for replayable tests. */
-  def uuid4_binary(seed: Long): Column = col(Uuid4Binary(seed))
+  /** Seeded variant, fully deterministic per (seed, partition, row) —
+    * for replayable tests and benchmarks. */
+  def uuid4_binary(seed: Long): Column =
+    col(Uuid4Binary(seed, perTaskEntropy = false))
 }
