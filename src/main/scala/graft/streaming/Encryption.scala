@@ -38,8 +38,12 @@ object Encryption {
       Envelope.initializationVectorSchemaJson)
 
   /** Fresh unpredictable 16-byte IV per row (uuid4-derived: 122 random
-    * bits, codegen'd, no driver-side RNG state). */
-  def randomIv(): Column = unhex(regexp_replace(expr("uuid()"), "-", ""))
+    * bits, codegen'd). Uses [[graft.functions.Uuid4Binary]] with per-task
+    * entropy rather than Spark's `uuid()`: builtin RNG expressions replay
+    * their stream every streaming micro-batch (same seed + partition), and
+    * a repeated CBC IV under the same key leaks plaintext-prefix
+    * equality across batches. */
+  def randomIv(): Column = graft.functions.uuid4_binary()
 
   /** Encrypt `payloadCol` in place, adding `meta` (IV attribute) and
     * `encryption_type` columns. The ciphertext is raw CBC blocks — Spark's
