@@ -98,10 +98,18 @@ object Bench {
         if (secs > 0) n / secs else -1.0
       } catch { case _: Throwable => -1.0 }
 
-    // single-thread full-chain codec rate — the per-core number BASELINE.md
-    // gates on (reference: ~185k msgs/s single-process instantiation).
-    val serdePerCore =
+    // single-thread codec rates, decomposed so a serde regression and a
+    // uuid-cost regression stay separately visible (BASELINE.md tiers:
+    // no-uuid ~730k/s, FastUUID instantiation ~185k/s, uuid-only 385k/s;
+    // gate: ≥ ~90k rows/s/core on the full chain).
+    val serdePerCore = // fixed uuid — serde cost only (ref "no uuid" tier)
       try SerdeMicroBench.chainRowsPerSecCore(300000)
+      catch { case _: Throwable => -1.0 }
+    val serdeUuidPerCore = // fresh uuid4 per message (ref FastUUID tier)
+      try SerdeMicroBench.chainWithUuidRowsPerSecCore(300000)
+      catch { case _: Throwable => -1.0 }
+    val uuidGenPerCore = // uuid4 generation alone (ref 385,845/s best)
+      try SerdeMicroBench.uuidRowsPerSecCore(2000000)
       catch { case _: Throwable => -1.0 }
 
     // uuid4 generation rate through the codegen'd Uuid4Binary expression
@@ -123,8 +131,14 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + f"""\":$v%.4f""" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
+    // preserve the -1 failure sentinel on derived metrics (dividing -1 by
+    // cpus would print ≈ -0 and hide the failure)
+    val uuidPerCore = if (uuidRowsPerSec < 0) -1.0 else uuidRowsPerSec / cpus.toInt
+    // gate comparison: BASELINE.md requires the full envelope chain to
+    // sustain ≥ ~90k rows/s/core; ratio < 1 means the gate failed
+    val gateRatio = if (serdeUuidPerCore < 0) -1.0 else serdeUuidPerCore / 90000.0
     println(
-      f"""{"metric":"total","value":$total%.4f,"unit":"sec","queries":$qs,"serde_rows_per_sec":$serdeRowsPerSec%.0f,"serde_rows_per_sec_core":$serdePerCore%.0f,"uuid_rows_per_sec":$uuidRowsPerSec%.0f,"uuid_rows_per_sec_core":${uuidRowsPerSec / cpus.toInt}%.0f,"sf":"$sfDir"}""")
+      f"""{"metric":"total","value":$total%.4f,"unit":"sec","queries":$qs,"serde_rows_per_sec":$serdeRowsPerSec%.0f,"serde_rows_per_sec_core":$serdePerCore%.0f,"serde_uuid_rows_per_sec_core":$serdeUuidPerCore%.0f,"uuid_gen_rows_per_sec_core":$uuidGenPerCore%.0f,"uuid_rows_per_sec":$uuidRowsPerSec%.0f,"uuid_rows_per_sec_core":$uuidPerCore%.0f,"baseline_gate_rows_per_sec_core":90000,"serde_uuid_vs_gate":$gateRatio%.2f,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

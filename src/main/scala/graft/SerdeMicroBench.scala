@@ -51,6 +51,72 @@ object SerdeMicroBench {
     once()
     n / ((System.nanoTime() - t0) / 1e9)
   }
+
+  /** Same chain, but drawing a fresh uuid4 per message — the reference's
+    * "message instantiation with FastUUID" tier (~185k/s, message.py:193-198),
+    * vs [[chainRowsPerSecCore]]'s fixed-uuid "no uuid" tier (~730k/s).
+    * Decomposed so a serde regression and a uuid-cost regression are
+    * visible separately in the round-over-round bench. */
+  def chainWithUuidRowsPerSecCore(n: Int): Double = {
+    val payloadJson = queries.EnvelopeOps.eventSchemaJson
+    val payloadSchema = AvroCodec.parse(payloadJson)
+    val payloadType = AvroConversions.toStructType(payloadSchema)
+    val envelopeSchema = AvroCodec.parse(Envelope.avroSchemaJson)
+    val gen = org.apache.spark.sql.catalyst.util.RandomUUIDGenerator(42L)
+    def once(): Unit = {
+      var i = 0
+      while (i < n) {
+        val uuid = graft.functions.Uuid4Binary.toBytes(gen.getNextUUID())
+        val payload = AvroCodec.encode(
+          AvroConversions.toAvro(
+            new GenericInternalRow(Array[Any](
+              i.toLong, (i % 150).toLong, UTF8String.fromString("click"), i * 0.5)),
+            payloadType, payloadSchema)
+            .asInstanceOf[org.apache.avro.generic.GenericRecord], payloadJson)
+        val framed = AvroCodec.frameBinary(AvroCodec.encode(
+          AvroConversions.toAvro(
+            new GenericInternalRow(Array[Any](
+              uuid, UTF8String.fromString("create"), 1, payload, null, null, null,
+              1700000000)),
+            Envelope.sparkType, envelopeSchema)
+            .asInstanceOf[org.apache.avro.generic.GenericRecord],
+          Envelope.avroSchemaJson))
+        val env = AvroConversions.toCatalyst(
+          AvroCodec.decode(AvroCodec.unframe(framed), Envelope.avroSchemaJson,
+            Envelope.avroSchemaJson), envelopeSchema).asInstanceOf[InternalRow]
+        AvroConversions.toCatalyst(
+          AvroCodec.decode(env.getBinary(3), payloadJson, payloadJson), payloadSchema)
+        i += 1
+      }
+    }
+    once() // warm-up: JIT
+    val t0 = System.nanoTime()
+    once()
+    n / ((System.nanoTime() - t0) / 1e9)
+  }
+
+  /** uuid4 generation alone, single thread (reference: _fast_uuid.py
+    * 385,845/s best). Complements the distributed uuid metric in
+    * [[Bench]] with a clean per-core number on the same generator the
+    * envelope path uses. */
+  def uuidRowsPerSecCore(n: Int): Double = {
+    val gen = org.apache.spark.sql.catalyst.util.RandomUUIDGenerator(42L)
+    def once(): Long = {
+      var i = 0
+      var acc = 0L
+      while (i < n) {
+        acc += graft.functions.Uuid4Binary.toBytes(gen.getNextUUID())(0)
+        i += 1
+      }
+      acc
+    }
+    once() // warm-up: JIT
+    val t0 = System.nanoTime()
+    val sink = once()
+    val secs = (System.nanoTime() - t0) / 1e9
+    if (sink == Long.MinValue) println("") // keep the loop un-eliminable
+    n / secs
+  }
   def main(args: Array[String]): Unit = {
     val n = args.headOption.map(_.toInt).getOrElse(500000)
     val payloadJson = queries.EnvelopeOps.eventSchemaJson

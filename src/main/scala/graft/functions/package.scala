@@ -48,4 +48,9 @@ package object functions {
     * for replayable tests and benchmarks. */
   def uuid4_binary(seed: Long): Column =
     col(Uuid4Binary(seed, perTaskEntropy = false))
+
+  /** `numBytes` of CSPRNG output per row (see [[SecureRandomBinary]]) —
+    * the unpredictable-IV source for CBC encryption. */
+  def secure_random_binary(numBytes: Int): Column =
+    col(SecureRandomBinary(numBytes, new java.security.SecureRandom().nextLong()))
 }

@@ -125,12 +125,16 @@ object Curation {
                        dfRatio: Double): DataFrame = {
     val ws = split(trim(col(textCol)), "\\s+")
     // single job, single scan: the grouped count carries a per-doc marker
-    // row ("" can never be a \s+-split token) whose df IS the corpus size,
-    // so the threshold comparison stays distributed — only the tiny
-    // stoplist ever reaches the driver, and the old separate docs.count()
-    // pre-scan is gone
+    // row ("") whose df IS the corpus size, so the threshold comparison
+    // stays distributed — only the tiny stoplist ever reaches the driver,
+    // and the old separate docs.count() pre-scan is gone. Real tokens are
+    // filtered to non-"" first: splitting an empty/whitespace-only document
+    // yields [""], which would otherwise inflate the marker count above the
+    // true corpus size and skew the df threshold.
     val counts = docs
-      .select(explode(concat(array(lit("")), array_distinct(ws))).as("t"))
+      .select(explode(concat(
+        array(lit("")),
+        filter(array_distinct(ws), w => w =!= ""))).as("t"))
       .groupBy(col("t")).agg(count(lit(1)).as("df"))
     val nDocs = counts.filter(col("t") === "").select(col("df").as("n"))
     val stop = counts

@@ -536,8 +536,15 @@ object SchemaRegistry {
       require(entry.schemaId == r.getAs[Int]("schema_id"),
         s"catalog reload drifted: got ${entry.schemaId}, expected ${r.getAs[Int]("schema_id")}")
     }
+    // Optional-table existence goes through the Hadoop FileSystem API, not
+    // java.io.File: save() targets any Hadoop-supported scheme (s3://,
+    // hdfs://, a shared object-store path), and a local-only check would
+    // silently drop the refresh queue and group state on reload there.
+    val hadoopConf = spark.sparkContext.hadoopConfiguration
     def table(name: String): Seq[org.apache.spark.sql.Row] = {
-      if (!new java.io.File(s"$dir/$name").exists()) Seq.empty
+      val path = new org.apache.hadoop.fs.Path(s"$dir/$name")
+      val fs = path.getFileSystem(hadoopConf)
+      if (!fs.exists(path)) Seq.empty
       else spark.read.parquet(s"$dir/$name").collect().toSeq
     }
     table("refreshes").sortBy(_.getAs[Int]("refresh_id")).foreach { r =>

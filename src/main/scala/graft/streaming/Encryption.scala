@@ -37,13 +37,14 @@ object Encryption {
     registry.registerSchema("graft.crypto", "initialization_vector",
       Envelope.initializationVectorSchemaJson)
 
-  /** Fresh unpredictable 16-byte IV per row (uuid4-derived: 122 random
-    * bits, codegen'd). Uses [[graft.functions.Uuid4Binary]] with per-task
-    * entropy rather than Spark's `uuid()`: builtin RNG expressions replay
-    * their stream every streaming micro-batch (same seed + partition), and
-    * a repeated CBC IV under the same key leaks plaintext-prefix
-    * equality across batches. */
-  def randomIv(): Column = graft.functions.uuid4_binary()
+  /** Fresh unpredictable 16-byte IV per row from a per-partition CSPRNG
+    * ([[graft.functions.SecureRandomBinary]]; reference parity:
+    * initialization_vector.py:29 uses os.urandom). Not [[graft.functions.Uuid4Binary]]:
+    * that rides XORShift, whose state is recoverable from a few published
+    * IVs — an observer could then predict future IVs, breaking CBC's
+    * unpredictable-IV requirement. A CSPRNG also never replays across
+    * streaming micro-batches (self-seeded per partition initialization). */
+  def randomIv(): Column = graft.functions.secure_random_binary(16)
 
   /** Encrypt `payloadCol` in place, adding `meta` (IV attribute) and
     * `encryption_type` columns. The ciphertext is raw CBC blocks — Spark's

@@ -15,6 +15,29 @@ import org.apache.spark.sql.types._
   */
 object DdlModel {
 
+  /** JSON-escape a string for interpolation inside double quotes — column
+    * names, namespaces, and enum/set values may carry quotes, backslashes,
+    * or control characters (MySQL `enum('a"b')` is legal DDL) and would
+    * otherwise render invalid Avro JSON that fails much later at parse. */
+  def jsonEscape(s: String): String = {
+    val sb = new StringBuilder(s.length)
+    s.foreach {
+      case '"' => sb.append("\\\"")
+      case '\\' => sb.append("\\\\")
+      case '\b' => sb.append("\\b")
+      case '\f' => sb.append("\\f")
+      case '\n' => sb.append("\\n")
+      case '\r' => sb.append("\\r")
+      case '\t' => sb.append("\\t")
+      case c if c < 0x20 => sb.append(f"\\u${c.toInt}%04x")
+      case c => sb.append(c)
+    }
+    sb.toString
+  }
+
+  /** Render a JSON string literal (quotes included). */
+  def jstr(s: String): String = s""""${jsonEscape(s)}""""
+
   final case class ColumnSpec(
       name: String,
       avroType: String, // base avro primitive
@@ -32,12 +55,12 @@ object DdlModel {
           if (!c.nullable) s""""${c.avroType}""""
           else if (c.defaultIsNull) s"""["null", "${c.avroType}"]"""
           else s"""["${c.avroType}", "null"]"""
-        val metaAttrs = c.metas.map { case (k, v) => s""","$k": $v""" }.mkString
+        val metaAttrs = c.metas.map { case (k, v) => s""",${jstr(k)}: $v""" }.mkString
         val pkeyAttr = c.pkeyOrdinal.map(o => s""","pkey": $o""").getOrElse("")
         val defaultAttr = if (c.nullable && c.defaultIsNull) s""","default": null""" else ""
-        s"""{"name": "${c.name}", "type": $tpe$metaAttrs$pkeyAttr$defaultAttr}"""
+        s"""{"name": ${jstr(c.name)}, "type": $tpe$metaAttrs$pkeyAttr$defaultAttr}"""
       }
-      s"""{"type": "record", "namespace": "$schema", "name": "$table",
+      s"""{"type": "record", "namespace": ${jstr(schema)}, "name": ${jstr(table)},
          | "fields": [${fields.mkString(", ")}]}""".stripMargin
     }
 

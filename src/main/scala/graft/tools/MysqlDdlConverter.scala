@@ -126,10 +126,10 @@ object MysqlDdlConverter {
         case "time" => ("long", Seq("time" -> "true"), LongType)
         case "year" => ("int", Seq("year" -> "true"), IntegerType)
         case "enum" =>
-          val vals = quotedList(args).map(v => s""""$v"""").mkString("[", ", ", "]")
+          val vals = quotedList(args).map(DdlModel.jstr).mkString("[", ", ", "]")
           ("string", Seq("enum_values" -> vals), StringType)
         case "set" =>
-          val vals = quotedList(args).map(v => s""""$v"""").mkString("[", ", ", "]")
+          val vals = quotedList(args).map(DdlModel.jstr).mkString("[", ", ", "]")
           ("string", Seq("set_values" -> vals), StringType)
         case "json" => ("string", Seq("json" -> "true"), StringType)
         case other =>

@@ -175,6 +175,23 @@ class CurationSpec extends SparkTestBase {
       (3L, 2L, 1L, "end"), (4L, 3L, 0L, "")))
   }
 
+  test("stripBoilerplate: empty docs don't inflate the corpus count") {
+    import spark.implicits._
+    // 'the' is in 3/5 docs. With the empty docs wrongly counted the corpus
+    // marker would read 5 anyway — but splitting "" yields [""], which used
+    // to ALSO count toward n via the un-filtered token path. Verify the df
+    // threshold still fires on the true corpus size: ratio 0.55 → minDf
+    // floor(0.55*5)=2, 'the' (df=3) must drop.
+    val docs = Seq(
+      (1L, "the cat"), (2L, "the dog"), (3L, "the end"),
+      (4L, ""), (5L, "   ")).toDF("doc_id", "text")
+    val got = Curation.stripBoilerplate(docs, "doc_id", "text", dfRatio = 0.55)
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(got(1L) == ((2L, 1L, "cat")))
+    assert(got(3L) == ((2L, 1L, "end")))
+  }
+
   // --- k-means IVF training ---------------------------------------------
 
   test("kmeansLabels separates well-formed clusters deterministically") {

@@ -101,4 +101,33 @@ class FunctionsSpec extends SparkTestBase {
     val b = spark.range(1).select(graft.functions.uuid4_binary().as("u")).head().getAs[Array[Byte]](0)
     assert(a.toSeq != b.toSeq)
   }
+
+  test("secure_random_binary draws unique CSPRNG blocks of the requested size") {
+    import org.apache.spark.sql.functions.col
+    val rows = spark.range(0, 1000, 1, 4)
+      .select(graft.functions.secure_random_binary(16).as("iv"))
+      .collect().map(_.getAs[Array[Byte]](0))
+    assert(rows.forall(_.length == 16))
+    assert(rows.map(_.toSeq).distinct.length == 1000, "IVs must never repeat")
+    // two independent expressions in one projection must not be collapsed
+    // into a single draw (instanceTag differentiates them for Catalyst)
+    val pair = spark.range(0, 100, 1, 2)
+      .select(graft.functions.secure_random_binary(16).as("x"),
+        graft.functions.secure_random_binary(16).as("y"))
+      .collect()
+    assert(pair.forall(r =>
+      r.getAs[Array[Byte]]("x").toSeq != r.getAs[Array[Byte]]("y").toSeq))
+    // interpreted path (codegen fallback) agrees on shape
+    val interp = graft.functions.SecureRandomBinary(16, 1L)
+    interp.initialize(0)
+    val v = interp.eval(null).asInstanceOf[Array[Byte]]
+    assert(v.length == 16)
+    // encryption path draws its IVs from this source
+    val ivPlan = spark.range(1).select(graft.streaming.Encryption.randomIv().as("iv"))
+    assert(ivPlan.queryExecution.analyzed.toString.contains("secure_random_binary") ||
+      ivPlan.head().getAs[Array[Byte]]("iv").length == 16)
+    assert(spark.range(0, 50, 1, 1).select(col("id"),
+      graft.streaming.Encryption.randomIv().as("iv"))
+      .collect().map(_.getAs[Array[Byte]]("iv").toSeq).distinct.length == 50)
+  }
 }

@@ -57,6 +57,15 @@ class MysqlDdlSpec extends AnyFunSuite {
     assert(avro.getField("rating").schema().getTypes.get(1).getType == Schema.Type.DOUBLE)
   }
 
+  test("quotes and backslashes in enum values render valid Avro JSON") {
+    val spec = MysqlDdlConverter.parse(
+      """CREATE TABLE t (v ENUM('a"b','c\\d','plain') NOT NULL)""")
+    val avro = new Schema.Parser().parse(spec.avroSchemaJson) // must not throw
+    assert(avro.getField("v").schema().getType == Schema.Type.STRING)
+    val rendered = spec.columns.head.metas.toMap.apply("enum_values")
+    assert(rendered.contains("a\\\"b"), s"quote must be escaped in: $rendered")
+  }
+
   test("int unsigned promotes to long; signed stays int") {
     val spec = MysqlDdlConverter.parse(
       "CREATE TABLE t (a INT UNSIGNED NOT NULL, b INT NOT NULL, c SMALLINT UNSIGNED)")
