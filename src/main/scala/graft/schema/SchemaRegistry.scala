@@ -34,6 +34,19 @@ class SchemaRegistry extends Serializable {
       namespaceName: String,
       sourceName: String,
       containsPii: Boolean,
+      createdAt: Long,
+      clusterType: String = "datapipe")
+
+  /** Source catalog row (reference: schematizer sources — numeric ids,
+    * owner emails; `tools/introspector/models/source.py`). Sources are
+    * created implicitly by the first schema registration for the
+    * (namespace, source) pair, so ids are deterministic in registration
+    * order and reproduce exactly on catalog reload. */
+  final case class SourceEntry(
+      sourceId: Int,
+      name: String,
+      namespaceName: String,
+      ownerEmail: String,
       createdAt: Long)
 
   final case class SchemaEntry(
@@ -50,9 +63,19 @@ class SchemaRegistry extends Serializable {
 
   private val nextSchemaId = new AtomicInteger(0)
   private val nextTopicId = new AtomicInteger(0)
+  private val nextSourceId = new AtomicInteger(0)
   private val schemasById = TrieMap.empty[Int, SchemaEntry]
   private val topicsById = TrieMap.empty[Int, TopicEntry]
+  private val sourcesById = TrieMap.empty[Int, SourceEntry]
   private val clock = new AtomicInteger(0) // deterministic created_at ticks
+
+  // schema_ref / documentation-tool metadata (reference: tools/schema_ref.py,
+  // bootstrapper.py:107-144 — notes, categories and file sources attach via
+  // their own registry endpoints, separate from the avro `doc` attributes)
+  private val sourceCategories = TrieMap.empty[Int, String]
+  private val schemaNotes = TrieMap.empty[Int, String]
+  private val fieldNotes = TrieMap.empty[(Int, String), String]
+  private val fileSources = TrieMap.empty[Int, (String, String)] // display, url
 
   // --- registration ---------------------------------------------------
 
@@ -73,12 +96,16 @@ class SchemaRegistry extends Serializable {
       source: String,
       schemaJson: String,
       containsPii: Boolean = false,
-      baseSchemaId: Option[Int] = None): SchemaEntry = synchronized {
+      baseSchemaId: Option[Int] = None,
+      sourceOwnerEmail: String = "",
+      clusterType: String = "datapipe"): SchemaEntry = synchronized {
     val parsed = new Schema.Parser().parse(schemaJson)
     val canonical = parsed.toString // normalized form for identity compare
+    getOrCreateSource(namespace, source, sourceOwnerEmail)
     val existingTopics = topicsBySource(namespace, source)
     val latestTopic = existingTopics.sortBy(t => (t.createdAt, t.topicId)).lastOption
       .filter(_.containsPii == containsPii) // PII flip ⇒ never reuse the topic
+      .filter(_.clusterType == clusterType) // cluster move ⇒ new topic there
 
     latestTopic.flatMap { t =>
       schemasByTopic(t.name).find(s => AvroCodec.parse(s.schemaJson).toString == canonical)
@@ -91,7 +118,7 @@ class SchemaRegistry extends Serializable {
         val topic = if (compatible) latestTopic.get else {
           val id = nextTopicId.incrementAndGet()
           val entry = TopicEntry(id, s"$namespace.$source.v$id", namespace, source,
-            containsPii, clock.incrementAndGet().toLong)
+            containsPii, clock.incrementAndGet().toLong, clusterType)
           topicsById.put(id, entry)
           entry
         }
@@ -117,15 +144,94 @@ class SchemaRegistry extends Serializable {
       newCreateTableStmt: String,
       oldCreateTableStmt: Option[String] = None,
       alterTableStmt: Option[String] = None,
-      containsPii: Boolean = false): SchemaEntry = {
+      containsPii: Boolean = false,
+      sourceOwnerEmail: String = ""): SchemaEntry = {
     val spec = (oldCreateTableStmt, alterTableStmt) match {
       case (Some(o), Some(a)) =>
         graft.tools.MysqlDdlConverter.validateStatementTriple(newCreateTableStmt, o, a)
       case _ =>
         graft.tools.MysqlDdlConverter.parse(newCreateTableStmt)
     }
-    registerSchema(namespace, source, spec.avroSchemaJson, containsPii)
+    registerSchema(namespace, source, spec.avroSchemaJson, containsPii,
+      sourceOwnerEmail = sourceOwnerEmail)
   }
+
+  /** Find-or-create the source row for a registration; a non-empty owner
+    * email on a later registration updates the stored owner (reference:
+    * register_schema carries source_owner_email on every call and the
+    * schematizer upserts it onto the source). */
+  private def getOrCreateSource(namespace: String, source: String,
+                                ownerEmail: String): SourceEntry = {
+    sourcesById.values.find(s => s.namespaceName == namespace && s.name == source) match {
+      case Some(existing) =>
+        if (ownerEmail.nonEmpty && existing.ownerEmail != ownerEmail) {
+          val updated = existing.copy(ownerEmail = ownerEmail)
+          sourcesById.put(existing.sourceId, updated)
+          updated
+        } else existing
+      case None =>
+        val id = nextSourceId.incrementAndGet()
+        val entry = SourceEntry(id, source, namespace, ownerEmail,
+          clock.incrementAndGet().toLong)
+        sourcesById.put(id, entry)
+        entry
+    }
+  }
+
+  def allSources: Seq[SourceEntry] = sourcesById.values.toSeq.sortBy(_.sourceId)
+  def getSourceById(id: Int): Option[SourceEntry] = sourcesById.get(id)
+  def getSourceByName(namespace: String, source: String): Option[SourceEntry] =
+    sourcesById.values.find(s => s.namespaceName == namespace && s.name == source)
+  def sourcesByNamespace(namespace: String): Seq[SourceEntry] =
+    allSources.filter(_.namespaceName == namespace)
+
+  /** Deterministic namespace id: the id of the namespace's first-created
+    * source (the reference schematizer assigns namespace ids on first
+    * registration in exactly this order). */
+  def namespaceId(namespace: String): Option[Int] =
+    sourcesByNamespace(namespace).headOption.map(_.sourceId)
+
+  // --- schema_ref metadata (reference: tools/schema_ref.py,
+  //     bootstrapper.py:107-229 — category/note/file-source endpoints) ---
+
+  /** Category get/set/delete per source (reference: schematizer
+    * update_category / delete_category, bootstrapper.py:195-229). */
+  def setSourceCategory(sourceId: Int, category: String): Unit = {
+    require(sourcesById.contains(sourceId), s"unknown source $sourceId")
+    sourceCategories.put(sourceId, category)
+  }
+  def getSourceCategory(sourceId: Int): Option[String] = sourceCategories.get(sourceId)
+  def deleteSourceCategory(sourceId: Int): Unit = sourceCategories.remove(sourceId)
+
+  /** Schema-level note attach (reference: create_note/update_note on the
+    * whole-schema reference type, bootstrapper.py:160-193). */
+  def setSchemaNote(schemaId: Int, note: String): Unit = {
+    require(schemasById.contains(schemaId), s"unknown schema $schemaId")
+    schemaNotes.put(schemaId, note)
+  }
+  def getSchemaNote(schemaId: Int): Option[String] = schemaNotes.get(schemaId)
+
+  /** Field-level note attach, keyed by field name within the schema
+    * (reference: notes on schema elements, bootstrapper.py:246-272). */
+  def setFieldNote(schemaId: Int, fieldName: String, note: String): Unit = {
+    require(schemasById.contains(schemaId), s"unknown schema $schemaId")
+    require(getSchemaElementsBySchemaId(schemaId)
+        .exists(_.elementName.endsWith("." + fieldName)),
+      s"schema $schemaId has no field '$fieldName'")
+    fieldNotes.put((schemaId, fieldName), note)
+  }
+  def getFieldNote(schemaId: Int, fieldName: String): Option[String] =
+    fieldNotes.get((schemaId, fieldName))
+  def getFieldNotes(schemaId: Int): Map[String, String] =
+    fieldNotes.collect { case ((id, f), n) if id == schemaId => f -> n }.toMap
+
+  /** Source-file provenance for the documentation tool (reference:
+    * register_file_source, bootstrapper.py:231-244). */
+  def setFileSource(schemaId: Int, display: String, url: String): Unit = {
+    require(schemasById.contains(schemaId), s"unknown schema $schemaId")
+    fileSources.put(schemaId, (display, url))
+  }
+  def getFileSource(schemaId: Int): Option[(String, String)] = fileSources.get(schemaId)
 
   /** Mutual read compatibility (read + write), the reference's FULL check
     * (reference: schematizer.py:1191 is_avro_schema_compatible). */
@@ -438,16 +544,27 @@ class SchemaRegistry extends Serializable {
 
   def topicsDF(spark: SparkSession): DataFrame = {
     import spark.implicits._
-    topics.map(t => (t.topicId, t.name, t.namespaceName, t.sourceName, t.containsPii, t.createdAt))
-      .toDF("topic_id", "name", "namespace", "source", "contains_pii", "created_at")
+    topics.map(t => (t.topicId, t.name, t.namespaceName, t.sourceName, t.containsPii,
+        t.createdAt, t.clusterType))
+      .toDF("topic_id", "name", "namespace", "source", "contains_pii",
+        "created_at", "cluster_type")
   }
 
   def schemasDF(spark: SparkSession): DataFrame = {
     import spark.implicits._
     schemas.map(s => (s.schemaId, s.topicName, s.namespaceName, s.sourceName,
-        s.schemaJson, s.primaryKeys, s.containsPii, s.createdAt))
+        s.schemaJson, s.primaryKeys, s.containsPii, s.createdAt, s.baseSchemaId,
+        topicsById(s.topicId).clusterType))
       .toDF("schema_id", "topic", "namespace", "source", "schema_json",
-        "primary_keys", "contains_pii", "created_at")
+        "primary_keys", "contains_pii", "created_at", "base_schema_id",
+        "cluster_type")
+  }
+
+  def sourcesDF(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    allSources.map(s => (s.sourceId, s.name, s.namespaceName, s.ownerEmail,
+        sourceCategories.get(s.sourceId), s.createdAt))
+      .toDF("source_id", "name", "namespace", "owner_email", "category", "created_at")
   }
 
   // --- persistence ------------------------------------------------------
@@ -461,6 +578,15 @@ class SchemaRegistry extends Serializable {
     import spark.implicits._
     topicsDF(spark).write.mode("overwrite").parquet(s"$dir/topics")
     schemasDF(spark).write.mode("overwrite").parquet(s"$dir/schemas")
+    sourcesDF(spark).write.mode("overwrite").parquet(s"$dir/sources")
+    schemas.flatMap(s => Seq(
+        schemaNotes.get(s.schemaId).map(n => (s.schemaId, "note", "", n)),
+        fileSources.get(s.schemaId).map { case (d, u) => (s.schemaId, "file_source", d, u) })
+        .flatten ++
+        getFieldNotes(s.schemaId).toSeq.sortBy(_._1)
+          .map { case (f, n) => (s.schemaId, "field_note", f, n) })
+      .toDF("schema_id", "kind", "key", "value")
+      .write.mode("overwrite").parquet(s"$dir/schema_meta")
     refreshesDF(spark).write.mode("overwrite").parquet(s"$dir/refreshes")
     dataTargets.map(t => (t.dataTargetId, t.name, t.targetType, t.destination))
       .toDF("data_target_id", "name", "target_type", "destination")
@@ -527,12 +653,16 @@ object SchemaRegistry {
       s"refusing to rehydrate $nRows rows from $dir/schemas driver-side — " +
         "is this really a catalog store?")
     val rows = catalog
-      .select("schema_id", "namespace", "source", "schema_json", "contains_pii")
+      .select("schema_id", "namespace", "source", "schema_json", "contains_pii",
+        "base_schema_id", "cluster_type")
       .collect().sortBy(_.getAs[Int]("schema_id"))
     rows.foreach { r =>
       val entry = reg.registerSchema(
         r.getAs[String]("namespace"), r.getAs[String]("source"),
-        r.getAs[String]("schema_json"), r.getAs[Boolean]("contains_pii"))
+        r.getAs[String]("schema_json"), r.getAs[Boolean]("contains_pii"),
+        baseSchemaId = Option(r.get(r.fieldIndex("base_schema_id")))
+          .map(_.asInstanceOf[Int]),
+        clusterType = r.getAs[String]("cluster_type"))
       require(entry.schemaId == r.getAs[Int]("schema_id"),
         s"catalog reload drifted: got ${entry.schemaId}, expected ${r.getAs[Int]("schema_id")}")
     }
@@ -546,6 +676,28 @@ object SchemaRegistry {
       val fs = path.getFileSystem(hadoopConf)
       if (!fs.exists(path)) Seq.empty
       else spark.read.parquet(s"$dir/$name").collect().toSeq
+    }
+    // Source rows were re-created by the registration replay above (same
+    // order ⇒ same ids); patch on the persisted owner/category metadata.
+    table("sources").foreach { r =>
+      val id = r.getAs[Int]("source_id")
+      val stored = reg.getSourceByName(r.getAs[String]("namespace"), r.getAs[String]("name"))
+      require(stored.exists(_.sourceId == id),
+        s"catalog reload drifted: source ${r.getAs[String]("name")} expected id $id, " +
+          s"got ${stored.map(_.sourceId)}")
+      val owner = r.getAs[String]("owner_email")
+      if (owner.nonEmpty)
+        reg.sourcesById.put(id, stored.get.copy(ownerEmail = owner))
+      Option(r.getAs[String]("category")).foreach(reg.setSourceCategory(id, _))
+    }
+    table("schema_meta").foreach { r =>
+      val id = r.getAs[Int]("schema_id")
+      (r.getAs[String]("kind"), r.getAs[String]("key"), r.getAs[String]("value")) match {
+        case ("note", _, n) => reg.setSchemaNote(id, n)
+        case ("field_note", f, n) => reg.setFieldNote(id, f, n)
+        case ("file_source", d, u) => reg.setFileSource(id, d, u)
+        case (k, _, _) => throw new IllegalArgumentException(s"unknown schema_meta kind $k")
+      }
     }
     table("refreshes").sortBy(_.getAs[Int]("refresh_id")).foreach { r =>
       reg.restoreRefresh(graft.refresh.RefreshJob(
