@@ -64,6 +64,8 @@ class SchemaRegistry extends Serializable {
   private val nextSchemaId = new AtomicInteger(0)
   private val nextTopicId = new AtomicInteger(0)
   private val nextSourceId = new AtomicInteger(0)
+  private val nextNamespaceId = new AtomicInteger(0)
+  private val namespaceIds = TrieMap.empty[String, Int]
   private val schemasById = TrieMap.empty[Int, SchemaEntry]
   private val topicsById = TrieMap.empty[Int, TopicEntry]
   private val sourcesById = TrieMap.empty[Int, SourceEntry]
@@ -170,6 +172,7 @@ class SchemaRegistry extends Serializable {
           updated
         } else existing
       case None =>
+        namespaceIds.getOrElseUpdate(namespace, nextNamespaceId.incrementAndGet())
         val id = nextSourceId.incrementAndGet()
         val entry = SourceEntry(id, source, namespace, ownerEmail,
           clock.incrementAndGet().toLong)
@@ -185,11 +188,12 @@ class SchemaRegistry extends Serializable {
   def sourcesByNamespace(namespace: String): Seq[SourceEntry] =
     allSources.filter(_.namespaceName == namespace)
 
-  /** Deterministic namespace id: the id of the namespace's first-created
-    * source (the reference schematizer assigns namespace ids on first
-    * registration in exactly this order). */
-  def namespaceId(namespace: String): Option[Int] =
-    sourcesByNamespace(namespace).headOption.map(_.sourceId)
+  /** Deterministic namespace id from the namespace's own id sequence:
+    * 1, 2, 3… assigned on the first source registration per distinct
+    * namespace (the reference schematizer's namespace table has its own
+    * auto-increment id, so ids stay dense even when one namespace holds
+    * many sources before the next namespace appears). */
+  def namespaceId(namespace: String): Option[Int] = namespaceIds.get(namespace)
 
   // --- schema_ref metadata (reference: tools/schema_ref.py,
   //     bootstrapper.py:107-229 — category/note/file-source endpoints) ---
@@ -652,7 +656,19 @@ object SchemaRegistry {
     require(nRows <= MaxCatalogRows,
       s"refusing to rehydrate $nRows rows from $dir/schemas driver-side — " +
         "is this really a catalog store?")
-    val rows = catalog
+    // Catalogs written before the sources/cluster_type format extension
+    // lack these two columns; synthesize the defaults instead of throwing
+    // AnalysisException on reload — same optional-shape treatment the
+    // fs.exists guards below give whole missing tables.
+    import org.apache.spark.sql.functions.lit
+    val withBase =
+      if (catalog.columns.contains("base_schema_id")) catalog
+      else catalog.withColumn("base_schema_id",
+        lit(null).cast(org.apache.spark.sql.types.IntegerType))
+    val compat =
+      if (withBase.columns.contains("cluster_type")) withBase
+      else withBase.withColumn("cluster_type", lit("datapipe"))
+    val rows = compat
       .select("schema_id", "namespace", "source", "schema_json", "contains_pii",
         "base_schema_id", "cluster_type")
       .collect().sortBy(_.getAs[Int]("schema_id"))

@@ -95,6 +95,82 @@ class MigrationAndCatalogSpec extends SparkTestBase {
       reg.topics.map(t => (t.name, t.containsPii)))
   }
 
+  test("save/load round-trips sources, metadata, cluster splits and schema_meta") {
+    val dir = java.nio.file.Files.createTempDirectory("reg_store_full").toString
+    val reg = new SchemaRegistry
+    val a = reg.registerSchema("ns", "a", payloadJson, sourceOwnerEmail = "own@example.com")
+    // same source, identical schema, different cluster -> forked topic
+    val aScribe = reg.registerSchema("ns", "a", payloadJson, clusterType = "scribe")
+    val b = reg.registerSchema("ns2", "b", payloadJson, containsPii = true)
+    val srcA = reg.getSourceByName("ns", "a").get.sourceId
+    reg.setSourceCategory(srcA, "core")
+    reg.setSchemaNote(a.schemaId, "schema-level note")
+    reg.setFieldNote(a.schemaId, "f", "field-level note")
+    reg.setFileSource(b.schemaId, "b.avsc", "repo://b.avsc")
+    reg.save(spark, dir)
+
+    val back = SchemaRegistry.load(spark, dir)
+    // sources: same ids, owners, categories (replay-deterministic ids)
+    assert(back.allSources.map(s => (s.sourceId, s.namespaceName, s.name, s.ownerEmail)) ==
+      reg.allSources.map(s => (s.sourceId, s.namespaceName, s.name, s.ownerEmail)))
+    assert(back.getSourceCategory(srcA).contains("core"))
+    assert(back.namespaceId("ns").contains(1) && back.namespaceId("ns2").contains(2))
+    // cluster_type-forced topic split survives with its types
+    assert(back.topics.map(t => (t.name, t.clusterType)) ==
+      reg.topics.map(t => (t.name, t.clusterType)))
+    assert(back.getSchemaById(aScribe.schemaId).map(_.topicName) ==
+      reg.getSchemaById(aScribe.schemaId).map(_.topicName))
+    // schema_meta: notes + file sources
+    assert(back.getSchemaNote(a.schemaId).contains("schema-level note"))
+    assert(back.getFieldNote(a.schemaId, "f").contains("field-level note"))
+    assert(back.getFileSource(b.schemaId).contains(("b.avsc", "repo://b.avsc")))
+  }
+
+  test("load rejects a drifted source catalog") {
+    val dir = java.nio.file.Files.createTempDirectory("reg_store_drift").toString
+    val reg = new SchemaRegistry
+    reg.registerSchema("ns", "a", payloadJson, sourceOwnerEmail = "o@example.com")
+    reg.registerSchema("ns", "b", payloadJson)
+    reg.save(spark, dir)
+    // corrupt: swap the stored source ids so replay ids can't match
+    import scala.jdk.CollectionConverters._
+    val src = spark.read.parquet(s"$dir/sources")
+    val swapped = src.collect().toSeq.map { r =>
+      org.apache.spark.sql.Row(
+        3 - r.getInt(0), r.getString(1), r.getString(2), r.getString(3),
+        r.get(4), r.getLong(5))
+    }
+    spark.createDataFrame(swapped.asJava, src.schema)
+      .write.mode("overwrite").parquet(s"$dir/sources")
+    val ex = intercept[IllegalArgumentException](SchemaRegistry.load(spark, dir))
+    assert(ex.getMessage.contains("catalog reload drifted"))
+  }
+
+  test("load accepts a pre-extension catalog lacking base_schema_id/cluster_type") {
+    val dir = java.nio.file.Files.createTempDirectory("reg_store_legacy").toString
+    val reg = new SchemaRegistry
+    reg.registerSchema("ns", "a", payloadJson)
+    reg.registerSchema("ns2", "b", payloadJson, containsPii = true)
+    reg.save(spark, dir)
+    // rewrite the schemas table in the pre-diff column set (no
+    // base_schema_id / cluster_type) and drop the then-nonexistent tables
+    import scala.jdk.CollectionConverters._
+    val legacy = spark.read.parquet(s"$dir/schemas").drop("base_schema_id", "cluster_type")
+    val rows = legacy.collect().toSeq
+    spark.createDataFrame(rows.asJava, legacy.schema)
+      .write.mode("overwrite").parquet(s"$dir/schemas")
+    def rm(p: String): Unit = {
+      val path = new org.apache.hadoop.fs.Path(s"$dir/$p")
+      val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(path)) fs.delete(path, true)
+    }
+    rm("sources"); rm("schema_meta")
+    val back = SchemaRegistry.load(spark, dir)
+    assert(back.snapshot == reg.snapshot)
+    assert(back.topics.forall(_.clusterType == "datapipe"))
+    assert(back.schemas.forall(_.baseSchemaId.isEmpty))
+  }
+
   test("consume splits dead letters from decodable rows") {
     import spark.implicits._
     import org.apache.spark.sql.functions._

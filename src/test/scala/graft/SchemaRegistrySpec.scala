@@ -111,6 +111,89 @@ class SchemaRegistrySpec extends SparkTestBase {
     assert(page.map(_.schemaId) == entries.slice(3, 5).map(_.schemaId))
   }
 
+  // --- round-4 source-catalog / schema_ref surface --------------------
+  // (reference: tools/schema_ref.py:154, bootstrapper.py:107-272)
+
+  test("sources are created implicitly with replay-deterministic ids and owner upsert") {
+    val reg = new SchemaRegistry
+    reg.registerSchema("ns", "first", base, sourceOwnerEmail = "alice@example.com")
+    reg.registerSchema("ns", "second", base)
+    reg.registerSchema("ns2", "third", base, sourceOwnerEmail = "bob@example.com")
+    assert(reg.allSources.map(s => (s.sourceId, s.namespaceName, s.name)) ==
+      Seq((1, "ns", "first"), (2, "ns", "second"), (3, "ns2", "third")))
+    assert(reg.getSourceByName("ns", "first").get.ownerEmail == "alice@example.com")
+    // re-registration with a new non-empty owner upserts; empty owner keeps it
+    reg.registerSchema("ns", "first", compatible, sourceOwnerEmail = "carol@example.com")
+    assert(reg.getSourceByName("ns", "first").get.ownerEmail == "carol@example.com")
+    reg.registerSchema("ns", "first", base)
+    assert(reg.getSourceByName("ns", "first").get.ownerEmail == "carol@example.com")
+    // ids are stable across the upsert — no new source row appeared
+    assert(reg.allSources.size == 3)
+    assert(reg.sourcesByNamespace("ns").map(_.name) == Seq("first", "second"))
+  }
+
+  test("namespace ids come from their own dense sequence, not source ids") {
+    val reg = new SchemaRegistry
+    // two sources in ns_a before ns_b appears: source ids are 1,2 but
+    // namespace ids must stay dense (reference numbering — ADVICE r4)
+    reg.registerSchema("ns_a", "s1", base)
+    reg.registerSchema("ns_a", "s2", base)
+    reg.registerSchema("ns_b", "s3", base)
+    assert(reg.namespaceId("ns_a").contains(1))
+    assert(reg.namespaceId("ns_b").contains(2))
+    assert(reg.namespaceId("missing").isEmpty)
+  }
+
+  test("cluster move forces a new topic even for an identical schema") {
+    val reg = new SchemaRegistry
+    val a = reg.registerSchema("ns", "src", base)
+    val b = reg.registerSchema("ns", "src", base, clusterType = "scribe")
+    assert(a.topicName != b.topicName)
+    val byName = reg.topicsBySource("ns", "src").map(t => t.name -> t.clusterType).toMap
+    assert(byName(a.topicName) == "datapipe" && byName(b.topicName) == "scribe")
+    // moving back is another fork — the latest datapipe topic is gone
+    val c = reg.registerSchema("ns", "src", base)
+    assert(c.topicName != a.topicName && c.topicName != b.topicName)
+  }
+
+  test("categories, schema notes, field notes and file sources attach and validate") {
+    val reg = new SchemaRegistry
+    val e = reg.registerSchema("ns", "src", base, sourceOwnerEmail = "o@example.com")
+    val srcId = reg.getSourceByName("ns", "src").get.sourceId
+    reg.setSourceCategory(srcId, "billing")
+    assert(reg.getSourceCategory(srcId).contains("billing"))
+    reg.deleteSourceCategory(srcId)
+    assert(reg.getSourceCategory(srcId).isEmpty)
+    intercept[IllegalArgumentException](reg.setSourceCategory(999, "x"))
+
+    reg.setSchemaNote(e.schemaId, "the note")
+    assert(reg.getSchemaNote(e.schemaId).contains("the note"))
+    intercept[IllegalArgumentException](reg.setSchemaNote(999, "x"))
+
+    reg.setFieldNote(e.schemaId, "good_field", "field doc")
+    assert(reg.getFieldNote(e.schemaId, "good_field").contains("field doc"))
+    assert(reg.getFieldNotes(e.schemaId) == Map("good_field" -> "field doc"))
+    intercept[IllegalArgumentException](reg.setFieldNote(e.schemaId, "no_such_field", "x"))
+
+    reg.setFileSource(e.schemaId, "schema.avsc", "repo://schemas/src.avsc")
+    assert(reg.getFileSource(e.schemaId).contains(("schema.avsc", "repo://schemas/src.avsc")))
+    intercept[IllegalArgumentException](reg.setFileSource(999, "d", "u"))
+  }
+
+  test("sourcesDF exposes the source catalog with categories") {
+    val reg = new SchemaRegistry
+    reg.registerSchema("ns", "a", base, sourceOwnerEmail = "a@example.com")
+    reg.registerSchema("ns", "b", base)
+    reg.setSourceCategory(1, "core")
+    val df = reg.sourcesDF(spark)
+    assert(df.columns.toSeq ==
+      Seq("source_id", "name", "namespace", "owner_email", "category", "created_at"))
+    val rows = df.orderBy("source_id").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(3), Option(r.getString(4))))
+    assert(rows.toSeq == Seq(
+      (1, "a", "a@example.com", Some("core")), (2, "b", "", None)))
+  }
+
   test("topics-by-criteria filters conjunctively, paginates, and caps results") {
     val reg = new SchemaRegistry
     val inNs = (1 to 25).map(i => reg.registerSchema("ns", s"s$i", base))
