@@ -143,8 +143,13 @@ object Curation {
       .filter(col("df") > floor(lit(dfRatio) * col("n")))
       .select(col("t"))
       .collect().map(_.getString(0)).toSeq.sorted
-    val stopArr = typedLit(stop)
-    val kept = filter(ws, w => !array_contains(stopArr, w))
+    // set-backed membership: isInCollection lowers to In, which Catalyst's
+    // OptimizeIn rewrites to a hash-set InSet past the conversion
+    // threshold — O(1) per token, vs the O(|stoplist|) literal-array scan
+    // array_contains would do for every token of every document
+    val kept =
+      if (stop.isEmpty) ws
+      else filter(ws, w => !w.isInCollection(stop))
     docs.select(
       col(idCol),
       size(ws).cast("long").as("n_tokens"),

@@ -131,16 +131,26 @@ object Similarity {
     * the full table; the code path is identical, only the input differs.
     *
     * Returns (vec_id, v, cluster) after `iters` assignment rounds.
+    *
+    * Each recomputed centroid frame is checkpointed (same `reliable`
+    * contract as [[Dedup.connectedComponents]]): without it, iteration N's
+    * plan embeds all N crossJoin+window+groupBy rounds — planner blowup
+    * and full-chain recompute on failure. With it the final assignment's
+    * analyzed plan is one scan ⋈ a k-row leaf regardless of `iters`, and
+    * the checkpoint itself is k rows of k·dim doubles — free.
     */
-  def kmeansLabels(vectors: DataFrame, k: Int, iters: Int): DataFrame = {
+  def kmeansLabels(vectors: DataFrame, k: Int, iters: Int,
+                   reliable: Boolean = false): DataFrame = {
     require(iters >= 1, "k-means needs at least one assignment round")
+    def chk(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint() else df.localCheckpoint()
     val cosVC =
       expr("aggregate(zip_with(v, c, (x, y) -> x * y), 0D, (acc, z) -> acc + z)") /
         (expr("sqrt(aggregate(v, 0D, (acc, x) -> acc + x * x))") *
           expr("sqrt(aggregate(c, 0D, (acc, x) -> acc + x * x))"))
-    var cents = vectors.orderBy(col("vec_id")).limit(k)
+    var cents = chk(vectors.orderBy(col("vec_id")).limit(k)
       .withColumn("cluster", row_number().over(Window.orderBy(col("vec_id"))) - 1)
-      .select(col("cluster"), col("v").as("c"))
+      .select(col("cluster"), col("v").as("c")))
     var assigned: DataFrame = null
     for (it <- 1 to iters) {
       val w = Window.partitionBy(col("vec_id"))
@@ -151,13 +161,13 @@ object Similarity {
         .filter(col("rn") === 1)
         .select(col("vec_id"), col("v"), col("cluster"))
       if (it < iters) {
-        cents = assigned
+        cents = chk(assigned
           .select(col("cluster"), posexplode(col("v")).as(Seq("dim", "x")))
           .groupBy(col("cluster"), col("dim"))
           .agg(round(avg(col("x")), 6).as("m"))
           .groupBy(col("cluster"))
           .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("pairs"))
-          .select(col("cluster"), expr("transform(pairs, q -> q.m)").as("c"))
+          .select(col("cluster"), expr("transform(pairs, q -> q.m)").as("c")))
       }
     }
     assigned

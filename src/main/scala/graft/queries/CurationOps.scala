@@ -87,6 +87,26 @@ object CurationOps {
       .orderBy($"lang")
   }
 
+  /** The 100 TB sketch path of [[qLengthQuantiles]]: `approx_percentile`
+    * (Greenwald–Khanna summary, here at accuracy 10⁴) instead of the exact
+    * sort-based percentile. Below the accuracy bound the GK summary never
+    * compresses, so it is provably exact and returns the element at
+    * 1-based rank ⌈p·n⌉ of the sorted group — the oracle reproduces that
+    * rank arithmetic with a window function, gating the sketch path's
+    * semantics (an actual corpus element, no interpolation), not just its
+    * row shape. */
+  def qLengthQuantilesApprox(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select($"lang", size(split(trim($"text"), "\\s+")).cast("long").as("n_tokens"))
+      .groupBy($"lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        expr("approx_percentile(n_tokens, 0.5, 10000)").as("p50_tokens"),
+        expr("approx_percentile(n_tokens, 0.9, 10000)").as("p90_tokens"))
+      .orderBy($"lang")
+  }
+
   /** Repetition scoring: fraction of each doc's word bigrams taken by its
     * most frequent bigram (Gopher-style quality rule). */
   def qRepetition(spark: SparkSession, dir: String): DataFrame = {
@@ -131,6 +151,7 @@ object CurationOps {
     "t_pack_batches" -> (qPackBatches _),
     "t_pack_split" -> (qPackSplit _),
     "t_length_quantiles" -> (qLengthQuantiles _),
+    "t_length_quantiles_approx" -> (qLengthQuantilesApprox _),
     "t_repetition" -> (qRepetition _),
     "t_boilerplate" -> (qBoilerplate _),
     "q_sessionize" -> (qSessionize _)
@@ -212,6 +233,20 @@ object CurationOps {
          FROM (SELECT lang, len(string_split_regex(trim(text), '\s+')) AS n_tokens
                FROM documents)
          GROUP BY lang ORDER BY lang""",
+    "t_length_quantiles_approx" ->
+      """WITH d AS (SELECT lang,
+                    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
+                    FROM documents),
+         r AS (SELECT lang, n_tokens,
+                      row_number() OVER (PARTITION BY lang ORDER BY n_tokens) AS rn,
+                      count(*) OVER (PARTITION BY lang) AS n
+               FROM d)
+         SELECT lang, count(*) AS n_docs,
+                max(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT)
+                         THEN n_tokens END) AS p50_tokens,
+                max(CASE WHEN rn = CAST(ceil(0.9 * n) AS BIGINT)
+                         THEN n_tokens END) AS p90_tokens
+         FROM r GROUP BY lang ORDER BY lang""",
     "t_repetition" ->
       """WITH grams AS (
            SELECT doc_id,

@@ -60,6 +60,35 @@ object LlmOps {
       .orderBy($"d1", $"d2")
   }
 
+  /** Hot-bucket cap for the capped pair query: shingle buckets larger
+    * than this are dropped before pair explosion. */
+  private val HotBucketCap = 4
+  private val CappedThreshold = 0.5
+
+  /** The 100 TB skew-guard variant of [[qNgramNearDups]]: identical
+    * pipeline, but [[Dedup.bucketPairs]] runs with `maxBucket` set, so any
+    * shingle shared by more than [[HotBucketCap]] documents is excluded
+    * before the k(k−1)/2 pair explosion (a boilerplate shingle shared by
+    * 10⁶ docs is 5·10¹¹ pairs — the one skew mode that kills the stage at
+    * corpus scale). Capped intersections undercount, so the score is a
+    * Jaccard LOWER BOUND; the oracle replicates the cap semantics exactly
+    * (hot buckets removed from the join, sizes kept exhaustive). */
+  def qNgramCappedNearDups(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sh = Dedup.wordShingles(Tables.documents(spark, dir), "doc_id", "text", ShingleN).cache()
+    val sizes = sh.groupBy($"id").agg(count(lit(1)).as("n"))
+    val inter = Dedup.bucketPairs(sh, Seq("g"), "id", maxBucket = Some(HotBucketCap))
+      .select($"x.pid".as("d1"), $"y.pid".as("d2"))
+      .groupBy($"d1", $"d2").agg(count(lit(1)).as("i"))
+    val jac = $"i" / ($"n1" + $"n2" - $"i")
+    inter
+      .join(sizes.withColumnRenamed("id", "d1").withColumnRenamed("n", "n1"), "d1")
+      .join(sizes.withColumnRenamed("id", "d2").withColumnRenamed("n", "n2"), "d2")
+      .filter(jac >= CappedThreshold)
+      .select($"d1", $"d2", $"i".as("shared_shingles"), round(jac, 6).as("jaccard_lb"))
+      .orderBy($"d1", $"d2")
+  }
+
   /** MinHash + LSH near-dup detection: signatures → bands → candidate
     * pairs → exact verification. Same 25 planted pairs as the exhaustive
     * query, found without the all-pairs join. */
@@ -296,6 +325,7 @@ object LlmOps {
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d_exact_dedup" -> (qExactDedup _),
     "d_ngram_near_dups" -> (qNgramNearDups _),
+    "d_ngram_capped" -> (qNgramCappedNearDups _),
     "d_minhash_lsh" -> (qMinhashLsh _),
     "d_dup_clusters" -> (qDupClusters _),
     "d_simhash" -> (qSimhashNearDups _),
@@ -370,6 +400,20 @@ object LlmOps {
           SELECT d1, d2, round(i * 1.0 / (s1.n + s2.n - i), 6) AS jaccard
           FROM inter JOIN sizes s1 ON d1 = s1.id JOIN sizes s2 ON d2 = s2.id
           WHERE i * 1.0 / (s1.n + s2.n - i) >= 0.6
+          ORDER BY d1, d2""",
+    "d_ngram_capped" ->
+      s"""WITH $shingleSql,
+          hot AS (SELECT g FROM sh GROUP BY g HAVING count(*) > 4),
+          kept AS (SELECT s.id, s.g FROM sh s ANTI JOIN hot h ON s.g = h.g),
+          sizes AS (SELECT id, count(*) AS n FROM sh GROUP BY 1),
+          inter AS (
+            SELECT a.id AS d1, b.id AS d2, count(*) AS i
+            FROM kept a JOIN kept b ON a.g = b.g AND a.id < b.id
+            GROUP BY 1, 2)
+          SELECT d1, d2, i AS shared_shingles,
+                 round(i * 1.0 / (s1.n + s2.n - i), 6) AS jaccard_lb
+          FROM inter JOIN sizes s1 ON d1 = s1.id JOIN sizes s2 ON d2 = s2.id
+          WHERE i * 1.0 / (s1.n + s2.n - i) >= 0.5
           ORDER BY d1, d2""",
     "d_minhash_lsh" ->
       s"""WITH $minhashPairCtes

@@ -212,4 +212,27 @@ class CurationSpec extends SparkTestBase {
       .select($"vec_id", $"cluster").as[(Long, Int)].collect().toMap
     assert(again == got)
   }
+
+  test("kmeansLabels plan depth is constant in the iteration count") {
+    import spark.implicits._
+    val vecs = Seq(
+      (0L, Seq(1.0, 0.0, 0.1)), (2L, Seq(0.9, 0.1, 0.0)), (4L, Seq(1.0, 0.1, 0.1)),
+      (1L, Seq(0.0, 1.0, 0.1)), (3L, Seq(0.1, 0.9, 0.0)), (5L, Seq(0.0, 1.0, 0.0))
+    ).toDF("vec_id", "v")
+    def depth(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Int =
+      1 + (if (p.children.isEmpty) 0 else p.children.map(depth).max)
+    // per-iteration centroid checkpoints truncate lineage: without them
+    // the iters=8 plan would embed 4× the crossJoin+window+agg rounds
+    val d2 = depth(graft.operators.Similarity.kmeansLabels(vecs, k = 2, iters = 2)
+      .queryExecution.analyzed)
+    val d8 = depth(graft.operators.Similarity.kmeansLabels(vecs, k = 2, iters = 8)
+      .queryExecution.analyzed)
+    assert(d2 == d8, s"k-means lineage grew with iters: depth(2)=$d2 depth(8)=$d8")
+    // and more rounds still converge to the same labels
+    val got8 = graft.operators.Similarity.kmeansLabels(vecs, k = 2, iters = 8)
+      .select($"vec_id", $"cluster").as[(Long, Int)].collect().toMap
+    val got2 = graft.operators.Similarity.kmeansLabels(vecs, k = 2, iters = 2)
+      .select($"vec_id", $"cluster").as[(Long, Int)].collect().toMap
+    assert(got8 == got2)
+  }
 }
