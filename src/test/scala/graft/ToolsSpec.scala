@@ -112,6 +112,146 @@ class ToolsSpec extends SparkTestBase {
     assert(w.toSeq == Seq(("t1", 5L, 10L), ("t2", 0L, 1L)))
   }
 
+  // --- Introspector command suite (tools/introspector/) ------------------
+
+  private val introBase =
+    """{"type":"record","name":"r","namespace":"g","fields":[
+         {"name":"f","type":"int","default":0}]}"""
+  private val introCompat =
+    """{"type":"record","name":"r","namespace":"g","fields":[
+         {"name":"f","type":"int","default":0},
+         {"name":"g","type":"int","default":1}]}"""
+  private val introIncompat =
+    """{"type":"record","name":"r","namespace":"g","fields":[
+         {"name":"f","type":"int","default":0},
+         {"name":"breaking","type":"string"}]}"""
+
+  /** nsA: users (2 topics — incompatible fork) + orders; nsB: logs.
+    * Transport has 3 messages on the forked users topic and a ghost topic
+    * the registry doesn't know (must not count as active). */
+  private def introFixture = {
+    val reg = new SchemaRegistry
+    val a1 = reg.registerSchema("nsA", "users", introBase, sourceOwnerEmail = "u@example.com")
+    val a2 = reg.registerSchema("nsA", "users", introIncompat)
+    val b1 = reg.registerSchema("nsA", "orders", introBase)
+    val c1 = reg.registerSchema("nsB", "logs", introBase)
+    reg.setSchemaNote(a1.schemaId, "first users schema")
+    import spark.implicits._
+    val transport = Seq(
+      (a2.topicName, 0L), (a2.topicName, 1L), (a2.topicName, 2L),
+      ("ghost.topic.v9", 0L)
+    ).toDF("topic", "offset")
+    (reg, Introspector.withTransport(reg, transport), a1, a2, b1, c1)
+  }
+
+  test("introspector list topics: default order, sort-by parity, watermark enrichment") {
+    val (_, cmds, a1, a2, b1, _) = introFixture
+    // default: updated_at descending (base_command.py:281)
+    val topics = cmds.listTopics(namespaceName = Some("nsA"))
+    assert(topics.map(_.name) == Seq(b1.topicName, a2.topicName, a1.topicName))
+    assert(topics.find(_.name == a2.topicName).get.messageCount.contains(3L))
+    assert(topics.find(_.name == a1.topicName).get.messageCount.contains(0L))
+    assert(topics.find(_.name == a2.topicName).get.inKafka.contains(true))
+    assert(topics.find(_.name == a1.topicName).get.inKafka.contains(false))
+    // explicit sort: name ascending
+    val byName = cmds.listTopics(namespaceName = Some("nsA"), sortBy = Some("name"))
+    assert(byName.map(_.name) == Seq(b1.topicName, a1.topicName, a2.topicName))
+    // message_count descending — ties keep the default (updated_at desc)
+    // order because the secondary sort is stable
+    val byCount = cmds.listTopics(namespaceName = Some("nsA"),
+      sortBy = Some("message_count"), descendingOrder = true)
+    assert(byCount.map(_.name) == Seq(a2.topicName, b1.topicName, a1.topicName))
+    // unknown sort field is the reference's parser error
+    intercept[IllegalArgumentException](
+      cmds.listTopics(namespaceName = Some("nsA"), sortBy = Some("bogus")))
+  }
+
+  test("introspector list topics by source id") {
+    val (reg, cmds, a1, a2, _, _) = introFixture
+    val usersId = reg.getSourceByName("nsA", "users").get.sourceId
+    val byId = cmds.listTopics(sourceId = Some(usersId))
+    assert(byId.map(_.name) == Seq(a2.topicName, a1.topicName))
+    assert(byId.forall(_.sourceId == usersId))
+    intercept[NoSuchElementException](cmds.listTopics(sourceId = Some(999)))
+  }
+
+  test("introspector list sources and namespaces with active counts") {
+    val (reg, cmds, _, a2, _, _) = introFixture
+    val usersId = reg.getSourceByName("nsA", "users").get.sourceId
+    // default order: source_id descending (base_command.py:311)
+    val all = cmds.listSources()
+    assert(all.map(_.sourceId) == Seq(3, 2, 1))
+    assert(all.forall(_.activeTopicCount.isEmpty)) // not requested
+    val active = cmds.listSources(activeSources = true)
+    assert(active.find(_.sourceId == usersId).get.activeTopicCount.contains(1))
+    assert(active.filter(_.sourceId != usersId).forall(_.activeTopicCount.contains(0)))
+    // owner email came through the registration path
+    assert(all.find(_.sourceId == usersId).get.ownerEmail == "u@example.com")
+    // namespaces: id descending, active rollups (source count, topic count)
+    val ns = cmds.listNamespaces(activeNamespaces = true)
+    assert(ns.map(_.name) == Seq("nsB", "nsA"))
+    assert(ns.find(_.name == "nsA").get.activeSourceCount.contains(1))
+    assert(ns.find(_.name == "nsA").get.activeTopicCount.contains(1))
+    assert(ns.find(_.name == "nsB").get.activeSourceCount.contains(0))
+    // the ghost transport topic never made anything active
+    assert(cmds.activeTopicNames == Set(a2.topicName))
+  }
+
+  test("introspector info commands: namespace, source, topic") {
+    val (reg, cmds, a1, a2, _, _) = introFixture
+    val nsInfo = cmds.infoNamespace("nsA")
+    assert(nsInfo.namespace.namespaceId == 1)
+    assert(nsInfo.sources.map(_.name).toSet == Set("users", "orders"))
+    intercept[IllegalArgumentException](cmds.infoNamespace("missing"))
+
+    val usersId = reg.getSourceByName("nsA", "users").get.sourceId
+    // by id and by (name, namespace) resolve identically
+    val byId = cmds.infoSource(sourceId = Some(usersId))
+    val byName = cmds.infoSource(sourceName = Some("users"), namespaceName = Some("nsA"))
+    assert(byId.source == byName.source && byId.topics == byName.topics)
+    assert(byId.topics.map(_.name) == Seq(a2.topicName, a1.topicName))
+    // name without namespace is the reference's parser error
+    val ex = intercept[IllegalArgumentException](
+      cmds.infoSource(sourceName = Some("users")))
+    assert(ex.getMessage.contains("--namespace must be provided"))
+    intercept[IllegalArgumentException](
+      cmds.infoSource(sourceName = Some("nope"), namespaceName = Some("nsA")))
+    // active topic count derives from the watermark-enriched topic rows
+    assert(cmds.infoSource(sourceId = Some(usersId), activeSources = true)
+      .source.activeTopicCount.contains(1))
+
+    val tInfo = cmds.infoTopic(a1.topicName)
+    assert(tInfo.schemas.map(_.schemaId) == Seq(a1.schemaId))
+    // a1's topic was superseded by the incompatible fork: read-only
+    assert(tInfo.schemas.head.status == "R")
+    assert(tInfo.schemas.head.note.contains("first users schema"))
+    assert(cmds.infoTopic(a2.topicName).schemas.head.status == "RW")
+    intercept[IllegalArgumentException](cmds.infoTopic("no.such.topic"))
+  }
+
+  test("introspector register and schema-check commands") {
+    val (reg, cmds, _, _, _, _) = introFixture
+    // register avro: compatible-with-nothing-on-latest-topic forks again;
+    // returned row carries the topic (print_schema include_topic_info)
+    val r = cmds.registerAvro("nsA", "users", introCompat, "new@example.com")
+    assert(r.status == "RW" && r.topic.isDefined)
+    assert(reg.getSourceByName("nsA", "users").get.ownerEmail == "new@example.com")
+    // register mysql delegates to the DDL converter
+    val m = cmds.registerMysql("nsB", "biz",
+      "CREATE TABLE biz (id BIGINT NOT NULL, name VARCHAR(32))",
+      sourceOwnerEmail = "db@example.com")
+    assert(m.topic.isDefined && m.topic.get.namespace == "nsB")
+    assert(reg.getLatestSchemaByTopicName(m.topic.get.name).get.schemaId == m.schemaId)
+    // schema-check: mutual compatibility against ALL schemas of a source
+    assert(cmds.schemaCheck(introCompat, "orders", "nsA"))
+    assert(!cmds.schemaCheck(introIncompat, "orders", "nsA"))
+    // catalog-only suite: kafka columns absent, like the reference models
+    // without kafka_topics/range maps
+    val dry = Introspector.catalogOnly(reg)
+    assert(dry.listTopics(namespaceName = Some("nsA"))
+      .forall(t => t.inKafka.isEmpty && t.messageCount.isEmpty))
+  }
+
   // --- namespace util (_namespace_util.py) ------------------------------
 
   test("namespace names parse and rebuild") {
