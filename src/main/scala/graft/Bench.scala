@@ -6,7 +6,10 @@ import org.apache.spark.sql.SparkSession
   * queries on SPARK_GRAFT_SF_DIR and prints ONE JSON line.
   *
   * Each query gets one warm-up execution (JIT + codegen + classloading)
-  * and one timed execution — steady-state numbers, not JVM cold start.
+  * and three timed executions; the published number is the median, with
+  * the min→max spread and a >20% median-drift flag against the previous
+  * round's BENCH file alongside — steady-state numbers with an explicit
+  * noise floor, not JVM cold start or single-run scheduler luck.
   * A dedicated serde throughput metric measures rows/s through the full
   * envelope path (encode → pack → unpack → decode), the BASELINE.md
   * bench gate (~90k rows/s/core target).
@@ -49,14 +52,57 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
+    // 3 timed runs per query after one warm-up: a single run sits below
+    // the scheduler-noise floor at sf0.1 (observed ±80% swings on
+    // unchanged code round-over-round), so the reported number is the
+    // MEDIAN and the min→max spread is published alongside it — a real
+    // regression moves the median, noise only widens the spread.
+    val runsPerQuery = 3
     val results = headline.flatMap { name =>
       SparkEntry.queries.get(name).map { fn =>
         try {
           fn(spark, sfDir).count() // warm-up: codegen + JIT
-          name -> timed(() => fn(spark, sfDir).count())
-        } catch { case _: Throwable => name -> -1.0 }
+          val times = Seq.fill(runsPerQuery)(timed(() => fn(spark, sfDir).count())).sorted
+          val median = times(times.size / 2)
+          val spreadPct = if (median > 0) 100.0 * (times.last - times.head) / median else -1.0
+          (name, median, spreadPct)
+        } catch { case _: Throwable => (name, -1.0, -1.0) }
       }
     }
+
+    // round-over-round drift check: compare medians against the newest
+    // BENCH_r*.json in the working directory (the driver writes one per
+    // round) and flag queries whose median moved > 20% — the gate the
+    // single-run bench could not provide.
+    val driftFlags: Seq[String] =
+      try {
+        val dir = new java.io.File(".")
+        val prev = Option(dir.listFiles()).getOrElse(Array.empty)
+          .filter(f => f.getName.matches("BENCH_r\\d+\\.json"))
+          .sortBy(_.getName).lastOption
+        prev.toSeq.flatMap { f =>
+          val text = scala.io.Source.fromFile(f)
+          // the driver wraps our JSON line escaped inside its own record
+          // ("tail": "...{\"metric\":...}") — unescape before locating
+          // the queries block
+          val content = (try text.mkString finally text.close())
+            .replace("\\\"", "\"")
+          val marker = "\"queries\":{"
+          val qIdx = content.lastIndexOf(marker)
+          if (qIdx < 0) Seq.empty
+          else {
+            val entry = "\"([a-z0-9_]+)\":([0-9.]+)".r
+            val block = content.substring(qIdx + marker.length).takeWhile(_ != '}')
+            val prevTimes = entry.findAllMatchIn(block)
+              .map(m => m.group(1) -> m.group(2).toDouble).toMap
+            results.collect {
+              case (name, median, _) if median > 0 && prevTimes.get(name).exists { p =>
+                p > 0 && math.abs(median - p) / p > 0.20
+              } => name
+            }
+          }
+        }
+      } catch { case _: Throwable => Seq.empty }
 
     // serde throughput: full envelope round trip (encode → pack → unpack
     // → decode) at ≥1M rows so scheduling overhead doesn't mask the codec.
@@ -128,8 +174,11 @@ object Bench {
         if (secs > 0) n / secs else -1.0
       } catch { case _: Throwable => -1.0 }
 
-    val qs = results.map { case (k, v) => "\"" + k + f"""\":$v%.4f""" }
+    val qs = results.map { case (k, v, _) => "\"" + k + f"""\":$v%.4f""" }
       .mkString("{", ",", "}")
+    val spreads = results.map { case (k, _, s) => "\"" + k + f"""\":$s%.1f""" }
+      .mkString("{", ",", "}")
+    val drift = driftFlags.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).filter(_ >= 0).sum
     // preserve the -1 failure sentinel on derived metrics (dividing -1 by
     // cpus would print ≈ -0 and hide the failure)
@@ -138,7 +187,7 @@ object Bench {
     // sustain ≥ ~90k rows/s/core; ratio < 1 means the gate failed
     val gateRatio = if (serdeUuidPerCore < 0) -1.0 else serdeUuidPerCore / 90000.0
     println(
-      f"""{"metric":"total","value":$total%.4f,"unit":"sec","queries":$qs,"serde_rows_per_sec":$serdeRowsPerSec%.0f,"serde_rows_per_sec_core":$serdePerCore%.0f,"serde_uuid_rows_per_sec_core":$serdeUuidPerCore%.0f,"uuid_gen_rows_per_sec_core":$uuidGenPerCore%.0f,"uuid_rows_per_sec":$uuidRowsPerSec%.0f,"uuid_rows_per_sec_core":$uuidPerCore%.0f,"baseline_gate_rows_per_sec_core":90000,"serde_uuid_vs_gate":$gateRatio%.2f,"sf":"$sfDir"}""")
+      f"""{"metric":"total","value":$total%.4f,"unit":"sec","runs_per_query":$runsPerQuery,"queries":$qs,"query_spread_pct":$spreads,"drift_gt20pct_vs_prev":$drift,"serde_rows_per_sec":$serdeRowsPerSec%.0f,"serde_rows_per_sec_core":$serdePerCore%.0f,"serde_uuid_rows_per_sec_core":$serdeUuidPerCore%.0f,"uuid_gen_rows_per_sec_core":$uuidGenPerCore%.0f,"uuid_rows_per_sec":$uuidRowsPerSec%.0f,"uuid_rows_per_sec_core":$uuidPerCore%.0f,"baseline_gate_rows_per_sec_core":90000,"serde_uuid_vs_gate":$gateRatio%.2f,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -25,6 +25,35 @@ sealed trait ConsumerSource {
 
 object ConsumerSource {
 
+  /** A consumer's resolved topic set spans more than one kafka cluster
+    * type (reference: base_consumer.py:44-50 MultipleClusterTypeError —
+    * one consumer connection can only talk to one cluster). */
+  final class MultipleClusterTypeError(clusterTypes: Seq[String])
+      extends RuntimeException(
+        "Consumer can not process topics from different kafka cluster " +
+          "types, i.e. (" + clusterTypes.mkString(", ") + ").")
+
+  /** Checks that every registered topic in the set declares the same
+    * cluster type and returns it (reference: base_consumer.py:238-256
+    * _determine_cluster_type_from_topics — re-run on every topic refresh,
+    * base_consumer.py:320-321). Topics the registry doesn't know carry no
+    * cluster type and can't conflict; None when nothing is registered. */
+  def determineClusterType(registry: SchemaRegistry,
+                           topicNames: Set[String]): Option[String] = {
+    var clusterType: Option[String] = None
+    topicNames.toSeq.sorted.foreach { name =>
+      registry.getTopicByName(name).foreach { t =>
+        clusterType match {
+          case None => clusterType = Some(t.clusterType)
+          case Some(c) if c != t.clusterType =>
+            throw new MultipleClusterTypeError(Seq(c, t.clusterType))
+          case _ =>
+        }
+      }
+    }
+    clusterType
+  }
+
   /** Explicit topic list (reference: FixedTopics). */
   final case class FixedTopics(topics: Set[String]) extends ConsumerSource {
     def resolve(registry: SchemaRegistry): Set[String] = topics
@@ -131,6 +160,7 @@ object ConsumerSource {
 final class TopicRefreshController(source: ConsumerSource, registry: SchemaRegistry) {
 
   @volatile private var current: Set[String] = Set.empty
+  @volatile private var currentClusterType: Option[String] = None
 
   final case class Refresh(added: Set[String], removed: Set[String], topics: Set[String]) {
     def changed: Boolean = added.nonEmpty || removed.nonEmpty
@@ -138,15 +168,28 @@ final class TopicRefreshController(source: ConsumerSource, registry: SchemaRegis
 
   def currentTopics: Set[String] = current
 
+  /** Cluster type of the current subscription, once one registered topic
+    * has resolved (reference: base_consumer.py:227-229). */
+  def clusterType: Option[String] = currentClusterType
+
   /** One discovery tick. Returns the diff; caller restarts the streaming
     * query iff `changed`. Incremental (NewTopicsOnly) sources append to
     * the running subscription — topics are never dropped by a tick that
-    * simply found nothing new. */
+    * simply found nothing new.
+    *
+    * The refreshed subscription is re-validated for cluster-type
+    * uniformity before it is accepted, exactly like the reference
+    * re-determines the cluster type on every topic refresh
+    * (base_consumer.py:320-321): a registry where a source forked onto a
+    * different cluster since the last tick fails the tick instead of
+    * silently subscribing one consumer to two clusters. */
   def tick(): Refresh = synchronized {
     val resolved = source.resolve(registry)
     val next = if (source.incremental) current ++ resolved else resolved
+    val nextClusterType = ConsumerSource.determineClusterType(registry, next)
     val refresh = Refresh(next -- current, current -- next, next)
     current = next
+    currentClusterType = nextClusterType
     refresh
   }
 }

@@ -1,0 +1,163 @@
+package graft.streaming
+
+import scala.collection.concurrent.TrieMap
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.schema.SchemaRegistry
+
+/** Team catalog + client registration surface (reference: team.py,
+  * client.py:39-146, registrar.py).
+  *
+  * Every producer/consumer client declares a `team_name`; the reference
+  * validates it against the teams configuration file on construction and
+  * refuses unknown teams — registration messages from an unvalidated team
+  * would be unroutable (the team's notification email is how data-change
+  * notices reach the client's owners). The registrar itself is the
+  * schema-usage heartbeat: a map of schema_id → last-seen timestamp,
+  * periodically flushed as registration messages.
+  */
+object Team {
+
+  /** One team row from the teams config (reference: team.py:18-47 —
+    * the config maps team name → metadata incl. notification_email). */
+  final case class TeamInfo(name: String, notificationEmail: Option[String])
+
+  /** Unknown/unregistered team (reference: client.py:140-146 — the
+    * team_name setter raises; docstring calls it InvalidTeamError). */
+  final class InvalidTeamError(teamName: String)
+      extends IllegalArgumentException(
+        s"Team name must exist: '$teamName' is not a registered team. " +
+          "See the team_name argument documentation for adding a team.")
+
+  /** The teams catalog (reference: Team.config/team_names/exists). */
+  final class Teams(byName: Map[String, TeamInfo]) extends Serializable {
+    def teamNames: Set[String] = byName.keySet
+    def exists(teamName: String): Boolean = byName.contains(teamName)
+    def get(teamName: String): Option[TeamInfo] = byName.get(teamName)
+
+    /** Validate-or-throw (the client constructor path). A team must also
+      * carry a notification_email to register producers/consumers
+      * (client.py:69-72). */
+    def validate(teamName: String): TeamInfo =
+      byName.get(teamName).filter(_.notificationEmail.nonEmpty)
+        .getOrElse(throw new InvalidTeamError(teamName))
+  }
+
+  def apply(teams: TeamInfo*): Teams =
+    new Teams(teams.map(t => t.name -> t).toMap)
+
+  /** Parse the teams config (reference: team.py:18-30 loads teams.yaml —
+    * `teams:` → team name → `notification_email:`). This accepts exactly
+    * that two-level subset; unknown keys are ignored, comments and blank
+    * lines skipped. */
+  def parseConfig(text: String): Teams = {
+    var inTeams = false
+    var teamIndent: Option[Int] = None // indent of team-name entries
+    var currentTeam: Option[String] = None
+    val acc = scala.collection.mutable.LinkedHashMap.empty[String, Option[String]]
+    text.linesIterator.foreach { raw =>
+      val line = raw.replaceAll("#.*$", "")
+      if (line.trim.nonEmpty) {
+        val indent = line.takeWhile(_ == ' ').length
+        val body = line.trim
+        if (indent == 0) {
+          inTeams = body == "teams:"
+          teamIndent = None
+          currentTeam = None
+        } else if (inTeams) {
+          if (teamIndent.isEmpty) teamIndent = Some(indent)
+          if (teamIndent.contains(indent) && body.endsWith(":")) {
+            val name = body.dropRight(1)
+            acc.put(name, None)
+            currentTeam = Some(name)
+          } else if (teamIndent.exists(indent > _) && currentTeam.isDefined &&
+              body.startsWith("notification_email:")) {
+            val email = body.stripPrefix("notification_email:").trim
+            if (email.nonEmpty) acc.put(currentTeam.get, Some(email))
+          }
+        }
+      }
+    }
+    new Teams(acc.map { case (n, e) => n -> TeamInfo(n, e) }.toMap)
+  }
+}
+
+/** Client heartbeat cadences (reference: expected_frequency.py). */
+object ExpectedFrequency {
+  val Constantly = 0
+  val Hourly: Int = 60 * 60
+  val Daily: Int = Hourly * 24
+  val Weekly: Int = Daily * 7
+  val Monthly: Int = Daily * 30
+  val Yearly: Int = Daily * 365
+}
+
+/** Producer/consumer registration heartbeat (reference: registrar.py).
+  *
+  * Validates the team on construction ([[Team.InvalidTeamError]] parity
+  * with client.py:116-146), folds schema_id → max last-seen timestamp as
+  * the client processes messages, and renders the state as registration
+  * message payload rows in the reference's
+  * `registration_message_v1.avsc` shape. The registration schema itself
+  * is registered through the normal registry path, so registration
+  * traffic is introspectable like any other source.
+  */
+final class Registrar(
+    teams: Team.Teams,
+    val teamName: String,
+    val clientName: String,
+    val clientType: String,
+    val expectedFrequencySeconds: Int) {
+
+  require(clientType == "producer" || clientType == "consumer",
+    s"client_type must be 'producer' or 'consumer', got '$clientType'")
+  val team: Team.TeamInfo = teams.validate(teamName)
+
+  private val lastSeenBySchema = TrieMap.empty[Int, Long]
+
+  /** Record a message read/written with `schemaId` at `timestampMillis`
+    * (reference: registrar.py update path — keeps the max). */
+  def recordUsage(schemaId: Int, timestampMillis: Long): Unit =
+    lastSeenBySchema.updateWith(schemaId) {
+      case Some(prev) => Some(math.max(prev, timestampMillis))
+      case None => Some(timestampMillis)
+    }
+
+  def lastSeen: Map[Int, Long] = lastSeenBySchema.toMap
+
+  /** Registration payload rows, one per used schema (reference:
+    * registrar.py:102-110 _registration_message_payload; field names are
+    * the registration_message_v1.avsc contract). */
+  def registrationMessages: Seq[(String, String, String, Long, Int, Int)] =
+    lastSeenBySchema.toSeq.sortBy(_._1).map { case (schemaId, ts) =>
+      (teamName, clientName, clientType, ts, expectedFrequencySeconds, schemaId)
+    }
+
+  def registrationMessagesDF(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    registrationMessages.toDF("team_name", "client_name", "client_type",
+      "timestamp", "expected_frequency_seconds", "schema_id")
+  }
+
+  /** Avro schema for registration messages, mirroring the reference's
+    * registration_message_v1.avsc field set (client_type as string — the
+    * require above enforces the enum domain). */
+  val registrationSchemaJson: String =
+    """{"type":"record","name":"client_registration_message_v1",
+       |"namespace":"graft.registration","fields":[
+       |{"name":"team_name","type":"string"},
+       |{"name":"client_name","type":"string"},
+       |{"name":"client_type","type":"string"},
+       |{"name":"timestamp","type":["null","long"],"default":null},
+       |{"name":"expected_frequency_seconds","type":"int"},
+       |{"name":"schema_id","type":"int"}]}""".stripMargin
+
+  /** Register the registration-message schema itself (reference:
+    * registrar.py:113-122 registration_schema — registered under the
+    * pipeline's own namespace with the platform owner email). */
+  def registrationSchema(registry: SchemaRegistry): registry.SchemaEntry =
+    registry.registerSchema("graft.registration",
+      "client_registration_message_v1", registrationSchemaJson,
+      sourceOwnerEmail = team.notificationEmail.getOrElse(""))
+}

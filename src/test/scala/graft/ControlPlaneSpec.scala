@@ -80,6 +80,89 @@ class ControlPlaneSpec extends SparkTestBase {
     assert(third.changed && third.added == Set(b.topicName) && third.removed.isEmpty)
   }
 
+  test("team validation: clients refuse unknown teams and missing emails") {
+    import graft.streaming.{ExpectedFrequency, Registrar, Team}
+    val teams = Team.parseConfig(
+      """# sensu-style teams config
+        |teams:
+        |  bam:
+        |    notification_email: bam@example.com
+        |    pages: true
+        |  ghosts:
+        |    pages: false
+        |other:
+        |  ignored: yes
+        |""".stripMargin)
+    assert(teams.teamNames == Set("bam", "ghosts"))
+    assert(teams.exists("bam") && !teams.exists("other"))
+    assert(teams.get("bam").flatMap(_.notificationEmail).contains("bam@example.com"))
+    // unknown team → InvalidTeamError (client.py:140-146)
+    intercept[Team.InvalidTeamError](
+      new Registrar(teams, "nope", "svc.client", "producer", ExpectedFrequency.Hourly))
+    // a team without notification_email cannot register (client.py:69-72)
+    intercept[Team.InvalidTeamError](
+      new Registrar(teams, "ghosts", "svc.client", "producer", ExpectedFrequency.Hourly))
+    intercept[IllegalArgumentException](
+      new Registrar(teams, "bam", "svc.client", "publisher", ExpectedFrequency.Hourly))
+  }
+
+  test("registrar folds last-seen per schema and renders registration messages") {
+    import graft.streaming.{ExpectedFrequency, Registrar, Team}
+    val teams = Team(Team.TeamInfo("bam", Some("bam@example.com")))
+    val r = new Registrar(teams, "bam", "services.tracker", "consumer",
+      ExpectedFrequency.Constantly)
+    r.recordUsage(7, 1000L)
+    r.recordUsage(7, 3000L)
+    r.recordUsage(7, 2000L) // out-of-order: max wins
+    r.recordUsage(9, 500L)
+    assert(r.lastSeen == Map(7 -> 3000L, 9 -> 500L))
+    assert(r.registrationMessages == Seq(
+      ("bam", "services.tracker", "consumer", 3000L, 0, 7),
+      ("bam", "services.tracker", "consumer", 500L, 0, 9)))
+    val df = r.registrationMessagesDF(spark)
+    assert(df.columns.toSeq == Seq("team_name", "client_name", "client_type",
+      "timestamp", "expected_frequency_seconds", "schema_id"))
+    assert(df.count() == 2)
+    // the registration schema registers through the normal registry path
+    val reg = new SchemaRegistry
+    val entry = r.registrationSchema(reg)
+    assert(entry.namespaceName == "graft.registration")
+    assert(reg.getSourceByName("graft.registration", "client_registration_message_v1")
+      .get.ownerEmail == "bam@example.com")
+    // idempotent: same schema returns the same entry
+    assert(r.registrationSchema(reg).schemaId == entry.schemaId)
+  }
+
+  test("consumer refuses a topic set spanning cluster types") {
+    val reg = new SchemaRegistry
+    val a = reg.registerSchema("ns", "src_k", schemaJson)
+    val b = reg.registerSchema("ns", "src_s", schemaJson, clusterType = "scribe")
+    // direct determination (base_consumer.py:238-256)
+    assert(ConsumerSource.determineClusterType(reg, Set(a.topicName)).contains("datapipe"))
+    assert(ConsumerSource.determineClusterType(reg, Set(b.topicName)).contains("scribe"))
+    val ex = intercept[ConsumerSource.MultipleClusterTypeError](
+      ConsumerSource.determineClusterType(reg, Set(a.topicName, b.topicName)))
+    assert(ex.getMessage.contains("datapipe") && ex.getMessage.contains("scribe"))
+    // unregistered topics carry no cluster type; empty set has none
+    assert(ConsumerSource.determineClusterType(reg, Set("unknown")).isEmpty)
+
+    // the refresh controller re-validates each tick (base_consumer.py:320)
+    val ok = new TopicRefreshController(
+      ConsumerSource.TopicsInSource("ns", "src_k"), reg)
+    ok.tick()
+    assert(ok.clusterType.contains("datapipe"))
+    val mixed = new TopicRefreshController(
+      ConsumerSource.TopicsInNamespaces(Set("ns")), reg)
+    intercept[ConsumerSource.MultipleClusterTypeError](mixed.tick())
+    // a rejected tick leaves the subscription untouched
+    assert(mixed.currentTopics.isEmpty && mixed.clusterType.isEmpty)
+
+    // a source forking to another cluster mid-stream fails the next tick
+    reg.registerSchema("ns", "src_k", schemaJson, clusterType = "scribe")
+    intercept[ConsumerSource.MultipleClusterTypeError](ok.tick())
+    assert(ok.currentTopics == Set(a.topicName)) // old subscription intact
+  }
+
   test("latest-topic source follows the newest topic across evolution") {
     val reg = new SchemaRegistry
     val a = reg.registerSchema("ns", "src", schemaJson)
