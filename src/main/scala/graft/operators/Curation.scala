@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -155,6 +155,85 @@ object Curation {
       size(ws).cast("long").as("n_tokens"),
       size(kept).cast("long").as("n_kept"),
       array_join(kept, " ").as("clean_text"))
+  }
+
+  /** Canonical form of a web URL for crawl-dedup keys (north-star: the
+    * URL-level dedup every web-corpus pipeline runs before content dedup).
+    *
+    * Normalization steps, in order:
+    *  1. trim surrounding whitespace and drop the `#fragment`;
+    *  2. lowercase the `scheme://host[:port]` prefix only — paths and
+    *     query strings stay case-sensitive;
+    *  3. strip scheme-default ports (`https…:443`, `http…:80`);
+    *  4. drop tracking query params (`utm_*`, `ref`, `fbclid`, `gclid`),
+    *     preserving every other param and their order — params are never
+    *     re-sorted, since order can be semantic;
+    *  5. strip one trailing slash from the path.
+    *
+    * Pure built-in column expression: codegen'd, shuffle-free, and
+    * replicable in any engine with regex + list functions (the DuckDB
+    * oracle mirrors it step for step). Assumes authority-form URLs
+    * (`scheme://host…`), the only form a crawl frontier emits.
+    */
+  def canonicalUrl(url: Column): Column = {
+    val noFrag = regexp_replace(trim(url), "#.*", "")
+    // lowercase scheme://host[:port] — everything before the first /?#
+    // past the authority marker
+    val prefix = regexp_extract(noFrag, "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*", 0)
+    val lowered = concat(lower(prefix), noFrag.substr(length(prefix) + lit(1), lit(1 << 20)))
+    val noPort = regexp_replace(
+      regexp_replace(lowered, "^(https://[^/?#:]*):443([/?].*)?$", "$1$2"),
+      "^(http://[^/?#:]*):80([/?].*)?$", "$1$2")
+    val base = regexp_extract(noPort, "^([^?]*)", 1)
+    val qs = regexp_extract(noPort, "^[^?]*\\?(.*)$", 1)
+    val kept = filter(split(qs, "&"),
+      p => !(p === "") && !p.rlike("^(utm_[^=]*|ref|fbclid|gclid)="))
+    val baseNoSlash = regexp_replace(base, "(.)/$", "$1")
+    when(size(kept) === 0, baseNoSlash)
+      .otherwise(concat(baseNoSlash, lit("?"), array_join(kept, "&")))
+  }
+
+  /** URL-level dedup: group by [[canonicalUrl]], keep the smallest id.
+    * One map-side-combinable hash shuffle on the canonical key — the
+    * cheapest dedup pass in the pipeline, run before any content hashing.
+    * Returns (canonical_url, kept_<idCol>, n_copies).
+    */
+  def dedupByUrl(docs: DataFrame, idCol: String, urlCol: String): DataFrame =
+    docs
+      .groupBy(canonicalUrl(col(urlCol)).as("canonical_url"))
+      .agg(min(col(idCol)).as(s"kept_$idCol"), count(lit(1)).as("n_copies"))
+
+  /** CCNet-style duplicated-chunk removal. Documents are cut into fixed
+    * `chunkWords`-word windows (the pseudo-paragraph unit when the corpus
+    * has no line structure); a chunk whose normalized (lowercased) text
+    * appears elsewhere in the corpus is kept only at its first occurrence
+    * — ordered by (id, chunk_idx) — and dropped everywhere else.
+    *
+    * Shuffle shape: one hash shuffle keyed on the chunk digest (the
+    * row_number window), exactly how CCNet shards its paragraph-hash
+    * dedup at web scale; the rebuild is a per-doc groupBy — second
+    * shuffle on the doc id. No self-join, no pair explosion.
+    *
+    * Returns the chunk frame (idCol, chunk_idx, chunk, kept) — callers
+    * aggregate back to documents with the kept chunks in order.
+    */
+  def dedupChunks(docs: DataFrame, idCol: String, textCol: String,
+                  chunkWords: Int): DataFrame = {
+    require(chunkWords >= 1, "chunkWords must be positive")
+    val ws = split(trim(col(textCol)), "\\s+")
+    // split() never returns an empty array (empty text → [""]), so
+    // nChunks ≥ 1 and the sequence below is always ascending
+    val nChunks = ceil(size(ws) / lit(chunkWords.toDouble)).cast("int")
+    val chunks =
+      transform(sequence(lit(0), nChunks - 1),
+        i => struct(i.as("idx"),
+          array_join(slice(ws, i * chunkWords + 1, lit(chunkWords)), " ").as("c")))
+    val w = Window.partitionBy(md5(lower(col("chunk"))))
+      .orderBy(col(idCol), col("chunk_idx"))
+    docs
+      .select(col(idCol), explode(chunks).as("u"))
+      .select(col(idCol), col("u.idx").as("chunk_idx"), col("u.c").as("chunk"))
+      .withColumn("kept", row_number().over(w) === 1)
   }
 
   /** Gap-based sessionization: a new session starts when the time since

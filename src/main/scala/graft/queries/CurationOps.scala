@@ -17,6 +17,11 @@ object CurationOps {
   private val ContamThreshold = 0.5
   private val PackBudget = 2048L
   private val SessionGapMs = 86400000L // 24 h
+  private val ChunkWords = 16
+  // exactly ChunkWords words — one full chunk, so prepending it shifts
+  // the host doc's own chunks by a whole window and nothing else changes
+  private val ChunkBoilerplate =
+    "cookie policy accept all terms of service privacy notice subscribe to our newsletter sign in today"
 
   /** Benchmark contamination: docs with doc_id % 11 == 0 stand in for a
     * held-out benchmark suite; flag training docs covering ≥ 50% of a
@@ -145,6 +150,56 @@ object CurationOps {
       .orderBy($"user_id", $"session_id")
   }
 
+  /** URL-level dedup (north-star: crawl-frontier dedup — the cheapest
+    * pass, run before any content hashing). The corpus has no URL column,
+    * so a deterministic messy URL is derived per doc — four variants
+    * cycling by doc_id: clean; SHOUTING-case scheme/host with an explicit
+    * :443; tracking-tagged (where the non-tracking `id=7` must survive);
+    * fragment + trailing slash. Each 4-doc group canonicalizes to exactly
+    * 2 URLs, so the gate checks every normalization step: case, default
+    * port, param filtering, fragment, trailing slash. The oracle
+    * re-derives the same mess and must agree on every canonical group. */
+  def qUrlDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val g = expr("doc_id div 4").cast("string")
+    val h = expr("(doc_id div 4) % 10").cast("string")
+    val base = concat(lit("https://d"), h, lit(".example.com/docs/"), g)
+    val url = when($"doc_id" % 4 === 0, base)
+      .when($"doc_id" % 4 === 1,
+        concat(lit("HTTPS://D"), h, lit(".EXAMPLE.com:443/docs/"), g))
+      .when($"doc_id" % 4 === 2, concat(base, lit("/?utm_source=feed&id=7&ref=tw")))
+      .otherwise(concat(base, lit("/#sec-2")))
+    Curation.dedupByUrl(
+      Tables.documents(spark, dir).select($"doc_id", url.as("url")),
+      "doc_id", "url")
+      .orderBy($"kept_doc_id")
+  }
+
+  /** CCNet-style chunk dedup: docs are cut into 16-word windows and a
+    * window duplicated anywhere in the corpus survives only at its first
+    * occurrence. Every 5th doc gets a fixed 16-word boilerplate banner
+    * prepended — exactly one chunk wide — so those docs share a
+    * duplicated chunk 0 and everything else stays unique. Output is the
+    * per-doc rebuild summary (content-addressed by md5 so the gate checks
+    * the reassembled text, not just counts). */
+  def qChunkDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir).select($"doc_id",
+      when($"doc_id" % 5 === 0, concat(lit(ChunkBoilerplate + " "), $"text"))
+        .otherwise($"text").as("text"))
+    Curation.dedupChunks(docs, "doc_id", "text", ChunkWords)
+      .groupBy($"doc_id")
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        count(when($"kept", 1)).as("n_kept"),
+        md5(array_join(
+          transform(
+            array_sort(collect_list(when($"kept", struct($"chunk_idx", $"chunk")))),
+            p => p("chunk")),
+          " ")).as("clean_md5"))
+      .orderBy($"doc_id")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d_contamination" -> (qContamination _),
     "t_stratified_sample" -> (qStratifiedSample _),
@@ -154,7 +209,9 @@ object CurationOps {
     "t_length_quantiles_approx" -> (qLengthQuantilesApprox _),
     "t_repetition" -> (qRepetition _),
     "t_boilerplate" -> (qBoilerplate _),
-    "q_sessionize" -> (qSessionize _)
+    "q_sessionize" -> (qSessionize _),
+    "d_url_dedup" -> (qUrlDedup _),
+    "d_chunk_dedup" -> (qChunkDedup _)
   )
 
   private val gramSql =
@@ -302,6 +359,72 @@ object CurationOps {
                 CAST(sum(CAST(floor(value * 1000000) AS BIGINT)) AS BIGINT)
                   AS total_value_micros,
                 epoch_ms(max(ts)) - epoch_ms(min(ts)) AS duration_ms
-         FROM numbered GROUP BY 1, 2 ORDER BY user_id, session_id"""
+         FROM numbered GROUP BY 1, 2 ORDER BY user_id, session_id""",
+    "d_url_dedup" ->
+      """WITH b AS (
+           SELECT doc_id,
+                  concat('https://d', (doc_id // 4) % 10,
+                         '.example.com/docs/', doc_id // 4) AS base,
+                  (doc_id // 4) % 10 AS h, doc_id // 4 AS g
+           FROM documents),
+         u AS (
+           SELECT doc_id,
+                  CASE doc_id % 4
+                    WHEN 0 THEN base
+                    WHEN 1 THEN concat('HTTPS://D', h, '.EXAMPLE.com:443/docs/', g)
+                    WHEN 2 THEN base || '/?utm_source=feed&id=7&ref=tw'
+                    ELSE base || '/#sec-2' END AS url
+           FROM b),
+         c1 AS (SELECT doc_id, regexp_replace(trim(url), '#.*', '') AS s FROM u),
+         c2 AS (SELECT doc_id, s,
+                       regexp_extract(s, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*', 0) AS pre
+                FROM c1),
+         c3 AS (SELECT doc_id, lower(pre) || substr(s, length(pre) + 1) AS s FROM c2),
+         c4 AS (SELECT doc_id,
+                       regexp_replace(
+                         regexp_replace(s, '^(https://[^/?#:]*):443([/?].*)?$', '\1\2'),
+                         '^(http://[^/?#:]*):80([/?].*)?$', '\1\2') AS s
+                FROM c3),
+         c5 AS (SELECT doc_id,
+                       regexp_extract(s, '^([^?]*)', 1) AS base,
+                       regexp_extract(s, '^[^?]*\?(.*)$', 1) AS qs
+                FROM c4),
+         c6 AS (SELECT doc_id,
+                       regexp_replace(base, '(.)/$', '\1') AS b2,
+                       list_filter(string_split(qs, '&'),
+                         p -> p <> '' AND NOT regexp_matches(p,
+                                '^(utm_[^=]*|ref|fbclid|gclid)=')) AS kept
+                FROM c5),
+         canon AS (SELECT doc_id,
+                          CASE WHEN len(kept) = 0 THEN b2
+                               ELSE b2 || '?' || array_to_string(kept, '&') END
+                            AS canonical_url
+                   FROM c6)
+         SELECT canonical_url, min(doc_id) AS kept_doc_id, count(*) AS n_copies
+         FROM canon GROUP BY 1 ORDER BY kept_doc_id""",
+    "d_chunk_dedup" ->
+      """WITH t AS (
+           SELECT doc_id,
+                  CASE WHEN doc_id % 5 = 0
+                       THEN 'cookie policy accept all terms of service privacy notice subscribe to our newsletter sign in today ' || text
+                       ELSE text END AS tx
+           FROM documents),
+         toks AS (SELECT doc_id, string_split_regex(trim(tx), '\s+') AS ws FROM t),
+         ch AS (SELECT doc_id, u.idx AS chunk_idx, u.c AS chunk FROM (
+                  SELECT doc_id,
+                         unnest([{'idx': i - 1,
+                                  'c': array_to_string(ws[(i-1)*16+1:(i-1)*16+16], ' ')}
+                                 for i in range(1, cast(ceil(len(ws)/16.0) AS int) + 1)]) AS u
+                  FROM toks)),
+         k AS (SELECT doc_id, chunk_idx, chunk,
+                      row_number() OVER (PARTITION BY md5(lower(chunk))
+                                         ORDER BY doc_id, chunk_idx) AS rn
+               FROM ch)
+         SELECT doc_id, count(*) AS n_chunks,
+                count(*) FILTER (WHERE rn = 1) AS n_kept,
+                md5(coalesce(
+                  array_to_string(list(chunk ORDER BY chunk_idx) FILTER (WHERE rn = 1),
+                                  ' '), '')) AS clean_md5
+         FROM k GROUP BY 1 ORDER BY doc_id"""
   )
 }

@@ -235,4 +235,70 @@ class CurationSpec extends SparkTestBase {
       .select($"vec_id", $"cluster").as[(Long, Int)].collect().toMap
     assert(got8 == got2)
   }
+
+  // --- URL canonicalization / dedup ------------------------------------
+
+  test("canonicalUrl normalizes case, ports, tracking params, fragments, slashes") {
+    import spark.implicits._
+    val cases = Seq(
+      // scheme+host lowercase, path case preserved
+      ("HTTPS://WWW.Example.COM/Docs/A", "https://www.example.com/Docs/A"),
+      // scheme-default ports stripped; non-default kept
+      ("https://h.com:443/x", "https://h.com/x"),
+      ("http://h.com:80/x", "http://h.com/x"),
+      ("http://h.com:443/x", "http://h.com:443/x"),
+      ("https://h.com:8443/x", "https://h.com:8443/x"),
+      // tracking params dropped, real params and their order preserved
+      ("https://h.com/x?utm_source=a&id=7&ref=tw&b=2", "https://h.com/x?id=7&b=2"),
+      ("https://h.com/x?utm_campaign=z", "https://h.com/x"),
+      // `ref` must match as a whole param name, not a prefix
+      ("https://h.com/x?refresh=1", "https://h.com/x?refresh=1"),
+      // fragment and trailing slash
+      ("https://h.com/x/#frag", "https://h.com/x"),
+      ("https://h.com/", "https://h.com"),
+      (" https://h.com/x ", "https://h.com/x"))
+    val got = cases.map(_._1).toDF("url")
+      .select(Curation.canonicalUrl($"url")).as[String].collect()
+    got.zip(cases).foreach { case (g, (in, want)) =>
+      assert(g == want, s"canonicalUrl($in) = $g, want $want")
+    }
+  }
+
+  test("dedupByUrl groups canonical variants and keeps the smallest id") {
+    import spark.implicits._
+    val docs = Seq(
+      (3L, "https://h.com/a?utm_source=x"),
+      (1L, "HTTPS://H.com:443/a"),
+      (2L, "https://h.com/a/#top"),
+      (7L, "https://h.com/b?id=1"),
+      (8L, "https://h.com/b?id=2")   // different real param → distinct
+    ).toDF("doc_id", "url")
+    val got = Curation.dedupByUrl(docs, "doc_id", "url")
+      .as[(String, Long, Long)].collect().toSet
+    assert(got == Set(
+      ("https://h.com/a", 1L, 3L),
+      ("https://h.com/b?id=1", 7L, 1L),
+      ("https://h.com/b?id=2", 8L, 1L)))
+  }
+
+  // --- chunk-level (CCNet-style) dedup ---------------------------------
+
+  test("dedupChunks keeps a duplicated chunk only at its first occurrence") {
+    import spark.implicits._
+    // 4-word chunks; docs 1 and 2 share an identical (case-insensitively)
+    // first chunk; doc 2's tail is unique; doc 3 is all-unique
+    val docs = Seq(
+      (1L, "Cookie policy ACCEPT terms alpha beta gamma delta"),
+      (2L, "cookie policy accept terms epsilon zeta eta theta"),
+      (3L, "iota kappa lambda mu")
+    ).toDF("doc_id", "text")
+    val ch = Curation.dedupChunks(docs, "doc_id", "text", chunkWords = 4)
+      .as[(Long, Int, String, Boolean)].collect()
+    val kept = ch.filter(_._4).map(r => (r._1, r._2)).toSet
+    val dropped = ch.filterNot(_._4).map(r => (r._1, r._2)).toSet
+    assert(kept == Set((1L, 0), (1L, 1), (2L, 1), (3L, 0)))
+    assert(dropped == Set((2L, 0)))
+    // short tail chunk is the word remainder, space-joined
+    assert(ch.find(r => r._1 == 3L && r._2 == 0).get._3 == "iota kappa lambda mu")
+  }
 }
