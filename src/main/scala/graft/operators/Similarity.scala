@@ -196,4 +196,32 @@ object Similarity {
     val w = Window.partitionBy(col("probe_id")).orderBy(col("cosine").desc, col("vec_id").asc)
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
+
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023): cluster the
+    * embedding space with deterministic k-means, then inside each cluster
+    * remove every vector that has a lower-id cluster-mate with cosine ≥
+    * `threshold`. Pairwise candidates exist only within a cluster — the
+    * self-join keys on the cluster id, so both sides co-partition on one
+    * shuffle each and the candidate space is ~n²/k per cluster bucket,
+    * never the all-pairs n² that cannot exist at 100 TB. (Skewed clusters
+    * are the residual risk: cap cluster radius by raising k, exactly as
+    * the paper sizes k ∝ √n.)
+    *
+    * Returns one row per removed vector:
+    * (removed_vec_id, cluster, n_near, max_cos).
+    */
+  def semanticDedup(vectors: DataFrame, k: Int, iters: Int, threshold: Double,
+                    reliable: Boolean = false): DataFrame = {
+    val labeled = kmeansLabels(vectors, k, iters, reliable)
+    val lo = labeled.select(col("cluster"), col("vec_id").as("lo_id"), col("v"))
+    val hi = labeled.select(col("cluster"), col("vec_id").as("hi_id"), col("v").as("p"))
+    lo.join(hi, Seq("cluster"))
+      .filter(col("lo_id") < col("hi_id"))
+      .select(col("cluster"), col("hi_id"), round(cosineExpr, 6).as("cos"))
+      .filter(col("cos") >= threshold)
+      .groupBy(col("hi_id").as("removed_vec_id"))
+      .agg(max(col("cluster")).as("cluster"),
+        count(lit(1)).as("n_near"),
+        max(col("cos")).as("max_cos"))
+  }
 }

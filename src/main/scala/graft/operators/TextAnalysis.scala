@@ -74,6 +74,44 @@ object TextAnalysis {
     (size(regexp_extract_all(text, lit(EmailRe), lit(0))).cast("long"),
       size(regexp_extract_all(text, lit(PhoneRe), lit(0))).cast("long"))
 
+  /** Stopword list for the Gopher "contains ≥ 2 stopwords" document rule —
+    * the published heuristic's own list. Counted over total occurrences,
+    * not distinct hits. */
+  val GopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with", "a", "in", "is", "for")
+
+  /** Gopher-style composite document-quality rule set (north-star:
+    * quality filtering before training). Emits one flag per rule plus the
+    * per-doc word count; callers AND the flags into the keep decision.
+    *
+    * Rules (Rae et al. 2021, §A1.1, thresholds adapted):
+    *  - word count within [minWords, maxWords];
+    *  - mean word length within [3, 10] characters;
+    *  - ≥ 80% of words contain at least one alphabetic character;
+    *  - ≤ 10% of words are bare symbol tokens (`#`, `...`);
+    *  - at least 2 stopword occurrences ([[GopherStopwords]]).
+    *
+    * Every rule is integer-exact — ratio thresholds are cross-multiplied
+    * (`5·n_alpha ≥ 4·n`, never `n_alpha/n ≥ 0.8`) so there is no float
+    * rounding surface and any engine agrees bit for bit. Pure column
+    * expression: codegen'd, shuffle-free.
+    */
+  def qualityFlags(text: Column, minWords: Int = 10, maxWords: Int = 1000): Column = {
+    val ws = split(trim(text), "\\s+")
+    val n = size(ws)
+    val wchars = aggregate(ws, lit(0), (a, w) => a + length(w))
+    val nAlpha = size(filter(ws, w => w.rlike("[A-Za-z]")))
+    val nSym = size(filter(ws, w => w === "#" || w === "..."))
+    val nStop = size(filter(ws, w => w.isin(GopherStopwords.map(lit(_)): _*)))
+    struct(
+      n.cast("long").as("n_words"),
+      (n >= minWords && n <= maxWords).as("ok_word_count"),
+      (wchars >= n * 3 && wchars <= n * 10).as("ok_mean_word_len"),
+      (nAlpha * 5 >= n * 4).as("ok_alpha_ratio"),
+      (nSym * 10 <= n).as("ok_symbol_ratio"),
+      (nStop >= 2).as("ok_stopwords"))
+  }
+
   /** Gopher-style repetition signal: the share of a document's word
     * n-grams taken by its single most frequent n-gram, reported in exact
     * integer parts-per-million (`top_ngram_ppm`). High values mark

@@ -322,6 +322,49 @@ object LlmOps {
       .orderBy($"doc_id", $"bin")
   }
 
+  /** Gopher-style composite quality filter (north-star: quality scoring):
+    * per-rule flags + the ANDed keep decision per document. Every rule is
+    * integer-exact (cross-multiplied ratios), so the oracle agrees bit
+    * for bit with no float surface. */
+  def qQualityFilter(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val q = graft.operators.TextAnalysis.qualityFlags($"text")
+    Tables.documents(spark, dir)
+      .select($"doc_id", q.as("q"))
+      .select($"doc_id",
+        $"q.n_words".as("n_words"),
+        $"q.ok_word_count".as("ok_word_count"),
+        $"q.ok_mean_word_len".as("ok_mean_word_len"),
+        $"q.ok_alpha_ratio".as("ok_alpha_ratio"),
+        $"q.ok_symbol_ratio".as("ok_symbol_ratio"),
+        $"q.ok_stopwords".as("ok_stopwords"),
+        ($"q.ok_word_count" && $"q.ok_mean_word_len" && $"q.ok_alpha_ratio" &&
+          $"q.ok_symbol_ratio" && $"q.ok_stopwords").as("keep"))
+      .orderBy($"doc_id")
+  }
+
+  /** SemDeDup-style semantic dedup (north-star: embedding-space dedup at
+    * corpus scale). The fixture has no true near-dup embeddings (max
+    * natural pairwise cosine ≈ 0.51), so perturbed copies of every 10th
+    * vector are planted — re-keyed +100000, every component shifted
+    * +0.01, cosine ≈ 0.997 to the original — and the operator must remove
+    * exactly those under threshold 0.95. The oracle replays the identical
+    * k-means (k=8, 2 rounds, lowest-id seeds) over the same planted union
+    * and the within-cluster removal rule. */
+  def qSemanticDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val vecs = Tables.embeddings(spark, dir)
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+    val planted = vecs.filter($"vec_id" % 10 === 0)
+      .select(($"vec_id" + 100000L).as("vec_id"),
+        transform($"v", x => round(x + lit(0.01), 6)).as("v"))
+    // cached: k-means scans the union once per assignment round
+    val all = vecs.union(planted).cache()
+    graft.operators.Similarity
+      .semanticDedup(all, k = 8, iters = 2, threshold = 0.95)
+      .orderBy($"removed_vec_id")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d_exact_dedup" -> (qExactDedup _),
     "d_ngram_near_dups" -> (qNgramNearDups _),
@@ -340,7 +383,9 @@ object LlmOps {
     "m_media_embed" -> (qMediaEmbed _),
     "m_media_resize" -> (qMediaResize _),
     "sim_knn_cosine" -> (qKnnCosine _),
-    "sim_ivf_topk" -> (qIvfTopK _)
+    "sim_ivf_topk" -> (qIvfTopK _),
+    "t_quality_filter" -> (qQualityFilter _),
+    "d_semantic_dedup" -> (qSemanticDedup _)
   )
 
   private val shingleSql =
@@ -671,6 +716,71 @@ object LlmOps {
             FROM scored)
           SELECT probe_id, vec_id, cosine, rank
           FROM ranked WHERE rank <= 3
-          ORDER BY probe_id, rank"""
+          ORDER BY probe_id, rank""",
+    "t_quality_filter" ->
+      """WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+                    FROM documents),
+          m AS (SELECT doc_id,
+                       len(ws) AS n,
+                       list_sum([length(x) for x in ws]) AS wchars,
+                       len(list_filter(ws, x -> regexp_matches(x, '[A-Za-z]'))) AS n_alpha,
+                       len(list_filter(ws, x -> x IN ('#', '...'))) AS n_sym,
+                       len(list_filter(ws, x -> x IN ('the','be','to','of','and',
+                                                      'that','have','with','a','in',
+                                                      'is','for'))) AS n_stop
+                FROM w)
+          SELECT doc_id,
+                 CAST(n AS BIGINT) AS n_words,
+                 n BETWEEN 10 AND 1000 AS ok_word_count,
+                 wchars BETWEEN n * 3 AND n * 10 AS ok_mean_word_len,
+                 n_alpha * 5 >= n * 4 AS ok_alpha_ratio,
+                 n_sym * 10 <= n AS ok_symbol_ratio,
+                 n_stop >= 2 AS ok_stopwords,
+                 (n BETWEEN 10 AND 1000) AND (wchars BETWEEN n * 3 AND n * 10)
+                   AND n_alpha * 5 >= n * 4 AND n_sym * 10 <= n AND n_stop >= 2
+                   AS keep
+          FROM m ORDER BY doc_id""",
+    "d_semantic_dedup" ->
+      """WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+          pl AS (SELECT vec_id + 100000 AS vec_id, [round(x + 0.01, 6) for x in e] AS e
+                 FROM base WHERE vec_id % 10 = 0),
+          v AS (SELECT * FROM base UNION ALL SELECT * FROM pl),
+          c0 AS (
+            SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster, e AS cv
+            FROM v ORDER BY vec_id LIMIT 8),
+          a1 AS (
+            SELECT vec_id, e, cluster FROM (
+              SELECT v.vec_id, v.e, kc.cluster,
+                     row_number() OVER (PARTITION BY v.vec_id ORDER BY
+                       round(
+                         list_sum([v.e[i] * kc.cv[i] for i in range(1, 65)]) /
+                         (sqrt(list_sum([v.e[i] * v.e[i] for i in range(1, 65)])) *
+                          sqrt(list_sum([kc.cv[i] * kc.cv[i] for i in range(1, 65)]))), 6)
+                       DESC, kc.cluster ASC) AS rn
+              FROM v, c0 kc) WHERE rn = 1),
+          d1 AS (SELECT cluster, i, round(avg(e[i]), 6) AS m
+                 FROM a1, range(1, 65) t(i) GROUP BY 1, 2),
+          c1 AS (SELECT cluster, list(m ORDER BY i) AS cv FROM d1 GROUP BY 1),
+          a2 AS (
+            SELECT vec_id, e, cluster FROM (
+              SELECT v.vec_id, v.e, kc.cluster,
+                     row_number() OVER (PARTITION BY v.vec_id ORDER BY
+                       round(
+                         list_sum([v.e[i] * kc.cv[i] for i in range(1, 65)]) /
+                         (sqrt(list_sum([v.e[i] * v.e[i] for i in range(1, 65)])) *
+                          sqrt(list_sum([kc.cv[i] * kc.cv[i] for i in range(1, 65)]))), 6)
+                       DESC, kc.cluster ASC) AS rn
+              FROM v, c1 kc) WHERE rn = 1),
+          p AS (
+            SELECT x.cluster, y.vec_id AS hi_id,
+                   round(
+                     list_sum([x.e[i] * y.e[i] for i in range(1, 65)]) /
+                     (sqrt(list_sum([x.e[i] * x.e[i] for i in range(1, 65)])) *
+                      sqrt(list_sum([y.e[i] * y.e[i] for i in range(1, 65)]))), 6) AS cos
+            FROM a2 x JOIN a2 y ON x.cluster = y.cluster AND x.vec_id < y.vec_id)
+          SELECT hi_id AS removed_vec_id, max(cluster) AS cluster,
+                 count(*) AS n_near, max(cos) AS max_cos
+          FROM p WHERE cos >= 0.95
+          GROUP BY 1 ORDER BY removed_vec_id"""
   )
 }

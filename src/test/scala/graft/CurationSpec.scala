@@ -236,6 +236,68 @@ class CurationSpec extends SparkTestBase {
     assert(got8 == got2)
   }
 
+  // --- Gopher-style quality flags --------------------------------------
+
+  test("qualityFlags: each rule trips on its own degenerate input") {
+    import spark.implicits._
+    val docs = Seq(
+      // 0: healthy — 12 words, sane lengths, alphabetic, stopwords present
+      (0L, "the cat sat on the mat and then ran off to sleep"),
+      // 1: too short (< 10 words)
+      (1L, "the cat is of note"),
+      // 2: mean word length > 10
+      (2L, "the extraordinarily incomprehensible hippopotomonstrous " +
+        "sesquipedalian antidisestablishment considerations notwithstanding " +
+        "internationalization accommodation recommendations characteristic"),
+      // 3: < 80% alphabetic words
+      (3L, "the 1 2 3 4 5 6 7 8 9 10 11 of it"),
+      // 4: > 10% bare symbol tokens
+      (4L, "the # # # end of a list is here now ..."),
+      // 5: fewer than 2 stopword occurrences
+      (5L, "cats dogs birds fish mice lions tigers bears wolves foxes deer elk")
+    ).toDF("doc_id", "text")
+    val q = graft.operators.TextAnalysis.qualityFlags($"text")
+    val got = docs.select($"doc_id", q.as("q"))
+      .select($"doc_id", $"q.ok_word_count", $"q.ok_mean_word_len",
+        $"q.ok_alpha_ratio", $"q.ok_symbol_ratio", $"q.ok_stopwords")
+      .as[(Long, Boolean, Boolean, Boolean, Boolean, Boolean)]
+      .collect().map(r => r._1 -> (r._2, r._3, r._4, r._5, r._6)).toMap
+    assert(got(0L) == ((true, true, true, true, true)))
+    assert(!got(1L)._1 && got(1L)._5)           // short, but stopwords fine
+    assert(!got(2L)._2, s"mean-word-len should trip: ${got(2L)}")
+    assert(!got(3L)._3, s"alpha-ratio should trip: ${got(3L)}")
+    assert(!got(4L)._4, s"symbol-ratio should trip: ${got(4L)}")
+    assert(!got(5L)._5, s"stopword rule should trip: ${got(5L)}")
+  }
+
+  // --- SemDeDup-style semantic dedup -----------------------------------
+
+  test("semanticDedup removes only lower-id-witnessed near-dups within a cluster") {
+    import spark.implicits._
+    // two well-separated directions; 10/11 near-duplicate each other and 0;
+    // 20 near-duplicates 1; 5 is distinct enough to survive
+    val vecs = Seq(
+      (0L, Seq(1.0, 0.0, 0.0)),
+      (1L, Seq(0.0, 1.0, 0.0)),
+      (5L, Seq(0.8, 0.0, 0.6)),        // cos to 0 = 0.8 < 0.95 → kept
+      (10L, Seq(0.999, 0.001, 0.0)),   // ≈ 0 → removed
+      (11L, Seq(0.998, 0.002, 0.0)),   // ≈ 0 → removed
+      (20L, Seq(0.001, 0.999, 0.0))    // ≈ 1 → removed
+    ).toDF("vec_id", "v")
+    val got = graft.operators.Similarity
+      .semanticDedup(vecs, k = 2, iters = 2, threshold = 0.95)
+      .select($"removed_vec_id", $"n_near")
+      .as[(Long, Long)].collect().toMap
+    assert(got.keySet == Set(10L, 11L, 20L), s"got $got")
+    assert(got(11L) == 2L, "11 has two lower-id witnesses (0 and 10)")
+    // pair generation keys on the cluster id — never a cartesian product
+    val plan = graft.operators.Similarity
+      .semanticDedup(vecs, k = 2, iters = 2, threshold = 0.95)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      s"within-cluster join must be key-based:\n$plan")
+  }
+
   // --- URL canonicalization / dedup ------------------------------------
 
   test("canonicalUrl normalizes case, ports, tracking params, fragments, slashes") {
