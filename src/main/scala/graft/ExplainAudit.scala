@@ -10,7 +10,8 @@ object ExplainAudit {
     val names = if (args.length > 1) args.drop(1).toSeq
       else Seq("q_region_revenue", "q_keyset_scan", "q1_pricing_summary",
         "sim_knn_cosine", "sim_ivf_topk", "d_minhash_lsh", "d_contamination",
-        "t_stratified_sample", "q_sessionize", "q_binlog_scan", "m_media_embed")
+        "t_stratified_sample", "q_sessionize", "q_binlog_scan", "m_media_embed",
+        "d_url_dedup", "d_chunk_dedup", "t_quality_filter", "d_semantic_dedup")
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.ui.enabled", "false").getOrCreate()
