@@ -157,6 +157,24 @@ object Curation {
       array_join(kept, " ").as("clean_text"))
   }
 
+  /** Temperature-based mixture weights over strata (north-star: data
+    * mixing — the per-source sampling weights fed to [[sampleKeep]] when
+    * building a training mix). Weight of stratum s is n_s^α / Σ n_t^α:
+    * α = 1 reproduces natural proportions, α = 0 is uniform, α ≈ 0.3–0.7
+    * is the usual low-resource up-weighting.
+    *
+    * One map-side-combinable count shuffle; the denominator is a 1-row
+    * broadcast. Weights round to 6 dp so the ratio is stable across
+    * summation orders. Returns (strataCol, n_docs, weight).
+    */
+  def mixtureWeights(docs: DataFrame, strataCol: String, alpha: Double): DataFrame = {
+    val counts = docs.groupBy(col(strataCol)).agg(count(lit(1)).as("n_docs"))
+    val denom = counts.agg(sum(pow(col("n_docs"), alpha)).as("denom"))
+    counts.crossJoin(broadcast(denom))
+      .select(col(strataCol), col("n_docs"),
+        round(pow(col("n_docs"), alpha) / col("denom"), 6).as("weight"))
+  }
+
   /** Canonical form of a web URL for crawl-dedup keys (north-star: the
     * URL-level dedup every web-corpus pipeline runs before content dedup).
     *

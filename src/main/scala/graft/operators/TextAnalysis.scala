@@ -74,6 +74,31 @@ object TextAnalysis {
     (size(regexp_extract_all(text, lit(EmailRe), lit(0))).cast("long"),
       size(regexp_extract_all(text, lit(PhoneRe), lit(0))).cast("long"))
 
+  /** Rabin–Karp rolling hashes over the character stream (north-star:
+    * rolling-hash document fingerprinting). Every `w`-char window gets the
+    * polynomial hash `((…(c₁·B + c₂)·B + …)·B + c_w) mod M` with B = 257,
+    * M = 1e9+7 — the classic content-defined fingerprint primitive; the
+    * per-doc min-hash / distinct-count summary is a near-identity key that
+    * survives small edits (only windows crossing the edit change).
+    *
+    * Stepwise mod keeps every intermediate below 2⁶³; mathematically it
+    * equals the big-integer polynomial mod M, which is how the DuckDB
+    * oracle computes it — an explicit cross-engine identity check on the
+    * modular arithmetic. Pure column expression, shuffle-free; O(len·w)
+    * per doc, the textbook trade for w this small. Docs shorter than `w`
+    * yield an empty hash array.
+    */
+  def rollingHashes(text: Column, w: Int = 8): Column = {
+    val B = 257L
+    val M = 1000000007L
+    val codes = transform(sequence(lit(1), length(text)),
+      i => ascii(text.substr(i, lit(1))).cast("long"))
+    when(length(text) < w, array().cast("array<bigint>")).otherwise(
+      transform(sequence(lit(1), length(text) - (w - 1)),
+        i => aggregate(slice(codes, i, lit(w)), lit(0L),
+          (a, c) => (a * B + c) % M)))
+  }
+
   /** Stopword list for the Gopher "contains ≥ 2 stopwords" document rule —
     * the published heuristic's own list. Counted over total occurrences,
     * not distinct hits. */

@@ -200,6 +200,31 @@ object CurationOps {
       .orderBy($"doc_id")
   }
 
+  /** Temperature-based mixture weights per source (α = 0.5): the data-mix
+    * computation that decides per-source sampling rates before
+    * [[Curation.sampleKeep]] draws. The oracle mirrors power/sum/round. */
+  def qMixtureWeights(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Curation.mixtureWeights(Tables.documents(spark, dir), "source", alpha = 0.5)
+      .orderBy($"source")
+  }
+
+  /** Rabin–Karp rolling-hash fingerprint summary per doc: window count,
+    * min hash (the 1-row fingerprint) and distinct-window count. The
+    * oracle replays the identical stepwise-mod fold via list_reduce, so
+    * the gate pins the exact polynomial arithmetic, not just the shape. */
+  def qRollingFingerprint(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val hs = graft.operators.TextAnalysis.rollingHashes($"text", w = 8)
+    Tables.documents(spark, dir)
+      .select($"doc_id", hs.as("hs"))
+      .select($"doc_id",
+        size($"hs").cast("long").as("n_windows"),
+        array_min($"hs").as("min_hash"),
+        size(array_distinct($"hs")).cast("long").as("n_distinct"))
+      .orderBy($"doc_id")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d_contamination" -> (qContamination _),
     "t_stratified_sample" -> (qStratifiedSample _),
@@ -211,7 +236,9 @@ object CurationOps {
     "t_boilerplate" -> (qBoilerplate _),
     "q_sessionize" -> (qSessionize _),
     "d_url_dedup" -> (qUrlDedup _),
-    "d_chunk_dedup" -> (qChunkDedup _)
+    "d_chunk_dedup" -> (qChunkDedup _),
+    "t_mixture_weights" -> (qMixtureWeights _),
+    "t_rolling_fp" -> (qRollingFingerprint _)
   )
 
   private val gramSql =
@@ -425,6 +452,27 @@ object CurationOps {
                 md5(coalesce(
                   array_to_string(list(chunk ORDER BY chunk_idx) FILTER (WHERE rn = 1),
                                   ' '), '')) AS clean_md5
-         FROM k GROUP BY 1 ORDER BY doc_id"""
+         FROM k GROUP BY 1 ORDER BY doc_id""",
+    "t_mixture_weights" ->
+      """WITH s AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY 1),
+         d AS (SELECT sum(power(n_docs, 0.5)) AS denom FROM s)
+         SELECT source, n_docs, round(power(n_docs, 0.5) / denom, 6) AS weight
+         FROM s, d ORDER BY source""",
+    "t_rolling_fp" ->
+      """WITH c AS (
+           SELECT doc_id, text,
+                  [unicode(text[i]) for i in range(1, length(text)+1)]::BIGINT[] AS cs
+           FROM documents),
+         h AS (SELECT doc_id,
+                      CASE WHEN length(text) < 8 THEN []::BIGINT[]
+                           ELSE [list_reduce(cs[i:i+7],
+                                             (a, x) -> (a*257 + x) % 1000000007)
+                                 for i in range(1, length(text) - 6)] END AS hs
+               FROM c)
+         SELECT doc_id,
+                len(hs) AS n_windows,
+                list_min(hs) AS min_hash,
+                CAST(len(list_distinct(hs)) AS BIGINT) AS n_distinct
+         FROM h ORDER BY doc_id"""
   )
 }

@@ -236,6 +236,53 @@ class CurationSpec extends SparkTestBase {
     assert(got8 == got2)
   }
 
+  // --- mixture weights (data mixing) -----------------------------------
+
+  test("mixtureWeights: α=1 is proportional, α=0 is uniform, weights sum to 1") {
+    import spark.implicits._
+    val docs = (Seq.fill(90)("big") ++ Seq.fill(10)("small")).zipWithIndex
+      .map { case (s, i) => (i.toLong, s) }.toDF("doc_id", "source")
+    def weights(alpha: Double): Map[String, Double] =
+      Curation.mixtureWeights(docs, "source", alpha)
+        .select($"source", $"weight").as[(String, Double)].collect().toMap
+    assert(weights(1.0) == Map("big" -> 0.9, "small" -> 0.1))
+    assert(weights(0.0) == Map("big" -> 0.5, "small" -> 0.5))
+    val w5 = weights(0.5)
+    assert(w5("big") == 0.75 && w5("small") == 0.25)  // 3:1 in sqrt space
+    assert(math.abs(w5.values.sum - 1.0) < 1e-6)
+    // the 1-row denominator broadcasts — the count frame never reshuffles
+    val plan = Curation.mixtureWeights(docs, "source", 0.5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      s"denominator must broadcast:\n$plan")
+  }
+
+  // --- rolling-hash fingerprints ---------------------------------------
+
+  test("rollingHashes matches the hand-computed polynomial and localizes edits") {
+    import spark.implicits._
+    // "hello wo" stepwise: a = (a*257 + code) % 1e9+7 → 485117186
+    val hs = Seq("hello world").toDF("text")
+      .select(graft.operators.TextAnalysis.rollingHashes($"text", w = 8))
+      .as[Seq[Long]].head()
+    assert(hs.length == 4)            // 11 chars → 4 windows
+    assert(hs.head == 485117186L)
+    // docs shorter than the window fingerprint to an empty array
+    val short = Seq("tiny").toDF("text")
+      .select(graft.operators.TextAnalysis.rollingHashes($"text", w = 8))
+      .as[Seq[Long]].head()
+    assert(short.isEmpty)
+    // a 1-char edit changes only the windows that cross it
+    val a = "abcdefghijklmnopqrstuvwxyz"
+    val b = "abcdefghijklmnopqrstuvwxyZ"   // last char edited
+    val Seq(ha, hb) = Seq(a, b).toDF("text")
+      .select(graft.operators.TextAnalysis.rollingHashes($"text", w = 8))
+      .as[Seq[Long]].collect().toSeq
+    assert(ha.size == 19 && hb.size == 19)
+    assert(ha.init == hb.init, "only the final window may differ")
+    assert(ha.last != hb.last)
+  }
+
   // --- Gopher-style quality flags --------------------------------------
 
   test("qualityFlags: each rule trips on its own degenerate input") {
