@@ -49,6 +49,40 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
+  test("d_url_dedup aggregates map-side first and scans only doc_id") {
+    val p = planOf("d_url_dedup")
+    assert(p.contains("partial_min"), s"no partial aggregation before the exchange:\n$p")
+    val readSchemas = p.linesIterator.filter(_.contains("ReadSchema")).mkString("\n")
+    assert(readSchemas.contains("doc_id") && !readSchemas.contains("text"),
+      s"url dedup should never read the text column:\n$readSchemas")
+  }
+
+  test("t_quality_filter is a narrow map: its only exchange is the output sort") {
+    val p = planOf("t_quality_filter")
+    val exchanges = p.linesIterator.filter(_.matches("\\(\\d+\\) Exchange.*")).toSeq
+    assert(exchanges.size == 1, s"quality filter must not shuffle data:\n$p")
+    val detail = p.linesIterator.dropWhile(!_.matches("\\(\\d+\\) Exchange.*"))
+      .take(3).mkString("\n")
+    assert(detail.contains("rangepartitioning"),
+      s"the single exchange should be the orderBy:\n$detail")
+    // stopword membership lowered to a hash-set InSet, not a linear scan
+    assert(p.contains("INSET"), s"stopword check must be set-backed:\n$p")
+  }
+
+  test("d_chunk_dedup shuffle shape: chunk-hash window + doc rebuild + sort only") {
+    val p = planOf("d_chunk_dedup")
+    val n = p.linesIterator.count(_.matches("\\(\\d+\\) Exchange.*"))
+    assert(n == 3, s"expected exactly 3 exchanges (md5 window, doc_id agg, sort), got $n:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+      s"chunk dedup must not join at all:\n$p")
+  }
+
+  test("d_semantic_dedup broadcasts centroids; pair join keys on the cluster id") {
+    val p = planOf("d_semantic_dedup")
+    assert(p.contains("BroadcastExchange"), s"centroid frames must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"pairwise work must stay within clusters:\n$p")
+  }
+
   test("multimodal decode seams stay in the Dataset plan (no RDD scan boundary)") {
     Seq("m_media_embed", "m_media_meta", "m_frame_sample").foreach { name =>
       val p = planOf(name)
