@@ -174,6 +174,35 @@ object Bench {
         if (secs > 0) n / secs else -1.0
       } catch { case _: Throwable => -1.0 }
 
+    // minhash signature stage, portable md5-hex family vs the in-engine
+    // xxhash64 family (identical LSH semantics downstream — the fast path
+    // exists purely to cut signature-stage CPU and shuffle width at
+    // corpus scale; measured as whole-stage docs/s over the same shingle
+    // frame, forced through every signature column)
+    val (minhashMd5DocsPerSec, minhashXxhDocsPerSec) =
+      try {
+        import org.apache.spark.sql.functions._
+        val sh = graft.operators.Dedup
+          .wordShingles(Tables.documents(spark, sfDir), "doc_id", "text", 3).cache()
+        val nDocs = sh.select(col("id")).distinct().count().toDouble
+        def run(fast: Boolean) = {
+          val sigs = if (fast) graft.operators.Dedup.minhashSignaturesFast(sh, 12)
+          else graft.operators.Dedup.minhashSignatures(sh, 12)
+          val allSigs = (0 until 12).map(i => col(s"s$i"))
+          // bit_xor folds every signature column without ANSI sum overflow
+          sigs.select(xxhash64(allSigs: _*).as("h")).agg(expr("bit_xor(h)")).head()
+        }
+        run(false); run(true) // warm-up
+        val tMd5 = timed(() => run(false))
+        val tXxh = timed(() => run(true))
+        sh.unpersist()
+        (if (tMd5 > 0) nDocs / tMd5 else -1.0,
+          if (tXxh > 0) nDocs / tXxh else -1.0)
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] minhash metric failed: $e")
+        (-1.0, -1.0)
+      }
+
     val qs = results.map { case (k, v, _) => "\"" + k + f"""\":$v%.4f""" }
       .mkString("{", ",", "}")
     val spreads = results.map { case (k, _, s) => "\"" + k + f"""\":$s%.1f""" }
@@ -187,7 +216,7 @@ object Bench {
     // sustain ≥ ~90k rows/s/core; ratio < 1 means the gate failed
     val gateRatio = if (serdeUuidPerCore < 0) -1.0 else serdeUuidPerCore / 90000.0
     println(
-      f"""{"metric":"total","value":$total%.4f,"unit":"sec","runs_per_query":$runsPerQuery,"queries":$qs,"query_spread_pct":$spreads,"drift_gt20pct_vs_prev":$drift,"serde_rows_per_sec":$serdeRowsPerSec%.0f,"serde_rows_per_sec_core":$serdePerCore%.0f,"serde_uuid_rows_per_sec_core":$serdeUuidPerCore%.0f,"uuid_gen_rows_per_sec_core":$uuidGenPerCore%.0f,"uuid_rows_per_sec":$uuidRowsPerSec%.0f,"uuid_rows_per_sec_core":$uuidPerCore%.0f,"baseline_gate_rows_per_sec_core":90000,"serde_uuid_vs_gate":$gateRatio%.2f,"sf":"$sfDir"}""")
+      f"""{"metric":"total","value":$total%.4f,"unit":"sec","runs_per_query":$runsPerQuery,"queries":$qs,"query_spread_pct":$spreads,"drift_gt20pct_vs_prev":$drift,"serde_rows_per_sec":$serdeRowsPerSec%.0f,"serde_rows_per_sec_core":$serdePerCore%.0f,"serde_uuid_rows_per_sec_core":$serdeUuidPerCore%.0f,"uuid_gen_rows_per_sec_core":$uuidGenPerCore%.0f,"uuid_rows_per_sec":$uuidRowsPerSec%.0f,"uuid_rows_per_sec_core":$uuidPerCore%.0f,"baseline_gate_rows_per_sec_core":90000,"serde_uuid_vs_gate":$gateRatio%.2f,"minhash_md5_docs_per_sec":$minhashMd5DocsPerSec%.0f,"minhash_xxh64_docs_per_sec":$minhashXxhDocsPerSec%.0f,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -50,6 +50,32 @@ object Dedup {
         min(md5(concat(col("g"), lit("#0")))).as("s0"),
         (1 until k).map(i => min(md5(concat(col("g"), lit(s"#$i")))).as(s"s$i")): _*)
 
+  /** k xxhash64-based minhash signature columns s0..s{k-1} per id — the
+    * in-engine fast path. Each hash family member is `xxhash64(i, g)`:
+    * pure codegen'd long arithmetic, no md5 hex-string materialization
+    * (the md5 variant exists for cross-engine oracle replay; at corpus
+    * scale this one cuts the signature stage's CPU and shrinks the
+    * shuffle rows from k×32-byte hex strings to k×8-byte longs). Same
+    * banding/candidate semantics downstream via [[lshBandsFast]]. */
+  def minhashSignaturesFast(shingles: DataFrame, k: Int): DataFrame =
+    shingles.groupBy(col("id"))
+      .agg(
+        min(xxhash64(lit(0), col("g"))).as("s0"),
+        (1 until k).map(i => min(xxhash64(lit(i), col("g"))).as(s"s$i")): _*)
+
+  /** LSH banding over long signatures: band hash = xxhash64 of the band's
+    * signature row — no string concat in the loop. */
+  def lshBandsFast(signatures: DataFrame, k: Int, bands: Int): DataFrame = {
+    val rowsPerBand = k / bands
+    require(bands * rowsPerBand == k, s"bands=$bands must divide k=$k")
+    val bandCols = (0 until bands).map { b =>
+      val sigCols = (0 until rowsPerBand).map(r => col(s"s${b * rowsPerBand + r}"))
+      struct(lit(b).as("band_id"), xxhash64(lit(b) +: sigCols: _*).as("h"))
+    }
+    signatures.select(col("id"), explode(array(bandCols: _*)).as("band"))
+      .select(col("id"), col("band.band_id"), col("band.h"))
+  }
+
   /** LSH banding: (id, band_id, h) with rows-per-band = k / bands. */
   def lshBands(signatures: DataFrame, k: Int, bands: Int): DataFrame = {
     val rowsPerBand = k / bands

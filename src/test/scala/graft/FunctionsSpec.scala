@@ -130,4 +130,25 @@ class FunctionsSpec extends SparkTestBase {
       graft.streaming.Encryption.randomIv().as("iv"))
       .collect().map(_.getAs[Array[Byte]]("iv").toSeq).distinct.length == 50)
   }
+
+  test("xxhash64 minhash fast path verifies the same near-dup pairs as md5") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    val sh = Dedup.wordShingles(
+      Tables.documents(spark, sf()), "doc_id", "text", 3).cache()
+    def verified(sigs: org.apache.spark.sql.DataFrame,
+                 bander: (org.apache.spark.sql.DataFrame, Int, Int) => org.apache.spark.sql.DataFrame) = {
+      val cands = Dedup.lshCandidatePairs(bander(sigs, 12, 4))
+      Dedup.verifyJaccard(cands, sh, 0.6)
+        .select($"d1", $"d2").as[(Long, Long)].collect().toSet
+    }
+    val md5Pairs = verified(Dedup.minhashSignatures(sh, 12), Dedup.lshBands)
+    val fastPairs = verified(Dedup.minhashSignaturesFast(sh, 12), Dedup.lshBandsFast)
+    // exact verification makes both families converge on the true pair
+    // set at this scale — the hash family only shapes candidate recall
+    assert(md5Pairs.nonEmpty, "fixture should contain near-dup pairs")
+    assert(fastPairs == md5Pairs,
+      s"fast path diverged: md5=$md5Pairs xxh=$fastPairs")
+    sh.unpersist()
+  }
 }
