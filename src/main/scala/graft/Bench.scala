@@ -203,6 +203,37 @@ object Bench {
         (-1.0, -1.0)
       }
 
+    // rolling-hash fingerprint: portable higher-order-function formulation
+    // (O(len·w), per-window slices — the oracle-replayable path) vs the
+    // native RollingMinHash64 expression (O(len) true rolling update).
+    // Same arithmetic, identical results (spec-pinned); this measures what
+    // the native expression buys at scale.
+    val (rollingHofDocsPerSec, rollingExprDocsPerSec) =
+      try {
+        import org.apache.spark.sql.functions._
+        // no row amplification here: the HOF path is orders of magnitude
+        // slower (interpreted per-window slices), so the raw table is
+        // already enough signal for it — and the expr rate then reads as
+        // a scheduling-floor-bound LOWER bound on the true speedup
+        val docs = Tables.documents(spark, sfDir).select(col("text"))
+          .repartition(cpus.toInt).cache()
+        val n = docs.count().toDouble
+        def run(fast: Boolean) = {
+          val h =
+            if (fast) graft.functions.RollingMinHash64.rolling_min_hash(col("text"), 8)
+            else array_min(graft.operators.TextAnalysis.rollingHashes(col("text"), 8))
+          docs.select(h.as("h")).agg(expr("bit_xor(h)")).head()
+        }
+        run(false); run(true) // warm-up
+        val tHof = timed(() => run(false))
+        val tExpr = timed(() => run(true))
+        docs.unpersist()
+        (if (tHof > 0) n / tHof else -1.0, if (tExpr > 0) n / tExpr else -1.0)
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] rolling-hash metric failed: $e")
+        (-1.0, -1.0)
+      }
+
     val qs = results.map { case (k, v, _) => "\"" + k + f"""\":$v%.4f""" }
       .mkString("{", ",", "}")
     val spreads = results.map { case (k, _, s) => "\"" + k + f"""\":$s%.1f""" }
@@ -216,7 +247,7 @@ object Bench {
     // sustain ≥ ~90k rows/s/core; ratio < 1 means the gate failed
     val gateRatio = if (serdeUuidPerCore < 0) -1.0 else serdeUuidPerCore / 90000.0
     println(
-      f"""{"metric":"total","value":$total%.4f,"unit":"sec","runs_per_query":$runsPerQuery,"queries":$qs,"query_spread_pct":$spreads,"drift_gt20pct_vs_prev":$drift,"serde_rows_per_sec":$serdeRowsPerSec%.0f,"serde_rows_per_sec_core":$serdePerCore%.0f,"serde_uuid_rows_per_sec_core":$serdeUuidPerCore%.0f,"uuid_gen_rows_per_sec_core":$uuidGenPerCore%.0f,"uuid_rows_per_sec":$uuidRowsPerSec%.0f,"uuid_rows_per_sec_core":$uuidPerCore%.0f,"baseline_gate_rows_per_sec_core":90000,"serde_uuid_vs_gate":$gateRatio%.2f,"minhash_md5_docs_per_sec":$minhashMd5DocsPerSec%.0f,"minhash_xxh64_docs_per_sec":$minhashXxhDocsPerSec%.0f,"sf":"$sfDir"}""")
+      f"""{"metric":"total","value":$total%.4f,"unit":"sec","runs_per_query":$runsPerQuery,"queries":$qs,"query_spread_pct":$spreads,"drift_gt20pct_vs_prev":$drift,"serde_rows_per_sec":$serdeRowsPerSec%.0f,"serde_rows_per_sec_core":$serdePerCore%.0f,"serde_uuid_rows_per_sec_core":$serdeUuidPerCore%.0f,"uuid_gen_rows_per_sec_core":$uuidGenPerCore%.0f,"uuid_rows_per_sec":$uuidRowsPerSec%.0f,"uuid_rows_per_sec_core":$uuidPerCore%.0f,"baseline_gate_rows_per_sec_core":90000,"serde_uuid_vs_gate":$gateRatio%.2f,"minhash_md5_docs_per_sec":$minhashMd5DocsPerSec%.0f,"minhash_xxh64_docs_per_sec":$minhashXxhDocsPerSec%.0f,"rolling_fp_hof_docs_per_sec":$rollingHofDocsPerSec%.0f,"rolling_fp_expr_docs_per_sec":$rollingExprDocsPerSec%.0f,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

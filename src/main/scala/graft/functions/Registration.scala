@@ -33,6 +33,9 @@ object Registration {
         literalInt(exprs(2), "decode_payload reader schema id")), "scala_udf")
     fr.createOrReplaceTempFunction("simhash64",
       exprs => SimHash64(exprs.head), "scala_udf")
+    fr.createOrReplaceTempFunction("rolling_min_hash",
+      exprs => RollingMinHash64(exprs.head,
+        literalInt(exprs(1), "rolling_min_hash window")), "scala_udf")
   }
 
   private def literalString(e: org.apache.spark.sql.catalyst.expressions.Expression,

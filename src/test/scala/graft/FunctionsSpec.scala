@@ -131,6 +131,32 @@ class FunctionsSpec extends SparkTestBase {
       .collect().map(_.getAs[Array[Byte]]("iv").toSeq).distinct.length == 50)
   }
 
+  test("rolling_min_hash equals array_min of the portable rollingHashes") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf())
+    val got = docs.select(
+      $"doc_id",
+      graft.functions.RollingMinHash64.rolling_min_hash($"text", 8).as("fast"),
+      array_min(graft.operators.TextAnalysis.rollingHashes($"text", 8)).as("portable"))
+      .collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      assert(r.getLong(1) == r.getLong(2),
+        s"doc ${r.getLong(0)}: rolling ${r.getLong(1)} != portable ${r.getLong(2)}")
+    }
+    // strings shorter than the window have no fingerprint
+    val short = Seq("tiny").toDF("text")
+      .select(graft.functions.RollingMinHash64.rolling_min_hash($"text", 8))
+      .head()
+    assert(short.isNullAt(0))
+    // SQL surface
+    val viaSql = spark.sql("SELECT rolling_min_hash('hello world', 8)").head().getLong(0)
+    val viaCol = Seq("hello world").toDF("t")
+      .select(graft.functions.RollingMinHash64.rolling_min_hash($"t", 8))
+      .head().getLong(0)
+    assert(viaSql == viaCol)
+  }
+
   test("xxhash64 minhash fast path verifies the same near-dup pairs as md5") {
     import spark.implicits._
     import graft.operators.Dedup
