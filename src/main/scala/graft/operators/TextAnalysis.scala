@@ -137,6 +137,58 @@ object TextAnalysis {
       (nStop >= 2).as("ok_stopwords"))
   }
 
+  /** CCNet-style language-model quality score (north-star: perplexity
+    * filtering before training), in an integer-exact formulation.
+    *
+    * A bigram model is counted over `train` (in CCNet: a clean reference
+    * corpus; here any sampled subset), then every document in `docs` is
+    * scored by its mean add-one-smoothed bigram probability, expressed in
+    * ppm: per bigram `(10⁶·(c₁₂+1)) div (c₁+V)` where c₁₂/c₁ are training
+    * counts and V is the training vocabulary size. Summing integer ppm
+    * instead of float log-probs makes the score independent of
+    * aggregation order — bit-identical on any engine at any parallelism —
+    * while ranking documents the same way a perplexity filter does
+    * (higher = more in-distribution).
+    *
+    * Shuffle shape at 100 TB: model counts are vocabulary-bounded
+    * (map-side combined); both model tables broadcast to the corpus scan
+    * (a reference LM is MBs against a 100 TB corpus), so scoring is one
+    * narrow pass plus the per-doc partial-sum groupBy — the corpus text
+    * never shuffles.
+    *
+    * Returns (idCol, n_bigrams, avg_bigram_ppm); documents with fewer
+    * than two tokens have no bigrams and drop out.
+    */
+  def lmScore(docs: org.apache.spark.sql.DataFrame,
+              train: org.apache.spark.sql.DataFrame,
+              idCol: String, textCol: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.DataFrame
+    def bigrams(df: DataFrame): DataFrame = {
+      val ws = col("__ws")
+      df.select(col(idCol).as("id"), split(trim(col(textCol)), "\\s+").as("__ws"))
+        .filter(size(ws) >= 2)
+        .select(col("id"), explode(transform(sequence(lit(1), size(ws) - 1),
+          i => struct(element_at(ws, i).as("w1"), element_at(ws, i + 1).as("w2")))).as("b"))
+        .select(col("id"), col("b.w1"), col("b.w2"))
+    }
+    val trainBi = bigrams(train).groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c12"))
+    val trainUni = train
+      .select(explode(split(trim(col(textCol)), "\\s+")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c1"))
+    val vocab = trainUni.agg(count(lit(1)).as("v"))
+    bigrams(docs)
+      .join(broadcast(trainBi), Seq("w1", "w2"), "left")
+      .join(broadcast(trainUni.withColumnRenamed("w", "w1")), Seq("w1"), "left")
+      .crossJoin(broadcast(vocab))
+      .select(col("id"),
+        expr("(1000000 * (coalesce(c12, 0) + 1)) div (coalesce(c1, 0) + v)").as("ppm"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("ppm")).as("__s"))
+      .select(col("id").as(idCol), col("n_bigrams"),
+        expr("__s div n_bigrams").as("avg_bigram_ppm"))
+  }
+
   /** Gopher-style repetition signal: the share of a document's word
     * n-grams taken by its single most frequent n-gram, reported in exact
     * integer parts-per-million (`top_ngram_ppm`). High values mark

@@ -365,6 +365,19 @@ object LlmOps {
       .orderBy($"removed_vec_id")
   }
 
+  /** CCNet-style LM quality score: a bigram model counted over every 10th
+    * doc (the clean-reference stand-in) scores the whole corpus by mean
+    * smoothed bigram probability in integer ppm — the order-independent
+    * formulation of the perplexity filter. Model broadcasts; corpus text
+    * never shuffles. */
+  def qLmScore(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    graft.operators.TextAnalysis
+      .lmScore(docs, docs.filter($"doc_id" % 10 === 0), "doc_id", "text")
+      .orderBy($"doc_id")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d_exact_dedup" -> (qExactDedup _),
     "d_ngram_near_dups" -> (qNgramNearDups _),
@@ -385,7 +398,8 @@ object LlmOps {
     "sim_knn_cosine" -> (qKnnCosine _),
     "sim_ivf_topk" -> (qIvfTopK _),
     "t_quality_filter" -> (qQualityFilter _),
-    "d_semantic_dedup" -> (qSemanticDedup _)
+    "d_semantic_dedup" -> (qSemanticDedup _),
+    "t_lm_score" -> (qLmScore _)
   )
 
   private val shingleSql =
@@ -781,6 +795,33 @@ object LlmOps {
           SELECT hi_id AS removed_vec_id, max(cluster) AS cluster,
                  count(*) AS n_near, max(cos) AS max_cos
           FROM p WHERE cos >= 0.95
-          GROUP BY 1 ORDER BY removed_vec_id"""
+          GROUP BY 1 ORDER BY removed_vec_id""",
+    "t_lm_score" ->
+      """WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+                       FROM documents),
+          tr AS (SELECT * FROM toks WHERE doc_id % 10 = 0),
+          trbi AS (SELECT u.w1, u.w2, count(*) AS c12 FROM (
+                     SELECT unnest([{'w1': ws[i], 'w2': ws[i+1]}
+                                    for i in range(1, len(ws))]) AS u
+                     FROM tr WHERE len(ws) >= 2)
+                   GROUP BY 1, 2),
+          truni AS (SELECT w, count(*) AS c1 FROM (
+                      SELECT unnest(ws) AS w FROM tr) GROUP BY 1),
+          v AS (SELECT count(*) AS v FROM truni),
+          db AS (SELECT doc_id, u.w1 AS w1, u.w2 AS w2 FROM (
+                   SELECT doc_id, unnest([{'w1': ws[i], 'w2': ws[i+1]}
+                                          for i in range(1, len(ws))]) AS u
+                   FROM toks WHERE len(ws) >= 2)),
+          sc AS (SELECT doc_id,
+                        (1000000 * (coalesce(c12, 0) + 1)) // (coalesce(c1, 0) + v.v)
+                          AS ppm
+                 FROM db
+                 LEFT JOIN trbi ON db.w1 = trbi.w1 AND db.w2 = trbi.w2
+                 LEFT JOIN truni ON db.w1 = truni.w
+                 CROSS JOIN v)
+          SELECT doc_id,
+                 count(*) AS n_bigrams,
+                 CAST(sum(ppm) // count(*) AS BIGINT) AS avg_bigram_ppm
+          FROM sc GROUP BY 1 ORDER BY doc_id"""
   )
 }

@@ -283,6 +283,33 @@ class CurationSpec extends SparkTestBase {
     assert(ha.last != hb.last)
   }
 
+  // --- LM quality score -------------------------------------------------
+
+  test("lmScore: add-one-smoothed bigram ppm, integer-exact, OOV handled") {
+    import spark.implicits._
+    val train = Seq((100L, "a b a c")).toDF("doc_id", "text")
+    // model: c12(a,b)=1 c12(b,a)=1 c12(a,c)=1; c1: a=2 b=1 c=1; V=3
+    val docs = Seq(
+      (1L, "a b"),   // (a,b): (1e6·(1+1)) div (2+3) = 400000
+      (2L, "z z"),   // OOV bigram and unigram: (1e6·1) div (0+3) = 333333
+      (3L, "a")      // no bigrams → absent from output
+    ).toDF("doc_id", "text")
+    val got = graft.operators.TextAnalysis.lmScore(docs, train, "doc_id", "text")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got == Map(1L -> ((1L, 400000L)), 2L -> ((1L, 333333L))))
+    // in-distribution text outscores noise on the real fixture
+    val fixture = Tables.documents(spark, sf())
+    val scored = graft.operators.TextAnalysis.lmScore(
+      fixture, fixture.filter($"doc_id" % 10 === 0), "doc_id", "text")
+    val fixtureAvg = scored.agg(avg($"avg_bigram_ppm")).head().getDouble(0)
+    val noise = Seq((9999L, "qqq www eee rrr ttt yyy uuu iii")).toDF("doc_id", "text")
+    val noiseScore = graft.operators.TextAnalysis.lmScore(
+      noise, fixture.filter($"doc_id" % 10 === 0), "doc_id", "text")
+      .head().getLong(2).toDouble
+    assert(fixtureAvg > noiseScore,
+      s"fixture should be in-distribution: $fixtureAvg vs $noiseScore")
+  }
+
   // --- Gopher-style quality flags --------------------------------------
 
   test("qualityFlags: each rule trips on its own degenerate input") {
