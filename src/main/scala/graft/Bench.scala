@@ -32,6 +32,8 @@ object Bench {
     "d_dup_clusters",
     "t_boilerplate",
     "q_sessionize",
+    "q_asof_join",
+    "sim_bm25_topk",
     "env_roundtrip")
 
   def main(args: Array[String]): Unit = {

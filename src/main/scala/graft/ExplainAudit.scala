@@ -11,7 +11,8 @@ object ExplainAudit {
       else Seq("q_region_revenue", "q_keyset_scan", "q1_pricing_summary",
         "sim_knn_cosine", "sim_ivf_topk", "d_minhash_lsh", "d_contamination",
         "t_stratified_sample", "q_sessionize", "q_binlog_scan", "m_media_embed",
-        "d_url_dedup", "d_chunk_dedup", "t_quality_filter", "d_semantic_dedup")
+        "d_url_dedup", "d_chunk_dedup", "t_quality_filter", "d_semantic_dedup",
+        "q_asof_join", "sim_bm25_topk", "t_bpe_pairs", "t_shard_plan")
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.ui.enabled", "false").getOrCreate()

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{CurationOps, EnvelopeOps, LlmOps, Relational}
+import graft.queries.{CurationOps, EnvelopeOps, LlmOps, Relational, RetrievalOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -18,10 +18,12 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Relational.defs ++ EnvelopeOps.defs ++ LlmOps.defs ++ CurationOps.defs
+    Relational.defs ++ EnvelopeOps.defs ++ LlmOps.defs ++ CurationOps.defs ++
+      RetrievalOps.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    Relational.oracles ++ EnvelopeOps.oracles ++ LlmOps.oracles ++ CurationOps.oracles
+    Relational.oracles ++ EnvelopeOps.oracles ++ LlmOps.oracles ++
+      CurationOps.oracles ++ RetrievalOps.oracles
 }

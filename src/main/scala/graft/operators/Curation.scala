@@ -254,6 +254,29 @@ object Curation {
       .withColumn("kept", row_number().over(w) === 1)
   }
 
+  /** Deterministic global training shuffle: every row gets a content-hash
+    * `sort_key` (md5 of salt + id) and a `shard_id` derived from its first
+    * 6 hex digits — the "shuffle once, shard, sort within shard" pass that
+    * turns a curated corpus into training-ready shards with a reproducible
+    * row permutation (re-running the pipeline on the same corpus yields
+    * byte-identical shards; changing the salt reshuffles).
+    *
+    * Assignment is a pure column expression — shuffle-free. The physical
+    * write is `repartition(nShards, $"shard_id")` +
+    * `sortWithinPartitions($"sort_key")`: exactly one hash shuffle of the
+    * corpus, the one a global shuffle fundamentally requires, and the sort
+    * is within-partition only (no global order). Shard populations are
+    * md5-uniform, so sizes stay balanced at any scale.
+    */
+  def shardAssign(docs: DataFrame, idCol: String, nShards: Int,
+                  salt: String): DataFrame = {
+    require(nShards >= 1, "nShards must be positive")
+    docs
+      .withColumn("sort_key", md5(concat(lit(salt), col(idCol).cast("string"))))
+      .withColumn("shard_id",
+        conv(substring(col("sort_key"), 1, 6), 16, 10).cast("long") % nShards)
+  }
+
   /** Gap-based sessionization: a new session starts when the time since
     * the user's previous event exceeds `gapMillis`. Adds `session_id` =
     * the session's start time in epoch millis — the same id contract as

@@ -1,0 +1,118 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Lexical retrieval and tokenizer-training operators for corpus curation:
+  * BM25 term scoring (finding the training docs most relevant to a probe
+  * query — the lexical complement to embedding ANN in `Similarity`) and
+  * BPE merge-pair counting (the inner loop of tokenizer training).
+  *
+  * Scale discipline:
+  *  - BM25 filters the corpus token stream to the query vocabulary BEFORE
+  *    any shuffle, so the (doc, term) aggregation is query-bounded, not
+  *    corpus-bounded; corpus stats (N, total tokens) and per-term document
+  *    frequencies are 1-row / |terms|-row broadcasts — the corpus text
+  *    never shuffles;
+  *  - pair counting collapses the corpus to its vocabulary FIRST (one
+  *    map-side-combined word count), then explodes character pairs over
+  *    distinct words only — pair volume is vocabulary-bounded, which is
+  *    what makes BPE training tractable on a 100 TB corpus.
+  *
+  * Both scores are pure integer arithmetic (`div`, scaled ppm) — results
+  * are bit-identical across engines and aggregation orders. The 10^6
+  * scaling holds to N ≈ 10^9 docs in signed 64-bit; past that, swap the
+  * score columns to DECIMAL(38,0) with identical `div` semantics.
+  */
+object Retrieval {
+
+  /** Top-k documents for a bag-of-terms query under a log-free BM25
+    * variant, integer-exact end to end.
+    *
+    * Per matched (doc, term):
+    * {{{
+    *   idf_ppm    = (10^6 · (N − df + 1)) div (df + 1)        // RSJ idf, log-free
+    *   dlnorm_ppm = (10^6 · dl · N) div T                      // dl / avgdl
+    *   inner_ppm  = (10^6 − 1000·b‰) + (b‰ · dlnorm_ppm) div 1000
+    *   denom_ppm  = 10^6·tf + (k1‰ · inner_ppm) div 1000
+    *   sat_ppm    = (tf · (1000 + k1‰) · 10^9) div denom_ppm
+    *   contrib    = (idf_ppm · sat_ppm) div 10^6
+    * }}}
+    * where N = corpus size, T = total tokens, dl = doc length, df/tf the
+    * usual frequencies, k1‰/b‰ the BM25 constants in milli-units. The
+    * saturation term is the standard tf·(k1+1)/(tf + k1·((1−b)+b·dl/avgdl));
+    * the idf is the Robertson–Spärck-Jones form with the log dropped —
+    * same ranking monotonicity, zero float surface.
+    *
+    * Returns (id, n_terms_matched, score_ppm) for the k highest-scoring
+    * docs, ties broken by ascending id.
+    */
+  def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
+               terms: Seq[String], k: Int,
+               k1Milli: Long = 1200L, bMilli: Long = 750L): DataFrame = {
+    require(terms.nonEmpty && k > 0)
+    val ws = split(trim(lower(col(textCol))), "\\s+")
+    val toks = docs.select(col(idCol).as("id"), ws.as("__ws"))
+      .select(col("id"), size(col("__ws")).cast("long").as("dl"),
+        // query-vocabulary filter BEFORE explode: only query-term hits
+        // ever leave the scan
+        filter(col("__ws"), w => w.isInCollection(terms)).as("__hit"))
+    val stats = toks.agg(count(lit(1)).as("n"), sum(col("dl")).as("t"))
+    val tf = toks
+      .filter(size(col("__hit")) > 0)
+      .select(col("id"), col("dl"), explode(col("__hit")).as("term"))
+      .groupBy(col("id"), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    tf.join(broadcast(df), "term")
+      .crossJoin(broadcast(stats))
+      .select(col("id"),
+        expr("(1000000L * (n - df + 1)) div (df + 1)").as("idf_ppm"),
+        expr("(1000000L * dl * n) div t").as("dlnorm_ppm"),
+        col("tf"))
+      .select(col("id"), col("idf_ppm"), col("tf"),
+        expr(s"(1000000L - ${bMilli}L * 1000L) + (${bMilli}L * dlnorm_ppm) div 1000L")
+          .as("inner_ppm"))
+      .select(col("id"), col("idf_ppm"),
+        expr(s"(tf * ${1000L + k1Milli}L * 1000000000L) div " +
+          s"(tf * 1000000L + (${k1Milli}L * inner_ppm) div 1000L)")
+          .as("sat_ppm"))
+      .select(col("id"), expr("(idf_ppm * sat_ppm) div 1000000L").as("contrib"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_terms_matched"), sum(col("contrib")).as("score_ppm"))
+      .orderBy(col("score_ppm").desc, col("id"))
+      .limit(k)
+      .select(col("id").as(idCol), col("n_terms_matched"), col("score_ppm"))
+  }
+
+  /** Global adjacent-symbol pair counts over the corpus — the first
+    * iteration of BPE tokenizer training (Sennrich et al. 2016). Words are
+    * whitespace tokens lowercased; symbols are single characters plus the
+    * `</w>` end-of-word marker; every adjacent pair in every word counts
+    * once per corpus occurrence of the word.
+    *
+    * The corpus collapses to (word, count) FIRST — one map-side-combined
+    * shuffle bounded by vocabulary size — and pairs explode over distinct
+    * words only, weighted by the count. A 100 TB corpus with a 10 M-word
+    * vocabulary explodes ~100 M pair rows, not trillions. Returns the
+    * `topK` pairs as (pair, n_occurrences), ties broken by ascending pair.
+    */
+  def bpePairCounts(docs: DataFrame, textCol: String, topK: Int): DataFrame = {
+    val vocab = docs
+      .select(explode(split(trim(lower(col(textCol))), "\\s+")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("w")).agg(count(lit(1)).as("n"))
+    val syms = concat(
+      transform(sequence(lit(1), length(col("w"))),
+        i => col("w").substr(i, lit(1))),
+      array(lit("</w>")))
+    vocab
+      .select(col("n"), syms.as("__s"))
+      .select(col("n"), explode(transform(sequence(lit(1), size(col("__s")) - 1),
+        i => concat(element_at(col("__s"), i), lit(" "),
+          element_at(col("__s"), i + 1)))).as("pair"))
+      .groupBy(col("pair")).agg(sum(col("n")).as("n_occurrences"))
+      .orderBy(col("n_occurrences").desc, col("pair"))
+      .limit(topK)
+  }
+}

@@ -1,0 +1,68 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Temporal operators: point-in-time (as-of) joins.
+  *
+  * An as-of join attaches to every left row the most recent right row with
+  * the same key whose timestamp does not exceed the left row's timestamp —
+  * the lookup every feature store, slowly-changing-dimension read, and
+  * trade/quote alignment performs. Spark has no native as-of join; the
+  * naive encodings both fail at scale:
+  *
+  *  - `left JOIN right ON key AND r.ts <= l.ts` + window/aggregate
+  *    materializes every (left, earlier-right) pair — O(|L|·|R|/keys)
+  *    intermediate rows, quadratic on hot keys;
+  *  - a broadcast range join only works while one side fits in memory.
+  *
+  * This implementation is the linear union form: tag both sides, union,
+  * sort within key by (ts, side, tie), and carry the last-seen right
+  * payload forward with a running `last(ignoreNulls)` window. One hash
+  * shuffle on the key, within-partition sort, O(|L|+|R|) rows end to end,
+  * constant per-row state — the same shape at sf0.001 and at 100 TB
+  * (skewed keys salt the same way any window does: split the key, carry
+  * boundary state). Right rows order before left rows at equal timestamps,
+  * so the match is inclusive (`r.ts <= l.ts`); ties among right rows at
+  * the same (key, ts) resolve to the greatest `tieCol` — deterministic on
+  * any engine.
+  */
+object Temporal {
+
+  /** Backward as-of join. Returns every `left` row (all columns) plus
+    * `right`'s `payloadCols` from the matched row — null when the key has
+    * no right row at or before the left timestamp. `tieCol` breaks
+    * equal-timestamp ties among right rows (greatest wins); it must be
+    * non-null.
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, leftKey: String,
+               rightKey: String, leftTs: String, rightTs: String,
+               tieCol: String, payloadCols: Seq[String]): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val l = left.select(
+      col(leftKey).as("__k"), col(leftTs).as("__ts"),
+      lit(null).cast(right.schema(tieCol).dataType).as("__tie"),
+      struct(leftCols.map(col): _*).as("__l"),
+      lit(null).cast(org.apache.spark.sql.types.StructType(
+        payloadCols.map(c => right.schema(c)))).as("__p"),
+      lit(1).as("__side"))
+    val r = right.select(
+      col(rightKey).as("__k"), col(rightTs).as("__ts"), col(tieCol).as("__tie"),
+      lit(null).cast(left.select(leftCols.map(col): _*).schema).as("__l"),
+      struct(payloadCols.map(col): _*).as("__p"),
+      lit(0).as("__side"))
+    // right rows sort before left rows at equal ts (inclusive match); among
+    // right rows at equal (key, ts) the greatest tie sorts last, so the
+    // running last() picks it
+    val w = Window.partitionBy(col("__k"))
+      .orderBy(col("__ts"), col("__side"), col("__tie"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val matched = r.unionByName(l)
+      .withColumn("__m", last(col("__p"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+    val out = leftCols.map(c => col("__l").getField(c).as(c)) ++
+      payloadCols.map(c => col("__m").getField(c).as(c))
+    matched.select(out: _*)
+  }
+}

@@ -1,0 +1,159 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.{Curation, Retrieval, Temporal}
+
+/** Retrieval / temporal / training-shuffle query pack: BM25 lexical
+  * retrieval, BPE merge-pair counting, the deterministic shard plan, and
+  * the as-of join. Every query has a DuckDB oracle replicating the exact
+  * integer arithmetic (or window semantics) step for step.
+  */
+object RetrievalOps {
+
+  private val Bm25Terms = Seq("spark", "window", "hash", "vector")
+  private val Bm25K = 15
+  private val BpeTopK = 20
+  private val NShards = 8
+  private val ShardSalt = "shard:"
+
+  /** Lexical top-k: the 15 docs most relevant to a 4-term probe query
+    * under the integer-exact BM25 variant. The corpus token stream is
+    * filtered to the query vocabulary before any shuffle; df/corpus stats
+    * broadcast. */
+  def qBm25TopK(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Retrieval.bm25TopK(Tables.documents(spark, dir), "doc_id", "text",
+      Bm25Terms, Bm25K)
+      .orderBy($"score_ppm".desc, $"doc_id")
+  }
+
+  /** Tokenizer training step 0: global BPE symbol-pair counts (chars +
+    * `</w>` marker), top 20. Pair explosion runs over the distinct-word
+    * vocabulary, weighted by word counts — never over the corpus. */
+  def qBpePairs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Retrieval.bpePairCounts(Tables.documents(spark, dir), "text", BpeTopK)
+      .orderBy($"n_occurrences".desc, $"pair")
+  }
+
+  /** Deterministic training-shuffle shard plan: md5-derived shard ids and
+    * within-shard permutation, summarized per shard as (count, md5 of the
+    * ordered id list) — the perm_md5 pins the exact row permutation the
+    * shard writer would emit, not just the sizes. */
+  def qShardPlan(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Curation.shardAssign(
+      Tables.documents(spark, dir).select($"doc_id"), "doc_id", NShards, ShardSalt)
+      .groupBy($"shard_id")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        md5(array_join(
+          transform(
+            array_sort(collect_list(struct($"sort_key", $"doc_id"))),
+            p => p("doc_id").cast("string")),
+          ",")).as("perm_md5"))
+      .orderBy($"shard_id")
+  }
+
+  /** Point-in-time enrichment: every purchase event joined to the same
+    * user's most recent click at or before the purchase (backward
+    * inclusive as-of; ties on ts break to the greatest event_id) — the
+    * attribution lookup every feature store performs. Purchases with no
+    * prior click keep null click columns. Single key shuffle, linear — no
+    * (purchase × earlier-click) pair blowup. */
+  def qAsofJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"event_id".as("purchase_id"), $"user_id", $"ts".as("pts"))
+    val clicks = ev.filter($"event_type" === "click")
+      .select($"user_id", $"ts", $"event_id",
+        floor($"value" * 1000000L).cast("long").as("value_micros"))
+    Temporal.asofJoin(purchases, clicks,
+      leftKey = "user_id", rightKey = "user_id",
+      leftTs = "pts", rightTs = "ts",
+      tieCol = "event_id", payloadCols = Seq("event_id", "ts", "value_micros"))
+      .select($"purchase_id", $"user_id",
+        unix_millis($"pts").as("purchase_ms"),
+        $"event_id".as("click_id"),
+        unix_millis($"ts").as("click_ms"),
+        $"value_micros".as("click_value_micros"))
+      .orderBy($"purchase_id")
+  }
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_bm25_topk" -> (qBm25TopK _),
+    "t_bpe_pairs" -> (qBpePairs _),
+    "t_shard_plan" -> (qShardPlan _),
+    "q_asof_join" -> (qAsofJoin _)
+  )
+
+  val oracles: Map[String, String] = Map(
+    "sim_bm25_topk" ->
+      """WITH d AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ws
+                    FROM documents),
+         toks AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS dl,
+                         list_filter(ws, w -> w IN ('spark','window','hash','vector')) AS hit
+                  FROM d),
+         stats AS (SELECT count(*) AS n, CAST(sum(dl) AS BIGINT) AS t FROM toks),
+         tfc AS (SELECT doc_id, dl, u.term, count(*) AS tf
+                 FROM (SELECT doc_id, dl, unnest(hit) AS term FROM toks
+                       WHERE len(hit) > 0) u
+                 GROUP BY 1, 2, 3),
+         dfc AS (SELECT term, count(*) AS df FROM tfc GROUP BY 1),
+         sc AS (SELECT doc_id,
+                       (1000000 * (n - df + 1)) // (df + 1) AS idf_ppm,
+                       tf,
+                       250000 + (750 * ((1000000 * dl * n) // t)) // 1000 AS inner_ppm
+                FROM tfc JOIN dfc USING (term) CROSS JOIN stats),
+         co AS (SELECT doc_id,
+                       (idf_ppm * ((tf * 2200 * 1000000000) //
+                                   (tf * 1000000 + (1200 * inner_ppm) // 1000)))
+                         // 1000000 AS contrib
+                FROM sc)
+         SELECT doc_id, count(*) AS n_terms_matched,
+                CAST(sum(contrib) AS BIGINT) AS score_ppm
+         FROM co GROUP BY doc_id
+         ORDER BY score_ppm DESC, doc_id LIMIT 15""",
+    "t_bpe_pairs" ->
+      """WITH wt AS (SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS wd
+                     FROM documents),
+         v AS (SELECT wd, count(*) AS n FROM wt WHERE wd <> '' GROUP BY 1),
+         s AS (SELECT n, list_append([wd[i] for i in range(1, length(wd) + 1)],
+                                     '</w>') AS sy
+               FROM v),
+         p AS (SELECT n, unnest([sy[i] || ' ' || sy[i+1]
+                                 for i in range(1, len(sy))]) AS pair
+               FROM s)
+         SELECT pair, CAST(sum(n) AS BIGINT) AS n_occurrences
+         FROM p GROUP BY 1 ORDER BY n_occurrences DESC, pair LIMIT 20""",
+    "t_shard_plan" ->
+      """WITH a AS (SELECT doc_id, md5('shard:' || doc_id) AS sk FROM documents),
+         b AS (SELECT doc_id, sk,
+                      list_sum([(strpos('0123456789abcdef', substr(sk, i, 1)) - 1)
+                                * power(16, 6 - i)::BIGINT
+                                for i in range(1, 7)])::BIGINT % 8 AS shard_id
+               FROM a)
+         SELECT shard_id, count(*) AS n_docs,
+                md5(string_agg(doc_id::VARCHAR, ',' ORDER BY sk, doc_id)) AS perm_md5
+         FROM b GROUP BY 1 ORDER BY shard_id""",
+    "q_asof_join" ->
+      """WITH m AS (
+           SELECT p.event_id AS purchase_id, p.user_id,
+                  epoch_ms(p.ts) AS purchase_ms,
+                  c.event_id AS click_id, epoch_ms(c.ts) AS click_ms,
+                  CAST(floor(c.value * 1000000) AS BIGINT) AS cvm,
+                  row_number() OVER (PARTITION BY p.event_id
+                                     ORDER BY c.ts DESC, c.event_id DESC) AS rn
+           FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+           LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+             ON c.user_id = p.user_id AND c.ts <= p.ts)
+         SELECT purchase_id, user_id, purchase_ms,
+                click_id, click_ms AS click_ms,
+                cvm AS click_value_micros
+         FROM m WHERE rn = 1 ORDER BY purchase_id"""
+  )
+}

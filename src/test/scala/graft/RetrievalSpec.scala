@@ -1,0 +1,122 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Curation, Retrieval, Temporal}
+
+class RetrievalSpec extends SparkTestBase {
+
+  // --- as-of join --------------------------------------------------------
+
+  test("asofJoin matches the latest right row at or before the left ts") {
+    import spark.implicits._
+    def ts(s: String) = Timestamp.valueOf(s)
+    val left = Seq(
+      (1L, 100L, ts("2026-01-10 00:00:00")),
+      (2L, 100L, ts("2026-01-20 00:00:00")),
+      (3L, 200L, ts("2026-01-05 00:00:00")), // key with no prior right row
+      (4L, 100L, ts("2026-01-15 00:00:00"))  // exactly equal ts → inclusive
+    ).toDF("order_id", "k", "ots")
+    val right = Seq(
+      (100L, ts("2026-01-01 00:00:00"), 10L, 11L),
+      (100L, ts("2026-01-15 00:00:00"), 20L, 22L),
+      (100L, ts("2026-01-15 00:00:00"), 21L, 23L), // same ts: greater tie wins
+      (100L, ts("2026-01-25 00:00:00"), 30L, 33L),
+      (200L, ts("2026-02-01 00:00:00"), 40L, 44L)
+    ).toDF("k", "ets", "eid", "v")
+
+    val got = Temporal.asofJoin(left, right, "k", "k", "ots", "ets",
+      "eid", Seq("eid", "v"))
+      .select($"order_id", $"eid", $"v")
+      .as[(Long, Option[Long], Option[Long])].collect()
+      .map { case (id, e, v) => id -> ((e, v)) }.toMap
+
+    assert(got(1L) == (Some(10L), Some(11L)))  // only the 01-01 row precedes
+    assert(got(2L) == (Some(21L), Some(23L)))  // latest ≤ 01-20 is 01-15, tie→21
+    assert(got(3L) == (None, None))            // nothing at or before
+    assert(got(4L) == (Some(21L), Some(23L)))  // equal ts is inclusive
+  }
+
+  test("asofJoin plans one key shuffle and no join node (linear union form)") {
+    import spark.implicits._
+    def ts(s: String) = Timestamp.valueOf(s)
+    val left = Seq((1L, 1L, ts("2026-01-02 00:00:00"))).toDF("oid", "k", "ots")
+    val right = Seq((1L, ts("2026-01-01 00:00:00"), 5L)).toDF("k", "ets", "eid")
+    val plan = Temporal.asofJoin(left, right, "k", "k", "ots", "ets",
+      "eid", Seq("eid")).queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"as-of must not plan a join:\n$plan")
+    assert(plan.contains("Window"), s"expected the running-last window:\n$plan")
+  }
+
+  // --- BM25 ---------------------------------------------------------------
+
+  test("bm25TopK ranks exact integer scores; tf and rarity both matter") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "spark spark spark common common common"),
+      (2L, "spark common common common common common"),
+      (3L, "rare common common common common common"),
+      (4L, "common common common common common common")
+    ).toDF("doc_id", "text")
+    val got = Retrieval.bm25TopK(docs, "doc_id", "text",
+      Seq("spark", "rare"), k = 3)
+      .as[(Long, Long, Long)].collect()
+
+    // doc 3 holds the rarest term (df=1) → highest idf wins the top slot;
+    // doc 1 beats doc 2 on tf of "spark"
+    assert(got.map(_._1).toSeq == Seq(3L, 1L, 2L))
+    assert(got.forall(_._3 > 0))
+    // equal-length docs, same term, higher tf strictly wins
+    val s1 = got.find(_._1 == 1L).get._3
+    val s2 = got.find(_._1 == 2L).get._3
+    assert(s1 > s2)
+  }
+
+  test("bm25TopK never shuffles full text: df and corpus stats broadcast") {
+    import spark.implicits._
+    val docs = Seq((1L, "spark a"), (2L, "b spark")).toDF("doc_id", "text")
+    val plan = Retrieval.bm25TopK(docs, "doc_id", "text", Seq("spark"), 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastExchange"),
+      s"df/stats sides must broadcast:\n$plan")
+  }
+
+  // --- BPE pair counts ----------------------------------------------------
+
+  test("bpePairCounts counts weighted adjacent symbol pairs with </w> marker") {
+    import spark.implicits._
+    // "ab ab ab cd" → vocab {ab:3, cd:1}
+    val docs = Seq((1L, "ab ab ab"), (2L, "cd ab")).toDF("doc_id", "text")
+    val got = Retrieval.bpePairCounts(docs, "text", topK = 10)
+      .as[(String, Long)].collect().toMap
+    assert(got("a b") == 4L)      // 3 + 1 occurrences of "ab"
+    assert(got("b </w>") == 4L)
+    assert(got("c d") == 1L)
+    assert(got("d </w>") == 1L)
+    // repeated letters inside one word count per position
+    val got2 = Retrieval.bpePairCounts(
+      Seq((1L, "aaa")).toDF("doc_id", "text"), "text", 10)
+      .as[(String, Long)].collect().toMap
+    assert(got2("a a") == 2L)
+  }
+
+  // --- shard plan -----------------------------------------------------------
+
+  test("shardAssign is deterministic, balanced, and a pure column expression") {
+    import spark.implicits._
+    val docs = (0L until 4000L).toDF("doc_id")
+    val a = Curation.shardAssign(docs, "doc_id", 8, "shard:")
+    val counts = a.groupBy($"shard_id").count().as[(Long, Long)].collect().toMap
+    assert(counts.keySet == (0L until 8L).toSet)
+    // md5-uniform: each shard within ±30% of the mean
+    assert(counts.values.forall(c => c > 350 && c < 650), counts.toString)
+    // same salt → identical assignment; different salt → a different one
+    val b = Curation.shardAssign(docs, "doc_id", 8, "shard:")
+    assert(a.exceptAll(b).isEmpty)
+    val c = Curation.shardAssign(docs, "doc_id", 8, "other:")
+    assert(a.join(c, Seq("doc_id"))
+      .filter(a("shard_id") =!= c("shard_id")).count() > 0)
+  }
+}
