@@ -54,21 +54,37 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
-    // 3 timed runs per query after one warm-up: a single run sits below
+    // 3 timed runs per query after two warm-ups: a single run sits below
     // the scheduler-noise floor at sf0.1 (observed ±80% swings on
     // unchanged code round-over-round), so the reported number is the
     // MEDIAN and the min→max spread is published alongside it — a real
-    // regression moves the median, noise only widens the spread.
+    // regression moves the median, noise only widens the spread. Two
+    // warm-ups because the first also pays one-time codegen/classload for
+    // the query's operators; the second leaves every intentional cache hot
+    // so the timed three start from the same state.
     val runsPerQuery = 3
     val results = headline.flatMap { name =>
       SparkEntry.queries.get(name).map { fn =>
-        try {
-          fn(spark, sfDir).count() // warm-up: codegen + JIT
+        val r = try {
+          fn(spark, sfDir).count() // warm-up 1: codegen + JIT + classload
+          fn(spark, sfDir).count() // warm-up 2: steady-state caches
           val times = Seq.fill(runsPerQuery)(timed(() => fn(spark, sfDir).count())).sorted
           val median = times(times.size / 2)
           val spreadPct = if (median > 0) 100.0 * (times.last - times.head) / median else -1.0
           (name, median, spreadPct)
         } catch { case _: Throwable => (name, -1.0, -1.0) }
+        // clean slate between queries: clear the DataFrame cache THROUGH
+        // the catalog (removing the CacheManager entries — unpersisting
+        // the underlying RDDs directly would leave stale entries whose
+        // blocks never re-store, silently uncaching every later identical
+        // plan) and then drop what remains in the block store, i.e. the
+        // per-round localCheckpoints of the label-propagation queries,
+        // which otherwise only free on driver GC and leak memory pressure
+        // into the next query's spread.
+        spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.valuesIterator
+          .foreach(_.unpersist(blocking = false))
+        r
       }
     }
 
@@ -76,19 +92,23 @@ object Bench {
     // BENCH_r*.json in the working directory (the driver writes one per
     // round) and flag queries whose median moved > 20% — the gate the
     // single-run bench could not provide.
-    val driftFlags: Seq[String] =
+    val prevBench: Option[String] =
       try {
         val dir = new java.io.File(".")
-        val prev = Option(dir.listFiles()).getOrElse(Array.empty)
+        Option(dir.listFiles()).getOrElse(Array.empty)
           .filter(f => f.getName.matches("BENCH_r\\d+\\.json"))
-          .sortBy(_.getName).lastOption
-        prev.toSeq.flatMap { f =>
-          val text = scala.io.Source.fromFile(f)
-          // the driver wraps our JSON line escaped inside its own record
-          // ("tail": "...{\"metric\":...}") — unescape before locating
-          // the queries block
-          val content = (try text.mkString finally text.close())
-            .replace("\\\"", "\"")
+          .sortBy(_.getName).lastOption.map { f =>
+            val text = scala.io.Source.fromFile(f)
+            // the driver wraps our JSON line escaped inside its own record
+            // ("tail": "...{\"metric\":...}") — unescape before locating
+            // the metric blocks
+            (try text.mkString finally text.close()).replace("\\\"", "\"")
+          }
+      } catch { case _: Throwable => None }
+
+    val driftFlags: Seq[String] =
+      try {
+        prevBench.toSeq.flatMap { content =>
           val marker = "\"queries\":{"
           val qIdx = content.lastIndexOf(marker)
           if (qIdx < 0) Seq.empty
@@ -106,9 +126,22 @@ object Bench {
         }
       } catch { case _: Throwable => Seq.empty }
 
+    // every throughput metric below is a median of 3 with min→max spread,
+    // exactly like the queries: BENCH r04→r05 showed a 2× swing on
+    // serde_rows_per_sec from a single-run measurement taken after an
+    // ever-growing amount of prior bench work (heap state, JIT tier-down,
+    // ContextCleaner backlog) — a median with a published spread separates
+    // a codec regression from measurement noise.
+    def rateMedian(runs: Int)(f: () => Double): (Double, Double) = {
+      val vs = Seq.fill(runs)(f()).sorted
+      val med = vs(vs.size / 2)
+      val spread = if (med > 0) 100.0 * (vs.last - vs.head) / med else -1.0
+      (med, spread)
+    }
+
     // serde throughput: full envelope round trip (encode → pack → unpack
     // → decode) at ≥1M rows so scheduling overhead doesn't mask the codec.
-    val serdeRowsPerSec =
+    val (serdeRowsPerSec, serdeSpreadPct) =
       try {
         import org.apache.spark.sql.functions._
         val reg = new graft.schema.SchemaRegistry
@@ -142,27 +175,36 @@ object Bench {
             .select(sum(col("p.event_id"))).head()
         }
         roundTrip() // warm-up
-        val secs = timed(() => roundTrip())
-        if (secs > 0) n / secs else -1.0
-      } catch { case _: Throwable => -1.0 }
+        val rs = rateMedian(5) { () =>
+          val secs = timed(() => roundTrip())
+          if (secs > 0) n / secs else -1.0
+        }
+        big.unpersist(blocking = false)
+        rs
+      } catch { case _: Throwable => (-1.0, -1.0) }
+
+    // give the single-thread micro-benchmarks a quiet heap: the bench run
+    // above leaves unpersist queues and collected shuffle state behind,
+    // and a GC pause landing inside a 0.5 s timed loop is a 2× swing.
+    System.gc()
 
     // single-thread codec rates, decomposed so a serde regression and a
     // uuid-cost regression stay separately visible (BASELINE.md tiers:
     // no-uuid ~730k/s, FastUUID instantiation ~185k/s, uuid-only 385k/s;
     // gate: ≥ ~90k rows/s/core on the full chain).
-    val serdePerCore = // fixed uuid — serde cost only (ref "no uuid" tier)
-      try SerdeMicroBench.chainRowsPerSecCore(300000)
-      catch { case _: Throwable => -1.0 }
-    val serdeUuidPerCore = // fresh uuid4 per message (ref FastUUID tier)
-      try SerdeMicroBench.chainWithUuidRowsPerSecCore(300000)
-      catch { case _: Throwable => -1.0 }
-    val uuidGenPerCore = // uuid4 generation alone (ref 385,845/s best)
-      try SerdeMicroBench.uuidRowsPerSecCore(2000000)
-      catch { case _: Throwable => -1.0 }
+    val (serdePerCore, serdeCoreSpreadPct) = // fixed uuid (ref "no uuid" tier)
+      try rateMedian(5)(() => SerdeMicroBench.chainRowsPerSecCore(300000))
+      catch { case _: Throwable => (-1.0, -1.0) }
+    val (serdeUuidPerCore, serdeUuidSpreadPct) = // fresh uuid4 per message
+      try rateMedian(5)(() => SerdeMicroBench.chainWithUuidRowsPerSecCore(300000))
+      catch { case _: Throwable => (-1.0, -1.0) }
+    val (uuidGenPerCore, uuidGenSpreadPct) = // uuid4 alone (ref 385,845/s best)
+      try rateMedian(5)(() => SerdeMicroBench.uuidRowsPerSecCore(2000000))
+      catch { case _: Throwable => (-1.0, -1.0) }
 
     // uuid4 generation rate through the codegen'd Uuid4Binary expression
     // (reference headline: _fast_uuid.py — 385k/s PyPy-FFI, 29k/s stock).
-    val uuidRowsPerSec =
+    val (uuidRowsPerSec, uuidSpreadPct) =
       try {
         import org.apache.spark.sql.functions._
         val n = 8000000L
@@ -172,9 +214,11 @@ object Bench {
           .select(graft.functions.uuid4_binary(42L).as("u"))
           .select(sum(length(col("u")))).head()
         run() // warm-up
-        val secs = timed(() => run())
-        if (secs > 0) n / secs else -1.0
-      } catch { case _: Throwable => -1.0 }
+        rateMedian(5) { () =>
+          val secs = timed(() => run())
+          if (secs > 0) n / secs else -1.0
+        }
+      } catch { case _: Throwable => (-1.0, -1.0) }
 
     // minhash signature stage, portable md5-hex family vs the in-engine
     // xxhash64 family (identical LSH semantics downstream — the fast path
@@ -236,11 +280,40 @@ object Bench {
         (-1.0, -1.0)
       }
 
+    // round-over-round drift on the throughput metrics, same 20% gate as
+    // the queries — this is what would have caught the r04→r05 2× swing.
+    val serdeMetrics = Seq(
+      "serde_rows_per_sec" -> serdeRowsPerSec,
+      "serde_rows_per_sec_core" -> serdePerCore,
+      "serde_uuid_rows_per_sec_core" -> serdeUuidPerCore,
+      "uuid_gen_rows_per_sec_core" -> uuidGenPerCore,
+      "uuid_rows_per_sec" -> uuidRowsPerSec)
+    val serdeDriftFlags: Seq[String] =
+      try {
+        prevBench.toSeq.flatMap { content =>
+          serdeMetrics.collect {
+            case (name, v) if v > 0 &&
+              ("\"" + name + "\":([0-9.]+)").r.findFirstMatchIn(content)
+                .map(_.group(1).toDouble)
+                .exists(p => p > 0 && math.abs(v - p) / p > 0.20) => name
+          }
+        }
+      } catch { case _: Throwable => Seq.empty }
+
     val qs = results.map { case (k, v, _) => "\"" + k + f"""\":$v%.4f""" }
       .mkString("{", ",", "}")
     val spreads = results.map { case (k, _, s) => "\"" + k + f"""\":$s%.1f""" }
       .mkString("{", ",", "}")
     val drift = driftFlags.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val serdeSpreads = Seq(
+      "serde_rows_per_sec" -> serdeSpreadPct,
+      "serde_rows_per_sec_core" -> serdeCoreSpreadPct,
+      "serde_uuid_rows_per_sec_core" -> serdeUuidSpreadPct,
+      "uuid_gen_rows_per_sec_core" -> uuidGenSpreadPct,
+      "uuid_rows_per_sec" -> uuidSpreadPct)
+      .map { case (k, s) => "\"" + k + f"""\":$s%.1f""" }
+      .mkString("{", ",", "}")
+    val serdeDrift = serdeDriftFlags.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).filter(_ >= 0).sum
     // preserve the -1 failure sentinel on derived metrics (dividing -1 by
     // cpus would print ≈ -0 and hide the failure)
@@ -249,7 +322,7 @@ object Bench {
     // sustain ≥ ~90k rows/s/core; ratio < 1 means the gate failed
     val gateRatio = if (serdeUuidPerCore < 0) -1.0 else serdeUuidPerCore / 90000.0
     println(
-      f"""{"metric":"total","value":$total%.4f,"unit":"sec","runs_per_query":$runsPerQuery,"queries":$qs,"query_spread_pct":$spreads,"drift_gt20pct_vs_prev":$drift,"serde_rows_per_sec":$serdeRowsPerSec%.0f,"serde_rows_per_sec_core":$serdePerCore%.0f,"serde_uuid_rows_per_sec_core":$serdeUuidPerCore%.0f,"uuid_gen_rows_per_sec_core":$uuidGenPerCore%.0f,"uuid_rows_per_sec":$uuidRowsPerSec%.0f,"uuid_rows_per_sec_core":$uuidPerCore%.0f,"baseline_gate_rows_per_sec_core":90000,"serde_uuid_vs_gate":$gateRatio%.2f,"minhash_md5_docs_per_sec":$minhashMd5DocsPerSec%.0f,"minhash_xxh64_docs_per_sec":$minhashXxhDocsPerSec%.0f,"rolling_fp_hof_docs_per_sec":$rollingHofDocsPerSec%.0f,"rolling_fp_expr_docs_per_sec":$rollingExprDocsPerSec%.0f,"sf":"$sfDir"}""")
+      f"""{"metric":"total","value":$total%.4f,"unit":"sec","runs_per_query":$runsPerQuery,"queries":$qs,"query_spread_pct":$spreads,"drift_gt20pct_vs_prev":$drift,"serde_rows_per_sec":$serdeRowsPerSec%.0f,"serde_rows_per_sec_core":$serdePerCore%.0f,"serde_uuid_rows_per_sec_core":$serdeUuidPerCore%.0f,"uuid_gen_rows_per_sec_core":$uuidGenPerCore%.0f,"uuid_rows_per_sec":$uuidRowsPerSec%.0f,"uuid_rows_per_sec_core":$uuidPerCore%.0f,"serde_spread_pct":$serdeSpreads,"serde_drift_gt20pct_vs_prev":$serdeDrift,"baseline_gate_rows_per_sec_core":90000,"serde_uuid_vs_gate":$gateRatio%.2f,"minhash_md5_docs_per_sec":$minhashMd5DocsPerSec%.0f,"minhash_xxh64_docs_per_sec":$minhashXxhDocsPerSec%.0f,"rolling_fp_hof_docs_per_sec":$rollingHofDocsPerSec%.0f,"rolling_fp_expr_docs_per_sec":$rollingExprDocsPerSec%.0f,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

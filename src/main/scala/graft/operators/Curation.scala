@@ -114,15 +114,24 @@ object Curation {
     *
     * Shuffle shape: one map-side-combined count shuffle of (token, df) —
     * tokens are `array_distinct`ed per doc first, so shuffle volume is
-    * vocabulary-bounded, not corpus-bounded. The stoplist is tiny by
-    * construction (only near-universal tokens qualify) and ships to
-    * executors as a literal; the rewrite itself is a narrow map — the
-    * corpus text never shuffles.
+    * vocabulary-bounded, not corpus-bounded. At the intended near-1
+    * dfRatio the stoplist is tiny by construction (only near-universal
+    * tokens qualify), ships to executors as a literal, and the rewrite is
+    * a narrow map — the corpus text never shuffles.
+    *
+    * Scale guard: a LOW dfRatio makes the "stoplist" most of the
+    * vocabulary, and collecting that to the driver is an unbounded
+    * materialization. The stoplist is therefore probed with
+    * `take(maxStoplistLiteral + 1)`: at or under the cap the literal
+    * fast path runs; above it the rewrite switches to a broadcast
+    * left-anti join over the position-exploded tokens plus a per-doc
+    * reassembly — one extra hash shuffle on the doc id, bounded driver
+    * memory, identical results.
     *
     * Returns (idCol, n_tokens, n_kept, clean_text).
     */
   def stripBoilerplate(docs: DataFrame, idCol: String, textCol: String,
-                       dfRatio: Double): DataFrame = {
+                       dfRatio: Double, maxStoplistLiteral: Int = 65536): DataFrame = {
     val ws = split(trim(col(textCol)), "\\s+")
     // single job, single scan: the grouped count carries a per-doc marker
     // row ("") whose df IS the corpus size, so the threshold comparison
@@ -137,24 +146,52 @@ object Curation {
         filter(array_distinct(ws), w => w =!= ""))).as("t"))
       .groupBy(col("t")).agg(count(lit(1)).as("df"))
     val nDocs = counts.filter(col("t") === "").select(col("df").as("n"))
-    val stop = counts
+    val stopDf = counts
       .filter(col("t") =!= "")
       .crossJoin(broadcast(nDocs))
       .filter(col("df") > floor(lit(dfRatio) * col("n")))
       .select(col("t"))
-      .collect().map(_.getString(0)).toSeq.sorted
-    // set-backed membership: isInCollection lowers to In, which Catalyst's
-    // OptimizeIn rewrites to a hash-set InSet past the conversion
-    // threshold — O(1) per token, vs the O(|stoplist|) literal-array scan
-    // array_contains would do for every token of every document
-    val kept =
-      if (stop.isEmpty) ws
-      else filter(ws, w => !w.isInCollection(stop))
-    docs.select(
-      col(idCol),
-      size(ws).cast("long").as("n_tokens"),
-      size(kept).cast("long").as("n_kept"),
-      array_join(kept, " ").as("clean_text"))
+    val probe = stopDf.take(maxStoplistLiteral + 1)
+    if (probe.length <= maxStoplistLiteral) {
+      val stop = probe.map(_.getString(0)).toSeq.sorted
+      // set-backed membership: isInCollection lowers to In, which Catalyst's
+      // OptimizeIn rewrites to a hash-set InSet past the conversion
+      // threshold — O(1) per token, vs the O(|stoplist|) literal-array scan
+      // array_contains would do for every token of every document
+      val kept =
+        if (stop.isEmpty) ws
+        else filter(ws, w => !w.isInCollection(stop))
+      docs.select(
+        col(idCol),
+        size(ws).cast("long").as("n_tokens"),
+        size(kept).cast("long").as("n_kept"),
+        array_join(kept, " ").as("clean_text"))
+    } else {
+      // oversized stoplist: never materialize it on the driver — anti-join
+      // the position-exploded tokens against it (stoplist broadcast: big
+      // for a literal, still vocabulary-bounded), then reassemble each doc
+      // in token order. Docs whose every token was stripped (or that had
+      // none) fall out of the groupBy and come back as 0/"" via the left
+      // join — same contract as the literal path.
+      val toks = docs
+        .select(col(idCol), posexplode(ws))
+        .withColumnRenamed("pos", "__pos").withColumnRenamed("col", "__tok")
+      val rebuilt = toks
+        .join(broadcast(stopDf.withColumnRenamed("t", "__tok")), Seq("__tok"), "left_anti")
+        .groupBy(col(idCol))
+        .agg(
+          count(lit(1)).as("n_kept"),
+          array_join(
+            transform(
+              array_sort(collect_list(struct(col("__pos"), col("__tok")))),
+              p => p("__tok")),
+            " ").as("clean_text"))
+      docs.select(col(idCol), size(ws).cast("long").as("n_tokens"))
+        .join(rebuilt, Seq(idCol), "left")
+        .select(col(idCol), col("n_tokens"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+          coalesce(col("clean_text"), lit("")).as("clean_text"))
+    }
   }
 
   /** Temperature-based mixture weights over strata (north-star: data

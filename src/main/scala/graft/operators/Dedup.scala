@@ -43,6 +43,60 @@ object Dedup {
       .select(col("id"), explode(array_distinct(grams)).as("g"))
   }
 
+  /** Overlapping w-token windows WITH positions: (id, idx, g), idx
+    * 0-based. Unlike [[wordShingles]] this keeps duplicates and window
+    * order — the unit of exact-substring dedup, where the same window
+    * repeated (within or across documents) is precisely the signal.
+    * Same single-evaluation token-array discipline as [[wordShingles]].
+    */
+  def tokenWindows(docs: DataFrame, idCol: String, textCol: String, w: Int): DataFrame = {
+    val ws = col("__ws")
+    val positions = sequence(lit(1), size(ws) - (w - 1))
+    val grams = transform(positions, i => struct(
+      (i - 1).cast("long").as("idx"),
+      concat_ws(" ", (0 until w).map(o => element_at(ws, i + o)): _*).as("g")))
+    docs
+      .select(col(idCol).as("id"), split(trim(col(textCol)), "\\s+").as("__ws"))
+      .filter(size(ws) >= w)
+      .select(col("id"), explode(grams).as("u"))
+      .select(col("id"), col("u.idx").as("idx"), col("u.g").as("g"))
+  }
+
+  /** Exact-substring dedup at w-token window granularity (the Spark-shaped
+    * adaptation of Lee et al. 2021, "Deduplicating Training Data Makes
+    * Language Models Better": any ≥ w-token span shared verbatim between
+    * two places in the corpus is a duplicate, and only its first
+    * occurrence — ordered by (doc, position) — is original). Every
+    * overlapping w-token window is keyed by hash; window k of a shared
+    * span of length L ≥ w yields L − w + 1 duplicated windows, so
+    * `n_dup_windows` measures duplicated-span coverage per document.
+    *
+    * Shuffle shape: the window text never shuffles — windows reduce to
+    * (id, idx, xxhash64) 24-byte rows before the one hash shuffle (the
+    * d_chunk_dedup shape at token granularity, corpus-tokens row volume);
+    * first-occurrence-wins is a row_number over the window hash. Hash
+    * granularity means a 2⁻⁶⁴ collision false-positive rate — the same
+    * trade the paper's suffix-array buckets make, and the DuckDB oracle
+    * groups on the raw window text, so the gate would catch a collision
+    * at test scale.
+    *
+    * Returns (idCol, n_windows, n_dup_windows); documents shorter than w
+    * tokens have no windows and are absent.
+    */
+  def substringDupWindows(docs: DataFrame, idCol: String, textCol: String,
+                          w: Int): DataFrame = {
+    val first = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("h")).orderBy(col("id"), col("idx"))
+    tokenWindows(docs, idCol, textCol, w)
+      .select(col("id"), col("idx"), xxhash64(col("g")).as("h"))
+      .withColumn("__rn", row_number().over(first))
+      .groupBy(col("id"))
+      .agg(
+        count(lit(1)).as("n_windows"),
+        count(when(col("__rn") > 1, 1)).as("n_dup_windows"))
+      .select(col("id").as(idCol), col("n_windows"), col("n_dup_windows"))
+  }
+
   /** k md5-based minhash signature columns s0..s{k-1} per id. */
   def minhashSignatures(shingles: DataFrame, k: Int): DataFrame =
     shingles.groupBy(col("id"))

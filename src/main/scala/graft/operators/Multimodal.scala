@@ -8,12 +8,15 @@ import org.apache.spark.sql.types._
   * with typed metadata (north-star requirement).
   *
   * The Spark-side plumbing — schema, batched per-partition decode,
-  * partition sizing — is real; the codec itself is STUBBED with a
-  * deterministic fake header format because no image/audio libraries ship
-  * in this container. `decodeBatch` is the single replacement point: swap
-  * the fake header parser for JNI/FFI codec calls (or route the same
-  * batches through `mapInArrow`/Pandas UDFs from PySpark) and nothing
-  * upstream changes.
+  * partition sizing — is real, and `decodeBatch` now carries a REAL image
+  * codec: content that is not in the synthetic GMM1 format is handed to
+  * `javax.imageio` (PNG/BMP/GIF/JPEG — the readers every JDK ships),
+  * decoded to pixels, and summarized as (width, height, pixel checksum).
+  * The deterministic GMM1 fake remains the oracle-gated path for the
+  * synthetic corpus (DuckDB can replay its header arithmetic; it cannot
+  * decode PNGs), and the seam is still the single replacement point for
+  * heavier codecs (ffmpeg/JNI, or `mapInArrow` to a Python codec) —
+  * nothing upstream changes.
   *
   * Fake wire format (deterministic, self-describing):
   *   bytes 0-3   magic "GMM1"
@@ -85,12 +88,16 @@ object Multimodal {
     }(org.apache.spark.sql.Encoders.row(schema))
   }
 
-  /** STUB decoder — one call per batch. Replace with a real codec binding
-    * (libjpeg/ffmpeg/...); the deterministic fake keeps tests meaningful. */
+  /** Batch decoder — one call per batch. GMM1 content takes the
+    * deterministic synthetic path (header dims + payload byte sum — the
+    * arithmetic the SQL oracle replays); anything else goes through the
+    * real `javax.imageio` codec. Unreadable/garbage bytes yield nulls, so
+    * a corrupt object in a 100 TB media column poisons its row, not the
+    * task. */
   private def decodeBatch(contents: Seq[Array[Byte]]): Seq[(Integer, Integer, java.lang.Long)] =
     contents.map { c =>
-      if (c == null || c.length < 12 || !c.startsWith(Magic)) (null, null, null)
-      else {
+      if (c == null || c.length < 12) (null, null, null)
+      else if (c.startsWith(Magic)) {
         def be(off: Int): Int =
           ((c(off) & 0xff) << 24) | ((c(off + 1) & 0xff) << 16) |
             ((c(off + 2) & 0xff) << 8) | (c(off + 3) & 0xff)
@@ -98,8 +105,37 @@ object Multimodal {
         var i = 12
         while (i < c.length) { sum += (c(i) & 0xff); i += 1 }
         (Integer.valueOf(be(4)), Integer.valueOf(be(8)), java.lang.Long.valueOf(sum))
-      }
+      } else decodeImage(c)
     }
+
+  /** Real image decode via the JDK's ImageIO readers (PNG/BMP/GIF/JPEG).
+    * Returns (width, height, checksum) where the checksum sums every
+    * pixel's 32-bit ARGB value — a deterministic whole-image digest
+    * independent of the source encoding (the same pixels as PNG and BMP
+    * checksum identically). In-memory only: the ImageIO disk cache is
+    * disabled once per executor so decode never touches local temp files.
+    */
+  private lazy val imageIoNoDiskCache: Unit =
+    javax.imageio.ImageIO.setUseCache(false)
+
+  private def decodeImage(c: Array[Byte]): (Integer, Integer, java.lang.Long) =
+    try {
+      imageIoNoDiskCache
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(c))
+      if (img == null) (null, null, null)
+      else {
+        val w = img.getWidth
+        val h = img.getHeight
+        var sum = 0L
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) { sum += img.getRGB(x, y) & 0xffffffffL; x += 1 }
+          y += 1
+        }
+        (Integer.valueOf(w), Integer.valueOf(h), java.lang.Long.valueOf(sum))
+      }
+    } catch { case _: Exception => (null, null, null) }
 
   /** Frame sampling stub: slice the payload into `n` equal byte ranges
     * (stand-in for video frame extraction; pure column ops). */

@@ -20,9 +20,13 @@ import org.apache.spark.sql.functions._
   *    what makes BPE training tractable on a 100 TB corpus.
   *
   * Both scores are pure integer arithmetic (`div`, scaled ppm) — results
-  * are bit-identical across engines and aggregation orders. The 10^6
-  * scaling holds to N ≈ 10^9 docs in signed 64-bit; past that, swap the
-  * score columns to DECIMAL(38,0) with identical `div` semantics.
+  * are bit-identical across engines and aggregation orders. The three
+  * intermediates whose products can exceed signed 64-bit (the dlnorm
+  * numerator 10^6·dl·N, the saturation numerator tf·(1000+k1)·10^9, and
+  * the idf×sat product) are computed in DECIMAL(38,0); their quotients,
+  * and the final per-doc scores, fit in signed 64-bit to N ≈ 10^12 docs
+  * (`div` on decimals is IntegralDivide and still returns BIGINT, so the
+  * output schema is unchanged).
   */
 object Retrieval {
 
@@ -42,7 +46,9 @@ object Retrieval {
     * usual frequencies, k1‰/b‰ the BM25 constants in milli-units. The
     * saturation term is the standard tf·(k1+1)/(tf + k1·((1−b)+b·dl/avgdl));
     * the idf is the Robertson–Spärck-Jones form with the log dropped —
-    * same ranking monotonicity, zero float surface.
+    * monotone in df per term (zero float surface), but because rare terms
+    * weigh relatively more than under log-idf, multi-term score sums are a
+    * ranking variant of BM25, not rank-identical to it.
     *
     * Returns (id, n_terms_matched, score_ppm) for the k highest-scoring
     * docs, ties broken by ascending id.
@@ -68,16 +74,17 @@ object Retrieval {
       .crossJoin(broadcast(stats))
       .select(col("id"),
         expr("(1000000L * (n - df + 1)) div (df + 1)").as("idf_ppm"),
-        expr("(1000000L * dl * n) div t").as("dlnorm_ppm"),
+        expr("(cast(1000000 as decimal(38,0)) * dl * n) div t").as("dlnorm_ppm"),
         col("tf"))
       .select(col("id"), col("idf_ppm"), col("tf"),
         expr(s"(1000000L - ${bMilli}L * 1000L) + (${bMilli}L * dlnorm_ppm) div 1000L")
           .as("inner_ppm"))
       .select(col("id"), col("idf_ppm"),
-        expr(s"(tf * ${1000L + k1Milli}L * 1000000000L) div " +
+        expr(s"(cast(tf as decimal(38,0)) * ${1000L + k1Milli}L * 1000000000L) div " +
           s"(tf * 1000000L + (${k1Milli}L * inner_ppm) div 1000L)")
           .as("sat_ppm"))
-      .select(col("id"), expr("(idf_ppm * sat_ppm) div 1000000L").as("contrib"))
+      .select(col("id"),
+        expr("(cast(idf_ppm as decimal(38,0)) * sat_ppm) div 1000000L").as("contrib"))
       .groupBy(col("id"))
       .agg(count(lit(1)).as("n_terms_matched"), sum(col("contrib")).as("score_ppm"))
       .orderBy(col("score_ppm").desc, col("id"))

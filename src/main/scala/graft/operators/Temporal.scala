@@ -39,6 +39,10 @@ object Temporal {
   def asofJoin(left: DataFrame, right: DataFrame, leftKey: String,
                rightKey: String, leftTs: String, rightTs: String,
                tieCol: String, payloadCols: Seq[String]): DataFrame = {
+    val clash = payloadCols.toSet intersect left.columns.toSet
+    require(clash.isEmpty,
+      s"payloadCols ${clash.mkString(", ")} collide with left columns; " +
+        "rename on either side before the join (output keeps both sets by name)")
     val leftCols = left.columns.toSeq
     val l = left.select(
       col(leftKey).as("__k"), col(leftTs).as("__ts"),

@@ -200,6 +200,21 @@ object CurationOps {
       .orderBy($"doc_id")
   }
 
+  /** Exact-substring dedup (Lee et al. 2021 at 8-token window
+    * granularity): every 5th doc gets the 16-word boilerplate banner
+    * prepended, so each banner'd doc after the first shares the banner's
+    * 9 fully-interior 8-token windows — overlap semantics a chunk-aligned
+    * dedup can't see — plus whatever verbatim spans the corpus itself
+    * repeats. Output is per-doc window/duplicate counts. */
+  def qSubstringDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir).select($"doc_id",
+      when($"doc_id" % 5 === 0, concat(lit(ChunkBoilerplate + " "), $"text"))
+        .otherwise($"text").as("text"))
+    graft.operators.Dedup.substringDupWindows(docs, "doc_id", "text", w = 8)
+      .orderBy($"doc_id")
+  }
+
   /** Temperature-based mixture weights per source (α = 0.5): the data-mix
     * computation that decides per-source sampling rates before
     * [[Curation.sampleKeep]] draws. The oracle mirrors power/sum/round. */
@@ -237,6 +252,7 @@ object CurationOps {
     "q_sessionize" -> (qSessionize _),
     "d_url_dedup" -> (qUrlDedup _),
     "d_chunk_dedup" -> (qChunkDedup _),
+    "d_substring_dedup" -> (qSubstringDedup _),
     "t_mixture_weights" -> (qMixtureWeights _),
     "t_rolling_fp" -> (qRollingFingerprint _)
   )
@@ -453,6 +469,26 @@ object CurationOps {
                   array_to_string(list(chunk ORDER BY chunk_idx) FILTER (WHERE rn = 1),
                                   ' '), '')) AS clean_md5
          FROM k GROUP BY 1 ORDER BY doc_id""",
+    "d_substring_dedup" ->
+      """WITH t AS (
+           SELECT doc_id,
+                  CASE WHEN doc_id % 5 = 0
+                       THEN 'cookie policy accept all terms of service privacy notice subscribe to our newsletter sign in today ' || text
+                       ELSE text END AS tx
+           FROM documents),
+         d AS (SELECT doc_id, string_split_regex(trim(tx), '\s+') AS ws FROM t),
+         wnd AS (SELECT doc_id, u.idx AS idx, u.g AS g FROM (
+                   SELECT doc_id,
+                          unnest([{'idx': i - 1,
+                                   'g': array_to_string(ws[i:i+7], ' ')}
+                                  for i in range(1, len(ws) - 6)]) AS u
+                   FROM d WHERE len(ws) >= 8)),
+         r AS (SELECT doc_id, idx,
+                      row_number() OVER (PARTITION BY g ORDER BY doc_id, idx) AS rn
+               FROM wnd)
+         SELECT doc_id, count(*) AS n_windows,
+                count(*) FILTER (WHERE rn > 1) AS n_dup_windows
+         FROM r GROUP BY 1 ORDER BY doc_id""",
     "t_mixture_weights" ->
       """WITH s AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY 1),
          d AS (SELECT sum(power(n_docs, 0.5)) AS denom FROM s)

@@ -192,6 +192,60 @@ class CurationSpec extends SparkTestBase {
     assert(got(3L) == ((2L, 1L, "end")))
   }
 
+  test("stripBoilerplate: oversized stoplist takes the anti-join path with identical results") {
+    import spark.implicits._
+    // adversarially low dfRatio: EVERY token qualifies for the stoplist
+    // (df >= 1 > floor(0)), so the literal path would collect the whole
+    // vocabulary. With maxStoplistLiteral = 2 the probe overflows and the
+    // broadcast anti-join path must produce the same rows the (unbounded)
+    // literal path would.
+    val docs = Seq(
+      (1L, "alpha beta gamma"), (2L, "beta delta"), (3L, "gamma epsilon zeta eta"),
+      (4L, "")).toDF("doc_id", "text")
+    val viaJoin = Curation
+      .stripBoilerplate(docs, "doc_id", "text", dfRatio = 0.0, maxStoplistLiteral = 2)
+      .as[(Long, Long, Long, String)].collect().toSet
+    val viaLiteral = Curation
+      .stripBoilerplate(docs, "doc_id", "text", dfRatio = 0.0)
+      .as[(Long, Long, Long, String)].collect().toSet
+    assert(viaJoin == viaLiteral)
+    // every real token stripped; the empty doc's [""] pseudo-token survives
+    assert(viaJoin == Set(
+      (1L, 3L, 0L, ""), (2L, 2L, 0L, ""), (3L, 4L, 0L, ""), (4L, 1L, 1L, "")))
+    // partial strip through the join path: only 'the' is near-universal
+    val docs2 = Seq(
+      (1L, "the cat sat"), (2L, "the dog ran"), (3L, "the end")).toDF("doc_id", "text")
+    val got2 = Curation
+      .stripBoilerplate(docs2, "doc_id", "text", dfRatio = 0.5, maxStoplistLiteral = 0)
+      .as[(Long, Long, Long, String)].collect().toSet
+    assert(got2 == Set(
+      (1L, 3L, 2L, "cat sat"), (2L, 3L, 2L, "dog ran"), (3L, 2L, 1L, "end")))
+  }
+
+  test("substringDupWindows marks overlapping shared spans, first occurrence wins") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    // doc 1 and doc 2 share the 6-token span "a b c d e f"; with w = 4
+    // that span holds 3 interior windows, all duplicated in doc 2. Doc 2's
+    // windows straddling into its own suffix differ. Doc 3 repeats a
+    // window WITHIN itself ("x y z w x y z w" has 'x y z w' at idx 0 and
+    // 4, plus straddlers), doc 4 is too short to have any window.
+    val docs = Seq(
+      (1L, "a b c d e f tail1"),
+      (2L, "a b c d e f other"),
+      (3L, "x y z w x y z w"),
+      (4L, "too short")).toDF("doc_id", "text")
+    val got = Dedup.substringDupWindows(docs, "doc_id", "text", w = 4)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    // doc1: 4 windows, all first occurrences
+    assert(got(1L) == ((4L, 0L)))
+    // doc2: 4 windows; the 3 inside "a b c d e f" duplicate doc1's
+    assert(got(2L) == ((4L, 3L)))
+    // doc3: 5 windows; idx4 "x y z w" duplicates idx0 (within-doc dedup)
+    assert(got(3L) == ((5L, 1L)))
+    assert(!got.contains(4L))
+  }
+
   // --- k-means IVF training ---------------------------------------------
 
   test("kmeansLabels separates well-formed clusters deterministically") {

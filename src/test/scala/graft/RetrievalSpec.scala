@@ -39,6 +39,17 @@ class RetrievalSpec extends SparkTestBase {
     assert(got(4L) == (Some(21L), Some(23L)))  // equal ts is inclusive
   }
 
+  test("asofJoin rejects payload columns that collide with left columns") {
+    import spark.implicits._
+    def ts(s: String) = Timestamp.valueOf(s)
+    val left = Seq((1L, 1L, ts("2026-01-02 00:00:00"))).toDF("oid", "k", "ots")
+    val right = Seq((1L, ts("2026-01-01 00:00:00"), 5L)).toDF("k", "ets", "oid")
+    val e = intercept[IllegalArgumentException] {
+      Temporal.asofJoin(left, right, "k", "k", "ots", "ets", "oid", Seq("oid"))
+    }
+    assert(e.getMessage.contains("oid"))
+  }
+
   test("asofJoin plans one key shuffle and no join node (linear union form)") {
     import spark.implicits._
     def ts(s: String) = Timestamp.valueOf(s)
@@ -87,7 +98,7 @@ class RetrievalSpec extends SparkTestBase {
 
   test("bpePairCounts counts weighted adjacent symbol pairs with </w> marker") {
     import spark.implicits._
-    // "ab ab ab cd" → vocab {ab:3, cd:1}
+    // "ab ab ab" + "cd ab" → vocab {ab:4, cd:1}
     val docs = Seq((1L, "ab ab ab"), (2L, "cd ab")).toDF("doc_id", "text")
     val got = Retrieval.bpePairCounts(docs, "text", topK = 10)
       .as[(String, Long)].collect().toMap

@@ -308,6 +308,40 @@ class ToolsSpec extends SparkTestBase {
     assert(badOut.isNullAt(2) && badOut.isNullAt(3))
   }
 
+  test("multimodal: decodePartitioned decodes real PNG/BMP bytes via ImageIO") {
+    import spark.implicits._
+    import java.awt.image.BufferedImage
+    import javax.imageio.ImageIO
+
+    // handcrafted 3×2 image with distinct known pixels
+    val pixels = Array(
+      Array(0xff0000, 0x00ff00, 0x0000ff),
+      Array(0x123456, 0xffffff, 0x000000))
+    val img = new BufferedImage(3, 2, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 2; x <- 0 until 3) img.setRGB(x, y, pixels(y)(x))
+    def bytesAs(fmt: String): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(ImageIO.write(img, fmt, bos), s"JDK must ship a $fmt writer")
+      bos.toByteArray
+    }
+    // expected checksum: sum of 32-bit ARGB values as unsigned ints
+    val expected = pixels.flatten.map(p => (0xff000000 | p) & 0xffffffffL).sum
+
+    val df = Seq((1, bytesAs("png")), (2, bytesAs("bmp"))).toDF("id", "content")
+    val out = Multimodal.decodePartitioned(df, "content", batchSize = 2)
+      .select($"id", $"decoded_width", $"decoded_height", $"payload_checksum")
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getLong(3)))
+      .sortBy(_._1)
+    // same pixels → identical checksum regardless of source encoding
+    assert(out.toSeq == Seq((1, 3, 2, expected), (2, 3, 2, expected)))
+
+    // PNG shorter than 12 bytes or truncated garbage still dead-letters
+    val truncated = bytesAs("png").take(20)
+    val badOut = Multimodal.decodePartitioned(
+      Seq((9, truncated)).toDF("id", "content"), "content").head()
+    assert(badOut.isNullAt(2) && badOut.isNullAt(3))
+  }
+
   test("pii redaction replaces emails and phone-like numbers, counts match") {
     import spark.implicits._
     import graft.operators.TextAnalysis
