@@ -106,6 +106,47 @@ object Curation {
       .drop("__start", "__end")
   }
 
+  /** Sharded token-budget packing — [[packBatches]] with parallelism
+    * restored at cluster scale. Plain packing's running-sum window
+    * partitions by stratum, so a 5-language corpus packs on 5 tasks no
+    * matter how many executors exist (documented limitation on
+    * [[packBatches]]). Here every row first gets a deterministic
+    * md5-derived shard within its stratum; the running token offset is
+    * computed within (stratum, shard) — strata × nShards parallel tasks —
+    * and then lifted to an EXACT stratum-global offset by adding the
+    * total tokens of all lower-numbered shards (a strata × nShards row
+    * aggregate, broadcast back). `batch_id` is that global offset div
+    * budget: the same greedy fill as [[packBatches]] applied to the
+    * stratum's rows re-ordered by (shard, orderCol) — a deterministic,
+    * engine-reproducible permutation, exact long arithmetic past 2^53
+    * cumulative tokens, no per-stratum bottleneck task.
+    *
+    * Adds (shard_id, batch_id).
+    */
+  def packBatchesSharded(rows: DataFrame, strataCol: String, orderCol: String,
+                         tokensCol: String, budget: Long, nShards: Int,
+                         salt: String): DataFrame = {
+    require(nShards >= 1, "nShards must be positive")
+    val shard = conv(
+      substring(md5(concat(lit(salt), col(orderCol).cast("string"))), 1, 6),
+      16, 10).cast("long") % nShards
+    val w = Window.partitionBy(col(strataCol), col("shard_id"))
+      .orderBy(col(orderCol)).rowsBetween(Window.unboundedPreceding, 0)
+    val within = rows.withColumn("shard_id", shard)
+      .withColumn("__local_start", sum(col(tokensCol)).over(w) - col(tokensCol))
+    val wb = Window.partitionBy(col(strataCol)).orderBy(col("shard_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bases = within
+      .groupBy(col(strataCol), col("shard_id"))
+      .agg(sum(col(tokensCol)).as("__shard_tokens"))
+      .withColumn("__base",
+        coalesce(sum(col("__shard_tokens")).over(wb), lit(0L)))
+      .select(col(strataCol), col("shard_id"), col("__base"))
+    within.join(broadcast(bases), Seq(strataCol, "shard_id"))
+      .withColumn("batch_id", expr(s"(__base + __local_start) div ${budget}L"))
+      .drop("__local_start", "__base")
+  }
+
   /** Corpus-wide boilerplate token removal: tokens present in more than
     * `floor(dfRatio × corpus size)` documents form a stoplist, and every
     * document is rewritten without them (order preserved, single-space

@@ -69,27 +69,95 @@ object Retrieval {
       .select(col("id"), col("dl"), explode(col("__hit")).as("term"))
       .groupBy(col("id"), col("dl"), col("term"))
       .agg(count(lit(1)).as("tf"))
-    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    tf.join(broadcast(df), "term")
-      .crossJoin(broadcast(stats))
-      .select(col("id"),
-        expr("(1000000L * (n - df + 1)) div (df + 1)").as("idf_ppm"),
-        expr("(cast(1000000 as decimal(38,0)) * dl * n) div t").as("dlnorm_ppm"),
-        col("tf"))
-      .select(col("id"), col("idf_ppm"), col("tf"),
-        expr(s"(1000000L - ${bMilli}L * 1000L) + (${bMilli}L * dlnorm_ppm) div 1000L")
-          .as("inner_ppm"))
-      .select(col("id"), col("idf_ppm"),
-        expr(s"(cast(tf as decimal(38,0)) * ${1000L + k1Milli}L * 1000000000L) div " +
-          s"(tf * 1000000L + (${k1Milli}L * inner_ppm) div 1000L)")
-          .as("sat_ppm"))
-      .select(col("id"),
-        expr("(cast(idf_ppm as decimal(38,0)) * sat_ppm) div 1000000L").as("contrib"))
+    termContribs(tf, stats, k1Milli, bMilli)
       .groupBy(col("id"))
       .agg(count(lit(1)).as("n_terms_matched"), sum(col("contrib")).as("score_ppm"))
       .orderBy(col("score_ppm").desc, col("id"))
       .limit(k)
       .select(col("id").as(idCol), col("n_terms_matched"), col("score_ppm"))
+  }
+
+  /** Per-(doc, term) BM25 contribution: (id, term, contrib) from a
+    * (id, dl, term, tf) frame plus the 1-row corpus stats (n, t). Document
+    * frequencies are recomputed from the tf frame (they only depend on
+    * which docs contain which vocab terms) and broadcast, as is the stats
+    * row — the formula is the one documented on [[bm25TopK]]. */
+  private def termContribs(tf: DataFrame, stats: DataFrame,
+                           k1Milli: Long, bMilli: Long): DataFrame = {
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    tf.join(broadcast(df), "term")
+      .crossJoin(broadcast(stats))
+      .select(col("id"), col("term"),
+        expr("(1000000L * (n - df + 1)) div (df + 1)").as("idf_ppm"),
+        expr("(cast(1000000 as decimal(38,0)) * dl * n) div t").as("dlnorm_ppm"),
+        col("tf"))
+      .select(col("id"), col("term"), col("idf_ppm"), col("tf"),
+        expr(s"(1000000L - ${bMilli}L * 1000L) + (${bMilli}L * dlnorm_ppm) div 1000L")
+          .as("inner_ppm"))
+      .select(col("id"), col("term"), col("idf_ppm"),
+        expr(s"(cast(tf as decimal(38,0)) * ${1000L + k1Milli}L * 1000000000L) div " +
+          s"(tf * 1000000L + (${k1Milli}L * inner_ppm) div 1000L)")
+          .as("sat_ppm"))
+      .select(col("id"), col("term"),
+        expr("(cast(idf_ppm as decimal(38,0)) * sat_ppm) div 1000000L").as("contrib"))
+  }
+
+  /** Multi-query BM25: top-k documents for EVERY query in a
+    * (query_id, term) table — real retrieval scores a query set, not one
+    * bag of terms. Identical per-(doc, term) arithmetic to [[bm25TopK]]
+    * (a query's top-k here matches the single-query call with its terms),
+    * ranked per query with ties to the ascending doc id.
+    *
+    * Same vocabulary-filter-first shape: the union vocabulary of all
+    * queries is probed with `take(maxVocabLiteral + 1)` — at or under the
+    * cap it ships as an InSet literal and corpus tokens are filtered
+    * BEFORE the explode; above it the explode streams into a broadcast
+    * semi-join on the vocabulary (corpus-bounded CPU, still no corpus
+    * shuffle — only vocab hits reach the tf aggregation). Per-term work
+    * is computed once per (doc, term) and fanned out to queries by a
+    * broadcast join on the query table, so 1000 queries sharing a
+    * vocabulary pay the corpus scan once.
+    *
+    * Returns (qidCol, idCol, n_terms_matched, score_ppm, rank ≤ k).
+    */
+  def bm25TopKMulti(docs: DataFrame, idCol: String, textCol: String,
+                    queries: DataFrame, qidCol: String, termCol: String,
+                    k: Int, k1Milli: Long = 1200L, bMilli: Long = 750L,
+                    maxVocabLiteral: Int = 65536): DataFrame = {
+    require(k > 0)
+    val qt = queries.select(col(qidCol).as("__qid"), col(termCol).as("term")).distinct()
+    val ws = split(trim(lower(col(textCol))), "\\s+")
+    val base = docs.select(col(idCol).as("id"), ws.as("__ws"))
+    val stats = base.select(size(col("__ws")).cast("long").as("dl"))
+      .agg(count(lit(1)).as("n"), sum(col("dl")).as("t"))
+    val vocabDf = qt.select(col("term")).distinct()
+    val probe = vocabDf.take(maxVocabLiteral + 1)
+    val tf =
+      if (probe.length <= maxVocabLiteral) {
+        val vocab = probe.map(_.getString(0)).toSeq
+        base.select(col("id"), size(col("__ws")).cast("long").as("dl"),
+          filter(col("__ws"), w => w.isInCollection(vocab)).as("__hit"))
+          .filter(size(col("__hit")) > 0)
+          .select(col("id"), col("dl"), explode(col("__hit")).as("term"))
+          .groupBy(col("id"), col("dl"), col("term"))
+          .agg(count(lit(1)).as("tf"))
+      } else {
+        base.select(col("id"), size(col("__ws")).cast("long").as("dl"),
+          explode(col("__ws")).as("term"))
+          .join(broadcast(vocabDf), Seq("term"), "left_semi")
+          .groupBy(col("id"), col("dl"), col("term"))
+          .agg(count(lit(1)).as("tf"))
+      }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__qid")).orderBy(col("score_ppm").desc, col("id"))
+    termContribs(tf, stats, k1Milli, bMilli)
+      .join(broadcast(qt), "term")
+      .groupBy(col("__qid"), col("id"))
+      .agg(count(lit(1)).as("n_terms_matched"), sum(col("contrib")).as("score_ppm"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("__qid").as(qidCol), col("id").as(idCol),
+        col("n_terms_matched"), col("score_ppm"), col("rank"))
   }
 
   /** Global adjacent-symbol pair counts over the corpus — the first

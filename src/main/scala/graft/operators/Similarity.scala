@@ -140,38 +140,70 @@ object Similarity {
     * the checkpoint itself is k rows of k·dim doubles — free.
     */
   def kmeansLabels(vectors: DataFrame, k: Int, iters: Int,
-                   reliable: Boolean = false): DataFrame = {
+                   reliable: Boolean = false): DataFrame =
+    assignClusters(vectors, kmeansFit(vectors, k, iters, reliable))
+
+  /** The fit half of the fit/assign split: train the deterministic Lloyd
+    * loop of [[kmeansLabels]] on `sample` and return the centroid frame
+    * (cluster, c:array<double>) the final assignment would use —
+    * initial lowest-id seeds refined by `iters − 1`
+    * assign-and-recompute rounds, every refinement checkpointed.
+    *
+    * THIS is the 100 TB path: pass a bounded sample (`full.sample(…)` or
+    * a hash-filtered slice) so the `iters` training scans touch only the
+    * sample, then label the full corpus with ONE [[assignClusters]] pass
+    * over the pre-fit centroids. `kmeansFit(full, …)` reproduces the
+    * combined [[kmeansLabels]] exactly (the oracle-gated path).
+    */
+  def kmeansFit(sample: DataFrame, k: Int, iters: Int,
+                reliable: Boolean = false): DataFrame = {
     require(iters >= 1, "k-means needs at least one assignment round")
     def chk(df: DataFrame): DataFrame =
       if (reliable) df.checkpoint() else df.localCheckpoint()
+    var cents = chk(sample.orderBy(col("vec_id")).limit(k)
+      .withColumn("cluster", row_number().over(Window.orderBy(col("vec_id"))) - 1)
+      .select(col("cluster"), col("v").as("c")))
+    for (_ <- 1 until iters) {
+      cents = chk(assignClusters(sample, cents)
+        .select(col("cluster"), posexplode(col("v")).as(Seq("dim", "x")))
+        .groupBy(col("cluster"), col("dim"))
+        .agg(round(avg(col("x")), 6).as("m"))
+        .groupBy(col("cluster"))
+        .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("pairs"))
+        .select(col("cluster"), expr("transform(pairs, q -> q.m)").as("c")))
+    }
+    cents
+  }
+
+  /** The assign half of the fit/assign split: label every vector with its
+    * max-cosine centroid (6-dp rounded, ties to the lower cluster id —
+    * identical to the training loop's rule). Centroids broadcast; the
+    * vector table is scanned exactly ONCE regardless of how many rounds
+    * trained the centroids, and never shuffles against itself — the
+    * per-vector argmax window keys on vec_id. Returns (vec_id, v, cluster).
+    */
+  def assignClusters(vectors: DataFrame, cents: DataFrame): DataFrame = {
     val cosVC =
       expr("aggregate(zip_with(v, c, (x, y) -> x * y), 0D, (acc, z) -> acc + z)") /
         (expr("sqrt(aggregate(v, 0D, (acc, x) -> acc + x * x))") *
           expr("sqrt(aggregate(c, 0D, (acc, x) -> acc + x * x))"))
-    var cents = chk(vectors.orderBy(col("vec_id")).limit(k)
-      .withColumn("cluster", row_number().over(Window.orderBy(col("vec_id"))) - 1)
-      .select(col("cluster"), col("v").as("c")))
-    var assigned: DataFrame = null
-    for (it <- 1 to iters) {
-      val w = Window.partitionBy(col("vec_id"))
-        .orderBy(col("ccos").desc, col("cluster").asc)
-      assigned = vectors.crossJoin(broadcast(cents))
-        .withColumn("ccos", round(cosVC, 6))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(col("vec_id"), col("v"), col("cluster"))
-      if (it < iters) {
-        cents = chk(assigned
-          .select(col("cluster"), posexplode(col("v")).as(Seq("dim", "x")))
-          .groupBy(col("cluster"), col("dim"))
-          .agg(round(avg(col("x")), 6).as("m"))
-          .groupBy(col("cluster"))
-          .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("pairs"))
-          .select(col("cluster"), expr("transform(pairs, q -> q.m)").as("c")))
-      }
-    }
-    assigned
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("ccos").desc, col("cluster").asc)
+    vectors.crossJoin(broadcast(cents))
+      .withColumn("ccos", round(cosVC, 6))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("v"), col("cluster"))
   }
+
+  /** IVF search over pre-fit centroids (the 100 TB fit/assign path):
+    * vectors are labeled with ONE [[assignClusters]] pass over `cents`
+    * (typically from [[kmeansFit]] on a sample), then searched with the
+    * routed exact top-k. The full table is scanned once to label and once
+    * to search, independent of how many rounds trained the centroids. */
+  def ivfTopK(vectors: DataFrame, cents: DataFrame, probes: DataFrame,
+              k: Int, nprobe: Int, roundTo: Int): DataFrame =
+    ivfTopK(assignClusters(vectors, cents), "cluster", probes, k, nprobe, roundTo)
 
   /** IVF search: route each probe to its `nprobe` closest centroids, then
     * exact top-k within those clusters only. */
@@ -211,8 +243,15 @@ object Similarity {
     * (removed_vec_id, cluster, n_near, max_cos).
     */
   def semanticDedup(vectors: DataFrame, k: Int, iters: Int, threshold: Double,
-                    reliable: Boolean = false): DataFrame = {
-    val labeled = kmeansLabels(vectors, k, iters, reliable)
+                    reliable: Boolean = false): DataFrame =
+    semanticDedup(vectors, kmeansFit(vectors, k, iters, reliable), threshold)
+
+  /** SemDeDup over pre-fit centroids: one [[assignClusters]] pass labels
+    * the corpus (fit the centroids on a sample via [[kmeansFit]] at
+    * scale), then the within-cluster removal rule applies unchanged. */
+  def semanticDedup(vectors: DataFrame, cents: DataFrame,
+                    threshold: Double): DataFrame = {
+    val labeled = assignClusters(vectors, cents)
     val lo = labeled.select(col("cluster"), col("vec_id").as("lo_id"), col("v"))
     val hi = labeled.select(col("cluster"), col("vec_id").as("hi_id"), col("v").as("p"))
     lo.join(hi, Seq("cluster"))

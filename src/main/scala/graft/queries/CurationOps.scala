@@ -77,6 +77,23 @@ object CurationOps {
       .orderBy($"lang", $"batch_id")
   }
 
+  /** Sharded packing: same corpus as t_pack_batches but offsets computed
+    * within 4 md5-derived shards per language and lifted to exact
+    * stratum-global offsets — the variant whose window parallelism is
+    * strata × shards instead of strata. Per-(lang, shard, batch) summary;
+    * the oracle replays the identical shard draw and offset arithmetic. */
+  def qPackSharded(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+      .select($"doc_id", $"lang",
+        size(split(trim($"text"), "\\s+")).cast("long").as("n_tokens"))
+    Curation.packBatchesSharded(docs, "lang", "doc_id", "n_tokens",
+      PackBudget, nShards = 4, salt = "psh:")
+      .groupBy($"lang", $"shard_id", $"batch_id")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_tokens").as("batch_tokens"))
+      .orderBy($"lang", $"shard_id", $"batch_id")
+  }
+
   /** Corpus length profiling: exact interpolated token-count quantiles per
     * language. At 100 TB this becomes approx_percentile (t-digest); the
     * exact form is the oracle-checkable reference semantics. */
@@ -245,6 +262,7 @@ object CurationOps {
     "t_stratified_sample" -> (qStratifiedSample _),
     "t_pack_batches" -> (qPackBatches _),
     "t_pack_split" -> (qPackSplit _),
+    "t_pack_sharded" -> (qPackSharded _),
     "t_length_quantiles" -> (qLengthQuantiles _),
     "t_length_quantiles_approx" -> (qLengthQuantilesApprox _),
     "t_repetition" -> (qRepetition _),
@@ -326,6 +344,40 @@ object CurationOps {
          SELECT lang, batch_id, count(*) AS n_chunks,
                 CAST(sum(t) AS BIGINT) AS batch_tokens
          FROM sized GROUP BY 1, 2 ORDER BY lang, batch_id""",
+    "t_pack_sharded" ->
+      """WITH toks AS (
+           SELECT doc_id, lang,
+                  CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
+           FROM documents),
+         sh AS (
+           SELECT doc_id, lang, n_tokens,
+                  list_sum([(strpos('0123456789abcdef',
+                                    substr(md5('psh:' || doc_id), i, 1)) - 1)
+                            * power(16, 6 - i)::BIGINT
+                            for i in range(1, 7)])::BIGINT % 4 AS shard_id
+           FROM toks),
+         loc AS (
+           SELECT lang, shard_id, doc_id, n_tokens,
+                  CAST(sum(n_tokens) OVER (PARTITION BY lang, shard_id
+                                           ORDER BY doc_id
+                                           ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                    - n_tokens AS local_start
+           FROM sh),
+         tot AS (SELECT lang, shard_id, CAST(sum(n_tokens) AS BIGINT) AS st
+                 FROM sh GROUP BY 1, 2),
+         base AS (
+           SELECT lang, shard_id,
+                  CAST(coalesce(sum(st) OVER (PARTITION BY lang ORDER BY shard_id
+                                              ROWS BETWEEN UNBOUNDED PRECEDING
+                                              AND 1 PRECEDING), 0) AS BIGINT) AS b
+           FROM tot),
+         packed AS (
+           SELECT l.lang, l.shard_id, l.n_tokens,
+                  (b.b + l.local_start) // 2048 AS batch_id
+           FROM loc l JOIN base b ON l.lang = b.lang AND l.shard_id = b.shard_id)
+         SELECT lang, shard_id, batch_id, count(*) AS n_docs,
+                CAST(sum(n_tokens) AS BIGINT) AS batch_tokens
+         FROM packed GROUP BY 1, 2, 3 ORDER BY lang, shard_id, batch_id""",
     "t_length_quantiles" ->
       """SELECT lang, count(*) AS n_docs,
                 round(quantile_cont(n_tokens, 0.5), 4) AS p50_tokens,

@@ -30,6 +30,22 @@ object RetrievalOps {
       .orderBy($"score_ppm".desc, $"doc_id")
   }
 
+  /** Multi-query BM25: three probe queries scored in one pass — query 1
+    * is the single-query fixture (its rows must agree with sim_bm25_topk),
+    * query 2 overlaps it partially, query 3 mixes a stopword-common term
+    * with a likely-absent one. Per-(doc, term) work is shared; the query
+    * table broadcasts. */
+  def qBm25Multi(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val queries = Seq(
+      (1L, "spark"), (1L, "window"), (1L, "hash"), (1L, "vector"),
+      (2L, "hash"), (2L, "data"), (2L, "model"),
+      (3L, "the"), (3L, "zzzunseen")).toDF("query_id", "term")
+    Retrieval.bm25TopKMulti(Tables.documents(spark, dir), "doc_id", "text",
+      queries, "query_id", "term", k = Bm25K)
+      .orderBy($"query_id", $"rank")
+  }
+
   /** Tokenizer training step 0: global BPE symbol-pair counts (chars +
     * `</w>` marker), top 20. Pair explosion runs over the distinct-word
     * vocabulary, weighted by word counts — never over the corpus. */
@@ -86,6 +102,7 @@ object RetrievalOps {
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_bm25_topk" -> (qBm25TopK _),
+    "sim_bm25_multi" -> (qBm25Multi _),
     "t_bpe_pairs" -> (qBpePairs _),
     "t_shard_plan" -> (qShardPlan _),
     "q_asof_join" -> (qAsofJoin _)
@@ -118,6 +135,44 @@ object RetrievalOps {
                 CAST(sum(contrib) AS BIGINT) AS score_ppm
          FROM co GROUP BY doc_id
          ORDER BY score_ppm DESC, doc_id LIMIT 15""",
+    "sim_bm25_multi" ->
+      """WITH q(query_id, term) AS (VALUES
+           (CAST(1 AS BIGINT), 'spark'), (1, 'window'), (1, 'hash'), (1, 'vector'),
+           (2, 'hash'), (2, 'data'), (2, 'model'),
+           (3, 'the'), (3, 'zzzunseen')),
+         d AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ws
+               FROM documents),
+         toks AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS dl,
+                         list_filter(ws, w -> w IN ('spark','window','hash','vector',
+                                                    'data','model','the','zzzunseen')) AS hit
+                  FROM d),
+         stats AS (SELECT count(*) AS n, CAST(sum(dl) AS BIGINT) AS t FROM toks),
+         tfc AS (SELECT doc_id, dl, u.term, count(*) AS tf
+                 FROM (SELECT doc_id, dl, unnest(hit) AS term FROM toks
+                       WHERE len(hit) > 0) u
+                 GROUP BY 1, 2, 3),
+         dfc AS (SELECT term, count(*) AS df FROM tfc GROUP BY 1),
+         sc AS (SELECT doc_id, term,
+                       (1000000 * (n - df + 1)) // (df + 1) AS idf_ppm,
+                       tf,
+                       250000 + (750 * ((1000000 * dl * n) // t)) // 1000 AS inner_ppm
+                FROM tfc JOIN dfc USING (term) CROSS JOIN stats),
+         co AS (SELECT doc_id, term,
+                       (idf_ppm * ((tf * 2200 * 1000000000) //
+                                   (tf * 1000000 + (1200 * inner_ppm) // 1000)))
+                         // 1000000 AS contrib
+                FROM sc),
+         pq AS (SELECT q.query_id, co.doc_id, count(*) AS n_terms_matched,
+                       CAST(sum(contrib) AS BIGINT) AS score_ppm
+                FROM co JOIN q ON co.term = q.term
+                GROUP BY 1, 2),
+         ranked AS (SELECT query_id, doc_id, n_terms_matched, score_ppm,
+                           row_number() OVER (PARTITION BY query_id
+                                              ORDER BY score_ppm DESC, doc_id) AS rank
+                    FROM pq)
+         SELECT query_id, doc_id, n_terms_matched, score_ppm, rank
+         FROM ranked WHERE rank <= 15
+         ORDER BY query_id, rank""",
     "t_bpe_pairs" ->
       """WITH wt AS (SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS wd
                      FROM documents),

@@ -88,6 +88,35 @@ class CurationSpec extends SparkTestBase {
 
   // --- sessionization ---------------------------------------------------
 
+  test("packBatchesSharded: exact cross-shard offsets reproduce the reference fill") {
+    import spark.implicits._
+    val rows = (0L until 40L).map(i => (i, if (i % 2 == 0) "en" else "fr", 10L + i % 7))
+      .toDF("doc_id", "lang", "n_tokens")
+    val got = Curation
+      .packBatchesSharded(rows, "lang", "doc_id", "n_tokens", budget = 64L,
+        nShards = 3, salt = "s:")
+      .select($"doc_id", $"shard_id", $"batch_id")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    // independent reference computation: md5 shard, order by (shard, id),
+    // running offset per stratum across shard boundaries, batch = off/64
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def shard(id: Long): Long = {
+      val hex = md.digest(s"s:$id".getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString.take(6)
+      java.lang.Long.parseLong(hex, 16) % 3
+    }
+    val input = (0L until 40L).map(i => (i, if (i % 2 == 0) "en" else "fr", 10L + i % 7))
+    val expected = input.groupBy(_._2).flatMap { case (_, rs) =>
+      var off = 0L
+      rs.map { case (id, _, n) => (id, shard(id), n) }
+        .sortBy { case (id, sh, _) => (sh, id) }
+        .map { case (id, sh, n) =>
+          val b = off / 64L; off += n; id -> ((sh, b))
+        }
+    }
+    assert(got == expected)
+  }
+
   test("sessionize splits on inactivity gaps per user") {
     import spark.implicits._
     def ts(s: Long) = new Timestamp(s * 1000)
@@ -288,6 +317,43 @@ class CurationSpec extends SparkTestBase {
     val got2 = graft.operators.Similarity.kmeansLabels(vecs, k = 2, iters = 2)
       .select($"vec_id", $"cluster").as[(Long, Int)].collect().toMap
     assert(got8 == got2)
+  }
+
+  test("kmeansFit/assignClusters split: sample-fit labels full corpus in one pass") {
+    import spark.implicits._
+    import graft.operators.Similarity
+    val vecs = Seq(
+      (0L, Seq(1.0, 0.0, 0.1)), (2L, Seq(0.9, 0.1, 0.0)), (4L, Seq(1.0, 0.1, 0.1)),
+      (1L, Seq(0.0, 1.0, 0.1)), (3L, Seq(0.1, 0.9, 0.0)), (5L, Seq(0.0, 1.0, 0.0))
+    ).toDF("vec_id", "v")
+    // combined path ≡ fit-on-full + one assignment (the oracle-gated form)
+    val combined = Similarity.kmeansLabels(vecs, k = 2, iters = 3)
+      .select($"vec_id", $"cluster").as[(Long, Int)].collect().toMap
+    val split = Similarity
+      .assignClusters(vecs, Similarity.kmeansFit(vecs, k = 2, iters = 3))
+      .select($"vec_id", $"cluster").as[(Long, Int)].collect().toMap
+    assert(split == combined)
+    // fit on a bounded sample, assign the full table: full corpus still
+    // clusters correctly even though training never saw most rows
+    val sample = vecs.filter($"vec_id" < 2)
+    val viaSample = Similarity
+      .assignClusters(vecs, Similarity.kmeansFit(sample, k = 2, iters = 4))
+      .select($"vec_id", $"cluster").as[(Long, Int)].collect().toMap
+    assert(viaSample(0L) == viaSample(2L) && viaSample(2L) == viaSample(4L))
+    assert(viaSample(1L) == viaSample(3L) && viaSample(3L) == viaSample(5L))
+    assert(viaSample(0L) != viaSample(1L))
+    // the assignment scans the full input exactly ONCE no matter how many
+    // rounds trained the centroids: the fit side ends at a checkpoint
+    // leaf, so the assign plan holds a single scan of `vecs`
+    def fullScans(iters: Int): Int = {
+      val plan = Similarity
+        .assignClusters(vecs, Similarity.kmeansFit(sample, k = 2, iters = iters))
+        .queryExecution.executedPlan.toString
+      "LocalTableScan".r.findAllIn(plan).length
+    }
+    assert(fullScans(1) == 1, "assign must hold exactly one scan of the corpus")
+    assert(fullScans(4) == fullScans(1),
+      "training rounds must not add corpus scans to the assignment plan")
   }
 
   // --- mixture weights (data mixing) -----------------------------------

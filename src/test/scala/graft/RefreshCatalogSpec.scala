@@ -141,4 +141,44 @@ class RefreshCatalogSpec extends SparkTestBase {
     // id sequences continue past restored rows
     assert(reloaded.createDataTarget("x", "y", "z").dataTargetId == t.dataTargetId + 1)
   }
+
+  test("refresh requester: reference option validation, then catalog registration") {
+    import graft.tools.RefreshRequester
+    import graft.tools.RefreshRequester.Request
+    val reg = new SchemaRegistry
+    reg.registerSchema("yelp", "user", userJson)
+
+    // happy path by (namespace, source_name): defaults mirror the
+    // reference (offset 0, batch 500, MEDIUM=50)
+    val j = RefreshRequester.request(reg,
+      Request(sourceName = Some("user"), namespace = Some("yelp"),
+        priority = "HIGH", batchSize = 250, offset = 42L,
+        filterCondition = Some("country='CA'"), avgRowsPerSecondCap = Some(100)))
+    assert(j.namespaceName == "yelp" && j.sourceName == "user")
+    assert(j.priority == 75 && j.batchSize == 250 && j.offset == 42L)
+    assert(j.filterCondition.contains("country='CA'") &&
+      j.avgRowsPerSecondCap.contains(100))
+
+    // happy path by source id
+    val sid = reg.sourcesByNamespace("yelp").find(_.name == "user").get.sourceId
+    val j2 = RefreshRequester.request(reg, Request(sourceId = Some(sid)))
+    assert(j2.priority == 50 && j2.batchSize == 500 && j2.offset == 0L)
+
+    def fails(r: Request, needle: String): Unit = {
+      val e = intercept[IllegalArgumentException](RefreshRequester.request(reg, r))
+      assert(e.getMessage.contains(needle), s"message <${e.getMessage}> !~ $needle")
+    }
+    // each reference validation failure, in its order
+    fails(Request(sourceId = Some(sid), avgRowsPerSecondCap = Some(0)),
+      "avg-rows-per-second-cap")
+    fails(Request(sourceId = Some(sid), batchSize = 0), "batch-size")
+    fails(Request(), "source-id or both")
+    fails(Request(sourceName = Some("user")), "source-id or both") // half a pair
+    fails(Request(sourceId = Some(sid), namespace = Some("yelp")),
+      "cannot use both")
+    fails(Request(sourceName = Some("nope"), namespace = Some("yelp")),
+      "found no sources")
+    fails(Request(sourceId = Some(99999)), "found no source")
+    fails(Request(sourceId = Some(sid), priority = "URGENT"), "priority")
+  }
 }

@@ -94,6 +94,37 @@ class RetrievalSpec extends SparkTestBase {
       s"df/stats sides must broadcast:\n$plan")
   }
 
+  test("bm25TopKMulti: per-query rows match the single-query call; paths agree") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "spark spark hash window"),
+      (2L, "hash table lookup"),
+      (3L, "spark cluster compute engine"),
+      (4L, "unrelated words entirely here")).toDF("doc_id", "text")
+    val queries = Seq(
+      (10L, "spark"), (10L, "hash"),
+      (20L, "hash"), (20L, "table")).toDF("query_id", "term")
+    val multi = Retrieval
+      .bm25TopKMulti(docs, "doc_id", "text", queries, "query_id", "term", k = 3)
+      .select($"query_id", $"doc_id", $"n_terms_matched", $"score_ppm")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    def single(terms: Seq[String]): Set[(Long, Long, Long)] =
+      Retrieval.bm25TopK(docs, "doc_id", "text", terms, 3)
+        .as[(Long, Long, Long)].collect().toSet
+    // each query's block equals the standalone single-query result
+    assert(multi.filter(_._1 == 10L).map(t => (t._2, t._3, t._4)) ==
+      single(Seq("spark", "hash")))
+    assert(multi.filter(_._1 == 20L).map(t => (t._2, t._3, t._4)) ==
+      single(Seq("hash", "table")))
+    // the over-cap broadcast-join fallback produces identical rows
+    val viaJoin = Retrieval
+      .bm25TopKMulti(docs, "doc_id", "text", queries, "query_id", "term",
+        k = 3, maxVocabLiteral = 0)
+      .select($"query_id", $"doc_id", $"n_terms_matched", $"score_ppm")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(viaJoin == multi)
+  }
+
   // --- BPE pair counts ----------------------------------------------------
 
   test("bpePairCounts counts weighted adjacent symbol pairs with </w> marker") {
