@@ -5,14 +5,16 @@ import org.apache.spark.sql.SparkSession
 /** Per-round benchmark harness (driver contract): runs the headline
   * queries on SPARK_GRAFT_SF_DIR and prints ONE JSON line.
   *
-  * Each query gets one warm-up execution (JIT + codegen + classloading)
-  * and three timed executions; the published number is the median, with
-  * the min→max spread and a >20% median-drift flag against the previous
-  * round's BENCH file alongside — steady-state numbers with an explicit
-  * noise floor, not JVM cold start or single-run scheduler luck.
-  * A dedicated serde throughput metric measures rows/s through the full
-  * envelope path (encode → pack → unpack → decode), the BASELINE.md
-  * bench gate (~90k rows/s/core target).
+  * Each query gets two warm-up executions (JIT + codegen + classload,
+  * then steady-state caches) and three timed executions; the published
+  * number is the median, with the min→max spread and a >20% median-drift
+  * flag against the previous round's BENCH file alongside — steady-state
+  * numbers with an explicit noise floor, not JVM cold start or single-run
+  * scheduler luck. Between queries the DataFrame cache and leftover
+  * checkpoint blocks are cleared, so no query's number depends on bench
+  * ordering. The serde/uuid throughput metrics (full envelope
+  * encode → pack → unpack → decode, the BASELINE.md ~90k rows/s/core
+  * gate) are medians of 5 with their own spreads and drift flags.
   */
 object Bench {
 
@@ -34,6 +36,8 @@ object Bench {
     "q_sessionize",
     "q_asof_join",
     "sim_bm25_topk",
+    "sim_bm25_multi",
+    "d_substring_dedup",
     "env_roundtrip")
 
   def main(args: Array[String]): Unit = {

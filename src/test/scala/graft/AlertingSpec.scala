@@ -1,0 +1,138 @@
+package graft
+
+import scala.collection.mutable.ArrayBuffer
+
+import graft.streaming.Alerting
+import graft.streaming.Alerting._
+
+/** Ops-alerting side channel semantics (reference:
+  * heartbeat_periodic_processor.py, sensu_alert_manager.py,
+  * sensu_ttl_alerter.py, meteorite_gauge_manager.py) under an injected
+  * clock and transport. */
+class AlertingSpec extends SparkTestBase {
+
+  private def mkClock(start: Long = 0L): (() => Long, Long => Unit) = {
+    var now = start
+    (() => now, (t: Long) => { now = t })
+  }
+
+  test("periodic gate: process fires at most once per interval, re-arms from now") {
+    val (clock, setNow) = mkClock()
+    val calls = ArrayBuffer.empty[Long]
+    val p = new PeriodicProcessor(60L, clock) {
+      protected def process(ts: Option[Long], now: Long): Unit = calls += now
+    }
+    p.maybeProcess(Some(0L))          // t=0: due immediately (reference parity)
+    setNow(30000L); p.maybeProcess(Some(0L))  // t=30s: gated
+    setNow(61000L); p.maybeProcess(Some(0L))  // t=61s: due again
+    setNow(90000L); p.maybeProcess(Some(0L))  // t=90s: gated (armed for 121s)
+    assert(calls.toSeq == Seq(0L, 61000L))
+  }
+
+  test("delay alert: OK within max delay, CRITICAL beyond, silent without timestamp") {
+    val (clock, setNow) = mkClock()
+    val sent = ArrayBuffer.empty[AlertEvent]
+    val m = new DelayAlertManager(intervalSeconds = 1L, serviceName = "svc",
+      maxDelaySeconds = 120L, ttlSeconds = 300L, sent.append(_), clock)
+    setNow(100000L); m.maybeProcess(Some(40000L))   // 60 s behind: OK
+    setNow(301000L); m.maybeProcess(Some(40000L))   // 261 s behind: CRITICAL
+    setNow(303000L); m.maybeProcess(None)           // no event time: nothing
+    assert(sent.map(_.status).toSeq == Seq(0, 2))
+    assert(sent(0).output.contains("caught up"))
+    assert(sent(1).output.contains("falling") && sent(1).output.contains("261.0 s"))
+    assert(sent.forall(_.ttlSeconds.contains(300L)))
+  }
+
+  test("delay alert disable: one final TTL-free event, then silence") {
+    val (clock, setNow) = mkClock()
+    val sent = ArrayBuffer.empty[AlertEvent]
+    val m = new DelayAlertManager(1L, "svc", 120L, 300L, sent.append(_), clock)
+    m.setDisabled(true)                      // false→true: final no-TTL event
+    assert(sent.map(e => (e.status, e.ttlSeconds)).toSeq == Seq((0, None)))
+    assert(sent.last.output.contains("disabling"))
+    m.setDisabled(true)                      // true→true: no duplicate
+    assert(sent.size == 1)
+    setNow(10000L); m.maybeProcess(Some(0L)) // disabled: no alert
+    assert(sent.size == 1)
+    m.setDisabled(false)                     // re-enable: alerts resume
+    setNow(12000L); m.maybeProcess(Some(11000L))
+    assert(sent.size == 2 && sent.last.status == 0)
+  }
+
+  test("ttl alerter: deadman beat while enabled; disable sends final TTL-free event") {
+    val sent = ArrayBuffer.empty[AlertEvent]
+    val ev = AlertEvent("svc", 0, "beating", Some(60L), 30L)
+    val t = new TtlAlerter(ev, sent.append(_))
+    t.process(); t.process()
+    assert(sent.toSeq == Seq(ev, ev))
+    t.setEnabled(false)                      // true→false: TTL-free final
+    assert(sent.last.ttlSeconds.isEmpty && sent.size == 3)
+    t.process()                              // disabled: silent
+    assert(sent.size == 3)
+    intercept[IllegalArgumentException] {
+      new TtlAlerter(ev.copy(ttlSeconds = None), sent.append(_))
+    }
+  }
+
+  test("delay gauge: sets delay seconds on the beat, no-ops when disabled") {
+    val (clock, setNow) = mkClock()
+    val values = ArrayBuffer.empty[Double]
+    val g = new DelayGaugeManager(1L, values.append(_), clock)
+    setNow(5000L); g.maybeProcess(Some(2000L))
+    assert(values.toSeq == Seq(3.0))
+    g.disable = true
+    setNow(7000L); g.maybeProcess(Some(2000L))
+    assert(values.size == 1)
+  }
+
+  test("progress listener feeds max event time to processors over a real stream") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    // fixed "now" far ahead of the event times → every beat is CRITICAL
+    val (clock, setNow) = mkClock()
+    setNow(java.time.Instant.parse("2026-02-01T00:00:00Z").toEpochMilli)
+    val sent = ArrayBuffer.empty[AlertEvent]
+    val gauge = ArrayBuffer.empty[Double]
+    val listener = new ProgressAlertListener(Seq(
+      new DelayAlertManager(0L, "stream", 3600L, 60L,
+        e => sent.synchronized(sent.append(e)), clock),
+      new DelayGaugeManager(0L, v => gauge.synchronized(gauge.append(v)), clock)))
+    spark.streams.addListener(listener)
+    try {
+      val input = MemoryStream[(Long, java.sql.Timestamp)]
+      val q = input.toDF().toDF("id", "ts")
+        .withWatermark("ts", "1 minute")
+        .groupBy(window($"ts", "1 minute")).agg(count(lit(1)))
+        .writeStream.format("memory").queryName("alert_out")
+        .outputMode("update").start()
+      try {
+        input.addData((1L, java.sql.Timestamp.valueOf("2026-01-31 23:00:00")))
+        q.processAllAvailable()
+        // progress events arrive on the async listener bus — poll
+        val deadline = System.currentTimeMillis() + 20000
+        while (gauge.synchronized(gauge.isEmpty) &&
+          System.currentTimeMillis() < deadline) Thread.sleep(50)
+      } finally q.stop()
+    } finally spark.streams.removeListener(listener)
+    // the batch's max event time (23:00Z) is 1 h behind the frozen clock —
+    // beyond maxDelay 3600 s is false (exactly 3600), so expect OK… make
+    // the assertion on what was actually parsed: delay = 3600 s
+    assert(gauge.nonEmpty, "listener never saw an event-time beat")
+    assert(gauge.head == 3600.0, s"unexpected delay ${gauge.head}")
+    assert(sent.nonEmpty && sent.head.status == 0) // 3600 <= 3600: still OK
+  }
+
+  test("ISO event-time parsing tolerates Z and space-separated forms") {
+    val l = new ProgressAlertListener(Seq.empty)
+    val m = new java.util.HashMap[String, String]()
+    m.put("max", "2026-01-01T00:00:10.000Z")
+    assert(l.maxEventTimeMillis(m).contains(
+      java.time.Instant.parse("2026-01-01T00:00:10Z").toEpochMilli))
+    m.put("max", "garbage")
+    assert(l.maxEventTimeMillis(m).isEmpty)
+    assert(l.maxEventTimeMillis(new java.util.HashMap[String, String]()).isEmpty)
+  }
+}
