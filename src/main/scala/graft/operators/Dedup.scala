@@ -82,13 +82,31 @@ object Dedup {
     *
     * Returns (idCol, n_windows, n_dup_windows); documents shorter than w
     * tokens have no windows and are absent.
+    *
+    * `selectMod` is the 100 TB volume knob: with `selectMod = p > 1` only
+    * windows whose hash ≡ 0 (mod p) participate — content-defined
+    * sampling, so BOTH copies of a shared span select exactly the same
+    * windows and a selected duplicate is still a true duplicate (no false
+    * positives beyond hash collisions). Shuffle volume drops to ~1/p of
+    * the corpus token count; the price is recall on short spans: a shared
+    * span of length L carries L − w + 1 windows and goes unsampled with
+    * probability ≈ (1 − 1/p)^(L−w+1), vanishing for the long verbatim
+    * spans substring dedup exists to catch. `n_windows` then counts
+    * SELECTED windows, so the dup fraction stays an unbiased estimate of
+    * duplicated-span coverage. The default p = 1 is exhaustive — the
+    * oracle-gated path.
     */
   def substringDupWindows(docs: DataFrame, idCol: String, textCol: String,
-                          w: Int): DataFrame = {
+                          w: Int, selectMod: Int = 1): DataFrame = {
+    require(selectMod >= 1, "selectMod must be positive")
     val first = org.apache.spark.sql.expressions.Window
       .partitionBy(col("h")).orderBy(col("id"), col("idx"))
-    tokenWindows(docs, idCol, textCol, w)
+    val hashed = tokenWindows(docs, idCol, textCol, w)
       .select(col("id"), col("idx"), xxhash64(col("g")).as("h"))
+    val sampled =
+      if (selectMod == 1) hashed
+      else hashed.filter(pmod(col("h"), lit(selectMod.toLong)) === 0)
+    sampled
       .withColumn("__rn", row_number().over(first))
       .groupBy(col("id"))
       .agg(

@@ -275,6 +275,32 @@ class CurationSpec extends SparkTestBase {
     assert(!got.contains(4L))
   }
 
+  test("substringDupWindows selectMod: sampled windows agree with the exhaustive pass") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    // a long shared span so content-defined sampling must still catch it
+    val span = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val docs = Seq(
+      (1L, span + " unique-tail-one"),
+      (2L, span + " unique-tail-two"),
+      (3L, "completely different words " + (1 to 40).map(i => s"zz$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val exhaustive = Dedup.substringDupWindows(docs, "doc_id", "text", w = 8)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    val sampled = Dedup.substringDupWindows(docs, "doc_id", "text", w = 8, selectMod = 4)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    // sampling keeps ~1/4 of windows and still flags doc 2's copy of the
+    // 60-token span (53 shared windows → miss probability (3/4)^53 ≈ 0)
+    assert(sampled(1L)._2 < exhaustive(1L)._2)
+    assert(sampled(2L)._3 > 0L, "sampled pass must still catch the long shared span")
+    // content-defined selection: doc1 and doc2 select the SAME span
+    // windows, so doc2's dup count equals its selected-span window count
+    // minus straddlers — bounded by doc1's selected windows
+    assert(sampled(2L)._3 <= sampled(1L)._2)
+    // doc3 shares nothing in either pass
+    assert(exhaustive(3L)._3 == 0L && sampled.get(3L).forall(_._3 == 0L))
+  }
+
   // --- k-means IVF training ---------------------------------------------
 
   test("kmeansLabels separates well-formed clusters deterministically") {

@@ -92,4 +92,34 @@ class PlanSpec extends SparkTestBase {
     // the batched-decode seam itself is a MapPartitions node inside the plan
     assert(planOf("m_media_embed").contains("MapPartitions"))
   }
+
+  test("sim_bm25_multi broadcasts df/stats/query sides; corpus text never shuffles") {
+    val p = planOf("sim_bm25_multi")
+    assert(p.contains("BroadcastExchange"), s"no broadcast in:\n$p")
+    // the only wide exchanges may carry (id, dl, term[, tf...]) aggregate
+    // rows and the final per-query rank — never the text column
+    // (FormattedMode puts the partitioning in Arguments: lines)
+    val exchanges = p.linesIterator
+      .filter(_.contains("hashpartitioning")).mkString("\n")
+    assert(exchanges.nonEmpty, s"expected hash exchanges in:\n$p")
+    assert(!exchanges.contains("text"), s"corpus text enters a shuffle:\n$exchanges")
+  }
+
+  test("d_substring_dedup shuffles window hashes, not window text") {
+    val p = planOf("d_substring_dedup")
+    // the window/first-occurrence shuffle must be keyed on the xxhash64
+    // value with no `g` (window text) column in flight
+    val hashShuffles = p.linesIterator
+      .filter(l => l.contains("hashpartitioning"))
+      .mkString("\n")
+    assert(hashShuffles.nonEmpty, s"expected a hash shuffle in:\n$p")
+    assert(!hashShuffles.contains("g#") && !hashShuffles.contains("text"),
+      s"window text shuffles instead of its hash:\n$hashShuffles")
+  }
+
+  test("t_pack_sharded broadcasts the per-shard base offsets") {
+    val p = planOf("t_pack_sharded")
+    assert(p.contains("BroadcastHashJoin"),
+      s"base-offset join must broadcast the tiny totals frame:\n$p")
+  }
 }
