@@ -209,6 +209,26 @@ object LlmOps {
       .orderBy($"probe_id", $"rank")
   }
 
+  /** The 100 TB fit/assign IVF path, oracle-gated end to end: k-means
+    * TRAINS only on the deterministic quarter sample (vec_id % 4 == 0),
+    * the full table is labeled in one assignClusters pass over the
+    * pre-fit centroids, and search routes/ranks exactly like sim_ivf_topk.
+    * The oracle replays sample training, full assignment, routing and
+    * ranking step for step. */
+  def qIvfSampleTopK(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val vecs = Tables.embeddings(spark, dir)
+      .select($"vec_id", $"embedding".cast("array<double>").as("v")).cache()
+    val cents = graft.operators.Similarity
+      .kmeansFit(vecs.filter($"vec_id" % 4 === 0), k = 8, iters = 2)
+    val probes = vecs.filter($"vec_id" < 5)
+      .select($"vec_id".as("probe_id"), $"v".as("p"))
+    graft.operators.Similarity
+      .ivfTopK(vecs, cents, probes, k = 3, nprobe = 1, roundTo = 4)
+      .select($"probe_id", $"vec_id", $"cosine", $"rank")
+      .orderBy($"probe_id", $"rank")
+  }
+
   /** Language ID via stopword-profile argmax (north-star: language-ID
     * heuristic). Oracle replicates the same profiles + precedence. */
   def qLangId(spark: SparkSession, dir: String): DataFrame = {
@@ -397,6 +417,7 @@ object LlmOps {
     "m_media_resize" -> (qMediaResize _),
     "sim_knn_cosine" -> (qKnnCosine _),
     "sim_ivf_topk" -> (qIvfTopK _),
+    "sim_ivf_sample" -> (qIvfSampleTopK _),
     "t_quality_filter" -> (qQualityFilter _),
     "d_semantic_dedup" -> (qSemanticDedup _),
     "t_lm_score" -> (qLmScore _)
@@ -685,6 +706,68 @@ object LlmOps {
                           sqrt(list_sum([kc.cv[i] * kc.cv[i] for i in range(1, 65)]))), 6)
                        DESC, kc.cluster ASC) AS rn
               FROM v, c0 kc) WHERE rn = 1),
+          d1 AS (SELECT cluster, i, round(avg(e[i]), 6) AS m
+                 FROM a1, range(1, 65) t(i) GROUP BY 1, 2),
+          c1 AS (SELECT cluster, list(m ORDER BY i) AS cv FROM d1 GROUP BY 1),
+          a2 AS (
+            SELECT vec_id, e, cluster FROM (
+              SELECT v.vec_id, v.e, kc.cluster,
+                     row_number() OVER (PARTITION BY v.vec_id ORDER BY
+                       round(
+                         list_sum([v.e[i] * kc.cv[i] for i in range(1, 65)]) /
+                         (sqrt(list_sum([v.e[i] * v.e[i] for i in range(1, 65)])) *
+                          sqrt(list_sum([kc.cv[i] * kc.cv[i] for i in range(1, 65)]))), 6)
+                       DESC, kc.cluster ASC) AS rn
+              FROM v, c1 kc) WHERE rn = 1),
+          dims AS (
+            SELECT cluster, i, avg(e[i]) AS m
+            FROM a2, range(1, 65) t(i) GROUP BY 1, 2),
+          cents AS (SELECT cluster, list(m ORDER BY i) AS cv FROM dims GROUP BY 1),
+          probes AS (SELECT vec_id AS pid, e AS p FROM v WHERE vec_id < 5),
+          probe_cent AS (
+            SELECT pid, p, cluster,
+                   round(
+                     list_sum([cv[i] * p[i] for i in range(1, 65)]) /
+                     (sqrt(list_sum([cv[i] * cv[i] for i in range(1, 65)])) *
+                      sqrt(list_sum([p[i] * p[i] for i in range(1, 65)]))), 6) AS ccos
+            FROM probes, cents),
+          routed AS (
+            SELECT pid, p, cluster FROM (
+              SELECT pid, p, cluster,
+                     row_number() OVER (PARTITION BY pid
+                                        ORDER BY ccos DESC, cluster ASC) AS crank
+              FROM probe_cent) WHERE crank <= 1),
+          scored AS (
+            SELECT r.pid AS probe_id, a.vec_id,
+                   round(
+                     list_sum([a.e[i] * r.p[i] for i in range(1, 65)]) /
+                     (sqrt(list_sum([a.e[i] * a.e[i] for i in range(1, 65)])) *
+                      sqrt(list_sum([r.p[i] * r.p[i] for i in range(1, 65)]))), 4) AS cosine
+            FROM a2 a JOIN routed r ON a.cluster = r.cluster AND a.vec_id <> r.pid),
+          ranked AS (
+            SELECT probe_id, vec_id, cosine,
+                   row_number() OVER (PARTITION BY probe_id
+                                      ORDER BY cosine DESC, vec_id ASC) AS rank
+            FROM scored)
+          SELECT probe_id, vec_id, cosine, rank
+          FROM ranked WHERE rank <= 3
+          ORDER BY probe_id, rank""",
+    "sim_ivf_sample" ->
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+          s AS (SELECT * FROM v WHERE vec_id % 4 = 0),
+          c0 AS (
+            SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster, e AS cv
+            FROM s ORDER BY vec_id LIMIT 8),
+          a1 AS (
+            SELECT vec_id, e, cluster FROM (
+              SELECT s.vec_id, s.e, kc.cluster,
+                     row_number() OVER (PARTITION BY s.vec_id ORDER BY
+                       round(
+                         list_sum([s.e[i] * kc.cv[i] for i in range(1, 65)]) /
+                         (sqrt(list_sum([s.e[i] * s.e[i] for i in range(1, 65)])) *
+                          sqrt(list_sum([kc.cv[i] * kc.cv[i] for i in range(1, 65)]))), 6)
+                       DESC, kc.cluster ASC) AS rn
+              FROM s, c0 kc) WHERE rn = 1),
           d1 AS (SELECT cluster, i, round(avg(e[i]), 6) AS m
                  FROM a1, range(1, 65) t(i) GROUP BY 1, 2),
           c1 AS (SELECT cluster, list(m ORDER BY i) AS cv FROM d1 GROUP BY 1),
