@@ -130,9 +130,9 @@ object Bench {
         }
       } catch { case _: Throwable => Seq.empty }
 
-    // every throughput metric below is a median of 3 with min→max spread,
-    // exactly like the queries: BENCH r04→r05 showed a 2× swing on
-    // serde_rows_per_sec from a single-run measurement taken after an
+    // every throughput metric below is a multi-run median with min→max
+    // spread, exactly like the queries: BENCH r04→r05 showed a 2× swing
+    // on serde_rows_per_sec from a single-run measurement taken after an
     // ever-growing amount of prior bench work (heap state, JIT tier-down,
     // ContextCleaner backlog) — a median with a published spread separates
     // a codec regression from measurement noise.
@@ -178,13 +178,14 @@ object Bench {
               col("env.payload"), col("env.schema_id"), reg, entry.schemaId).as("p"))
             .select(sum(col("p.event_id"))).head()
         }
-        roundTrip() // warm-up
-        val rs = rateMedian(5) { () =>
-          val secs = timed(() => roundTrip())
-          if (secs > 0) n / secs else -1.0
-        }
-        big.unpersist(blocking = false)
-        rs
+        try {
+          roundTrip() // warm-up
+          rateMedian(5) { () =>
+            val secs = timed(() => roundTrip())
+            if (secs > 0) n / secs else -1.0
+          }
+        } finally big.unpersist(blocking = false) // even on a thrown run —
+        // a leaked 4M-row cache would skew every metric after this one
       } catch { case _: Throwable => (-1.0, -1.0) }
 
     // give the single-thread micro-benchmarks a quiet heap: the bench run
@@ -229,7 +230,8 @@ object Bench {
     // exists purely to cut signature-stage CPU and shuffle width at
     // corpus scale; measured as whole-stage docs/s over the same shingle
     // frame, forced through every signature column)
-    val (minhashMd5DocsPerSec, minhashXxhDocsPerSec) =
+    val ((minhashMd5DocsPerSec, minhashMd5SpreadPct),
+         (minhashXxhDocsPerSec, minhashXxhSpreadPct)) =
       try {
         import org.apache.spark.sql.functions._
         val sh = graft.operators.Dedup
@@ -242,15 +244,19 @@ object Bench {
           // bit_xor folds every signature column without ANSI sum overflow
           sigs.select(xxhash64(allSigs: _*).as("h")).agg(expr("bit_xor(h)")).head()
         }
-        run(false); run(true) // warm-up
-        val tMd5 = timed(() => run(false))
-        val tXxh = timed(() => run(true))
-        sh.unpersist()
-        (if (tMd5 > 0) nDocs / tMd5 else -1.0,
-          if (tXxh > 0) nDocs / tXxh else -1.0)
+        try {
+          run(false); run(true) // warm-up
+          val md5R = rateMedian(3) { () =>
+            val t = timed(() => run(false)); if (t > 0) nDocs / t else -1.0
+          }
+          val xxhR = rateMedian(3) { () =>
+            val t = timed(() => run(true)); if (t > 0) nDocs / t else -1.0
+          }
+          (md5R, xxhR)
+        } finally sh.unpersist()
       } catch { case e: Throwable =>
         System.err.println(s"[bench] minhash metric failed: $e")
-        (-1.0, -1.0)
+        ((-1.0, -1.0), (-1.0, -1.0))
       }
 
     // rolling-hash fingerprint: portable higher-order-function formulation
@@ -258,7 +264,8 @@ object Bench {
     // native RollingMinHash64 expression (O(len) true rolling update).
     // Same arithmetic, identical results (spec-pinned); this measures what
     // the native expression buys at scale.
-    val (rollingHofDocsPerSec, rollingExprDocsPerSec) =
+    val ((rollingHofDocsPerSec, rollingHofSpreadPct),
+         (rollingExprDocsPerSec, rollingExprSpreadPct)) =
       try {
         import org.apache.spark.sql.functions._
         // no row amplification here: the HOF path is orders of magnitude
@@ -274,14 +281,19 @@ object Bench {
             else array_min(graft.operators.TextAnalysis.rollingHashes(col("text"), 8))
           docs.select(h.as("h")).agg(expr("bit_xor(h)")).head()
         }
-        run(false); run(true) // warm-up
-        val tHof = timed(() => run(false))
-        val tExpr = timed(() => run(true))
-        docs.unpersist()
-        (if (tHof > 0) n / tHof else -1.0, if (tExpr > 0) n / tExpr else -1.0)
+        try {
+          run(false); run(true) // warm-up
+          val hofR = rateMedian(3) { () =>
+            val t = timed(() => run(false)); if (t > 0) n / t else -1.0
+          }
+          val exprR = rateMedian(3) { () =>
+            val t = timed(() => run(true)); if (t > 0) n / t else -1.0
+          }
+          (hofR, exprR)
+        } finally docs.unpersist()
       } catch { case e: Throwable =>
         System.err.println(s"[bench] rolling-hash metric failed: $e")
-        (-1.0, -1.0)
+        ((-1.0, -1.0), (-1.0, -1.0))
       }
 
     // round-over-round drift on the throughput metrics, same 20% gate as
@@ -291,7 +303,11 @@ object Bench {
       "serde_rows_per_sec_core" -> serdePerCore,
       "serde_uuid_rows_per_sec_core" -> serdeUuidPerCore,
       "uuid_gen_rows_per_sec_core" -> uuidGenPerCore,
-      "uuid_rows_per_sec" -> uuidRowsPerSec)
+      "uuid_rows_per_sec" -> uuidRowsPerSec,
+      "minhash_md5_docs_per_sec" -> minhashMd5DocsPerSec,
+      "minhash_xxh64_docs_per_sec" -> minhashXxhDocsPerSec,
+      "rolling_fp_hof_docs_per_sec" -> rollingHofDocsPerSec,
+      "rolling_fp_expr_docs_per_sec" -> rollingExprDocsPerSec)
     val serdeDriftFlags: Seq[String] =
       try {
         prevBench.toSeq.flatMap { content =>
@@ -314,7 +330,11 @@ object Bench {
       "serde_rows_per_sec_core" -> serdeCoreSpreadPct,
       "serde_uuid_rows_per_sec_core" -> serdeUuidSpreadPct,
       "uuid_gen_rows_per_sec_core" -> uuidGenSpreadPct,
-      "uuid_rows_per_sec" -> uuidSpreadPct)
+      "uuid_rows_per_sec" -> uuidSpreadPct,
+      "minhash_md5_docs_per_sec" -> minhashMd5SpreadPct,
+      "minhash_xxh64_docs_per_sec" -> minhashXxhSpreadPct,
+      "rolling_fp_hof_docs_per_sec" -> rollingHofSpreadPct,
+      "rolling_fp_expr_docs_per_sec" -> rollingExprSpreadPct)
       .map { case (k, s) => "\"" + k + f"""\":$s%.1f""" }
       .mkString("{", ",", "}")
     val serdeDrift = serdeDriftFlags.map("\"" + _ + "\"").mkString("[", ",", "]")

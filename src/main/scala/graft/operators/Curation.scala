@@ -49,12 +49,19 @@ object Curation {
     * first 6 hex digits as an integer in [0, 16^6) — portable to any
     * engine with md5, so mixtures are reproducible byte-for-byte.
     */
+  /** First 6 hex digits of md5(salt || key) as a long in [0, 16^6) — the
+    * engine-portable uniform draw shared by sampling ([[sampleKeep]]) and
+    * shard assignment ([[packBatchesSharded]]); [[shardAssign]] applies
+    * the same digits to its materialized sort_key. One definition so the
+    * cross-engine formula can't drift between call sites. */
+  private def md5Draw(salt: String, key: Column): Column =
+    conv(substring(md5(concat(lit(salt), key)), 1, 6), 16, 10).cast("long")
+
   def sampleKeep(keyExpr: org.apache.spark.sql.Column,
                  strataCol: org.apache.spark.sql.Column,
                  rates: Map[String, Double], defaultRate: Double,
                  salt: String): org.apache.spark.sql.Column = {
-    val u = conv(substring(md5(concat(lit(salt), keyExpr)), 1, 6), 16, 10)
-      .cast("long")
+    val u = md5Draw(salt, keyExpr)
     val rate = rates.foldLeft(lit(defaultRate)) { case (acc, (k, r)) =>
       when(strataCol === k, lit(r)).otherwise(acc)
     }
@@ -127,16 +134,18 @@ object Curation {
                          tokensCol: String, budget: Long, nShards: Int,
                          salt: String): DataFrame = {
     require(nShards >= 1, "nShards must be positive")
-    val shard = conv(
-      substring(md5(concat(lit(salt), col(orderCol).cast("string"))), 1, 6),
-      16, 10).cast("long") % nShards
+    val shard = md5Draw(salt, col(orderCol).cast("string")) % nShards
     val w = Window.partitionBy(col(strataCol), col("shard_id"))
       .orderBy(col(orderCol)).rowsBetween(Window.unboundedPreceding, 0)
-    val within = rows.withColumn("shard_id", shard)
+    val sharded = rows.withColumn("shard_id", shard)
+    val within = sharded
       .withColumn("__local_start", sum(col(tokensCol)).over(w) - col(tokensCol))
     val wb = Window.partitionBy(col(strataCol)).orderBy(col("shard_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val bases = within
+    // totals come from the pre-window frame: the bases branch re-evaluates
+    // only a map-side-combined aggregate of the input, not the running-sum
+    // window
+    val bases = sharded
       .groupBy(col(strataCol), col("shard_id"))
       .agg(sum(col(tokensCol)).as("__shard_tokens"))
       .withColumn("__base",

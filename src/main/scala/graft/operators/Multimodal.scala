@@ -114,27 +114,47 @@ object Multimodal {
     * independent of the source encoding (the same pixels as PNG and BMP
     * checksum identically). In-memory only: the ImageIO disk cache is
     * disabled once per executor so decode never touches local temp files.
+    *
+    * Decompression-bomb guard: the header's DECLARED dimensions are read
+    * first (no pixel decode) and images above [[MaxDecodePixels]] are
+    * rejected to a null row — a crafted 50000×50000 PNG would otherwise
+    * allocate a ~10 GB raster inside `ImageIO.read` and throw an
+    * uncatchable-in-good-conscience OutOfMemoryError at the task, not a
+    * poisoned row. Pixels are fetched with one bulk `getRGB` call (one
+    * ColorModel conversion pass), not per-pixel virtual calls.
     */
+  val MaxDecodePixels: Long = 64L * 1024 * 1024 // 64 MP ≈ 256 MB ARGB
+
   private lazy val imageIoNoDiskCache: Unit =
     javax.imageio.ImageIO.setUseCache(false)
 
   private def decodeImage(c: Array[Byte]): (Integer, Integer, java.lang.Long) =
     try {
       imageIoNoDiskCache
-      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(c))
-      if (img == null) (null, null, null)
-      else {
-        val w = img.getWidth
-        val h = img.getHeight
-        var sum = 0L
-        var y = 0
-        while (y < h) {
-          var x = 0
-          while (x < w) { sum += img.getRGB(x, y) & 0xffffffffL; x += 1 }
-          y += 1
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(c))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) (null, null, null)
+        else {
+          val reader = readers.next()
+          try {
+            reader.setInput(iis)
+            val w = reader.getWidth(0)
+            val h = reader.getHeight(0)
+            if (w <= 0 || h <= 0 || w.toLong * h.toLong > MaxDecodePixels)
+              (null, null, null)
+            else {
+              val img = reader.read(0)
+              val argb = img.getRGB(0, 0, w, h, null, 0, w)
+              var sum = 0L
+              var i = 0
+              while (i < argb.length) { sum += argb(i) & 0xffffffffL; i += 1 }
+              (Integer.valueOf(w), Integer.valueOf(h), java.lang.Long.valueOf(sum))
+            }
+          } finally reader.dispose()
         }
-        (Integer.valueOf(w), Integer.valueOf(h), java.lang.Long.valueOf(sum))
-      }
+      } finally iis.close()
     } catch { case _: Exception => (null, null, null) }
 
   /** Frame sampling stub: slice the payload into `n` equal byte ranges

@@ -199,11 +199,17 @@ object Similarity {
   /** IVF search over pre-fit centroids (the 100 TB fit/assign path):
     * vectors are labeled with ONE [[assignClusters]] pass over `cents`
     * (typically from [[kmeansFit]] on a sample), then searched with the
-    * routed exact top-k. The full table is scanned once to label and once
-    * to search, independent of how many rounds trained the centroids. */
+    * routed exact top-k. The labeled frame is checkpointed (same
+    * `reliable` contract as [[kmeansLabels]]) because the search reads it
+    * twice — routing centroids and the cluster-pruned scan; without the
+    * checkpoint the full-corpus argmax would re-execute per consumer. */
   def ivfTopK(vectors: DataFrame, cents: DataFrame, probes: DataFrame,
-              k: Int, nprobe: Int, roundTo: Int): DataFrame =
-    ivfTopK(assignClusters(vectors, cents), "cluster", probes, k, nprobe, roundTo)
+              k: Int, nprobe: Int, roundTo: Int,
+              reliable: Boolean): DataFrame = {
+    val labeled = assignClusters(vectors, cents)
+    val pinned = if (reliable) labeled.checkpoint() else labeled.localCheckpoint()
+    ivfTopK(pinned, "cluster", probes, k, nprobe, roundTo)
+  }
 
   /** IVF search: route each probe to its `nprobe` closest centroids, then
     * exact top-k within those clusters only. */
@@ -244,14 +250,17 @@ object Similarity {
     */
   def semanticDedup(vectors: DataFrame, k: Int, iters: Int, threshold: Double,
                     reliable: Boolean = false): DataFrame =
-    semanticDedup(vectors, kmeansFit(vectors, k, iters, reliable), threshold)
+    semanticDedup(vectors, kmeansFit(vectors, k, iters, reliable), threshold, reliable)
 
   /** SemDeDup over pre-fit centroids: one [[assignClusters]] pass labels
     * the corpus (fit the centroids on a sample via [[kmeansFit]] at
-    * scale), then the within-cluster removal rule applies unchanged. */
+    * scale), then the within-cluster removal rule applies unchanged. The
+    * labeled frame feeds both sides of the within-cluster self-join, so
+    * it is checkpointed — one assignment pass, not two. */
   def semanticDedup(vectors: DataFrame, cents: DataFrame,
-                    threshold: Double): DataFrame = {
-    val labeled = assignClusters(vectors, cents)
+                    threshold: Double, reliable: Boolean): DataFrame = {
+    val assigned = assignClusters(vectors, cents)
+    val labeled = if (reliable) assigned.checkpoint() else assigned.localCheckpoint()
     val lo = labeled.select(col("cluster"), col("vec_id").as("lo_id"), col("v"))
     val hi = labeled.select(col("cluster"), col("vec_id").as("hi_id"), col("v").as("p"))
     lo.join(hi, Seq("cluster"))

@@ -224,7 +224,8 @@ object LlmOps {
     val probes = vecs.filter($"vec_id" < 5)
       .select($"vec_id".as("probe_id"), $"v".as("p"))
     graft.operators.Similarity
-      .ivfTopK(vecs, cents, probes, k = 3, nprobe = 1, roundTo = 4)
+      .ivfTopK(vecs, cents, probes, k = 3, nprobe = 1, roundTo = 4,
+        reliable = false)
       .select($"probe_id", $"vec_id", $"cosine", $"rank")
       .orderBy($"probe_id", $"rank")
   }

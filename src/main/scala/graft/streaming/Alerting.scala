@@ -88,16 +88,24 @@ object Alerting {
   }
 
   /** Deadman switch (reference SensuTTLAlerter): while enabled, every
-    * `process()` re-sends the TTL'd event — if the process dies, the
-    * event stops arriving and the monitoring system alerts when the TTL
-    * lapses. Toggling enable true→false sends one final TTL-free event
-    * (a planned shutdown must not page). */
+    * beat re-sends the TTL'd event — if the process dies, the event stops
+    * arriving and the monitoring system alerts when the TTL lapses.
+    * Toggling enable true→false sends one final TTL-free event (a planned
+    * shutdown must not page). A [[PeriodicProcessor]], so it plugs
+    * straight into [[ProgressAlertListener]] and is beat by the stream's
+    * own progress (the reference beats it from the producer loop);
+    * `process()` stays callable for manual beats. */
   final class TtlAlerter(event: AlertEvent, send: AlertEvent => Unit,
-                         initiallyEnabled: Boolean = true) {
+                         intervalSeconds: Long,
+                         nowMillis: () => Long = () => System.currentTimeMillis(),
+                         initiallyEnabled: Boolean = true)
+    extends PeriodicProcessor(intervalSeconds, nowMillis) {
     require(event.ttlSeconds.nonEmpty, "a TTL alerter needs a ttl")
     @volatile private var enabled = initiallyEnabled
     def isEnabled: Boolean = enabled
     def process(): Unit = if (enabled) send(event)
+    protected def process(eventTimeMillis: Option[Long], now: Long): Unit =
+      process()
     def setEnabled(value: Boolean): Unit = {
       if (enabled && !value) send(event.copy(ttlSeconds = None))
       enabled = value

@@ -60,17 +60,24 @@ class AlertingSpec extends SparkTestBase {
   }
 
   test("ttl alerter: deadman beat while enabled; disable sends final TTL-free event") {
+    val (clock, setNow) = mkClock()
     val sent = ArrayBuffer.empty[AlertEvent]
     val ev = AlertEvent("svc", 0, "beating", Some(60L), 30L)
-    val t = new TtlAlerter(ev, sent.append(_))
-    t.process(); t.process()
+    val t = new TtlAlerter(ev, sent.append(_), intervalSeconds = 30L, clock)
+    t.process(); t.process()                 // manual beats: ungated
     assert(sent.toSeq == Seq(ev, ev))
+    // as a PeriodicProcessor it is listener-drivable and interval-gated
+    t.maybeProcess(None)                     // due at t=0
+    setNow(10000L); t.maybeProcess(None)     // gated
+    setNow(31000L); t.maybeProcess(None)     // due again
+    assert(sent.size == 4)
     t.setEnabled(false)                      // true→false: TTL-free final
-    assert(sent.last.ttlSeconds.isEmpty && sent.size == 3)
+    assert(sent.last.ttlSeconds.isEmpty && sent.size == 5)
     t.process()                              // disabled: silent
-    assert(sent.size == 3)
+    setNow(91000L); t.maybeProcess(None)     // disabled: gated call silent too
+    assert(sent.size == 5)
     intercept[IllegalArgumentException] {
-      new TtlAlerter(ev.copy(ttlSeconds = None), sent.append(_))
+      new TtlAlerter(ev.copy(ttlSeconds = None), sent.append(_), 30L, clock)
     }
   }
 
@@ -109,7 +116,10 @@ class AlertingSpec extends SparkTestBase {
         .writeStream.format("memory").queryName("alert_out")
         .outputMode("update").start()
       try {
-        input.addData((1L, java.sql.Timestamp.valueOf("2026-01-31 23:00:00")))
+        // Timestamp.from is instant-exact on any JVM timezone (valueOf
+        // would reinterpret the wall-clock string in the default zone)
+        input.addData((1L, java.sql.Timestamp.from(
+          java.time.Instant.parse("2026-01-31T23:00:00Z"))))
         q.processAllAvailable()
         // progress events arrive on the async listener bus — poll
         val deadline = System.currentTimeMillis() + 20000

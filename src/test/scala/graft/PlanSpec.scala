@@ -78,8 +78,23 @@ class PlanSpec extends SparkTestBase {
   }
 
   test("d_semantic_dedup broadcasts centroids; pair join keys on the cluster id") {
+    // the final plan starts at the CHECKPOINTED assignment (lineage
+    // truncated so the full-corpus argmax runs once, not once per side of
+    // the within-cluster join) — so the centroid broadcast is asserted on
+    // the assignment plan itself, and the published plan must key its
+    // pair join on the cluster id with no cartesian
+    import spark.implicits._
+    import graft.operators.Similarity
+    val vecs = Seq((0L, Seq(1.0, 0.0)), (1L, Seq(0.0, 1.0)), (2L, Seq(0.9, 0.1)))
+      .toDF("vec_id", "v")
+    val assignPlan = Similarity
+      .assignClusters(vecs, Similarity.kmeansFit(vecs, k = 2, iters = 2))
+      .queryExecution.explainString(FormattedMode)
+    assert(assignPlan.contains("BroadcastExchange"),
+      s"centroid frame must broadcast in the assignment:\n$assignPlan")
     val p = planOf("d_semantic_dedup")
-    assert(p.contains("BroadcastExchange"), s"centroid frames must broadcast:\n$p")
+    assert(p.contains("hashpartitioning(cluster"),
+      s"pair join must key on the cluster id:\n$p")
     assert(!p.contains("CartesianProduct"), s"pairwise work must stay within clusters:\n$p")
   }
 
@@ -93,28 +108,39 @@ class PlanSpec extends SparkTestBase {
     assert(planOf("m_media_embed").contains("MapPartitions"))
   }
 
+  /** The Input column lists of every hash-partitioned Exchange in a
+    * FormattedMode plan — what the shuffle actually CARRIES (the
+    * Arguments line only shows partition keys, so grepping it alone
+    * would pass even if wide payload columns rode along). */
+  private def hashExchangeInputs(p: String): Seq[String] = {
+    val lines = p.linesIterator.toVector
+    lines.zipWithIndex
+      .collect { case (l, i) if l.matches("\\(\\d+\\) Exchange.*") =>
+        lines.drop(i + 1).takeWhile(_.trim.nonEmpty).mkString("\n")
+      }
+      .filter(_.contains("hashpartitioning"))
+      .flatMap(_.linesIterator.find(_.startsWith("Input")))
+  }
+
   test("sim_bm25_multi broadcasts df/stats/query sides; corpus text never shuffles") {
     val p = planOf("sim_bm25_multi")
     assert(p.contains("BroadcastExchange"), s"no broadcast in:\n$p")
     // the only wide exchanges may carry (id, dl, term[, tf...]) aggregate
     // rows and the final per-query rank — never the text column
-    // (FormattedMode puts the partitioning in Arguments: lines)
-    val exchanges = p.linesIterator
-      .filter(_.contains("hashpartitioning")).mkString("\n")
-    assert(exchanges.nonEmpty, s"expected hash exchanges in:\n$p")
-    assert(!exchanges.contains("text"), s"corpus text enters a shuffle:\n$exchanges")
+    val inputs = hashExchangeInputs(p)
+    assert(inputs.nonEmpty, s"expected hash exchanges in:\n$p")
+    inputs.foreach(in => assert(!in.contains("text#"),
+      s"corpus text enters a shuffle:\n$in"))
   }
 
   test("d_substring_dedup shuffles window hashes, not window text") {
     val p = planOf("d_substring_dedup")
     // the window/first-occurrence shuffle must be keyed on the xxhash64
-    // value with no `g` (window text) column in flight
-    val hashShuffles = p.linesIterator
-      .filter(l => l.contains("hashpartitioning"))
-      .mkString("\n")
-    assert(hashShuffles.nonEmpty, s"expected a hash shuffle in:\n$p")
-    assert(!hashShuffles.contains("g#") && !hashShuffles.contains("text"),
-      s"window text shuffles instead of its hash:\n$hashShuffles")
+    // value with no `g` (window text) or source text column in flight
+    val inputs = hashExchangeInputs(p)
+    assert(inputs.nonEmpty, s"expected a hash shuffle in:\n$p")
+    inputs.foreach(in => assert(!in.contains("g#") && !in.contains("text#"),
+      s"window text shuffles instead of its hash:\n$in"))
   }
 
   test("t_pack_sharded broadcasts the per-shard base offsets") {
