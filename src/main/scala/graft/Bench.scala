@@ -311,9 +311,16 @@ object Bench {
     val serdeDriftFlags: Seq[String] =
       try {
         prevBench.toSeq.flatMap { content =>
+          // strip the spread maps first: they repeat every metric NAME
+          // with its spread PCT as the value, and for metrics printed
+          // after the spread map a bare first-match would read the spread
+          // (e.g. 5.3) as the prior rate and flag phantom drift forever
+          val topLevel = content
+            .replaceAll("\"query_spread_pct\":\\{[^}]*\\}", "")
+            .replaceAll("\"serde_spread_pct\":\\{[^}]*\\}", "")
           serdeMetrics.collect {
             case (name, v) if v > 0 &&
-              ("\"" + name + "\":([0-9.]+)").r.findFirstMatchIn(content)
+              ("\"" + name + "\":([0-9.]+)").r.findFirstMatchIn(topLevel)
                 .map(_.group(1).toDouble)
                 .exists(p => p > 0 && math.abs(v - p) / p > 0.20) => name
           }

@@ -146,10 +146,19 @@ object Multimodal {
               (null, null, null)
             else {
               val img = reader.read(0)
-              val argb = img.getRGB(0, 0, w, h, null, 0, w)
+              // row-strip reads into one reused buffer: bulk ColorModel
+              // conversion per row without the int[w*h] second copy a
+              // whole-image getRGB would allocate (~256 MB at the cap —
+              // enough to reintroduce the OOM the guard exists to stop)
+              val buf = new Array[Int](w)
               var sum = 0L
-              var i = 0
-              while (i < argb.length) { sum += argb(i) & 0xffffffffL; i += 1 }
+              var y = 0
+              while (y < h) {
+                img.getRGB(0, y, w, 1, buf, 0, w)
+                var x = 0
+                while (x < w) { sum += buf(x) & 0xffffffffL; x += 1 }
+                y += 1
+              }
               (Integer.valueOf(w), Integer.valueOf(h), java.lang.Long.valueOf(sum))
             }
           } finally reader.dispose()

@@ -202,12 +202,16 @@ object Similarity {
     * routed exact top-k. The labeled frame is checkpointed (same
     * `reliable` contract as [[kmeansLabels]]) because the search reads it
     * twice — routing centroids and the cluster-pruned scan; without the
-    * checkpoint the full-corpus argmax would re-execute per consumer. */
+    * checkpoint the full-corpus argmax would re-execute per consumer.
+    * The checkpoint is LAZY (materializes with the first action, then
+    * both consumers read the stored blocks) so merely composing or
+    * explaining the query never launches the corpus scan. */
   def ivfTopK(vectors: DataFrame, cents: DataFrame, probes: DataFrame,
               k: Int, nprobe: Int, roundTo: Int,
               reliable: Boolean): DataFrame = {
     val labeled = assignClusters(vectors, cents)
-    val pinned = if (reliable) labeled.checkpoint() else labeled.localCheckpoint()
+    val pinned = if (reliable) labeled.checkpoint(eager = false)
+      else labeled.localCheckpoint(eager = false)
     ivfTopK(pinned, "cluster", probes, k, nprobe, roundTo)
   }
 
@@ -260,7 +264,8 @@ object Similarity {
   def semanticDedup(vectors: DataFrame, cents: DataFrame,
                     threshold: Double, reliable: Boolean): DataFrame = {
     val assigned = assignClusters(vectors, cents)
-    val labeled = if (reliable) assigned.checkpoint() else assigned.localCheckpoint()
+    val labeled = if (reliable) assigned.checkpoint(eager = false)
+      else assigned.localCheckpoint(eager = false)
     val lo = labeled.select(col("cluster"), col("vec_id").as("lo_id"), col("v"))
     val hi = labeled.select(col("cluster"), col("vec_id").as("hi_id"), col("v").as("p"))
     lo.join(hi, Seq("cluster"))
