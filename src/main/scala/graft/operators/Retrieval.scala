@@ -172,6 +172,64 @@ object Retrieval {
     * vocabulary explodes ~100 M pair rows, not trillions. Returns the
     * `topK` pairs as (pair, n_occurrences), ties broken by ascending pair.
     */
+  /** Greedy BPE encode of one word under a ranked merge table — the
+    * standard lowest-rank-first loop (Sennrich et al. 2016 `apply_bpe`):
+    * start from characters + `</w>`, repeatedly merge the adjacent pair
+    * with the smallest rank until no pair is ranked. Pure function, used
+    * once per DISTINCT word (see [[bpeTokenCounts]]). */
+  def bpeEncodeWord(word: String, ranks: Map[(String, String), Int]): Vector[String] = {
+    var syms = word.map(_.toString).toVector :+ "</w>"
+    var done = syms.size < 2
+    while (!done) {
+      val best = syms.indices.dropRight(1)
+        .flatMap(i => ranks.get((syms(i), syms(i + 1))).map(r => (r, i)))
+        .sortBy(identity).headOption
+      best match {
+        case Some((_, i)) =>
+          syms = (syms.take(i) :+ (syms(i) + syms(i + 1))) ++ syms.drop(i + 2)
+          done = syms.size < 2
+        case None => done = true
+      }
+    }
+    syms
+  }
+
+  /** Tokenizer APPLY over the corpus: per-document BPE token counts under
+    * a ranked merge table — the inference half of the tokenizer story
+    * ([[bpePairCounts]] is the training half), and the real token counter
+    * behind every "token budget" decision upstream (packing, mixing,
+    * length filtering).
+    *
+    * Vocabulary-first, like training: the corpus collapses to its
+    * distinct words (one map-side-combined shuffle, vocabulary-bounded),
+    * the greedy merge loop runs ONCE per distinct word inside
+    * `mapPartitions` over that small frame (merge ranks ship in the task
+    * closure — merge tables are KBs–MBs), and documents join back to the
+    * per-word token counts with a broadcast join keyed on the word. A
+    * 100 TB corpus pays the encode loop |vocab| times, not |tokens|
+    * times, and the corpus text never shuffles.
+    *
+    * Returns (idCol, n_words, n_bpe_tokens).
+    */
+  def bpeTokenCounts(docs: DataFrame, idCol: String, textCol: String,
+                     merges: Seq[(String, String)]): DataFrame = {
+    val ranks = merges.zipWithIndex.toMap
+    val words = docs
+      .select(explode(split(trim(lower(col(textCol))), "\\s+")).as("w"))
+      .filter(col("w") =!= "")
+      .distinct()
+    import words.sparkSession.implicits._
+    val wordTokens = words.mapPartitions { it =>
+      it.map(r => (r.getString(0), bpeEncodeWord(r.getString(0), ranks).size.toLong))
+    }.toDF("w", "wtok")
+    docs
+      .select(col(idCol), explode(split(trim(lower(col(textCol))), "\\s+")).as("w"))
+      .filter(col("w") =!= "")
+      .join(broadcast(wordTokens), "w")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_words"), sum(col("wtok")).as("n_bpe_tokens"))
+  }
+
   def bpePairCounts(docs: DataFrame, textCol: String, topK: Int): DataFrame = {
     val vocab = docs
       .select(explode(split(trim(lower(col(textCol))), "\\s+")).as("w"))

@@ -55,6 +55,23 @@ object RetrievalOps {
       .orderBy($"n_occurrences".desc, $"pair")
   }
 
+  /** Tokenizer apply: per-doc BPE token counts under a fixed 12-merge
+    * table seeded from common English digraphs — the inference half of
+    * the tokenizer story (t_bpe_pairs is the training half). The greedy
+    * encode loop runs once per distinct corpus word; documents join back
+    * by broadcast. Not SQL-expressible (ranked iterative merging), so the
+    * driver's rows-only check + the hand-computed RetrievalSpec encodings
+    * gate it. */
+  def qBpeApply(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val merges = Seq(
+      ("t", "h"), ("th", "e"), ("i", "n"), ("a", "n"), ("an", "d"),
+      ("e", "r"), ("o", "n"), ("r", "e"), ("the", "</w>"), ("er", "</w>"),
+      ("o", "u"), ("in", "g"))
+    Retrieval.bpeTokenCounts(Tables.documents(spark, dir), "doc_id", "text", merges)
+      .orderBy($"doc_id")
+  }
+
   /** Deterministic training-shuffle shard plan: md5-derived shard ids and
     * within-shard permutation, summarized per shard as (count, md5 of the
     * ordered id list) — the perm_md5 pins the exact row permutation the
@@ -104,6 +121,7 @@ object RetrievalOps {
     "sim_bm25_topk" -> (qBm25TopK _),
     "sim_bm25_multi" -> (qBm25Multi _),
     "t_bpe_pairs" -> (qBpePairs _),
+    "t_bpe_apply" -> (qBpeApply _),
     "t_shard_plan" -> (qShardPlan _),
     "q_asof_join" -> (qAsofJoin _)
   )

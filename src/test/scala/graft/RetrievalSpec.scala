@@ -125,6 +125,30 @@ class RetrievalSpec extends SparkTestBase {
     assert(viaJoin == multi)
   }
 
+  test("bpeEncodeWord applies ranked merges greedily; bpeTokenCounts sums per doc") {
+    import spark.implicits._
+    val merges = Seq(("l", "o"), ("lo", "w"), ("e", "r"), ("er", "</w>"))
+    val ranks = merges.zipWithIndex.toMap
+    // l o w e r </w> → lo … → low e r </w> → low er </w> → low er</w>
+    assert(Retrieval.bpeEncodeWord("lower", ranks) == Vector("low", "er</w>"))
+    // unranked tail pairs stop the loop: low e s t </w>
+    assert(Retrieval.bpeEncodeWord("lowest", ranks) ==
+      Vector("low", "e", "s", "t", "</w>"))
+    // single char: just itself + marker (merged if ranked)
+    assert(Retrieval.bpeEncodeWord("l", ranks) == Vector("l", "</w>"))
+
+    val docs = Seq((1L, "lower lower lowest"), (2L, "lower")).toDF("doc_id", "text")
+    val got = Retrieval.bpeTokenCounts(docs, "doc_id", "text", merges)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(1L) == ((3L, 2L + 2L + 5L)))
+    assert(got(2L) == ((1L, 2L)))
+    // the encode loop runs per DISTINCT word: the doc join must broadcast
+    val plan = Retrieval.bpeTokenCounts(docs, "doc_id", "text", merges)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"word-token join must broadcast the vocabulary side:\n$plan")
+  }
+
   // --- BPE pair counts ----------------------------------------------------
 
   test("bpePairCounts counts weighted adjacent symbol pairs with </w> marker") {
