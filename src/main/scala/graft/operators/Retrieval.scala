@@ -148,13 +148,26 @@ object Retrieval {
           .groupBy(col("id"), col("dl"), col("term"))
           .agg(count(lit(1)).as("tf"))
       }
-    val w = org.apache.spark.sql.expressions.Window
+    // two-phase top-k: a single per-query window would sort EVERY matched
+    // doc of a query in one task (the classic per-group top-k bottleneck
+    // at corpus scale). Phase 1 ranks within (query, salt-of-doc) buckets
+    // — parallel, and a bucket's k-th score bounds anything it could
+    // contribute — phase 2 ranks the ≤ k×nSalts survivors per query.
+    // Identical results: the global top-k is contained in the union of
+    // per-bucket top-ks, and both phases order by (score desc, id).
+    val nSalts = 32
+    val w1 = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__qid"), pmod(xxhash64(col("id")), lit(nSalts.toLong)))
+      .orderBy(col("score_ppm").desc, col("id"))
+    val w2 = org.apache.spark.sql.expressions.Window
       .partitionBy(col("__qid")).orderBy(col("score_ppm").desc, col("id"))
     termContribs(tf, stats, k1Milli, bMilli)
       .join(broadcast(qt), "term")
       .groupBy(col("__qid"), col("id"))
       .agg(count(lit(1)).as("n_terms_matched"), sum(col("contrib")).as("score_ppm"))
-      .withColumn("rank", row_number().over(w))
+      .withColumn("__brank", row_number().over(w1))
+      .filter(col("__brank") <= k)
+      .withColumn("rank", row_number().over(w2))
       .filter(col("rank") <= k)
       .select(col("__qid").as(qidCol), col("id").as(idCol),
         col("n_terms_matched"), col("score_ppm"), col("rank"))
