@@ -386,6 +386,26 @@ object LlmOps {
       .orderBy($"removed_vec_id")
   }
 
+  /** The sample-fit SemDeDup path, oracle-gated end to end: same planted
+    * near-dup corpus as d_semantic_dedup, but k-means trains only on the
+    * deterministic quarter sample (vec_id % 4 == 0) and the full planted
+    * union is labeled in one assignClusters pass before the
+    * within-cluster removal rule. */
+  def qSemanticSample(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val vecs = Tables.embeddings(spark, dir)
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+    val planted = vecs.filter($"vec_id" % 10 === 0)
+      .select(($"vec_id" + 100000L).as("vec_id"),
+        transform($"v", x => round(x + lit(0.01), 6)).as("v"))
+    val all = vecs.union(planted).cache()
+    val cents = graft.operators.Similarity
+      .kmeansFit(all.filter($"vec_id" % 4 === 0), k = 8, iters = 2)
+    graft.operators.Similarity
+      .semanticDedup(all, cents, threshold = 0.95, reliable = false)
+      .orderBy($"removed_vec_id")
+  }
+
   /** CCNet-style LM quality score: a bigram model counted over every 10th
     * doc (the clean-reference stand-in) scores the whole corpus by mean
     * smoothed bigram probability in integer ppm — the order-independent
@@ -421,6 +441,7 @@ object LlmOps {
     "sim_ivf_sample" -> (qIvfSampleTopK _),
     "t_quality_filter" -> (qQualityFilter _),
     "d_semantic_dedup" -> (qSemanticDedup _),
+    "d_semantic_sample" -> (qSemanticSample _),
     "t_lm_score" -> (qLmScore _)
   )
 
@@ -856,6 +877,49 @@ object LlmOps {
                           sqrt(list_sum([kc.cv[i] * kc.cv[i] for i in range(1, 65)]))), 6)
                        DESC, kc.cluster ASC) AS rn
               FROM v, c0 kc) WHERE rn = 1),
+          d1 AS (SELECT cluster, i, round(avg(e[i]), 6) AS m
+                 FROM a1, range(1, 65) t(i) GROUP BY 1, 2),
+          c1 AS (SELECT cluster, list(m ORDER BY i) AS cv FROM d1 GROUP BY 1),
+          a2 AS (
+            SELECT vec_id, e, cluster FROM (
+              SELECT v.vec_id, v.e, kc.cluster,
+                     row_number() OVER (PARTITION BY v.vec_id ORDER BY
+                       round(
+                         list_sum([v.e[i] * kc.cv[i] for i in range(1, 65)]) /
+                         (sqrt(list_sum([v.e[i] * v.e[i] for i in range(1, 65)])) *
+                          sqrt(list_sum([kc.cv[i] * kc.cv[i] for i in range(1, 65)]))), 6)
+                       DESC, kc.cluster ASC) AS rn
+              FROM v, c1 kc) WHERE rn = 1),
+          p AS (
+            SELECT x.cluster, y.vec_id AS hi_id,
+                   round(
+                     list_sum([x.e[i] * y.e[i] for i in range(1, 65)]) /
+                     (sqrt(list_sum([x.e[i] * x.e[i] for i in range(1, 65)])) *
+                      sqrt(list_sum([y.e[i] * y.e[i] for i in range(1, 65)]))), 6) AS cos
+            FROM a2 x JOIN a2 y ON x.cluster = y.cluster AND x.vec_id < y.vec_id)
+          SELECT hi_id AS removed_vec_id, max(cluster) AS cluster,
+                 count(*) AS n_near, max(cos) AS max_cos
+          FROM p WHERE cos >= 0.95
+          GROUP BY 1 ORDER BY removed_vec_id""",
+    "d_semantic_sample" ->
+      """WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+          pl AS (SELECT vec_id + 100000 AS vec_id, [round(x + 0.01, 6) for x in e] AS e
+                 FROM base WHERE vec_id % 10 = 0),
+          v AS (SELECT * FROM base UNION ALL SELECT * FROM pl),
+          s AS (SELECT * FROM v WHERE vec_id % 4 = 0),
+          c0 AS (
+            SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster, e AS cv
+            FROM s ORDER BY vec_id LIMIT 8),
+          a1 AS (
+            SELECT vec_id, e, cluster FROM (
+              SELECT s.vec_id, s.e, kc.cluster,
+                     row_number() OVER (PARTITION BY s.vec_id ORDER BY
+                       round(
+                         list_sum([s.e[i] * kc.cv[i] for i in range(1, 65)]) /
+                         (sqrt(list_sum([s.e[i] * s.e[i] for i in range(1, 65)])) *
+                          sqrt(list_sum([kc.cv[i] * kc.cv[i] for i in range(1, 65)]))), 6)
+                       DESC, kc.cluster ASC) AS rn
+              FROM s, c0 kc) WHERE rn = 1),
           d1 AS (SELECT cluster, i, round(avg(e[i]), 6) AS m
                  FROM a1, range(1, 65) t(i) GROUP BY 1, 2),
           c1 AS (SELECT cluster, list(m ORDER BY i) AS cv FROM d1 GROUP BY 1),
