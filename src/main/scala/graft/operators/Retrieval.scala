@@ -218,14 +218,24 @@ object Retrieval {
     * the greedy merge loop runs ONCE per distinct word inside
     * `mapPartitions` over that small frame (merge ranks ship in the task
     * closure — merge tables are KBs–MBs), and documents join back to the
-    * per-word token counts with a broadcast join keyed on the word. A
-    * 100 TB corpus pays the encode loop |vocab| times, not |tokens|
-    * times, and the corpus text never shuffles.
+    * per-word token counts keyed on the word. A 100 TB corpus pays the
+    * encode loop |vocab| times, not |tokens| times, and the corpus text
+    * never shuffles.
+    *
+    * The join-back broadcast is CAPPED (same two-path shape as
+    * [[bm25TopKMulti]]'s vocabulary guard): a 100 TB corpus has a
+    * 10⁷–10⁸-entry distinct-word set, and broadcasting a multi-GB
+    * per-word frame kills the driver. The vocabulary is probed with
+    * `limit(maxVocabBroadcast + 1).count()` — at or under the cap the
+    * per-word counts broadcast; above it the join falls back to a plain
+    * word-keyed hash join (both sides vocabulary/corpus-token bounded,
+    * identical results — spec-pinned with the cap forced to 1).
     *
     * Returns (idCol, n_words, n_bpe_tokens).
     */
   def bpeTokenCounts(docs: DataFrame, idCol: String, textCol: String,
-                     merges: Seq[(String, String)]): DataFrame = {
+                     merges: Seq[(String, String)],
+                     maxVocabBroadcast: Int = 1 << 20): DataFrame = {
     val ranks = merges.zipWithIndex.toMap
     val words = docs
       .select(explode(split(trim(lower(col(textCol))), "\\s+")).as("w"))
@@ -235,12 +245,83 @@ object Retrieval {
     val wordTokens = words.mapPartitions { it =>
       it.map(r => (r.getString(0), bpeEncodeWord(r.getString(0), ranks).size.toLong))
     }.toDF("w", "wtok")
+    val fits = words.limit(maxVocabBroadcast + 1).count() <= maxVocabBroadcast
     docs
       .select(col(idCol), explode(split(trim(lower(col(textCol))), "\\s+")).as("w"))
       .filter(col("w") =!= "")
-      .join(broadcast(wordTokens), "w")
+      .join(if (fits) broadcast(wordTokens) else wordTokens, "w")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_words"), sum(col("wtok")).as("n_bpe_tokens"))
+  }
+
+  /** BPE merge-table LEARNING (Sennrich et al. 2016 §3) — the missing
+    * middle of the tokenizer story between [[bpePairCounts]] (iteration 0
+    * of the count) and [[bpeTokenCounts]] (applying a learned table).
+    * Classic alternating loop: count adjacent-pair occurrences over the
+    * vocabulary, take the most frequent pair (ties to the
+    * lexicographically smallest `"a b"` string — the same `(count desc,
+    * pair asc)` order [[bpePairCounts]] publishes), merge every
+    * left-to-right non-overlapping occurrence of that pair in every
+    * vocabulary word, repeat `nMerges` times (or until no pair is left).
+    *
+    * Scale shape: the corpus collapses to (symbols, count) ONCE — the
+    * same one vocabulary-bounded map-side-combined shuffle as
+    * [[bpePairCounts]] — and every iteration after that touches only the
+    * collapsed vocabulary frame: one vocabulary-bounded pair count + a
+    * 1-row argmax to the driver + one narrow merge projection,
+    * localCheckpointed so plan depth stays constant in the iteration
+    * count. A 100 TB corpus pays corpus-sized work exactly once.
+    *
+    * The merge application is a left fold over the symbol array: append
+    * each symbol unless the accumulator ends with `a` and the symbol is
+    * `b`, in which case the tail becomes `a+b`. Because `a+b` can never
+    * equal `a` (symbols are non-empty), the fold is exactly the greedy
+    * left-to-right non-overlapping replacement BPE defines.
+    *
+    * Returns the learned table in merge order as (left, right,
+    * n_occurrences) — feed `.map(m => (m._1, m._2))` to
+    * [[bpeTokenCounts]].
+    */
+  def bpeTrain(docs: DataFrame, textCol: String,
+               nMerges: Int): Seq[(String, String, Long)] = {
+    require(nMerges >= 1, "bpeTrain needs at least one merge")
+    val syms = concat(
+      transform(sequence(lit(1), length(col("w"))),
+        i => col("w").substr(i, lit(1))),
+      array(lit("</w>")))
+    var vocab = docs
+      .select(explode(split(trim(lower(col(textCol))), "\\s+")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("w")).agg(count(lit(1)).as("n"))
+      .select(syms.as("sy"), col("n"))
+      .localCheckpoint()
+    val learned = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+    var done = false
+    for (_ <- 0 until nMerges if !done) {
+      val top = vocab
+        .filter(size(col("sy")) >= 2)
+        .select(col("n"), explode(transform(sequence(lit(1), size(col("sy")) - 1),
+          i => struct(element_at(col("sy"), i).as("a"),
+            element_at(col("sy"), i + 1).as("b")))).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("n")).as("cnt"))
+        .orderBy(col("cnt").desc, concat_ws(" ", col("a"), col("b")))
+        .head(1)
+      if (top.isEmpty) done = true
+      else {
+        val (a, b, cnt) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        learned += ((a, b, cnt))
+        val mergedSy = aggregate(
+          col("sy"),
+          expr("cast(array() as array<string>)"),
+          (acc, s) => when(
+            size(acc) > 0 && element_at(acc, size(acc)) === lit(a) && (s === lit(b)),
+            concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
+            .otherwise(concat(acc, array(s))))
+        vocab = vocab.select(mergedSy.as("sy"), col("n")).localCheckpoint()
+      }
+    }
+    learned.toSeq
   }
 
   def bpePairCounts(docs: DataFrame, textCol: String, topK: Int): DataFrame = {

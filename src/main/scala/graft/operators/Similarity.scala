@@ -30,6 +30,28 @@ object Similarity {
     d / (nv * np)
   }
 
+  /** Two-phase salted per-probe top-k over a (probe_id, vec_id, cosine)
+    * frame — the same pattern as `Retrieval.bm25TopKMulti`'s per-query
+    * ranking. A single per-probe window would sort EVERY candidate of a
+    * probe in one task (for brute force that is the whole corpus; for IVF,
+    * nprobe·n/k rows — the classic per-group top-k bottleneck at corpus
+    * scale). Phase 1 ranks within (probe, salt-of-vec) buckets — parallel,
+    * and a bucket's k-th score bounds anything it could contribute —
+    * phase 2 ranks the ≤ k×nSalts survivors per probe. Identical results:
+    * the global top-k is contained in the union of per-bucket top-ks, and
+    * both phases order by (cosine desc, vec_id). */
+  private def topKPerProbe(scored: DataFrame, k: Int, nSalts: Int = 32): DataFrame = {
+    val w1 = Window
+      .partitionBy(col("probe_id"), pmod(xxhash64(col("vec_id")), lit(nSalts.toLong)))
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+    val w2 = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+    scored
+      .withColumn("__brank", row_number().over(w1)).filter(col("__brank") <= k)
+      .withColumn("rank", row_number().over(w2)).filter(col("rank") <= k)
+      .drop("__brank")
+  }
+
   /** Exact top-k neighbors per probe. `vectors`: (vec_id, v:array<double>);
     * `probes`: (probe_id, p:array<double>). */
   def bruteForceTopK(vectors: DataFrame, probes: DataFrame, k: Int,
@@ -37,8 +59,7 @@ object Similarity {
     val scored = vectors.crossJoin(broadcast(probes))
       .filter(col("vec_id") =!= col("probe_id"))
       .select(col("probe_id"), col("vec_id"), round(cosineExpr, roundTo).as("cosine"))
-    val w = Window.partitionBy(col("probe_id")).orderBy(col("cosine").desc, col("vec_id").asc)
-    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+    topKPerProbe(scored, k)
   }
 
   /** Elementwise-mean centroids per cluster: (cluster, c:array<double>).
@@ -124,20 +145,21 @@ object Similarity {
     * centroids rounded to 6 dp. No RNG, no iteration-order dependence —
     * an SQL oracle regenerates identical clusters step for step.
     *
-    * Scale shape: centroids are always a broadcast dim (k·dim doubles), so
-    * each iteration is one full scan + a (vec_id-keyed) argmax — vectors
-    * never shuffle against each other. At 100 TB, train on a bounded
-    * sample with this same loop, then run one final assignment pass over
-    * the full table; the code path is identical, only the input differs.
+    * Scale shape: centroids are always k·dim doubles, carried as a plan
+    * literal (see [[assignClusters]]), so each iteration is one full scan
+    * + a shuffle-free per-vector argmax projection — vectors never
+    * shuffle at all. At 100 TB, train on a bounded sample with this same
+    * loop, then run one final assignment pass over the full table; the
+    * code path is identical, only the input differs.
     *
     * Returns (vec_id, v, cluster) after `iters` assignment rounds.
     *
     * Each recomputed centroid frame is checkpointed (same `reliable`
-    * contract as [[Dedup.connectedComponents]]): without it, iteration N's
-    * plan embeds all N crossJoin+window+groupBy rounds — planner blowup
-    * and full-chain recompute on failure. With it the final assignment's
-    * analyzed plan is one scan ⋈ a k-row leaf regardless of `iters`, and
-    * the checkpoint itself is k rows of k·dim doubles — free.
+    * contract as [[Dedup.connectedComponents]]): the assignment collects
+    * the k-row centroid frame per round, so without the checkpoint every
+    * round's collect would recompute the whole training chain from the
+    * source; with it each collect reads k stored rows of k·dim doubles —
+    * free.
     */
   def kmeansLabels(vectors: DataFrame, k: Int, iters: Int,
                    reliable: Boolean = false): DataFrame =
@@ -177,22 +199,44 @@ object Similarity {
 
   /** The assign half of the fit/assign split: label every vector with its
     * max-cosine centroid (6-dp rounded, ties to the lower cluster id —
-    * identical to the training loop's rule). Centroids broadcast; the
-    * vector table is scanned exactly ONCE regardless of how many rounds
-    * trained the centroids, and never shuffles against itself — the
-    * per-vector argmax window keys on vec_id. Returns (vec_id, v, cluster).
+    * identical to the training loop's rule). Returns (vec_id, v, cluster).
+    *
+    * SHUFFLE-FREE: the centroid frame is k rows of k·dim doubles (already
+    * materialized by the fit loop's checkpoints), so it collapses to a
+    * plan literal — an array of (cluster, c, ‖c‖) structs in ascending
+    * cluster order — and the argmax is a pure projection: one `transform`
+    * scoring every centroid, one `aggregate` fold keeping the best. The
+    * corpus is scanned exactly once with NO Exchange and NO join node at
+    * all; the earlier crossJoin(broadcast)+window form re-shuffled n×k
+    * exploded rows (each carrying both the document vector and a centroid
+    * array) just to run the per-vector argmax — a scale-killer at
+    * SemDeDup-sized k. The fold uses strict `>` over ascending cluster
+    * ids, which is exactly the window's (ccos desc, cluster asc) first
+    * row; ‖c‖ is folded left-to-right in the driver with the same
+    * `acc + x·x` sequence the SQL aggregate used, so the 6-dp rounded
+    * cosines are bit-identical to the joined form and the DuckDB oracle.
     */
   def assignClusters(vectors: DataFrame, cents: DataFrame): DataFrame = {
-    val cosVC =
-      expr("aggregate(zip_with(v, c, (x, y) -> x * y), 0D, (acc, z) -> acc + z)") /
-        (expr("sqrt(aggregate(v, 0D, (acc, x) -> acc + x * x))") *
-          expr("sqrt(aggregate(c, 0D, (acc, x) -> acc + x * x))"))
-    val w = Window.partitionBy(col("vec_id"))
-      .orderBy(col("ccos").desc, col("cluster").asc)
-    vectors.crossJoin(broadcast(cents))
-      .withColumn("ccos", round(cosVC, 6))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
+    val centRows = cents.select(col("cluster").cast("int"), col("c")).collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1)))
+      .sortBy(_._1)
+    require(centRows.nonEmpty, "assignClusters needs at least one centroid")
+    val centLit = array(centRows.map { case (id, c) =>
+      val nc = math.sqrt(c.foldLeft(0.0)((acc, x) => acc + x * x))
+      struct(lit(id).as("cluster"), typedLit(c).as("c"), lit(nc).as("nc"))
+    }: _*)
+    vectors
+      .withColumn("__cents", centLit)
+      .withColumn("__nv", expr("sqrt(aggregate(v, 0D, (acc, x) -> acc + x * x))"))
+      .withColumn("__scored", expr(
+        """transform(__cents, ct -> struct(
+             round(aggregate(zip_with(v, ct.c, (x, y) -> x * y), 0D,
+                             (acc, z) -> acc + z) / (__nv * ct.nc), 6) AS ccos,
+             ct.cluster AS cluster))"""))
+      .withColumn("cluster", expr(
+        """aggregate(__scored,
+             struct(cast(-2.0 AS double) AS ccos, -1 AS cluster),
+             (acc, p) -> if(p.ccos > acc.ccos, p, acc)).cluster"""))
       .select(col("vec_id"), col("v"), col("cluster"))
   }
 
@@ -235,8 +279,7 @@ object Similarity {
       .join(broadcast(routed), "cluster")
       .filter(col("vec_id") =!= col("probe_id"))
       .select(col("probe_id"), col("vec_id"), round(cosineExpr, roundTo).as("cosine"))
-    val w = Window.partitionBy(col("probe_id")).orderBy(col("cosine").desc, col("vec_id").asc)
-    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+    topKPerProbe(scored, k)
   }
 
   /** SemDeDup-style semantic dedup (Abbas et al. 2023): cluster the

@@ -16,6 +16,7 @@ object RetrievalOps {
   private val Bm25Terms = Seq("spark", "window", "hash", "vector")
   private val Bm25K = 15
   private val BpeTopK = 20
+  private val BpeTrainMerges = 8
   private val NShards = 8
   private val ShardSalt = "shard:"
 
@@ -59,9 +60,11 @@ object RetrievalOps {
     * table seeded from common English digraphs — the inference half of
     * the tokenizer story (t_bpe_pairs is the training half). The greedy
     * encode loop runs once per distinct corpus word; documents join back
-    * by broadcast. Not SQL-expressible (ranked iterative merging), so the
-    * driver's rows-only check + the hand-computed RetrievalSpec encodings
-    * gate it. */
+    * by broadcast. Hash-gated: the DuckDB oracle replays the greedy
+    * lowest-(rank, position) merge loop as a recursive CTE over the
+    * symbol list (one merge per recursion step; the fixpoint row per word
+    * is the one with the minimal symbol count), plus the hand-computed
+    * RetrievalSpec encodings. */
   def qBpeApply(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val merges = Seq(
@@ -70,6 +73,57 @@ object RetrievalOps {
       ("o", "u"), ("in", "g"))
     Retrieval.bpeTokenCounts(Tables.documents(spark, dir), "doc_id", "text", merges)
       .orderBy($"doc_id")
+  }
+
+  /** Tokenizer training: the first 8 learned BPE merges over the corpus
+    * (count pairs → take the most frequent, ties to the smallest "a b"
+    * string → greedily merge it everywhere → repeat). Corpus-sized work
+    * happens once (the vocabulary collapse); each iteration touches only
+    * the collapsed vocabulary frame. The oracle unrolls the identical 8
+    * iterations as chained CTEs — each word rides as a `|sym|`-wrapped
+    * string so one `replace()` call IS the greedy left-to-right
+    * non-overlapping merge. */
+  def qBpeTrain(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Retrieval.bpeTrain(Tables.documents(spark, dir), "text", nMerges = BpeTrainMerges)
+      .zipWithIndex
+      .map { case ((a, b, n), i) => (i + 1, a, b, n) }
+      .toDF("merge_rank", "left_sym", "right_sym", "n_occurrences")
+      .orderBy($"merge_rank")
+  }
+
+  /** The [[qBpeTrain]] oracle: `nMerges` unrolled count→argmax→merge
+    * iterations. Words travel as strings with every symbol wrapped in
+    * `|…|` sentinels (symbols are whitespace-free and the fixture corpus
+    * has no `|`), so merging pair (a, b) is `replace(s, '|a||b|',
+    * '|ab|')` — SQL replace is left-to-right and non-overlapping, exactly
+    * the greedy rule, and the wrap keeps matches symbol-aligned. */
+  private def bpeTrainOracle(nMerges: Int): String = {
+    val a = "string_split(pair, ' ')[1]"
+    val b = "string_split(pair, ' ')[2]"
+    val iters = (1 to nMerges).map { i =>
+      s"""p$i AS (SELECT n, unnest([sy[j] || ' ' || sy[j+1] for j in range(1, len(sy))]) AS pair
+                FROM (SELECT string_split(trim(s, '|'), '||') AS sy, n FROM v${i - 1})),
+         b$i AS (SELECT pair, CAST(sum(n) AS BIGINT) AS cnt FROM p$i GROUP BY 1
+                 ORDER BY cnt DESC, pair LIMIT 1),
+         v$i AS (SELECT replace(s, '|' || $a || '||' || $b || '|',
+                                '|' || $a || $b || '|') AS s, n
+                 FROM v${i - 1}, b$i)"""
+    }.mkString(",\n")
+    val out = (1 to nMerges).map(i =>
+      s"""SELECT $i AS merge_rank, $a AS left_sym, $b AS right_sym,
+                 cnt AS n_occurrences FROM b$i""")
+      .mkString("\n UNION ALL ")
+    s"""WITH wt AS (SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
+                    FROM documents),
+       vv AS (SELECT w, count(*) AS n FROM wt WHERE w <> '' GROUP BY 1),
+       v0 AS (SELECT array_to_string(
+                       list_transform(
+                         list_append([w[i] for i in range(1, length(w)+1)], '</w>'),
+                         x -> '|' || x || '|'), '') AS s, n
+              FROM vv),
+       $iters
+       SELECT * FROM ($out) ORDER BY merge_rank"""
   }
 
   /** Deterministic training-shuffle shard plan: md5-derived shard ids and
@@ -122,6 +176,7 @@ object RetrievalOps {
     "sim_bm25_multi" -> (qBm25Multi _),
     "t_bpe_pairs" -> (qBpePairs _),
     "t_bpe_apply" -> (qBpeApply _),
+    "t_bpe_train" -> (qBpeTrain _),
     "t_shard_plan" -> (qShardPlan _),
     "q_asof_join" -> (qAsofJoin _)
   )
@@ -203,6 +258,39 @@ object RetrievalOps {
                FROM s)
          SELECT pair, CAST(sum(n) AS BIGINT) AS n_occurrences
          FROM p GROUP BY 1 ORDER BY n_occurrences DESC, pair LIMIT 20""",
+    "t_bpe_apply" ->
+      """WITH RECURSIVE
+         mt(pairs) AS (SELECT ['t h','th e','i n','a n','an d','e r','o n','r e',
+                               'the </w>','er </w>','o u','in g']),
+         wt AS (SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
+                FROM documents),
+         v AS (SELECT DISTINCT w FROM wt WHERE w <> ''),
+         init AS (SELECT w, list_append([w[i] for i in range(1, length(w)+1)],
+                                        '</w>') AS syms
+                  FROM v),
+         enc AS (
+           SELECT w, syms FROM init
+           UNION ALL
+           SELECT w,
+                  list_concat(list_concat(syms[1:best[2]-1],
+                                          [syms[best[2]] || syms[best[2]+1]]),
+                              syms[best[2]+2:]) AS syms
+           FROM (
+             SELECT w, syms,
+                    (list_sort([[list_position(pairs, syms[i] || ' ' || syms[i+1]), i]
+                                for i in range(1, len(syms))
+                                if list_position(pairs, syms[i] || ' ' || syms[i+1]) > 0]
+                    ))[1] AS best
+             FROM enc, mt)
+           WHERE best IS NOT NULL),
+         wtok AS (SELECT w, min(len(syms)) AS wtok FROM enc GROUP BY 1),
+         dw AS (SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
+                FROM documents)
+         SELECT doc_id, count(*) AS n_words, CAST(sum(wtok) AS BIGINT) AS n_bpe_tokens
+         FROM (SELECT doc_id, w FROM dw WHERE w <> '') d
+         JOIN wtok USING (w)
+         GROUP BY doc_id ORDER BY doc_id""",
+    "t_bpe_train" -> bpeTrainOracle(BpeTrainMerges),
     "t_shard_plan" ->
       """WITH a AS (SELECT doc_id, md5('shard:' || doc_id) AS sk FROM documents),
          b AS (SELECT doc_id, sk,

@@ -382,6 +382,37 @@ class CurationSpec extends SparkTestBase {
       "training rounds must not add corpus scans to the assignment plan")
   }
 
+  test("salted two-phase top-k ≡ a single per-probe ranking (candidates ≫ k)") {
+    import spark.implicits._
+    import graft.operators.Similarity
+    // 200 vectors per probe's candidate pool — far more than k=5 and more
+    // than k×nSalts bucket survivors — including deliberate cosine ties
+    // (duplicate vectors) so the (cosine desc, vec_id asc) tie-break is
+    // exercised across salt buckets
+    val vecs = (0L until 200L)
+      .map(i => (i, Seq(math.cos(i % 17 / 17.0), math.sin(i % 17 / 17.0))))
+      .toDF("vec_id", "v")
+    val probes = Seq((1000L, Seq(1.0, 0.0)), (1001L, Seq(0.5, 0.5)))
+      .toDF("probe_id", "p")
+    val got = Similarity.bruteForceTopK(vecs, probes, k = 5)
+      .select($"probe_id", $"vec_id", $"cosine", $"rank")
+      .as[(Long, Long, Double, Int)].collect().toSet
+    // reference ranking computed directly from the scored pairs
+    val scored = for {
+      (vid, v) <- (0L until 200L).map(i => (i, Seq(math.cos(i % 17 / 17.0), math.sin(i % 17 / 17.0))))
+      (pid, p) <- Seq((1000L, Seq(1.0, 0.0)), (1001L, Seq(0.5, 0.5)))
+    } yield {
+      val dot = v.zip(p).map { case (x, y) => x * y }.sum
+      val cos = dot / (math.sqrt(v.map(x => x * x).sum) * math.sqrt(p.map(x => x * x).sum))
+      (pid, vid, BigDecimal(cos).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    val want = scored.groupBy(_._1).flatMap { case (_, rows) =>
+      rows.sortBy(r => (-r._3, r._2)).take(5).zipWithIndex
+        .map { case ((pid, vid, cos), i) => (pid, vid, cos, i + 1) }
+    }.toSet
+    assert(got == want, s"salted top-k diverged from the direct ranking")
+  }
+
   // --- mixture weights (data mixing) -----------------------------------
 
   test("mixtureWeights: α=1 is proportional, α=0 is uniform, weights sum to 1") {

@@ -77,12 +77,13 @@ class PlanSpec extends SparkTestBase {
       s"chunk dedup must not join at all:\n$p")
   }
 
-  test("d_semantic_dedup broadcasts centroids; pair join keys on the cluster id") {
-    // the final plan starts at the CHECKPOINTED assignment (lineage
-    // truncated so the full-corpus argmax runs once, not once per side of
-    // the within-cluster join) — so the centroid broadcast is asserted on
-    // the assignment plan itself, and the published plan must key its
-    // pair join on the cluster id with no cartesian
+  test("cluster assignment is a shuffle-free projection; semantic-dedup pair join keys on cluster") {
+    // assignClusters carries the k-row centroid frame as a plan literal,
+    // so the corpus scan → cluster-label segment must contain NO Exchange
+    // and NO join node of any kind (the old crossJoin(broadcast)+window
+    // form re-shuffled n×k vector-carrying rows — a 100× scale-killer);
+    // the published semantic-dedup plan must key its pair join on the
+    // cluster id with no cartesian
     import spark.implicits._
     import graft.operators.Similarity
     val vecs = Seq((0L, Seq(1.0, 0.0)), (1L, Seq(0.0, 1.0)), (2L, Seq(0.9, 0.1)))
@@ -90,12 +91,33 @@ class PlanSpec extends SparkTestBase {
     val assignPlan = Similarity
       .assignClusters(vecs, Similarity.kmeansFit(vecs, k = 2, iters = 2))
       .queryExecution.explainString(FormattedMode)
-    assert(assignPlan.contains("BroadcastExchange"),
-      s"centroid frame must broadcast in the assignment:\n$assignPlan")
+    assert(!assignPlan.linesIterator.exists(_.matches("\\(\\d+\\) Exchange.*")) &&
+      !assignPlan.contains("BroadcastExchange"),
+      s"assignment must be shuffle-free:\n$assignPlan")
+    assert(!assignPlan.contains("Join"),
+      s"assignment must not join — centroids are a literal:\n$assignPlan")
     val p = planOf("d_semantic_dedup")
-    assert(p.contains("hashpartitioning(cluster"),
+    // the pair join must KEY on the cluster id — as a co-partitioned
+    // shuffle join at scale, or (fine at test scale, where the labeled
+    // frame's stats are small) a broadcast hash join on the same key
+    assert(p.contains("hashpartitioning(cluster") ||
+      p.linesIterator.exists(l => l.startsWith("Left keys") && l.contains("[cluster")),
       s"pair join must key on the cluster id:\n$p")
     assert(!p.contains("CartesianProduct"), s"pairwise work must stay within clusters:\n$p")
+  }
+
+  test("ivf/brute-force top-k ranks in two salted phases, never one per-probe window") {
+    // phase 1 must partition on (probe_id, salt) — a single per-probe
+    // window would sort every routed candidate of a probe in one task
+    Seq("sim_ivf_topk", "sim_knn_cosine").foreach { name =>
+      val p = planOf(name)
+      // the pmod salt is projected to a `_w<N>` attribute by the window
+      // planner, so the phase-1 Exchange partitions on (probe_id, _w<N>)
+      val saltedParts = p.linesIterator
+        .filter(_.matches(".*hashpartitioning\\(probe_id[^)]*_w\\d.*")).toSeq
+      assert(saltedParts.nonEmpty,
+        s"$name lacks the salted phase-1 top-k partitioning:\n$p")
+    }
   }
 
   test("multimodal decode seams stay in the Dataset plan (no RDD scan boundary)") {

@@ -149,6 +149,63 @@ class RetrievalSpec extends SparkTestBase {
       s"word-token join must broadcast the vocabulary side:\n$plan")
   }
 
+  test("bpeTokenCounts above the vocab-broadcast cap: identical output via plain hash join") {
+    import spark.implicits._
+    val merges = Seq(("l", "o"), ("lo", "w"), ("e", "r"), ("er", "</w>"))
+    val docs = Seq((1L, "lower lower lowest"), (2L, "lower")).toDF("doc_id", "text")
+    val broadcastPath = Retrieval.bpeTokenCounts(docs, "doc_id", "text", merges)
+      .as[(Long, Long, Long)].collect().toSet
+    // cap forced to 1 → the vocabulary "doesn't fit" and the join-back
+    // must fall to an unhinted word-keyed join with identical results
+    val capped = Retrieval.bpeTokenCounts(docs, "doc_id", "text", merges,
+      maxVocabBroadcast = 1)
+    assert(capped.as[(Long, Long, Long)].collect().toSet == broadcastPath)
+    // with the auto-broadcast thresholds off, only a broadcast HINT could
+    // still broadcast — the capped path must shuffle-join instead (at
+    // test scale Catalyst may legitimately pick broadcast from stats, so
+    // the discriminating assert disables stats-driven broadcast)
+    val (a, b) = ("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+    val (pa, pb) = (spark.conf.get(a), spark.conf.getOption(b))
+    try {
+      spark.conf.set(a, "-1"); spark.conf.set(b, "-1")
+      val plan = Retrieval.bpeTokenCounts(docs, "doc_id", "text", merges,
+        maxVocabBroadcast = 1).queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastHashJoin"),
+        s"above the cap the vocabulary must not be broadcast-hinted:\n$plan")
+      val hinted = Retrieval.bpeTokenCounts(docs, "doc_id", "text", merges)
+        .queryExecution.executedPlan.toString
+      assert(hinted.contains("BroadcastHashJoin"),
+        s"under the cap the vocabulary side must carry the broadcast hint:\n$hinted")
+    } finally {
+      spark.conf.set(a, pa); pb.foreach(spark.conf.set(b, _))
+    }
+  }
+
+  test("bpeTrain learns Sennrich's worked example and feeds bpeTokenCounts") {
+    import spark.implicits._
+    // Sennrich et al. 2016 §3.2 vocabulary: low×5, lower×2, newest×6,
+    // widest×3 — the learned merges must be (e,s), (es,t), (est,</w>),
+    // (l,o), (lo,w) with the paper's counts (ties broken by the "a b"
+    // string, which picks the paper's order)
+    val docs = Seq(
+      (1L, Seq.fill(5)("low").mkString(" ")),
+      (2L, Seq.fill(2)("lower").mkString(" ")),
+      (3L, Seq.fill(6)("newest").mkString(" ")),
+      (4L, Seq.fill(3)("widest").mkString(" "))).toDF("doc_id", "text")
+    val learned = Retrieval.bpeTrain(docs, "text", nMerges = 5)
+    assert(learned == Seq(
+      ("e", "s", 9L), ("es", "t", 9L), ("est", "</w>", 9L),
+      ("l", "o", 7L), ("lo", "w", 7L)))
+    // end to end: the learned table drives the per-doc token counter
+    val counts = Retrieval
+      .bpeTokenCounts(docs, "doc_id", "text", learned.map(m => (m._1, m._2)))
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> r._3).toMap
+    // low → [low, </w>] = 2; lower → [low, e, r, </w>] = 4;
+    // newest → [n, e, w, est</w>] = 4; widest → [w, i, d, est</w>] = 4
+    assert(counts == Map(1L -> 10L, 2L -> 8L, 3L -> 24L, 4L -> 12L))
+  }
+
   // --- BPE pair counts ----------------------------------------------------
 
   test("bpePairCounts counts weighted adjacent symbol pairs with </w> marker") {
