@@ -93,18 +93,35 @@ object Dedup {
     * probability ≈ (1 − 1/p)^(L−w+1), vanishing for the long verbatim
     * spans substring dedup exists to catch. `n_windows` then counts
     * SELECTED windows, so the dup fraction stays an unbiased estimate of
-    * duplicated-span coverage. The default p = 1 is exhaustive — the
-    * oracle-gated path.
+    * duplicated-span coverage — but note the absence semantics widen: on
+    * the sampled path a document vanishes from the output EITHER because
+    * it is shorter than w tokens OR because none of its windows were
+    * selected, so consumers computing corpus-wide dup fractions must
+    * treat absence as "no evidence", not "zero duplication". The default
+    * p = 1 is exhaustive — the oracle-gated path.
+    *
+    * `portableHash = true` swaps the window hash family from xxhash64 to
+    * md5 (identity = the hex digest, selection = the first 6 hex digits
+    * as an integer, mod p) — the cross-engine-replicable family the
+    * DuckDB oracle regenerates digit for digit (the minhash md5/xxh64
+    * split, here for the sampled path). Production stays on xxhash64:
+    * pure long arithmetic, no hex-string materialization in the shuffle.
     */
   def substringDupWindows(docs: DataFrame, idCol: String, textCol: String,
-                          w: Int, selectMod: Int = 1): DataFrame = {
+                          w: Int, selectMod: Int = 1,
+                          portableHash: Boolean = false): DataFrame = {
     require(selectMod >= 1, "selectMod must be positive")
     val first = org.apache.spark.sql.expressions.Window
       .partitionBy(col("h")).orderBy(col("id"), col("idx"))
-    val hashed = tokenWindows(docs, idCol, textCol, w)
-      .select(col("id"), col("idx"), xxhash64(col("g")).as("h"))
+    val wins = tokenWindows(docs, idCol, textCol, w)
+    val hashed =
+      if (portableHash) wins.select(col("id"), col("idx"), md5(col("g")).as("h"))
+      else wins.select(col("id"), col("idx"), xxhash64(col("g")).as("h"))
     val sampled =
       if (selectMod == 1) hashed
+      else if (portableHash)
+        hashed.filter(
+          conv(substring(col("h"), 1, 6), 16, 10).cast("long") % selectMod === 0)
       else hashed.filter(pmod(col("h"), lit(selectMod.toLong)) === 0)
     sampled
       .withColumn("__rn", row_number().over(first))

@@ -125,6 +125,14 @@ object Multimodal {
     */
   val MaxDecodePixels: Long = 64L * 1024 * 1024 // 64 MP ≈ 256 MB ARGB
 
+  /** Byte bound on the decoded raster. The pixel cap alone under-counts
+    * deep formats: a 64 MP 16-bit-per-sample RGBA image allocates ~512 MB
+    * inside `reader.read(0)` — twice the ARGB estimate — before any
+    * post-decode check could run, so the declared dimensions are also
+    * multiplied by the reader's declared bits-per-pixel (the widest of
+    * its supported image types, conservatively) and bounded here. */
+  val MaxDecodeBytes: Long = 256L * 1024 * 1024
+
   private lazy val imageIoNoDiskCache: Unit =
     javax.imageio.ImageIO.setUseCache(false)
 
@@ -142,7 +150,20 @@ object Multimodal {
             reader.setInput(iis)
             val w = reader.getWidth(0)
             val h = reader.getHeight(0)
-            if (w <= 0 || h <= 0 || w.toLong * h.toLong > MaxDecodePixels)
+            // widest declared bits-per-pixel across the reader's image
+            // types (metadata only — no pixel decode); default ARGB=32
+            // when the reader declares nothing usable
+            val bitsPerPixel = try {
+              val it = reader.getImageTypes(0)
+              var bits = 32
+              while (it.hasNext) {
+                val cm = it.next().getColorModel
+                if (cm != null) bits = math.max(bits, cm.getPixelSize)
+              }
+              bits
+            } catch { case _: Exception => 32 }
+            if (w <= 0 || h <= 0 || w.toLong * h.toLong > MaxDecodePixels ||
+                w.toLong * h.toLong * bitsPerPixel / 8L > MaxDecodeBytes)
               (null, null, null)
             else {
               val img = reader.read(0)

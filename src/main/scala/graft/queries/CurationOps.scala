@@ -232,6 +232,23 @@ object CurationOps {
       .orderBy($"doc_id")
   }
 
+  /** The SAMPLED substring-dedup path (the 100 TB volume knob), oracle-
+    * gated: same planted-banner fixture as d_substring_dedup but with
+    * content-defined sampling at selectMod = 4 — only windows whose
+    * md5-derived selection value ≡ 0 (mod 4) participate, so both copies
+    * of a shared span select the same windows and shuffle volume drops
+    * ~4×. The portable md5 family lets DuckDB replay the selection digit
+    * for digit; production runs the same path on xxhash64. */
+  def qSubstringSampled(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir).select($"doc_id",
+      when($"doc_id" % 5 === 0, concat(lit(ChunkBoilerplate + " "), $"text"))
+        .otherwise($"text").as("text"))
+    graft.operators.Dedup.substringDupWindows(docs, "doc_id", "text", w = 8,
+      selectMod = 4, portableHash = true)
+      .orderBy($"doc_id")
+  }
+
   /** Temperature-based mixture weights per source (α = 0.5): the data-mix
     * computation that decides per-source sampling rates before
     * [[Curation.sampleKeep]] draws. The oracle mirrors power/sum/round. */
@@ -271,6 +288,7 @@ object CurationOps {
     "d_url_dedup" -> (qUrlDedup _),
     "d_chunk_dedup" -> (qChunkDedup _),
     "d_substring_dedup" -> (qSubstringDedup _),
+    "d_substring_sampled" -> (qSubstringSampled _),
     "t_mixture_weights" -> (qMixtureWeights _),
     "t_rolling_fp" -> (qRollingFingerprint _)
   )
@@ -538,6 +556,30 @@ object CurationOps {
          r AS (SELECT doc_id, idx,
                       row_number() OVER (PARTITION BY g ORDER BY doc_id, idx) AS rn
                FROM wnd)
+         SELECT doc_id, count(*) AS n_windows,
+                count(*) FILTER (WHERE rn > 1) AS n_dup_windows
+         FROM r GROUP BY 1 ORDER BY doc_id""",
+    "d_substring_sampled" ->
+      """WITH t AS (
+           SELECT doc_id,
+                  CASE WHEN doc_id % 5 = 0
+                       THEN 'cookie policy accept all terms of service privacy notice subscribe to our newsletter sign in today ' || text
+                       ELSE text END AS tx
+           FROM documents),
+         d AS (SELECT doc_id, string_split_regex(trim(tx), '\s+') AS ws FROM t),
+         wnd AS (SELECT doc_id, u.idx AS idx, md5(u.g) AS h FROM (
+                   SELECT doc_id,
+                          unnest([{'idx': i - 1,
+                                   'g': array_to_string(ws[i:i+7], ' ')}
+                                  for i in range(1, len(ws) - 6)]) AS u
+                   FROM d WHERE len(ws) >= 8)),
+         sel AS (SELECT doc_id, idx, h FROM wnd
+                 WHERE list_sum([(strpos('0123456789abcdef', substr(h, i, 1)) - 1)
+                                 * power(16, 6 - i)::BIGINT
+                                 for i in range(1, 7)])::BIGINT % 4 = 0),
+         r AS (SELECT doc_id, idx,
+                      row_number() OVER (PARTITION BY h ORDER BY doc_id, idx) AS rn
+               FROM sel)
          SELECT doc_id, count(*) AS n_windows,
                 count(*) FILTER (WHERE rn > 1) AS n_dup_windows
          FROM r GROUP BY 1 ORDER BY doc_id""",

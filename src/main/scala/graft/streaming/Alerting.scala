@@ -33,7 +33,9 @@ object Alerting {
 
   /** Interval gate (reference BasePeriodicProcessor): `maybeProcess`
     * forwards to `process` only when the injected clock has reached the
-    * next deadline, then re-arms `now + interval`. Subclasses implement
+    * next deadline, then re-arms from a clock read taken AFTER `process`
+    * returns (reference parity: a slow `process` must not shorten the
+    * effective interval to the next run). Subclasses implement
     * `process`. */
   abstract class PeriodicProcessor(val intervalSeconds: Long,
                                    nowMillis: () => Long) {
@@ -42,7 +44,7 @@ object Alerting {
       val now = nowMillis()
       if (now >= nextAt.get()) {
         process(eventTimeMillis, now)
-        nextAt.set(now + intervalSeconds * 1000L)
+        nextAt.set(nowMillis() + intervalSeconds * 1000L)
       }
     }
     protected def process(eventTimeMillis: Option[Long], nowMillis: Long): Unit

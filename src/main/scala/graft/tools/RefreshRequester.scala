@@ -48,10 +48,6 @@ object RefreshRequester {
     require(req.sourceId.isEmpty ||
         (req.sourceName.isEmpty && req.namespace.isEmpty),
       "cannot use both source-id and either of namespace and source-name")
-    val priority = Priorities.getOrElse(req.priority,
-      throw new IllegalArgumentException(
-        s"priority must be one of ${Priorities.keys.toSeq.sorted.mkString(", ")}: " +
-          req.priority))
     val resolved = req.sourceId match {
       case Some(id) =>
         registry.allSources.find(_.sourceId == id).getOrElse(
@@ -67,6 +63,14 @@ object RefreshRequester {
             s"${req.sourceName.get} somehow received more than one source")
         matches.head
     }
+    // priority resolves AFTER the source (reference parity: the Priority
+    // enum lookup only happens inside create_request, past source
+    // validation — refresh_requester.py:117-162 — so when both are
+    // invalid the source error wins)
+    val priority = Priorities.getOrElse(req.priority,
+      throw new IllegalArgumentException(
+        s"priority must be one of ${Priorities.keys.toSeq.sorted.mkString(", ")}: " +
+          req.priority))
     registry.createRefresh(resolved.namespaceName, resolved.name,
       req.offset, req.batchSize, priority,
       req.filterCondition, req.avgRowsPerSecondCap)

@@ -155,14 +155,37 @@ class PlanSpec extends SparkTestBase {
       s"corpus text enters a shuffle:\n$in"))
   }
 
-  test("d_substring_dedup shuffles window hashes, not window text") {
-    val p = planOf("d_substring_dedup")
-    // the window/first-occurrence shuffle must be keyed on the xxhash64
-    // value with no `g` (window text) or source text column in flight
-    val inputs = hashExchangeInputs(p)
-    assert(inputs.nonEmpty, s"expected a hash shuffle in:\n$p")
-    inputs.foreach(in => assert(!in.contains("g#") && !in.contains("text#"),
-      s"window text shuffles instead of its hash:\n$in"))
+  test("d_substring_dedup (and the sampled path) shuffle window hashes, not window text") {
+    Seq("d_substring_dedup", "d_substring_sampled").foreach { name =>
+      // the window/first-occurrence shuffle must be keyed on the hash
+      // value with no `g` (window text) or source text column in flight
+      val p = planOf(name)
+      val inputs = hashExchangeInputs(p)
+      assert(inputs.nonEmpty, s"expected a hash shuffle in $name:\n$p")
+      inputs.foreach(in => assert(!in.contains("g#") && !in.contains("text#"),
+        s"$name: window text shuffles instead of its hash:\n$in"))
+    }
+  }
+
+  test("d_semantic_sample: label segment shuffle-free, pair join keyed on cluster") {
+    // the sample-fit path must inherit the projection-argmax assignment:
+    // no cartesian anywhere, and the within-cluster pair join must key on
+    // the cluster id (shuffle or broadcast hash join — never a cross)
+    val p = planOf("d_semantic_sample")
+    assert(!p.contains("CartesianProduct"), s"pairwise work must stay within clusters:\n$p")
+    assert(p.contains("hashpartitioning(cluster") ||
+      p.linesIterator.exists(l => l.startsWith("Left keys") && l.contains("[cluster")),
+      s"pair join must key on the cluster id:\n$p")
+  }
+
+  test("t_bpe_apply: corpus text never shuffles; per-word token counts broadcast") {
+    val p = planOf("t_bpe_apply")
+    // the only wide exchanges may carry the distinct-word collapse and the
+    // per-doc aggregate — never the text column
+    hashExchangeInputs(p).foreach(in => assert(!in.contains("text#"),
+      s"corpus text enters a shuffle:\n$in"))
+    assert(p.contains("BroadcastExchange"),
+      s"the vocabulary-side token counts must broadcast under the cap:\n$p")
   }
 
   test("t_pack_sharded broadcasts the per-shard base offsets") {

@@ -180,5 +180,10 @@ class RefreshCatalogSpec extends SparkTestBase {
       "found no sources")
     fails(Request(sourceId = Some(99999)), "found no source")
     fails(Request(sourceId = Some(sid), priority = "URGENT"), "priority")
+    // precedence: with BOTH an unknown source and a bad priority the
+    // source error wins — the reference's Priority[...] lookup only runs
+    // inside create_request, after source resolution
+    fails(Request(sourceName = Some("nope"), namespace = Some("yelp"),
+      priority = "URGENT"), "found no sources")
   }
 }
