@@ -47,38 +47,71 @@ object Bench {
     "d_substring_dedup",
     "env_roundtrip")
 
-  /** Committed reference time of [[calibrationSecs]] measured warm on an
-    * IDLE bench machine (median ~0.80 s, spread ~10%). A probe reading
-    * past [[ContentionFactor]]× this marks the whole run "contended". */
+  /** Committed reference times measured warm on an IDLE bench machine:
+    * single-thread probe ~0.77 s (spread ~10%), 32-thread parallel probe
+    * ~0.22 s (spread ~12% — all 32 vCPUs run the 32×100M rounds truly
+    * concurrently when the box is quiet). A reading past its factor
+    * marks the run "contended". The parallel probe exists because
+    * single-thread readings MISS multi-core contention: an external
+    * tenant eating most cores makes every local[32] query uniformly
+    * 2–3× slower while one probe thread still finds a free core —
+    * observed live (queries 2–3× slower and the parallel probe at
+    * 1.7–2.5 s ≈ 8–11× its idle reference, while the single probes read
+    * 0.89/0.98 s — under their threshold). Aggregate capacity is what
+    * Spark actually runs on, so the parallel probe is the one that
+    * guards the query medians; its factor is looser (2×) because a
+    * 0.2 s sampling window sees more scheduler jitter. */
   private val CalibrationRefSec = 0.80
   private val ContentionFactor = 1.3
+  private val CalibrationParRefSec = 0.22
+  private val ParContentionFactor = 2.0
+  private val ParProbeThreads = 32
+
+  private def mixRounds(seed: Long, rounds: Long): Long = {
+    var h = 0x9e3779b97f4a7c15L ^ seed
+    var i = 0L
+    while (i < rounds) {
+      h ^= i; h *= 0xff51afd7ed558ccdL; h ^= (h >>> 33)
+      i += 1
+    }
+    h
+  }
 
   /** Fixed single-thread CPU-bound calibration probe (400M rounds of the
     * splitmix64 mixing function — pure register arithmetic, no
     * allocation, no memory traffic to speak of). Timed before AND after
     * the bench: on a quiet machine it reproduces [[CalibrationRefSec]]
-    * within noise; on a machine where other tenants hold the cores it
-    * stretches proportionally. That turns "were these numbers taken
-    * under load?" — previously a forensic argument over spread patterns
-    * — into a field in the JSON, and drift flags are suppressed for
-    * contended runs so they stop crying wolf on environmental shifts. */
+    * within noise; when something else holds the SAME core class it
+    * stretches. Senses single-core pressure and cgroup throttling. */
   private def calibrationSecs(): Double = {
     val t0 = System.nanoTime()
-    var h = 0x9e3779b97f4a7c15L
-    var i = 0L
-    while (i < 400000000L) {
-      h ^= i; h *= 0xff51afd7ed558ccdL; h ^= (h >>> 33)
-      i += 1
+    if (mixRounds(0L, 400000000L) == 42L) System.out.print("") // defeat DCE
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  /** All-cores calibration probe: [[ParProbeThreads]] threads × 100M
+    * rounds of the same mixing loop (fixed thread count — it measures
+    * the MACHINE's aggregate capacity, not the session's cpu setting).
+    * Stretches whenever total compute throughput is down — the failure
+    * mode the single-thread probe cannot see. */
+  private def calibrationParallelSecs(): Double = {
+    val t0 = System.nanoTime()
+    val ts = (0 until ParProbeThreads).map { k =>
+      val t = new Thread(() => {
+        if (mixRounds(k.toLong, 100000000L) == 42L) System.out.print("")
+      })
+      t.start(); t
     }
-    if (h == 42L) System.out.print("") // defeat dead-code elimination
+    ts.foreach(_.join())
     (System.nanoTime() - t0) / 1e9
   }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    calibrationSecs() // JIT warm-up for the probe loop
+    calibrationSecs() // JIT warm-up for the probe loop (shared mix method)
     val calStartSec = calibrationSecs()
+    val calParStartSec = calibrationParallelSecs()
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -332,6 +365,49 @@ object Bench {
         ((-1.0, -1.0), (-1.0, -1.0))
       }
 
+    // cluster-assignment argmax: the portable HOF projection (transform +
+    // fold over a centroid struct literal — the oracle-replayable form)
+    // vs the native CosineArgmax expression, over the embeddings table
+    // with k=32 centroids. This is the per-vector label under the
+    // IVF/SemDeDup oracle queries; same caveat as rolling-fp — the
+    // native run sits near the scheduling floor at sf0.1, so its rate is
+    // a LOWER bound on the true speedup.
+    val ((argmaxHofVecsPerSec, argmaxHofSpreadPct),
+         (argmaxExprVecsPerSec, argmaxExprSpreadPct)) =
+      try {
+        import org.apache.spark.sql.functions._
+        val vecs = Tables.embeddings(spark, sfDir)
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+          .repartition(cpus.toInt).cache()
+        val n = vecs.count().toDouble
+        // centroids collected ONCE outside the timed loop — the metric
+        // times the label job, not the centroid collect
+        val centRows = vecs.filter(col("vec_id") < 32)
+          .select(col("vec_id").cast("int").as("cluster"), col("v").as("c"))
+          .collect()
+          .map(r => (r.getInt(0), r.getSeq[Double](1))).sortBy(_._1)
+        def run(fast: Boolean) = {
+          val labeled =
+            if (fast) graft.operators.Similarity.assignClusters(vecs, centRows)
+            else graft.operators.Similarity.assignClustersHof(vecs, centRows)
+          labeled.select(col("cluster").cast("bigint").as("h"))
+            .agg(expr("bit_xor(h)")).head()
+        }
+        try {
+          run(false); run(true) // warm-up
+          val hofR = rateMedian(3) { () =>
+            val t = timed(() => run(false)); if (t > 0) n / t else -1.0
+          }
+          val exprR = rateMedian(3) { () =>
+            val t = timed(() => run(true)); if (t > 0) n / t else -1.0
+          }
+          (hofR, exprR)
+        } finally vecs.unpersist()
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] argmax metric failed: $e")
+        ((-1.0, -1.0), (-1.0, -1.0))
+      }
+
     // round-over-round drift on the throughput metrics, same 20% gate as
     // the queries — this is what would have caught the r04→r05 2× swing.
     val serdeMetrics = Seq(
@@ -343,7 +419,9 @@ object Bench {
       "minhash_md5_docs_per_sec" -> minhashMd5DocsPerSec,
       "minhash_xxh64_docs_per_sec" -> minhashXxhDocsPerSec,
       "rolling_fp_hof_docs_per_sec" -> rollingHofDocsPerSec,
-      "rolling_fp_expr_docs_per_sec" -> rollingExprDocsPerSec)
+      "rolling_fp_expr_docs_per_sec" -> rollingExprDocsPerSec,
+      "argmax_hof_vecs_per_sec" -> argmaxHofVecsPerSec,
+      "argmax_expr_vecs_per_sec" -> argmaxExprVecsPerSec)
     val serdeDriftFlags: Seq[String] =
       try {
         prevBench.toSeq.flatMap { content =>
@@ -363,12 +441,15 @@ object Bench {
         }
       } catch { case _: Throwable => Seq.empty }
 
-    // end-of-run probe: contention that arrived mid-bench shows here even
-    // if the start probe was clean (and vice versa) — the run is flagged
-    // if EITHER reading stretched past the threshold
+    // end-of-run probes: contention that arrived mid-bench shows here even
+    // if the start probes were clean (and vice versa) — the run is flagged
+    // if ANY reading, single or parallel, stretched past its threshold
     val calEndSec = calibrationSecs()
+    val calParEndSec = calibrationParallelSecs()
     val contended =
-      math.max(calStartSec, calEndSec) > CalibrationRefSec * ContentionFactor
+      math.max(calStartSec, calEndSec) > CalibrationRefSec * ContentionFactor ||
+        math.max(calParStartSec, calParEndSec) >
+          CalibrationParRefSec * ParContentionFactor
 
     val qs = results.map { case (k, v, _) => "\"" + k + f"""\":$v%.4f""" }
       .mkString("{", ",", "}")
@@ -388,7 +469,9 @@ object Bench {
       "minhash_md5_docs_per_sec" -> minhashMd5SpreadPct,
       "minhash_xxh64_docs_per_sec" -> minhashXxhSpreadPct,
       "rolling_fp_hof_docs_per_sec" -> rollingHofSpreadPct,
-      "rolling_fp_expr_docs_per_sec" -> rollingExprSpreadPct)
+      "rolling_fp_expr_docs_per_sec" -> rollingExprSpreadPct,
+      "argmax_hof_vecs_per_sec" -> argmaxHofSpreadPct,
+      "argmax_expr_vecs_per_sec" -> argmaxExprSpreadPct)
       .map { case (k, s) => "\"" + k + f"""\":$s%.1f""" }
       .mkString("{", ",", "}")
     val serdeDrift = (if (contended) Seq.empty else serdeDriftFlags)
@@ -401,7 +484,7 @@ object Bench {
     // sustain ≥ ~90k rows/s/core; ratio < 1 means the gate failed
     val gateRatio = if (serdeUuidPerCore < 0) -1.0 else serdeUuidPerCore / 90000.0
     println(
-      f"""{"metric":"total","value":$total%.4f,"unit":"sec","runs_per_query":$runsPerQuery,"queries":$qs,"query_spread_pct":$spreads,"drift_gt20pct_vs_prev":$drift,"serde_rows_per_sec":$serdeRowsPerSec%.0f,"serde_rows_per_sec_core":$serdePerCore%.0f,"serde_uuid_rows_per_sec_core":$serdeUuidPerCore%.0f,"uuid_gen_rows_per_sec_core":$uuidGenPerCore%.0f,"uuid_rows_per_sec":$uuidRowsPerSec%.0f,"uuid_rows_per_sec_core":$uuidPerCore%.0f,"serde_spread_pct":$serdeSpreads,"serde_drift_gt20pct_vs_prev":$serdeDrift,"baseline_gate_rows_per_sec_core":90000,"serde_uuid_vs_gate":$gateRatio%.2f,"minhash_md5_docs_per_sec":$minhashMd5DocsPerSec%.0f,"minhash_xxh64_docs_per_sec":$minhashXxhDocsPerSec%.0f,"rolling_fp_hof_docs_per_sec":$rollingHofDocsPerSec%.0f,"rolling_fp_expr_docs_per_sec":$rollingExprDocsPerSec%.0f,"calibration_ref_sec":$CalibrationRefSec%.2f,"calibration_start_sec":$calStartSec%.3f,"calibration_end_sec":$calEndSec%.3f,"contended":$contended,"sf":"$sfDir"}""")
+      f"""{"metric":"total","value":$total%.4f,"unit":"sec","runs_per_query":$runsPerQuery,"queries":$qs,"query_spread_pct":$spreads,"drift_gt20pct_vs_prev":$drift,"serde_rows_per_sec":$serdeRowsPerSec%.0f,"serde_rows_per_sec_core":$serdePerCore%.0f,"serde_uuid_rows_per_sec_core":$serdeUuidPerCore%.0f,"uuid_gen_rows_per_sec_core":$uuidGenPerCore%.0f,"uuid_rows_per_sec":$uuidRowsPerSec%.0f,"uuid_rows_per_sec_core":$uuidPerCore%.0f,"serde_spread_pct":$serdeSpreads,"serde_drift_gt20pct_vs_prev":$serdeDrift,"baseline_gate_rows_per_sec_core":90000,"serde_uuid_vs_gate":$gateRatio%.2f,"minhash_md5_docs_per_sec":$minhashMd5DocsPerSec%.0f,"minhash_xxh64_docs_per_sec":$minhashXxhDocsPerSec%.0f,"rolling_fp_hof_docs_per_sec":$rollingHofDocsPerSec%.0f,"rolling_fp_expr_docs_per_sec":$rollingExprDocsPerSec%.0f,"argmax_hof_vecs_per_sec":$argmaxHofVecsPerSec%.0f,"argmax_expr_vecs_per_sec":$argmaxExprVecsPerSec%.0f,"calibration_ref_sec":$CalibrationRefSec%.2f,"calibration_start_sec":$calStartSec%.3f,"calibration_end_sec":$calEndSec%.3f,"calibration_par_ref_sec":$CalibrationParRefSec%.2f,"calibration_par_start_sec":$calParStartSec%.3f,"calibration_par_end_sec":$calParEndSec%.3f,"contended":$contended,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -1,0 +1,102 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftBridge
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Max-cosine centroid argmax as a native Catalyst expression — the fast
+  * path for [[graft.operators.Similarity.assignClusters]]' per-vector
+  * cluster label.
+  *
+  * The column-expression formulation (`transform` scoring every centroid
+  * + an `aggregate` fold keeping the best — see
+  * `Similarity.assignScoreHof`) pays interpreted higher-order-function
+  * dispatch and a boxed (ccos, cluster) struct allocation per centroid
+  * per row; this expression is one tight primitive loop — k·dim fused
+  * multiply-adds, one BigDecimal rounding per centroid, no allocation —
+  * over centroid arrays carried in the expression itself (k·dim doubles,
+  * the same plan-literal footprint).
+  *
+  * Bit-identical semantics to the HOF form, spec-pinned: the dot product
+  * and ‖v‖ accumulate left to right in index order, cosine =
+  * dot / (‖v‖·‖c‖) rounded to 6 dp exactly as Spark's `round` does for
+  * doubles (`BigDecimal.valueOf(x).setScale(6, HALF_UP)`, NaN/±Inf pass
+  * through), and the winner is the FIRST strict maximum over centroids
+  * in ascending-cluster order — ties go to the lower cluster id, NaN
+  * never wins (matching the fold's `p.ccos > acc.ccos` over a −2.0
+  * init). One documented divergence OUTSIDE the operator's contract: a
+  * zero-norm vector makes the SQL form raise ANSI DIVIDE_BY_ZERO, while
+  * this expression returns the no-match label −1 — at corpus scale one
+  * garbage row downgrades to a filterable label instead of failing the
+  * stage.
+  */
+case class CosineArgmax(child: Expression,
+                        clusterIds: Array[Int],
+                        cents: Array[Array[Double]])
+  extends UnaryExpression with CodegenFallback {
+
+  require(cents.nonEmpty && clusterIds.length == cents.length,
+    "one cluster id per centroid, at least one centroid")
+
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "cosine_argmax"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"cosine_argmax expects array<double>, got $other")
+    }
+
+  // ‖c‖ per centroid, folded left to right with the same acc + x·x
+  // sequence the SQL aggregate uses — sqrt of the identical double
+  private val norms: Array[Double] = cents.map { c =>
+    var a = 0.0
+    var i = 0
+    while (i < c.length) { a += c(i) * c(i); i += 1 }
+    math.sqrt(a)
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val n = v.numElements()
+    var sv = 0.0
+    var i = 0
+    while (i < n) { val x = v.getDouble(i); sv += x * x; i += 1 }
+    val nv = math.sqrt(sv)
+    var best = -2.0
+    var bestC = -1
+    var c = 0
+    while (c < cents.length) {
+      val cent = cents(c)
+      val m = if (n < cent.length) n else cent.length
+      var dot = 0.0
+      var j = 0
+      while (j < m) { dot += v.getDouble(j) * cent(j); j += 1 }
+      val cos = dot / (nv * norms(c))
+      val r =
+        if (java.lang.Double.isNaN(cos) || java.lang.Double.isInfinite(cos)) cos
+        else java.math.BigDecimal.valueOf(cos)
+          .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+      if (r > best) { best = r; bestC = clusterIds(c) }
+      c += 1
+    }
+    java.lang.Integer.valueOf(bestC)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): CosineArgmax =
+    copy(child = newChild)
+}
+
+object CosineArgmax {
+  /** `cosine_argmax(v, ids, cents)`: the cluster id whose centroid has
+    * the highest 6-dp-rounded cosine with `v` (ties to the lower id;
+    * pass centroids in ascending cluster-id order). */
+  def cosine_argmax(v: Column, clusterIds: Array[Int],
+                    cents: Array[Array[Double]]): Column =
+    GraftBridge.column(CosineArgmax(GraftBridge.expression(v), clusterIds, cents))
+}

@@ -22,13 +22,12 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** cosine(a, b) over array<double> columns named `v` and `p`. */
-  private val cosineExpr: Column = {
-    val d = expr("aggregate(zip_with(v, p, (x, y) -> x * y), 0D, (acc, z) -> acc + z)")
-    val nv = expr("sqrt(aggregate(v, 0D, (acc, x) -> acc + x * x))")
-    val np = expr("sqrt(aggregate(p, 0D, (acc, x) -> acc + x * x))")
-    d / (nv * np)
-  }
+  /** cosine(a, b) over array<double> columns named `v` and `p` — the
+    * native [[graft.functions.CosineSim]] expression (bit-identical to
+    * the interpreted HOF formulation it replaced; CosineSimSpec pins the
+    * equivalence element for element). */
+  private val cosineExpr: Column =
+    graft.functions.CosineSim.cosine_sim(col("v"), col("p"))
 
   /** Two-phase salted per-probe top-k over a (probe_id, vec_id, cosine)
     * frame — the same pattern as `Retrieval.bm25TopKMulti`'s per-query
@@ -120,18 +119,16 @@ object Similarity {
     val cands = Dedup.bucketPairs(codes, Seq("band", "code"), "vec_id")
       .select(col("x.pid").as("v1"), col("y.pid").as("v2"))
       .distinct()
-    // Norms precomputed once per vector, not once per candidate pair. The
-    // arithmetic per pair (sqrt(Σx²)·sqrt(Σy²), then divide) is unchanged,
-    // so the 4-dp rounded cosine is bit-identical to the naive form — the
-    // oracle hash can't drift.
-    val withNorm = vectors.select(col("vec_id"), col("v"),
-      expr("sqrt(aggregate(v, 0D, (acc, x) -> acc + x * x))").as("nrm"))
+    // Exact verification through the native CosineSim expression: dot and
+    // both norms fuse into one primitive loop per candidate pair (the old
+    // shape precomputed norms per vector to dodge interpreted HOF cost —
+    // the native loop makes that moot, and the fold sequences are the
+    // same, so the 4-dp rounded cosine is bit-identical either way).
     val cos = round(
-      expr("aggregate(zip_with(va, vb, (x, y) -> x * y), 0D, (acc, z) -> acc + z)") /
-        (col("na") * col("nb")), roundTo)
+      graft.functions.CosineSim.cosine_sim(col("va"), col("vb")), roundTo)
     cands
-      .join(withNorm.select(col("vec_id").as("v1"), col("v").as("va"), col("nrm").as("na")), "v1")
-      .join(withNorm.select(col("vec_id").as("v2"), col("v").as("vb"), col("nrm").as("nb")), "v2")
+      .join(vectors.select(col("vec_id").as("v1"), col("v").as("va")), "v1")
+      .join(vectors.select(col("vec_id").as("v2"), col("v").as("vb")), "v2")
       .select(col("v1"), col("v2"), cos.as("cosine"))
       .filter(col("cosine") >= threshold)
   }
@@ -197,34 +194,62 @@ object Similarity {
     cents
   }
 
+  /** The k-row centroid frame collected to ascending-cluster-id driver
+    * rows — the plan-literal/closure payload both assignment forms carry
+    * (k·dim doubles; the frames are already checkpointed by the fit
+    * loop, so this reads stored rows, never a corpus scan). */
+  private def collectCents(cents: DataFrame): Array[(Int, Seq[Double])] = {
+    val rows = cents.select(col("cluster").cast("int"), col("c")).collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1)))
+      .sortBy(_._1)
+    require(rows.nonEmpty, "assignClusters needs at least one centroid")
+    rows
+  }
+
   /** The assign half of the fit/assign split: label every vector with its
     * max-cosine centroid (6-dp rounded, ties to the lower cluster id —
     * identical to the training loop's rule). Returns (vec_id, v, cluster).
     *
     * SHUFFLE-FREE: the centroid frame is k rows of k·dim doubles (already
-    * materialized by the fit loop's checkpoints), so it collapses to a
-    * plan literal — an array of (cluster, c, ‖c‖) structs in ascending
-    * cluster order — and the argmax is a pure projection: one `transform`
-    * scoring every centroid, one `aggregate` fold keeping the best. The
-    * corpus is scanned exactly once with NO Exchange and NO join node at
-    * all; the earlier crossJoin(broadcast)+window form re-shuffled n×k
-    * exploded rows (each carrying both the document vector and a centroid
-    * array) just to run the per-vector argmax — a scale-killer at
-    * SemDeDup-sized k. The fold uses strict `>` over ascending cluster
-    * ids, which is exactly the window's (ccos desc, cluster asc) first
-    * row; ‖c‖ is folded left-to-right in the driver with the same
-    * `acc + x·x` sequence the SQL aggregate used, so the 6-dp rounded
-    * cosines are bit-identical to the joined form and the DuckDB oracle.
+    * materialized by the fit loop's checkpoints), so it collapses into
+    * the [[graft.functions.CosineArgmax]] expression — one tight
+    * primitive k·dim loop per vector — and the argmax is a pure
+    * projection. The corpus is scanned exactly once with NO Exchange and
+    * NO join node at all; the earlier crossJoin(broadcast)+window form
+    * re-shuffled n×k exploded rows (each carrying both the document
+    * vector and a centroid array) just to run the per-vector argmax — a
+    * scale-killer at SemDeDup-sized k. Strict `>` over ascending cluster
+    * ids is exactly the window's (ccos desc, cluster asc) first row;
+    * [[assignClustersHof]] is the same argmax as a portable column
+    * expression, spec-pinned identical and bench-compared.
     */
-  def assignClusters(vectors: DataFrame, cents: DataFrame): DataFrame = {
-    val centRows = cents.select(col("cluster").cast("int"), col("c")).collect()
-      .map(r => (r.getInt(0), r.getSeq[Double](1)))
-      .sortBy(_._1)
-    require(centRows.nonEmpty, "assignClusters needs at least one centroid")
+  def assignClusters(vectors: DataFrame, cents: DataFrame): DataFrame =
+    assignClusters(vectors, collectCents(cents))
+
+  private[graft] def assignClusters(vectors: DataFrame,
+                                    centRows: Array[(Int, Seq[Double])]): DataFrame =
+    vectors.select(col("vec_id"), col("v"),
+      graft.functions.CosineArgmax.cosine_argmax(col("v"),
+        centRows.map(_._1), centRows.map(_._2.toArray)).as("cluster"))
+
+  /** [[assignClusters]] as a portable column-expression projection — the
+    * centroids ride as an array-of-structs literal, one `transform`
+    * scores every centroid (6-dp rounded cosine), one `aggregate` fold
+    * keeps the first strict maximum. Same shuffle-free plan shape and
+    * bit-identical labels (‖c‖ folds left-to-right in the driver with
+    * the same `acc + x·x` sequence the SQL aggregate would use); it pays
+    * interpreted higher-order-function dispatch per centroid per row,
+    * which is what the native expression exists to remove — the bench
+    * publishes both rates. */
+  def assignClustersHof(vectors: DataFrame, cents: DataFrame): DataFrame =
+    assignClustersHof(vectors, collectCents(cents))
+
+  private[graft] def assignClustersHof(vectors: DataFrame,
+                                       centRows: Array[(Int, Seq[Double])]): DataFrame = {
     val centLit = array(centRows.map { case (id, c) =>
       val nc = math.sqrt(c.foldLeft(0.0)((acc, x) => acc + x * x))
       struct(lit(id).as("cluster"), typedLit(c).as("c"), lit(nc).as("nc"))
-    }: _*)
+    }.toIndexedSeq: _*)
     vectors
       .withColumn("__cents", centLit)
       .withColumn("__nv", expr("sqrt(aggregate(v, 0D, (acc, x) -> acc + x * x))"))
@@ -267,9 +292,7 @@ object Similarity {
     // probe -> nprobe nearest centroids (broadcast: k centroids, tiny)
     val probeCent = probes.crossJoin(broadcast(cents))
       .select(col("probe_id"), col("p"), col("cluster"),
-        round(expr("aggregate(zip_with(c, p, (x, y) -> x * y), 0D, (acc, z) -> acc + z)") /
-          (expr("sqrt(aggregate(c, 0D, (acc, x) -> acc + x * x))") *
-            expr("sqrt(aggregate(p, 0D, (acc, x) -> acc + x * x))")), 6).as("ccos"))
+        round(graft.functions.CosineSim.cosine_sim(col("c"), col("p")), 6).as("ccos"))
     val wc = Window.partitionBy(col("probe_id")).orderBy(col("ccos").desc, col("cluster").asc)
     val routed = probeCent.withColumn("crank", row_number().over(wc))
       .filter(col("crank") <= nprobe)

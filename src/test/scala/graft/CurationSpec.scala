@@ -382,6 +382,38 @@ class CurationSpec extends SparkTestBase {
       "training rounds must not add corpus scans to the assignment plan")
   }
 
+  test("native CosineArgmax ≡ the portable HOF argmax (ties, zero vector, many centroids)") {
+    import spark.implicits._
+    import graft.operators.Similarity
+    // 31 centroids (non-contiguous ids must be honored), 300 vectors
+    // spread around the circle — many repeated directions, so exact ties
+    // between vectors sharing a direction must go the same way on both
+    // paths (first strict maximum in ascending cluster order)
+    val cents = (0 until 31)
+      .map(c => (c * 2, Seq(math.cos(c / 31.0 * math.Pi), math.sin(c / 31.0 * math.Pi))))
+      .toDF("cluster", "c")
+    val vecs = (0L until 300L)
+      .map(i => (i, Seq(math.cos(i % 97 / 97.0 * math.Pi), math.sin(i % 97 / 97.0 * math.Pi))))
+      .toDF("vec_id", "v")
+    val native = Similarity.assignClusters(vecs, cents)
+      .select($"vec_id", $"cluster").as[(Long, Int)].collect().toMap
+    val hof = Similarity.assignClustersHof(vecs, cents)
+      .select($"vec_id", $"cluster").as[(Long, Int)].collect().toMap
+    assert(native == hof, "native and HOF argmax diverged")
+    // out-of-contract zero-norm vector: the HOF/SQL form raises ANSI
+    // DIVIDE_BY_ZERO; the native expression degrades to the no-match
+    // label instead of killing the stage
+    val zero = Similarity
+      .assignClusters(Seq((900L, Seq(0.0, 0.0))).toDF("vec_id", "v"), cents)
+      .select($"cluster").as[Int].head()
+    assert(zero == -1, "a zero-norm vector must match no centroid")
+    // and the native path's plan is still a pure projection
+    val p = Similarity.assignClusters(vecs, cents)
+      .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert(!p.linesIterator.exists(_.matches("\\(\\d+\\) Exchange.*")) && !p.contains("Join"),
+      s"native assignment must stay shuffle- and join-free:\n$p")
+  }
+
   test("salted two-phase top-k ≡ a single per-probe ranking (candidates ≫ k)") {
     import spark.implicits._
     import graft.operators.Similarity

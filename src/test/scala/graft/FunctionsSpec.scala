@@ -177,4 +177,37 @@ class FunctionsSpec extends SparkTestBase {
       s"fast path diverged: md5=$md5Pairs xxh=$fastPairs")
     sh.unpersist()
   }
+
+  test("cosine_sim matches the HOF zip_with/aggregate formulation bit for bit") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // irrational-ish components so any fold-order difference would show
+    // in the low bits; compared UNROUNDED via exact double equality
+    val rows = (0L until 200L).map { i =>
+      val v = Seq.tabulate(16)(j => math.sin(i * 16 + j + 1.0) * math.sqrt(j + 2.0))
+      val p = Seq.tabulate(16)(j => math.cos(i * 7 + j + 1.0) / math.sqrt(j + 3.0))
+      (i, v, p)
+    }.toDF("id", "v", "p")
+    val hof =
+      expr("aggregate(zip_with(v, p, (x, y) -> x * y), 0D, (acc, z) -> acc + z)") /
+        (expr("sqrt(aggregate(v, 0D, (acc, x) -> acc + x * x))") *
+          expr("sqrt(aggregate(p, 0D, (acc, x) -> acc + x * x))"))
+    val both = rows.select($"id",
+      graft.functions.CosineSim.cosine_sim($"v", $"p").as("fast"), hof.as("ref"))
+      .as[(Long, Double, Double)].collect()
+    both.foreach { case (id, fast, ref) =>
+      assert(fast == ref, s"row $id: native $fast != HOF $ref")
+    }
+    // null parity: a null element or mismatched lengths null the result,
+    // exactly like the zip_with form
+    val edge = Seq(
+      (1L, Seq[java.lang.Double](1.0, null), Seq[java.lang.Double](1.0, 2.0)),
+      (2L, Seq[java.lang.Double](1.0, 2.0, 3.0), Seq[java.lang.Double](1.0, 2.0)))
+      .toDF("id", "v", "p")
+    val got = edge.select(
+      graft.functions.CosineSim.cosine_sim($"v".cast("array<double>"),
+        $"p".cast("array<double>")).as("c"))
+      .collect().map(r => r.isNullAt(0))
+    assert(got.forall(identity), "null element / length mismatch must yield null")
+  }
 }

@@ -286,6 +286,71 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming exact dedup admits first occurrences; within-watermark replays drop") {
+    import spark.implicits._
+    import graft.streaming.StreamingDedup
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    def t(sec: Long) = new Timestamp(sec * 1000)
+    val input = MemoryStream[StreamingDedup.Doc]
+    val out = StreamingDedup.dedupWithinWatermark(input.toDF(), delay = "2 seconds")
+    val q = out.writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try {
+      // one replay inside the batch, one fresh doc
+      input.addData(
+        StreamingDedup.Doc(1L, t(10), "aaa bbb"),
+        StreamingDedup.Doc(2L, t(11), "ccc ddd"),
+        StreamingDedup.Doc(3L, t(12), "aaa bbb"))
+      q.processAllAvailable()
+      val first = spark.table("dedup_out").select($"doc_id").as[Long].collect().toSet
+      assert(first == Set(1L, 2L), s"got $first")
+      // a cross-batch replay inside the horizon still drops
+      input.addData(StreamingDedup.Doc(4L, t(13), "ccc ddd"),
+        StreamingDedup.Doc(5L, t(14), "eee"))
+      q.processAllAvailable()
+      val second = spark.table("dedup_out").select($"doc_id").as[Long].collect().toSet
+      assert(second == Set(1L, 2L, 5L), s"got $second")
+    } finally q.stop()
+  }
+
+  test("streaming counting dedup emits first-seen doc + replay count at horizon end") {
+    import spark.implicits._
+    import graft.streaming.StreamingDedup
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    def t(sec: Long) = new Timestamp(sec * 1000)
+    val input = MemoryStream[StreamingDedup.Doc]
+    val out = StreamingDedup.dedupCounting(input.toDS(), delay = "2 seconds")
+    val q = out.writeStream.format("memory").queryName("dedup_count_out")
+      .outputMode("append").start()
+    try {
+      // doc 1 replayed twice (in-batch and cross-batch); doc 2 unique
+      input.addData(
+        StreamingDedup.Doc(1L, t(10), "aaa bbb"),
+        StreamingDedup.Doc(2L, t(11), "ccc ddd"),
+        StreamingDedup.Doc(3L, t(12), "aaa bbb"))
+      q.processAllAvailable()
+      input.addData(StreamingDedup.Doc(4L, t(13), "aaa bbb"))
+      q.processAllAvailable()
+      // watermark is now 11 s: past doc 1's first-seen (10 s) — its
+      // horizon closed WITH the cross-batch replay already counted —
+      // but not past doc 2's (11 s), whose horizon stays open
+      val mid = spark.table("dedup_count_out").as[StreamingDedup.AdmittedDoc]
+        .collect().map(_.doc_id).toSet
+      assert(mid == Set(1L), s"got $mid")
+      // far-future doc advances the watermark past both horizons
+      input.addData(StreamingDedup.Doc(9L, t(100), "zzz"))
+      q.processAllAvailable()
+      input.addData(StreamingDedup.Doc(10L, t(101), "yyy"))
+      q.processAllAvailable()
+      val got = spark.table("dedup_count_out").as[StreamingDedup.AdmittedDoc]
+        .collect().map(a => a.doc_id -> ((a.first_ts.getTime, a.n_replays))).toMap
+      assert(got(1L) == ((10000L, 2L)), s"got $got")   // docs 3 and 4 were replays
+      assert(got(2L) == ((11000L, 0L)), s"got $got")
+    } finally q.stop()
+  }
+
   test("payload diff surfaces changed fields on update messages") {
     import spark.implicits._
     val reg = new SchemaRegistry
