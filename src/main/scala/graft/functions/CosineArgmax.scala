@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftBridge
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 
@@ -36,7 +36,7 @@ import org.apache.spark.sql.types._
 case class CosineArgmax(child: Expression,
                         clusterIds: Array[Int],
                         cents: Array[Array[Double]])
-  extends UnaryExpression with CodegenFallback {
+  extends UnaryExpression {
 
   require(cents.nonEmpty && clusterIds.length == cents.length,
     "one cluster id per centroid, at least one centroid")
@@ -61,8 +61,23 @@ case class CosineArgmax(child: Expression,
     math.sqrt(a)
   }
 
-  override def nullSafeEval(input: Any): Any = {
-    val v = input.asInstanceOf[ArrayData]
+  override def nullSafeEval(input: Any): Any =
+    java.lang.Integer.valueOf(compute(input.asInstanceOf[ArrayData]))
+
+  // Whole-stage codegen: the centroid arrays live on this expression
+  // object, so the generated code carries one object reference and calls
+  // the same primitive loop the interpreted path runs — one virtual call
+  // per row amortized over the k·dim multiply-adds inside (vs
+  // CodegenFallback's per-row InternalRow materialization + boxed
+  // expression-tree eval).
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("cosineArgmax", this,
+      classOf[CosineArgmax].getName)
+    nullSafeCodeGen(ctx, ev, v => s"${ev.value} = $ref.compute($v);")
+  }
+
+  /** The fused argmax loop shared by the interpreted and generated paths. */
+  def compute(v: ArrayData): Int = {
     val n = v.numElements()
     var sv = 0.0
     var i = 0
@@ -85,7 +100,7 @@ case class CosineArgmax(child: Expression,
       if (r > best) { best = r; bestC = clusterIds(c) }
       c += 1
     }
-    java.lang.Integer.valueOf(bestC)
+    bestC
   }
 
   override protected def withNewChildInternal(newChild: Expression): CosineArgmax =

@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftBridge
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 
@@ -34,7 +34,7 @@ import org.apache.spark.sql.types._
   * ranking untrusted input).
   */
 case class CosineSim(left: Expression, right: Expression)
-  extends BinaryExpression with CodegenFallback {
+  extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
@@ -48,9 +48,40 @@ case class CosineSim(left: Expression, right: Expression)
         s"cosine_sim expects (array<double>, array<double>), got $other")
     }
 
-  override def nullSafeEval(l: Any, r: Any): Any = {
-    val a = l.asInstanceOf[ArrayData]
-    val b = r.asInstanceOf[ArrayData]
+  override def nullSafeEval(l: Any, r: Any): Any =
+    CosineSim.compute(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+
+  // Whole-stage codegen: one static call into the same fused loop the
+  // interpreted path runs (no expression-tree re-dispatch, no boxing of
+  // the inputs, no InternalRow materialization as CodegenFallback would
+  // do); the boxed Double only exists to carry the null-result cases.
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val res = ctx.freshName("cosRes")
+      s"""
+         |java.lang.Double $res = graft.functions.CosineSim.compute($a, $b);
+         |if ($res == null) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = $res.doubleValue();
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+                                                 newRight: Expression): CosineSim =
+    copy(left = newLeft, right = newRight)
+}
+
+object CosineSim {
+  /** `cosine_sim(a, b)`: dot(a, b) / (‖a‖·‖b‖), unrounded. */
+  def cosine_sim(a: Column, b: Column): Column =
+    GraftBridge.column(CosineSim(GraftBridge.expression(a), GraftBridge.expression(b)))
+
+  /** The fused dot/norm loop shared by the interpreted and generated
+    * paths — null on length mismatch or any null element (zip_with
+    * parity), NaN on zero norms. */
+  def compute(a: ArrayData, b: ArrayData): java.lang.Double = {
     val n = a.numElements()
     if (n != b.numElements()) return null
     var dot = 0.0
@@ -68,14 +99,4 @@ case class CosineSim(left: Expression, right: Expression)
     }
     java.lang.Double.valueOf(dot / (math.sqrt(sa) * math.sqrt(sb)))
   }
-
-  override protected def withNewChildrenInternal(newLeft: Expression,
-                                                 newRight: Expression): CosineSim =
-    copy(left = newLeft, right = newRight)
-}
-
-object CosineSim {
-  /** `cosine_sim(a, b)`: dot(a, b) / (‖a‖·‖b‖), unrounded. */
-  def cosine_sim(a: Column, b: Column): Column =
-    GraftBridge.column(CosineSim(GraftBridge.expression(a), GraftBridge.expression(b)))
 }

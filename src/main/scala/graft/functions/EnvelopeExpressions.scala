@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.avro.generic.GenericRecord
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types._
 
 import graft.core.Envelope
@@ -15,25 +15,37 @@ import graft.schema.AvroConversions
   * per-message writer `schema_id` resolved against the registry
   * (reference: data_pipeline/_avro_payload.py:136-167).
   *
-  * All expressions are deterministic and per-JVM cache-backed (AvroCodec);
-  * CodegenFallback keeps them usable inside whole-stage-codegen'd stages
-  * (the avro codec dominates cost, not the eval dispatch).
+  * All expressions are deterministic and per-JVM cache-backed (AvroCodec).
+  * Each implements `doGenCode` as one reference-object call into the same
+  * method its interpreted path runs: the avro codec itself can't be
+  * codegen'd, but this keeps the CHILD subtree (struct construction,
+  * field extraction — interpreted per row under the old CodegenFallback,
+  * which routes the whole subtree through `eval(row)`) inside whole-stage
+  * codegen, and skips the per-row InternalRow materialization the
+  * fallback needed.
   */
 
 /** Envelope struct → framed transport bytes
   * (reference: envelope.py:73-101 pack; 'a'+base64 ASCII variant). */
 case class PackEnvelope(child: Expression, ascii: Boolean)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   override def dataType: DataType = BinaryType
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "pack_envelope"
 
-  override def nullSafeEval(input: Any): Any = {
+  override def nullSafeEval(input: Any): Any = pack(input.asInstanceOf[InternalRow])
+
+  def pack(row: InternalRow): Array[Byte] = {
     val record = AvroConversions
-      .toAvro(input.asInstanceOf[InternalRow], Envelope.sparkType, envelopeSchema)
+      .toAvro(row, Envelope.sparkType, envelopeSchema)
       .asInstanceOf[GenericRecord]
     val avroBytes = AvroCodec.encode(record, envelopeSchema)
     if (ascii) AvroCodec.frameAscii(avroBytes) else AvroCodec.frameBinary(avroBytes)
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("packEnvelope", this, classOf[PackEnvelope].getName)
+    nullSafeCodeGen(ctx, ev, v => s"${ev.value} = $ref.pack($v);")
   }
 
   @transient private lazy val envelopeSchema = AvroCodec.parse(Envelope.avroSchemaJson)
@@ -45,15 +57,22 @@ case class PackEnvelope(child: Expression, ascii: Boolean)
 /** Framed transport bytes → envelope struct; auto-detects binary vs ASCII
   * transport from the magic byte (reference: envelope.py:103-121). */
 case class UnpackEnvelope(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   override def dataType: DataType = Envelope.sparkType
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "unpack_envelope"
 
-  override def nullSafeEval(input: Any): Any = {
-    val avroBytes = AvroCodec.unframe(input.asInstanceOf[Array[Byte]])
+  override def nullSafeEval(input: Any): Any = unpack(input.asInstanceOf[Array[Byte]])
+
+  def unpack(framed: Array[Byte]): InternalRow = {
+    val avroBytes = AvroCodec.unframe(framed)
     val record = AvroCodec.decode(avroBytes, envelopeSchema, envelopeSchema)
-    AvroConversions.toCatalyst(record, envelopeSchema)
+    AvroConversions.toCatalyst(record, envelopeSchema).asInstanceOf[InternalRow]
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("unpackEnvelope", this, classOf[UnpackEnvelope].getName)
+    nullSafeCodeGen(ctx, ev, v => s"${ev.value} = $ref.unpack($v);")
   }
 
   @transient private lazy val envelopeSchema = AvroCodec.parse(Envelope.avroSchemaJson)
@@ -65,7 +84,7 @@ case class UnpackEnvelope(child: Expression)
 /** Payload struct → Avro bytes under a fixed writer schema
   * (reference: _avro_payload.py:144-149 encode side). */
 case class EncodePayload(child: Expression, schemaJson: String)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   override def dataType: DataType = BinaryType
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "encode_payload"
@@ -77,11 +96,18 @@ case class EncodePayload(child: Expression, schemaJson: String)
         s"encode_payload expects a struct column, got $other")
     }
 
-  override def nullSafeEval(input: Any): Any = {
+  override def nullSafeEval(input: Any): Any = encode(input.asInstanceOf[InternalRow])
+
+  def encode(row: InternalRow): Array[Byte] = {
     val record = AvroConversions
-      .toAvro(input.asInstanceOf[InternalRow], child.dataType.asInstanceOf[StructType], schema)
+      .toAvro(row, child.dataType.asInstanceOf[StructType], schema)
       .asInstanceOf[GenericRecord]
     AvroCodec.encode(record, schema)
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("encodePayload", this, classOf[EncodePayload].getName)
+    nullSafeCodeGen(ctx, ev, v => s"${ev.value} = $ref.encode($v);")
   }
 
   @transient private lazy val schema = AvroCodec.parse(schemaJson)
@@ -106,7 +132,7 @@ case class DecodePayload(
     schemaId: Expression,
     registrySnapshot: Map[Int, String],
     readerSchemaId: Int)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
 
   override def left: Expression = payload
   override def right: Expression = schemaId
@@ -119,14 +145,32 @@ case class DecodePayload(
   override val dataType: DataType =
     AvroConversions.toStructType(AvroCodec.parse(readerJson))
 
-  override def nullSafeEval(payloadBytes: Any, writerId: Any): Any = {
-    val writerSchema = writerSchemaById.get(writerId.asInstanceOf[Int]).orNull
+  override def nullSafeEval(payloadBytes: Any, writerId: Any): Any =
+    decode(payloadBytes.asInstanceOf[Array[Byte]], writerId.asInstanceOf[Int])
+
+  // returns null for unknown writer ids — the dead-letter contract
+  def decode(payloadBytes: Array[Byte], writerId: Int): InternalRow = {
+    val writerSchema = writerSchemaById.get(writerId).orNull
     if (writerSchema == null) null
     else {
-      val record = AvroCodec.decode(
-        payloadBytes.asInstanceOf[Array[Byte]], writerSchema, readerSchema)
-      AvroConversions.toCatalyst(record, readerSchema)
+      val record = AvroCodec.decode(payloadBytes, writerSchema, readerSchema)
+      AvroConversions.toCatalyst(record, readerSchema).asInstanceOf[InternalRow]
     }
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("decodePayload", this, classOf[DecodePayload].getName)
+    nullSafeCodeGen(ctx, ev, (p, id) => {
+      val res = ctx.freshName("decoded")
+      s"""
+         |org.apache.spark.sql.catalyst.InternalRow $res = $ref.decode($p, $id);
+         |if ($res == null) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = $res;
+         |}
+       """.stripMargin
+    })
   }
 
   @transient private lazy val readerSchema = AvroCodec.parse(readerJson)

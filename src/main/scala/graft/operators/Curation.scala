@@ -68,6 +68,42 @@ object Curation {
     u < rate * (1L << 24)
   }
 
+  /** Weighted sampling WITHOUT replacement (Efraimidis & Spirakis 2006,
+    * "Weighted random sampling with a reservoir"): each row draws
+    * key = u^(1/w) with u uniform in (0, 1], and the k largest keys form
+    * an exact weighted sample — inclusion probability proportional to
+    * weight, no sequential reservoir state.
+    *
+    * The draw is the same engine-portable md5 uniform as [[sampleKeep]]
+    * ((first 6 hex digits + 1) / 16^6 ∈ (0, 1], so mixtures reproduce
+    * byte for byte across engines and reruns), and the k-largest cut is
+    * the salted two-phase top-k: phase 1 ranks inside hash-salt buckets
+    * (parallel — this is what makes the cut work on a 100 TB corpus where
+    * a single ORDER BY key DESC LIMIT k would sort everything in one
+    * task), phase 2 ranks the ≤ k·nSalts survivors. Rows with
+    * non-positive weight are excluded (E-S is undefined there).
+    *
+    * Returns (idCol, weightCol, draw = key rounded 6 dp, rank ≤ k) —
+    * ranking uses the UNROUNDED key, ties break on the id.
+    */
+  def weightedSample(docs: DataFrame, idCol: String, weightCol: String,
+                     k: Int, salt: String, nSalts: Int = 32): DataFrame = {
+    val u = (md5Draw(salt, col(idCol).cast("string")) + lit(1L)).cast("double") /
+      lit((1L << 24).toDouble)
+    val keyed = docs
+      .filter(col(weightCol) > 0)
+      .select(col(idCol), col(weightCol),
+        pow(u, lit(1.0) / col(weightCol).cast("double")).as("__key"))
+    val w1 = Window
+      .partitionBy(pmod(xxhash64(col(idCol)), lit(nSalts.toLong)))
+      .orderBy(col("__key").desc, col(idCol).asc)
+    val w2 = Window.orderBy(col("__key").desc, col(idCol).asc)
+    keyed
+      .withColumn("__brank", row_number().over(w1)).filter(col("__brank") <= k)
+      .withColumn("rank", row_number().over(w2)).filter(col("rank") <= k)
+      .select(col(idCol), col(weightCol), round(col("__key"), 6).as("draw"), col("rank"))
+  }
+
   /** Contiguous token-budget packing: within each stratum, rows ordered by
     * `orderCol` are assigned batch_id = starting_token_offset div budget —
     * the deterministic "greedy fill, spill overflow" packing used to build

@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Corpus-frequency heavy hitters — "what are the most frequent
+  * tokens / n-grams?", the vocabulary-building and boilerplate-mining
+  * primitive a curation pipeline runs constantly.
+  *
+  * Delegates to Spark 4's builtin `approx_top_k` (a DataSketches
+  * frequent-items sketch): each task folds its rows into a
+  * fixed-capacity sketch (map-side partial aggregation — the corpus
+  * never shuffles, only sketch blobs do, one per partition), and merged
+  * sketches bound every reported count within n/capacity of truth. That
+  * replaces the exact formulation's full (gram → count) shuffle — at
+  * 100 TB the distinct-gram set is billions of rows, the sketch is a
+  * fixed few MB regardless — the same compose-don't-rebuild call as
+  * `approx_percentile` in `lengthQuantilesApprox`.
+  *
+  * In the EXACT regime (distinct items ≤ sketch capacity — the oracle
+  * fixture: 16.5 k distinct trigrams under a 65 536 cap) the sketch
+  * never purges, every count is exact, and a count-threshold cut is
+  * deterministic — the t_top_tokens oracle gates that path against
+  * DuckDB's exact GROUP BY. Beyond capacity the ε = n/capacity bound
+  * applies (spec-gated: a planted hitter must survive a tiny-capacity
+  * purge with its count within ε·n).
+  */
+object Frequency {
+
+  /** Word n-grams with exact-regime count ≥ `minCount`, most frequent
+    * first (ties on the gram text). `k` bounds the sketch report size —
+    * pick it above the expected qualifier count; `maxTracked` is the
+    * sketch capacity. n = 1 is plain tokens. */
+  def topGrams(docs: DataFrame, textCol: String, n: Int, k: Int,
+               maxTracked: Int, minCount: Long): DataFrame = {
+    val grams = ngrams(docs, textCol, n)
+    grams
+      .agg(expr(s"approx_top_k(g, $k, $maxTracked)").as("tk"))
+      .select(explode(col("tk")).as("e"))
+      .select(col("e.item").as("gram"), col("e.count").as("cnt"))
+      .filter(col("cnt") >= minCount)
+      .orderBy(col("cnt").desc, col("gram").asc)
+  }
+
+  /** One row per word n-gram occurrence (column `g`); the same
+    * whitespace split + space join as `Dedup.wordShingles`, kept
+    * duplicated occurrences (frequency counting wants multiplicity,
+    * shingling wants the distinct set). */
+  private[graft] def ngrams(docs: DataFrame, textCol: String, n: Int): DataFrame = {
+    require(n >= 1, "n-gram size must be at least 1")
+    val ws = split(trim(col(textCol)), "\\s+")
+    if (n == 1)
+      docs.select(explode(ws).as("g")).filter(length(col("g")) > 0)
+    else
+      docs.select(ws.as("ws"))
+        .filter(size(col("ws")) >= n)
+        .select(explode(expr(
+          s"transform(sequence(0, size(ws) - $n), i -> " +
+            (0 until n).map(j => s"element_at(ws, i + ${j + 1})")
+              .mkString("concat_ws(' ', ", ", ", ")") + ")")).as("g"))
+  }
+}

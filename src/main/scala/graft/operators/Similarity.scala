@@ -39,17 +39,8 @@ object Similarity {
     * phase 2 ranks the ≤ k×nSalts survivors per probe. Identical results:
     * the global top-k is contained in the union of per-bucket top-ks, and
     * both phases order by (cosine desc, vec_id). */
-  private def topKPerProbe(scored: DataFrame, k: Int, nSalts: Int = 32): DataFrame = {
-    val w1 = Window
-      .partitionBy(col("probe_id"), pmod(xxhash64(col("vec_id")), lit(nSalts.toLong)))
-      .orderBy(col("cosine").desc, col("vec_id").asc)
-    val w2 = Window.partitionBy(col("probe_id"))
-      .orderBy(col("cosine").desc, col("vec_id").asc)
-    scored
-      .withColumn("__brank", row_number().over(w1)).filter(col("__brank") <= k)
-      .withColumn("rank", row_number().over(w2)).filter(col("rank") <= k)
-      .drop("__brank")
-  }
+  private def topKPerProbe(scored: DataFrame, k: Int, nSalts: Int = 32): DataFrame =
+    topKPerProbeBy(scored, k, col("cosine").desc, nSalts)
 
   /** Exact top-k neighbors per probe. `vectors`: (vec_id, v:array<double>);
     * `probes`: (probe_id, p:array<double>). */
@@ -303,6 +294,145 @@ object Similarity {
       .filter(col("vec_id") =!= col("probe_id"))
       .select(col("probe_id"), col("vec_id"), round(cosineExpr, roundTo).as("cosine"))
     topKPerProbe(scored, k)
+  }
+
+  /** Product-quantization codebooks (Jégou et al. 2011, "Product
+    * quantization for nearest neighbor search" §II): the vector space is
+    * cut into `m` subspaces of `subDim` dims; each subspace gets its own
+    * deterministic Lloyd k-means with `ksub` centroids over the SAMPLE's
+    * sub-vectors — initial centroids are the `ksub` lowest-id sample
+    * slices (cluster j = rank j), each round assigns every sample vector
+    * to its min-squared-L2 centroid (distances rounded to 6 dp, ties to
+    * the lower cluster id — the [[graft.functions.L2Argmin]] contract)
+    * and recomputes elementwise means rounded to 6 dp. No RNG, so an SQL
+    * oracle replays the training step for step.
+    *
+    * Scale shape: training touches ONLY the sample (m·iters scans of it);
+    * per-round assignment is the same shuffle-free native-argmin
+    * projection the full-corpus encode uses, reading each subspace's dims
+    * in place (no slice materialization). Codebooks total m·ksub·subDim
+    * doubles — driver-sized at any corpus scale.
+    *
+    * Returns (sub, cluster, c: array<double> of subDim) — `ksub` rows per
+    * subspace (fewer if a cluster empties, which both engines drop
+    * identically).
+    */
+  def pqFit(sample: DataFrame, m: Int, subDim: Int, ksub: Int, iters: Int): DataFrame = {
+    require(iters >= 1, "PQ training needs at least one assignment round")
+    val spark = sample.sparkSession
+    import spark.implicits._
+    // the sample is scanned m·iters times — pin it once
+    val pinned = sample.select(col("vec_id"), col("v")).localCheckpoint()
+    val perSub = (0 until m).map { j =>
+      val off = j * subDim
+      val sv = expr(s"slice(v, ${off + 1}, $subDim)")
+      var cents: Array[(Int, Seq[Double])] = pinned
+        .orderBy(col("vec_id")).limit(ksub)
+        .select(sv.as("c")).collect().zipWithIndex
+        .map { case (r, i) => (i, r.getSeq[Double](0)) }
+      for (_ <- 1 until iters) {
+        cents = pinned
+          .select(sv.as("sv"),
+            graft.functions.L2Argmin.l2_argmin(col("v"),
+              cents.map(_._1), cents.map(_._2.toArray), off).as("cluster"))
+          .select(col("cluster"), posexplode(col("sv")).as(Seq("dim", "x")))
+          .groupBy(col("cluster"), col("dim"))
+          .agg(round(avg(col("x")), 6).as("mn"))
+          .groupBy(col("cluster"))
+          .agg(array_sort(collect_list(struct(col("dim"), col("mn")))).as("pairs"))
+          .select(col("cluster").cast("int"), expr("transform(pairs, q -> q.mn)").as("c"))
+          .collect().map(r => (r.getInt(0), r.getSeq[Double](1))).sortBy(_._1)
+      }
+      (j, cents)
+    }
+    perSub.flatMap { case (j, cs) => cs.map { case (cid, c) => (j, cid, c) } }
+      .toDF("sub", "cluster", "c")
+  }
+
+  /** (sub → ascending-cluster codebook rows) from a [[pqFit]] frame. */
+  private def collectCodebooks(codebooks: DataFrame): Map[Int, Array[(Int, Seq[Double])]] =
+    codebooks.select(col("sub").cast("int"), col("cluster").cast("int"), col("c"))
+      .collect()
+      .map(r => (r.getInt(0), (r.getInt(1), r.getSeq[Double](2))))
+      .groupBy(_._1).map { case (s, rows) => s -> rows.map(_._2).sortBy(_._1) }
+
+  /** PQ encode: every vector compressed to `m` small codes — the 100 TB
+    * ANN storage path (m·log2(ksub) bits per vector instead of dim
+    * doubles; at m=4, ksub=8 a 64-dim embedding stores in 4 ints vs 512
+    * bytes). One shuffle-free projection: each subspace's
+    * [[graft.functions.L2Argmin]] reads its dims in place from `v`, the
+    * codebooks ride on the expressions (m·ksub·subDim doubles).
+    * Returns (vec_id, codes: array<int>, ordered by subspace).
+    */
+  def pqEncode(vectors: DataFrame, codebooks: DataFrame, m: Int, subDim: Int): DataFrame = {
+    val cbs = collectCodebooks(codebooks)
+    require((0 until m).forall(cbs.contains), s"codebooks must cover subspaces 0 until $m")
+    val codeCols = (0 until m).map { j =>
+      val cs = cbs(j)
+      graft.functions.L2Argmin.l2_argmin(col("v"),
+        cs.map(_._1), cs.map(_._2.toArray), j * subDim)
+    }
+    vectors.select(col("vec_id"), array(codeCols: _*).as("codes"))
+  }
+
+  /** PQ search with asymmetric distance computation (ADC, Jégou §III):
+    * per probe, a distance table d[sub][cluster] = 6-dp-rounded squared
+    * L2 between the probe's sub-vector and each codebook centroid
+    * (m·ksub doubles — computed once per probe, broadcast with it); a
+    * candidate's approximate distance is the sum of its m table lookups —
+    * m element_at's per (probe, vector) pair instead of dim multiply-adds,
+    * and the corpus side carries only (vec_id, codes), never vectors.
+    * Ranking uses the salted two-phase top-k (ascending distance, ties to
+    * the lower vec_id). The final sum re-rounds to 6 dp so both engines
+    * recover the identical decimal (each term is a 6-dp multiple; the sum
+    * is mathematically a 6-dp multiple, so rounding absorbs
+    * summation-order noise).
+    *
+    * Returns (probe_id, vec_id, adist, rank ≤ k).
+    */
+  def pqTopK(encoded: DataFrame, probes: DataFrame, codebooks: DataFrame,
+             k: Int, m: Int, subDim: Int): DataFrame = {
+    val cbs = collectCodebooks(codebooks)
+    require((0 until m).forall(cbs.contains), s"codebooks must cover subspaces 0 until $m")
+    // per-probe distance table: array(sub)(pos) of rounded squared L2
+    val tblCol = array((0 until m).map { j =>
+      array(cbs(j).map { case (_, cvec) =>
+        val d2 = cvec.indices.map { i =>
+          val diff = element_at(col("p"), j * subDim + i + 1) - lit(cvec(i))
+          diff * diff
+        }.reduce(_ + _)
+        round(d2, 6)
+      }.toIndexedSeq: _*)
+    }.toIndexedSeq: _*)
+    // code -> table position (1-based); by construction positions follow
+    // ascending cluster id, so a code always resolves unless its cluster
+    // emptied out of the codebook (then the candidate drops, documented)
+    val idsLit = (0 until m).map(j => typedLit(cbs(j).map(_._1).toSeq))
+    val withTbl = broadcast(probes.select(col("probe_id"), col("p"), tblCol.as("__tbl")))
+    val adist = round((0 until m).map { j =>
+      val pos = array_position(idsLit(j), element_at(col("codes"), j + 1))
+      element_at(element_at(col("__tbl"), j + 1), when(pos > 0, pos.cast("int")))
+    }.reduce(_ + _), 6)
+    val scored = encoded.crossJoin(withTbl)
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id"), adist.as("adist"))
+      .filter(col("adist").isNotNull)
+    topKPerProbeBy(scored, k, col("adist").asc)
+  }
+
+  /** The [[topKPerProbe]] two-phase salted pattern under an arbitrary
+    * primary ordering (ties always break on ascending vec_id). */
+  private def topKPerProbeBy(scored: DataFrame, k: Int, primary: Column,
+                             nSalts: Int = 32): DataFrame = {
+    val w1 = Window
+      .partitionBy(col("probe_id"), pmod(xxhash64(col("vec_id")), lit(nSalts.toLong)))
+      .orderBy(primary, col("vec_id").asc)
+    val w2 = Window.partitionBy(col("probe_id"))
+      .orderBy(primary, col("vec_id").asc)
+    scored
+      .withColumn("__brank", row_number().over(w1)).filter(col("__brank") <= k)
+      .withColumn("rank", row_number().over(w2)).filter(col("rank") <= k)
+      .drop("__brank")
   }
 
   /** SemDeDup-style semantic dedup (Abbas et al. 2023): cluster the

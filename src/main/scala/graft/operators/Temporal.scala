@@ -69,4 +69,41 @@ object Temporal {
       payloadCols.map(c => col("__m").getField(c).as(c))
     matched.select(out: _*)
   }
+
+  /** Bucketized range (interval) join: every `left` row whose `tsCol`
+    * falls inside a `right` interval `[startCol, endCol)` with matching
+    * `eqKeys` — "events during an incident window", "reads overlapping a
+    * compaction", the time-containment join Spark has no native operator
+    * for.
+    *
+    * The naive encodings fail at scale the same way as-of's do: a non-equi
+    * `l.ts BETWEEN r.start AND r.end` join plans as a nested-loop over
+    * every key group (quadratic on hot keys), and broadcasting only works
+    * while one side fits in memory. Here both sides map to time buckets of
+    * `bucketMs`: an interval explodes to the buckets it covers (bounded by
+    * its length / bucketMs + 1 — size the bucket near the TYPICAL interval
+    * length so the fan-out stays O(1)), a point carries exactly one
+    * bucket, and the match becomes a plain equi-join on eqKeys + bucket
+    * followed by the exact range filter. One hash shuffle per side, no
+    * nested loop anywhere, and each qualifying pair appears EXACTLY once
+    * (a point's single bucket meets each covering interval once — no
+    * dedup pass). Hot buckets shard along eqKeys; a key-free call at scale
+    * wants a coarse-enough bucket or a salt on the interval side.
+    *
+    * `tsCol`/`startCol`/`endCol` are epoch-milli longs; output = all left
+    * columns + all right columns (names must not clash apart from
+    * eqKeys).
+    */
+  def rangeJoin(left: DataFrame, tsCol: String, right: DataFrame,
+                startCol: String, endCol: String, eqKeys: Seq[String],
+                bucketMs: Long): DataFrame = {
+    require(bucketMs > 0, "bucketMs must be positive")
+    val ib = right
+      .withColumn("__bucket", explode(sequence(
+        expr(s"$startCol div $bucketMs"), expr(s"($endCol - 1) div $bucketMs"))))
+    val lb = left.withColumn("__bucket", expr(s"$tsCol div $bucketMs"))
+    lb.join(ib, eqKeys :+ "__bucket")
+      .filter(col(tsCol) >= col(startCol) && col(tsCol) < col(endCol))
+      .drop("__bucket")
+  }
 }

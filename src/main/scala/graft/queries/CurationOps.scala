@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.Curation
+import graft.operators.{Curation, Frequency}
 
 /** Corpus-curation query pack: contamination, mixing, packing, profiling,
   * sessionization — the operations that sit between raw dedup and actual
@@ -274,7 +274,32 @@ object CurationOps {
       .orderBy($"doc_id")
   }
 
+  /** Efraimidis–Spirakis weighted sample: 100 docs drawn without
+    * replacement with inclusion odds ∝ token count — the
+    * quality/length-weighted corpus subset draw. The oracle replays the
+    * identical md5 uniform and u^(1/w) key; ranks compare on the
+    * unrounded key so the gate pins the full ordering. */
+  def qWeightedSample(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+      .select($"doc_id",
+        size(split(trim($"text"), "\\s+")).cast("long").as("weight"))
+    Curation.weightedSample(docs, "doc_id", "weight", k = 100, salt = "ws:")
+      .orderBy($"rank")
+  }
+
+  /** Heavy-hitter trigrams via the builtin approx_top_k sketch, gated on
+    * its exact regime: the fixture's ~16.5 k distinct trigrams sit far
+    * under the 65 536 sketch capacity, so every count is exact and the
+    * cnt ≥ 5 cut matches DuckDB's exact GROUP BY row for row. The purge
+    * (approximate) regime is spec-gated instead. */
+  def qTopTokens(spark: SparkSession, dir: String): DataFrame =
+    Frequency.topGrams(Tables.documents(spark, dir), "text", n = 3,
+      k = 1024, maxTracked = 65536, minCount = 5L)
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t_weighted_sample" -> (qWeightedSample _),
+    "t_top_tokens" -> (qTopTokens _),
     "d_contamination" -> (qContamination _),
     "t_stratified_sample" -> (qStratifiedSample _),
     "t_pack_batches" -> (qPackBatches _),
@@ -303,6 +328,35 @@ object CurationOps {
          WHERE len(ws) >= 5)"""
 
   val oracles: Map[String, String] = Map(
+    "t_weighted_sample" ->
+      """WITH w AS (
+           SELECT doc_id,
+                  CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS weight,
+                  list_sum([(strpos('0123456789abcdef',
+                                    substr(md5('ws:' || doc_id), i, 1)) - 1)
+                            * power(16, 6 - i)::BIGINT
+                            for i in range(1, 7)])::BIGINT AS u24
+           FROM documents),
+         keyed AS (
+           SELECT doc_id, weight,
+                  power((u24 + 1) / 16777216.0, 1.0 / weight) AS key
+           FROM w WHERE weight > 0),
+         ranked AS (
+           SELECT doc_id, weight, round(key, 6) AS draw,
+                  row_number() OVER (ORDER BY key DESC, doc_id ASC) AS rank
+           FROM keyed)
+         SELECT doc_id, weight, draw, rank
+         FROM ranked WHERE rank <= 100 ORDER BY rank""",
+    "t_top_tokens" ->
+      """WITH w AS (SELECT string_split_regex(trim(text), '\s+') AS ws
+                    FROM documents),
+         grams AS (
+           SELECT unnest([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                          for i in range(1, len(ws) - 1)]) AS g
+           FROM w WHERE len(ws) >= 3),
+         cnt AS (SELECT g AS gram, count(*) AS cnt FROM grams GROUP BY 1)
+         SELECT gram, cnt FROM cnt WHERE cnt >= 5
+         ORDER BY cnt DESC, gram ASC""",
     "d_contamination" ->
       s"""WITH $gramSql,
           bench AS (SELECT * FROM sh WHERE id % 11 = 0),

@@ -230,6 +230,27 @@ object LlmOps {
       .orderBy($"probe_id", $"rank")
   }
 
+  /** Product-quantization ANN end to end (north-star: ANN at 100 TB
+    * storage scale — vectors compress to m=4 codes): subspace codebooks
+    * trained on the deterministic quarter sample (L2 k-means, 2 rounds,
+    * lowest-id seeds), the full corpus encoded in one shuffle-free
+    * native-argmin projection, then ADC top-3 for probes 0–4. The oracle
+    * replays training, encoding, and the per-probe distance-table sums
+    * step for step. */
+  def qPqTopK(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val vecs = Tables.embeddings(spark, dir)
+      .select($"vec_id", $"embedding".cast("array<double>").as("v")).cache()
+    val cb = graft.operators.Similarity.pqFit(
+      vecs.filter($"vec_id" % 4 === 0), m = 4, subDim = 16, ksub = 8, iters = 2)
+    val enc = graft.operators.Similarity.pqEncode(vecs, cb, m = 4, subDim = 16)
+    val probes = vecs.filter($"vec_id" < 5)
+      .select($"vec_id".as("probe_id"), $"v".as("p"))
+    graft.operators.Similarity.pqTopK(enc, probes, cb, k = 3, m = 4, subDim = 16)
+      .select($"probe_id", $"vec_id", $"adist", $"rank")
+      .orderBy($"probe_id", $"rank")
+  }
+
   /** Language ID via stopword-profile argmax (north-star: language-ID
     * heuristic). Oracle replicates the same profiles + precedence. */
   def qLangId(spark: SparkSession, dir: String): DataFrame = {
@@ -439,6 +460,7 @@ object LlmOps {
     "sim_knn_cosine" -> (qKnnCosine _),
     "sim_ivf_topk" -> (qIvfTopK _),
     "sim_ivf_sample" -> (qIvfSampleTopK _),
+    "sim_pq_topk" -> (qPqTopK _),
     "t_quality_filter" -> (qQualityFilter _),
     "d_semantic_dedup" -> (qSemanticDedup _),
     "d_semantic_sample" -> (qSemanticSample _),
@@ -834,6 +856,57 @@ object LlmOps {
                                       ORDER BY cosine DESC, vec_id ASC) AS rank
             FROM scored)
           SELECT probe_id, vec_id, cosine, rank
+          FROM ranked WHERE rank <= 3
+          ORDER BY probe_id, rank""",
+    "sim_pq_topk" ->
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+          s AS (SELECT * FROM v WHERE vec_id % 4 = 0),
+          seeds AS (SELECT vec_id, e FROM s ORDER BY vec_id LIMIT 8),
+          c0 AS (
+            SELECT t.sub,
+                   row_number() OVER (PARTITION BY t.sub ORDER BY seeds.vec_id) - 1 AS cluster,
+                   [seeds.e[t.sub * 16 + i] for i in range(1, 17)] AS cv
+            FROM seeds, range(0, 4) t(sub)),
+          a1 AS (
+            SELECT sub, vec_id, e, cluster FROM (
+              SELECT c0.sub, s.vec_id, s.e, c0.cluster,
+                     row_number() OVER (PARTITION BY c0.sub, s.vec_id ORDER BY
+                       round(list_sum([(s.e[c0.sub * 16 + i] - c0.cv[i]) *
+                                       (s.e[c0.sub * 16 + i] - c0.cv[i])
+                                       for i in range(1, 17)]), 6) ASC,
+                       c0.cluster ASC) AS rn
+              FROM s, c0) WHERE rn = 1),
+          d1 AS (SELECT sub, cluster, i, round(avg(e[sub * 16 + i]), 6) AS mn
+                 FROM a1, range(1, 17) t(i) GROUP BY 1, 2, 3),
+          c1 AS (SELECT sub, cluster, list(mn ORDER BY i) AS cv
+                 FROM d1 GROUP BY 1, 2),
+          enc AS (
+            SELECT sub, vec_id, cluster AS code FROM (
+              SELECT c1.sub, v.vec_id, c1.cluster,
+                     row_number() OVER (PARTITION BY c1.sub, v.vec_id ORDER BY
+                       round(list_sum([(v.e[c1.sub * 16 + i] - c1.cv[i]) *
+                                       (v.e[c1.sub * 16 + i] - c1.cv[i])
+                                       for i in range(1, 17)]), 6) ASC,
+                       c1.cluster ASC) AS rn
+              FROM v, c1) WHERE rn = 1),
+          probes AS (SELECT vec_id AS pid, e AS p FROM v WHERE vec_id < 5),
+          ptab AS (
+            SELECT pid, sub, cluster,
+                   round(list_sum([(p[sub * 16 + i] - cv[i]) *
+                                   (p[sub * 16 + i] - cv[i])
+                                   for i in range(1, 17)]), 6) AS d
+            FROM probes, c1),
+          approx AS (
+            SELECT t.pid AS probe_id, enc.vec_id, round(sum(t.d), 6) AS adist
+            FROM enc JOIN ptab t ON enc.sub = t.sub AND enc.code = t.cluster
+            WHERE enc.vec_id <> t.pid
+            GROUP BY 1, 2),
+          ranked AS (
+            SELECT probe_id, vec_id, adist,
+                   row_number() OVER (PARTITION BY probe_id
+                                      ORDER BY adist ASC, vec_id ASC) AS rank
+            FROM approx)
+          SELECT probe_id, vec_id, adist, rank
           FROM ranked WHERE rank <= 3
           ORDER BY probe_id, rank""",
     "t_quality_filter" ->

@@ -171,6 +171,30 @@ object RetrievalOps {
       .orderBy($"purchase_id")
   }
 
+  /** Incident-window range join: every event inside the 30-minute window
+    * opened by an error event of the SAME user, aggregated per window —
+    * the time-containment join as a bucketized equi-join (10-minute
+    * buckets, so each window explodes to ≤ 4 bucket rows) instead of the
+    * nested-loop a non-equi join would plan. The oracle runs the direct
+    * range join — bucketization must be invisible in the result. */
+  def qRangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+      .select($"event_id", $"user_id", unix_millis($"ts").as("ms"),
+        floor($"value" * 1000000L).cast("long").as("value_micros"),
+        $"event_type")
+    val windows = ev.filter($"event_type" === "error")
+      .select($"event_id".as("iid"), $"user_id",
+        $"ms".as("t0"), ($"ms" + 1800000L).as("t1"))
+    Temporal.rangeJoin(
+      ev.select($"event_id", $"user_id", $"ms", $"value_micros"), "ms",
+      windows, "t0", "t1", Seq("user_id"), bucketMs = 600000L)
+      .groupBy($"iid")
+      .agg(count(lit(1)).as("n_events"),
+        sum($"value_micros").as("total_value_micros"))
+      .orderBy($"iid")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_bm25_topk" -> (qBm25TopK _),
     "sim_bm25_multi" -> (qBm25Multi _),
@@ -178,7 +202,8 @@ object RetrievalOps {
     "t_bpe_apply" -> (qBpeApply _),
     "t_bpe_train" -> (qBpeTrain _),
     "t_shard_plan" -> (qShardPlan _),
-    "q_asof_join" -> (qAsofJoin _)
+    "q_asof_join" -> (qAsofJoin _),
+    "q_range_join" -> (qRangeJoin _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -315,6 +340,20 @@ object RetrievalOps {
          SELECT purchase_id, user_id, purchase_ms,
                 click_id, click_ms AS click_ms,
                 cvm AS click_value_micros
-         FROM m WHERE rn = 1 ORDER BY purchase_id"""
+         FROM m WHERE rn = 1 ORDER BY purchase_id""",
+    "q_range_join" ->
+      """WITH e AS (
+           SELECT event_id, user_id, epoch_ms(ts) AS ms,
+                  CAST(floor(value * 1000000) AS BIGINT) AS value_micros
+           FROM events),
+         win AS (
+           SELECT event_id AS iid, user_id,
+                  epoch_ms(ts) AS t0, epoch_ms(ts) + 1800000 AS t1
+           FROM events WHERE event_type = 'error')
+         SELECT iid, count(*) AS n_events,
+                CAST(sum(value_micros) AS BIGINT) AS total_value_micros
+         FROM win JOIN e
+           ON e.user_id = win.user_id AND e.ms >= win.t0 AND e.ms < win.t1
+         GROUP BY 1 ORDER BY iid"""
   )
 }

@@ -646,4 +646,105 @@ class CurationSpec extends SparkTestBase {
     // short tail chunk is the word remainder, space-joined
     assert(ch.find(r => r._1 == 3L && r._2 == 0).get._3 == "iota kappa lambda mu")
   }
+
+  // --- product quantization -------------------------------------------
+
+  test("PQ: codebook vectors encode to their own codes; a planted twin is the ADC nearest neighbor") {
+    import spark.implicits._
+    import graft.operators.Similarity
+    // 4-dim vectors, m=2 subspaces of 2 dims, ksub=2. The two lowest-id
+    // training vectors are opposite corners, so BOTH subspaces seed with
+    // distinct centroids ((0,0) and (10,10)) and one refinement round
+    // separates low/high cleanly per subspace.
+    val vecs = Seq(
+      (0L, Seq(0.0, 0.0, 0.0, 0.0)),
+      (1L, Seq(10.0, 10.0, 10.0, 10.0)),
+      (2L, Seq(0.0, 0.0, 10.0, 10.0)),
+      (3L, Seq(10.0, 10.0, 0.0, 0.0)),
+      // a near-twin of vector 1, slightly perturbed
+      (4L, Seq(10.1, 9.9, 10.2, 9.8)),
+      // and one mid-space straggler
+      (5L, Seq(4.0, 6.0, 5.0, 5.0))).toDF("vec_id", "v")
+    val cb = Similarity.pqFit(vecs.filter($"vec_id" < 4), m = 2, subDim = 2,
+      ksub = 2, iters = 2)
+    val enc = Similarity.pqEncode(vecs, cb, m = 2, subDim = 2)
+      .as[(Long, Seq[Int])].collect().toMap
+    // vectors sharing a sub-corner share that subspace's code
+    assert(enc(0L)(0) == enc(2L)(0), "0 and 2 share the low first-half corner")
+    assert(enc(1L)(0) == enc(3L)(0), "1 and 3 share the high first-half corner")
+    assert(enc(0L)(1) == enc(3L)(1), "0 and 3 share the low second-half corner")
+    assert(enc(4L) == enc(1L), "the near-twin must quantize to vector 1's codes")
+    // ADC: probing with vector 1's exact embedding ranks its code-twin 4
+    // first (1 itself is excluded) at distance 0 — the probe sits exactly
+    // on the twin's cell centers, and ADC measures probe→cell, not
+    // probe→twin
+    val probes = Seq((1L, Seq(10.0, 10.0, 10.0, 10.0))).toDF("probe_id", "p")
+    val top = Similarity.pqTopK(
+      Similarity.pqEncode(vecs, cb, m = 2, subDim = 2), probes, cb,
+      k = 3, m = 2, subDim = 2)
+      .orderBy($"rank").as[(Long, Long, Double, Int)].collect()
+    assert(top.head._2 == 4L && top.head._3 == 0.0,
+      s"nearest by ADC must be the code-twin at distance 0: ${top.toSeq}")
+    assert(top.length == 3 && top.map(_._4).toSeq == Seq(1, 2, 3))
+  }
+
+  test("PQ salted ADC top-k ≡ a single per-probe ranking (candidates ≫ k)") {
+    import spark.implicits._
+    import graft.operators.Similarity
+    import org.apache.spark.sql.expressions.Window
+    // 200 8-dim vectors, m=2 × subDim=4, ksub=4: enough candidates that
+    // phase-1 buckets matter; compare against the naive global window
+    val vecs = (0L until 200L)
+      .map(i => (i, Seq.tabulate(8)(j => math.sin(i * 8 + j + 1.0) * 5.0)))
+      .toDF("vec_id", "v")
+    val cb = Similarity.pqFit(vecs.filter($"vec_id" % 3 === 0), m = 2,
+      subDim = 4, ksub = 4, iters = 2)
+    val enc = Similarity.pqEncode(vecs, cb, m = 2, subDim = 4)
+    val probes = vecs.filter($"vec_id" < 4)
+      .select($"vec_id".as("probe_id"), $"v".as("p"))
+    val salted = Similarity.pqTopK(enc, probes, cb, k = 5, m = 2, subDim = 4)
+      .select($"probe_id", $"vec_id", $"adist", $"rank")
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(salted.size == 20, "4 probes × k=5")
+    // vectors other than the probe sharing ALL its codes tie at the same
+    // adist; the two-phase cut must resolve them exactly like one window
+    val naive = Similarity.pqTopK(enc, probes, cb, k = 200, m = 2, subDim = 4)
+      .filter($"rank" <= 5)
+      .select($"probe_id", $"vec_id", $"adist", $"rank")
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(salted == naive, "salted two-phase diverged from the exhaustive ranking")
+  }
+
+  // --- weighted sampling ----------------------------------------------
+
+  test("weightedSample: exact E-S keys, rank order, and the k / weight contracts") {
+    import spark.implicits._
+    val docs = (0L until 50L).map(i => (i, (i % 7) + 1L)).toDF("doc_id", "weight")
+    val got = Curation.weightedSample(docs, "doc_id", "weight", k = 10, salt = "t:")
+      .orderBy($"rank")
+      .as[(Long, Long, Double, Int)].collect()
+    assert(got.length == 10 && got.map(_._4).toSeq == (1 to 10))
+    // replay the E-S key off-engine: u = (first-6-hex-digits(md5) + 1) / 16^6,
+    // key = u^(1/w) — the sample must be exactly the 10 largest keys
+    def key(id: Long, w: Long): Double = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"t:$id".getBytes("UTF-8"))
+        .take(3).map(b => f"$b%02x").mkString
+      val u = (java.lang.Long.parseLong(hex, 16) + 1).toDouble / (1L << 24).toDouble
+      math.pow(u, 1.0 / w)
+    }
+    val expected = (0L until 50L).map(i => (i, (i % 7) + 1L))
+      .map { case (i, w) => (i, w, key(i, w)) }
+      .sortBy { case (i, _, k2) => (-k2, i) }.take(10)
+    assert(got.map(_._1).toSeq == expected.map(_._1),
+      s"sampled ids diverge from the replayed E-S ordering")
+    got.zip(expected).foreach { case ((_, _, draw, _), (_, _, k2)) =>
+      assert(math.abs(draw - k2) < 5e-7, s"draw $draw != replayed key $k2")
+    }
+    // zero/negative weights are excluded; k ≥ eligible returns everything
+    val mixed = Seq((1L, 0L), (2L, -3L), (3L, 5L)).toDF("doc_id", "weight")
+    val all = Curation.weightedSample(mixed, "doc_id", "weight", k = 10, salt = "t:")
+      .as[(Long, Long, Double, Int)].collect()
+    assert(all.map(_._1).toSet == Set(3L) && all.head._4 == 1)
+  }
 }

@@ -210,4 +210,60 @@ class FunctionsSpec extends SparkTestBase {
       .collect().map(r => r.isNullAt(0))
     assert(got.forall(identity), "null element / length mismatch must yield null")
   }
+
+  test("l2_argmin: hand-computed distances, ties to lower id, offset sub-range, zero-pad") {
+    import spark.implicits._
+    import graft.functions.L2Argmin
+    val ids = Array(0, 2, 5)
+    val cents = Array(Array(0.0, 0.0), Array(3.0, 4.0), Array(3.0, -4.0))
+    def argmin(v: Seq[Double], offset: Int): Int =
+      Seq((v, 0)).toDF("v", "z")
+        .select(L2Argmin.l2_argmin($"v", ids, cents, offset).as("c"))
+        .as[Int].head()
+    // d² to (0,0)=13, (3,4)=2, (3,-4)=50 → cluster 2
+    assert(argmin(Seq(2.0, 3.0), 0) == 2)
+    // (5,0): d² 25 / 20 / 20 — equidistant from (3,4) and (3,-4),
+    // farther from origin: tie goes to the LOWER id of the tied pair = 2
+    assert(argmin(Seq(5.0, 0.0), 0) == 2)
+    // offset=2 reads dims 2..3: (9,9) → d² 162 / 61 / 205 → cluster 2
+    assert(argmin(Seq(100.0, 100.0, 9.0, 9.0), 2) == 2)
+    // vector shorter than offset+len: missing dims read as 0 → exactly
+    // the all-zero vector → cluster 0 (d²=0)
+    assert(argmin(Seq(1.0), 2) == 0)
+  }
+
+  test("approx_top_k purge regime: a planted heavy hitter survives a tiny sketch within its error bound") {
+    import spark.implicits._
+    import graft.operators.Frequency
+    // 500 copies of the hitter + 1500 singletons through a 64-capacity
+    // sketch: the frequent-items guarantee keeps the hitter's estimate
+    // within n/capacity of truth even though the map purges constantly
+    val docs = ((0 until 500).map(_ => "hit") ++
+      (0 until 1500).map(i => s"rare$i")).toDF("text")
+    val n = 2000L
+    val cap = 64
+    val got = Frequency.topGrams(docs, "text", n = 1, k = 8,
+      maxTracked = cap, minCount = 1L)
+      .as[(String, Long)].collect().toMap
+    assert(got.contains("hit"), s"planted hitter purged entirely: $got")
+    // the frequent-items sketch reports an UPPER-bound estimate:
+    // true ≤ estimate ≤ true + n/capacity
+    val est = got("hit")
+    assert(est >= 500L && est <= 500L + n / cap,
+      s"estimate $est outside [500, ${500 + n / cap}]")
+  }
+
+  test("approx_top_k exact regime: topGrams equals the exact group-by counts") {
+    import spark.implicits._
+    import graft.operators.Frequency
+    val docs = Tables.documents(spark, sf()).limit(100).cache()
+    val got = Frequency.topGrams(docs, "text", n = 3, k = 1024,
+      maxTracked = 65536, minCount = 3L).as[(String, Long)].collect().toSeq
+    val exact = Frequency.ngrams(docs, "text", 3)
+      .groupBy($"g").agg(count(lit(1)).as("cnt"))
+      .filter($"cnt" >= 3).orderBy($"cnt".desc, $"g".asc)
+      .as[(String, Long)].collect().toSeq
+    assert(got == exact, s"sketch diverged from exact counts in the exact regime")
+    docs.unpersist()
+  }
 }

@@ -193,4 +193,49 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("BroadcastHashJoin"),
       s"base-offset join must broadcast the tiny totals frame:\n$p")
   }
+
+  test("sim_pq_topk: vectors never shuffle — only codes; probe tables broadcast") {
+    val p = planOf("sim_pq_topk")
+    // the corpus side of the ADC join is (vec_id, codes); the full
+    // embedding array must stay at the scan, never enter an exchange
+    hashExchangeInputs(p).foreach(in =>
+      assert(!in.contains("v#") && !in.contains("embedding#"),
+        s"corpus vectors enter a shuffle:\n$in"))
+    assert(p.contains("BroadcastExchange"),
+      s"the per-probe distance tables must broadcast:\n$p")
+  }
+
+  test("t_weighted_sample: text stays at the scan; group-limit runs map-side") {
+    val p = planOf("t_weighted_sample")
+    hashExchangeInputs(p).foreach(in => assert(!in.contains("text#"),
+      s"document text enters the top-k shuffle:\n$in"))
+    // the salt-bucket rank filter must plan as a WindowGroupLimit BELOW
+    // the shuffle (lower node id = deeper in the tree): each task keeps
+    // ≤ k rows per bucket before anything moves — the property that makes
+    // the global cut scale
+    def nodeIds(op: String): Seq[Int] =
+      s"""$op \\((\\d+)\\)""".r.findAllMatchIn(p).map(_.group(1).toInt).toSeq
+    val wgl = nodeIds("WindowGroupLimit")
+    val ex = nodeIds("Exchange")
+    assert(wgl.nonEmpty && ex.nonEmpty && wgl.min < ex.min,
+      s"no map-side group limit below the shuffle:\n$p")
+  }
+
+  test("q_range_join plans an equi-join on (key, bucket), never a nested loop") {
+    val p = planOf("q_range_join")
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"),
+      s"range join degraded to a nested loop:\n$p")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"),
+      s"expected a hash-keyed equi-join on the bucketized frames:\n$p")
+  }
+
+  test("t_top_tokens aggregates sketches map-side before one exchange") {
+    val p = planOf("t_top_tokens")
+    assert(p.contains("partial_approx_top_k") || p.contains("ObjectHashAggregate"),
+      s"no partial sketch aggregation before the exchange:\n$p")
+    // after partial aggregation only sketch blobs shuffle — never grams
+    val single = p.linesIterator.filter(_.contains("SinglePartition")).mkString
+    assert(single.nonEmpty, s"expected the sketch-merge exchange:\n$p")
+  }
 }

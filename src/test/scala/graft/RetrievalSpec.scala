@@ -242,4 +242,33 @@ class RetrievalSpec extends SparkTestBase {
     assert(a.join(c, Seq("doc_id"))
       .filter(a("shard_id") =!= c("shard_id")).count() > 0)
   }
+
+  test("rangeJoin: [start, end) containment, key isolation, multi-bucket intervals, pair uniqueness") {
+    import spark.implicits._
+    // bucketMs = 10: intervals spanning 1–4 buckets, boundary points on
+    // both edges, a second key that must not cross-match
+    val events = Seq(
+      (1L, "a", 10L), (2L, "a", 19L), (3L, "a", 20L), (4L, "a", 35L),
+      (5L, "a", 9L), (6L, "b", 15L)).toDF("event_id", "k", "ms")
+    val intervals = Seq(
+      (100L, "a", 10L, 20L),  // covers ms 10..19 (2 buckets)
+      (101L, "a", 12L, 13L),  // single-point window inside one bucket
+      (102L, "a", 5L, 36L),   // spans 4 buckets
+      (103L, "b", 0L, 50L)).toDF("iid", "k", "t0", "t1")
+    val got = graft.operators.Temporal
+      .rangeJoin(events, "ms", intervals, "t0", "t1", Seq("k"), bucketMs = 10L)
+      .select($"iid", $"event_id").as[(Long, Long)].collect().toSeq
+    // exactly once per qualifying pair, start inclusive / end exclusive
+    val expected = Seq(
+      100L -> 1L, 100L -> 2L,            // ms 20 excluded (end-exclusive)
+      102L -> 5L, 102L -> 1L, 102L -> 2L, 102L -> 3L, 102L -> 4L,
+      103L -> 6L)                        // key b sees only its own event
+    assert(got.sorted == expected.sorted, s"got ${got.sorted}")
+    assert(got.size == got.distinct.size, "a qualifying pair appeared twice")
+    // equivalence with the direct non-equi join on the same frames
+    val naive = events.join(intervals, Seq("k"))
+      .filter($"ms" >= $"t0" && $"ms" < $"t1")
+      .select($"iid", $"event_id").as[(Long, Long)].collect().toSeq
+    assert(got.sorted == naive.sorted, "bucketization changed the result")
+  }
 }
