@@ -45,6 +45,9 @@ object Bench {
     "sim_bm25_topk",
     "sim_bm25_multi",
     "d_substring_dedup",
+    "sim_pq_topk",
+    "q_range_join",
+    "t_top_tokens",
     "env_roundtrip")
 
   /** Committed reference times measured warm on an IDLE bench machine:

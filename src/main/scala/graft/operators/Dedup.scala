@@ -132,6 +132,61 @@ object Dedup {
       .select(col("id").as(idCol), col("n_windows"), col("n_dup_windows"))
   }
 
+  /** The REMOVAL half of exact-substring dedup (Lee et al. 2021 §4 cut
+    * the duplicated span, keep its first occurrence): every token covered
+    * by a duplicated window — one with an earlier (doc, position)
+    * occurrence of the same w-token text anywhere in the corpus — is
+    * excised, and the document is rebuilt from the surviving tokens
+    * (whitespace-normalized: single spaces, like every token-level
+    * rewrite here). First occurrences keep their text, so exactly one
+    * copy of every duplicated span survives corpus-wide.
+    *
+    * Plan shape: stage 1 is [[substringDupWindows]]' hash shuffle —
+    * 24-byte (id, idx, hash) rows, never window text; stage 2 shuffles
+    * ONLY the duplicate windows back to their doc and merges overlapping
+    * [idx, idx+w) ranges with a gaps-and-islands window (running max of
+    * interval ends — duplicated regions collapse to a handful of merged
+    * spans per doc no matter how many windows cover them); stage 3 joins
+    * the merged-span sets to the corpus on the doc key — the one
+    * corpus-text shuffle, inherent to any rewrite that must put spans and
+    * text together — and drops covered tokens with a single
+    * index-filtered projection. Output: (idCol, clean_text,
+    * n_tokens, n_removed).
+    */
+  def removeDupSpans(docs: DataFrame, idCol: String, textCol: String,
+                     w: Int): DataFrame = {
+    val first = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("h")).orderBy(col("id"), col("idx"))
+    val dups = tokenWindows(docs, idCol, textCol, w)
+      .select(col("id"), col("idx"), xxhash64(col("g")).as("h"))
+      .withColumn("__rn", row_number().over(first))
+      .filter(col("__rn") > 1)
+      .select(col("id"), col("idx"), (col("idx") + w).as("e"))
+    val wOrder = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("idx"), col("e"))
+    val wPrev = wOrder.rowsBetween(Long.MinValue, -1)
+    val spans = dups
+      .withColumn("__maxe", max(col("e")).over(wPrev))
+      .withColumn("__new",
+        when(col("__maxe").isNull || col("idx") > col("__maxe"), 1L).otherwise(0L))
+      .withColumn("__grp", sum(col("__new")).over(wOrder))
+      .groupBy(col("id"), col("__grp"))
+      .agg(min(col("idx")).as("s"), max(col("e")).as("e"))
+      .groupBy(col("id"))
+      .agg(array_sort(collect_list(struct(col("s"), col("e")))).as("__ivs"))
+    docs
+      .select(col(idCol).as("id"), split(trim(col(textCol)), "\\s+").as("__ws"))
+      .join(spans, Seq("id"), "left")
+      .withColumn("__ivs", coalesce(col("__ivs"),
+        expr("CAST(array() AS array<struct<s:bigint,e:bigint>>)")))
+      .withColumn("__kept", expr(
+        "filter(__ws, (x, i) -> NOT exists(__ivs, iv -> i >= iv.s AND i < iv.e))"))
+      .select(col("id").as(idCol),
+        concat_ws(" ", col("__kept")).as("clean_text"),
+        size(col("__ws")).cast("long").as("n_tokens"),
+        (size(col("__ws")) - size(col("__kept"))).cast("long").as("n_removed"))
+  }
+
   /** k md5-based minhash signature columns s0..s{k-1} per id. */
   def minhashSignatures(shingles: DataFrame, k: Int): DataFrame =
     shingles.groupBy(col("id"))

@@ -435,6 +435,55 @@ object Similarity {
       .drop("__brank")
   }
 
+  /** Symmetric per-vector int8 scalar quantization — the embedding
+    * STORAGE operator (8× smaller than float64 arrays, 4× smaller than
+    * float32): scale = max|xᵢ| / 127, qᵢ = round(xᵢ / scale) ∈ [−127, 127]
+    * (half away from zero — identical in Spark and DuckDB), zero vectors
+    * keep scale 0 with all-zero codes. Dequantize as qᵢ·scale with
+    * per-component error ≤ scale/2. Everything is a shuffle-free
+    * projection; max and the fold sums are order-independent, so the
+    * codes are bit-identical across engines.
+    *
+    * Returns (vec_id, scale, q: array<int>).
+    */
+  def quantizeInt8(vectors: DataFrame): DataFrame = {
+    val amax = expr("aggregate(v, 0D, (acc, x) -> greatest(acc, abs(x)))")
+    vectors
+      .select(col("vec_id"), col("v"), (amax / lit(127.0)).as("scale"))
+      .select(col("vec_id"), col("scale"),
+        when(col("scale") === 0.0, expr("transform(v, x -> 0)"))
+          .otherwise(expr(
+            "transform(v, x -> cast(least(127D, greatest(-127D, round(x / scale))) as int))"))
+          .as("q"))
+  }
+
+  /** Exact top-k over int8-quantized vectors: cosine(qa·sa, qb·sb) =
+    * (Σ qaᵢ·qbᵢ) / (√Σ qaᵢ² · √Σ qbᵢ²) — the scales CANCEL, so scoring
+    * is pure integer dot products over the 8× compressed codes (the
+    * memory-bandwidth story of quantized search) and the quantized
+    * cosine is integer-exact before its one final rounded division —
+    * fully deterministic across engines, unlike any float accumulation.
+    * Approximation error vs the float cosine is bounded by the
+    * per-component quantization error (spec-pinned); ranking follows the
+    * same rounded-cosine + vec_id contract as [[bruteForceTopK]], cut by
+    * the salted two-phase top-k.
+    */
+  def int8TopK(quantized: DataFrame, probes: DataFrame, k: Int,
+               roundTo: Int = 4): DataFrame = {
+    val dot = expr("aggregate(zip_with(q, pq, (x, y) -> cast(x AS bigint) * y), 0L, (acc, z) -> acc + z)")
+    val nq = expr("aggregate(q, 0L, (acc, x) -> acc + cast(x AS bigint) * x)")
+    val np = expr("aggregate(pq, 0L, (acc, x) -> acc + cast(x AS bigint) * x)")
+    val scored = quantized.crossJoin(broadcast(probes))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id"),
+        round(dot.cast("double") / (sqrt(nq.cast("double")) * sqrt(np.cast("double"))),
+          roundTo).as("cosine"))
+      // zero-norm codes (all-zero vector) divide to NaN, which would sort
+      // above every real cosine in the descending rank — drop them
+      .filter(col("cosine").isNotNull && !isnan(col("cosine")))
+    topKPerProbe(scored, k)
+  }
+
   /** SemDeDup-style semantic dedup (Abbas et al. 2023): cluster the
     * embedding space with deterministic k-means, then inside each cluster
     * remove every vector that has a lower-id cluster-mate with cosine ≥

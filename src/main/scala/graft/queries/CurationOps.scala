@@ -232,6 +232,20 @@ object CurationOps {
       .orderBy($"doc_id")
   }
 
+  /** The removal ACTION of substring dedup: same planted-banner fixture
+    * as d_substring_dedup, but duplicated spans are actually excised —
+    * the first doc carrying the banner keeps it, every later copy loses
+    * those tokens, and the rebuilt clean text is hash-compared string
+    * for string (the strongest gate in the dedup family). */
+  def qSubstringRemoval(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir).select($"doc_id",
+      when($"doc_id" % 5 === 0, concat(lit(ChunkBoilerplate + " "), $"text"))
+        .otherwise($"text").as("text"))
+    graft.operators.Dedup.removeDupSpans(docs, "doc_id", "text", w = 8)
+      .orderBy($"doc_id")
+  }
+
   /** The SAMPLED substring-dedup path (the 100 TB volume knob), oracle-
     * gated: same planted-banner fixture as d_substring_dedup but with
     * content-defined sampling at selectMod = 4 — only windows whose
@@ -314,6 +328,7 @@ object CurationOps {
     "d_chunk_dedup" -> (qChunkDedup _),
     "d_substring_dedup" -> (qSubstringDedup _),
     "d_substring_sampled" -> (qSubstringSampled _),
+    "d_substring_removal" -> (qSubstringRemoval _),
     "t_mixture_weights" -> (qMixtureWeights _),
     "t_rolling_fp" -> (qRollingFingerprint _)
   )
@@ -613,6 +628,55 @@ object CurationOps {
          SELECT doc_id, count(*) AS n_windows,
                 count(*) FILTER (WHERE rn > 1) AS n_dup_windows
          FROM r GROUP BY 1 ORDER BY doc_id""",
+    "d_substring_removal" ->
+      """WITH t AS (
+           SELECT doc_id,
+                  CASE WHEN doc_id % 5 = 0
+                       THEN 'cookie policy accept all terms of service privacy notice subscribe to our newsletter sign in today ' || text
+                       ELSE text END AS tx
+           FROM documents),
+         d AS (SELECT doc_id, string_split_regex(trim(tx), '\s+') AS ws FROM t),
+         wnd AS (SELECT doc_id, u.idx AS idx, u.g AS g FROM (
+                   SELECT doc_id,
+                          unnest([{'idx': i - 1,
+                                   'g': array_to_string(ws[i:i+7], ' ')}
+                                  for i in range(1, len(ws) - 6)]) AS u
+                   FROM d WHERE len(ws) >= 8)),
+         r AS (SELECT doc_id, idx,
+                      row_number() OVER (PARTITION BY g ORDER BY doc_id, idx) AS rn
+               FROM wnd),
+         dup AS (SELECT doc_id, idx, idx + 8 AS e FROM r WHERE rn > 1),
+         isl AS (
+           SELECT doc_id, idx, e,
+                  CASE WHEN max(e) OVER w IS NULL OR idx > max(e) OVER w
+                       THEN 1 ELSE 0 END AS nw
+           FROM dup
+           WINDOW w AS (PARTITION BY doc_id ORDER BY idx, e
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+         grp AS (
+           SELECT doc_id, idx, e,
+                  sum(nw) OVER (PARTITION BY doc_id ORDER BY idx, e
+                                ROWS UNBOUNDED PRECEDING) AS g
+           FROM isl),
+         merged AS (SELECT doc_id, min(idx) AS s, max(e) AS e
+                    FROM grp GROUP BY doc_id, g),
+         ivs AS (SELECT doc_id, list([s, e] ORDER BY s) AS iv
+                 FROM merged GROUP BY doc_id),
+         joined AS (
+           SELECT d.doc_id, d.ws,
+                  coalesce(ivs.iv, CAST([] AS BIGINT[][])) AS iv
+           FROM d LEFT JOIN ivs USING (doc_id)),
+         kept AS (
+           SELECT doc_id, ws,
+                  list_filter(ws, (x, i) ->
+                    len(list_filter(iv, v -> i - 1 >= v[1] AND i - 1 < v[2])) = 0)
+                    AS ks
+           FROM joined)
+         SELECT doc_id,
+                coalesce(array_to_string(ks, ' '), '') AS clean_text,
+                CAST(len(ws) AS BIGINT) AS n_tokens,
+                CAST(len(ws) - len(ks) AS BIGINT) AS n_removed
+         FROM kept ORDER BY doc_id""",
     "d_substring_sampled" ->
       """WITH t AS (
            SELECT doc_id,

@@ -251,6 +251,23 @@ object LlmOps {
       .orderBy($"probe_id", $"rank")
   }
 
+  /** Int8-quantized exact top-k (north-star: ANN over compressed
+    * embeddings): per-vector symmetric scalar quantization (8× smaller
+    * storage), then cosine over the integer codes — the scales cancel,
+    * so every dot product and norm is integer-exact and the oracle
+    * agrees to the last bit before the one rounded division. */
+  def qInt8TopK(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val vecs = Tables.embeddings(spark, dir)
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+    val quant = graft.operators.Similarity.quantizeInt8(vecs).cache()
+    val probes = quant.filter($"vec_id" < 5)
+      .select($"vec_id".as("probe_id"), $"q".as("pq"))
+    graft.operators.Similarity.int8TopK(quant, probes, k = 3)
+      .select($"probe_id", $"vec_id", $"cosine", $"rank")
+      .orderBy($"probe_id", $"rank")
+  }
+
   /** Language ID via stopword-profile argmax (north-star: language-ID
     * heuristic). Oracle replicates the same profiles + precedence. */
   def qLangId(spark: SparkSession, dir: String): DataFrame = {
@@ -461,6 +478,7 @@ object LlmOps {
     "sim_ivf_topk" -> (qIvfTopK _),
     "sim_ivf_sample" -> (qIvfSampleTopK _),
     "sim_pq_topk" -> (qPqTopK _),
+    "sim_int8_topk" -> (qInt8TopK _),
     "t_quality_filter" -> (qQualityFilter _),
     "d_semantic_dedup" -> (qSemanticDedup _),
     "d_semantic_sample" -> (qSemanticSample _),
@@ -907,6 +925,32 @@ object LlmOps {
                                       ORDER BY adist ASC, vec_id ASC) AS rank
             FROM approx)
           SELECT probe_id, vec_id, adist, rank
+          FROM ranked WHERE rank <= 3
+          ORDER BY probe_id, rank""",
+    "sim_int8_topk" ->
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+          s AS (SELECT vec_id, e,
+                       list_max([abs(x) for x in e]) / 127 AS scale
+                FROM v),
+          qt AS (SELECT vec_id,
+                        CASE WHEN scale = 0 THEN [CAST(0 AS BIGINT) for x in e]
+                             ELSE [CAST(round(x / scale) AS BIGINT) for x in e]
+                        END AS q
+                 FROM s),
+          probes AS (SELECT vec_id AS pid, q AS pq FROM qt WHERE vec_id < 5),
+          scored AS (
+            SELECT p.pid AS probe_id, t.vec_id,
+                   round(list_sum([t.q[i] * p.pq[i] for i in range(1, 65)]) /
+                         (sqrt(list_sum([t.q[i] * t.q[i] for i in range(1, 65)])) *
+                          sqrt(list_sum([p.pq[i] * p.pq[i] for i in range(1, 65)]))),
+                     4) AS cosine
+            FROM qt t, probes p WHERE t.vec_id <> p.pid),
+          ranked AS (
+            SELECT probe_id, vec_id, cosine,
+                   row_number() OVER (PARTITION BY probe_id
+                                      ORDER BY cosine DESC, vec_id ASC) AS rank
+            FROM scored)
+          SELECT probe_id, vec_id, cosine, rank
           FROM ranked WHERE rank <= 3
           ORDER BY probe_id, rank""",
     "t_quality_filter" ->

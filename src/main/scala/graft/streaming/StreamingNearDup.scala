@@ -1,0 +1,112 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming near-duplicate CANDIDATE detection — the online form of the
+  * batch MinHash+LSH pipeline (`Dedup.minhashSignaturesFast` →
+  * `lshBandsFast` → `bucketPairs`), for an ingest that must flag "this
+  * document collides with something already seen" while data is still
+  * arriving.
+  *
+  * Same banding math as batch: per document, k xxhash64 minhash
+  * signatures over its word shingles, cut into bands; two documents
+  * sharing any band code are candidates. The streaming twist is state:
+  * instead of a corpus-wide bucket-join, each (band, code) key holds the
+  * FIRST document that produced it — `flatMapGroupsWithState` with an
+  * event-time timeout, so a bucket's state lives exactly one lateness
+  * horizon past its last update and the store is bounded by the distinct
+  * band codes inside the horizon, never corpus history. A later arrival
+  * in the bucket emits a (first_id, new_id, band) candidate row.
+  *
+  * Only (8-byte code key → first doc id + timestamp) enters the state
+  * store — never text, never signatures (the StreamingDedup discipline).
+  * Candidates are exactly the batch `bucketPairs` pairs restricted to
+  * "vs the bucket's first occupant" — the O(bucket) candidate fan-out a
+  * stream can afford; verification (exact Jaccard / cosine) belongs
+  * downstream in `foreachBatch` against a vector store, the same split
+  * the batch pipeline makes between bucketPairs and its verify stage.
+  */
+object StreamingNearDup {
+
+  case class Doc(doc_id: Long, ts: Timestamp, text: String)
+
+  case class Candidate(first_id: Long, new_id: Long, band_id: Int)
+
+  // public: the state encoder's generated code constructs/reads it
+  case class BucketState(firstId: Long, lastMs: Long)
+
+  /** (doc_id, ts, band_id, code) — k minhashes over `shingleN`-word
+    * shingles, banded; the streaming-side mirror of
+    * minhashSignaturesFast + lshBandsFast (same xxhash64(i, g) family,
+    * same band coding), as one shuffle-free projection. */
+  private[graft] def bandCodes(docs: DataFrame, k: Int, bands: Int,
+                               shingleN: Int): DataFrame = {
+    val rowsPerBand = k / bands
+    require(bands * rowsPerBand == k, s"bands=$bands must divide k=$k")
+    val ws = split(trim(col("text")), "\\s+")
+    val grams = expr(
+      s"""array_distinct(transform(sequence(1, size(__ws) - ${shingleN - 1}),
+            i -> concat_ws(' ', ${(0 until shingleN).map(o => s"element_at(__ws, i + $o)").mkString(", ")})))""")
+    val sigs = (0 until k).map(i =>
+      expr(s"array_min(transform(__g, g -> xxhash64($i, g)))").as(s"s$i"))
+    val bandCols = (0 until bands).map { b =>
+      val sigCols = (0 until rowsPerBand).map(r => col(s"s${b * rowsPerBand + r}"))
+      struct(lit(b).as("band_id"), xxhash64(lit(b) +: sigCols: _*).as("code"))
+    }
+    docs
+      .select(col("doc_id"), col("ts"), ws.as("__ws"))
+      .filter(size(col("__ws")) >= shingleN)
+      .select(col("doc_id"), col("ts"), grams.as("__g"))
+      .select(col("doc_id") +: col("ts") +: sigs: _*)
+      .select(col("doc_id"), col("ts"), explode(array(bandCols: _*)).as("b"))
+      .select(col("doc_id"), col("ts"), col("b.band_id"), col("b.code"))
+  }
+
+  /** Candidate pairs against each band bucket's first occupant, within
+    * the watermark horizon. Emits one row per (band, code) collision of
+    * a new document with the bucket's first; a document colliding with
+    * the same first in several bands emits one row per band (downstream
+    * dedups as it verifies — collision multiplicity is signal). */
+  def candidates(docs: Dataset[Doc], delay: String,
+                 k: Int = 8, bands: Int = 4,
+                 shingleN: Int = 3): Dataset[Candidate] = {
+    import docs.sparkSession.implicits._
+    bandCodes(docs.toDF(), k, bands, shingleN)
+      .withWatermark("ts", delay)
+      .as[(Long, Timestamp, Int, Long)]
+      .groupByKey { case (_, _, bandId, code) => (bandId, code) }
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (key: (Int, Long), rows: Iterator[(Long, Timestamp, Int, Long)],
+         state: GroupState[BucketState]) => {
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val batch = rows.toSeq.sortBy(r => (r._2.getTime, r._1))
+            val out = scala.collection.mutable.ArrayBuffer.empty[Candidate]
+            var st = state.getOption
+            batch.foreach { case (id, ts, bandId, _) =>
+              st match {
+                case None =>
+                  st = Some(BucketState(id, ts.getTime))
+                case Some(s) =>
+                  if (id != s.firstId) out += Candidate(s.firstId, id, bandId)
+                  st = Some(s.copy(lastMs = math.max(s.lastMs, ts.getTime)))
+              }
+            }
+            st.foreach { s =>
+              state.update(s)
+              // expire one horizon past the bucket's last activity;
+              // clamped forward because Spark rejects past timeouts
+              state.setTimeoutTimestamp(
+                math.max(s.lastMs + 1L, state.getCurrentWatermarkMs() + 1L))
+            }
+            out.iterator
+          }
+        })
+  }
+}

@@ -715,6 +715,91 @@ class CurationSpec extends SparkTestBase {
     assert(salted == naive, "salted two-phase diverged from the exhaustive ranking")
   }
 
+  // --- substring-dedup removal ----------------------------------------
+
+  test("removeDupSpans: first occurrence keeps its text, later copies lose merged covered spans") {
+    import spark.implicits._
+    // w = 3. Doc 1 owns the span "a b c d e"; doc 2 repeats it verbatim
+    // inside other text (its windows [a b c][b c d][c d e] are all dups →
+    // intervals [0,3)[1,4)[2,5) merge to [0,5)); doc 3 is too short for
+    // any window; doc 4 duplicates doc 1 ENTIRELY and must empty out.
+    val docs = Seq(
+      (1L, "a b c d e x y"),
+      (2L, "a b c d e q r s"),
+      (3L, "t u"),
+      (4L, "a b c d e x y")).toDF("doc_id", "text")
+    val got = graft.operators.Dedup.removeDupSpans(docs, "doc_id", "text", w = 3)
+      .orderBy($"doc_id")
+      .as[(Long, String, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (1L, "a b c d e x y", 7L, 0L),
+      (2L, "q r s", 8L, 5L),
+      (3L, "t u", 2L, 0L),
+      (4L, "", 7L, 7L)), s"got $got")
+    // corpus-wide: exactly one copy of the shared span survives
+    val survivors = got.map(_._2).mkString(" ").split("\\s+").filter(_.nonEmpty)
+    assert(survivors.count(_ == "a") == 1, "span must survive exactly once")
+  }
+
+  // --- int8 quantization ----------------------------------------------
+
+  test("quantizeInt8: codes, scale, zero vector, dequantization error bound") {
+    import spark.implicits._
+    import graft.operators.Similarity
+    val vecs = Seq(
+      (0L, Seq(1.0, -0.5, 0.25, 0.0)),
+      (1L, Seq(0.0, 0.0, 0.0, 0.0)),
+      (2L, Seq(-2.54, 1.27, 0.635, 2.54))).toDF("vec_id", "v")
+    val got = Similarity.quantizeInt8(vecs)
+      .as[(Long, Double, Seq[Int])].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    // vec 0: scale = 1/127, codes = round(x·127)
+    assert(got(0L)._1 == 1.0 / 127)
+    assert(got(0L)._2 == Seq(127, -64, 32, 0), s"got ${got(0L)._2}") // 0.25·127 = 31.75 → 32
+    // zero vector: scale 0, zero codes, no division error
+    assert(got(1L) == ((0.0, Seq(0, 0, 0, 0))))
+    // vec 2: scale = 2.54/127 = 0.02, codes exact
+    assert(got(2L)._2 == Seq(-127, 64, 32, 127), s"got ${got(2L)._2}") // 0.635/0.02 = 31.75 → 32
+    // dequantization error ≤ scale/2 per component, saturating at ±127
+    val (s2, q2) = got(2L)
+    Seq(-2.54, 1.27, 0.635, 2.54).zip(q2).foreach { case (x, q) =>
+      assert(math.abs(x - q * s2) <= s2 / 2 + 1e-12, s"dequant error for $x")
+    }
+  }
+
+  test("int8TopK ranks by the integer-exact quantized cosine and tracks the float ranking") {
+    import spark.implicits._
+    import graft.operators.Similarity
+    val vecs = (0L until 100L)
+      .map(i => (i, Seq.tabulate(16)(j => math.sin(i * 16 + j + 1.0))))
+      .toDF("vec_id", "v").cache()
+    val quant = Similarity.quantizeInt8(vecs).cache()
+    val probes = quant.filter($"vec_id" < 3)
+      .select($"vec_id".as("probe_id"), $"q".as("pq"))
+    val q8 = Similarity.int8TopK(quant, probes, k = 5)
+      .select($"probe_id", $"vec_id", $"cosine", $"rank")
+      .as[(Long, Long, Double, Int)].collect()
+    assert(q8.length == 15, "3 probes × k=5")
+    // int8 cosine must sit within the quantization error of the float
+    // cosine for every reported neighbor (16 dims, scale ≤ 1/127 per
+    // component → loose 0.05 bound); top-1 must agree with the float
+    // ranking on this well-separated fixture
+    val floatProbes = vecs.filter($"vec_id" < 3)
+      .select($"vec_id".as("probe_id"), $"v".as("p"))
+    val f = Similarity.bruteForceTopK(vecs, floatProbes, k = 5)
+      .select($"probe_id", $"vec_id", $"cosine", $"rank")
+      .as[(Long, Long, Double, Int)].collect()
+    val fTop1 = f.filter(_._4 == 1).map(r => r._1 -> r._2).toMap
+    val fCos = f.map(r => (r._1, r._2) -> r._3).toMap
+    q8.filter(_._4 == 1).foreach { case (p, v, _, _) =>
+      assert(fTop1(p) == v, s"probe $p: int8 top-1 $v != float top-1 ${fTop1(p)}")
+    }
+    q8.foreach { case (p, v, c, _) =>
+      fCos.get((p, v)).foreach(fc =>
+        assert(math.abs(c - fc) < 0.05, s"probe $p vec $v: int8 $c vs float $fc"))
+    }
+    vecs.unpersist(); quant.unpersist()
+  }
+
   // --- weighted sampling ----------------------------------------------
 
   test("weightedSample: exact E-S keys, rank order, and the k / weight contracts") {

@@ -167,6 +167,12 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
+  test("d_substring_removal: window text never shuffles (hashes only; the doc join may carry text)") {
+    val p = planOf("d_substring_removal")
+    hashExchangeInputs(p).foreach(in => assert(!in.contains("g#"),
+      s"window text enters a shuffle:\n$in"))
+  }
+
   test("d_semantic_sample: label segment shuffle-free, pair join keyed on cluster") {
     // the sample-fit path must inherit the projection-argmax assignment:
     // no cartesian anywhere, and the within-cluster pair join must key on

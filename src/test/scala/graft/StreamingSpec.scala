@@ -351,6 +351,62 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming near-dup band codes ≡ the batch minhash/LSH pipeline") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    import graft.streaming.StreamingNearDup
+    def t(sec: Long) = new Timestamp(sec * 1000)
+    val docs = Seq(
+      StreamingNearDup.Doc(1L, t(1), "alpha beta gamma delta epsilon zeta"),
+      StreamingNearDup.Doc(2L, t(2), "one two three four five six seven"),
+      StreamingNearDup.Doc(3L, t(3), "alpha beta gamma delta epsilon zeta")).toDF()
+    val stream = StreamingNearDup.bandCodes(docs, k = 8, bands = 4, shingleN = 3)
+      .select($"doc_id", $"band_id", $"code").as[(Long, Int, Long)].collect().toSet
+    val batch = Dedup.lshBandsFast(
+      Dedup.minhashSignaturesFast(
+        Dedup.wordShingles(docs, "doc_id", "text", 3), k = 8), k = 8, bands = 4)
+      .select($"id", $"band_id", $"h").as[(Long, Int, Long)].collect().toSet
+    assert(stream == batch, "streaming band family diverged from the batch pipeline")
+  }
+
+  test("streaming near-dup emits candidates against each bucket's first occupant") {
+    import spark.implicits._
+    import graft.streaming.StreamingNearDup
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    def t(sec: Long) = new Timestamp(sec * 1000)
+    val input = MemoryStream[StreamingNearDup.Doc]
+    val out = StreamingNearDup.candidates(input.toDS(), delay = "10 seconds")
+    val q = out.writeStream.format("memory").queryName("neardup_out")
+      .outputMode("append").start()
+    try {
+      // doc 1 seeds its buckets; doc 2 is textually disjoint; doc 3 is an
+      // exact dup of doc 1 IN THE SAME BATCH → collides in all 4 bands
+      input.addData(
+        StreamingNearDup.Doc(1L, t(1), "alpha beta gamma delta epsilon zeta"),
+        StreamingNearDup.Doc(2L, t(2), "one two three four five six seven"),
+        StreamingNearDup.Doc(3L, t(3), "alpha beta gamma delta epsilon zeta"))
+      q.processAllAvailable()
+      val first = spark.table("neardup_out").as[StreamingNearDup.Candidate]
+        .collect().toSeq
+      assert(first.forall(c => c.first_id == 1L && c.new_id == 3L),
+        s"unexpected candidates: $first")
+      assert(first.map(_.band_id).sorted == Seq(0, 1, 2, 3),
+        s"an exact dup must collide in every band: $first")
+      // a CROSS-batch exact dup still hits doc 1's buckets (state carries)
+      input.addData(StreamingNearDup.Doc(4L, t(5), "alpha beta gamma delta epsilon zeta"))
+      q.processAllAvailable()
+      val second = spark.table("neardup_out").as[StreamingNearDup.Candidate]
+        .collect().toSeq.filter(_.new_id == 4L)
+      assert(second.map(_.band_id).sorted == Seq(0, 1, 2, 3) &&
+        second.forall(_.first_id == 1L),
+        s"cross-batch dup must match the original first occupant: $second")
+      // disjoint doc 2 never appears on either side of a candidate
+      val all = spark.table("neardup_out").as[StreamingNearDup.Candidate].collect()
+      assert(!all.exists(c => c.first_id == 2L || c.new_id == 2L))
+    } finally q.stop()
+  }
+
   test("payload diff surfaces changed fields on update messages") {
     import spark.implicits._
     val reg = new SchemaRegistry
