@@ -406,17 +406,23 @@ object Similarity {
     }.toIndexedSeq: _*)
     // code -> table position (1-based); by construction positions follow
     // ascending cluster id, so a code always resolves unless its cluster
-    // emptied out of the codebook (then the candidate drops, documented)
+    // emptied out of the codebook — candidates with any unresolvable code
+    // are dropped on the ENCODED side (a per-row predicate that pushes to
+    // the scan), so the pair projection never produces a null and no
+    // value filter lands in the join condition (which would re-evaluate
+    // the ADC sum per pair per check — the int8TopK plan-audit lesson)
     val idsLit = (0 until m).map(j => typedLit(cbs(j).map(_._1).toSeq))
+    val codesValid = (0 until m)
+      .map(j => array_position(idsLit(j), element_at(col("codes"), j + 1)) > 0)
+      .reduce(_ && _)
     val withTbl = broadcast(probes.select(col("probe_id"), col("p"), tblCol.as("__tbl")))
     val adist = round((0 until m).map { j =>
       val pos = array_position(idsLit(j), element_at(col("codes"), j + 1))
-      element_at(element_at(col("__tbl"), j + 1), when(pos > 0, pos.cast("int")))
+      element_at(element_at(col("__tbl"), j + 1), pos.cast("int"))
     }.reduce(_ + _), 6)
-    val scored = encoded.crossJoin(withTbl)
+    val scored = encoded.filter(codesValid).crossJoin(withTbl)
       .filter(col("vec_id") =!= col("probe_id"))
       .select(col("probe_id"), col("vec_id"), adist.as("adist"))
-      .filter(col("adist").isNotNull)
     topKPerProbeBy(scored, k, col("adist").asc)
   }
 
@@ -473,14 +479,21 @@ object Similarity {
     val dot = expr("aggregate(zip_with(q, pq, (x, y) -> cast(x AS bigint) * y), 0L, (acc, z) -> acc + z)")
     val nq = expr("aggregate(q, 0L, (acc, x) -> acc + cast(x AS bigint) * x)")
     val np = expr("aggregate(pq, 0L, (acc, x) -> acc + cast(x AS bigint) * x)")
-    val scored = quantized.crossJoin(broadcast(probes))
+    // Norms are per-row: compute each side's ONCE before the join (vs per
+    // pair), and guard zero-norm codes (all-zero vectors — their cosine
+    // would be NaN, which sorts above every real value in the descending
+    // rank) with per-side predicates. Filtering the pair-level cosine
+    // instead would push the filter into the join condition and
+    // re-evaluate the whole aggregate per PAIR per null/NaN check — seen
+    // as a 3× evaluation in the plan audit.
+    val lhs = quantized.withColumn("__nq", sqrt(nq.cast("double")))
+      .filter(col("__nq") > 0.0)
+    val rhs = probes.withColumn("__np", sqrt(np.cast("double")))
+      .filter(col("__np") > 0.0)
+    val scored = lhs.crossJoin(broadcast(rhs))
       .filter(col("vec_id") =!= col("probe_id"))
       .select(col("probe_id"), col("vec_id"),
-        round(dot.cast("double") / (sqrt(nq.cast("double")) * sqrt(np.cast("double"))),
-          roundTo).as("cosine"))
-      // zero-norm codes (all-zero vector) divide to NaN, which would sort
-      // above every real cosine in the descending rank — drop them
-      .filter(col("cosine").isNotNull && !isnan(col("cosine")))
+        round(dot.cast("double") / (col("__nq") * col("__np")), roundTo).as("cosine"))
     topKPerProbe(scored, k)
   }
 

@@ -271,4 +271,28 @@ class RetrievalSpec extends SparkTestBase {
       .select($"iid", $"event_id").as[(Long, Long)].collect().toSeq
     assert(got.sorted == naive.sorted, "bucketization changed the result")
   }
+
+  test("rangeJoin ≡ naive non-equi join on a seeded random fixture, at several bucket widths") {
+    import spark.implicits._
+    // 400 points, 120 intervals across 6 keys; interval lengths from
+    // sub-bucket to many-bucket so every explode cardinality is hit
+    val rnd = new scala.util.Random(7)
+    val events = (0 until 400)
+      .map(i => (i.toLong, s"k${rnd.nextInt(6)}", rnd.nextInt(10000).toLong))
+      .toDF("event_id", "k", "ms")
+    val intervals = (0 until 120).map { i =>
+      val s = rnd.nextInt(10000).toLong
+      (1000L + i, s"k${rnd.nextInt(6)}", s, s + 1 + rnd.nextInt(800))
+    }.toDF("iid", "k", "t0", "t1")
+    val naive = events.join(intervals, Seq("k"))
+      .filter($"ms" >= $"t0" && $"ms" < $"t1")
+      .select($"iid", $"event_id").as[(Long, Long)].collect().toSeq.sorted
+    Seq(7L, 100L, 1024L, 20000L).foreach { b =>
+      val got = graft.operators.Temporal
+        .rangeJoin(events, "ms", intervals, "t0", "t1", Seq("k"), bucketMs = b)
+        .select($"iid", $"event_id").as[(Long, Long)].collect().toSeq
+      assert(got.size == got.distinct.size, s"bucketMs=$b produced a duplicate pair")
+      assert(got.sorted == naive, s"bucketMs=$b diverged from the naive join")
+    }
+  }
 }
