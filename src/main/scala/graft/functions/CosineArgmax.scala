@@ -27,11 +27,14 @@ import org.apache.spark.sql.types._
   * through), and the winner is the FIRST strict maximum over centroids
   * in ascending-cluster order — ties go to the lower cluster id, NaN
   * never wins (matching the fold's `p.ccos > acc.ccos` over a −2.0
-  * init). One documented divergence OUTSIDE the operator's contract: a
-  * zero-norm vector makes the SQL form raise ANSI DIVIDE_BY_ZERO, while
-  * this expression returns the no-match label −1 — at corpus scale one
-  * garbage row downgrades to a filterable label instead of failing the
-  * stage.
+  * init). Two documented divergences OUTSIDE the operator's contract,
+  * both downgrading a garbage row to the filterable no-match label −1
+  * instead of failing or mislabeling: a zero-norm vector makes the SQL
+  * form raise ANSI DIVIDE_BY_ZERO, and a vector whose length differs
+  * from the centroid dim makes the HOF form's `zip_with` null-pad (null
+  * propagates through the fold, every centroid scores null, the −1 init
+  * wins) — this expression returns −1 up front for both rather than
+  * truncating the dot to the shorter length and emitting a real label.
   */
 case class CosineArgmax(child: Expression,
                         clusterIds: Array[Int],
@@ -40,6 +43,8 @@ case class CosineArgmax(child: Expression,
 
   require(cents.nonEmpty && clusterIds.length == cents.length,
     "one cluster id per centroid, at least one centroid")
+  require(cents.forall(_.length == cents(0).length),
+    "all centroids must share one dimensionality")
 
   override def dataType: DataType = IntegerType
   override def prettyName: String = "cosine_argmax"
@@ -79,6 +84,7 @@ case class CosineArgmax(child: Expression,
   /** The fused argmax loop shared by the interpreted and generated paths. */
   def compute(v: ArrayData): Int = {
     val n = v.numElements()
+    if (n != cents(0).length) return -1 // HOF zip_with null path (see doc)
     var sv = 0.0
     var i = 0
     while (i < n) { val x = v.getDouble(i); sv += x * x; i += 1 }
@@ -88,10 +94,9 @@ case class CosineArgmax(child: Expression,
     var c = 0
     while (c < cents.length) {
       val cent = cents(c)
-      val m = if (n < cent.length) n else cent.length
       var dot = 0.0
       var j = 0
-      while (j < m) { dot += v.getDouble(j) * cent(j); j += 1 }
+      while (j < n) { dot += v.getDouble(j) * cent(j); j += 1 }
       val cos = dot / (nv * norms(c))
       val r =
         if (java.lang.Double.isNaN(cos) || java.lang.Double.isInfinite(cos)) cos

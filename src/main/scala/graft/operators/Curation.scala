@@ -84,7 +84,11 @@ object Curation {
     * non-positive weight are excluded (E-S is undefined there).
     *
     * Returns (idCol, weightCol, draw = key rounded 6 dp, rank ≤ k) —
-    * ranking uses the UNROUNDED key, ties break on the id.
+    * ranking uses the key rounded to 12 dp with the id as tiebreak, so
+    * the ordering survives the ≤ 1-ulp latitude IEEE pow implementations
+    * have (JVM Math.pow vs libm need not agree bit for bit; ranking on
+    * the raw double lets a near-tie flip cross-engine — same determinism
+    * pattern as the 6-dp-rounded cosine in bruteForceTopK).
     */
   def weightedSample(docs: DataFrame, idCol: String, weightCol: String,
                      k: Int, salt: String, nSalts: Int = 32): DataFrame = {
@@ -94,10 +98,11 @@ object Curation {
       .filter(col(weightCol) > 0)
       .select(col(idCol), col(weightCol),
         pow(u, lit(1.0) / col(weightCol).cast("double")).as("__key"))
+      .withColumn("__rkey", round(col("__key"), 12))
     val w1 = Window
       .partitionBy(pmod(xxhash64(col(idCol)), lit(nSalts.toLong)))
-      .orderBy(col("__key").desc, col(idCol).asc)
-    val w2 = Window.orderBy(col("__key").desc, col(idCol).asc)
+      .orderBy(col("__rkey").desc, col(idCol).asc)
+    val w2 = Window.orderBy(col("__rkey").desc, col(idCol).asc)
     keyed
       .withColumn("__brank", row_number().over(w1)).filter(col("__brank") <= k)
       .withColumn("rank", row_number().over(w2)).filter(col("rank") <= k)

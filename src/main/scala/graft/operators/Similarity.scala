@@ -258,29 +258,43 @@ object Similarity {
 
   /** IVF search over pre-fit centroids (the 100 TB fit/assign path):
     * vectors are labeled with ONE [[assignClusters]] pass over `cents`
-    * (typically from [[kmeansFit]] on a sample), then searched with the
-    * routed exact top-k. The labeled frame is checkpointed (same
-    * `reliable` contract as [[kmeansLabels]]) because the search reads it
-    * twice — routing centroids and the cluster-pruned scan; without the
-    * checkpoint the full-corpus argmax would re-execute per consumer.
-    * The checkpoint is LAZY (materializes with the first action, then
-    * both consumers read the stored blocks) so merely composing or
-    * explaining the query never launches the corpus scan. */
+    * (typically from [[kmeansFit]] on a sample), then probes route
+    * against THE SAME pre-fit centroid frame — never a re-derived one.
+    * (The earlier form delegated to the `clusterCol` overload, whose
+    * contract is "centroids = means of the given labels", so every
+    * search paid a second full-corpus pass + a dim-explode of every
+    * vector just to recompute k rows the caller already held.) The
+    * labeled frame is checkpointed (same `reliable` contract as
+    * [[kmeansLabels]]) because the search reads it in the cluster-pruned
+    * scan and composition should not re-run the argmax per consumer. The
+    * checkpoint is LAZY (materializes with the first action, then
+    * consumers read the stored blocks) so merely composing or explaining
+    * the query never launches the corpus scan. */
   def ivfTopK(vectors: DataFrame, cents: DataFrame, probes: DataFrame,
               k: Int, nprobe: Int, roundTo: Int,
               reliable: Boolean): DataFrame = {
     val labeled = assignClusters(vectors, cents)
     val pinned = if (reliable) labeled.checkpoint(eager = false)
       else labeled.localCheckpoint(eager = false)
-    ivfTopK(pinned, "cluster", probes, k, nprobe, roundTo)
+    searchRouted(pinned, cents, probes, k, nprobe, roundTo)
   }
 
-  /** IVF search: route each probe to its `nprobe` closest centroids, then
-    * exact top-k within those clusters only. */
+  /** IVF search over pre-assigned cluster labels: routing centroids are
+    * the elementwise means of the labeled clusters (one bounded-state
+    * (cluster, dim) aggregation), then the routed exact top-k. */
   def ivfTopK(vectors: DataFrame, clusterCol: String, probes: DataFrame,
               k: Int, nprobe: Int, roundTo: Int = 4): DataFrame = {
-    val cents = centroids(vectors.select(col("vec_id"), col("v"), col(clusterCol)), clusterCol)
-    // probe -> nprobe nearest centroids (broadcast: k centroids, tiny)
+    val labeled = vectors.select(col("vec_id"), col("v"), col(clusterCol).as("cluster"))
+    searchRouted(labeled, centroids(labeled, "cluster"), probes, k, nprobe, roundTo)
+  }
+
+  /** The shared IVF search body: route each probe to its `nprobe`
+    * closest centroids (broadcast — k rows, tiny), then exact top-k
+    * within those clusters only (the join prunes the labeled corpus to
+    * nprobe/k of its partitions). */
+  private def searchRouted(labeled: DataFrame, cents: DataFrame,
+                           probes: DataFrame, k: Int, nprobe: Int,
+                           roundTo: Int): DataFrame = {
     val probeCent = probes.crossJoin(broadcast(cents))
       .select(col("probe_id"), col("p"), col("cluster"),
         round(graft.functions.CosineSim.cosine_sim(col("c"), col("p")), 6).as("ccos"))
@@ -288,8 +302,7 @@ object Similarity {
     val routed = probeCent.withColumn("crank", row_number().over(wc))
       .filter(col("crank") <= nprobe)
       .select(col("probe_id"), col("p"), col("cluster"))
-    // search only the routed clusters (join prunes the vector side)
-    val scored = vectors.select(col("vec_id"), col("v"), col(clusterCol).as("cluster"))
+    val scored = labeled
       .join(broadcast(routed), "cluster")
       .filter(col("vec_id") =!= col("probe_id"))
       .select(col("probe_id"), col("vec_id"), round(cosineExpr, roundTo).as("cosine"))
@@ -415,7 +428,14 @@ object Similarity {
     val codesValid = (0 until m)
       .map(j => array_position(idsLit(j), element_at(col("codes"), j + 1)) > 0)
       .reduce(_ && _)
-    val withTbl = broadcast(probes.select(col("probe_id"), col("p"), tblCol.as("__tbl")))
+    // probe-side mirror of codesValid: a probe whose p has fewer than
+    // m·subDim components would make element_at null out the distance
+    // table, adist would be null for EVERY candidate of that probe, and
+    // ascending order (NULLS FIRST) would rank the null rows as its
+    // top-k — garbage instead of an empty result. Drop such probes.
+    val withTbl = broadcast(probes
+      .filter(size(col("p")) >= m * subDim)
+      .select(col("probe_id"), col("p"), tblCol.as("__tbl")))
     val adist = round((0 until m).map { j =>
       val pos = array_position(idsLit(j), element_at(col("codes"), j + 1))
       element_at(element_at(col("__tbl"), j + 1), pos.cast("int"))

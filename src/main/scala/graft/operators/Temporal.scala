@@ -87,8 +87,23 @@ object Temporal {
     * followed by the exact range filter. One hash shuffle per side, no
     * nested loop anywhere, and each qualifying pair appears EXACTLY once
     * (a point's single bucket meets each covering interval once — no
-    * dedup pass). Hot buckets shard along eqKeys; a key-free call at scale
-    * wants a coarse-enough bucket or a salt on the interval side.
+    * dedup pass).
+    *
+    * Inverted/empty intervals (`end <= start`) are dropped before the
+    * explode: they can never match (`ts >= start && ts < end` is
+    * unsatisfiable), and without the guard a corrupted row with `end`
+    * near 0 and a large `start` would make `sequence` auto-step -1 and
+    * generate a DESCENDING bucket range — millions of bucket rows (or a
+    * sequence-length failure) for a row the exact filter discards anyway.
+    *
+    * Hot (key, bucket) pairs — one incident window covering the bucket
+    * every point lands in — put the whole point group in one join task.
+    * `saltBuckets > 1` shards them: each point gets a deterministic salt
+    * in [0, saltBuckets) hashed off its timestamp, and each interval
+    * bucket row replicates across ALL salts, so the join key becomes
+    * (eqKeys, bucket, salt) and a hot group splits across saltBuckets
+    * tasks. Interval-side fan-out multiplies by saltBuckets — pay it
+    * only when the point side is skewed; output is identical (spec-pinned).
     *
     * `tsCol`/`startCol`/`endCol` are epoch-milli longs; output = all left
     * columns + all right columns (names must not clash apart from
@@ -96,14 +111,24 @@ object Temporal {
     */
   def rangeJoin(left: DataFrame, tsCol: String, right: DataFrame,
                 startCol: String, endCol: String, eqKeys: Seq[String],
-                bucketMs: Long): DataFrame = {
+                bucketMs: Long, saltBuckets: Int = 1): DataFrame = {
     require(bucketMs > 0, "bucketMs must be positive")
+    require(saltBuckets >= 1, "saltBuckets must be >= 1")
     val ib = right
+      .filter(col(endCol) > col(startCol))
       .withColumn("__bucket", explode(sequence(
         expr(s"$startCol div $bucketMs"), expr(s"($endCol - 1) div $bucketMs"))))
     val lb = left.withColumn("__bucket", expr(s"$tsCol div $bucketMs"))
-    lb.join(ib, eqKeys :+ "__bucket")
+    val (lbs, ibs, keys) =
+      if (saltBuckets == 1) (lb, ib, eqKeys :+ "__bucket")
+      else (
+        lb.withColumn("__salt",
+          pmod(xxhash64(col(tsCol)), lit(saltBuckets.toLong)).cast("int")),
+        ib.withColumn("__salt",
+          explode(sequence(lit(0), lit(saltBuckets - 1)))),
+        eqKeys ++ Seq("__bucket", "__salt"))
+    lbs.join(ibs, keys)
       .filter(col(tsCol) >= col(startCol) && col(tsCol) < col(endCol))
-      .drop("__bucket")
+      .drop("__bucket", "__salt")
   }
 }

@@ -291,8 +291,9 @@ object CurationOps {
   /** Efraimidis–Spirakis weighted sample: 100 docs drawn without
     * replacement with inclusion odds ∝ token count — the
     * quality/length-weighted corpus subset draw. The oracle replays the
-    * identical md5 uniform and u^(1/w) key; ranks compare on the
-    * unrounded key so the gate pins the full ordering. */
+    * identical md5 uniform and u^(1/w) key; both engines rank on the key
+    * rounded to 12 dp (id tiebreak) so a 1-ulp pow divergence between
+    * JVM Math.pow and libm cannot flip a near-tie rank. */
   def qWeightedSample(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val docs = Tables.documents(spark, dir)
@@ -358,7 +359,7 @@ object CurationOps {
            FROM w WHERE weight > 0),
          ranked AS (
            SELECT doc_id, weight, round(key, 6) AS draw,
-                  row_number() OVER (ORDER BY key DESC, doc_id ASC) AS rank
+                  row_number() OVER (ORDER BY round(key, 12) DESC, doc_id ASC) AS rank
            FROM keyed)
          SELECT doc_id, weight, draw, rank
          FROM ranked WHERE rank <= 100 ORDER BY rank""",

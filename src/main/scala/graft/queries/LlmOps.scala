@@ -212,9 +212,11 @@ object LlmOps {
   /** The 100 TB fit/assign IVF path, oracle-gated end to end: k-means
     * TRAINS only on the deterministic quarter sample (vec_id % 4 == 0),
     * the full table is labeled in one assignClusters pass over the
-    * pre-fit centroids, and search routes/ranks exactly like sim_ivf_topk.
-    * The oracle replays sample training, full assignment, routing and
-    * ranking step for step. */
+    * pre-fit centroids, and probes route against THOSE SAME pre-fit
+    * centroids (never re-derived means of the assignment — that would be
+    * a second full-corpus pass per search). The oracle replays sample
+    * training, full assignment, pre-fit routing and ranking step for
+    * step. */
   def qIvfSampleTopK(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val vecs = Tables.embeddings(spark, dir)
@@ -843,18 +845,14 @@ object LlmOps {
                           sqrt(list_sum([kc.cv[i] * kc.cv[i] for i in range(1, 65)]))), 6)
                        DESC, kc.cluster ASC) AS rn
               FROM v, c1 kc) WHERE rn = 1),
-          dims AS (
-            SELECT cluster, i, avg(e[i]) AS m
-            FROM a2, range(1, 65) t(i) GROUP BY 1, 2),
-          cents AS (SELECT cluster, list(m ORDER BY i) AS cv FROM dims GROUP BY 1),
           probes AS (SELECT vec_id AS pid, e AS p FROM v WHERE vec_id < 5),
           probe_cent AS (
-            SELECT pid, p, cluster,
+            SELECT pid, p, kc.cluster,
                    round(
-                     list_sum([cv[i] * p[i] for i in range(1, 65)]) /
-                     (sqrt(list_sum([cv[i] * cv[i] for i in range(1, 65)])) *
+                     list_sum([kc.cv[i] * p[i] for i in range(1, 65)]) /
+                     (sqrt(list_sum([kc.cv[i] * kc.cv[i] for i in range(1, 65)])) *
                       sqrt(list_sum([p[i] * p[i] for i in range(1, 65)]))), 6) AS ccos
-            FROM probes, cents),
+            FROM probes, c1 kc),
           routed AS (
             SELECT pid, p, cluster FROM (
               SELECT pid, p, cluster,

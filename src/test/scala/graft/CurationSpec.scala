@@ -407,6 +407,20 @@ class CurationSpec extends SparkTestBase {
       .assignClusters(Seq((900L, Seq(0.0, 0.0))).toDF("vec_id", "v"), cents)
       .select($"cluster").as[Int].head()
     assert(zero == -1, "a zero-norm vector must match no centroid")
+    // out-of-contract length mismatch: the HOF form's zip_with null-pads
+    // and the null propagates through the fold, so the -1 init wins; the
+    // native expression must take the same -1 path on BOTH directions of
+    // the mismatch (shorter and longer than the centroid dim) instead of
+    // truncating the dot product and emitting a real label
+    val mism = Seq((901L, Seq(0.5)), (902L, Seq(0.5, 0.5, 0.5)))
+      .toDF("vec_id", "v")
+    val nativeMism = Similarity.assignClusters(mism, cents)
+      .select($"vec_id", $"cluster").as[(Long, Int)].collect().toMap
+    val hofMism = Similarity.assignClustersHof(mism, cents)
+      .select($"vec_id", $"cluster").as[(Long, Int)].collect().toMap
+    assert(nativeMism == Map(901L -> -1, 902L -> -1),
+      s"length-mismatched vectors must get the no-match label: $nativeMism")
+    assert(nativeMism == hofMism, "native and HOF mismatch handling diverged")
     // and the native path's plan is still a pure projection
     val p = Similarity.assignClusters(vecs, cents)
       .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
@@ -810,7 +824,9 @@ class CurationSpec extends SparkTestBase {
       .as[(Long, Long, Double, Int)].collect()
     assert(got.length == 10 && got.map(_._4).toSeq == (1 to 10))
     // replay the E-S key off-engine: u = (first-6-hex-digits(md5) + 1) / 16^6,
-    // key = u^(1/w) — the sample must be exactly the 10 largest keys
+    // key = u^(1/w) — the sample must be exactly the 10 largest keys,
+    // ranked (as the operator does) on the key ROUNDED to 12 dp with the
+    // id tiebreak, so a 1-ulp pow divergence can never flip a rank
     def key(id: Long, w: Long): Double = {
       val hex = java.security.MessageDigest.getInstance("MD5")
         .digest(s"t:$id".getBytes("UTF-8"))
@@ -818,9 +834,11 @@ class CurationSpec extends SparkTestBase {
       val u = (java.lang.Long.parseLong(hex, 16) + 1).toDouble / (1L << 24).toDouble
       math.pow(u, 1.0 / w)
     }
+    def r12(x: Double): Double = java.math.BigDecimal.valueOf(x)
+      .setScale(12, java.math.RoundingMode.HALF_UP).doubleValue()
     val expected = (0L until 50L).map(i => (i, (i % 7) + 1L))
       .map { case (i, w) => (i, w, key(i, w)) }
-      .sortBy { case (i, _, k2) => (-k2, i) }.take(10)
+      .sortBy { case (i, _, k2) => (-r12(k2), i) }.take(10)
     assert(got.map(_._1).toSeq == expected.map(_._1),
       s"sampled ids diverge from the replayed E-S ordering")
     got.zip(expected).foreach { case ((_, _, draw, _), (_, _, k2)) =>

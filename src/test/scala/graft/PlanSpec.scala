@@ -120,6 +120,19 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
+  test("sim_ivf_sample routes probes with the pre-fit centroids, never re-derived means") {
+    // the pre-fit ivfTopK overload was handed the k-row centroid frame;
+    // its search plan must NOT re-derive routing centroids from the
+    // labeled corpus — that would be a posexplode of every vector plus a
+    // (cluster, dim)-keyed aggregation, i.e. a second full-corpus pass
+    // per search at 100 TB
+    val p = planOf("sim_ivf_sample")
+    assert(!p.contains("posexplode"),
+      s"pre-fit search re-derives centroids via a dim-explode:\n$p")
+    assert(!p.linesIterator.exists(_.matches(".*hashpartitioning\\(cluster[^)]*dim.*")),
+      s"pre-fit search aggregates on (cluster, dim):\n$p")
+  }
+
   test("multimodal decode seams stay in the Dataset plan (no RDD scan boundary)") {
     Seq("m_media_embed", "m_media_meta", "m_frame_sample").foreach { name =>
       val p = planOf(name)

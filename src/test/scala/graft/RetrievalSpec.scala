@@ -295,4 +295,56 @@ class RetrievalSpec extends SparkTestBase {
       assert(got.sorted == naive, s"bucketMs=$b diverged from the naive join")
     }
   }
+
+  test("rangeJoin drops inverted/empty intervals before the explode") {
+    import spark.implicits._
+    val events = Seq((1L, "a", 15L)).toDF("event_id", "k", "ms")
+    // an inverted interval (end far below start) would, unguarded, make
+    // sequence() auto-step -1 and explode ~10^8 descending bucket rows
+    // (or trip Spark's sequence length cap) before the exact filter threw
+    // them away; the guard must drop it up front with no output change
+    val intervals = Seq(
+      (100L, "a", 10L, 20L),           // sane: matches ms=15
+      (101L, "a", 999999999L, 1L),     // inverted: must not explode
+      (102L, "a", 15L, 15L)            // empty [15, 15): matches nothing
+    ).toDF("iid", "k", "t0", "t1")
+    val got = graft.operators.Temporal
+      .rangeJoin(events, "ms", intervals, "t0", "t1", Seq("k"), bucketMs = 10L)
+      .select($"iid", $"event_id").as[(Long, Long)].collect().toSeq
+    assert(got == Seq(100L -> 1L), s"got $got")
+  }
+
+  test("rangeJoin salted ≡ unsalted on a hot-bucket fixture") {
+    import spark.implicits._
+    // one hot (key, bucket): 500 points in a single bucket covered by a
+    // handful of intervals, plus off-bucket noise — the skew shape
+    // saltBuckets exists for; output must be identical at every width
+    val rnd = new scala.util.Random(11)
+    val hot = (0 until 500).map(i => (i.toLong, "hot", 100L + rnd.nextInt(10)))
+    val cold = (500 until 600).map(i => (i.toLong, s"k${i % 3}", rnd.nextInt(5000).toLong))
+    val events = (hot ++ cold).toDF("event_id", "k", "ms")
+    val intervals = (Seq(
+      (1000L, "hot", 95L, 120L), (1001L, "hot", 100L, 105L),
+      (1002L, "hot", 0L, 5000L)) ++
+      (1003 until 1020).map(i => (i.toLong, s"k${i % 3}", (i * 17 % 4000).toLong, (i * 17 % 4000) + 300L))
+    ).toDF("iid", "k", "t0", "t1")
+    val base = graft.operators.Temporal
+      .rangeJoin(events, "ms", intervals, "t0", "t1", Seq("k"), bucketMs = 16L)
+      .select($"iid", $"event_id").as[(Long, Long)].collect().toSeq.sorted
+    Seq(2, 8, 32).foreach { s =>
+      val salted = graft.operators.Temporal
+        .rangeJoin(events, "ms", intervals, "t0", "t1", Seq("k"),
+          bucketMs = 16L, saltBuckets = s)
+        .select($"iid", $"event_id").as[(Long, Long)].collect().toSeq.sorted
+      assert(salted == base, s"saltBuckets=$s changed the join result")
+      assert(salted.size == salted.distinct.size,
+        s"saltBuckets=$s produced a duplicate pair")
+    }
+    // the salted plan keys its join on (k, bucket, salt)
+    val p = graft.operators.Temporal
+      .rangeJoin(events, "ms", intervals, "t0", "t1", Seq("k"),
+        bucketMs = 16L, saltBuckets = 8)
+      .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert(p.contains("__salt"), s"salted join must key on the salt:\n$p")
+  }
 }
