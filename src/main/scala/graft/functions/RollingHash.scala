@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftBridge
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -25,7 +25,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * Returns null for strings shorter than the window (no windows exist).
   */
 case class RollingMinHash64(child: Expression, window: Int)
-  extends UnaryExpression with CodegenFallback {
+  extends UnaryExpression {
 
   require(window >= 1, "window must be positive")
 
@@ -51,8 +51,30 @@ case class RollingMinHash64(child: Expression, window: Int)
     p
   }
 
-  override def nullSafeEval(input: Any): Any = {
-    val s = input.asInstanceOf[UTF8String].toString
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[UTF8String])
+
+  // Whole-stage codegen via the reference-object pattern (see
+  // CosineArgmax): one object call into the shared rolling loop. The
+  // output is nullable even for non-null input (short strings), so the
+  // generated stanza unboxes the result and flips the null flag itself.
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("rollingMinHash", this,
+      classOf[RollingMinHash64].getName)
+    nullSafeCodeGen(ctx, ev, v => {
+      val r = ctx.freshName("rmh")
+      s"""
+         |java.lang.Long $r = $ref.compute($v);
+         |if ($r == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $r.longValue(); }
+       """.stripMargin
+    })
+  }
+
+  /** The rolling loop shared by the interpreted and generated paths;
+    * null when the string is shorter than the window. */
+  def compute(input: UTF8String): java.lang.Long = {
+    val s = input.toString
     val n = s.length
     if (n < window) return null
     // first window: plain stepwise fold

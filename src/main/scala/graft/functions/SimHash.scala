@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftBridge
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.hash.Murmur3_x86_32
@@ -19,7 +19,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * Hamming distance — candidate filtering at scale is then a cheap integer
   * op, e.g. bucketing on 16-bit sub-bands of the fingerprint.
   */
-case class SimHash64(child: Expression) extends UnaryExpression with CodegenFallback {
+case class SimHash64(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = LongType
   override def nullIntolerant: Boolean = true
@@ -33,8 +33,21 @@ case class SimHash64(child: Expression) extends UnaryExpression with CodegenFall
         s"simhash64 expects array<string>, got $other")
     }
 
-  override def nullSafeEval(input: Any): Any = {
-    val tokens = input.asInstanceOf[ArrayData]
+  override def nullSafeEval(input: Any): Any =
+    java.lang.Long.valueOf(compute(input.asInstanceOf[ArrayData]))
+
+  // Whole-stage codegen via the same reference-object pattern as
+  // CosineArgmax: the generated code carries one object reference and
+  // calls the identical primitive loop the interpreted path runs, so the
+  // child subtree stays inside WholeStageCodegen (vs CodegenFallback's
+  // per-row InternalRow materialization + boxed tree eval).
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("simHash64", this, classOf[SimHash64].getName)
+    nullSafeCodeGen(ctx, ev, v => s"${ev.value} = $ref.compute($v);")
+  }
+
+  /** The vote loop shared by the interpreted and generated paths. */
+  def compute(tokens: ArrayData): Long = {
     val votes = new Array[Int](64)
     var i = 0
     val n = tokens.numElements()
@@ -58,7 +71,7 @@ case class SimHash64(child: Expression) extends UnaryExpression with CodegenFall
       if (votes(b) > 0) out |= (1L << b)
       b += 1
     }
-    java.lang.Long.valueOf(out)
+    out
   }
 
   override protected def withNewChildInternal(newChild: Expression): SimHash64 =

@@ -237,10 +237,17 @@ object Retrieval {
                      merges: Seq[(String, String)],
                      maxVocabBroadcast: Int = 1 << 20): DataFrame = {
     val ranks = merges.zipWithIndex.toMap
+    // pinned (lazily — composing/explaining must not launch jobs): the
+    // broadcast-cap probe below is an action over this frame, and without
+    // the checkpoint the wordTokens lineage would re-run the full corpus
+    // tokenize+distinct a second time when the join executes. With it the
+    // probe materializes the distinct-word blocks once and the encode
+    // loop reads them back.
     val words = docs
       .select(explode(split(trim(lower(col(textCol))), "\\s+")).as("w"))
       .filter(col("w") =!= "")
       .distinct()
+      .localCheckpoint(eager = false)
     import words.sparkSession.implicits._
     val wordTokens = words.mapPartitions { it =>
       it.map(r => (r.getString(0), bpeEncodeWord(r.getString(0), ranks).size.toLong))
@@ -278,12 +285,26 @@ object Retrieval {
     * equal `a` (symbols are non-empty), the fold is exactly the greedy
     * left-to-right non-overlapping replacement BPE defines.
     *
+    * The merge loop itself runs DRIVER-SIDE whenever the collapsed
+    * vocabulary fits `driverTailRows`: the vocab row count is fixed from
+    * iteration 0 (merges fuse symbols, they never add or remove words),
+    * and a real tokenizer build is ~32 k merges — as per-iteration Spark
+    * jobs that is ~64 k driver-scheduled jobs over a frame that fit in
+    * memory the whole time. Under the cap the frame collects once and
+    * the loop is pure Scala (identical pair counting, UTF-8-binary
+    * tie-break matching Spark/DuckDB string order — spec-pinned
+    * identical merge tables on both paths); over it the distributed
+    * per-iteration loop below runs unchanged. A 100 TB corpus still
+    * pays corpus-sized work exactly once either way (the initial
+    * collapse); its ~10⁷-word vocab frame is a few hundred MB — cap
+    * accordingly, or pass 0 to force the distributed loop.
+    *
     * Returns the learned table in merge order as (left, right,
     * n_occurrences) — feed `.map(m => (m._1, m._2))` to
     * [[bpeTokenCounts]].
     */
-  def bpeTrain(docs: DataFrame, textCol: String,
-               nMerges: Int): Seq[(String, String, Long)] = {
+  def bpeTrain(docs: DataFrame, textCol: String, nMerges: Int,
+               driverTailRows: Int = 1 << 20): Seq[(String, String, Long)] = {
     require(nMerges >= 1, "bpeTrain needs at least one merge")
     val syms = concat(
       transform(sequence(lit(1), length(col("w"))),
@@ -295,6 +316,10 @@ object Retrieval {
       .groupBy(col("w")).agg(count(lit(1)).as("n"))
       .select(syms.as("sy"), col("n"))
       .localCheckpoint()
+    if (vocab.limit(driverTailRows + 1).count() <= driverTailRows)
+      return bpeTrainDriver(
+        vocab.collect().map(r => (r.getSeq[String](0).toArray, r.getLong(1))),
+        nMerges)
     val learned = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
     var done = false
     for (_ <- 0 until nMerges if !done) {
@@ -319,6 +344,64 @@ object Retrieval {
             concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
             .otherwise(concat(acc, array(s))))
         vocab = vocab.select(mergedSy.as("sy"), col("n")).localCheckpoint()
+      }
+    }
+    learned.toSeq
+  }
+
+  /** UTF-8 byte-order comparison — Spark's and DuckDB's binary string
+    * collation, which Java's UTF-16 `compareTo` does not match for
+    * supplementary-plane text. The driver tail must break count ties on
+    * exactly the order the distributed `orderBy(col("a b"))` uses. */
+  private def utf8Lt(x: String, y: String): Boolean = {
+    val a = x.getBytes("UTF-8")
+    val b = y.getBytes("UTF-8")
+    var i = 0
+    while (i < a.length && i < b.length) {
+      val c = (a(i) & 0xff) - (b(i) & 0xff)
+      if (c != 0) return c < 0
+      i += 1
+    }
+    a.length < b.length
+  }
+
+  /** The in-memory tail of [[bpeTrain]]: the identical
+    * count-argmax-merge loop over a collected (symbols, count) vocab —
+    * every position's adjacent pair counts (weighted by word count),
+    * ties to the UTF-8-smallest `"a b"`, greedy left-to-right
+    * non-overlapping merge. */
+  private def bpeTrainDriver(vocab0: Array[(Array[String], Long)],
+                             nMerges: Int): Seq[(String, String, Long)] = {
+    var vocab = vocab0
+    val learned = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+    var done = false
+    for (_ <- 0 until nMerges if !done) {
+      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      vocab.foreach { case (sy, n) =>
+        var i = 0
+        while (i < sy.length - 1) {
+          val p = (sy(i), sy(i + 1))
+          counts.update(p, counts.getOrElse(p, 0L) + n)
+          i += 1
+        }
+      }
+      if (counts.isEmpty) done = true
+      else {
+        val ((a, b), cnt) = counts.minBy { case ((x, y), c) => (-c, x + " " + y) }(
+          Ordering.Tuple2(Ordering.Long, new Ordering[String] {
+            def compare(x: String, y: String): Int =
+              if (x == y) 0 else if (utf8Lt(x, y)) -1 else 1
+          }))
+        learned += ((a, b, cnt))
+        vocab = vocab.map { case (sy, n) =>
+          val out = scala.collection.mutable.ArrayBuffer.empty[String]
+          sy.foreach { s =>
+            if (out.nonEmpty && out.last == a && s == b)
+              out(out.length - 1) = a + b
+            else out += s
+          }
+          (out.toArray, n)
+        }
       }
     }
     learned.toSeq

@@ -157,6 +157,31 @@ class FunctionsSpec extends SparkTestBase {
     assert(viaSql == viaCol)
   }
 
+  test("simhash64 / rolling_min_hash generate real code — no silent fallback") {
+    // with spark.sql.codegen.fallback=false a janino failure in the
+    // generated stanza fails the query instead of quietly interpreting,
+    // so this pins that both expressions' doGenCode actually compiles
+    // and agrees with the interpreted path (including the null-for-short
+    // rolling window through the generated null flag)
+    import spark.implicits._
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val df = Tables.documents(spark, sf())
+        .select($"doc_id", $"text",
+          graft.functions.SimHash64.simhash64(split($"text", " ")).as("sh"),
+          graft.functions.RollingMinHash64.rolling_min_hash($"text", 8).as("rmh"),
+          graft.functions.RollingMinHash64.rolling_min_hash(lit("sm"), 8).as("rshort"))
+      // the `*(n)` prefix marks a WholeStageCodegen stage in toString form
+      assert(df.queryExecution.executedPlan.toString.contains("*(1) Project"))
+      val rows = df.collect()
+      assert(rows.nonEmpty)
+      rows.foreach { r =>
+        assert(!r.isNullAt(2) && !r.isNullAt(3))
+        assert(r.isNullAt(4), "short input must be null through the generated path")
+      }
+    } finally spark.conf.unset("spark.sql.codegen.fallback")
+  }
+
   test("xxhash64 minhash fast path verifies the same near-dup pairs as md5") {
     import spark.implicits._
     import graft.operators.Dedup

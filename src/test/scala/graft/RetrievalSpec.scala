@@ -206,6 +206,47 @@ class RetrievalSpec extends SparkTestBase {
     assert(counts == Map(1L -> 10L, 2L -> 8L, 3L -> 24L, 4L -> 12L))
   }
 
+  test("bpeTrain driver tail ≡ the distributed merge loop") {
+    import spark.implicits._
+    // richer fixture than the worked example: count ties that must break
+    // on the "a b" string, repeated pairs inside words, multi-char tails
+    val docs = Seq(
+      (1L, "banana bandana banana"), (2L, "abba abab baab"),
+      (3L, "low lower lowest"), (4L, "zz zzz zzzz aa")).toDF("doc_id", "text")
+    val viaDriver = Retrieval.bpeTrain(docs, "text", nMerges = 12)
+    // driverTailRows = 0 forces the per-iteration Spark loop
+    val viaSpark = Retrieval.bpeTrain(docs, "text", nMerges = 12,
+      driverTailRows = 0)
+    assert(viaDriver == viaSpark,
+      s"driver tail diverged:\n  driver = $viaDriver\n  spark  = $viaSpark")
+    // merge exhaustion stops both paths at the same table length
+    val small = Seq((1L, "ab ab")).toDF("doc_id", "text")
+    assert(Retrieval.bpeTrain(small, "text", nMerges = 50) ==
+      Retrieval.bpeTrain(small, "text", nMerges = 50, driverTailRows = 0))
+  }
+
+  test("bpeTokenCounts tokenizes the corpus for its vocab exactly once (pinned words frame)") {
+    import spark.implicits._
+    val merges = Seq(("l", "o"), ("lo", "w"))
+    val docs = Seq((1L, "lower low"), (2L, "lower")).toDF("doc_id", "text")
+    val out = Retrieval.bpeTokenCounts(docs, "doc_id", "text", merges)
+    out.collect() // materialize so the lazy checkpoint resolves
+    // the distinct-word frame is checkpointed before the broadcast-cap
+    // probe, so the word side of the final plan must read the stored
+    // blocks (Scan ExistingRDD), leaving exactly ONE corpus tokenize
+    // (the doc-side explode) in the whole plan — pre-pin the vocab
+    // lineage re-ran tokenize+distinct a second time
+    // AQE's toString repeats the pre-adaptive plan under "== Initial
+    // Plan ==" — count nodes only in the final executed section
+    val plan = out.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(plan.contains("Scan ExistingRDD"),
+      s"vocab side must read the pinned words frame:\n$plan")
+    val explodes = "(?i)generate explode".r.findAllIn(plan).size
+    assert(explodes == 1,
+      s"expected exactly one corpus tokenize in the plan, found $explodes:\n$plan")
+  }
+
   // --- BPE pair counts ----------------------------------------------------
 
   test("bpePairCounts counts weighted adjacent symbol pairs with </w> marker") {
