@@ -4,7 +4,7 @@ import java.sql.Timestamp
 
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{DataStreamWriter, GroupState, GroupStateTimeout, OutputMode}
 
 /** Streaming near-duplicate CANDIDATE detection — the online form of the
   * batch MinHash+LSH pipeline (`Dedup.minhashSignaturesFast` →
@@ -35,6 +35,8 @@ object StreamingNearDup {
   case class Doc(doc_id: Long, ts: Timestamp, text: String)
 
   case class Candidate(first_id: Long, new_id: Long, band_id: Int)
+
+  case class Confirmed(first_id: Long, new_id: Long, n_bands: Long, jaccard: Double)
 
   // public: the state encoder's generated code constructs/reads it
   case class BucketState(firstId: Long, lastMs: Long)
@@ -109,4 +111,54 @@ object StreamingNearDup {
           }
         })
   }
+
+  /** Batch-side verification of one micro-batch of [[candidates]]: the
+    * downstream half of the candidate/verify split, identical in rule to
+    * the batch pipeline's `bucketPairs` → [[graft.operators.Dedup
+    * .verifyJaccard]] stage. Band collisions collapse to distinct
+    * (first_id, new_id) pairs (multiplicity kept as `n_bands` — an
+    * LSH-confidence signal), both ids join back to the `store`
+    * (doc_id, text — at scale a keyed document/vector store table;
+    * the id frame is broadcast so the store side never shuffles and its
+    * scan prunes on the join key), and exact shingle Jaccard ≥
+    * `threshold` keeps a pair or kills the false-positive collision.
+    *
+    * Returns (first_id, new_id, n_bands, jaccard).
+    */
+  def verifyBatch(cands: DataFrame, store: DataFrame, threshold: Double,
+                  shingleN: Int = 3): DataFrame = {
+    val pairs = cands
+      .groupBy(col("first_id").as("d1"), col("new_id").as("d2"))
+      .agg(count(lit(1)).as("n_bands"))
+    // a micro-batch's candidate ids are few; broadcast them against the
+    // (huge) store so pruning is a map-side hash probe
+    val ids = pairs
+      .select(explode(array(col("d1"), col("d2"))).as("doc_id"))
+      .distinct()
+    val texts = store.join(broadcast(ids), "doc_id")
+    val shingles = graft.operators.Dedup.wordShingles(texts, "doc_id", "text", shingleN)
+    graft.operators.Dedup.verifyJaccard(pairs.select(col("d1"), col("d2")), shingles, threshold)
+      .join(pairs, Seq("d1", "d2"))
+      .select(col("d1").as("first_id"), col("d2").as("new_id"),
+        col("n_bands"), col("jaccard"))
+  }
+
+  /** The worked end-to-end wiring: [[candidates]] → `foreachBatch` →
+    * [[verifyBatch]] against a document store → `onBatch` receives each
+    * micro-batch's CONFIRMED near-dups (false-positive band collisions
+    * already rejected by exact Jaccard). Call `.start()` on the returned
+    * writer (add `checkpointLocation` for production restarts; `store`
+    * is re-read per batch, so a Delta/parquet-backed store reflects
+    * upserts between batches).
+    */
+  def verifiedNearDups(docs: Dataset[Doc], store: DataFrame, delay: String,
+                       threshold: Double, k: Int = 8, bands: Int = 4,
+                       shingleN: Int = 3)
+                      (onBatch: (DataFrame, Long) => Unit): DataStreamWriter[Candidate] =
+    candidates(docs, delay, k, bands, shingleN)
+      .writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[Candidate], batchId: Long) =>
+        onBatch(verifyBatch(batch.toDF(), store, threshold, shingleN), batchId)
+      }
 }

@@ -407,6 +407,58 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming verify bridge confirms planted near-dups, rejects false-positive collisions") {
+    import spark.implicits._
+    import graft.streaming.StreamingNearDup
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def t(sec: Long) = new Timestamp(sec * 1000)
+    val textA = "alpha beta gamma delta epsilon zeta eta theta"
+    val textB = textA // planted exact near-dup: jaccard 1.0
+    // planted FALSE POSITIVE: shares 5 of 6 trigram shingles with A, so
+    // LSH bands collide (asserted below), but exact jaccard = 5/7 < 0.9
+    val textC = "alpha beta gamma delta epsilon zeta eta quux"
+    val store = Seq((1L, textA), (2L, textB), (3L, textC)).toDF("doc_id", "text")
+    // precondition: doc 3 really is a band-colliding candidate vs doc 1
+    // (otherwise "rejected" would be vacuous — it never reached verify)
+    val codes = StreamingNearDup
+      .bandCodes(Seq(StreamingNearDup.Doc(1L, t(1), textA),
+        StreamingNearDup.Doc(3L, t(3), textC)).toDF(), k = 8, bands = 4, shingleN = 3)
+      .select($"doc_id", $"band_id", $"code").as[(Long, Int, Long)].collect()
+    val shared = codes.filter(_._1 == 1L).map(c => (c._2, c._3)).toSet
+      .intersect(codes.filter(_._1 == 3L).map(c => (c._2, c._3)).toSet)
+    assert(shared.nonEmpty, "fixture must plant a band collision for the false positive")
+    val confirmed = scala.collection.mutable.ArrayBuffer.empty[StreamingNearDup.Confirmed]
+    val input = MemoryStream[StreamingNearDup.Doc]
+    val q = StreamingNearDup
+      .verifiedNearDups(input.toDS(), store, delay = "10 seconds", threshold = 0.9) {
+        (batch, _) =>
+          confirmed.synchronized {
+            confirmed ++= batch.as[StreamingNearDup.Confirmed].collect()
+          }
+      }.start()
+    try {
+      input.addData(
+        StreamingNearDup.Doc(1L, t(1), textA),
+        StreamingNearDup.Doc(2L, t(2), textB),
+        StreamingNearDup.Doc(3L, t(3), textC))
+      q.processAllAvailable()
+      val got = confirmed.synchronized(confirmed.toList)
+      assert(got.map(c => (c.first_id, c.new_id)).toSet == Set((1L, 2L)),
+        s"exactly the planted near-dup must confirm: $got")
+      val c12 = got.find(c => c.new_id == 2L).get
+      assert(c12.jaccard == 1.0 && c12.n_bands == 4L,
+        s"exact dup must collide in all bands at jaccard 1.0: $c12")
+    } finally q.stop()
+    // and the rejected pair is rejected by VERIFY, not lost upstream:
+    // replaying its candidate row through the batch bridge keeps it out
+    // at 0.9 but admits it at its true jaccard 5/7
+    val fp = Seq((1L, 3L, 0)).toDF("first_id", "new_id", "band_id")
+    assert(StreamingNearDup.verifyBatch(fp, store, threshold = 0.9).isEmpty)
+    val loose = StreamingNearDup.verifyBatch(fp, store, threshold = 0.5)
+      .as[StreamingNearDup.Confirmed].collect()
+    assert(loose.length == 1 && math.abs(loose(0).jaccard - 5.0 / 7.0) < 1e-6)
+  }
+
   test("payload diff surfaces changed fields on update messages") {
     import spark.implicits._
     val reg = new SchemaRegistry
