@@ -20,7 +20,18 @@ import org.apache.spark.sql.SparkSession
   * bench (committed idle reference ~0.80 s): readings stretched > 1.3×
   * mark the run `"contended": true` and suppress the drift flags, so an
   * environmental shift (other tenants on the machine) reads as exactly
-  * that instead of a wall of phantom regressions.
+  * that instead of a wall of phantom regressions. A contended pass
+  * additionally triggers ONE full re-run on a fresh session — the retry
+  * is what gets published, with the burned attempt attached under
+  * `contended_first_attempt` — and the drift baseline skips contended
+  * BENCH files in favor of the newest clean one (including
+  * `BENCH_r<N>_clean.json` re-runs).
+  *
+  * Beyond throughput, the bench publishes ANN retrieval QUALITY:
+  * recall@10 of ivf (nprobe sweep), PQ/ADC, and int8 search against the
+  * exact brute-force neighborhood — the oracles gate deterministic
+  * replay, this gates how much of the true neighborhood the
+  * approximations actually find.
   */
 object Bench {
 
@@ -113,6 +124,24 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     calibrationSecs() // JIT warm-up for the probe loop (shared mix method)
+    val (json, suspect) = runBench(sfDir, cpus)
+    if (!suspect) println(json)
+    else {
+      // the probes saw external load, so every median in this pass is
+      // low-trust and a round-over-round comparison against it would
+      // burn (the r7 lesson: a contended BENCH file poisons the next
+      // round's drift baseline). Re-run ONCE on a fresh session and
+      // publish the retry — clean or not — with the contended first
+      // attempt attached for the record.
+      val (retryJson, _) = runBench(sfDir, cpus)
+      println(retryJson.dropRight(1) +
+        ",\"bench_attempt\":2,\"contended_first_attempt\":" + json + "}")
+    }
+  }
+
+  /** One full bench pass on a fresh SparkSession; returns the JSON line
+    * and whether the calibration probes flagged contention. */
+  private def runBench(sfDir: String, cpus: String): (String, Boolean) = {
     val calStartSec = calibrationSecs()
     val calParStartSec = calibrationParallelSecs()
     val spark = SparkSession.builder()
@@ -171,15 +200,32 @@ object Bench {
     val prevBench: Option[String] =
       try {
         val dir = new java.io.File(".")
-        Option(dir.listFiles()).getOrElse(Array.empty)
-          .filter(f => f.getName.matches("BENCH_r\\d+\\.json"))
-          .sortBy(_.getName).lastOption.map { f =>
-            val text = scala.io.Source.fromFile(f)
-            // the driver wraps our JSON line escaped inside its own record
-            // ("tail": "...{\"metric\":...}") — unescape before locating
-            // the metric blocks
-            (try text.mkString finally text.close()).replace("\\\"", "\"")
+        val contents = Option(dir.listFiles()).getOrElse(Array.empty)
+          .filter(f => f.getName.matches("BENCH_r\\d+(_clean)?\\.json"))
+          .sortBy(_.getName).toSeq.flatMap { f =>
+            try {
+              val text = scala.io.Source.fromFile(f)
+              // the driver wraps our JSON line escaped inside its own
+              // record ("tail": "...{\"metric\":...}") — unescape before
+              // locating the metric blocks
+              Some((try text.mkString finally text.close()).replace("\\\"", "\""))
+            } catch { case _: Throwable => None }
           }
+        // drift must compare against the newest CLEAN round: a
+        // contention-flagged file's medians are environment, and
+        // diffing against them flags phantom moves for a full round
+        // (r7's driver run was exactly this). BENCH_r<N>_clean.json
+        // files are re-runs taken on a quiet machine for rounds whose
+        // driver file burned.
+        // strip any attached contended first attempt up front: its
+        // medians and its "contended":true flag belong to the burned
+        // attempt, and both the clean-file filter and the block parsers
+        // below (which locate the LAST "queries":{ occurrence) must see
+        // only the published retry
+        val stripped = contents
+          .map(_.replaceAll("\"contended_first_attempt\":\\{.*", ""))
+        stripped.filterNot(_.contains("\"contended\":true")).lastOption
+          .orElse(stripped.lastOption)
       } catch { case _: Throwable => None }
 
     val driftFlags: Seq[String] =
@@ -411,6 +457,79 @@ object Bench {
         ((-1.0, -1.0), (-1.0, -1.0))
       }
 
+    // ANN retrieval QUALITY: recall@10 of every approximate search path
+    // against the exact brute-force neighborhood on the same vectors and
+    // probes. The oracle gates pin replay determinism (the approximation
+    // computed identically), not how much of the true neighborhood it
+    // finds — this is the number that sizes nprobe / PQ codebooks /
+    // quantization at 100 TB. The ivf sweep shows the recall-vs-pruning
+    // dial; nprobe = k(=8 clusters) searches everything and must read 1.
+    val recallK = 10
+    val recalls: Seq[(String, Double)] =
+      try {
+        import org.apache.spark.sql.functions._
+        import graft.operators.Similarity
+        val vecs = Tables.embeddings(spark, sfDir)
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+          .cache()
+        try {
+          val probes = vecs.filter(col("vec_id") < 5)
+            .select(col("vec_id").as("probe_id"), col("v").as("p"))
+          val exact = Similarity.bruteForceTopK(vecs, probes, k = recallK)
+            .select(col("probe_id"), col("vec_id"), col("rank")).cache()
+          exact.count()
+          val cents = Similarity.kmeansFit(vecs, k = 8, iters = 2)
+          val ivf = Seq(1, 2, 4, 8).map { np =>
+            s"recall_ivf_nprobe$np" -> Similarity.recallAtK(
+              Similarity.ivfTopK(vecs, cents, probes, k = recallK,
+                nprobe = np, roundTo = 4, reliable = false),
+              exact, recallK)
+          }
+          val cb = Similarity.pqFit(vecs.filter(col("vec_id") % 4 === 0),
+            m = 4, subDim = 16, ksub = 8, iters = 2)
+          val enc = Similarity.pqEncode(vecs, cb, m = 4, subDim = 16)
+          val pqR = Similarity.recallAtK(
+            Similarity.pqTopK(enc, probes, cb, k = recallK, m = 4, subDim = 16),
+            exact, recallK)
+          // the two-stage shape: ADC fetches 200, exact cosine re-ranks —
+          // published next to the raw ADC number so the rank-resolution
+          // gap of 32-bit codes (and what re-ranking buys back) is visible
+          val pqRerankR = Similarity.recallAtK(
+            Similarity.pqTopKRerank(enc, probes, cb, vecs, k = recallK,
+              m = 4, subDim = 16, fetchK = 200),
+            exact, recallK)
+          // production-shaped codebooks (m=8, ksub=32 → 40 bits, ~10^12
+          // distinct codes vs the oracle config's 4096): the oracle keeps
+          // the tiny config for replayability; this shows recall scaling
+          // with codebook capacity — the dial a 100 TB deployment turns
+          val cb2 = Similarity.pqFit(vecs.filter(col("vec_id") % 4 === 0),
+            m = 8, subDim = 8, ksub = 32, iters = 2)
+          val enc2 = Similarity.pqEncode(vecs, cb2, m = 8, subDim = 8)
+          val pq2R = Similarity.recallAtK(
+            Similarity.pqTopK(enc2, probes, cb2, k = recallK, m = 8, subDim = 8),
+            exact, recallK)
+          val pq2RerankR = Similarity.recallAtK(
+            Similarity.pqTopKRerank(enc2, probes, cb2, vecs, k = recallK,
+              m = 8, subDim = 8, fetchK = 200),
+            exact, recallK)
+          val quant = Similarity.quantizeInt8(vecs)
+          val qprobes = quant.filter(col("vec_id") < 5)
+            .select(col("vec_id").as("probe_id"), col("q").as("pq"))
+          val i8R = Similarity.recallAtK(
+            Similarity.int8TopK(quant, qprobes, k = recallK), exact, recallK)
+          val out = ivf ++ Seq("recall_pq_topk" -> pqR,
+            "recall_pq_rerank" -> pqRerankR,
+            "recall_pq_m8k32_topk" -> pq2R,
+            "recall_pq_m8k32_rerank" -> pq2RerankR,
+            "recall_int8_topk" -> i8R)
+          exact.unpersist(blocking = false)
+          out
+        } finally vecs.unpersist(blocking = false)
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] recall metric failed: $e")
+        Seq.empty
+      }
+
     // round-over-round drift on the throughput metrics, same 20% gate as
     // the queries — this is what would have caught the r04→r05 2× swing.
     val serdeMetrics = Seq(
@@ -453,6 +572,14 @@ object Bench {
       math.max(calStartSec, calEndSec) > CalibrationRefSec * ContentionFactor ||
         math.max(calParStartSec, calParEndSec) >
           CalibrationParRefSec * ParContentionFactor
+    // the probes sample the START and END instants only; external load
+    // that ramps mid-run slips between them (observed live: clean probes,
+    // yet every query from the 13th on 1.5–4× slower and 13/23 medians
+    // drifted > 20% vs the clean baseline, all the same direction). A
+    // third of the suite moving > 20% in one round is environment, not a
+    // plausible code change — treat mass drift as suspected contention,
+    // which (like the probe flag) triggers the one fresh-session retry.
+    val massDrift = driftFlags.size * 3 >= headline.size
 
     val qs = results.map { case (k, v, _) => "\"" + k + f"""\":$v%.4f""" }
       .mkString("{", ",", "}")
@@ -486,8 +613,12 @@ object Bench {
     // gate comparison: BASELINE.md requires the full envelope chain to
     // sustain ≥ ~90k rows/s/core; ratio < 1 means the gate failed
     val gateRatio = if (serdeUuidPerCore < 0) -1.0 else serdeUuidPerCore / 90000.0
-    println(
-      f"""{"metric":"total","value":$total%.4f,"unit":"sec","runs_per_query":$runsPerQuery,"queries":$qs,"query_spread_pct":$spreads,"drift_gt20pct_vs_prev":$drift,"serde_rows_per_sec":$serdeRowsPerSec%.0f,"serde_rows_per_sec_core":$serdePerCore%.0f,"serde_uuid_rows_per_sec_core":$serdeUuidPerCore%.0f,"uuid_gen_rows_per_sec_core":$uuidGenPerCore%.0f,"uuid_rows_per_sec":$uuidRowsPerSec%.0f,"uuid_rows_per_sec_core":$uuidPerCore%.0f,"serde_spread_pct":$serdeSpreads,"serde_drift_gt20pct_vs_prev":$serdeDrift,"baseline_gate_rows_per_sec_core":90000,"serde_uuid_vs_gate":$gateRatio%.2f,"minhash_md5_docs_per_sec":$minhashMd5DocsPerSec%.0f,"minhash_xxh64_docs_per_sec":$minhashXxhDocsPerSec%.0f,"rolling_fp_hof_docs_per_sec":$rollingHofDocsPerSec%.0f,"rolling_fp_expr_docs_per_sec":$rollingExprDocsPerSec%.0f,"argmax_hof_vecs_per_sec":$argmaxHofVecsPerSec%.0f,"argmax_expr_vecs_per_sec":$argmaxExprVecsPerSec%.0f,"calibration_ref_sec":$CalibrationRefSec%.2f,"calibration_start_sec":$calStartSec%.3f,"calibration_end_sec":$calEndSec%.3f,"calibration_par_ref_sec":$CalibrationParRefSec%.2f,"calibration_par_start_sec":$calParStartSec%.3f,"calibration_par_end_sec":$calParEndSec%.3f,"contended":$contended,"sf":"$sfDir"}""")
+    val recallJson = recalls
+      .map { case (k, v) => "\"" + k + f"""\":$v%.4f""" }
+      .mkString("{", ",", "}")
+    val json =
+      f"""{"metric":"total","value":$total%.4f,"unit":"sec","runs_per_query":$runsPerQuery,"queries":$qs,"query_spread_pct":$spreads,"drift_gt20pct_vs_prev":$drift,"serde_rows_per_sec":$serdeRowsPerSec%.0f,"serde_rows_per_sec_core":$serdePerCore%.0f,"serde_uuid_rows_per_sec_core":$serdeUuidPerCore%.0f,"uuid_gen_rows_per_sec_core":$uuidGenPerCore%.0f,"uuid_rows_per_sec":$uuidRowsPerSec%.0f,"uuid_rows_per_sec_core":$uuidPerCore%.0f,"serde_spread_pct":$serdeSpreads,"serde_drift_gt20pct_vs_prev":$serdeDrift,"baseline_gate_rows_per_sec_core":90000,"serde_uuid_vs_gate":$gateRatio%.2f,"minhash_md5_docs_per_sec":$minhashMd5DocsPerSec%.0f,"minhash_xxh64_docs_per_sec":$minhashXxhDocsPerSec%.0f,"rolling_fp_hof_docs_per_sec":$rollingHofDocsPerSec%.0f,"rolling_fp_expr_docs_per_sec":$rollingExprDocsPerSec%.0f,"argmax_hof_vecs_per_sec":$argmaxHofVecsPerSec%.0f,"argmax_expr_vecs_per_sec":$argmaxExprVecsPerSec%.0f,"recall_at_k":$recallK,"recall":$recallJson,"calibration_ref_sec":$CalibrationRefSec%.2f,"calibration_start_sec":$calStartSec%.3f,"calibration_end_sec":$calEndSec%.3f,"calibration_par_ref_sec":$CalibrationParRefSec%.2f,"calibration_par_start_sec":$calParStartSec%.3f,"calibration_par_end_sec":$calParEndSec%.3f,"contended":$contended,"mass_drift_suspected":$massDrift,"sf":"$sfDir"}"""
     spark.stop()
+    (json, contended || massDrift)
   }
 }

@@ -446,6 +446,35 @@ object Similarity {
     topKPerProbeBy(scored, k, col("adist").asc)
   }
 
+  /** Two-stage PQ retrieval: ADC fetches `fetchK` candidates per probe
+    * in the compressed domain ([[pqTopK]] — only (vec_id, codes) ever
+    * shuffles), then ONLY those candidates join back to the full vector
+    * table for an exact-cosine top-k. This is the standard
+    * coarse-retrieve / exact-rerank split (Jégou §V): an m·log2(ksub)-bit
+    * code has limited rank RESOLUTION — the bench measures recall@10
+    * ≈ 0.1 for raw 32-bit ADC ranking vs ≈ 1.0 re-ranked — so the codes
+    * buy the 100 TB scan (8–128× less data read) and the exact pass pays
+    * fetchK cosines per probe instead of N. The candidate frame
+    * (≤ fetchK·|probes| rows of (probe_id, vec_id)) broadcasts against
+    * the vector table, so the full vectors never shuffle either.
+    *
+    * Returns (probe_id, vec_id, cosine, rank ≤ k) — same contract as
+    * [[bruteForceTopK]], and identical to it whenever the true top-k
+    * survives in the ADC candidate set (spec-pinned at fetchK = corpus).
+    */
+  def pqTopKRerank(encoded: DataFrame, probes: DataFrame, codebooks: DataFrame,
+                   vectors: DataFrame, k: Int, m: Int, subDim: Int,
+                   fetchK: Int, roundTo: Int = 4): DataFrame = {
+    require(fetchK >= k, s"fetchK=$fetchK must be >= k=$k")
+    val cands = pqTopK(encoded, probes, codebooks, fetchK, m, subDim)
+      .select(col("probe_id"), col("vec_id"))
+    val scored = vectors.select(col("vec_id"), col("v"))
+      .join(broadcast(cands), "vec_id")
+      .join(broadcast(probes.select(col("probe_id"), col("p"))), "probe_id")
+      .select(col("probe_id"), col("vec_id"), round(cosineExpr, roundTo).as("cosine"))
+    topKPerProbe(scored, k)
+  }
+
   /** The [[topKPerProbe]] two-phase salted pattern under an arbitrary
     * primary ordering (ties always break on ascending vec_id). */
   private def topKPerProbeBy(scored: DataFrame, k: Int, primary: Column,
@@ -515,6 +544,24 @@ object Similarity {
       .select(col("probe_id"), col("vec_id"),
         round(dot.cast("double") / (col("__nq") * col("__np")), roundTo).as("cosine"))
     topKPerProbe(scored, k)
+  }
+
+  /** Recall@k of an approximate top-k result against the exact one —
+    * the retrieval-quality number a user sizing nprobe / PQ codebooks /
+    * quantization actually needs (the oracle gates only check that the
+    * approximation replays identically, which says nothing about how
+    * much of the true neighborhood it finds). Both frames carry
+    * (probe_id, vec_id, rank); rows with rank > k are ignored, so
+    * results from a larger-k search can be reused. Returns
+    * |approx ∩ exact| / |exact| over all probes (micro-averaged;
+    * probes the approximate path dropped entirely simply contribute
+    * misses), or 1.0 when the exact set is empty. */
+  def recallAtK(approx: DataFrame, exact: DataFrame, k: Int): Double = {
+    val a = approx.filter(col("rank") <= k).select(col("probe_id"), col("vec_id"))
+    val e = exact.filter(col("rank") <= k).select(col("probe_id"), col("vec_id"))
+    val denom = e.count().toDouble
+    if (denom == 0) 1.0
+    else a.join(e, Seq("probe_id", "vec_id")).count().toDouble / denom
   }
 
   /** SemDeDup-style semantic dedup (Abbas et al. 2023): cluster the

@@ -253,6 +253,28 @@ object LlmOps {
       .orderBy($"probe_id", $"rank")
   }
 
+  /** Two-stage PQ retrieval (north-star: the ANN shape that actually
+    * ships at 100 TB): ADC fetches 50 candidates per probe in the
+    * compressed code domain, then only those 50 join back to the full
+    * vectors for an exact-cosine top-3 — coarse codes buy the scan,
+    * the exact pass buys the ranking (bench: recall@10 ≈ 0.1 raw ADC
+    * vs ≈ 1.0 re-ranked). The oracle replays training, encoding, the
+    * ADC candidate cut, and the exact re-rank step for step. */
+  def qPqRerank(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val vecs = Tables.embeddings(spark, dir)
+      .select($"vec_id", $"embedding".cast("array<double>").as("v")).cache()
+    val cb = graft.operators.Similarity.pqFit(
+      vecs.filter($"vec_id" % 4 === 0), m = 4, subDim = 16, ksub = 8, iters = 2)
+    val enc = graft.operators.Similarity.pqEncode(vecs, cb, m = 4, subDim = 16)
+    val probes = vecs.filter($"vec_id" < 5)
+      .select($"vec_id".as("probe_id"), $"v".as("p"))
+    graft.operators.Similarity
+      .pqTopKRerank(enc, probes, cb, vecs, k = 3, m = 4, subDim = 16, fetchK = 50)
+      .select($"probe_id", $"vec_id", $"cosine", $"rank")
+      .orderBy($"probe_id", $"rank")
+  }
+
   /** Int8-quantized exact top-k (north-star: ANN over compressed
     * embeddings): per-vector symmetric scalar quantization (8× smaller
     * storage), then cosine over the integer codes — the scales cancel,
@@ -480,6 +502,7 @@ object LlmOps {
     "sim_ivf_topk" -> (qIvfTopK _),
     "sim_ivf_sample" -> (qIvfSampleTopK _),
     "sim_pq_topk" -> (qPqTopK _),
+    "sim_pq_rerank" -> (qPqRerank _),
     "sim_int8_topk" -> (qInt8TopK _),
     "t_quality_filter" -> (qQualityFilter _),
     "d_semantic_dedup" -> (qSemanticDedup _),
@@ -524,6 +547,53 @@ object LlmOps {
           inter AS (
             SELECT c.d1, c.d2, count(*) AS i
             FROM cand c JOIN sh a ON a.id = c.d1 JOIN sh b ON b.id = c.d2 AND b.g = a.g
+            GROUP BY 1, 2)"""
+
+  /** The PQ training + encode + ADC CTE chain (through `approx` =
+    * per-candidate summed distance-table lookups) shared by the raw
+    * ADC oracle and the exact-re-rank oracle. */
+  private val pqAdcCtes: String =
+    """v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+          s AS (SELECT * FROM v WHERE vec_id % 4 = 0),
+          seeds AS (SELECT vec_id, e FROM s ORDER BY vec_id LIMIT 8),
+          c0 AS (
+            SELECT t.sub,
+                   row_number() OVER (PARTITION BY t.sub ORDER BY seeds.vec_id) - 1 AS cluster,
+                   [seeds.e[t.sub * 16 + i] for i in range(1, 17)] AS cv
+            FROM seeds, range(0, 4) t(sub)),
+          a1 AS (
+            SELECT sub, vec_id, e, cluster FROM (
+              SELECT c0.sub, s.vec_id, s.e, c0.cluster,
+                     row_number() OVER (PARTITION BY c0.sub, s.vec_id ORDER BY
+                       round(list_sum([(s.e[c0.sub * 16 + i] - c0.cv[i]) *
+                                       (s.e[c0.sub * 16 + i] - c0.cv[i])
+                                       for i in range(1, 17)]), 6) ASC,
+                       c0.cluster ASC) AS rn
+              FROM s, c0) WHERE rn = 1),
+          d1 AS (SELECT sub, cluster, i, round(avg(e[sub * 16 + i]), 6) AS mn
+                 FROM a1, range(1, 17) t(i) GROUP BY 1, 2, 3),
+          c1 AS (SELECT sub, cluster, list(mn ORDER BY i) AS cv
+                 FROM d1 GROUP BY 1, 2),
+          enc AS (
+            SELECT sub, vec_id, cluster AS code FROM (
+              SELECT c1.sub, v.vec_id, c1.cluster,
+                     row_number() OVER (PARTITION BY c1.sub, v.vec_id ORDER BY
+                       round(list_sum([(v.e[c1.sub * 16 + i] - c1.cv[i]) *
+                                       (v.e[c1.sub * 16 + i] - c1.cv[i])
+                                       for i in range(1, 17)]), 6) ASC,
+                       c1.cluster ASC) AS rn
+              FROM v, c1) WHERE rn = 1),
+          probes AS (SELECT vec_id AS pid, e AS p FROM v WHERE vec_id < 5),
+          ptab AS (
+            SELECT pid, sub, cluster,
+                   round(list_sum([(p[sub * 16 + i] - cv[i]) *
+                                   (p[sub * 16 + i] - cv[i])
+                                   for i in range(1, 17)]), 6) AS d
+            FROM probes, c1),
+          approx AS (
+            SELECT t.pid AS probe_id, enc.vec_id, round(sum(t.d), 6) AS adist
+            FROM enc JOIN ptab t ON enc.sub = t.sub AND enc.code = t.cluster
+            WHERE enc.vec_id <> t.pid
             GROUP BY 1, 2)"""
 
   val oracles: Map[String, String] = Map(
@@ -874,49 +944,7 @@ object LlmOps {
           SELECT probe_id, vec_id, cosine, rank
           FROM ranked WHERE rank <= 3
           ORDER BY probe_id, rank""",
-    "sim_pq_topk" ->
-      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
-          s AS (SELECT * FROM v WHERE vec_id % 4 = 0),
-          seeds AS (SELECT vec_id, e FROM s ORDER BY vec_id LIMIT 8),
-          c0 AS (
-            SELECT t.sub,
-                   row_number() OVER (PARTITION BY t.sub ORDER BY seeds.vec_id) - 1 AS cluster,
-                   [seeds.e[t.sub * 16 + i] for i in range(1, 17)] AS cv
-            FROM seeds, range(0, 4) t(sub)),
-          a1 AS (
-            SELECT sub, vec_id, e, cluster FROM (
-              SELECT c0.sub, s.vec_id, s.e, c0.cluster,
-                     row_number() OVER (PARTITION BY c0.sub, s.vec_id ORDER BY
-                       round(list_sum([(s.e[c0.sub * 16 + i] - c0.cv[i]) *
-                                       (s.e[c0.sub * 16 + i] - c0.cv[i])
-                                       for i in range(1, 17)]), 6) ASC,
-                       c0.cluster ASC) AS rn
-              FROM s, c0) WHERE rn = 1),
-          d1 AS (SELECT sub, cluster, i, round(avg(e[sub * 16 + i]), 6) AS mn
-                 FROM a1, range(1, 17) t(i) GROUP BY 1, 2, 3),
-          c1 AS (SELECT sub, cluster, list(mn ORDER BY i) AS cv
-                 FROM d1 GROUP BY 1, 2),
-          enc AS (
-            SELECT sub, vec_id, cluster AS code FROM (
-              SELECT c1.sub, v.vec_id, c1.cluster,
-                     row_number() OVER (PARTITION BY c1.sub, v.vec_id ORDER BY
-                       round(list_sum([(v.e[c1.sub * 16 + i] - c1.cv[i]) *
-                                       (v.e[c1.sub * 16 + i] - c1.cv[i])
-                                       for i in range(1, 17)]), 6) ASC,
-                       c1.cluster ASC) AS rn
-              FROM v, c1) WHERE rn = 1),
-          probes AS (SELECT vec_id AS pid, e AS p FROM v WHERE vec_id < 5),
-          ptab AS (
-            SELECT pid, sub, cluster,
-                   round(list_sum([(p[sub * 16 + i] - cv[i]) *
-                                   (p[sub * 16 + i] - cv[i])
-                                   for i in range(1, 17)]), 6) AS d
-            FROM probes, c1),
-          approx AS (
-            SELECT t.pid AS probe_id, enc.vec_id, round(sum(t.d), 6) AS adist
-            FROM enc JOIN ptab t ON enc.sub = t.sub AND enc.code = t.cluster
-            WHERE enc.vec_id <> t.pid
-            GROUP BY 1, 2),
+    "sim_pq_topk" -> s"""WITH $pqAdcCtes,
           ranked AS (
             SELECT probe_id, vec_id, adist,
                    row_number() OVER (PARTITION BY probe_id
@@ -924,6 +952,29 @@ object LlmOps {
             FROM approx)
           SELECT probe_id, vec_id, adist, rank
           FROM ranked WHERE rank <= 3
+          ORDER BY probe_id, rank""",
+    "sim_pq_rerank" -> s"""WITH $pqAdcCtes,
+          cand AS (
+            SELECT probe_id, vec_id FROM (
+              SELECT probe_id, vec_id,
+                     row_number() OVER (PARTITION BY probe_id
+                                        ORDER BY adist ASC, vec_id ASC) AS crank
+              FROM approx) WHERE crank <= 50),
+          rescored AS (
+            SELECT c.probe_id, c.vec_id,
+                   round(
+                     list_sum([p.p[i] * b.e[i] for i in range(1, 65)]) /
+                     (sqrt(list_sum([b.e[i] * b.e[i] for i in range(1, 65)])) *
+                      sqrt(list_sum([p.p[i] * p.p[i] for i in range(1, 65)]))), 4) AS cosine
+            FROM cand c JOIN v b ON b.vec_id = c.vec_id
+                        JOIN probes p ON p.pid = c.probe_id),
+          rranked AS (
+            SELECT probe_id, vec_id, cosine,
+                   row_number() OVER (PARTITION BY probe_id
+                                      ORDER BY cosine DESC, vec_id ASC) AS rank
+            FROM rescored)
+          SELECT probe_id, vec_id, cosine, rank
+          FROM rranked WHERE rank <= 3
           ORDER BY probe_id, rank""",
     "sim_int8_topk" ->
       """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),

@@ -428,6 +428,65 @@ class CurationSpec extends SparkTestBase {
       s"native assignment must stay shuffle- and join-free:\n$p")
   }
 
+  test("ANN recall harness: self-recall 1, exhaustive ivf exact, int8 above its floor") {
+    import spark.implicits._
+    import graft.operators.Similarity
+    // 8 well-separated direction clusters × 6 vectors: every probe's
+    // true top-5 are exactly its 5 direction-mates, so the k boundary
+    // falls in the wide inter-cluster cosine gap — sub-percent
+    // quantization error cannot flip it, while a genuinely broken
+    // approximation still craters recall
+    val rnd = new scala.util.Random(5)
+    val vecs = (0L until 48L).map { i =>
+      val base = (i % 8).toInt
+      (i, (0 until 8).map(d => math.cos(base + d) + 0.05 * rnd.nextGaussian()).toSeq)
+    }.toDF("vec_id", "v")
+    val probes = vecs.filter($"vec_id" < 3)
+      .select($"vec_id".as("probe_id"), $"v".as("p"))
+    val exact = Similarity.bruteForceTopK(vecs, probes, k = 5).cache()
+    // the measure itself: identity and disjoint extremes
+    assert(Similarity.recallAtK(exact, exact, 5) == 1.0)
+    assert(Similarity.recallAtK(exact.filter(lit(false)), exact, 5) == 0.0)
+    // ivf with nprobe = k clusters routes every probe to every cluster —
+    // an exhaustive search that must recover the exact neighborhood
+    val cents = Similarity.kmeansFit(vecs, k = 4, iters = 2)
+    val exhaustive = Similarity.ivfTopK(vecs, cents, probes, k = 5,
+      nprobe = 4, roundTo = 4, reliable = false)
+    assert(Similarity.recallAtK(exhaustive, exact, 5) == 1.0,
+      "nprobe = k must be exhaustive")
+    // pruned ivf trades recall for scan fraction but stays a valid result
+    val pruned = Similarity.ivfTopK(vecs, cents, probes, k = 5,
+      nprobe = 1, roundTo = 4, reliable = false)
+    val prunedRecall = Similarity.recallAtK(pruned, exact, 5)
+    assert(prunedRecall > 0.0 && prunedRecall <= 1.0)
+    // int8 quantization error is sub-percent per component; on separated
+    // neighborhoods it must clear the published floor
+    val quant = Similarity.quantizeInt8(vecs)
+    val qprobes = quant.filter($"vec_id" < 3)
+      .select($"vec_id".as("probe_id"), $"q".as("pq"))
+    val i8 = Similarity.int8TopK(quant, qprobes, k = 5)
+    assert(Similarity.recallAtK(i8, exact, 5) >= 0.95,
+      "int8 recall fell under its floor")
+    // PQ re-rank with fetchK = corpus keeps every candidate, so the
+    // exact re-ranking must reproduce brute force row for row — and the
+    // raw ADC ordering it corrects must itself score worse or equal
+    val cb = Similarity.pqFit(vecs, m = 2, subDim = 4, ksub = 4, iters = 2)
+    val enc = Similarity.pqEncode(vecs, cb, m = 2, subDim = 4)
+    val rr = Similarity.pqTopKRerank(enc, probes, cb, vecs, k = 5,
+      m = 2, subDim = 4, fetchK = 48)
+    assert(Similarity.recallAtK(rr, exact, 5) == 1.0,
+      "full-fetch re-rank must equal brute force")
+    val rrRows = rr.select($"probe_id", $"vec_id", $"cosine", $"rank")
+      .as[(Long, Long, Double, Int)].collect().toSet
+    val bfRows = exact.select($"probe_id", $"vec_id", $"cosine", $"rank")
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(rrRows == bfRows, "re-ranked rows must match brute force exactly")
+    val adcRecall = Similarity.recallAtK(
+      Similarity.pqTopK(enc, probes, cb, k = 5, m = 2, subDim = 4), exact, 5)
+    assert(adcRecall <= 1.0)
+    exact.unpersist()
+  }
+
   test("salted two-phase top-k ≡ a single per-probe ranking (candidates ≫ k)") {
     import spark.implicits._
     import graft.operators.Similarity
