@@ -517,7 +517,17 @@ object Bench {
             .select(col("vec_id").as("probe_id"), col("q").as("pq"))
           val i8R = Similarity.recallAtK(
             Similarity.int8TopK(quant, qprobes, k = recallK), exact, recallK)
-          val out = ivf ++ Seq("recall_pq_topk" -> pqR,
+          // IVFADC (coarse route + in-cluster ADC over the joint index):
+          // the recall cost of pruning the COMPRESSED scan, same sweep
+          // shape as exact ivf above
+          val index = Similarity.pqIndex(vecs, cents, cb, m = 4, subDim = 16)
+          val ivfpq = Seq(1, 2, 4).map { np =>
+            s"recall_ivfpq_nprobe$np" -> Similarity.recallAtK(
+              Similarity.ivfPqTopK(index, cents, probes, cb, k = recallK,
+                nprobe = np, m = 4, subDim = 16),
+              exact, recallK)
+          }
+          val out = ivf ++ ivfpq ++ Seq("recall_pq_topk" -> pqR,
             "recall_pq_rerank" -> pqRerankR,
             "recall_pq_m8k32_topk" -> pq2R,
             "recall_pq_m8k32_rerank" -> pq2RerankR,

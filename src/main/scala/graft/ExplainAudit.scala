@@ -16,7 +16,8 @@ object ExplainAudit {
         "sim_bm25_multi", "d_substring_dedup", "t_pack_sharded", "sim_ivf_sample",
         "d_substring_sampled", "t_bpe_apply", "d_semantic_sample",
         "sim_pq_topk", "t_weighted_sample", "t_top_tokens", "q_range_join",
-        "sim_int8_topk", "d_substring_removal")
+        "sim_int8_topk", "d_substring_removal", "sim_pq_rerank",
+        "sim_ivfpq_topk")
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.ui.enabled", "false").getOrCreate()

@@ -288,22 +288,30 @@ object Similarity {
     searchRouted(labeled, centroids(labeled, "cluster"), probes, k, nprobe, roundTo)
   }
 
-  /** The shared IVF search body: route each probe to its `nprobe`
-    * closest centroids (broadcast — k rows, tiny), then exact top-k
-    * within those clusters only (the join prunes the labeled corpus to
-    * nprobe/k of its partitions). */
-  private def searchRouted(labeled: DataFrame, cents: DataFrame,
-                           probes: DataFrame, k: Int, nprobe: Int,
-                           roundTo: Int): DataFrame = {
+  /** Probe routing shared by exact-IVF and IVFADC search: each probe's
+    * `nprobe` closest centroids by 6-dp-rounded cosine (ties to the
+    * lower cluster id). The centroid frame broadcasts — k rows, tiny.
+    * Returns (probe_id, p, cluster), one row per routed cluster. */
+  private def routeProbes(probes: DataFrame, cents: DataFrame,
+                          nprobe: Int): DataFrame = {
     val probeCent = probes.crossJoin(broadcast(cents))
       .select(col("probe_id"), col("p"), col("cluster"),
         round(graft.functions.CosineSim.cosine_sim(col("c"), col("p")), 6).as("ccos"))
     val wc = Window.partitionBy(col("probe_id")).orderBy(col("ccos").desc, col("cluster").asc)
-    val routed = probeCent.withColumn("crank", row_number().over(wc))
+    probeCent.withColumn("crank", row_number().over(wc))
       .filter(col("crank") <= nprobe)
       .select(col("probe_id"), col("p"), col("cluster"))
+  }
+
+  /** The shared IVF search body: route each probe to its `nprobe`
+    * closest centroids, then exact top-k within those clusters only
+    * (the join prunes the labeled corpus to nprobe/k of its
+    * partitions). */
+  private def searchRouted(labeled: DataFrame, cents: DataFrame,
+                           probes: DataFrame, k: Int, nprobe: Int,
+                           roundTo: Int): DataFrame = {
     val scored = labeled
-      .join(broadcast(routed), "cluster")
+      .join(broadcast(routeProbes(probes, cents, nprobe)), "cluster")
       .filter(col("vec_id") =!= col("probe_id"))
       .select(col("probe_id"), col("vec_id"), round(cosineExpr, roundTo).as("cosine"))
     topKPerProbe(scored, k)
@@ -407,7 +415,23 @@ object Similarity {
              k: Int, m: Int, subDim: Int): DataFrame = {
     val cbs = collectCodebooks(codebooks)
     require((0 until m).forall(cbs.contains), s"codebooks must cover subspaces 0 until $m")
-    // per-probe distance table: array(sub)(pos) of rounded squared L2
+    val withTbl = broadcast(probesWithDistTable(probes, cbs, m, subDim))
+    val scored = encoded.filter(pqCodesValid(cbs, m)).crossJoin(withTbl)
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id"), pqAdist(cbs, m).as("adist"))
+    topKPerProbeBy(scored, k, col("adist").asc)
+  }
+
+  /** Per-probe ADC distance table: array(sub)(pos) of 6-dp-rounded
+    * squared L2 between the probe's sub-vector and each codebook
+    * centroid (m·ksub doubles, computed once per probe and broadcast
+    * with it). Probes shorter than m·subDim are dropped up front — their
+    * element_at's would null out the table, adist would be null for
+    * EVERY candidate, and ascending order (NULLS FIRST) would rank the
+    * null rows as the top-k. */
+  private def probesWithDistTable(probes: DataFrame,
+                                  cbs: Map[Int, Array[(Int, Seq[Double])]],
+                                  m: Int, subDim: Int): DataFrame = {
     val tblCol = array((0 until m).map { j =>
       array(cbs(j).map { case (_, cvec) =>
         val d2 = cvec.indices.map { i =>
@@ -417,32 +441,89 @@ object Similarity {
         round(d2, 6)
       }.toIndexedSeq: _*)
     }.toIndexedSeq: _*)
-    // code -> table position (1-based); by construction positions follow
-    // ascending cluster id, so a code always resolves unless its cluster
-    // emptied out of the codebook — candidates with any unresolvable code
-    // are dropped on the ENCODED side (a per-row predicate that pushes to
-    // the scan), so the pair projection never produces a null and no
-    // value filter lands in the join condition (which would re-evaluate
-    // the ADC sum per pair per check — the int8TopK plan-audit lesson)
-    val idsLit = (0 until m).map(j => typedLit(cbs(j).map(_._1).toSeq))
-    val codesValid = (0 until m)
-      .map(j => array_position(idsLit(j), element_at(col("codes"), j + 1)) > 0)
+    probes.filter(size(col("p")) >= m * subDim)
+      .withColumn("__tbl", tblCol)
+  }
+
+  // code -> table position (1-based); by construction positions follow
+  // ascending cluster id, so a code always resolves unless its cluster
+  // emptied out of the codebook — candidates with any unresolvable code
+  // are dropped on the ENCODED side (a per-row predicate that pushes to
+  // the scan), so the pair projection never produces a null and no
+  // value filter lands in the join condition (which would re-evaluate
+  // the ADC sum per pair per check — the int8TopK plan-audit lesson)
+  private def pqIdsLit(cbs: Map[Int, Array[(Int, Seq[Double])]], m: Int) =
+    (0 until m).map(j => typedLit(cbs(j).map(_._1).toSeq))
+
+  private def pqCodesValid(cbs: Map[Int, Array[(Int, Seq[Double])]], m: Int): Column = {
+    val ids = pqIdsLit(cbs, m)
+    (0 until m)
+      .map(j => array_position(ids(j), element_at(col("codes"), j + 1)) > 0)
       .reduce(_ && _)
-    // probe-side mirror of codesValid: a probe whose p has fewer than
-    // m·subDim components would make element_at null out the distance
-    // table, adist would be null for EVERY candidate of that probe, and
-    // ascending order (NULLS FIRST) would rank the null rows as its
-    // top-k — garbage instead of an empty result. Drop such probes.
-    val withTbl = broadcast(probes
-      .filter(size(col("p")) >= m * subDim)
-      .select(col("probe_id"), col("p"), tblCol.as("__tbl")))
-    val adist = round((0 until m).map { j =>
-      val pos = array_position(idsLit(j), element_at(col("codes"), j + 1))
+  }
+
+  /** Candidate ADC distance: the sum of the m table lookups, re-rounded
+    * to 6 dp (each term is a 6-dp multiple, so the sum mathematically is
+    * too and rounding absorbs summation-order noise). */
+  private def pqAdist(cbs: Map[Int, Array[(Int, Seq[Double])]], m: Int): Column = {
+    val ids = pqIdsLit(cbs, m)
+    round((0 until m).map { j =>
+      val pos = array_position(ids(j), element_at(col("codes"), j + 1))
       element_at(element_at(col("__tbl"), j + 1), pos.cast("int"))
     }.reduce(_ + _), 6)
-    val scored = encoded.filter(codesValid).crossJoin(withTbl)
+  }
+
+  /** The IVFADC index build (Jégou §IV): ONE shuffle-free projection
+    * labels every vector with its coarse max-cosine centroid AND its m
+    * PQ codes — the (vec_id, cluster, codes) table a 100 TB deployment
+    * stores instead of raw vectors (coarse label for routing/pruning,
+    * codes for in-cluster ADC; both argmaxes are native expressions, so
+    * the corpus is scanned once with no Exchange and no join). */
+  def pqIndex(vectors: DataFrame, cents: DataFrame, codebooks: DataFrame,
+              m: Int, subDim: Int): DataFrame = {
+    val centRows = collectCents(cents)
+    val cbs = collectCodebooks(codebooks)
+    require((0 until m).forall(cbs.contains), s"codebooks must cover subspaces 0 until $m")
+    val codeCols = (0 until m).map { j =>
+      val cs = cbs(j)
+      graft.functions.L2Argmin.l2_argmin(col("v"),
+        cs.map(_._1), cs.map(_._2.toArray), j * subDim)
+    }
+    vectors.select(col("vec_id"),
+      graft.functions.CosineArgmax.cosine_argmax(col("v"),
+        centRows.map(_._1), centRows.map(_._2.toArray)).as("cluster"),
+      array(codeCols: _*).as("codes"))
+  }
+
+  /** IVFADC search (Jégou §IV — the composition that actually ships at
+    * 100 TB): each probe routes to its `nprobe` closest coarse
+    * centroids, then ADC scores ONLY the encoded vectors in those
+    * clusters — the scan prunes to nprobe/k of the index AND reads
+    * 8–128× less per row (codes, not vectors). The routed frame carries
+    * each probe's distance table, so the join fans a probe's table out
+    * to exactly its routed clusters; ranking is the salted two-phase
+    * top-k on ascending ADC distance. Compose with [[pqTopKRerank]]'s
+    * exact stage by feeding its output ids for rank-resolution recovery.
+    *
+    * With nprobe ≥ the cluster count this is exactly [[pqTopK]] over the
+    * same codes (spec-pinned); smaller nprobe trades recall for the
+    * pruned scan, measured by [[recallAtK]] in the bench.
+    *
+    * Returns (probe_id, vec_id, adist, rank ≤ k).
+    */
+  def ivfPqTopK(index: DataFrame, cents: DataFrame, probes: DataFrame,
+                codebooks: DataFrame, k: Int, nprobe: Int,
+                m: Int, subDim: Int): DataFrame = {
+    val cbs = collectCodebooks(codebooks)
+    require((0 until m).forall(cbs.contains), s"codebooks must cover subspaces 0 until $m")
+    val routed = routeProbes(probes, cents, nprobe)
+    val withTbl = broadcast(
+      probesWithDistTable(routed, cbs, m, subDim)
+        .select(col("probe_id"), col("cluster"), col("__tbl")))
+    val scored = index.filter(pqCodesValid(cbs, m))
+      .join(withTbl, "cluster")
       .filter(col("vec_id") =!= col("probe_id"))
-      .select(col("probe_id"), col("vec_id"), adist.as("adist"))
+      .select(col("probe_id"), col("vec_id"), pqAdist(cbs, m).as("adist"))
     topKPerProbeBy(scored, k, col("adist").asc)
   }
 

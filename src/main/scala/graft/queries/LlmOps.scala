@@ -275,6 +275,31 @@ object LlmOps {
       .orderBy($"probe_id", $"rank")
   }
 
+  /** IVFADC end to end (north-star: THE 100 TB ANN composition — Jégou
+    * §IV): coarse k-means and PQ codebooks both train on the
+    * deterministic quarter sample, the corpus compresses to
+    * (vec_id, coarse cluster, m codes) in ONE shuffle-free projection
+    * (`pqIndex` — both argmaxes are native expressions), each probe
+    * routes to its 2 closest coarse centroids, and ADC scores only the
+    * encoded vectors in those clusters. The oracle replays coarse
+    * training, PQ training, the joint index, routing, and the
+    * cluster-pruned ADC sums step for step. */
+  def qIvfPqTopK(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val vecs = Tables.embeddings(spark, dir)
+      .select($"vec_id", $"embedding".cast("array<double>").as("v")).cache()
+    val sample = vecs.filter($"vec_id" % 4 === 0)
+    val cents = graft.operators.Similarity.kmeansFit(sample, k = 8, iters = 2)
+    val cb = graft.operators.Similarity.pqFit(sample, m = 4, subDim = 16, ksub = 8, iters = 2)
+    val index = graft.operators.Similarity.pqIndex(vecs, cents, cb, m = 4, subDim = 16)
+    val probes = vecs.filter($"vec_id" < 5)
+      .select($"vec_id".as("probe_id"), $"v".as("p"))
+    graft.operators.Similarity
+      .ivfPqTopK(index, cents, probes, cb, k = 3, nprobe = 2, m = 4, subDim = 16)
+      .select($"probe_id", $"vec_id", $"adist", $"rank")
+      .orderBy($"probe_id", $"rank")
+  }
+
   /** Int8-quantized exact top-k (north-star: ANN over compressed
     * embeddings): per-vector symmetric scalar quantization (8× smaller
     * storage), then cosine over the integer codes — the scales cancel,
@@ -503,6 +528,7 @@ object LlmOps {
     "sim_ivf_sample" -> (qIvfSampleTopK _),
     "sim_pq_topk" -> (qPqTopK _),
     "sim_pq_rerank" -> (qPqRerank _),
+    "sim_ivfpq_topk" -> (qIvfPqTopK _),
     "sim_int8_topk" -> (qInt8TopK _),
     "t_quality_filter" -> (qQualityFilter _),
     "d_semantic_dedup" -> (qSemanticDedup _),
@@ -595,6 +621,48 @@ object LlmOps {
             FROM enc JOIN ptab t ON enc.sub = t.sub AND enc.code = t.cluster
             WHERE enc.vec_id <> t.pid
             GROUP BY 1, 2)"""
+
+  /** The coarse (kc-prefixed, sample-trained) k-means + full-corpus
+    * assignment + nprobe=2 routing CTE chain appended to the PQ encode
+    * chain for the IVFADC oracle — identical training arithmetic to the
+    * sim_ivf_sample oracle, names prefixed so the two chains coexist. */
+  private val ivfCoarseCtes: String =
+    """kc0 AS (
+            SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster, e AS cv
+            FROM s ORDER BY vec_id LIMIT 8),
+          ka1 AS (
+            SELECT vec_id, e, cluster FROM (
+              SELECT s.vec_id, s.e, kc.cluster,
+                     row_number() OVER (PARTITION BY s.vec_id ORDER BY
+                       round(
+                         list_sum([s.e[i] * kc.cv[i] for i in range(1, 65)]) /
+                         (sqrt(list_sum([s.e[i] * s.e[i] for i in range(1, 65)])) *
+                          sqrt(list_sum([kc.cv[i] * kc.cv[i] for i in range(1, 65)]))), 6)
+                       DESC, kc.cluster ASC) AS rn
+              FROM s, kc0 kc) WHERE rn = 1),
+          kd1 AS (SELECT cluster, i, round(avg(e[i]), 6) AS m
+                 FROM ka1, range(1, 65) t(i) GROUP BY 1, 2),
+          kc1 AS (SELECT cluster, list(m ORDER BY i) AS cv FROM kd1 GROUP BY 1),
+          ka2 AS (
+            SELECT vec_id, cluster FROM (
+              SELECT v.vec_id, kc.cluster,
+                     row_number() OVER (PARTITION BY v.vec_id ORDER BY
+                       round(
+                         list_sum([v.e[i] * kc.cv[i] for i in range(1, 65)]) /
+                         (sqrt(list_sum([v.e[i] * v.e[i] for i in range(1, 65)])) *
+                          sqrt(list_sum([kc.cv[i] * kc.cv[i] for i in range(1, 65)]))), 6)
+                       DESC, kc.cluster ASC) AS rn
+              FROM v, kc1 kc) WHERE rn = 1),
+          routed AS (
+            SELECT pid, cluster FROM (
+              SELECT p.pid, kc.cluster,
+                     row_number() OVER (PARTITION BY p.pid ORDER BY
+                       round(
+                         list_sum([kc.cv[i] * p.p[i] for i in range(1, 65)]) /
+                         (sqrt(list_sum([kc.cv[i] * kc.cv[i] for i in range(1, 65)])) *
+                          sqrt(list_sum([p.p[i] * p.p[i] for i in range(1, 65)]))), 6)
+                       DESC, kc.cluster ASC) AS crank
+              FROM probes p, kc1 kc) WHERE crank <= 2)"""
 
   val oracles: Map[String, String] = Map(
     "d_exact_dedup" ->
@@ -950,6 +1018,24 @@ object LlmOps {
                    row_number() OVER (PARTITION BY probe_id
                                       ORDER BY adist ASC, vec_id ASC) AS rank
             FROM approx)
+          SELECT probe_id, vec_id, adist, rank
+          FROM ranked WHERE rank <= 3
+          ORDER BY probe_id, rank""",
+    "sim_ivfpq_topk" -> s"""WITH $pqAdcCtes,
+          $ivfCoarseCtes,
+          ivfapprox AS (
+            SELECT t.pid AS probe_id, enc.vec_id, round(sum(t.d), 6) AS adist
+            FROM enc
+            JOIN ka2 ON ka2.vec_id = enc.vec_id
+            JOIN ptab t ON enc.sub = t.sub AND enc.code = t.cluster
+            JOIN routed r ON r.pid = t.pid AND r.cluster = ka2.cluster
+            WHERE enc.vec_id <> t.pid
+            GROUP BY 1, 2),
+          ranked AS (
+            SELECT probe_id, vec_id, adist,
+                   row_number() OVER (PARTITION BY probe_id
+                                      ORDER BY adist ASC, vec_id ASC) AS rank
+            FROM ivfapprox)
           SELECT probe_id, vec_id, adist, rank
           FROM ranked WHERE rank <= 3
           ORDER BY probe_id, rank""",

@@ -487,6 +487,55 @@ class CurationSpec extends SparkTestBase {
     exact.unpersist()
   }
 
+  test("IVFADC: one-projection index; exhaustive routing ≡ flat ADC; plan shuffle-free") {
+    import spark.implicits._
+    import graft.operators.Similarity
+    val rnd = new scala.util.Random(9)
+    val vecs = (0L until 48L).map { i =>
+      val base = (i % 8).toInt
+      (i, (0 until 8).map(d => math.cos(base + d) + 0.05 * rnd.nextGaussian()).toSeq)
+    }.toDF("vec_id", "v")
+    val probes = vecs.filter($"vec_id" < 3)
+      .select($"vec_id".as("probe_id"), $"v".as("p"))
+    val cents = Similarity.kmeansFit(vecs, k = 4, iters = 2)
+    val cb = Similarity.pqFit(vecs, m = 2, subDim = 4, ksub = 4, iters = 2)
+    val index = Similarity.pqIndex(vecs, cents, cb, m = 2, subDim = 4)
+    // the index equals the assign + encode pair, built in ONE projection
+    val viaPair = Similarity.assignClusters(vecs, cents)
+      .select($"vec_id", $"cluster")
+      .join(Similarity.pqEncode(vecs, cb, m = 2, subDim = 4), "vec_id")
+      .select($"vec_id", $"cluster", $"codes")
+    assert(index.exceptAll(viaPair).isEmpty && viaPair.exceptAll(index).isEmpty,
+      "pqIndex diverged from assignClusters + pqEncode")
+    val p = index.queryExecution
+      .explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert(!p.linesIterator.exists(_.matches("\\(\\d+\\) Exchange.*")) &&
+      !p.contains("Join"),
+      s"the index build must be one shuffle-free projection:\n$p")
+    // nprobe >= cluster count routes every cluster — exactly flat pqTopK
+    val ex = Similarity
+      .ivfPqTopK(index, cents, probes, cb, k = 5, nprobe = 4, m = 2, subDim = 4)
+      .select($"probe_id", $"vec_id", $"adist", $"rank")
+      .as[(Long, Long, Double, Int)].collect().toSet
+    val flat = Similarity
+      .pqTopK(index.select($"vec_id", $"codes"), probes, cb, k = 5, m = 2, subDim = 4)
+      .select($"probe_id", $"vec_id", $"adist", $"rank")
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(ex == flat, "exhaustive IVFADC must equal flat ADC")
+    // pruned routing only surfaces candidates from each probe's routed
+    // cluster: every result id must carry that cluster in the index
+    val one = Similarity
+      .ivfPqTopK(index, cents, probes, cb, k = 5, nprobe = 1, m = 2, subDim = 4)
+    val offRoute = one
+      .join(index.select($"vec_id", $"cluster"), "vec_id")
+      .join(graft.operators.Similarity // probe's single routed cluster
+        .assignClusters(probes.select($"probe_id".as("vec_id"), $"p".as("v")), cents)
+        .select($"vec_id".as("probe_id"), $"cluster".as("routed_cluster")),
+        "probe_id")
+      .filter($"cluster" =!= $"routed_cluster")
+    assert(offRoute.isEmpty, "nprobe=1 search leaked candidates outside the routed cluster")
+  }
+
   test("salted two-phase top-k ≡ a single per-probe ranking (candidates ≫ k)") {
     import spark.implicits._
     import graft.operators.Similarity
