@@ -74,6 +74,66 @@ object Similarity {
       if (((digest(0) >> 4) & 0xf) % 2 == 0) 1.0 else -1.0
     }
 
+  /** Deterministic ±1/√outDim Johnson–Lindenstrauss projection matrix
+    * (the Achlioptas 2003 database-friendly variant: Rademacher signs
+    * satisfy the JL lemma with the same distortion bound as Gaussians,
+    * and ±1 entries are exactly portable where Gaussian draws would pin
+    * the oracle to transcendental bit-parity). Signs come from the same
+    * seeded md5-hex parity formula as [[hyperplaneSigns]], so the DuckDB
+    * oracle regenerates the identical matrix from
+    * `md5("jl:<seed>:<row>:<dim>")`. */
+  def jlMatrix(seed: String, outDim: Int, inDim: Int): Array[Array[Double]] = {
+    val scale = 1.0 / math.sqrt(outDim.toDouble)
+    Array.tabulate(outDim, inDim) { (j, i) =>
+      val digest = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"jl:$seed:$j:$i".getBytes("UTF-8"))
+      (if (((digest(0) >> 4) & 0xf) % 2 == 0) 1.0 else -1.0) * scale
+    }
+  }
+
+  /** JL random projection of an embedding column: (vec_id, v[inDim]) →
+    * (vec_id, y[outDim]), y = (R·v)/√outDim rounded to `roundTo` dp for
+    * cross-engine stability. One shuffle-free projection through the
+    * native [[graft.functions.MatVec]] expression — at 100 TB this is a
+    * map-only pass that cuts every downstream ANN/cluster shuffle by
+    * inDim/outDim (64→16 quarters the bytes the similarity stages move),
+    * with cosine distortion bounded by the JL lemma. */
+  def jlProject(vectors: DataFrame, inDim: Int, outDim: Int, seed: String,
+                roundTo: Int = 6): DataFrame =
+    vectors.select(col("vec_id"),
+      transform(
+        graft.functions.MatVec.mat_vec(col("v"), jlMatrix(seed, outDim, inDim)),
+        e => round(e, roundTo)).as("y"))
+
+  /** The portable HOF twin of [[jlProject]] (transform over matrix-row
+    * literals + an aggregate(zip_with) fold per output element) —
+    * spec-pinned bit-identical; kept as the executable documentation of
+    * the fold order the oracle replays. */
+  def jlProjectHof(vectors: DataFrame, inDim: Int, outDim: Int, seed: String,
+                   roundTo: Int = 6): DataFrame = {
+    val rows = typedLit(jlMatrix(seed, outDim, inDim).map(_.toSeq).toSeq)
+    vectors.select(col("vec_id"),
+      transform(rows, row =>
+        round(aggregate(zip_with(row, col("v"), (a, b) => a * b),
+          lit(0.0), (acc, z) => acc + z), roundTo)).as("y"))
+  }
+
+  /** Exact top-k in the JL-projected space: project corpus and probes
+    * with the same seeded matrix, then [[bruteForceTopK]] over the
+    * outDim-dim vectors. Approximate with respect to full-dimension
+    * cosine (recall published by the Bench harness next to IVF/PQ/int8);
+    * exact and oracle-replayable as an algorithm. */
+  def jlTopK(vectors: DataFrame, probes: DataFrame, inDim: Int, outDim: Int,
+             seed: String, k: Int, roundTo: Int = 4): DataFrame = {
+    val pv = jlProject(vectors, inDim, outDim, seed)
+      .select(col("vec_id"), col("y").as("v"))
+    val pp = jlProject(
+        probes.select(col("probe_id").as("vec_id"), col("p").as("v")),
+        inDim, outDim, seed)
+      .select(col("vec_id").as("probe_id"), col("y").as("p"))
+    bruteForceTopK(pv, pp, k, roundTo)
+  }
+
   /** Embedding-cosine near-duplicate pairs via sign-random-projection LSH
     * (north-star dedup family: embedding near-dup).
     *
@@ -547,10 +607,20 @@ object Similarity {
                    vectors: DataFrame, k: Int, m: Int, subDim: Int,
                    fetchK: Int, roundTo: Int = 4): DataFrame = {
     require(fetchK >= k, s"fetchK=$fetchK must be >= k=$k")
-    val cands = pqTopK(encoded, probes, codebooks, fetchK, m, subDim)
-      .select(col("probe_id"), col("vec_id"))
+    rerankExact(pqTopK(encoded, probes, codebooks, fetchK, m, subDim),
+      probes, vectors, k, roundTo)
+  }
+
+  /** The exact re-rank stage on its own: any ANN candidate frame
+    * (probe_id, vec_id — [[pqTopK]], [[ivfPqTopK]], an external index's
+    * output) joins back to the full vector table for an exact-cosine
+    * top-k. The candidate and probe frames broadcast (≤ fetchK·|probes|
+    * rows), so the vector table never shuffles and its scan prunes on
+    * the join key. Output contract matches [[bruteForceTopK]]. */
+  def rerankExact(cands: DataFrame, probes: DataFrame, vectors: DataFrame,
+                  k: Int, roundTo: Int = 4): DataFrame = {
     val scored = vectors.select(col("vec_id"), col("v"))
-      .join(broadcast(cands), "vec_id")
+      .join(broadcast(cands.select(col("probe_id"), col("vec_id"))), "vec_id")
       .join(broadcast(probes.select(col("probe_id"), col("p"))), "probe_id")
       .select(col("probe_id"), col("vec_id"), round(cosineExpr, roundTo).as("cosine"))
     topKPerProbe(scored, k)

@@ -534,6 +534,18 @@ class CurationSpec extends SparkTestBase {
         "probe_id")
       .filter($"cluster" =!= $"routed_cluster")
     assert(offRoute.isEmpty, "nprobe=1 search leaked candidates outside the routed cluster")
+    // the generic exact re-rank stage composes with IVFADC candidates:
+    // exhaustive fetch + exact cosine must reproduce brute force
+    val rrIvf = Similarity.rerankExact(
+      Similarity.ivfPqTopK(index, cents, probes, cb, k = 48, nprobe = 4,
+        m = 2, subDim = 4),
+      probes, vecs, k = 5)
+      .select($"probe_id", $"vec_id", $"cosine", $"rank")
+      .as[(Long, Long, Double, Int)].collect().toSet
+    val bf = Similarity.bruteForceTopK(vecs, probes, k = 5)
+      .select($"probe_id", $"vec_id", $"cosine", $"rank")
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(rrIvf == bf, "exhaustive IVFADC + exact re-rank must equal brute force")
   }
 
   test("salted two-phase top-k ≡ a single per-probe ranking (candidates ≫ k)") {
