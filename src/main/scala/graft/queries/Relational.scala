@@ -113,6 +113,26 @@ object Relational {
       .orderBy($"c_custkey")
   }
 
+  /** Bloom-pruned semi join (SURVEY §2.4 — the 100 TB form of the
+    * registry membership check): lineitem rows supplied by a two-nation
+    * supplier subset. The bloom sketch of the ~8%-selective supplier
+    * keys filters the fact side inside its scan stage, so only
+    * candidates shuffle into the exact semi join that kills the
+    * sketch's false positives — output is bit-identical to the plain
+    * EXISTS, which is the oracle.
+    */
+  def qBloomSemi(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val probe = Tables.lineitem(spark, dir)
+      .select($"l_orderkey", $"l_linenumber", $"l_suppkey")
+    val build = Tables.supplier(spark, dir)
+      .filter($"s_nationkey".isin(3, 7)).select($"s_suppkey")
+    graft.operators.JoinPrune.bloomSemiJoin(
+        probe, build, "l_suppkey", "s_suppkey", expectedNumItems = 10000L)
+      .select($"l_orderkey", $"l_linenumber", $"l_suppkey")
+      .orderBy($"l_orderkey", $"l_linenumber")
+  }
+
   /** Fixed-window counts — the monitoring aggregation (SURVEY §2.3 A1,
     * reference client.py:217-221: window = floor(ts/600)*600 aligned to
     * epoch, one row per (window, topic-analog)).
@@ -373,6 +393,7 @@ object Relational {
     "q_region_revenue" -> (qRegionRevenue _),
     "q_semi_join" -> (qSemiJoin _),
     "q_anti_join" -> (qAntiJoin _),
+    "q_bloom_semi" -> (qBloomSemi _),
     "q_monitor_windows" -> (qMonitorWindows _),
     "q_monitor_catchup" -> (qMonitorCatchup _),
     "q_max_offset_fold" -> (qMaxOffsetFold _),
@@ -455,6 +476,11 @@ object Relational {
          WHERE NOT EXISTS (SELECT 1 FROM orders
                            WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
          ORDER BY c_custkey""",
+    "q_bloom_semi" ->
+      """SELECT l_orderkey, l_linenumber, l_suppkey FROM lineitem
+         WHERE EXISTS (SELECT 1 FROM supplier
+                       WHERE s_suppkey = l_suppkey AND s_nationkey IN (3, 7))
+         ORDER BY l_orderkey, l_linenumber""",
     "q_monitor_windows" ->
       """SELECT CAST(floor(epoch(ts) / 600) * 600 AS BIGINT) AS window_start,
          event_type,

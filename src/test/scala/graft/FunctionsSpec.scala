@@ -291,4 +291,54 @@ class FunctionsSpec extends SparkTestBase {
     assert(got == exact, s"sketch diverged from exact counts in the exact regime")
     docs.unpersist()
   }
+
+  test("bloom_might_contain: no false negatives; nulls propagate; codegen path is real") {
+    import spark.implicits._
+    import graft.functions.BloomMightContainLong.bloom_might_contain
+    val keys = (0L until 500L).map(_ * 7L)
+    val bf = spark.createDataset(keys).toDF("k")
+      .stat.bloomFilter("k", 500L, 0.01)
+    val probe = spark.createDataset((0L until 3500L).map(java.lang.Long.valueOf) :+
+      null.asInstanceOf[java.lang.Long]).toDF("k")
+    // fallback=false: a janino failure in the generated probe stanza fails
+    // the query instead of quietly interpreting. Probe through Range (a
+    // codegen source — a local relation would be folded away by
+    // ConvertToLocalRelation before any code generated).
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val gen = spark.range(0L, 3500L)
+        .select($"id", bloom_might_contain($"id", bf).as("hit"))
+      assert(gen.queryExecution.executedPlan.toString.contains("*(1) Project"),
+        "bloom probe projection fell out of whole-stage codegen")
+      val genHits = gen.as[(Long, Boolean)].collect().toMap
+      keys.filter(_ < 3500L).foreach { k =>
+        assert(genHits(k), s"generated path false negative for $k")
+      }
+    } finally spark.conf.unset("spark.sql.codegen.fallback")
+    val got = probe.select($"k", bloom_might_contain($"k", bf).as("hit"))
+      .as[(Option[Long], Option[Boolean])].collect().toMap
+    keys.foreach { k =>
+      assert(got(Some(k)).contains(true), s"false negative for inserted key $k")
+    }
+    assert(got(None).isEmpty, "null key must yield null, not a bloom probe")
+    // fpp sanity: non-inserted keys should overwhelmingly miss at 1% fpp
+    val nonKeys = (0L until 3500L).filterNot(_ % 7 == 0)
+    val fps = nonKeys.count(k => got(Some(k)).contains(true))
+    assert(fps < nonKeys.size / 10, s"$fps/${nonKeys.size} false positives — sketch broken")
+  }
+
+  test("bloomSemiJoin is bit-identical to the plain left-semi join") {
+    import spark.implicits._
+    import graft.operators.JoinPrune
+    // deterministic pseudo-random keys with guaranteed overlap and misses
+    val probe = (0L until 4000L).map(i => (i, i * 2654435761L % 997L)).toDF("id", "k")
+    val build = (0L until 120L).map(i => Tuple1(i * 31L % 997L)).toDF("bk")
+    val pruned = JoinPrune.bloomSemiJoin(probe, build, "k", "bk",
+        expectedNumItems = 200L, fpp = 0.05)
+      .select($"id", $"k").as[(Long, Long)].collect().toSet
+    val plain = probe.join(build, $"k" === $"bk", "left_semi")
+      .select($"id", $"k").as[(Long, Long)].collect().toSet
+    assert(pruned == plain,
+      "bloom pre-filter changed the exact semi-join result")
+  }
 }

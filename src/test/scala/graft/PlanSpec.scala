@@ -249,6 +249,28 @@ class PlanSpec extends SparkTestBase {
       s"expected a hash-keyed equi-join on the bucketized frames:\n$p")
   }
 
+  test("q_bloom_semi: bloom probe runs inside the scan's codegen stage; no hash shuffle") {
+    val df = SparkEntry.queries("q_bloom_semi")(spark, dir)
+    val simple = df.queryExecution
+      .explainString(org.apache.spark.sql.execution.SimpleMode)
+    val lines = simple.linesIterator.toVector
+    val bi = lines.indexWhere(_.contains("bloom_might_contain"))
+    assert(bi >= 0, s"bloom pre-filter missing from the plan:\n$simple")
+    // the bloom filter sits directly on the fact scan: the lineitem scan is
+    // below it in the tree with no exchange (and no join) in between
+    val si = lines.indexWhere(
+      l => l.contains("Scan") && l.contains("lineitem"), bi)
+    assert(si > bi, s"bloom filter is not above the lineitem scan:\n$simple")
+    assert(!lines.slice(bi, si).exists(l =>
+        l.contains("Exchange") || l.contains("Join")),
+      s"bloom filter separated from the scan by an exchange/join:\n$simple")
+    assert(simple.contains("BroadcastHashJoin") && simple.contains("LeftSemi"),
+      s"exact semi join should broadcast the small build side:\n$simple")
+    // the probe side never shuffles: the only exchange is the output sort
+    assert(!simple.contains("hashpartitioning"),
+      s"fact side shuffled despite bloom pruning + broadcast semi join:\n$simple")
+  }
+
   test("t_top_tokens aggregates sketches map-side before one exchange") {
     val p = planOf("t_top_tokens")
     assert(p.contains("partial_approx_top_k") || p.contains("ObjectHashAggregate"),
