@@ -527,11 +527,18 @@ object Bench {
                 nprobe = np, m = 4, subDim = 16),
               exact, recallK)
           }
+          // JL 64→16: the map-only dim-reduction screen — its recall is
+          // the distortion cost of quartering every downstream shuffle
+          val jlR = Similarity.recallAtK(
+            Similarity.jlTopK(vecs, probes, inDim = 64, outDim = 16,
+              seed = "r8", k = recallK),
+            exact, recallK)
           val out = ivf ++ ivfpq ++ Seq("recall_pq_topk" -> pqR,
             "recall_pq_rerank" -> pqRerankR,
             "recall_pq_m8k32_topk" -> pq2R,
             "recall_pq_m8k32_rerank" -> pq2RerankR,
-            "recall_int8_topk" -> i8R)
+            "recall_int8_topk" -> i8R,
+            "recall_jl_d16_topk" -> jlR)
           exact.unpersist(blocking = false)
           out
         } finally vecs.unpersist(blocking = false)

@@ -30,7 +30,8 @@ import org.apache.spark.sql.types._
   * null beats an array of nulls for filterability and carries the same
   * signal.
   */
-case class MatVec(child: Expression, mat: Array[Array[Double]])
+case class MatVec(child: Expression, mat: Array[Array[Double]],
+                  roundTo: Int = MatVec.NoRounding)
   extends UnaryExpression {
 
   require(mat.nonEmpty && mat.forall(_.length == mat(0).length),
@@ -62,7 +63,13 @@ case class MatVec(child: Expression, mat: Array[Array[Double]])
   }
 
   /** The fused product loop shared by the interpreted and generated
-    * paths; null on width mismatch (see class doc). */
+    * paths; null on width mismatch (see class doc). Rounding happens
+    * here rather than through an outer `transform(_, round)` because
+    * higher-order functions are CodegenFallback — wrapping the result
+    * would drop the whole projection out of whole-stage codegen. The
+    * rounding is exactly Spark's `round` for doubles
+    * (`BigDecimal.valueOf(x).setScale(d, HALF_UP)`, NaN/±Inf pass
+    * through), the same contract CosineArgmax pins. */
   def compute(v: ArrayData): ArrayData = {
     val n = v.numElements()
     if (n != mat(0).length) return null
@@ -73,7 +80,11 @@ case class MatVec(child: Expression, mat: Array[Array[Double]])
       var acc = 0.0
       var i = 0
       while (i < n) { acc += row(i) * v.getDouble(i); i += 1 }
-      out(j) = acc
+      out(j) =
+        if (roundTo == MatVec.NoRounding ||
+            java.lang.Double.isNaN(acc) || java.lang.Double.isInfinite(acc)) acc
+        else java.math.BigDecimal.valueOf(acc)
+          .setScale(roundTo, java.math.RoundingMode.HALF_UP).doubleValue()
       j += 1
     }
     new GenericArrayData(out)
@@ -84,8 +95,13 @@ case class MatVec(child: Expression, mat: Array[Array[Double]])
 }
 
 object MatVec {
-  /** `mat_vec(v)`: the dense product `mat · v` as `array<double>`;
+  /** Sentinel: emit raw (unrounded) products. */
+  val NoRounding: Int = Int.MinValue
+
+  /** `mat_vec(v)`: the dense product `mat · v` as `array<double>`,
+    * each element rounded to `roundTo` dp (pass [[NoRounding]] for raw);
     * null for a null or width-mismatched input. */
-  def mat_vec(v: Column, mat: Array[Array[Double]]): Column =
-    GraftBridge.column(MatVec(GraftBridge.expression(v), mat))
+  def mat_vec(v: Column, mat: Array[Array[Double]],
+              roundTo: Int = NoRounding): Column =
+    GraftBridge.column(MatVec(GraftBridge.expression(v), mat, roundTo))
 }

@@ -101,9 +101,8 @@ object Similarity {
   def jlProject(vectors: DataFrame, inDim: Int, outDim: Int, seed: String,
                 roundTo: Int = 6): DataFrame =
     vectors.select(col("vec_id"),
-      transform(
-        graft.functions.MatVec.mat_vec(col("v"), jlMatrix(seed, outDim, inDim)),
-        e => round(e, roundTo)).as("y"))
+      graft.functions.MatVec.mat_vec(col("v"), jlMatrix(seed, outDim, inDim),
+        roundTo).as("y"))
 
   /** The portable HOF twin of [[jlProject]] (transform over matrix-row
     * literals + an aggregate(zip_with) fold per output element) —

@@ -177,6 +177,34 @@ object LlmOps {
     * baseline): 5 probe vectors against the full table via broadcast —
     * the fact side never shuffles. Cosines rounded to 4dp before ranking
     * so ordering is reproducible across engines. */
+  /** JL random projection 64→16 (north-star: embedding dim reduction —
+    * a map-only pass that quarters every downstream similarity shuffle).
+    * Exploded to scalar rows for the hash gate; the oracle regenerates
+    * the seeded ±1/√16 matrix from the md5 parity formula and replays
+    * the ordered fold. */
+  def qJlProject(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val vecs = Tables.embeddings(spark, dir)
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+    graft.operators.Similarity.jlProject(vecs, inDim = 64, outDim = 16, seed = "r8")
+      .select($"vec_id", posexplode($"y").as(Seq("j", "yj")))
+      .orderBy($"vec_id", $"j")
+  }
+
+  /** Exact top-k in the JL-projected space (the cheap ANN screen; recall
+    * vs full-dimension cosine is published by the Bench harness). */
+  def qJlTopK(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val vecs = Tables.embeddings(spark, dir)
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+    val probes = vecs.filter($"vec_id" < 5)
+      .select($"vec_id".as("probe_id"), $"v".as("p"))
+    graft.operators.Similarity.jlTopK(vecs, probes, inDim = 64, outDim = 16,
+        seed = "r8", k = 3)
+      .select($"probe_id", $"vec_id", $"cosine", $"rank")
+      .orderBy($"probe_id", $"rank")
+  }
+
   def qKnnCosine(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val vecs = Tables.embeddings(spark, dir)
@@ -524,6 +552,8 @@ object LlmOps {
     "m_media_embed" -> (qMediaEmbed _),
     "m_media_resize" -> (qMediaResize _),
     "sim_knn_cosine" -> (qKnnCosine _),
+    "sim_jl_project" -> (qJlProject _),
+    "sim_jl_topk" -> (qJlTopK _),
     "sim_ivf_topk" -> (qIvfTopK _),
     "sim_ivf_sample" -> (qIvfSampleTopK _),
     "sim_pq_topk" -> (qPqTopK _),
@@ -875,6 +905,50 @@ object LlmOps {
          FROM d CROSS JOIN range(0, 16) r(bin)
          LEFT JOIN cnt ON cnt.doc_id = d.doc_id AND cnt.bin = r.bin
          ORDER BY 1, 2""",
+    "sim_jl_project" ->
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+          jm AS (
+            SELECT j, i,
+                   (CASE WHEN (strpos('0123456789abcdef',
+                               substr(md5('jl:r8:' || j || ':' || i), 1, 1)) - 1) % 2 = 0
+                         THEN 1.0 ELSE -1.0 END) / sqrt(16) AS s
+            FROM range(0, 16) r(j), range(0, 64) q(i)),
+          jml AS (SELECT j, list(s ORDER BY i) AS sv FROM jm GROUP BY j)
+          -- per-row sequential list fold (i ascending), matching the
+          -- MatVec/aggregate() accumulation order exactly
+          SELECT v.vec_id, CAST(jml.j AS INTEGER) AS j,
+                 round(list_sum([jml.sv[i] * v.e[i] for i in range(1, 65)]), 6) AS yj
+          FROM v, jml ORDER BY vec_id, j""",
+    "sim_jl_topk" ->
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+          jm AS (
+            SELECT j, i,
+                   (CASE WHEN (strpos('0123456789abcdef',
+                               substr(md5('jl:r8:' || j || ':' || i), 1, 1)) - 1) % 2 = 0
+                         THEN 1.0 ELSE -1.0 END) / sqrt(16) AS s
+            FROM range(0, 16) r(j), range(0, 64) q(i)),
+          jml AS (SELECT j, list(s ORDER BY i) AS sv FROM jm GROUP BY j),
+          proj AS (
+            SELECT v.vec_id, jml.j,
+                   round(list_sum([jml.sv[i] * v.e[i] for i in range(1, 65)]), 6) AS yj
+            FROM v, jml),
+          py AS (SELECT vec_id, list(yj ORDER BY j) AS y FROM proj GROUP BY vec_id),
+          probes AS (SELECT vec_id AS probe_id, y AS p FROM py WHERE vec_id < 5),
+          scored AS (
+            SELECT probe_id, py.vec_id,
+                   round(
+                     list_sum([p[i] * y[i] for i in range(1, 17)]) /
+                     (sqrt(list_sum([y[i] * y[i] for i in range(1, 17)])) *
+                      sqrt(list_sum([p[i] * p[i] for i in range(1, 17)]))), 4) AS cosine
+            FROM py, probes WHERE py.vec_id <> probe_id),
+          ranked AS (
+            SELECT probe_id, vec_id, cosine,
+                   row_number() OVER (PARTITION BY probe_id
+                                      ORDER BY cosine DESC, vec_id ASC) AS rank
+            FROM scored)
+          SELECT probe_id, vec_id, cosine, rank
+          FROM ranked WHERE rank <= 3
+          ORDER BY probe_id, rank""",
     "sim_knn_cosine" ->
       """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
           probes AS (SELECT vec_id AS probe_id, e AS p FROM v WHERE vec_id < 5),

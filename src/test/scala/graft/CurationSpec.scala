@@ -548,6 +548,38 @@ class CurationSpec extends SparkTestBase {
     assert(rrIvf == bf, "exhaustive IVFADC + exact re-rank must equal brute force")
   }
 
+  test("native MatVec jlProject ≡ the portable HOF projection; mismatch → null row") {
+    import spark.implicits._
+    import graft.operators.Similarity
+    val vecs = Tables.embeddings(spark, sf())
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+    val native = Similarity.jlProject(vecs, 64, 16, "r8")
+      .select($"vec_id", $"y").as[(Long, Seq[Double])].collect().toMap
+    val hof = Similarity.jlProjectHof(vecs, 64, 16, "r8")
+      .select($"vec_id", $"y").as[(Long, Seq[Double])].collect().toMap
+    assert(native == hof, "native and HOF JL projections diverged")
+    assert(native.values.forall(_.length == 16))
+    // the projection is codegen'd, shuffle-free, and never drops to
+    // interpreted fallback
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val p = Similarity.jlProject(vecs, 64, 16, "r8").queryExecution
+      assert(p.executedPlan.toString.contains("*(1) Project"),
+        "jlProject fell out of whole-stage codegen")
+      val f = p.explainString(org.apache.spark.sql.execution.FormattedMode)
+      assert(!f.linesIterator.exists(_.matches("\\(\\d+\\) Exchange.*")) && !f.contains("Join"),
+        s"jlProject must stay shuffle- and join-free:\n$f")
+    } finally spark.conf.unset("spark.sql.codegen.fallback")
+    // out-of-contract width mismatch: the HOF form's zip_with null-pads
+    // (an array of nulls); the native expression degrades the whole row
+    // to null — same filterable signal, pinned here
+    val mism = Seq((900L, Seq(0.5, 0.5))).toDF("vec_id", "v")
+    val nm = Similarity.jlProject(mism, 64, 16, "r8")
+      .select($"y").collect()
+    assert(nm.length == 1 && nm(0).isNullAt(0),
+      "width-mismatched vector must project to a null row")
+  }
+
   test("salted two-phase top-k ≡ a single per-probe ranking (candidates ≫ k)") {
     import spark.implicits._
     import graft.operators.Similarity
