@@ -42,6 +42,47 @@ object Frequency {
       .orderBy(col("cnt").desc, col("gram").asc)
   }
 
+  /** Per-group distinct cardinality, exact: count_distinct shuffles the
+    * (group, value) distinct pairs once — fine while the distinct set is
+    * shuffle-sized, and the oracle-gated regime. At 100 TB prefer
+    * [[distinctCountsSketch]]. */
+  def distinctCounts(df: DataFrame, groupCol: String, valueCol: String): DataFrame =
+    df.groupBy(col(groupCol))
+      .agg(count_distinct(col(valueCol)).as("n_distinct"),
+        count(lit(1)).as("n_rows"))
+
+  /** Per-group distinct cardinality via DataSketches HLL
+    * (`hll_sketch_agg`): each task folds its rows into a 2^lgK-register
+    * sketch — map-side partial aggregation, so only fixed-size sketch
+    * blobs cross the exchange regardless of the distinct count (the
+    * exact form shuffles every distinct pair; at corpus scale that is
+    * billions of rows, the sketch is KBs). Relative error ≈
+    * 1.04/√2^lgK (~1.6% at the default lgK=12), spec-bounded against
+    * the exact counts. */
+  def distinctCountsSketch(df: DataFrame, groupCol: String, valueCol: String,
+                           lgK: Int = 12): DataFrame =
+    df.groupBy(col(groupCol))
+      .agg(hll_sketch_agg(col(valueCol), lit(lgK)).as("sk"),
+        count(lit(1)).as("n_rows"))
+      .select(col(groupCol), hll_sketch_estimate(col("sk")).as("n_distinct_est"),
+        col("n_rows"))
+
+  /** The shard path: materialize one HLL sketch per (shard, group) —
+    * e.g. alongside each ingest batch — and merge them later with
+    * `hll_union_agg`. Union is lossless at equal lgK, so the merged
+    * estimate equals the single-pass sketch over the union (spec-pinned):
+    * cardinality stats compose across incremental corpus builds without
+    * ever rescanning old shards. */
+  def shardSketches(df: DataFrame, shardCol: String, groupCol: String,
+                    valueCol: String, lgK: Int = 12): DataFrame =
+    df.groupBy(col(shardCol), col(groupCol))
+      .agg(hll_sketch_agg(col(valueCol), lit(lgK)).as("sk"))
+
+  def mergeShardSketches(shards: DataFrame, groupCol: String): DataFrame =
+    shards.groupBy(col(groupCol))
+      .agg(hll_union_agg(col("sk")).as("sk"))
+      .select(col(groupCol), hll_sketch_estimate(col("sk")).as("n_distinct_est"))
+
   /** One row per word n-gram occurrence (column `g`); the same
     * whitespace split + space join as `Dedup.wordShingles`, kept
     * duplicated occurrences (frequency counting wants multiplicity,

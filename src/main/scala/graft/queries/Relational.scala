@@ -133,6 +133,19 @@ object Relational {
       .orderBy($"l_orderkey", $"l_linenumber")
   }
 
+  /** Per-group distinct cardinality (SURVEY §2.3 A-family; LLM-ops:
+    * corpus cardinality stats). Exact regime oracle-gated; the HLL
+    * sketch variant ([[graft.operators.Frequency.distinctCountsSketch]])
+    * is the 100 TB path — fixed-size mergeable state per group — and is
+    * spec-bounded + shard-merge-pinned in FunctionsSpec.
+    */
+  def qDistinctUsers(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.operators.Frequency
+      .distinctCounts(Tables.events(spark, dir), "event_type", "user_id")
+      .orderBy($"event_type")
+  }
+
   /** Fixed-window counts — the monitoring aggregation (SURVEY §2.3 A1,
     * reference client.py:217-221: window = floor(ts/600)*600 aligned to
     * epoch, one row per (window, topic-analog)).
@@ -394,6 +407,7 @@ object Relational {
     "q_semi_join" -> (qSemiJoin _),
     "q_anti_join" -> (qAntiJoin _),
     "q_bloom_semi" -> (qBloomSemi _),
+    "q_distinct_users" -> (qDistinctUsers _),
     "q_monitor_windows" -> (qMonitorWindows _),
     "q_monitor_catchup" -> (qMonitorCatchup _),
     "q_max_offset_fold" -> (qMaxOffsetFold _),
@@ -481,6 +495,11 @@ object Relational {
          WHERE EXISTS (SELECT 1 FROM supplier
                        WHERE s_suppkey = l_suppkey AND s_nationkey IN (3, 7))
          ORDER BY l_orderkey, l_linenumber""",
+    "q_distinct_users" ->
+      """SELECT event_type,
+                count(DISTINCT user_id) AS n_distinct,
+                count(*) AS n_rows
+         FROM events GROUP BY event_type ORDER BY event_type""",
     "q_monitor_windows" ->
       """SELECT CAST(floor(epoch(ts) / 600) * 600 AS BIGINT) AS window_start,
          event_type,

@@ -292,6 +292,40 @@ class FunctionsSpec extends SparkTestBase {
     docs.unpersist()
   }
 
+  test("hll sketch distinct counts: bounded error, lossless shard merge, sketch-only shuffle") {
+    import spark.implicits._
+    import graft.operators.Frequency
+    val ev = Tables.events(spark, sf()).select($"event_type", $"user_id", $"event_id")
+    val exact = Frequency.distinctCounts(ev, "event_type", "user_id")
+      .select($"event_type", $"n_distinct").as[(String, Long)].collect().toMap
+    val est = Frequency.distinctCountsSketch(ev, "event_type", "user_id")
+      .select($"event_type", $"n_distinct_est").as[(String, Long)].collect().toMap
+    assert(est.keySet == exact.keySet)
+    exact.foreach { case (g, n) =>
+      val e = est(g)
+      // 1.04/sqrt(2^12) ≈ 1.6% relative standard error; 5 sigma headroom
+      assert(math.abs(e - n) <= math.max(2.0, 0.08 * n),
+        s"group $g: estimate $e too far from exact $n")
+    }
+    // shard merge is lossless at equal lgK: union of per-shard sketches
+    // must equal the single-pass sketch estimate exactly — cardinality
+    // stats compose across incremental corpus builds
+    val sharded = Frequency.mergeShardSketches(
+        Frequency.shardSketches(ev.withColumn("shard", $"event_id" % 7),
+          "shard", "event_type", "user_id"),
+        "event_type")
+      .select($"event_type", $"n_distinct_est").as[(String, Long)].collect().toMap
+    assert(sharded == est,
+      "merged shard sketches diverged from the single-pass sketch")
+    // scale shape: partial sketch aggregation runs before the exchange —
+    // only sketch blobs shuffle, never (group, value) pairs
+    val p = Frequency.distinctCountsSketch(ev, "event_type", "user_id")
+      .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert(p.contains("partial_hll_sketch_agg") || p.contains("partial hll_sketch_agg")
+        || p.linesIterator.exists(l => l.contains("Partial") && l.contains("hll")),
+      s"no partial HLL aggregation before the exchange:\n$p")
+  }
+
   test("bloom_might_contain: no false negatives; nulls propagate; codegen path is real") {
     import spark.implicits._
     import graft.functions.BloomMightContainLong.bloom_might_contain
