@@ -133,6 +133,34 @@ object Relational {
       .orderBy($"l_orderkey", $"l_linenumber")
   }
 
+  /** Bucketed co-located fact-fact join (SURVEY §2.4 / §4 — the
+    * pay-the-shuffle-once layout): lineitem and orders each written as
+    * 16-bucket tables on the order key, then joined with NO exchange on
+    * either side (PlanSpec-asserted) and aggregated to revenue per
+    * priority. The only shuffle in the whole query is the 5-group
+    * aggregation. Result is layout-invariant, so the oracle is the plain
+    * parquet join.
+    */
+  def qBucketedJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.operators.Bucketing.writeBucketed(
+      Tables.lineitem(spark, dir)
+        .select($"l_orderkey", $"l_extendedprice", $"l_discount"),
+      "bkt_lineitem", "l_orderkey", nBuckets = 16)
+    graft.operators.Bucketing.writeBucketed(
+      Tables.orders(spark, dir).select($"o_orderkey", $"o_orderpriority"),
+      "bkt_orders", "o_orderkey", nBuckets = 16)
+    graft.operators.Bucketing
+      .colocatedJoin(spark, "bkt_lineitem", "bkt_orders",
+        "l_orderkey", "o_orderkey")
+      .groupBy($"o_orderpriority")
+      .agg(
+        sum(floor($"l_extendedprice" * (lit(1.0) - $"l_discount") * 1000000L))
+          .as("revenue_micros"),
+        count(lit(1)).as("n_items"))
+      .orderBy($"o_orderpriority")
+  }
+
   /** Per-group distinct cardinality (SURVEY §2.3 A-family; LLM-ops:
     * corpus cardinality stats). Exact regime oracle-gated; the HLL
     * sketch variant ([[graft.operators.Frequency.distinctCountsSketch]])
@@ -408,6 +436,7 @@ object Relational {
     "q_anti_join" -> (qAntiJoin _),
     "q_bloom_semi" -> (qBloomSemi _),
     "q_distinct_users" -> (qDistinctUsers _),
+    "q_bucketed_join" -> (qBucketedJoin _),
     "q_monitor_windows" -> (qMonitorWindows _),
     "q_monitor_catchup" -> (qMonitorCatchup _),
     "q_max_offset_fold" -> (qMaxOffsetFold _),
@@ -500,6 +529,13 @@ object Relational {
                 count(DISTINCT user_id) AS n_distinct,
                 count(*) AS n_rows
          FROM events GROUP BY event_type ORDER BY event_type""",
+    "q_bucketed_join" ->
+      """SELECT o_orderpriority,
+                CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 1000000)
+                         AS BIGINT)) AS BIGINT) AS revenue_micros,
+                count(*) AS n_items
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         GROUP BY o_orderpriority ORDER BY o_orderpriority""",
     "q_monitor_windows" ->
       """SELECT CAST(floor(epoch(ts) / 600) * 600 AS BIGINT) AS window_start,
          event_type,

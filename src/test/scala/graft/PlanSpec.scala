@@ -271,6 +271,33 @@ class PlanSpec extends SparkTestBase {
       s"fact side shuffled despite bloom pruning + broadcast semi join:\n$simple")
   }
 
+  test("q_bucketed_join: bucketed scans co-locate the join — no exchange on the join key") {
+    val p = planOf("q_bucketed_join")
+    assert(p.contains("SortMergeJoin"), s"expected a sort-merge join:\n$p")
+    assert(p.contains("Bucketed: true"),
+      s"scans are not reading the bucketed layout:\n$p")
+    // the join key is never re-shuffled: the only exchange in the query
+    // is the post-join aggregation on o_orderpriority
+    val keyExchanges = p.linesIterator.filter(l =>
+      l.contains("hashpartitioning") && l.contains("orderkey")).toSeq
+    assert(keyExchanges.isEmpty,
+      s"join key re-shuffled despite bucketing:\n${keyExchanges.mkString("\n")}")
+    // bucket pruning: an equality predicate on the bucket key reads 1/n
+    // of the files — the scan reports the selected bucket count. (The
+    // autoBucketedScan heuristic turns the bucketed read off for a bare
+    // filter — it only keeps it when the distribution is useful — so pin
+    // it on for the probe, as a pruning-sensitive job would.)
+    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    try {
+      val pruned = spark.table("bkt_lineitem")
+        .filter(org.apache.spark.sql.functions.col("l_orderkey") === 42L)
+        .queryExecution.explainString(FormattedMode)
+      assert(pruned.contains("SelectedBucketsCount: 1 out of 16"),
+        s"equality predicate did not prune to one bucket:\n$pruned")
+    } finally
+      spark.conf.unset("spark.sql.sources.bucketing.autoBucketedScan.enabled")
+  }
+
   test("t_top_tokens aggregates sketches map-side before one exchange") {
     val p = planOf("t_top_tokens")
     assert(p.contains("partial_approx_top_k") || p.contains("ObjectHashAggregate"),
