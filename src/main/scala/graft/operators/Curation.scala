@@ -349,6 +349,36 @@ object Curation {
       .groupBy(canonicalUrl(col(urlCol)).as("canonical_url"))
       .agg(min(col(idCol)).as(s"kept_$idCol"), count(lit(1)).as("n_copies"))
 
+  /** Sliding-window chunking with overlap — the retrieval/context-window
+    * primitive: every `stride` tokens starts a `window`-token chunk, so
+    * consecutive chunks share `window - stride` tokens and no boundary
+    * sentence is ever seen only cut in half. One chunk starts at every
+    * stride offset below the token count (the final chunks are shorter;
+    * `n_tokens` carries the actual length). Empty/whitespace-only
+    * documents produce no chunks.
+    *
+    * Scale shape: a pure map — tokenize, slice, explode — no shuffle at
+    * all; chunk multiplicity is n/stride, the explosion factor a 100 TB
+    * run budgets explicitly (window/stride of 2 doubles the corpus).
+    *
+    * Returns (idCol, chunk_idx, chunk, n_tokens).
+    */
+  def chunkOverlap(docs: DataFrame, idCol: String, textCol: String,
+                   window: Int, stride: Int): DataFrame = {
+    require(window >= 1 && stride >= 1 && stride <= window,
+      s"need 1 <= stride($stride) <= window($window)")
+    val toks = split(trim(col(textCol)), "\\s+")
+    docs.select(col(idCol), toks.as("toks"))
+      .filter(size(col("toks")) > 0 && length(trim(col(textCol))) > 0)
+      .select(col(idCol), posexplode(expr(
+        s"transform(sequence(0, size(toks) - 1, $stride), s -> " +
+          s"struct(concat_ws(' ', slice(toks, s + 1, $window)) AS chunk, " +
+          s"least($window, size(toks) - s) AS n_tokens))"))
+        .as(Seq("chunk_idx", "c")))
+      .select(col(idCol), col("chunk_idx"),
+        col("c.chunk").as("chunk"), col("c.n_tokens").as("n_tokens"))
+  }
+
   /** CCNet-style duplicated-chunk removal. Documents are cut into fixed
     * `chunkWords`-word windows (the pseudo-paragraph unit when the corpus
     * has no line structure); a chunk whose normalized (lowercased) text

@@ -312,7 +312,19 @@ object CurationOps {
     Frequency.topGrams(Tables.documents(spark, dir), "text", n = 3,
       k = 1024, maxTracked = 65536, minCount = 5L)
 
+  /** Sliding-window chunking with overlap (north-star: RAG/context
+    * chunking) — 32-token windows every 24 tokens (8-token overlap), a
+    * pure shuffle-free map; the oracle replays the identical slice
+    * arithmetic. */
+  def qChunkOverlap(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Curation.chunkOverlap(Tables.documents(spark, dir), "doc_id", "text",
+        window = 32, stride = 24)
+      .orderBy($"doc_id", $"chunk_idx")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t_chunk_overlap" -> (qChunkOverlap _),
     "t_weighted_sample" -> (qWeightedSample _),
     "t_top_tokens" -> (qTopTokens _),
     "d_contamination" -> (qContamination _),
@@ -344,6 +356,14 @@ object CurationOps {
          WHERE len(ws) >= 5)"""
 
   val oracles: Map[String, String] = Map(
+    "t_chunk_overlap" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+                    FROM documents WHERE length(trim(text)) > 0),
+          s AS (SELECT doc_id, toks, unnest(range(0, len(toks), 24)) AS st FROM t)
+          SELECT doc_id, CAST(st // 24 AS INTEGER) AS chunk_idx,
+                 array_to_string(toks[st + 1 : st + 32], ' ') AS chunk,
+                 CAST(least(32, len(toks) - st) AS INTEGER) AS n_tokens
+          FROM s ORDER BY doc_id, chunk_idx""",
     "t_weighted_sample" ->
       """WITH w AS (
            SELECT doc_id,

@@ -548,6 +548,30 @@ class CurationSpec extends SparkTestBase {
     assert(rrIvf == bf, "exhaustive IVFADC + exact re-rank must equal brute force")
   }
 
+  test("chunkOverlap: overlap content, short tails, sub-window and empty docs") {
+    import spark.implicits._
+    import graft.operators.Curation
+    val docs = Seq(
+      (1L, (1 to 10).map(i => s"w$i").mkString(" ")), // 10 toks: starts 0,4,8
+      (2L, "a b c"),                                  // shorter than one window
+      (3L, "   "),                                    // whitespace-only: no chunks
+      (4L, (1 to 8).map(i => s"x$i").mkString(" "))   // exact multiple: starts 0,4
+    ).toDF("doc_id", "text")
+    val got = Curation.chunkOverlap(docs, "doc_id", "text", window = 8, stride = 4)
+      .as[(Long, Int, String, Int)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).toSeq).toMap
+    assert(got(1L) == Seq(
+      (1L, 0, (1 to 8).map(i => s"w$i").mkString(" "), 8),
+      (1L, 1, (5 to 10).map(i => s"w$i").mkString(" "), 6),
+      (1L, 2, (9 to 10).map(i => s"w$i").mkString(" "), 2)))
+    // consecutive chunks share window - stride = 4 tokens
+    assert(got(1L)(0)._3.split(" ").takeRight(4).toSeq ==
+      got(1L)(1)._3.split(" ").take(4).toSeq)
+    assert(got(2L) == Seq((2L, 0, "a b c", 3)))
+    assert(!got.contains(3L), "whitespace-only doc must produce no chunks")
+    assert(got(4L).map(_._4) == Seq(8, 4))
+  }
+
   test("native MatVec jlProject ≡ the portable HOF projection; mismatch → null row") {
     import spark.implicits._
     import graft.operators.Similarity
