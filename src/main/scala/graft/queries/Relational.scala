@@ -161,6 +161,30 @@ object Relational {
       .orderBy($"o_orderpriority")
   }
 
+  /** CDC snapshot merge (SURVEY §3.3 — the consuming half of the CDC
+    * contract): customer is the snapshot; each order plays an update
+    * ('u', new name + balance from the order) or a delete ('d' when
+    * urgent) keyed on the customer, sequenced by (o_orderdate,
+    * o_orderkey). Latest change per key wins; untouched customers pass
+    * through. Oracle replays the rank-1 cut and the full-outer apply.
+    */
+  def qCdcApply(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val snapshot = Tables.customer(spark, dir)
+      .select($"c_custkey", $"c_name",
+        floor($"c_acctbal" * 1000000L).cast("long").as("acctbal_micros"))
+    val changes = Tables.orders(spark, dir).select(
+      $"o_custkey".as("c_custkey"),
+      when($"o_orderpriority" === "1-URGENT", "d").otherwise("u").as("op"),
+      concat(lit("upd-"), $"o_orderkey").as("c_name"),
+      floor($"o_totalprice" * 1000000L).cast("long").as("acctbal_micros"),
+      $"o_orderdate", $"o_orderkey")
+    graft.refresh.CdcMerge.applyCdc(snapshot, changes, "c_custkey",
+        seqCols = Seq("o_orderdate", "o_orderkey"), opCol = "op",
+        payloadCols = Seq("c_name", "acctbal_micros"))
+      .orderBy($"c_custkey")
+  }
+
   /** Per-group distinct cardinality (SURVEY §2.3 A-family; LLM-ops:
     * corpus cardinality stats). Exact regime oracle-gated; the HLL
     * sketch variant ([[graft.operators.Frequency.distinctCountsSketch]])
@@ -437,6 +461,7 @@ object Relational {
     "q_bloom_semi" -> (qBloomSemi _),
     "q_distinct_users" -> (qDistinctUsers _),
     "q_bucketed_join" -> (qBucketedJoin _),
+    "q_cdc_apply" -> (qCdcApply _),
     "q_monitor_windows" -> (qMonitorWindows _),
     "q_monitor_catchup" -> (qMonitorCatchup _),
     "q_max_offset_fold" -> (qMaxOffsetFold _),
@@ -529,6 +554,27 @@ object Relational {
                 count(DISTINCT user_id) AS n_distinct,
                 count(*) AS n_rows
          FROM events GROUP BY event_type ORDER BY event_type""",
+    "q_cdc_apply" ->
+      """WITH snap AS (
+           SELECT c_custkey, c_name,
+                  CAST(floor(c_acctbal * 1000000) AS BIGINT) AS acctbal_micros
+           FROM customer),
+         ch AS (
+           SELECT o_custkey AS k,
+                  CASE WHEN o_orderpriority = '1-URGENT' THEN 'd' ELSE 'u' END AS op,
+                  'upd-' || o_orderkey AS c_name,
+                  CAST(floor(o_totalprice * 1000000) AS BIGINT) AS acctbal_micros,
+                  row_number() OVER (PARTITION BY o_custkey
+                                     ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+           FROM orders),
+         lat AS (SELECT * FROM ch WHERE rn = 1)
+         SELECT coalesce(s.c_custkey, l.k) AS c_custkey,
+                CASE WHEN l.op = 'u' THEN l.c_name ELSE s.c_name END AS c_name,
+                CASE WHEN l.op = 'u' THEN l.acctbal_micros
+                     ELSE s.acctbal_micros END AS acctbal_micros
+         FROM snap s FULL OUTER JOIN lat l ON s.c_custkey = l.k
+         WHERE l.op IS NULL OR l.op <> 'd'
+         ORDER BY c_custkey""",
     "q_bucketed_join" ->
       """SELECT o_orderpriority,
                 CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 1000000)

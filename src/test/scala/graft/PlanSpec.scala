@@ -271,6 +271,21 @@ class PlanSpec extends SparkTestBase {
       s"fact side shuffled despite bloom pruning + broadcast semi join:\n$simple")
   }
 
+  test("q_cdc_apply: latest-change cut plans a map-side WindowGroupLimit below its shuffle") {
+    val p = planOf("q_cdc_apply")
+    def nodeIds(op: String): Seq[Int] =
+      s"""$op \\((\\d+)\\)""".r.findAllMatchIn(p).map(_.group(1).toInt).toSeq
+    // partial WindowGroupLimit below the window's exchange, final above
+    // it (ids grow upward within a branch): each task forwards only its
+    // own latest candidate per key before anything moves
+    val wgl = nodeIds("WindowGroupLimit")
+    val ex = nodeIds("Exchange")
+    assert(wgl.size == 2 && ex.exists(e => wgl.min < e && e < wgl.max),
+      s"hot-key update storms would land in one task — no map-side group limit:\n$p")
+    assert(p.contains("SortMergeJoin") && p.contains("FullOuter"),
+      s"snapshot apply should be one full-outer join on the key:\n$p")
+  }
+
   test("q_bucketed_join: bucketed scans co-locate the join — no exchange on the join key") {
     val p = planOf("q_bucketed_join")
     assert(p.contains("SortMergeJoin"), s"expected a sort-merge join:\n$p")
