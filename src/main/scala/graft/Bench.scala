@@ -59,6 +59,9 @@ object Bench {
     "sim_pq_topk",
     "q_range_join",
     "t_top_tokens",
+    "q_bloom_semi",
+    "q_cdc_apply",
+    "sim_jl_topk",
     "env_roundtrip")
 
   /** Committed reference times measured warm on an IDLE bench machine:

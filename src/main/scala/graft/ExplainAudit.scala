@@ -17,7 +17,8 @@ object ExplainAudit {
         "d_substring_sampled", "t_bpe_apply", "d_semantic_sample",
         "sim_pq_topk", "t_weighted_sample", "t_top_tokens", "q_range_join",
         "sim_int8_topk", "d_substring_removal", "sim_pq_rerank",
-        "sim_ivfpq_topk")
+        "sim_ivfpq_topk", "q_bloom_semi", "q_bucketed_join", "q_cdc_apply",
+        "q_distinct_users", "sim_jl_project", "sim_jl_topk", "t_chunk_overlap")
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.ui.enabled", "false").getOrCreate()

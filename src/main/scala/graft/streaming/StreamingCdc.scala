@@ -1,0 +1,77 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.types.StructType
+
+import graft.refresh.CdcMerge
+
+/** Continuous table materialization from a CDC stream — the streaming
+  * form of [[graft.refresh.CdcMerge]]: what the reference's consumers do
+  * with update/delete messages to keep a queryable copy of an upstream
+  * table (`data_pipeline/consumer.py` delivers per-key upserts/deletes;
+  * the refresh flow seeds the snapshot), expressed as `foreachBatch`
+  * over Structured Streaming.
+  *
+  * State layout is versioned-snapshot-plus-pointer (the minimal
+  * transactional table): each micro-batch merges into a NEW directory
+  * `v_<batchId>` and then flips the one-line `_latest` pointer, so
+  * readers always see a complete snapshot (never a half-written one)
+  * and a crash between write and flip just leaves an orphan version.
+  * Replays are safe end to end: re-running batch b rewrites `v_b` from
+  * the same inputs deterministically, and the merge itself is
+  * idempotent under batch replay (spec-pinned on the batch operator) —
+  * together that is exactly-once table state over an at-least-once
+  * stream, the same recipe as `StreamArchiver`'s rotate-then-commit.
+  *
+  * At 100 TB the full-rewrite merge becomes a partition-wise rewrite
+  * (bucket the snapshot on the key with [[graft.operators.Bucketing]]
+  * and rewrite only buckets holding changed keys) or a real table
+  * format's MERGE; the stream-side shape — latest-change cut, one
+  * full-outer apply per batch — is unchanged.
+  */
+object StreamingCdc {
+
+  /** Read the current materialized snapshot (empty with `schema` before
+    * the first batch commits). */
+  def currentState(spark: SparkSession, statePath: String,
+                   schema: StructType): DataFrame = {
+    val dir = new Path(statePath)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val ptr = new Path(dir, "_latest")
+    if (!fs.exists(ptr))
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else {
+      val in = fs.open(ptr)
+      val v = try scala.io.Source.fromInputStream(in).mkString.trim finally in.close()
+      spark.read.parquet(new Path(dir, v).toString)
+    }
+  }
+
+  /** Start materializing `changes` (a streaming frame carrying `keyCol`,
+    * `seqCols`, `opCol`, `payloadCols`) into `statePath`. */
+  def materialize(changes: DataFrame, statePath: String, checkpoint: String,
+                  keyCol: String, seqCols: Seq[String], opCol: String,
+                  payloadCols: Seq[String]): StreamingQuery = {
+    val stateSchema = StructType(changes.schema.fields
+      .filter(f => f.name == keyCol || payloadCols.contains(f.name)))
+    changes.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val snapshot = currentState(spark, statePath, stateSchema)
+        val merged = CdcMerge.applyCdc(snapshot, batch, keyCol, seqCols,
+          opCol, payloadCols)
+        val dir = new Path(statePath)
+        val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val version = s"v_$batchId"
+        merged.write.mode("overwrite").parquet(new Path(dir, version).toString)
+        // flip the pointer only after the full snapshot is on disk
+        val out = fs.create(new Path(dir, "_latest"), true)
+        try out.write(version.getBytes("UTF-8")) finally out.close()
+        ()
+      }
+      .start()
+  }
+}

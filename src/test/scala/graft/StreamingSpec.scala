@@ -171,6 +171,37 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
+  test("streaming CDC materializer: upserts/deletes apply per batch; later batches win") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val root = java.nio.file.Files.createTempDirectory("cdc_state").toString
+    val input = MemoryStream[(Long, String, String, Long, Long)]
+    val q = graft.streaming.StreamingCdc.materialize(
+      input.toDF().toDF("k", "op", "name", "bal", "seq"),
+      statePath = s"$root/state", checkpoint = s"$root/ckpt",
+      keyCol = "k", seqCols = Seq("seq"), opCol = "op",
+      payloadCols = Seq("name", "bal"))
+    def state(): Set[(Long, String, Long)] = graft.streaming.StreamingCdc
+      .currentState(spark, s"$root/state",
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "k BIGINT, name STRING, bal BIGINT"))
+      .select($"k", $"name", $"bal").as[(Long, String, Long)].collect().toSet
+    try {
+      // batch 1: two inserts, the second key updated twice in-batch
+      input.addData((1L, "u", "alice", 100L, 1L),
+        (2L, "u", "bob", 200L, 2L), (2L, "u", "bob2", 210L, 3L))
+      q.processAllAvailable()
+      assert(state() == Set((1L, "alice", 100L), (2L, "bob2", 210L)))
+      // batch 2: delete one, update the other, insert a third — the new
+      // batch beats batch-1 state regardless of seq values
+      input.addData((1L, "d", "", 0L, 1L), (2L, "u", "bob3", 220L, 1L),
+        (3L, "u", "carol", 300L, 1L))
+      q.processAllAvailable()
+      assert(state() == Set((2L, "bob3", 220L), (3L, "carol", 300L)))
+    } finally q.stop()
+  }
+
   test("monitor stream emits one count per epoch-aligned window and topic") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
