@@ -161,6 +161,20 @@ object Relational {
       .orderBy($"o_orderpriority")
   }
 
+  /** Z-order curve values (SURVEY §4 layout — multi-column data
+    * skipping): the Morton interleave of (user_id, event_id) the
+    * [[graft.operators.Layout.zorderRange]] re-layout sorts by. Pure
+    * integer shift/mask ladder, replayed exactly by the oracle; the
+    * clustering property it buys is spec-asserted in FunctionsSpec.
+    */
+  def qZorder(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .select($"event_id",
+        graft.operators.Layout.zValue2($"user_id", $"event_id").as("zval"))
+      .orderBy($"event_id")
+  }
+
   /** CDC snapshot merge (SURVEY §3.3 — the consuming half of the CDC
     * contract): customer is the snapshot; each order plays an update
     * ('u', new name + balance from the order) or a delete ('d' when
@@ -462,6 +476,7 @@ object Relational {
     "q_distinct_users" -> (qDistinctUsers _),
     "q_bucketed_join" -> (qBucketedJoin _),
     "q_cdc_apply" -> (qCdcApply _),
+    "q_zorder" -> (qZorder _),
     "q_monitor_windows" -> (qMonitorWindows _),
     "q_monitor_catchup" -> (qMonitorCatchup _),
     "q_max_offset_fold" -> (qMaxOffsetFold _),
@@ -554,6 +569,18 @@ object Relational {
                 count(DISTINCT user_id) AS n_distinct,
                 count(*) AS n_rows
          FROM events GROUP BY event_type ORDER BY event_type""",
+    "q_zorder" ->
+      """WITH e AS (SELECT event_id, user_id & 65535 AS x, event_id & 65535 AS y
+                    FROM events),
+         a AS (SELECT event_id, (x | (x << 8)) & 16711935 AS x,
+                      (y | (y << 8)) & 16711935 AS y FROM e),
+         b AS (SELECT event_id, (x | (x << 4)) & 252645135 AS x,
+                      (y | (y << 4)) & 252645135 AS y FROM a),
+         c AS (SELECT event_id, (x | (x << 2)) & 858993459 AS x,
+                      (y | (y << 2)) & 858993459 AS y FROM b),
+         d AS (SELECT event_id, (x | (x << 1)) & 1431655765 AS x,
+                      (y | (y << 1)) & 1431655765 AS y FROM c)
+         SELECT event_id, x | (y << 1) AS zval FROM d ORDER BY event_id""",
     "q_cdc_apply" ->
       """WITH snap AS (
            SELECT c_custkey, c_name,

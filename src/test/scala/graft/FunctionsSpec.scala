@@ -292,6 +292,40 @@ class FunctionsSpec extends SparkTestBase {
     docs.unpersist()
   }
 
+  test("z-order: hand-computed Morton codes; range layout clusters BOTH columns") {
+    import spark.implicits._
+    import graft.operators.Layout
+    // hand-computed interleaves (x even bits, y odd bits)
+    val codes = Seq((0L, 0L), (1L, 0L), (0L, 1L), (3L, 5L), (65535L, 65535L))
+      .toDF("x", "y")
+      .select(Layout.zValue2($"x", $"y").as("z")).as[Long].collect().toSeq
+    assert(codes == Seq(0L, 1L, 2L,
+      // x=3 (bits 0,1 → pos 0,2) = 5; y=5 (bits 0,2 → pos 1,5) = 34 → 39
+      39L,
+      0xFFFFFFFFL))
+    // locality: a 256×256 grid laid out along the z-curve in 16 range
+    // partitions gives every partition a small (x, y) rectangle — the
+    // min/max-stat property parquet skipping feeds on. A plain x-sort
+    // leaves the y span at full width.
+    val grid = spark.range(0L, 65536L)
+      .select(($"id" % 256L).as("x"), ($"id" / 256L).cast("long").as("y"))
+    def avgSpans(df: org.apache.spark.sql.DataFrame): (Double, Double) = {
+      val spans = df
+        .select($"x", $"y", org.apache.spark.sql.functions.spark_partition_id().as("p"))
+        .groupBy($"p")
+        .agg((max($"x") - min($"x")).as("sx"), (max($"y") - min($"y")).as("sy"))
+        .agg(avg($"sx"), avg($"sy")).as[(Double, Double)].head()
+      spans
+    }
+    val (zx, zy) = avgSpans(Layout.zorderRange(grid, "x", "y", 16))
+    assert(zx < 128 && zy < 128,
+      s"z-order partitions are not rectangles: avg x span $zx, y span $zy")
+    val (_, ny) = avgSpans(
+      grid.repartitionByRange(16, $"x").sortWithinPartitions($"x"))
+    assert(ny > 200, s"fixture broken: x-sort should leave y unclustered, got $ny")
+    assert(zy < ny / 2, s"z-order y span $zy not better than x-sort's $ny")
+  }
+
   test("hll sketch distinct counts: bounded error, lossless shard merge, sketch-only shuffle") {
     import spark.implicits._
     import graft.operators.Frequency
