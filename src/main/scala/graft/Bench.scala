@@ -530,6 +530,14 @@ object Bench {
                 nprobe = np, m = 4, subDim = 16),
               exact, recallK)
           }
+          // IVFADC fetch-200 + exact re-rank: the full production shape
+          // (coarse route → compressed scan → exact top-k on survivors)
+          val ivfpqRerankR = Similarity.recallAtK(
+            Similarity.rerankExact(
+              Similarity.ivfPqTopK(index, cents, probes, cb, k = 200,
+                nprobe = 4, m = 4, subDim = 16),
+              probes, vecs, k = recallK),
+            exact, recallK)
           // JL 64→16: the map-only dim-reduction screen — its recall is
           // the distortion cost of quartering every downstream shuffle
           val jlR = Similarity.recallAtK(
@@ -541,6 +549,7 @@ object Bench {
             "recall_pq_m8k32_topk" -> pq2R,
             "recall_pq_m8k32_rerank" -> pq2RerankR,
             "recall_int8_topk" -> i8R,
+            "recall_ivfpq_rerank" -> ivfpqRerankR,
             "recall_jl_d16_topk" -> jlR)
           exact.unpersist(blocking = false)
           out
