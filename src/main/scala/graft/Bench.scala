@@ -538,11 +538,21 @@ object Bench {
                 nprobe = 4, m = 4, subDim = 16),
               probes, vecs, k = recallK),
             exact, recallK)
-          // JL 64→16: the map-only dim-reduction screen — its recall is
-          // the distortion cost of quartering every downstream shuffle
+          // JL 64→16: the map-only dim-reduction screen. Raw recall is the
+          // distortion cost of quartering every downstream shuffle —
+          // isotropic random fixtures are JL's WORST case (real embedding
+          // spectra decay, random ones don't), so the raw number reads
+          // low; the fetch-200 + exact re-rank pair shows the shape a
+          // deployment runs (screen cheap, re-rank exact)
           val jlR = Similarity.recallAtK(
             Similarity.jlTopK(vecs, probes, inDim = 64, outDim = 16,
               seed = "r8", k = recallK),
+            exact, recallK)
+          val jlRerankR = Similarity.recallAtK(
+            Similarity.rerankExact(
+              Similarity.jlTopK(vecs, probes, inDim = 64, outDim = 16,
+                seed = "r8", k = 200),
+              probes, vecs, k = recallK),
             exact, recallK)
           val out = ivf ++ ivfpq ++ Seq("recall_pq_topk" -> pqR,
             "recall_pq_rerank" -> pqRerankR,
@@ -550,7 +560,8 @@ object Bench {
             "recall_pq_m8k32_rerank" -> pq2RerankR,
             "recall_int8_topk" -> i8R,
             "recall_ivfpq_rerank" -> ivfpqRerankR,
-            "recall_jl_d16_topk" -> jlR)
+            "recall_jl_d16_topk" -> jlR,
+            "recall_jl_d16_rerank" -> jlRerankR)
           exact.unpersist(blocking = false)
           out
         } finally vecs.unpersist(blocking = false)

@@ -133,6 +133,23 @@ object Similarity {
     bruteForceTopK(pv, pp, k, roundTo)
   }
 
+  /** Exact top-k by Hamming distance over 64-bit binary codes — the
+    * binary-code ANN family (SimHash document codes, sign-projection
+    * embedding codes). `codes`: (vec_id, f: long); `probes`:
+    * (probe_id, pf: long). Scale shape: the corpus side carries ONLY
+    * (vec_id, 8-byte code) — a 64× compression of a 64-dim double
+    * vector — the distance is one xor + popcount inside whole-stage
+    * codegen, probes broadcast, and the global cut reuses the salted
+    * two-phase ranking (ties to the lower vec_id, fully deterministic
+    * integer math — the oracle replays it digit for digit). */
+  def hammingTopK(codes: DataFrame, probes: DataFrame, k: Int): DataFrame = {
+    val scored = codes.crossJoin(broadcast(probes))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id"),
+        expr("bit_count(f ^ pf)").as("dist"))
+    topKPerProbeBy(scored, k, col("dist").asc)
+  }
+
   /** Embedding-cosine near-duplicate pairs via sign-random-projection LSH
     * (north-star dedup family: embedding near-dup).
     *

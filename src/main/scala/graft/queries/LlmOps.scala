@@ -177,6 +177,22 @@ object LlmOps {
     * baseline): 5 probe vectors against the full table via broadcast —
     * the fact side never shuffles. Cosines rounded to 4dp before ranking
     * so ordering is reproducible across engines. */
+  /** Binary-code ANN: top-3 nearest documents per probe by Hamming
+    * distance over SimHash64 fingerprints — the 8-bytes-per-document
+    * search tier below int8/PQ. Oracle replays fingerprint + xor +
+    * popcount + ranking exactly. */
+  def qHammingTopK(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val fps = graft.operators.Dedup
+      .simhashFingerprints(Tables.documents(spark, dir), "doc_id", "text")
+      .select($"id".as("vec_id"), $"f")
+    val probes = fps.filter($"vec_id" < 5)
+      .select($"vec_id".as("probe_id"), $"f".as("pf"))
+    graft.operators.Similarity.hammingTopK(fps, probes, k = 3)
+      .select($"probe_id", $"vec_id", $"dist", $"rank")
+      .orderBy($"probe_id", $"rank")
+  }
+
   /** JL random projection 64→16 (north-star: embedding dim reduction —
     * a map-only pass that quarters every downstream similarity shuffle).
     * Exploded to scalar rows for the hash gate; the oracle regenerates
@@ -553,6 +569,7 @@ object LlmOps {
     "m_media_resize" -> (qMediaResize _),
     "sim_knn_cosine" -> (qKnnCosine _),
     "sim_jl_project" -> (qJlProject _),
+    "sim_hamming_topk" -> (qHammingTopK _),
     "sim_jl_topk" -> (qJlTopK _),
     "sim_ivf_topk" -> (qIvfTopK _),
     "sim_ivf_sample" -> (qIvfSampleTopK _),
@@ -905,6 +922,35 @@ object LlmOps {
          FROM d CROSS JOIN range(0, 16) r(bin)
          LEFT JOIN cnt ON cnt.doc_id = d.doc_id AND cnt.bin = r.bin
          ORDER BY 1, 2""",
+    "sim_hamming_topk" ->
+      """WITH toks AS (
+           SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS t
+           FROM documents),
+         th AS (SELECT doc_id, substr(md5(t), 1, 16) AS h16 FROM toks),
+         bits AS (
+           SELECT doc_id, b,
+                  CASE WHEN sum(((strpos('0123456789abcdef', substr(h16, 1 + b // 4, 1)) - 1)
+                                 // power(2, b % 4)::INT) % 2 * 2 - 1) > 0
+                       THEN 1 ELSE 0 END AS bit
+           FROM th, range(0, 64) r(b)
+           GROUP BY doc_id, b),
+         fp AS (
+           SELECT doc_id, sum(CASE WHEN bit = 1 AND b < 63 THEN (power(2, b))::BIGINT
+                                   WHEN bit = 1 THEN -9223372036854775808 ELSE 0 END)::BIGINT AS f
+           FROM bits GROUP BY doc_id),
+         probes AS (SELECT doc_id AS probe_id, f AS pf FROM fp WHERE doc_id < 5),
+         scored AS (
+           SELECT probe_id, fp.doc_id AS vec_id,
+                  CAST(bit_count(xor(pf, f)) AS INTEGER) AS dist
+           FROM fp, probes WHERE fp.doc_id <> probe_id),
+         ranked AS (
+           SELECT probe_id, vec_id, dist,
+                  row_number() OVER (PARTITION BY probe_id
+                                     ORDER BY dist ASC, vec_id ASC) AS rank
+           FROM scored)
+         SELECT probe_id, vec_id, dist, rank
+         FROM ranked WHERE rank <= 3
+         ORDER BY probe_id, rank""",
     "sim_jl_project" ->
       """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
           jm AS (
