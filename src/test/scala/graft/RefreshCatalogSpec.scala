@@ -221,4 +221,32 @@ class RefreshCatalogSpec extends SparkTestBase {
       .as[(Long, String, Long)].collect().toSet
     assert(again == got, "CDC apply must be idempotent under batch replay")
   }
+
+  test("applyCdc: one batch ≡ folding its changes one at a time in seq order") {
+    import spark.implicits._
+    import graft.refresh.CdcMerge
+    // seeded random op stream over a small key space: heavy key reuse so
+    // latest-wins, delete-then-update and update-then-delete all occur
+    val rnd = new scala.util.Random(8)
+    val changes = (0 until 30).map { i =>
+      (rnd.nextInt(8).toLong,
+        if (rnd.nextInt(4) == 0) "d" else "u",
+        s"n$i", rnd.nextInt(1000).toLong, i.toLong)
+    }
+    val snapshot: Seq[(Long, String, Long)] =
+      (0L until 5L).map(k => (k, s"init$k", k * 10L))
+    def apply1(state: Seq[(Long, String, Long)],
+               ch: (Long, String, String, Long, Long)): Seq[(Long, String, Long)] =
+      CdcMerge.applyCdc(state.toDF("k", "name", "bal"),
+          Seq(ch).toDF("k", "op", "name", "bal", "seq"),
+          "k", Seq("seq"), "op", Seq("name", "bal"))
+        .as[(Long, String, Long)].collect().toSeq
+    val folded = changes.foldLeft(snapshot)(apply1).toSet
+    val batched = CdcMerge.applyCdc(snapshot.toDF("k", "name", "bal"),
+        changes.toDF("k", "op", "name", "bal", "seq"),
+        "k", Seq("seq"), "op", Seq("name", "bal"))
+      .as[(Long, String, Long)].collect().toSet
+    assert(batched == folded,
+      "batch apply must equal the sequential one-change-at-a-time fold")
+  }
 }
