@@ -202,6 +202,61 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming windowed heavy hitters: per-window sketch counts, emitted at close") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val input = MemoryStream[(java.sql.Timestamp, String)]
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    val out = graft.streaming.StreamingFrequency.windowedTopTokens(
+      input.toDF().toDF("ts", "text"), "text", "ts",
+      windowDur = "10 seconds", delay = "5 seconds", k = 4, maxTracked = 1024)
+    val q = out.writeStream.format("memory").queryName("toptok_out")
+      .outputMode("append").start()
+    try {
+      // window [0,10): aa×3 bb×2 cc×1 ; window [10,20): dd×2
+      input.addData((ts(1), "aa bb aa"), (ts(4), "aa bb cc"), (ts(12), "dd dd"))
+      q.processAllAvailable()
+      // advance the watermark past both windows so they close and emit
+      input.addData((ts(40), "zz"))
+      q.processAllAvailable()
+      val rows = spark.table("toptok_out")
+        .select($"window_start".cast("long"), $"gram", $"cnt")
+        .as[(Long, String, Long)].collect().toSet
+      assert(rows.filter(_._1 == 0L) ==
+        Set((0L, "aa", 3L), (0L, "bb", 2L), (0L, "cc", 1L)),
+        s"window [0,10) counts wrong: $rows")
+      assert(rows.filter(_._1 == 10L) == Set((10L, "dd", 2L)),
+        s"window [10,20) counts wrong: $rows")
+    } finally q.stop()
+  }
+
+  test("streaming windowed distinct: HLL estimate per closed window") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val input = MemoryStream[(java.sql.Timestamp, Long)]
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    val out = graft.streaming.StreamingFrequency.windowedDistinct(
+      input.toDF().toDF("ts", "uid"), "uid", "ts",
+      windowDur = "10 seconds", delay = "5 seconds")
+    val q = out.writeStream.format("memory").queryName("wdist_out")
+      .outputMode("append").start()
+    try {
+      // window [0,10): users 1,2,3 over 5 rows; window [10,20): user 9
+      input.addData((ts(1), 1L), (ts(2), 2L), (ts(3), 1L), (ts(4), 3L),
+        (ts(5), 2L), (ts(12), 9L))
+      q.processAllAvailable()
+      input.addData((ts(40), 99L))
+      q.processAllAvailable()
+      val rows = spark.table("wdist_out")
+        .select($"window_start".cast("long"), $"n_distinct_est", $"n_rows")
+        .as[(Long, Long, Long)].collect().toSet
+      // at these cardinalities the HLL sparse mode is exact
+      assert(rows == Set((0L, 3L, 5L), (10L, 1L, 1L)), s"got $rows")
+    } finally q.stop()
+  }
+
   test("monitor stream emits one count per epoch-aligned window and topic") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
