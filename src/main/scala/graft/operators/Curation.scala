@@ -349,6 +349,32 @@ object Curation {
       .groupBy(canonicalUrl(col(urlCol)).as("canonical_url"))
       .agg(min(col(idCol)).as(s"kept_$idCol"), count(lit(1)).as("n_copies"))
 
+  /** Deterministic hash split — train/val/test assignment from the same
+    * portable md5-u24 draw as [[sampleKeep]]/[[weightedSample]], against
+    * INTEGER cumulative thresholds (floor(cum·2²⁴)), so the oracle
+    * replays it exactly and no float boundary can flip an assignment.
+    * Properties a training pipeline needs and a random split lacks:
+    * shuffle-free (a pure projection), stable under corpus growth (a
+    * document's split never changes because other documents arrived),
+    * and reproducible from (salt, id) alone — no stored assignment
+    * table. Adds a `split` column. */
+  def splitByHash(docs: DataFrame, idCol: String, salt: String,
+                  fractions: Seq[(String, Double)]): DataFrame = {
+    require(fractions.size >= 2, "need at least two splits")
+    require(fractions.map(_._1).distinct.size == fractions.size,
+      "split names must be distinct")
+    require(math.abs(fractions.map(_._2).sum - 1.0) < 1e-9,
+      s"fractions must sum to 1, got ${fractions.map(_._2).sum}")
+    val thresholds = fractions.map(_._2).scanLeft(0.0)(_ + _).drop(1)
+      .map(c => math.floor(c * (1L << 24)).toLong)
+    val u = md5Draw(salt, col(idCol).cast("string"))
+    val first = when(u < thresholds.head, fractions.head._1)
+    val split = fractions.tail.init.zip(thresholds.tail.init)
+      .foldLeft(first) { case (acc, ((n, _), t)) => acc.when(u < t, n) }
+      .otherwise(fractions.last._1)
+    docs.withColumn("split", split)
+  }
+
   /** Sliding-window chunking with overlap — the retrieval/context-window
     * primitive: every `stride` tokens starts a `window`-token chunk, so
     * consecutive chunks share `window - stride` tokens and no boundary

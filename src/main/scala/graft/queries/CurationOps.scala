@@ -323,8 +323,20 @@ object CurationOps {
       .orderBy($"doc_id", $"chunk_idx")
   }
 
+  /** Deterministic 80/10/10 train/val/test split (north-star: corpus
+    * split assignment) — portable md5-u24 draw vs integer thresholds,
+    * replayed exactly by the oracle. */
+  def qSplitHash(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Curation.splitByHash(Tables.documents(spark, dir), "doc_id", "sp8:",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .select($"doc_id", $"split")
+      .orderBy($"doc_id")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t_chunk_overlap" -> (qChunkOverlap _),
+    "t_split_hash" -> (qSplitHash _),
     "t_weighted_sample" -> (qWeightedSample _),
     "t_top_tokens" -> (qTopTokens _),
     "d_contamination" -> (qContamination _),
@@ -356,6 +368,19 @@ object CurationOps {
          WHERE len(ws) >= 5)"""
 
   val oracles: Map[String, String] = Map(
+    "t_split_hash" ->
+      """WITH u AS (
+           SELECT doc_id,
+                  list_sum([(strpos('0123456789abcdef',
+                                    substr(md5('sp8:' || doc_id), i, 1)) - 1)
+                            * power(16, 6 - i)::BIGINT
+                            for i in range(1, 7)])::BIGINT AS u24
+           FROM documents)
+         SELECT doc_id,
+                CASE WHEN u24 < 13421772 THEN 'train'
+                     WHEN u24 < 15099494 THEN 'val'
+                     ELSE 'test' END AS split
+         FROM u ORDER BY doc_id""",
     "t_chunk_overlap" ->
       """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
                     FROM documents WHERE length(trim(text)) > 0),

@@ -548,6 +548,34 @@ class CurationSpec extends SparkTestBase {
     assert(rrIvf == bf, "exhaustive IVFADC + exact re-rank must equal brute force")
   }
 
+  test("splitByHash: proportions converge, assignment stable under corpus growth") {
+    import spark.implicits._
+    import graft.operators.Curation
+    val fracs = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val big = Curation.splitByHash(
+        spark.range(0L, 20000L).toDF("doc_id"), "doc_id", "s:", fracs)
+      .groupBy($"split").count().as[(String, Long)].collect().toMap
+    assert(math.abs(big("train") - 16000.0) < 500, s"train skewed: $big")
+    assert(math.abs(big("val") - 2000.0) < 250 &&
+      math.abs(big("test") - 2000.0) < 250, s"val/test skewed: $big")
+    // stability: a document's split depends only on (salt, id) — the
+    // assignment over a subset is the restriction of the full assignment
+    val full = Curation.splitByHash(
+        spark.range(0L, 100L).toDF("doc_id"), "doc_id", "s:", fracs)
+      .as[(Long, String)].collect().toMap
+    val sub = Curation.splitByHash(
+        spark.range(0L, 100L).filter($"id" % 3 === 0).toDF("doc_id"),
+        "doc_id", "s:", fracs)
+      .as[(Long, String)].collect().toMap
+    assert(sub.forall { case (k, v) => full(k) == v },
+      "subset assignment diverged from the full corpus assignment")
+    // shuffle-free projection
+    val p = Curation.splitByHash(
+        spark.range(0L, 100L).toDF("doc_id"), "doc_id", "s:", fracs)
+      .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert(!p.contains("Exchange"), s"split must not shuffle:\n$p")
+  }
+
   test("chunkOverlap: overlap content, short tails, sub-window and empty docs") {
     import spark.implicits._
     import graft.operators.Curation
