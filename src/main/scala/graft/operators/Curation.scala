@@ -303,6 +303,37 @@ object Curation {
         round(pow(col("n_docs"), alpha) / col("denom"), 6).as("weight"))
   }
 
+  /** Apply mixture targets: per-stratum uniform hash sample of
+    * `floor(weight · totalK)` documents — the step that turns
+    * [[mixtureWeights]]' temperature-flattened targets into an actual
+    * rebalanced corpus. Ranks each stratum on the portable md5-u24 draw
+    * (descending, id tiebreak) and keeps the stratum's quota; the
+    * weights frame broadcasts (|strata| rows) and the rank runs in the
+    * same salted two-phase shape as the top-k operators — phase 1
+    * ranks (stratum, salt-of-id) buckets so a dominant stratum never
+    * sorts in one task, phase 2 ranks the survivors (the per-bucket cut
+    * keeps ≤ quota rows per bucket, and the true per-stratum top-quota
+    * set is contained in the union of per-bucket top-quota sets).
+    * Returns (strataCol, idCol, rank). */
+  def rebalanceSample(docs: DataFrame, strataCol: String, idCol: String,
+                      weights: DataFrame, totalK: Long, salt: String,
+                      nSalts: Int = 32): DataFrame = {
+    val quotas = broadcast(weights.select(col(strataCol),
+      floor(col("weight") * totalK).cast("long").as("__kg")))
+    val keyed = docs.select(col(strataCol), col(idCol))
+      .join(quotas, strataCol)
+      .withColumn("__u", md5Draw(salt, col(idCol).cast("string")))
+    val w1 = Window
+      .partitionBy(col(strataCol), pmod(xxhash64(col(idCol)), lit(nSalts.toLong)))
+      .orderBy(col("__u").desc, col(idCol).asc)
+    val w2 = Window.partitionBy(col(strataCol))
+      .orderBy(col("__u").desc, col(idCol).asc)
+    keyed
+      .withColumn("__br", row_number().over(w1)).filter(col("__br") <= col("__kg"))
+      .withColumn("rank", row_number().over(w2)).filter(col("rank") <= col("__kg"))
+      .select(col(strataCol), col(idCol), col("rank"))
+  }
+
   /** Canonical form of a web URL for crawl-dedup keys (north-star: the
     * URL-level dedup every web-corpus pipeline runs before content dedup).
     *

@@ -334,9 +334,23 @@ object CurationOps {
       .orderBy($"doc_id")
   }
 
+  /** Mixture rebalancing end to end (north-star: domain-mix application):
+    * α=0.5 temperature weights per source → per-source uniform hash
+    * quota sample of floor(weight·200) docs. Oracle replays weights,
+    * quotas, draw and ranking. */
+  def qRebalance(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    val weights = Curation.mixtureWeights(docs, "source", alpha = 0.5)
+    Curation.rebalanceSample(docs, "source", "doc_id", weights,
+        totalK = 200L, salt = "rb8:")
+      .orderBy($"source", $"rank")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t_chunk_overlap" -> (qChunkOverlap _),
     "t_split_hash" -> (qSplitHash _),
+    "t_rebalance" -> (qRebalance _),
     "t_weighted_sample" -> (qWeightedSample _),
     "t_top_tokens" -> (qTopTokens _),
     "d_contamination" -> (qContamination _),
@@ -368,6 +382,26 @@ object CurationOps {
          WHERE len(ws) >= 5)"""
 
   val oracles: Map[String, String] = Map(
+    "t_rebalance" ->
+      """WITH s AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY 1),
+         d AS (SELECT sum(power(n_docs, 0.5)) AS denom FROM s),
+         wt AS (SELECT source, round(power(n_docs, 0.5) / denom, 6) AS weight
+                FROM s, d),
+         k AS (SELECT source, CAST(floor(weight * 200) AS BIGINT) AS kg FROM wt),
+         u AS (SELECT doc_id, source,
+                      list_sum([(strpos('0123456789abcdef',
+                                        substr(md5('rb8:' || doc_id), i, 1)) - 1)
+                                * power(16, 6 - i)::BIGINT
+                                for i in range(1, 7)])::BIGINT AS u24
+               FROM documents),
+         r AS (SELECT source, doc_id,
+                      row_number() OVER (PARTITION BY source
+                                         ORDER BY u24 DESC, doc_id ASC) AS rank
+               FROM u)
+         SELECT r.source AS source, r.doc_id, r.rank
+         FROM r JOIN k ON r.source = k.source
+         WHERE r.rank <= k.kg
+         ORDER BY r.source, r.rank""",
     "t_split_hash" ->
       """WITH u AS (
            SELECT doc_id,
