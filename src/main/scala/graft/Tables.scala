@@ -21,15 +21,23 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "part")
   def nation(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "nation")
   def region(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "region")
-  /** events.parquet stores `ts` as parquet TIMESTAMP(NANOS), which Spark's
-    * vectorized reader rejects. Read nanos as long (legacy conf) and convert
-    * to a microsecond TimestampType; the fixture's values are µs-aligned so
-    * the conversion is lossless (verified against the generator output).
+  /** events.parquet has shipped `ts` as either parquet TIMESTAMP(NANOS)
+    * (older generator output — Spark's vectorized reader rejects nanos, so
+    * the legacy conf reads them as long and we convert) or TIMESTAMP(MICROS)
+    * (current output — arrives as TIMESTAMP_NTZ). Normalize both to the
+    * session-UTC TimestampType every downstream query was built against;
+    * the fixture's values are µs-aligned so each path is lossless.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types.{LongType, TimestampType}
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(spark, dir, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    val raw = table(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      case LongType => raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampType => raw
+      case _ => raw.withColumn("ts", col("ts").cast(TimestampType))
+    }
   }
   def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
