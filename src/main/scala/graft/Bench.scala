@@ -62,6 +62,10 @@ object Bench {
     "q_bloom_semi",
     "q_cdc_apply",
     "sim_jl_topk",
+    "d_incr_exact",
+    "d_incr_lsh",
+    "q_salted_join",
+    "t_linear_score",
     "env_roundtrip")
 
   /** Committed reference times measured warm on an IDLE bench machine:

@@ -295,6 +295,30 @@ object Curation {
     * broadcast. Weights round to 6 dp so the ratio is stable across
     * summation orders. Returns (strataCol, n_docs, weight).
     */
+  /** One-pass corpus profile per stratum — the data card a 100 TB
+    * curation run publishes next to its output: document and token
+    * volume, mean document length, language diversity, and the short-doc
+    * share (the first thing a quality sweep cuts). Single
+    * map-side-combinable aggregation; all ratios are exact integer
+    * ppm/`div` arithmetic, so the report is bit-identical on any engine
+    * and under any partial-agg order. Returns (strataCol, n_docs,
+    * sum_tokens, mean_tokens, n_langs, short_ppm). */
+  def corpusProfile(docs: DataFrame, strataCol: String, textCol: String,
+                    langCol: String, shortBelowTokens: Long): DataFrame =
+    docs
+      .select(col(strataCol), col(langCol),
+        size(split(trim(col(textCol)), "\\s+")).cast("long").as("__nt"))
+      .groupBy(col(strataCol))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("__nt")).as("sum_tokens"),
+        count_distinct(col(langCol)).as("n_langs"),
+        sum(when(col("__nt") < shortBelowTokens, 1L).otherwise(0L)).as("__short"))
+      .select(col(strataCol), col("n_docs"), col("sum_tokens"),
+        expr("sum_tokens div n_docs").as("mean_tokens"),
+        col("n_langs"),
+        expr("1000000 * __short div n_docs").as("short_ppm"))
+
   def mixtureWeights(docs: DataFrame, strataCol: String, alpha: Double): DataFrame = {
     val counts = docs.groupBy(col(strataCol)).agg(count(lit(1)).as("n_docs"))
     val denom = counts.agg(sum(pow(col("n_docs"), alpha)).as("denom"))

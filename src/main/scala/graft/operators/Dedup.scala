@@ -391,6 +391,91 @@ object Dedup {
     labels.select(col("id").as("doc_id"), col("rep").as("cluster_rep"))
   }
 
+  /** Exact-dedup index: one row per distinct content hash with the id
+    * that owns it — (content_md5, kept_id). The persistent state of
+    * INCREMENTAL exact dedup: build once over the corpus, then every new
+    * ingestion batch checks against the stored index instead of
+    * rescanning 100 TB of history. At scale, write it with
+    * [[Bucketing.writeBucketed]] on `content_md5` so each delta join
+    * co-locates exchange-free on the index side (the index is
+    * corpus-sized; the delta is the only thing that should ever shuffle).
+    */
+  def buildExactIndex(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.groupBy(md5(col(textCol)).as("content_md5"))
+      .agg(min(col(idCol)).as("kept_id"))
+
+  /** Incremental exact dedup of a delta batch against a stored
+    * [[buildExactIndex]] frame: drops every delta row whose content hash
+    * already exists in the index (anti-join — index side static), then
+    * collapses within-delta duplicates to the smallest id. Returns the
+    * surviving NEW content: (content_md5, kept_id, n_copies), exactly the
+    * rows to append to the index ([[mergeExactIndex]]) and to admit into
+    * the corpus. The delta is one hash shuffle (map-side combinable); the
+    * corpus never rescans.
+    */
+  def dedupDeltaExact(delta: DataFrame, index: DataFrame,
+                      idCol: String, textCol: String): DataFrame =
+    delta.select(col(idCol).as("id"), md5(col(textCol)).as("content_md5"))
+      .join(index.select(col("content_md5")), Seq("content_md5"), "left_anti")
+      .groupBy(col("content_md5"))
+      .agg(min(col("id")).as("kept_id"), count(lit(1)).as("n_copies"))
+
+  /** The index after admitting a [[dedupDeltaExact]] survivor batch —
+    * pure union (survivor hashes are disjoint from the index by
+    * construction of the anti-join). */
+  def mergeExactIndex(index: DataFrame, survivors: DataFrame): DataFrame =
+    index.select(col("content_md5"), col("kept_id"))
+      .union(survivors.select(col("content_md5"), col("kept_id")))
+
+  /** Near-dup band index: the (band_id, h, id) LSH bucket table of the
+    * corpus under the md5 minhash family — the persistent state of
+    * incremental NEAR-dup detection. Same storage advice as
+    * [[buildExactIndex]]: bucket the stored table by (band_id, h) so
+    * delta probes co-locate without shuffling the index. */
+  def buildBandIndex(docs: DataFrame, idCol: String, textCol: String,
+                     n: Int, k: Int, bands: Int): DataFrame =
+    lshBands(minhashSignatures(wordShingles(docs, idCol, textCol, n), k), k, bands)
+
+  /** Incremental near-dup candidates: a delta batch's documents banded
+    * with the SAME minhash family as the stored [[buildBandIndex]] frame,
+    * then joined against it on (band_id, h) — each (corpus_id, delta_id)
+    * pair that collides in ≥ 1 band, distinct. Only the delta pays the
+    * shingle→signature→band pipeline; the corpus contributes stored
+    * 8-byte-code rows. Verify exactly afterwards with [[verifyJaccard]]
+    * over the union's shingles (same contract as the batch LSH path —
+    * banding proposes, Jaccard disposes). */
+  def incrementalNearDupCandidates(index: DataFrame, delta: DataFrame,
+                                   idCol: String, textCol: String,
+                                   n: Int, k: Int, bands: Int): DataFrame = {
+    val db = buildBandIndex(delta, idCol, textCol, n, k, bands)
+      .withColumnRenamed("id", "delta_id")
+    index.join(db, Seq("band_id", "h"))
+      .select(col("id").as("corpus_id"), col("delta_id"))
+      .distinct()
+  }
+
+  /** Canonical-representative selection — the KEEP half of cluster-level
+    * dedup: given near-dup clusters ([[connectedComponents]] output:
+    * (doc_id, cluster_rep)) and a per-document quality score, each
+    * cluster keeps its highest-quality member (ties to the smaller id)
+    * and drops the rest. Returns (cluster_rep, kept_doc_id, n_members,
+    * best_q). One shuffle keyed on the cluster id; the max_by/min
+    * aggregation is map-side combinable, so a boilerplate mega-cluster
+    * combines locally instead of sorting in one task (no window, no
+    * per-group row_number). */
+  def selectRepresentatives(clusters: DataFrame, quality: DataFrame,
+                            idCol: String, qCol: String): DataFrame =
+    clusters
+      .join(quality.select(col(idCol).as("doc_id"), col(qCol).as("__q")), "doc_id")
+      .groupBy(col("cluster_rep"))
+      .agg(
+        // argmax by (quality, then smaller id): struct comparison is
+        // field-wise, so maximizing (q, -id) breaks ties downward on id
+        max_by(col("doc_id"), struct(col("__q"), (-col("doc_id")).as("nid")))
+          .as("kept_doc_id"),
+        count(lit(1)).as("n_members"),
+        max(col("__q")).as("best_q"))
+
   /** Exact Jaccard over the shingle sets of the given pairs only. */
   def verifyJaccard(pairs: DataFrame, shingles: DataFrame, threshold: Double): DataFrame = {
     val sizes = shingles.groupBy(col("id")).agg(count(lit(1)).as("n"))

@@ -83,6 +83,39 @@ object Frequency {
       .agg(hll_union_agg(col("sk")).as("sk"))
       .select(col(groupCol), hll_sketch_estimate(col("sk")).as("n_distinct_est"))
 
+  /** Per-key skew diagnostics — the number you need BEFORE picking a
+    * salting factor or an AQE skew threshold for a join/agg on `keyCols`:
+    * the `topN` hottest keys with their row counts, each key's share of
+    * the table in exact integer ppm, and its ratio to the mean key size
+    * (`skew_x`, 6-dp — a key at skew_x 500 needs ~500 salt buckets to
+    * level its partition). Two map-side-combinable aggregations (per-key
+    * counts, then 1-row global stats broadcast back); the top-N cut uses
+    * the same salted two-phase ranking as the ANN searches — phase 1
+    * ranks inside (key-hash mod 32) buckets so no task ever sorts the
+    * full distinct-key set (billions of keys at corpus scale), phase 2
+    * ranks the ≤ 32·topN survivors. Ties break on the key columns.
+    */
+  def skewStats(df: DataFrame, keyCols: Seq[String], topN: Int,
+                nSalts: Int = 32): DataFrame = {
+    val counts = df.groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("n"))
+    val totals = counts.agg(sum(col("n")).as("__total"),
+      count(lit(1)).as("__nkeys"))
+    val order = col("n").desc +: keyCols.map(col(_).asc)
+    val w1 = org.apache.spark.sql.expressions.Window
+      .partitionBy(pmod(xxhash64(keyCols.map(col): _*), lit(nSalts.toLong)))
+      .orderBy(order: _*)
+    val w2 = org.apache.spark.sql.expressions.Window.orderBy(order: _*)
+    counts
+      .withColumn("__brank", row_number().over(w1)).filter(col("__brank") <= topN)
+      .crossJoin(broadcast(totals))
+      .withColumn("share_ppm", expr("1000000 * n div __total"))
+      .withColumn("skew_x", round(col("n") * col("__nkeys") / col("__total"), 6))
+      .withColumn("rank", row_number().over(w2))
+      .filter(col("rank") <= topN)
+      .select(keyCols.map(col) ++
+        Seq(col("n"), col("share_ppm"), col("skew_x"), col("rank")): _*)
+  }
+
   /** One row per word n-gram occurrence (column `g`); the same
     * whitespace split + space join as `Dedup.wordShingles`, kept
     * duplicated occurrences (frequency counting wants multiplicity,

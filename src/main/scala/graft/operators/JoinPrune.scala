@@ -56,4 +56,31 @@ object JoinPrune {
       .join(build.select(col(buildKey)),
         col(probeKey) === col(buildKey), "left_semi")
   }
+
+  /** Salted equi-join for skewed keys — the manual form of AQE's skew
+    * split, usable when the skew is KNOWN up front (from
+    * [[Frequency.skewStats]]) or when AQE can't see it (first run, no
+    * shuffle statistics yet, or a key so hot one split still overflows).
+    *
+    * A plain `fact ⋈ dim` on a key owning 10% of a 100 TB table sends
+    * 10 TB to ONE reducer. Salting shards it: each fact row gets a
+    * deterministic salt in [0, nSalts) hashed off `saltOn` (a
+    * high-cardinality disambiguator — the row's id/offset), the dim side
+    * replicates every row across ALL salts (explode of a `nSalts`-element
+    * range — dims are small; replication is the price of leveling), and
+    * the join keys on (key, salt): the hot key's rows now land on
+    * `nSalts` reducers. Result is bit-identical to the plain join —
+    * every (fact, dim) match pairs under exactly one salt value.
+    * Returns fact columns + the dim's non-key columns (same contract as
+    * `fact.join(dim, keys)`).
+    */
+  def saltedJoin(fact: DataFrame, dim: DataFrame, keys: Seq[String],
+                 saltOn: String, nSalts: Int): DataFrame = {
+    require(nSalts >= 1, "nSalts must be >= 1")
+    val saltedFact = fact.withColumn("__salt",
+      pmod(xxhash64(col(saltOn)), lit(nSalts.toLong)).cast("int"))
+    val saltedDim = dim.withColumn("__salt",
+      explode(sequence(lit(0), lit(nSalts - 1))))
+    saltedFact.join(saltedDim, keys :+ "__salt").drop("__salt")
+  }
 }

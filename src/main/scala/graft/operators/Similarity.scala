@@ -731,6 +731,40 @@ object Similarity {
     else a.join(e, Seq("probe_id", "vec_id")).count().toDouble / denom
   }
 
+  /** L2-normalize an embedding column in place: v / ‖v‖, components
+    * rounded to `roundTo` dp (zero vectors pass through unchanged — no
+    * NaN surface). One shuffle-free projection; after it, cosine reduces
+    * to a plain dot product, which halves the per-pair work of every
+    * downstream similarity stage and is the usual prep before int8/PQ
+    * quantization. The norm folds left-to-right over ascending dims —
+    * the same sequence an SQL list fold replays. */
+  def l2Normalize(vectors: DataFrame, vecCol: String = "v",
+                  roundTo: Int = 6): DataFrame = {
+    val nv = sqrt(aggregate(col(vecCol), lit(0.0), (acc, x) => acc + x * x))
+    vectors.withColumn(vecCol,
+      when(nv === 0.0, col(vecCol))
+        .otherwise(transform(col(vecCol), x => round(x / nv, roundTo))))
+  }
+
+  /** Chunk→document mean pooling: many chunk embeddings per `docCol`
+    * collapse to one per-dimension mean vector (the standard way a
+    * long document gets ONE embedding from its chunk embeddings before
+    * doc-level similarity/dedup). Same (id, dim) aggregation shape as
+    * [[centroids]]: posexplode → avg per (doc, dim) rounded to `roundTo`
+    * (cross-engine determinism under any partial-agg order) →
+    * re-assemble — one shuffle whose state is bounded by docs·dim
+    * scalars, never whole vectors. Compose with [[l2Normalize]] for
+    * unit-length doc embeddings. */
+  def meanPool(chunks: DataFrame, docCol: String, vecCol: String = "v",
+               roundTo: Int = 6): DataFrame =
+    chunks
+      .select(col(docCol).as("__doc"), posexplode(col(vecCol)).as(Seq("dim", "x")))
+      .groupBy(col("__doc"), col("dim"))
+      .agg(round(avg(col("x")), roundTo).as("m"))
+      .groupBy(col("__doc"))
+      .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("pairs"))
+      .select(col("__doc").as(docCol), expr("transform(pairs, q -> q.m)").as(vecCol))
+
   /** SemDeDup-style semantic dedup (Abbas et al. 2023): cluster the
     * embedding space with deterministic k-means, then inside each cluster
     * remove every vector that has a lower-id cluster-mate with cosine ≥

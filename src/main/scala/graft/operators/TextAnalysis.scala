@@ -189,6 +189,64 @@ object TextAnalysis {
         expr("__s div n_bigrams").as("avg_bigram_ppm"))
   }
 
+  /** Hashed linear text classifier — the fastText-style quality-scorer
+    * plumbing (Joulin et al. 2016: bag of hashed token features · weight
+    * vector): each token hashes into one of `weights.length` buckets
+    * (hashing trick — no vocabulary table, fixed model size), the
+    * document's score is the mean bucket weight, and `label` thresholds
+    * it. This is how learned quality/domain classifiers actually deploy
+    * inside a curation pipeline: the model is a flat weight array that
+    * rides into every task as a plan literal; scoring is ONE shuffle-free
+    * projection over the corpus (the aggregate folds the token array in
+    * place — the text never leaves its scan partition).
+    *
+    * Determinism contract (what makes an SQL oracle replay it exactly):
+    * the bucket is the portable md5-u24 draw (`u24(salt ‖ token) mod
+    * buckets` — same family as [[graft.operators.Curation]]'s sampling),
+    * weights are INTEGERS (a learned float model quantizes to
+    * `round(w·1000)` — the same trick [[lmScore]] uses with ppm), so the
+    * fold sum is exact in any order, and the single final division is
+    * correctly rounded from exact integer inputs on both engines.
+    *
+    * Returns (idCol, n_tokens, score, label) with
+    * score = round(Σ w[bucket(t)] / (1000·n_tokens), 6); empty documents
+    * drop (no tokens → no score).
+    */
+  def hashedLinearScore(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                        textCol: String, weights: Array[Int], salt: String,
+                        threshold: Double): org.apache.spark.sql.DataFrame = {
+    val nb = weights.length
+    require(nb > 0, "weights must be non-empty")
+    val ws = col("__ws")
+    val w = typedLit(weights.toSeq)
+    val bucket = (t: Column) =>
+      pmod(conv(substring(md5(concat(lit(salt), t)), 1, 6), 16, 10).cast("long"),
+        lit(nb.toLong))
+    val sumW = aggregate(
+      transform(ws, t => element_at(w, (bucket(t) + 1).cast("int")).cast("long")),
+      lit(0L), (acc, x) => acc + x)
+    docs
+      .select(col(idCol), split(trim(col(textCol)), "\\s+").as("__ws"))
+      .filter(size(ws) >= 1 && element_at(ws, 1) =!= "")
+      .select(col(idCol), size(ws).cast("long").as("n_tokens"), sumW.as("__sw"))
+      .select(col(idCol), col("n_tokens"),
+        round(col("__sw") / (col("n_tokens") * 1000.0), 6).as("score"))
+      .withColumn("label", (col("score") >= threshold).cast("int"))
+  }
+
+  /** Deterministic pseudo-weights for the classifier fixture/oracle: the
+    * same md5-u24 draw mapped to an integer in [−1000, 1000] per bucket —
+    * what a quantized learned model would look like, regenerable by any
+    * engine with md5. */
+  def pseudoWeights(salt: String, nBuckets: Int): Array[Int] = {
+    Array.tabulate(nBuckets) { b =>
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$salt$b".getBytes("UTF-8"))
+        .take(3).map(x => f"$x%02x").mkString
+      (java.lang.Long.parseLong(hex, 16) % 2001L).toInt - 1000
+    }
+  }
+
   /** Gopher-style repetition signal: the share of a document's word
     * n-grams taken by its single most frequent n-gram, reported in exact
     * integer parts-per-million (`top_ngram_ppm`). High values mark

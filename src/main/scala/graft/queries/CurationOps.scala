@@ -347,7 +347,25 @@ object CurationOps {
       .orderBy($"source", $"rank")
   }
 
+  /** Per-key skew diagnostics over the event stream keyed on user_id —
+    * the pre-flight number for sizing salt buckets / AQE skew thresholds
+    * before a join or aggregation on that key. Top-20 hottest users with
+    * exact share (integer ppm) and ratio to the mean key size. */
+  def qSkewStats(spark: SparkSession, dir: String): DataFrame =
+    Frequency.skewStats(Tables.events(spark, dir), Seq("user_id"), topN = 20)
+
+  /** Per-source corpus data card: volume, mean length, language
+    * diversity, short-doc share — all exact integer arithmetic. */
+  def qCorpusProfile(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Curation.corpusProfile(Tables.documents(spark, dir), "source", "text",
+        "lang", shortBelowTokens = 20L)
+      .orderBy($"source")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t_corpus_profile" -> (qCorpusProfile _),
+    "q_skew_stats" -> (qSkewStats _),
     "t_chunk_overlap" -> (qChunkOverlap _),
     "t_split_hash" -> (qSplitHash _),
     "t_rebalance" -> (qRebalance _),
@@ -382,6 +400,27 @@ object CurationOps {
          WHERE len(ws) >= 5)"""
 
   val oracles: Map[String, String] = Map(
+    "t_corpus_profile" ->
+      """WITH d AS (
+           SELECT source, lang,
+                  len(string_split_regex(trim(text), '\s+'))::BIGINT AS nt
+           FROM documents)
+         SELECT source, count(*) AS n_docs, sum(nt) AS sum_tokens,
+                sum(nt) // count(*) AS mean_tokens,
+                count(DISTINCT lang) AS n_langs,
+                1000000 * sum(CASE WHEN nt < 20 THEN 1 ELSE 0 END) // count(*)
+                  AS short_ppm
+         FROM d GROUP BY source ORDER BY source""",
+    "q_skew_stats" ->
+      """WITH c AS (SELECT user_id, count(*) AS n FROM events GROUP BY 1),
+         t AS (SELECT sum(n) AS total, count(*) AS nkeys FROM c),
+         r AS (SELECT user_id, n,
+                      1000000 * n // total AS share_ppm,
+                      round(n * nkeys / total, 6) AS skew_x,
+                      row_number() OVER (ORDER BY n DESC, user_id ASC) AS rank
+               FROM c, t)
+         SELECT user_id, n, share_ppm, skew_x, rank
+         FROM r WHERE rank <= 20 ORDER BY rank""",
     "t_rebalance" ->
       """WITH s AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY 1),
          d AS (SELECT sum(power(n_docs, 0.5)) AS denom FROM s),

@@ -550,7 +550,106 @@ object LlmOps {
       .orderBy($"doc_id")
   }
 
+  /** Incremental exact dedup (the 100 TB ingestion shape): the corpus
+    * (doc_id % 5 ≠ 0) is collapsed ONCE into a content-hash index; the
+    * delta batch — the % 5 docs re-keyed +200 k (novel content) plus
+    * copies of % 7 corpus docs re-keyed +300 k (already-ingested
+    * content) — checks against the stored index without rescanning the
+    * corpus. Survivors are the genuinely new hashes, within-delta
+    * duplicates collapsed (a % 35 doc arrives twice in the delta). */
+  def qIncrementalExact(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir).select($"doc_id", $"text")
+    val corpus = docs.filter($"doc_id" % 5 =!= 0)
+    val delta = docs.filter($"doc_id" % 5 === 0)
+      .select(($"doc_id" + 200000L).as("doc_id"), $"text")
+      .union(docs.filter($"doc_id" % 7 === 0)
+        .select(($"doc_id" + 300000L).as("doc_id"), $"text"))
+    val index = Dedup.buildExactIndex(corpus, "doc_id", "text")
+    Dedup.dedupDeltaExact(delta, index, "doc_id", "text")
+      .orderBy($"kept_id")
+  }
+
+  /** Incremental near-dup candidates: the corpus (doc_id % 3 ≠ 0) is
+    * banded ONCE into a stored LSH index (md5 minhash family, k=12,
+    * 4 bands); the delta — % 3 docs re-keyed +400 k plus verbatim copies
+    * of % 7 corpus docs re-keyed +500 k (guaranteed full-band
+    * collisions) — pays shingle→signature→bands only for itself and
+    * probes the index on (band_id, h). Emits (corpus_id, delta_id)
+    * collision pairs; exact-Jaccard verification downstream is the same
+    * [[Dedup.verifyJaccard]] the batch path uses. */
+  def qIncrementalLsh(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir).select($"doc_id", $"text")
+    val corpus = docs.filter($"doc_id" % 3 =!= 0)
+    val delta = docs.filter($"doc_id" % 3 === 0)
+      .select(($"doc_id" + 400000L).as("doc_id"), $"text")
+      .union(docs.filter($"doc_id" % 3 =!= 0 && $"doc_id" % 7 === 0)
+        .select(($"doc_id" + 500000L).as("doc_id"), $"text"))
+    val index = Dedup.buildBandIndex(corpus, "doc_id", "text",
+      ShingleN, MinhashK, LshBands)
+    Dedup.incrementalNearDupCandidates(index, delta, "doc_id", "text",
+      ShingleN, MinhashK, LshBands)
+      .orderBy($"corpus_id", $"delta_id")
+  }
+
+  /** Canonical representative per near-dup cluster: the d_dup_clusters
+    * chain (LSH → verify → connected components) composed with
+    * [[Dedup.selectRepresentatives]] under word count as the quality
+    * score — each cluster keeps its longest member (ties to the smaller
+    * id). The keep/drop decision that actually ends a dedup pipeline. */
+  def qRepresentatives(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    val sh = Dedup.wordShingles(docs, "doc_id", "text", ShingleN).cache()
+    val sigs = Dedup.minhashSignatures(sh, MinhashK)
+    val bands = Dedup.lshBands(sigs, MinhashK, LshBands)
+    val pairs = Dedup.verifyJaccard(Dedup.lshCandidatePairs(bands), sh, JaccardThreshold)
+      .select(col("d1"), col("d2"))
+    val clusters = Dedup.connectedComponents(pairs)
+    val quality = docs.select($"doc_id",
+      size(split(trim($"text"), "\\s+")).cast("long").as("q"))
+    graft.operators.Dedup.selectRepresentatives(clusters, quality, "doc_id", "q")
+      .orderBy($"cluster_rep")
+  }
+
+  private val LinearBuckets = 4096
+  private val LinearWSalt = "lw8:"
+  private val LinearHSalt = "fh8:"
+
+  /** Hashed linear quality classifier (fastText-style): every token
+    * hashes into one of 4096 buckets, the doc scores the mean integer
+    * bucket weight, label thresholds at 0. Weights here are the
+    * deterministic pseudo-model (md5-derived ints in [−1000, 1000]) so
+    * the oracle regenerates the identical weight for every bucket —
+    * structurally exactly what a learned quantized model deploys as. */
+  def qLinearScore(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = graft.operators.TextAnalysis.pseudoWeights(LinearWSalt, LinearBuckets)
+    graft.operators.TextAnalysis.hashedLinearScore(
+      Tables.documents(spark, dir), "doc_id", "text", w, LinearHSalt, 0.0)
+      .orderBy($"doc_id")
+  }
+
+  /** Chunk→document embedding: every 4 consecutive vec_ids stand in for
+    * one document's chunk embeddings; mean-pool per dimension (6-dp
+    * rounded) then L2-normalize — the unit-length doc embedding every
+    * doc-level similarity stage downstream consumes. */
+  def qMeanPool(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val chunks = Tables.embeddings(spark, dir)
+      .select(expr("vec_id div 4").as("doc_id"), $"embedding".as("v"))
+    graft.operators.Similarity.l2Normalize(
+      graft.operators.Similarity.meanPool(chunks, "doc_id"))
+      .orderBy($"doc_id")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_mean_pool" -> (qMeanPool _),
+    "d_incr_exact" -> (qIncrementalExact _),
+    "d_incr_lsh" -> (qIncrementalLsh _),
+    "d_representatives" -> (qRepresentatives _),
+    "t_linear_score" -> (qLinearScore _),
     "d_exact_dedup" -> (qExactDedup _),
     "d_ngram_near_dups" -> (qNgramNearDups _),
     "d_ngram_capped" -> (qNgramCappedNearDups _),
@@ -711,7 +810,128 @@ object LlmOps {
                        DESC, kc.cluster ASC) AS crank
               FROM probes p, kc1 kc) WHERE crank <= 2)"""
 
+  /** The shingle→signature→band CTE chain over an arbitrary (doc_id,
+    * text) source CTE — same md5 minhash family as [[minhashPairCtes]],
+    * reused by the incremental-LSH oracle where the source is a tagged
+    * corpus ∪ delta union instead of the raw documents table. */
+  private def minhashBandCtesOver(src: String): String =
+    s"""sh AS (
+         SELECT doc_id AS id,
+                unnest(list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                                      for i in range(1, len(ws) - 1)])) AS g
+         FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws FROM $src)
+         WHERE len(ws) >= 3),
+       sig AS (
+         SELECT id,
+                min(md5(g || '#0')) AS s0, min(md5(g || '#1')) AS s1,
+                min(md5(g || '#2')) AS s2, min(md5(g || '#3')) AS s3,
+                min(md5(g || '#4')) AS s4, min(md5(g || '#5')) AS s5,
+                min(md5(g || '#6')) AS s6, min(md5(g || '#7')) AS s7,
+                min(md5(g || '#8')) AS s8, min(md5(g || '#9')) AS s9,
+                min(md5(g || '#10')) AS s10, min(md5(g || '#11')) AS s11
+         FROM sh GROUP BY id),
+       bands AS (
+         SELECT id, 0 AS band_id, md5(s0 || ',' || s1 || ',' || s2) AS h FROM sig
+         UNION ALL
+         SELECT id, 1, md5(s3 || ',' || s4 || ',' || s5) FROM sig
+         UNION ALL
+         SELECT id, 2, md5(s6 || ',' || s7 || ',' || s8) FROM sig
+         UNION ALL
+         SELECT id, 3, md5(s9 || ',' || s10 || ',' || s11) FROM sig)"""
+
+  /** The portable md5-u24 draw as a DuckDB scalar over an expression —
+    * the strpos hex ladder every sampling oracle uses. */
+  private def u24Sql(e: String): String =
+    s"""list_sum([(strpos('0123456789abcdef', substr(md5($e), i, 1)) - 1)
+                  * power(16, 6 - i)::BIGINT
+                  for i in range(1, 7)])::BIGINT"""
+
   val oracles: Map[String, String] = Map(
+    "sim_mean_pool" ->
+      """WITH c AS (SELECT vec_id // 4 AS doc_id, embedding::DOUBLE[] AS e
+                    FROM embeddings),
+         md AS (SELECT doc_id, i, round(avg(e[i]), 6) AS m
+                FROM c, range(1, 65) r(i) GROUP BY doc_id, i),
+         mv AS (SELECT doc_id, list(m ORDER BY i) AS v FROM md GROUP BY doc_id),
+         nv AS (SELECT doc_id, v,
+                       sqrt(list_sum([v[i] * v[i] for i in range(1, 65)])) AS nrm
+                FROM mv)
+         SELECT doc_id,
+                CASE WHEN nrm = 0 THEN v
+                     ELSE [round(v[i] / nrm, 6) for i in range(1, 65)] END AS v
+         FROM nv ORDER BY doc_id""",
+    "d_incr_exact" ->
+      """WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 != 0),
+         delta AS (
+           SELECT doc_id + 200000 AS doc_id, text FROM documents WHERE doc_id % 5 = 0
+           UNION ALL
+           SELECT doc_id + 300000, text FROM documents WHERE doc_id % 7 = 0),
+         idx AS (SELECT md5(text) AS content_md5 FROM corpus GROUP BY 1),
+         novel AS (
+           SELECT d.doc_id, md5(d.text) AS content_md5
+           FROM delta d ANTI JOIN idx i ON md5(d.text) = i.content_md5)
+         SELECT content_md5, min(doc_id) AS kept_id, count(*) AS n_copies
+         FROM novel GROUP BY 1 ORDER BY kept_id""",
+    "d_incr_lsh" ->
+      s"""WITH docs2 AS (
+           SELECT doc_id, text FROM documents WHERE doc_id % 3 != 0
+           UNION ALL
+           SELECT doc_id + 400000, text FROM documents WHERE doc_id % 3 = 0
+           UNION ALL
+           SELECT doc_id + 500000, text FROM documents
+           WHERE doc_id % 3 != 0 AND doc_id % 7 = 0),
+         ${minhashBandCtesOver("docs2")}
+         SELECT DISTINCT a.id AS corpus_id, b.id AS delta_id
+         FROM bands a JOIN bands b ON a.band_id = b.band_id AND a.h = b.h
+         WHERE a.id < 400000 AND b.id >= 400000
+         ORDER BY corpus_id, delta_id""",
+    "d_representatives" ->
+      s"""WITH RECURSIVE $minhashPairCtes,
+          verified AS (
+            SELECT d1, d2
+            FROM inter JOIN sizes s1 ON d1 = s1.id JOIN sizes s2 ON d2 = s2.id
+            WHERE i * 1.0 / (s1.n + s2.n - i) >= 0.6),
+          edges AS (
+            SELECT d1 AS a, d2 AS b FROM verified
+            UNION SELECT d2, d1 FROM verified),
+          reach(a, b) AS (
+            SELECT a, b FROM edges
+            UNION
+            SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+          clusters AS (
+            SELECT a AS doc_id, least(a, min(b)) AS cluster_rep
+            FROM reach GROUP BY a),
+          q AS (SELECT doc_id,
+                       len(string_split_regex(trim(text), '\\s+'))::BIGINT AS q
+                FROM documents),
+          sel AS (
+            SELECT c.cluster_rep, c.doc_id, q.q,
+                   row_number() OVER (PARTITION BY c.cluster_rep
+                                      ORDER BY q.q DESC, c.doc_id ASC) AS rn,
+                   count(*) OVER (PARTITION BY c.cluster_rep) AS n_members,
+                   max(q.q) OVER (PARTITION BY c.cluster_rep) AS best_q
+            FROM clusters c JOIN q ON c.doc_id = q.doc_id)
+          SELECT cluster_rep, doc_id AS kept_doc_id, n_members, best_q
+          FROM sel WHERE rn = 1 ORDER BY cluster_rep""",
+    "t_linear_score" ->
+      s"""WITH d AS (
+           SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws
+           FROM documents WHERE trim(text) <> ''),
+         t AS (SELECT doc_id, len(ws)::BIGINT AS n_tokens, unnest(ws) AS tok FROM d),
+         b AS (SELECT doc_id, n_tokens,
+                      (${u24Sql("'fh8:' || tok")}) % 4096 AS bk
+               FROM t),
+         w AS (SELECT doc_id, n_tokens,
+                      (${u24Sql("'lw8:' || bk")}) % 2001 - 1000 AS wt
+               FROM b),
+         s AS (SELECT doc_id, min(n_tokens) AS n_tokens, sum(wt) AS sw
+               FROM w GROUP BY doc_id),
+         sc AS (SELECT doc_id, n_tokens,
+                       round(sw / (n_tokens * 1000.0), 6) AS score
+                FROM s)
+         SELECT doc_id, n_tokens, score,
+                CAST(score >= 0.0 AS INTEGER) AS label
+         FROM sc ORDER BY doc_id""",
     "d_exact_dedup" ->
       """WITH all_docs AS (
            SELECT doc_id, text FROM documents

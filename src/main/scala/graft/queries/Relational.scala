@@ -464,7 +464,28 @@ object Relational {
       .orderBy($"event_id")
   }
 
+  /** Salted skew join: lineitem ⋈ part on l_partkey with the join key
+    * sharded across 8 salts hashed off l_orderkey ([[graft.operators
+    * .JoinPrune.saltedJoin]] — the manual leveling you reach for when a
+    * hot part owns a reducer-killing share of the fact table and AQE
+    * has no statistics yet). Salting must be invisible: the oracle is
+    * the PLAIN join aggregated per brand, exact integer micros. */
+  def qSaltedJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val li = Tables.lineitem(spark, dir)
+      .select($"l_orderkey", $"l_partkey", $"l_extendedprice", $"l_discount")
+    val pt = Tables.part(spark, dir).select($"p_partkey".as("l_partkey"), $"p_brand")
+    graft.operators.JoinPrune.saltedJoin(li, pt, Seq("l_partkey"),
+        saltOn = "l_orderkey", nSalts = 8)
+      .groupBy($"p_brand")
+      .agg(sum(floor($"l_extendedprice" * (lit(1.0) - $"l_discount") * 1000000L))
+             .as("revenue_micros"),
+           count(lit(1)).as("n_items"))
+      .orderBy($"p_brand")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_salted_join" -> (qSaltedJoin _),
     "q1_pricing_summary" -> (q1PricingSummary _),
     "q_binlog_scan" -> (qBinlogScan _),
     "q_pii_scrub" -> (qPiiScrub _),
@@ -493,6 +514,13 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_salted_join" ->
+      """SELECT p.p_brand,
+                sum(CAST(floor(l.l_extendedprice * (1.0 - l.l_discount) * 1000000) AS BIGINT))
+                  AS revenue_micros,
+                count(*) AS n_items
+         FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+         GROUP BY p.p_brand ORDER BY p.p_brand""",
     "q_pii_scrub" ->
       """SELECT event_id,
                 user_id % 3 = 0 AS is_pii,

@@ -1054,4 +1054,183 @@ class CurationSpec extends SparkTestBase {
       .as[(Long, Long, Double, Int)].collect()
     assert(all.map(_._1).toSet == Set(3L) && all.head._4 == 1)
   }
+
+  // --- incremental dedup ------------------------------------------------
+
+  test("incremental exact dedup: index blocks known content, delta self-dedups, merge admits") {
+    import spark.implicits._
+    val corpus = Seq((1L, "alpha beta"), (2L, "gamma delta")).toDF("doc_id", "text")
+    val delta = Seq(
+      (10L, "alpha beta"),   // already in corpus → dropped
+      (11L, "epsilon zeta"), // novel
+      (12L, "epsilon zeta"), // within-delta dup of 11 → collapsed
+      (13L, "eta theta")     // novel
+    ).toDF("doc_id", "text")
+    val index = Dedup.buildExactIndex(corpus, "doc_id", "text")
+    val survivors = Dedup.dedupDeltaExact(delta, index, "doc_id", "text")
+    val got = survivors.select($"kept_id", $"n_copies").as[(Long, Long)]
+      .collect().toSet
+    assert(got == Set((11L, 2L), (13L, 1L)))
+    // merged index covers old + new content; re-running the same delta
+    // against it drops everything (idempotent ingestion)
+    val merged = Dedup.mergeExactIndex(index, survivors)
+    assert(merged.count() == 4)
+    assert(Dedup.dedupDeltaExact(delta, merged, "doc_id", "text").isEmpty)
+  }
+
+  test("incremental LSH: verbatim delta copy collides with its corpus source; disjoint text doesn't") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "completely different sentence about astrophysics and galaxies")
+    ).toDF("doc_id", "text")
+    val delta = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog today"), // copy of 1
+      (11L, "unrelated clause mentioning neither foxes nor space rocks at all")
+    ).toDF("doc_id", "text")
+    val index = Dedup.buildBandIndex(corpus, "doc_id", "text", n = 3, k = 12, bands = 4)
+    val got = Dedup.incrementalNearDupCandidates(index, delta, "doc_id", "text",
+      n = 3, k = 12, bands = 4).as[(Long, Long)].collect().toSet
+    assert(got.contains((1L, 10L)), s"verbatim copy must collide, got $got")
+    assert(!got.exists(_._2 == 11L), s"disjoint delta doc must not collide, got $got")
+    // the delta probe agrees with what the batch path would find across
+    // the same corpus∪delta union (restricted to cross corpus-delta pairs)
+    val batchPairs: Set[(Long, Long)] = Dedup.lshCandidatePairs(
+      Dedup.lshBands(Dedup.minhashSignatures(
+        Dedup.wordShingles(corpus.union(delta), "doc_id", "text", 3), 12), 12, 4))
+      .as[(Long, Long)].collect().toSet
+    val batch = batchPairs.filter { case (a, b) => a < 10 && b >= 10 }
+    assert(got == batch, s"incremental $got != batch cross pairs $batch")
+  }
+
+  test("selectRepresentatives keeps the argmax-quality member, ties to the smaller id") {
+    import spark.implicits._
+    val clusters = Seq(
+      (1L, 1L), (2L, 1L), (3L, 1L), // cluster 1
+      (7L, 7L), (9L, 7L)            // cluster 7
+    ).toDF("doc_id", "cluster_rep")
+    val quality = Seq(
+      (1L, 5L), (2L, 9L), (3L, 9L), // tie on q=9 → keep 2 (smaller id)
+      (7L, 4L), (9L, 8L)
+    ).toDF("doc_id", "q")
+    val got = Dedup.selectRepresentatives(clusters, quality, "doc_id", "q")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got == Set((1L, 2L, 3L, 9L), (7L, 9L, 2L, 8L)))
+  }
+
+  // --- hashed linear classifier ------------------------------------------
+
+  test("hashedLinearScore: mean bucket weight, replayed off-engine; empty docs drop") {
+    import spark.implicits._
+    val w = graft.operators.TextAnalysis.pseudoWeights("lw:", 64)
+    val docs = Seq(
+      (1L, "alpha beta gamma"),
+      (2L, "alpha alpha"),
+      (3L, "   "),
+      (4L, "")
+    ).toDF("doc_id", "text")
+    val got = graft.operators.TextAnalysis
+      .hashedLinearScore(docs, "doc_id", "text", w, "fh:", threshold = 0.0)
+      .as[(Long, Long, Double, Int)].collect().map(r => r._1 -> r).toMap
+    assert(got.keySet == Set(1L, 2L), "blank/empty docs must drop")
+    // replay: bucket(t) = md5-u24("fh:"+t) mod 64, weight from the same table
+    def u24(s: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).take(3).map(b => f"$b%02x").mkString
+      java.lang.Long.parseLong(hex, 16)
+    }
+    def score(tokens: Seq[String]): Double = {
+      val s = tokens.map(t => w((u24("fh:" + t) % 64).toInt).toLong).sum
+      java.math.BigDecimal.valueOf(s.toDouble / (tokens.length * 1000.0))
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    }
+    assert(got(1L)._2 == 3L && got(1L)._3 == score(Seq("alpha", "beta", "gamma")))
+    assert(got(2L)._2 == 2L && got(2L)._3 == score(Seq("alpha", "alpha")))
+    assert(got(1L)._4 == (if (got(1L)._3 >= 0.0) 1 else 0))
+    // scoring is a shuffle-free projection: no exchange in the plan
+    val plan = graft.operators.TextAnalysis
+      .hashedLinearScore(docs, "doc_id", "text", w, "fh:", 0.0)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"classifier must not shuffle:\n$plan")
+  }
+
+  // --- salted skew join --------------------------------------------------
+
+  test("saltedJoin ≡ plain join on a skewed fixture (hot key across all salts)") {
+    import spark.implicits._
+    // key 1 owns 90% of the fact side — the shape that melts one reducer
+    val fact = ((0 until 90).map(i => (i.toLong, 1L)) ++
+      (90 until 100).map(i => (i.toLong, (i % 5 + 2).toLong)))
+      .toDF("row_id", "k")
+    val dim = Seq((1L, "hot"), (2L, "a"), (3L, "b"), (4L, "c"), (5L, "d"), (6L, "e"))
+      .toDF("k", "label")
+    val salted = graft.operators.JoinPrune
+      .saltedJoin(fact, dim, Seq("k"), saltOn = "row_id", nSalts = 4)
+    val plain = fact.join(dim, Seq("k"))
+    assert(salted.columns.toSeq == plain.columns.toSeq)
+    val s = salted.select($"row_id", $"k", $"label").as[(Long, Long, String)]
+      .collect().toSet
+    val p = plain.select($"row_id", $"k", $"label").as[(Long, Long, String)]
+      .collect().toSet
+    assert(s == p, "salting must be invisible in the result")
+    // the hot key's fact rows really spread across multiple salt buckets
+    val spread = fact.filter($"k" === 1L)
+      .select(pmod(xxhash64($"row_id"), lit(4L))).distinct().count()
+    assert(spread > 1, "hot key must shard across salts")
+  }
+
+  // --- embedding pooling -------------------------------------------------
+
+  test("meanPool averages per dimension; l2Normalize yields unit vectors, zero passes through") {
+    import spark.implicits._
+    val chunks = Seq(
+      (1L, Seq(1.0, 3.0)), (1L, Seq(3.0, 5.0)),   // doc 1 → mean (2, 4)
+      (2L, Seq(0.0, 0.0))                          // doc 2 → zero vector
+    ).toDF("doc_id", "v")
+    val pooled = graft.operators.Similarity.meanPool(chunks, "doc_id")
+      .as[(Long, Seq[Double])].collect().toMap
+    assert(pooled(1L) == Seq(2.0, 4.0) && pooled(2L) == Seq(0.0, 0.0))
+    val normed = graft.operators.Similarity.l2Normalize(
+      graft.operators.Similarity.meanPool(chunks, "doc_id"))
+      .as[(Long, Seq[Double])].collect().toMap
+    val n1 = math.sqrt(normed(1L).map(x => x * x).sum)
+    assert(math.abs(n1 - 1.0) < 1e-5, s"normalized norm $n1 != 1")
+    assert(normed(2L) == Seq(0.0, 0.0), "zero vector must pass through un-NaN'd")
+    // component ratio preserved: (2,4) → (1,2)/√5
+    assert(math.abs(normed(1L)(1) / normed(1L)(0) - 2.0) < 1e-4)
+  }
+
+  // --- corpus profile ----------------------------------------------------
+
+  test("corpusProfile: volumes, integer means, language diversity, short-doc ppm") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "one two three", "en", "web"),
+      (2L, "a b c d e f g h i j", "de", "web"),   // 10 tokens
+      (3L, "x", "en", "books")                     // short (< 5)
+    ).toDF("doc_id", "text", "lang", "source")
+    val got = Curation.corpusProfile(docs, "source", "text", "lang",
+        shortBelowTokens = 5L)
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    // "one two three" is 3 tokens < 5 ⇒ 1 of web's 2 docs is short
+    assert(got("web") == (("web", 2L, 13L, 6L, 2L, 500000L)))
+    assert(got("books") == (("books", 1L, 1L, 1L, 1L, 1000000L)))
+  }
+
+  // --- skew diagnostics --------------------------------------------------
+
+  test("skewStats ranks hot keys with exact shares; salted cut ≡ direct ranking") {
+    import spark.implicits._
+    // key "hot" 60 rows, "warm" 30, ten cold keys 1 row each: 100 rows, 12 keys
+    val rows = (Seq.fill(60)("hot") ++ Seq.fill(30)("warm") ++
+      (0 until 10).map(i => s"cold$i")).toDF("k")
+    val got = graft.operators.Frequency.skewStats(rows, Seq("k"), topN = 3)
+      .as[(String, Long, Long, Double, Int)].collect()
+    assert(got.map(r => (r._1, r._2, r._5)).toSeq ==
+      Seq(("hot", 60L, 1), ("warm", 30L, 2), ("cold0", 1L, 3)))
+    val hot = got.head
+    assert(hot._3 == 600000L) // 60/100 in ppm, integer-exact
+    assert(hot._4 == 7.2)     // 60 / (100/12 mean)
+  }
 }

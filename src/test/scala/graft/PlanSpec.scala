@@ -240,6 +240,32 @@ class PlanSpec extends SparkTestBase {
       s"no map-side group limit below the shuffle:\n$p")
   }
 
+  test("d_incr_exact / d_incr_lsh: document text never enters a shuffle") {
+    // incremental dedup's whole point is that the corpus collapses to
+    // hashes/bands once — the delta probe must move hash rows, never text
+    Seq("d_incr_exact", "d_incr_lsh").foreach { name =>
+      val p = planOf(name)
+      hashExchangeInputs(p).foreach(in => assert(!in.contains("text#"),
+        s"$name: document text enters a shuffle:\n$in"))
+    }
+  }
+
+  test("t_linear_score: scoring is a projection — only the output sort exchanges") {
+    val p = planOf("t_linear_score")
+    assert(hashExchangeInputs(p).isEmpty,
+      s"classifier scoring must not hash-shuffle (model rides as a literal):\n$p")
+  }
+
+  test("q_skew_stats: per-key counts combine map-side; salted cut below the global rank") {
+    val p = planOf("q_skew_stats")
+    // phase-1 rank must run inside (key-hash mod 32) buckets so the full
+    // distinct-key set never sorts in one task
+    assert(p.contains("pmod(xxhash64"),
+      s"expected the salted phase-1 bucket hash in the window spec:\n$p")
+    hashExchangeInputs(p).foreach(in => assert(!in.contains("props#"),
+      s"event payload enters the diagnostic shuffle:\n$in"))
+  }
+
   test("q_range_join plans an equi-join on (key, bucket), never a nested loop") {
     val p = planOf("q_range_join")
     assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"),
