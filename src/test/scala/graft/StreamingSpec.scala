@@ -563,4 +563,47 @@ class StreamingSpec extends SparkTestBase {
     assert(nameDiff.getString(0) == "old" && nameDiff.getString(1) == "new"
       && nameDiff.getBoolean(2))
   }
+
+  test("streaming incremental dedup: corpus-lifetime admission over a persistent index") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val state = java.nio.file.Files.createTempDirectory("incr_state").toString
+    val out = java.nio.file.Files.createTempDirectory("incr_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("incr_ckpt").toString
+
+    val input = MemoryStream[(Long, String)]
+    val q = graft.streaming.StreamingIncrementalDedup.ingest(
+      input.toDF().toDF("doc_id", "text"), state, out, ckpt)
+    try {
+      // batch 0: one within-batch duplicate (11 of 10)
+      input.addData((10L, "alpha"), (11L, "alpha"), (12L, "beta"))
+      q.processAllAvailable()
+      // batch 1: replay of batch-0 content (cross-batch, beyond any
+      // watermark horizon) + one novel doc
+      input.addData((20L, "alpha"), (21L, "gamma"))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val admitted = graft.streaming.StreamingIncrementalDedup
+      .admittedCorpus(spark, out)
+      .select($"doc_id", $"text", $"n_copies").as[(Long, String, Long)]
+      .collect().toSet
+    assert(admitted == Set((10L, "alpha", 2L), (12L, "beta", 1L), (21L, "gamma", 1L)),
+      s"got $admitted")
+
+    // the committed index covers all three distinct contents
+    val idx = spark.read.parquet(s"$state/v_1")
+      .as[(String, Long)].collect().toMap
+    assert(idx.values.toSet == Set(10L, 12L, 21L))
+
+    // replay safety: re-running batch 1's body reads the state as of
+    // batch 0 (not its own v_1) and reproduces the identical admissions
+    graft.streaming.StreamingIncrementalDedup.processBatch(
+      Seq((20L, "alpha"), (21L, "gamma")).toDF("doc_id", "text"), 1L, state, out)
+    val replayed = spark.read.parquet(s"$out/batch_1")
+      .select($"doc_id").as[Long].collect().toSet
+    assert(replayed == Set(21L), s"replayed batch must re-admit only 21, got $replayed")
+    val idx2 = spark.read.parquet(s"$state/v_1").as[(String, Long)].collect().toMap
+    assert(idx2 == idx, "replayed index version must be identical")
+  }
 }
