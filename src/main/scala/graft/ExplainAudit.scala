@@ -20,7 +20,8 @@ object ExplainAudit {
         "sim_ivfpq_topk", "q_bloom_semi", "q_bucketed_join", "q_cdc_apply",
         "q_distinct_users", "sim_jl_project", "sim_jl_topk", "t_chunk_overlap",
         "d_incr_exact", "d_incr_lsh", "d_representatives", "t_linear_score",
-        "q_skew_stats", "q_salted_join", "sim_mean_pool", "t_corpus_profile")
+        "q_skew_stats", "q_salted_join", "sim_mean_pool", "t_corpus_profile",
+        "sim_drift")
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.ui.enabled", "false").getOrCreate()

@@ -458,8 +458,10 @@ object Dedup {
     * dedup: given near-dup clusters ([[connectedComponents]] output:
     * (doc_id, cluster_rep)) and a per-document quality score, each
     * cluster keeps its highest-quality member (ties to the smaller id)
-    * and drops the rest. Returns (cluster_rep, kept_doc_id, n_members,
-    * best_q). One shuffle keyed on the cluster id; the max_by/min
+    * and drops the rest. Cluster members missing from the quality frame
+    * are excluded (inner join) — score every candidate document, or
+    * default-fill before calling. Returns (cluster_rep, kept_doc_id,
+    * n_members, best_q). One shuffle keyed on the cluster id; the max_by/min
     * aggregation is map-side combinable, so a boilerplate mega-cluster
     * combines locally instead of sorting in one task (no window, no
     * per-group row_number). */

@@ -77,6 +77,8 @@ object JoinPrune {
   def saltedJoin(fact: DataFrame, dim: DataFrame, keys: Seq[String],
                  saltOn: String, nSalts: Int): DataFrame = {
     require(nSalts >= 1, "nSalts must be >= 1")
+    require(!keys.contains("__salt") && saltOn != "__salt",
+      "__salt is reserved by saltedJoin")
     val saltedFact = fact.withColumn("__salt",
       pmod(xxhash64(col(saltOn)), lit(nSalts.toLong)).cast("int"))
     val saltedDim = dim.withColumn("__salt",

@@ -765,6 +765,33 @@ object Similarity {
       .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("pairs"))
       .select(col("__doc").as(docCol), expr("transform(pairs, q -> q.m)").as(vecCol))
 
+  /** Embedding-distribution drift between two corpus versions — the
+    * monitoring number a continuously-ingesting pipeline publishes per
+    * release: for each stratum (source, cluster label, language …) the
+    * per-dimension mean embedding of both versions and the cosine
+    * between them (`drift_cos` = 1 → the stratum's centroid didn't move;
+    * a drop flags ingest drift, a broken encoder, or a poisoned source
+    * BEFORE it trains into a model). Both sides reduce with the
+    * [[meanPool]] aggregation (state bounded by strata·dim scalars —
+    * vectors never shuffle whole), the join is |strata|-sized, and the
+    * cosine is one [[graft.functions.CosineSim]] call per stratum.
+    * Strata present in only one version survive with the other side's
+    * count 0 and a null cosine. Input frames carry (strataCol, v).
+    * Returns (strataCol, n_old, n_new, drift_cos). */
+  def embeddingDrift(oldV: DataFrame, newV: DataFrame, strataCol: String,
+                     roundTo: Int = 6): DataFrame = {
+    def side(df: DataFrame, vn: String, cn: String): DataFrame =
+      meanPool(df, strataCol, roundTo = roundTo).withColumnRenamed("v", vn)
+        .join(df.groupBy(col(strataCol)).agg(count(lit(1)).as(cn)), Seq(strataCol))
+    side(oldV, "__co", "n_old")
+      .join(side(newV, "__cn", "n_new"), Seq(strataCol), "full_outer")
+      .select(col(strataCol),
+        coalesce(col("n_old"), lit(0L)).as("n_old"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"),
+        round(graft.functions.CosineSim.cosine_sim(col("__co"), col("__cn")),
+          roundTo).as("drift_cos"))
+  }
+
   /** SemDeDup-style semantic dedup (Abbas et al. 2023): cluster the
     * embedding space with deterministic k-means, then inside each cluster
     * remove every vector that has a lower-id cluster-mate with cosine ≥

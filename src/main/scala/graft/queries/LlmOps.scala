@@ -644,7 +644,23 @@ object LlmOps {
       .orderBy($"doc_id")
   }
 
+  /** Embedding drift between corpus versions: even vec_ids stand in for
+    * the previous snapshot, odd for the current one; per cluster label
+    * the centroid cosine between versions + both volumes — the
+    * per-release distribution-shift monitor. */
+  def qEmbeddingDrift(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val em = Tables.embeddings(spark, dir)
+      .select($"vec_id", $"label", $"embedding".cast("array<double>").as("v"))
+    graft.operators.Similarity.embeddingDrift(
+      em.filter($"vec_id" % 2 === 0).select($"label", $"v"),
+      em.filter($"vec_id" % 2 === 1).select($"label", $"v"),
+      "label")
+      .orderBy($"label")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_drift" -> (qEmbeddingDrift _),
     "sim_mean_pool" -> (qMeanPool _),
     "d_incr_exact" -> (qIncrementalExact _),
     "d_incr_lsh" -> (qIncrementalLsh _),
@@ -847,6 +863,25 @@ object LlmOps {
                   for i in range(1, 7)])::BIGINT"""
 
   val oracles: Map[String, String] = Map(
+    "sim_drift" ->
+      """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+         om AS (SELECT label, i, round(avg(v[i]), 6) AS m
+                FROM e, range(1, 65) r(i) WHERE vec_id % 2 = 0 GROUP BY label, i),
+         oc AS (SELECT label, list(m ORDER BY i) AS c FROM om GROUP BY label),
+         nm AS (SELECT label, i, round(avg(v[i]), 6) AS m
+                FROM e, range(1, 65) r(i) WHERE vec_id % 2 = 1 GROUP BY label, i),
+         nc AS (SELECT label, list(m ORDER BY i) AS c FROM nm GROUP BY label),
+         cnt AS (SELECT label,
+                        count(*) FILTER (vec_id % 2 = 0) AS n_old,
+                        count(*) FILTER (vec_id % 2 = 1) AS n_new
+                 FROM e GROUP BY label)
+         SELECT cnt.label, cnt.n_old, cnt.n_new,
+                round(list_sum([oc.c[i] * nc.c[i] for i in range(1, 65)]) /
+                      (sqrt(list_sum([oc.c[i] * oc.c[i] for i in range(1, 65)])) *
+                       sqrt(list_sum([nc.c[i] * nc.c[i] for i in range(1, 65)]))), 6)
+                  AS drift_cos
+         FROM cnt JOIN oc ON cnt.label = oc.label JOIN nc ON cnt.label = nc.label
+         ORDER BY cnt.label""",
     "sim_mean_pool" ->
       """WITH c AS (SELECT vec_id // 4 AS doc_id, embedding::DOUBLE[] AS e
                     FROM embeddings),

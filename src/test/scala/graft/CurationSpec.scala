@@ -1200,6 +1200,26 @@ class CurationSpec extends SparkTestBase {
     assert(math.abs(normed(1L)(1) / normed(1L)(0) - 2.0) < 1e-4)
   }
 
+  test("embeddingDrift: identical → 1, orthogonal → 0, one-sided stratum → null cosine") {
+    import spark.implicits._
+    val oldV = Seq(
+      ("a", Seq(1.0, 0.0)), ("a", Seq(1.0, 0.0)),
+      ("b", Seq(0.0, 2.0)),
+      ("gone", Seq(1.0, 1.0))
+    ).toDF("src", "v")
+    val newV = Seq(
+      ("a", Seq(1.0, 0.0)),        // unchanged direction → cos 1
+      ("b", Seq(3.0, 0.0))         // rotated 90° → cos 0
+    ).toDF("src", "v")
+    val got = graft.operators.Similarity.embeddingDrift(oldV, newV, "src")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+      .toMap
+    assert(got("a") == ((2L, 1L, Some(1.0))))
+    assert(got("b") == ((1L, 1L, Some(0.0))))
+    assert(got("gone") == ((1L, 0L, None)), "one-sided stratum keeps counts, null cosine")
+  }
+
   // --- corpus profile ----------------------------------------------------
 
   test("corpusProfile: volumes, integer means, language diversity, short-doc ppm") {
