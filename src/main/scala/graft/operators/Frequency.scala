@@ -97,7 +97,13 @@ object Frequency {
     */
   def skewStats(df: DataFrame, keyCols: Seq[String], topN: Int,
                 nSalts: Int = 32): DataFrame = {
+    // the per-key count frame feeds BOTH the global-stats fold and the
+    // ranked cut — pin it so the corpus scan + count shuffle run once
+    // (the bpeTokenCounts lesson: an un-pinned shared frame re-runs its
+    // whole lineage per consumer). Lazy: materializes with the first
+    // action, so composing/explaining never triggers the scan.
     val counts = df.groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("n"))
+      .localCheckpoint(eager = false)
     val totals = counts.agg(sum(col("n")).as("__total"),
       count(lit(1)).as("__nkeys"))
     val order = col("n").desc +: keyCols.map(col(_).asc)

@@ -776,13 +776,23 @@ object Similarity {
     * vectors never shuffle whole), the join is |strata|-sized, and the
     * cosine is one [[graft.functions.CosineSim]] call per stratum.
     * Strata present in only one version survive with the other side's
-    * count 0 and a null cosine. Input frames carry (strataCol, v).
+    * count 0 and a null cosine; empty (zero-dimension) vectors carry no
+    * distribution and don't count. Input frames carry (strataCol, v).
     * Returns (strataCol, n_old, n_new, drift_cos). */
   def embeddingDrift(oldV: DataFrame, newV: DataFrame, strataCol: String,
                      roundTo: Int = 6): DataFrame = {
+    // centroid AND count come out of ONE scan per side: the (strata, dim)
+    // aggregation already counts each stratum's rows at every dim, so the
+    // dim-0 count is the stratum's vector count — a separate
+    // groupBy-count branch would re-run the side's whole lineage
     def side(df: DataFrame, vn: String, cn: String): DataFrame =
-      meanPool(df, strataCol, roundTo = roundTo).withColumnRenamed("v", vn)
-        .join(df.groupBy(col(strataCol)).agg(count(lit(1)).as(cn)), Seq(strataCol))
+      df.select(col(strataCol), posexplode(col("v")).as(Seq("dim", "x")))
+        .groupBy(col(strataCol), col("dim"))
+        .agg(round(avg(col("x")), roundTo).as("m"), count(lit(1)).as("c"))
+        .groupBy(col(strataCol))
+        .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("pairs"),
+          max(when(col("dim") === 0, col("c"))).as(cn))
+        .select(col(strataCol), expr("transform(pairs, q -> q.m)").as(vn), col(cn))
     side(oldV, "__co", "n_old")
       .join(side(newV, "__cn", "n_new"), Seq(strataCol), "full_outer")
       .select(col(strataCol),

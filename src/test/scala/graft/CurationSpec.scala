@@ -1103,6 +1103,31 @@ class CurationSpec extends SparkTestBase {
     assert(got == batch, s"incremental $got != batch cross pairs $batch")
   }
 
+  test("incremental dedup against a BUCKETED stored index: only the delta shuffles") {
+    import spark.implicits._
+    // the 100 TB deployment shape: the corpus-sized index is stored
+    // bucketed on the hash, so each ingest batch's anti-join reads the
+    // index co-located and pays exactly one exchange — its own
+    val corpus = (0L until 200L).map(i => (i, s"corpus doc number $i"))
+      .toDF("doc_id", "text")
+    graft.operators.Bucketing.writeBucketed(
+      Dedup.buildExactIndex(corpus, "doc_id", "text"),
+      "exact_idx_bucketed", "content_md5", nBuckets = 8)
+    val delta = Seq((500L, "corpus doc number 7"), (501L, "novel content here"))
+      .toDF("doc_id", "text")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val survivors = Dedup.dedupDeltaExact(
+        delta, spark.table("exact_idx_bucketed"), "doc_id", "text")
+      val plan = survivors.queryExecution.executedPlan.toString
+      val nHashEx = "Exchange hashpartitioning".r.findAllIn(plan).length
+      assert(nHashEx == 1,
+        s"expected exactly the delta-side exchange, got $nHashEx:\n$plan")
+      assert(survivors.select($"kept_id").as[Long].collect().toSeq == Seq(501L))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("selectRepresentatives keeps the argmax-quality member, ties to the smaller id") {
     import spark.implicits._
     val clusters = Seq(

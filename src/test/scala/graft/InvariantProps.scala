@@ -219,4 +219,22 @@ object InvariantProps extends Properties("graft.invariants") {
       Prop(avro.getFields.size == cols.size && spec.columns.size == cols.size)
     }
   }
+
+  // --- hashed-classifier pseudo-weights: bounded, deterministic, u24 ----
+
+  property("pseudoWeights lie in [-1000, 1000], replay the md5-u24 draw, and are stable") =
+    forAll(Gen.alphaNumStr.map(_.take(8)), Gen.chooseNum(1, 512)) { (salt, nb) =>
+      val w = graft.operators.TextAnalysis.pseudoWeights(salt, nb)
+      def u24(s: String): Long = {
+        val hex = java.security.MessageDigest.getInstance("MD5")
+          .digest(s.getBytes("UTF-8")).take(3).map(b => f"$b%02x").mkString
+        java.lang.Long.parseLong(hex, 16)
+      }
+      Prop(w.length == nb) &&
+        Prop(w.forall(x => x >= -1000 && x <= 1000)) &&
+        Prop(w.zipWithIndex.forall { case (x, b) =>
+          x == (u24(s"$salt$b") % 2001L).toInt - 1000
+        }) &&
+        Prop(w.sameElements(graft.operators.TextAnalysis.pseudoWeights(salt, nb)))
+    }
 }
