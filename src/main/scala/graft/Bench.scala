@@ -175,7 +175,9 @@ object Bench {
     // the query's operators; the second leaves every intentional cache hot
     // so the timed three start from the same state.
     val runsPerQuery = 3
-    val results = headline.flatMap { name =>
+    // local-iteration subset (unset in the driver's runs → full headline)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
+    val results = headline.filter(n => only.forall(_.contains(n))).flatMap { name =>
       SparkEntry.queries.get(name).map { fn =>
         val r = try {
           fn(spark, sfDir).count() // warm-up 1: codegen + JIT + classload
@@ -498,12 +500,16 @@ object Bench {
           val pqR = Similarity.recallAtK(
             Similarity.pqTopK(enc, probes, cb, k = recallK, m = 4, subDim = 16),
             exact, recallK)
-          // the two-stage shape: ADC fetches 200, exact cosine re-ranks —
+          // the two-stage shape: ADC fetches 400 (40×k — on isotropic
+          // random fixtures the compressed screen is near-uninformative,
+          // so the pool must be wide; clustered real embeddings need far
+          // less, spec-gated in CurationSpec's recall floors), exact
+          // cosine re-ranks —
           // published next to the raw ADC number so the rank-resolution
           // gap of 32-bit codes (and what re-ranking buys back) is visible
           val pqRerankR = Similarity.recallAtK(
             Similarity.pqTopKRerank(enc, probes, cb, vecs, k = recallK,
-              m = 4, subDim = 16, fetchK = 200),
+              m = 4, subDim = 16, fetchK = 400),
             exact, recallK)
           // production-shaped codebooks (m=8, ksub=32 → 40 bits, ~10^12
           // distinct codes vs the oracle config's 4096): the oracle keeps
@@ -517,7 +523,7 @@ object Bench {
             exact, recallK)
           val pq2RerankR = Similarity.recallAtK(
             Similarity.pqTopKRerank(enc2, probes, cb2, vecs, k = recallK,
-              m = 8, subDim = 8, fetchK = 200),
+              m = 8, subDim = 8, fetchK = 400),
             exact, recallK)
           val quant = Similarity.quantizeInt8(vecs)
           val qprobes = quant.filter(col("vec_id") < 5)
@@ -538,7 +544,7 @@ object Bench {
           // (coarse route → compressed scan → exact top-k on survivors)
           val ivfpqRerankR = Similarity.recallAtK(
             Similarity.rerankExact(
-              Similarity.ivfPqTopK(index, cents, probes, cb, k = 200,
+              Similarity.ivfPqTopK(index, cents, probes, cb, k = 400,
                 nprobe = 4, m = 4, subDim = 16),
               probes, vecs, k = recallK),
             exact, recallK)
@@ -555,7 +561,7 @@ object Bench {
           val jlRerankR = Similarity.recallAtK(
             Similarity.rerankExact(
               Similarity.jlTopK(vecs, probes, inDim = 64, outDim = 16,
-                seed = "r8", k = 200),
+                seed = "r8", k = 400),
               probes, vecs, k = recallK),
             exact, recallK)
           val out = ivf ++ ivfpq ++ Seq("recall_pq_topk" -> pqR,

@@ -27,11 +27,19 @@ object Tables {
     * (current output — arrives as TIMESTAMP_NTZ). Normalize both to the
     * session-UTC TimestampType every downstream query was built against;
     * the fixture's values are µs-aligned so each path is lossless.
+    *
+    * The NTZ→TimestampType cast below interprets wall-clock values in the
+    * SESSION timezone (every NTZ→TZ path in Spark does), so the session tz is
+    * pinned to UTC here rather than trusting the entry point to have done
+    * it — Verify/Bench/SparkTestBase all set it, but a library user's
+    * ad-hoc session in another zone would otherwise silently shift every
+    * ts by the zone offset.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions.{col, expr}
     import org.apache.spark.sql.types.{LongType, TimestampType}
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     val raw = table(spark, dir, "events")
     raw.schema("ts").dataType match {
       case LongType => raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))

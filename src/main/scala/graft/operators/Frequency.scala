@@ -115,7 +115,10 @@ object Frequency {
       .withColumn("__brank", row_number().over(w1)).filter(col("__brank") <= topN)
       .crossJoin(broadcast(totals))
       .withColumn("share_ppm", expr("1000000 * n div __total"))
-      .withColumn("skew_x", round(col("n") * col("__nkeys") / col("__total"), 6))
+      // multiply in double: long×long wraps silently in non-ANSI Spark
+      // once n·nkeys passes 2^63 (n≈1e10 × nkeys≈1e9 at corpus scale)
+      .withColumn("skew_x",
+        round(col("n").cast("double") * col("__nkeys") / col("__total"), 6))
       .withColumn("rank", row_number().over(w2))
       .filter(col("rank") <= topN)
       .select(keyCols.map(col) ++

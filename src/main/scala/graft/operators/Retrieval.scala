@@ -58,11 +58,18 @@ object Retrieval {
                k1Milli: Long = 1200L, bMilli: Long = 750L): DataFrame = {
     require(terms.nonEmpty && k > 0)
     val ws = split(trim(lower(col(textCol))), "\\s+")
+    // pinned (lazily): corpus stats AND tf both consume the per-doc
+    // (id, dl, hits) frame — without the checkpoint each consumer re-runs
+    // the regex tokenize over the full corpus text (the dominant cost;
+    // measured 2 scans per run). The materialized frame is narrow: a
+    // long dl plus only query-vocabulary hits per doc — a tiny fraction
+    // of corpus bytes even at 100 TB.
     val toks = docs.select(col(idCol).as("id"), ws.as("__ws"))
       .select(col("id"), size(col("__ws")).cast("long").as("dl"),
         // query-vocabulary filter BEFORE explode: only query-term hits
         // ever leave the scan
         filter(col("__ws"), w => w.isInCollection(terms)).as("__hit"))
+      .localCheckpoint(eager = false)
     val stats = toks.agg(count(lit(1)).as("n"), sum(col("dl")).as("t"))
     val tf = toks
       .filter(size(col("__hit")) > 0)
@@ -132,42 +139,50 @@ object Retrieval {
       .agg(count(lit(1)).as("n"), sum(col("dl")).as("t"))
     val vocabDf = qt.select(col("term")).distinct()
     val probe = vocabDf.take(maxVocabLiteral + 1)
-    val tf =
+    val (tf, statsShared) =
       if (probe.length <= maxVocabLiteral) {
         val vocab = probe.map(_.getString(0)).toSeq
-        base.select(col("id"), size(col("__ws")).cast("long").as("dl"),
-          filter(col("__ws"), w => w.isInCollection(vocab)).as("__hit"))
+        // same single-tokenize discipline as [[bm25TopK]]: the narrow
+        // per-doc (id, dl, hits) frame pins lazily and feeds BOTH the
+        // corpus-stats fold and the tf aggregation — one regex pass over
+        // the corpus text instead of two
+        val perDoc = base
+          .select(col("id"), size(col("__ws")).cast("long").as("dl"),
+            filter(col("__ws"), w => w.isInCollection(vocab)).as("__hit"))
+          .localCheckpoint(eager = false)
+        (perDoc
           .filter(size(col("__hit")) > 0)
           .select(col("id"), col("dl"), explode(col("__hit")).as("term"))
           .groupBy(col("id"), col("dl"), col("term"))
-          .agg(count(lit(1)).as("tf"))
+          .agg(count(lit(1)).as("tf")),
+          Some(perDoc.agg(count(lit(1)).as("n"), sum(col("dl")).as("t"))))
       } else {
-        base.select(col("id"), size(col("__ws")).cast("long").as("dl"),
+        // over-cap vocabulary: the exploded token stream is corpus-sized,
+        // so nothing narrow exists to pin — stats pays its own scan
+        (base.select(col("id"), size(col("__ws")).cast("long").as("dl"),
           explode(col("__ws")).as("term"))
           .join(broadcast(vocabDf), Seq("term"), "left_semi")
           .groupBy(col("id"), col("dl"), col("term"))
-          .agg(count(lit(1)).as("tf"))
+          .agg(count(lit(1)).as("tf")),
+          None)
       }
-    // two-phase top-k: a single per-query window would sort EVERY matched
-    // doc of a query in one task (the classic per-group top-k bottleneck
-    // at corpus scale). Phase 1 ranks within (query, salt-of-doc) buckets
-    // — parallel, and a bucket's k-th score bounds anything it could
-    // contribute — phase 2 ranks the ≤ k×nSalts survivors per query.
-    // Identical results: the global top-k is contained in the union of
-    // per-bucket top-ks, and both phases order by (score desc, id).
-    val nSalts = 32
-    val w1 = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("__qid"), pmod(xxhash64(col("id")), lit(nSalts.toLong)))
-      .orderBy(col("score_ppm").desc, col("id"))
-    val w2 = org.apache.spark.sql.expressions.Window
+    // per-query top-k via ONE window: the rank-filter pattern plans as
+    // WindowGroupLimit (Spark ≥ 3.5, k below
+    // spark.sql.optimizer.windowGroupLimitThreshold), which inserts a
+    // map-side partial limit BEFORE the exchange — every task keeps only
+    // its local top-k per query, so ≤ k·n_map_partitions rows per query
+    // ever shuffle or sort in the final task. Same bound as the salted
+    // two-phase ranking used elsewhere, with one exchange fewer (the
+    // explicit two-phase variant cost +32% at bench scale for the extra
+    // shuffle; PlanSpec pins the WindowGroupLimit node so a config/
+    // version change that silently drops the partial limit fails loudly).
+    val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("__qid")).orderBy(col("score_ppm").desc, col("id"))
-    termContribs(tf, stats, k1Milli, bMilli)
+    termContribs(tf, statsShared.getOrElse(stats), k1Milli, bMilli)
       .join(broadcast(qt), "term")
       .groupBy(col("__qid"), col("id"))
       .agg(count(lit(1)).as("n_terms_matched"), sum(col("contrib")).as("score_ppm"))
-      .withColumn("__brank", row_number().over(w1))
-      .filter(col("__brank") <= k)
-      .withColumn("rank", row_number().over(w2))
+      .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("__qid").as(qidCol), col("id").as(idCol),
         col("n_terms_matched"), col("score_ppm"), col("rank"))

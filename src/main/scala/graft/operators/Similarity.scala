@@ -40,7 +40,7 @@ object Similarity {
     * the global top-k is contained in the union of per-bucket top-ks, and
     * both phases order by (cosine desc, vec_id). */
   private def topKPerProbe(scored: DataFrame, k: Int, nSalts: Int = 32): DataFrame =
-    topKPerProbeBy(scored, k, col("cosine").desc, nSalts)
+    topKPerProbeBy(scored, k, col("cosine"), ascending = false, nSalts)
 
   /** Exact top-k neighbors per probe. `vectors`: (vec_id, v:array<double>);
     * `probes`: (probe_id, p:array<double>). */
@@ -147,7 +147,7 @@ object Similarity {
       .filter(col("vec_id") =!= col("probe_id"))
       .select(col("probe_id"), col("vec_id"),
         expr("bit_count(f ^ pf)").as("dist"))
-    topKPerProbeBy(scored, k, col("dist").asc)
+    topKPerProbeBy(scored, k, col("dist"), ascending = true)
   }
 
   /** Embedding-cosine near-duplicate pairs via sign-random-projection LSH
@@ -495,7 +495,7 @@ object Similarity {
     val scored = encoded.filter(pqCodesValid(cbs, m)).crossJoin(withTbl)
       .filter(col("vec_id") =!= col("probe_id"))
       .select(col("probe_id"), col("vec_id"), pqAdist(cbs, m).as("adist"))
-    topKPerProbeBy(scored, k, col("adist").asc)
+    topKPerProbeBy(scored, k, col("adist"), ascending = true)
   }
 
   /** Per-probe ADC distance table: array(sub)(pos) of 6-dp-rounded
@@ -600,7 +600,7 @@ object Similarity {
       .join(withTbl, "cluster")
       .filter(col("vec_id") =!= col("probe_id"))
       .select(col("probe_id"), col("vec_id"), pqAdist(cbs, m).as("adist"))
-    topKPerProbeBy(scored, k, col("adist").asc)
+    topKPerProbeBy(scored, k, col("adist"), ascending = true)
   }
 
   /** Two-stage PQ retrieval: ADC fetches `fetchK` candidates per probe
@@ -643,15 +643,20 @@ object Similarity {
   }
 
   /** The [[topKPerProbe]] two-phase salted pattern under an arbitrary
-    * primary ordering (ties always break on ascending vec_id). */
-  private def topKPerProbeBy(scored: DataFrame, k: Int, primary: Column,
-                             nSalts: Int = 32): DataFrame = {
+    * score ordering (ties always break on ascending vec_id). A null
+    * score can only arise from out-of-contract input (a null probe code,
+    * mismatched array widths null-padding a fold) — those rows DROP
+    * before ranking: ascending row_number is NULLS FIRST, so without the
+    * filter one garbage row per probe would silently crown the top-k. */
+  private def topKPerProbeBy(scored: DataFrame, k: Int, score: Column,
+                             ascending: Boolean, nSalts: Int = 32): DataFrame = {
+    val primary = if (ascending) score.asc else score.desc
     val w1 = Window
       .partitionBy(col("probe_id"), pmod(xxhash64(col("vec_id")), lit(nSalts.toLong)))
       .orderBy(primary, col("vec_id").asc)
     val w2 = Window.partitionBy(col("probe_id"))
       .orderBy(primary, col("vec_id").asc)
-    scored
+    scored.filter(score.isNotNull)
       .withColumn("__brank", row_number().over(w1)).filter(col("__brank") <= k)
       .withColumn("rank", row_number().over(w2)).filter(col("rank") <= k)
       .drop("__brank")

@@ -405,15 +405,15 @@ object CurationOps {
            SELECT source, lang,
                   len(string_split_regex(trim(text), '\s+'))::BIGINT AS nt
            FROM documents)
-         SELECT source, count(*) AS n_docs, sum(nt) AS sum_tokens,
-                sum(nt) // count(*) AS mean_tokens,
+         SELECT source, count(*) AS n_docs, CAST(sum(nt) AS BIGINT) AS sum_tokens,
+                CAST(sum(nt) // count(*) AS BIGINT) AS mean_tokens,
                 count(DISTINCT lang) AS n_langs,
-                1000000 * sum(CASE WHEN nt < 20 THEN 1 ELSE 0 END) // count(*)
+                CAST(1000000 * sum(CASE WHEN nt < 20 THEN 1 ELSE 0 END) // count(*) AS BIGINT)
                   AS short_ppm
          FROM d GROUP BY source ORDER BY source""",
     "q_skew_stats" ->
       """WITH c AS (SELECT user_id, count(*) AS n FROM events GROUP BY 1),
-         t AS (SELECT sum(n) AS total, count(*) AS nkeys FROM c),
+         t AS (SELECT CAST(sum(n) AS BIGINT) AS total, count(*) AS nkeys FROM c),
          r AS (SELECT user_id, n,
                       1000000 * n // total AS share_ppm,
                       round(n * nkeys / total, 6) AS skew_x,

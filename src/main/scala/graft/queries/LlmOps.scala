@@ -634,14 +634,17 @@ object LlmOps {
   /** Chunk→document embedding: every 4 consecutive vec_ids stand in for
     * one document's chunk embeddings; mean-pool per dimension (6-dp
     * rounded) then L2-normalize — the unit-length doc embedding every
-    * doc-level similarity stage downstream consumes. */
+    * doc-level similarity stage downstream consumes. Exploded to scalar
+    * (doc_id, i, vi) rows for the hash gate, same shape as
+    * [[qJlProject]]. */
   def qMeanPool(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val chunks = Tables.embeddings(spark, dir)
       .select(expr("vec_id div 4").as("doc_id"), $"embedding".as("v"))
     graft.operators.Similarity.l2Normalize(
       graft.operators.Similarity.meanPool(chunks, "doc_id"))
-      .orderBy($"doc_id")
+      .select($"doc_id", posexplode($"v").as(Seq("i", "vi")))
+      .orderBy($"doc_id", $"i")
   }
 
   /** Embedding drift between corpus versions: even vec_ids stand in for
@@ -880,7 +883,8 @@ object LlmOps {
                       (sqrt(list_sum([oc.c[i] * oc.c[i] for i in range(1, 65)])) *
                        sqrt(list_sum([nc.c[i] * nc.c[i] for i in range(1, 65)]))), 6)
                   AS drift_cos
-         FROM cnt JOIN oc ON cnt.label = oc.label JOIN nc ON cnt.label = nc.label
+         FROM cnt LEFT JOIN oc ON cnt.label = oc.label
+                  LEFT JOIN nc ON cnt.label = nc.label
          ORDER BY cnt.label""",
     "sim_mean_pool" ->
       """WITH c AS (SELECT vec_id // 4 AS doc_id, embedding::DOUBLE[] AS e
@@ -891,10 +895,11 @@ object LlmOps {
          nv AS (SELECT doc_id, v,
                        sqrt(list_sum([v[i] * v[i] for i in range(1, 65)])) AS nrm
                 FROM mv)
-         SELECT doc_id,
-                CASE WHEN nrm = 0 THEN v
-                     ELSE [round(v[i] / nrm, 6) for i in range(1, 65)] END AS v
-         FROM nv ORDER BY doc_id""",
+         SELECT doc_id, CAST(ri - 1 AS INTEGER) AS i,
+                CASE WHEN nrm = 0 THEN v[ri]
+                     ELSE round(v[ri] / nrm, 6) END AS vi
+         FROM nv, range(1, 65) r(ri)
+         ORDER BY doc_id, i""",
     "d_incr_exact" ->
       """WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 != 0),
          delta AS (

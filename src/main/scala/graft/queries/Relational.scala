@@ -516,7 +516,7 @@ object Relational {
   val oracles: Map[String, String] = Map(
     "q_salted_join" ->
       """SELECT p.p_brand,
-                sum(CAST(floor(l.l_extendedprice * (1.0 - l.l_discount) * 1000000) AS BIGINT))
+                CAST(sum(CAST(floor(l.l_extendedprice * (1.0 - l.l_discount) * 1000000) AS BIGINT)) AS BIGINT)
                   AS revenue_micros,
                 count(*) AS n_items
          FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey

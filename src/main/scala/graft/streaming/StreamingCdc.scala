@@ -50,10 +50,21 @@ object StreamingCdc {
   }
 
   /** Start materializing `changes` (a streaming frame carrying `keyCol`,
-    * `seqCols`, `opCol`, `payloadCols`) into `statePath`. */
+    * `seqCols`, `opCol`, `payloadCols`) into `statePath`.
+    *
+    * `retainVersions` bounds storage: after each pointer flip, all but
+    * the newest N snapshot versions vacuum. Without a bound, superseded
+    * `v_*` directories accumulate forever — O(snapshot) dead bytes per
+    * batch. N ≥ 2 (enforced) keeps the previous snapshot as a grace
+    * window for readers that resolved `_latest` just before the flip;
+    * replay safety is untouched because a replayed batch reads only
+    * `_latest` (never an older version) and re-vacuums idempotently. */
   def materialize(changes: DataFrame, statePath: String, checkpoint: String,
                   keyCol: String, seqCols: Seq[String], opCol: String,
-                  payloadCols: Seq[String]): StreamingQuery = {
+                  payloadCols: Seq[String],
+                  retainVersions: Int = 2): StreamingQuery = {
+    require(retainVersions >= 2,
+      "retainVersions < 2 would vacuum the snapshot a pre-flip reader holds")
     val stateSchema = StructType(changes.schema.fields
       .filter(f => f.name == keyCol || payloadCols.contains(f.name)))
     changes.writeStream
@@ -70,6 +81,11 @@ object StreamingCdc {
         // flip the pointer only after the full snapshot is on disk
         val out = fs.create(new Path(dir, "_latest"), true)
         try out.write(version.getBytes("UTF-8")) finally out.close()
+        // vacuum superseded snapshots (keep the newest retainVersions)
+        fs.listStatus(dir).map(_.getPath.getName)
+          .collect { case s if s.startsWith("v_") => s.drop(2).toLong }
+          .sorted.dropRight(retainVersions)
+          .foreach(i => fs.delete(new Path(dir, s"v_$i"), true))
         ()
       }
       .start()

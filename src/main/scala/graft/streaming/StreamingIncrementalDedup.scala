@@ -23,17 +23,32 @@ import graft.operators.Dedup
   * the corpus itself (store it bucketed on the hash at scale so each
   * micro-batch's anti-join co-locates without shuffling the index).
   *
-  * Per micro-batch (`foreachBatch`): admit = delta anti-join the index +
-  * within-batch collapse (exactly [[Dedup.dedupDeltaExact]]), write the
-  * admitted documents to `outPath/batch_<id>`, then write the merged
-  * index as a NEW version `v_<id>`. Replay safety is by construction:
-  * batch b always merges against the newest version STRICTLY OLDER than
-  * b (never a `_latest` pointer, which a half-finished first attempt of
-  * b itself may have advanced) — re-running b reads the identical
-  * state-as-of-(b−1), recomputes the identical admissions, and
-  * overwrites both outputs in place. Exactly-once admission over an
-  * at-least-once stream, the [[StreamingCdc]] recipe with the
-  * pointer-read rule hardened for self-replay.
+  * State layout (the delta-file discipline — a full-index rewrite per
+  * micro-batch would be O(corpus) write amplification per batch, a
+  * scale-killer for exactly the corpus-lifetime contract):
+  *
+  *  - `d_<id>`  — the survivor DELTA of batch `id` (disjoint from all
+  *    prior state by construction of the anti-join). The ONLY per-batch
+  *    state write: O(delta), independent of index size.
+  *  - `c_<id>`  — a COMPACTED base written by batch `id` every
+  *    `compactEvery` batches, covering every state row with version
+  *    ≤ id. Amortized write cost O(index / compactEvery) per batch.
+  *
+  * State-as-of-batch-b = newest `c_j` with j < b, plus every `d_i` with
+  * j < i < b. Replay safety is by construction: batch b always reads
+  * versions STRICTLY OLDER than b (never a `_latest` pointer, which a
+  * half-finished first attempt of b itself may have advanced) — a
+  * re-run of b reads the identical state-as-of-(b−1), recomputes the
+  * identical admissions, and overwrites its own `d_b`/`c_b` in place.
+  *
+  * Vacuum runs one batch LATE: batch b deletes files superseded by the
+  * newest base `c_j` with j < b (older bases and deltas ≤ j). Deferring
+  * to the NEXT batch keeps every file a replay of the current batch
+  * still needs: only once b+1 is running is b committed (Structured
+  * Streaming replays at most the last uncommitted batch), so nothing
+  * b+1 deletes can ever be read again — and a replayed b+1 just
+  * re-deletes idempotently. Bounded storage: ≤ compactEvery deltas +
+  * one base + the current batch's writes.
   */
 object StreamingIncrementalDedup {
 
@@ -41,35 +56,74 @@ object StreamingIncrementalDedup {
     StructField("content_md5", StringType),
     StructField("kept_id", LongType)))
 
-  /** Newest committed index version strictly older than `batchId`
-    * (empty frame before the first commit). Listing versions instead of
-    * reading a pointer is what makes a replayed batch read the same
-    * state its first attempt did. */
-  def indexBefore(spark: SparkSession, statePath: String,
-                  batchId: Long): DataFrame = {
+  private def emptyIndex(spark: SparkSession): DataFrame =
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], IndexSchema)
+
+  /** (compacted-base ids, delta ids) present in `statePath`. */
+  private def listVersions(spark: SparkSession,
+                           statePath: String): (Array[Long], Array[Long]) = {
     val dir = new Path(statePath)
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val versions =
-      if (!fs.exists(dir)) Array.empty[Long]
-      else fs.listStatus(dir).map(_.getPath.getName)
-        .collect { case s if s.startsWith("v_") => s.drop(2).toLong }
-        .filter(_ < batchId)
-    if (versions.isEmpty)
-      spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], IndexSchema)
-    else spark.read.parquet(new Path(dir, s"v_${versions.max}").toString)
+    if (!fs.exists(dir)) (Array.empty[Long], Array.empty[Long])
+    else {
+      val names = fs.listStatus(dir).map(_.getPath.getName)
+      (names.collect { case s if s.startsWith("c_") => s.drop(2).toLong },
+        names.collect { case s if s.startsWith("d_") => s.drop(2).toLong })
+    }
+  }
+
+  /** The index state strictly older than `batchId`: newest compacted
+    * base `c_j` (j < batchId) unioned with every delta in (j, batchId).
+    * Listing versions instead of reading a pointer is what makes a
+    * replayed batch read the same state its first attempt did. Reads
+    * O(compactEvery) files, never a superseded history. */
+  def indexBefore(spark: SparkSession, statePath: String,
+                  batchId: Long): DataFrame = {
+    val (bases, deltas) = listVersions(spark, statePath)
+    val base = bases.filter(_ < batchId).sorted.lastOption
+    val floor = base.getOrElse(Long.MinValue)
+    val live = deltas.filter(i => i > floor && i < batchId).sorted
+    val paths =
+      base.map(j => new Path(statePath, s"c_$j").toString).toSeq ++
+        live.map(i => new Path(statePath, s"d_$i").toString)
+    if (paths.isEmpty) emptyIndex(spark)
+    else spark.read.schema(IndexSchema).parquet(paths: _*)
+  }
+
+  /** Delete state files superseded by the newest base strictly older
+    * than `batchId` (older bases, deltas at or under it). Idempotent —
+    * a replayed batch re-deletes already-missing files as a no-op. */
+  private def vacuum(spark: SparkSession, statePath: String,
+                     batchId: Long): Unit = {
+    val (bases, deltas) = listVersions(spark, statePath)
+    bases.filter(_ < batchId).sorted.lastOption.foreach { j =>
+      val dir = new Path(statePath)
+      val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      bases.filter(_ < j).foreach(i => fs.delete(new Path(dir, s"c_$i"), true))
+      deltas.filter(_ <= j).foreach(i => fs.delete(new Path(dir, s"d_$i"), true))
+    }
   }
 
   /** The per-batch body, exposed so a spec (or a backfill job) can run
     * and re-run it deterministically: admit against the pre-`batchId`
-    * index, write admitted docs, commit the merged index as `v_<id>`. */
+    * index, write admitted docs + the survivor delta `d_<id>`, compact
+    * to `c_<id>` every `compactEvery` batches, vacuum what the previous
+    * base superseded. */
   def processBatch(batch: DataFrame, batchId: Long,
-                   statePath: String, outPath: String): Unit = {
+                   statePath: String, outPath: String,
+                   compactEvery: Int = 10): Unit = {
     val spark = batch.sparkSession
+    vacuum(spark, statePath, batchId)
     val index = indexBefore(spark, statePath, batchId)
     // the batch feeds the anti-join AND the admitted-doc join back;
-    // micro-batches re-read their source on each action otherwise
-    val pinned = batch.select(col("doc_id"), col("text")).localCheckpoint()
+    // micro-batches re-read their source on each action otherwise.
+    // dropDuplicates: an at-least-once source may deliver the same
+    // record twice WITHIN one micro-batch — without the collapse the
+    // admit join below fans the surviving doc out once per delivery and
+    // the "deduplicated" corpus ships duplicates.
+    val pinned = batch.select(col("doc_id"), col("text"))
+      .dropDuplicates("doc_id").localCheckpoint()
     val survivors = Dedup.dedupDeltaExact(pinned, index, "doc_id", "text")
       .localCheckpoint() // feeds two writes; compute the anti-join once
     val admitted = pinned.join(
@@ -77,17 +131,20 @@ object StreamingIncrementalDedup {
       "doc_id")
     admitted.write.mode("overwrite")
       .parquet(new Path(outPath, s"batch_$batchId").toString)
-    Dedup.mergeExactIndex(index, survivors).write.mode("overwrite")
-      .parquet(new Path(statePath, s"v_$batchId").toString)
+    survivors.select(col("content_md5"), col("kept_id")).write.mode("overwrite")
+      .parquet(new Path(statePath, s"d_$batchId").toString)
+    if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
+      Dedup.mergeExactIndex(index, survivors).write.mode("overwrite")
+        .parquet(new Path(statePath, s"c_$batchId").toString)
   }
 
   /** Start corpus-lifetime dedup of a streaming (doc_id, text) frame. */
   def ingest(docs: DataFrame, statePath: String, outPath: String,
-             checkpoint: String): StreamingQuery =
+             checkpoint: String, compactEvery: Int = 10): StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        processBatch(batch, batchId, statePath, outPath)
+        processBatch(batch, batchId, statePath, outPath, compactEvery)
       }
       .start()
 

@@ -487,6 +487,52 @@ class CurationSpec extends SparkTestBase {
     exact.unpersist()
   }
 
+  test("ANN recall floors: production-shaped configs must clear their gates on clustered data") {
+    import spark.implicits._
+    import graft.operators.Similarity
+    // Deterministic clustered fixture — the shape real embedding spaces
+    // have (decaying spectra, separated modes), NOT the isotropic-random
+    // worst case the sf fixtures sample. The floors gate the SHIPPED
+    // config shapes: a regression that guts a screen's candidate quality
+    // (bad codebook fit, broken routing, a rank inversion) craters these
+    // numbers and fails loudly, instead of shipping silently-terrible
+    // retrieval the bench merely *publishes*.
+    val rnd = new scala.util.Random(17)
+    val vecs = (0L until 512L).map { i =>
+      val base = (i % 8).toInt
+      (i, (0 until 16).map(d => math.cos(base * 16 + d) + 0.08 * rnd.nextGaussian()).toSeq)
+    }.toDF("vec_id", "v").cache()
+    val probes = vecs.filter($"vec_id" < 5)
+      .select($"vec_id".as("probe_id"), $"v".as("p"))
+    val k = 10
+    val exact = Similarity.bruteForceTopK(vecs, probes, k).cache()
+    exact.count()
+    val cents = Similarity.kmeansFit(vecs, k = 8, iters = 3)
+    val ivfR = Similarity.recallAtK(
+      Similarity.ivfTopK(vecs, cents, probes, k, nprobe = 4, roundTo = 4,
+        reliable = false), exact, k)
+    assert(ivfR >= 0.95, s"ivf nprobe=4 recall@10 $ivfR under its 0.95 floor")
+    // production-shaped PQ (m=8) + exact re-rank from an 8×k candidate
+    // pool — the two-stage shape a deployment runs
+    val cb = Similarity.pqFit(vecs, m = 8, subDim = 2, ksub = 16, iters = 3)
+    val enc = Similarity.pqEncode(vecs, cb, m = 8, subDim = 2)
+    val pqRerankR = Similarity.recallAtK(
+      Similarity.pqTopKRerank(enc, probes, cb, vecs, k, m = 8, subDim = 2,
+        fetchK = 8 * k), exact, k)
+    assert(pqRerankR >= 0.9,
+      s"pq m=8 rerank recall@10 $pqRerankR under its 0.9 floor")
+    // IVFADC route → compressed scan → exact re-rank, same floor
+    val index = Similarity.pqIndex(vecs, cents, cb, m = 8, subDim = 2)
+    val ivfpqRerankR = Similarity.recallAtK(
+      Similarity.rerankExact(
+        Similarity.ivfPqTopK(index, cents, probes, cb, k = 8 * k, nprobe = 4,
+          m = 8, subDim = 2),
+        probes, vecs, k), exact, k)
+    assert(ivfpqRerankR >= 0.9,
+      s"ivfpq rerank recall@10 $ivfpqRerankR under its 0.9 floor")
+    exact.unpersist(); vecs.unpersist()
+  }
+
   test("IVFADC: one-projection index; exhaustive routing ≡ flat ADC; plan shuffle-free") {
     import spark.implicits._
     import graft.operators.Similarity
@@ -931,6 +977,43 @@ class CurationSpec extends SparkTestBase {
       .select($"probe_id", $"vec_id", $"adist", $"rank")
       .as[(Long, Long, Double, Int)].collect().toSet
     assert(salted == naive, "salted two-phase diverged from the exhaustive ranking")
+  }
+
+  test("ANN probe guards: short/null probes yield empty results, never ranked nulls") {
+    import spark.implicits._
+    import graft.operators.Similarity
+    val vecs = (0L until 12L)
+      .map(i => (i, Seq.tabulate(8)(j => math.cos(i * 3 + j + 1.0) * 4.0)))
+      .toDF("vec_id", "v")
+    val cb = Similarity.pqFit(vecs, m = 2, subDim = 4, ksub = 2, iters = 2)
+    val enc = Similarity.pqEncode(vecs, cb, m = 2, subDim = 4)
+    // a probe shorter than m·subDim would null-fill its ADC table —
+    // every candidate's adist null, and ascending rank is NULLS FIRST:
+    // the guard must drop the probe entirely (empty result, no garbage)
+    val shortProbe = Seq((99L, Seq(1.0, 2.0))).toDF("probe_id", "p")
+    assert(Similarity.pqTopK(enc, shortProbe, cb, k = 3, m = 2, subDim = 4)
+      .count() == 0, "short probe must yield no ranked rows")
+    val cents = Similarity.kmeansFit(vecs, k = 2, iters = 2)
+    val index = Similarity.pqIndex(vecs, cents, cb, m = 2, subDim = 4)
+    assert(Similarity
+      .ivfPqTopK(index, cents, shortProbe, cb, k = 3, nprobe = 2, m = 2, subDim = 4)
+      .count() == 0, "short probe must yield no ranked rows (ivfpq)")
+    // a good probe alongside keeps its full top-k
+    val mixed = shortProbe.union(
+      vecs.filter($"vec_id" === 0L).select($"vec_id".as("probe_id"), $"v".as("p")))
+    val got = Similarity.pqTopK(enc, mixed, cb, k = 3, m = 2, subDim = 4)
+      .select($"probe_id", $"adist").as[(Long, Double)].collect()
+    assert(got.length == 3 && got.forall(_._1 == 0L),
+      s"good probe must rank, short probe must not: ${got.toSeq}")
+    // hamming: a null probe code nulls every xor distance — dropped, not
+    // crowned rank 1
+    val codes = Seq((1L, 0x0fL), (2L, 0xf0L), (3L, 0xffL)).toDF("vec_id", "f")
+    val nullProbe = Seq((9L, Some(0x0fL)), (10L, Option.empty[Long]))
+      .toDF("probe_id", "pf")
+    val hg = Similarity.hammingTopK(codes, nullProbe, k = 2)
+      .select($"probe_id", $"vec_id", $"dist").as[(Long, Long, Int)].collect()
+    assert(hg.forall(_._1 == 9L) && hg.length == 2,
+      s"null probe code must yield no rows: ${hg.toSeq}")
   }
 
   // --- substring-dedup removal ----------------------------------------

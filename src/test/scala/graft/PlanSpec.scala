@@ -166,6 +166,18 @@ class PlanSpec extends SparkTestBase {
     assert(inputs.nonEmpty, s"expected hash exchanges in:\n$p")
     inputs.foreach(in => assert(!in.contains("text#"),
       s"corpus text enters a shuffle:\n$in"))
+    // the per-query top-k rank filter must plan as WindowGroupLimit with
+    // a partial below the window's exchange: every task forwards only
+    // its local top-k per query, so no task ever sorts a query's full
+    // matched-doc set (the salted two-phase variant gave the same bound
+    // at the cost of an extra exchange — if this node disappears, a
+    // config/version change silently re-opened the per-group sort)
+    def nodeIds(op: String): Seq[Int] =
+      s"""$op \\((\\d+)\\)""".r.findAllMatchIn(p).map(_.group(1).toInt).toSeq
+    val wgl = nodeIds("WindowGroupLimit")
+    val ex = nodeIds("Exchange")
+    assert(wgl.size == 2 && ex.exists(e => wgl.min < e && e < wgl.max),
+      s"no map-side WindowGroupLimit below the rank exchange:\n$p")
   }
 
   test("d_substring_dedup (and the sampled path) shuffle window hashes, not window text") {

@@ -199,6 +199,15 @@ class StreamingSpec extends SparkTestBase {
         (3L, "u", "carol", 300L, 1L))
       q.processAllAvailable()
       assert(state() == Set((2L, "bob3", 220L), (3L, "carol", 300L)))
+      // batch 3: retention (default 2) vacuums superseded snapshot
+      // versions — storage stays bounded, newest two survive
+      input.addData((3L, "u", "carol2", 310L, 2L))
+      q.processAllAvailable()
+      assert(state() == Set((2L, "bob3", 220L), (3L, "carol2", 310L)))
+      val versions = new java.io.File(s"$root/state").list()
+        .filter(_.startsWith("v_")).toSet
+      assert(versions == Set("v_1", "v_2"),
+        s"all but the newest 2 snapshots must vacuum, got $versions")
     } finally q.stop()
   }
 
@@ -575,8 +584,10 @@ class StreamingSpec extends SparkTestBase {
     val q = graft.streaming.StreamingIncrementalDedup.ingest(
       input.toDF().toDF("doc_id", "text"), state, out, ckpt)
     try {
-      // batch 0: one within-batch duplicate (11 of 10)
-      input.addData((10L, "alpha"), (11L, "alpha"), (12L, "beta"))
+      // batch 0: a within-batch id duplicate (11 of 10) AND an
+      // at-least-once double delivery of the SAME record (10 twice) —
+      // the admit join must not fan the survivor out per delivery
+      input.addData((10L, "alpha"), (10L, "alpha"), (11L, "alpha"), (12L, "beta"))
       q.processAllAvailable()
       // batch 1: replay of batch-0 content (cross-batch, beyond any
       // watermark horizon) + one novel doc
@@ -587,23 +598,77 @@ class StreamingSpec extends SparkTestBase {
     val admitted = graft.streaming.StreamingIncrementalDedup
       .admittedCorpus(spark, out)
       .select($"doc_id", $"text", $"n_copies").as[(Long, String, Long)]
-      .collect().toSet
-    assert(admitted == Set((10L, "alpha", 2L), (12L, "beta", 1L), (21L, "gamma", 1L)),
+      .collect().toSeq
+    assert(admitted.toSet ==
+      Set((10L, "alpha", 2L), (12L, "beta", 1L), (21L, "gamma", 1L)),
       s"got $admitted")
+    assert(admitted.size == 3,
+      s"double-delivered survivor must admit exactly once, got $admitted")
 
-    // the committed index covers all three distinct contents
-    val idx = spark.read.parquet(s"$state/v_1")
-      .as[(String, Long)].collect().toMap
+    // per-batch state is the survivor DELTA only (batch 1 admitted one
+    // novel doc → one row, regardless of index size); the reconstructed
+    // state covers all three distinct contents
+    val d1 = spark.read.parquet(s"$state/d_1").as[(String, Long)].collect()
+    assert(d1.map(_._2).toSet == Set(21L), s"d_1 must hold only batch-1 survivors")
+    val idx = graft.streaming.StreamingIncrementalDedup
+      .indexBefore(spark, state, 2L).as[(String, Long)].collect().toMap
     assert(idx.values.toSet == Set(10L, 12L, 21L))
 
     // replay safety: re-running batch 1's body reads the state as of
-    // batch 0 (not its own v_1) and reproduces the identical admissions
+    // batch 0 (not its own d_1) and reproduces the identical admissions
     graft.streaming.StreamingIncrementalDedup.processBatch(
       Seq((20L, "alpha"), (21L, "gamma")).toDF("doc_id", "text"), 1L, state, out)
     val replayed = spark.read.parquet(s"$out/batch_1")
       .select($"doc_id").as[Long].collect().toSet
     assert(replayed == Set(21L), s"replayed batch must re-admit only 21, got $replayed")
-    val idx2 = spark.read.parquet(s"$state/v_1").as[(String, Long)].collect().toMap
-    assert(idx2 == idx, "replayed index version must be identical")
+    val idx2 = graft.streaming.StreamingIncrementalDedup
+      .indexBefore(spark, state, 2L).as[(String, Long)].collect().toMap
+    assert(idx2 == idx, "replayed state must be identical")
+  }
+
+  test("streaming incremental dedup: compaction bounds state files, vacuum is replay-safe") {
+    import spark.implicits._
+    val state = java.nio.file.Files.createTempDirectory("incr_state2").toString
+    val out = java.nio.file.Files.createTempDirectory("incr_out2").toString
+    val fs = new org.apache.hadoop.fs.Path(state)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def stateFiles: Set[String] =
+      fs.listStatus(new org.apache.hadoop.fs.Path(state))
+        .map(_.getPath.getName).filter(n => n.startsWith("d_") || n.startsWith("c_"))
+        .toSet
+    def run(id: Long, rows: (Long, String)*): Unit =
+      graft.streaming.StreamingIncrementalDedup.processBatch(
+        rows.toDF("doc_id", "text"), id, state, out, compactEvery = 2)
+
+    run(0L, (1L, "a"), (2L, "b"))
+    run(1L, (3L, "a"), (4L, "c"))
+    // the per-batch write is the survivor delta, NOT the merged index
+    assert(spark.read.parquet(s"$state/d_1").count() == 1,
+      "batch 1 admitted one novel doc; its delta must be one row")
+    run(2L, (5L, "d")) // compaction batch: base c_2 covers d_0..d_2
+    assert(stateFiles == Set("d_0", "d_1", "d_2", "c_2"),
+      s"vacuum must run one batch LATE (a replay of batch 2 still needs " +
+        s"the deltas), got $stateFiles")
+    run(3L, (6L, "a"), (7L, "e")) // vacuums what c_2 superseded
+    assert(stateFiles == Set("c_2", "d_3"), s"got $stateFiles")
+    run(4L, (8L, "f")) // compaction: c_4 = c_2 + d_3 + d_4
+    run(5L, (9L, "c"), (10L, "g")) // vacuums c_2, d_3, d_4
+    assert(stateFiles == Set("c_4", "d_5"), s"got $stateFiles")
+
+    // full-history dedup held across compaction + vacuum: every distinct
+    // content admitted exactly once, at its first-seen id
+    val admitted = graft.streaming.StreamingIncrementalDedup
+      .admittedCorpus(spark, out)
+      .select($"doc_id", $"text").as[(Long, String)].collect().toSet
+    assert(admitted == Set((1L, "a"), (2L, "b"), (4L, "c"), (5L, "d"),
+      (7L, "e"), (8L, "f"), (10L, "g")), s"got $admitted")
+
+    // replay AFTER vacuum: batch 5 re-runs against c_4 + nothing and
+    // reproduces its exact admissions (batch 5's own d_5 is invisible)
+    run(5L, (9L, "c"), (10L, "g"))
+    val replayed = spark.read.parquet(s"$out/batch_5")
+      .select($"doc_id").as[Long].collect().toSet
+    assert(replayed == Set(10L), s"got $replayed")
+    assert(stateFiles == Set("c_4", "d_5"), s"got $stateFiles")
   }
 }
