@@ -26,5 +26,10 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 16g: at 8g a full 30-query bench pass accumulates enough tenured
+  // data (broadcasts, codegen classes, cached shingles) that late
+  // queries hit multi-second GC stalls — observed as one ~20 s outlier
+  // run (~700% spread) on d_minhash_lsh in back-to-back full-suite
+  // passes, absent in subset runs of the same queries on a fresh heap.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
 )
