@@ -638,6 +638,20 @@ object Bench {
                 seed = "r8", k = 400),
               probes, vecs, k = recallK),
             exact, recallK)
+          // the dimension dial: 64→32 halves (not quarters) the shuffle
+          // and pays far less distortion — published next to d16 so the
+          // outDim-vs-recall tradeoff is a visible curve, like the
+          // nprobe sweep and the PQ codebook-capacity pair above
+          val jl32R = Similarity.recallAtK(
+            Similarity.jlTopK(vecs, probes, inDim = 64, outDim = 32,
+              seed = "r8", k = recallK),
+            exact, recallK)
+          val jl32RerankR = Similarity.recallAtK(
+            Similarity.rerankExact(
+              Similarity.jlTopK(vecs, probes, inDim = 64, outDim = 32,
+                seed = "r8", k = 400),
+              probes, vecs, k = recallK),
+            exact, recallK)
           val out = ivf ++ ivfpq ++ Seq("recall_pq_topk" -> pqR,
             "recall_pq_rerank" -> pqRerankR,
             "recall_pq_m8k32_topk" -> pq2R,
@@ -645,7 +659,9 @@ object Bench {
             "recall_int8_topk" -> i8R,
             "recall_ivfpq_rerank" -> ivfpqRerankR,
             "recall_jl_d16_topk" -> jlR,
-            "recall_jl_d16_rerank" -> jlRerankR)
+            "recall_jl_d16_rerank" -> jlRerankR,
+            "recall_jl_d32_topk" -> jl32R,
+            "recall_jl_d32_rerank" -> jl32RerankR)
           exact.unpersist(blocking = false)
           out
         } finally vecs.unpersist(blocking = false)
