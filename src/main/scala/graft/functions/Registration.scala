@@ -36,6 +36,9 @@ object Registration {
     fr.createOrReplaceTempFunction("rolling_min_hash",
       exprs => RollingMinHash64(exprs.head,
         literalInt(exprs(1), "rolling_min_hash window")), "scala_udf")
+    fr.createOrReplaceTempFunction("rolling_fingerprint",
+      exprs => RollingFingerprint64(exprs.head,
+        literalInt(exprs(1), "rolling_fingerprint window")), "scala_udf")
   }
 
   private def literalString(e: org.apache.spark.sql.catalyst.expressions.Expression,

@@ -273,18 +273,19 @@ object CurationOps {
   }
 
   /** Rabin–Karp rolling-hash fingerprint summary per doc: window count,
-    * min hash (the 1-row fingerprint) and distinct-window count. The
+    * min hash (the 1-row fingerprint) and distinct-window count — via the
+    * native single-pass [[graft.functions.RollingFingerprint64]] (the
+    * O(len·w) interpreted HOF twin [[graft.operators.TextAnalysis
+    * .rollingHashes]] exists only for cross-engine identity specs). The
     * oracle replays the identical stepwise-mod fold via list_reduce, so
     * the gate pins the exact polynomial arithmetic, not just the shape. */
   def qRollingFingerprint(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val hs = graft.operators.TextAnalysis.rollingHashes($"text", w = 8)
+    val fp = graft.functions.RollingFingerprint64.rolling_fingerprint($"text", 8)
     Tables.documents(spark, dir)
-      .select($"doc_id", hs.as("hs"))
-      .select($"doc_id",
-        size($"hs").cast("long").as("n_windows"),
-        array_min($"hs").as("min_hash"),
-        size(array_distinct($"hs")).cast("long").as("n_distinct"))
+      .select($"doc_id", fp.as("fp"))
+      .select($"doc_id", $"fp.n_windows".as("n_windows"),
+        $"fp.min_hash".as("min_hash"), $"fp.n_distinct".as("n_distinct"))
       .orderBy($"doc_id")
   }
 

@@ -157,6 +157,53 @@ class FunctionsSpec extends SparkTestBase {
     assert(viaSql == viaCol)
   }
 
+  test("rolling_fingerprint equals the HOF summary, code points included") {
+    import spark.implicits._
+    val fp = graft.functions.RollingFingerprint64.rolling_fingerprint($"text", 8)
+    val hs = graft.operators.TextAnalysis.rollingHashes($"text", 8)
+    def summary(df: org.apache.spark.sql.DataFrame) = df
+      .select($"doc_id", fp.as("fp"), hs.as("hs"))
+      .select($"doc_id",
+        $"fp.n_windows", $"fp.min_hash", $"fp.n_distinct",
+        size($"hs").cast("long").as("p_windows"),
+        array_min($"hs").as("p_min"),
+        size(array_distinct($"hs")).cast("long").as("p_distinct"))
+      .collect()
+    // fixture corpus + crafted edges: exactly one window, repeated
+    // windows (distinct < count), and a supplementary-plane code point —
+    // `ascii(substr)` folds code points, so the native stream must too
+    val edges = Seq(
+      "exactly8",
+      "aaaaaaaaaaaaaaaa",
+      "a😀bcdefghij",
+      "spark rolling fingerprint identity check")
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    (summary(Tables.documents(spark, sf())) ++ summary(edges)).foreach { r =>
+      assert(r.getLong(1) == r.getLong(4), s"doc ${r.getLong(0)}: n_windows")
+      assert(r.getLong(2) == r.getLong(5), s"doc ${r.getLong(0)}: min_hash")
+      assert(r.getLong(3) == r.getLong(6), s"doc ${r.getLong(0)}: n_distinct")
+    }
+    // repeated text: 9 windows, 1 distinct value
+    val rep = Seq("aaaaaaaaaaaaaaaa").toDF("text").select(fp.as("fp"))
+      .select($"fp.n_windows", $"fp.n_distinct").head()
+    assert(rep.getLong(0) == 9 && rep.getLong(1) == 1)
+    // shorter than the window: (0, null, 0), matching the empty HOF array
+    val short = Seq("tiny").toDF("text").select(fp.as("fp"))
+      .select($"fp.n_windows", $"fp.min_hash", $"fp.n_distinct").head()
+    assert(short.getLong(0) == 0L && short.isNullAt(1) && short.getLong(2) == 0L)
+    // min_hash agrees with the standalone rolling_min_hash expression
+    val both = Seq("hello rolling world").toDF("text")
+      .select(fp.as("fp"),
+        graft.functions.RollingMinHash64.rolling_min_hash($"text", 8).as("rmh"))
+      .select($"fp.min_hash", $"rmh").head()
+    assert(both.getLong(0) == both.getLong(1))
+    // SQL surface
+    val viaSql = spark.sql(
+      "SELECT rolling_fingerprint('hello world', 8).n_distinct").head().getLong(0)
+    assert(viaSql == 4L)
+  }
+
   test("simhash64 / rolling_min_hash generate real code — no silent fallback") {
     // with spark.sql.codegen.fallback=false a janino failure in the
     // generated stanza fails the query instead of quietly interpreting,
@@ -170,7 +217,9 @@ class FunctionsSpec extends SparkTestBase {
         .select($"doc_id", $"text",
           graft.functions.SimHash64.simhash64(split($"text", " ")).as("sh"),
           graft.functions.RollingMinHash64.rolling_min_hash($"text", 8).as("rmh"),
-          graft.functions.RollingMinHash64.rolling_min_hash(lit("sm"), 8).as("rshort"))
+          graft.functions.RollingMinHash64.rolling_min_hash(lit("sm"), 8).as("rshort"),
+          graft.functions.RollingFingerprint64.rolling_fingerprint($"text", 8)
+            .getField("n_distinct").as("rfd"))
       // the `*(n)` prefix marks a WholeStageCodegen stage in toString form
       assert(df.queryExecution.executedPlan.toString.contains("*(1) Project"))
       val rows = df.collect()
@@ -178,6 +227,7 @@ class FunctionsSpec extends SparkTestBase {
       rows.foreach { r =>
         assert(!r.isNullAt(2) && !r.isNullAt(3))
         assert(r.isNullAt(4), "short input must be null through the generated path")
+        assert(r.getLong(5) > 0, "fingerprint distinct count through codegen")
       }
     } finally spark.conf.unset("spark.sql.codegen.fallback")
   }
