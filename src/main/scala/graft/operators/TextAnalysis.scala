@@ -205,12 +205,18 @@ object TextAnalysis {
     * buckets` — same family as [[graft.operators.Curation]]'s sampling),
     * weights are INTEGERS (a learned float model quantizes to
     * `round(w·1000)` — the same trick [[lmScore]] uses with ppm), so the
-    * fold sum is exact in any order, and the single final division is
-    * correctly rounded from exact integer inputs on both engines.
+    * fold sum `sum_w` is exact in any order, and `label` is decided by
+    * integer cross-multiplication (`1000·sum_w ≥ round(τ·10⁶)·n_tokens`,
+    * the [[qualityFlags]] rule: never divide where a threshold compares) —
+    * zero float surface end to end. `score` is the float presentation of
+    * the same ratio for human consumption; it is NOT part of the exactness
+    * contract (a rational like sum_w/(1000·n) can land exactly on a 6-dp
+    * rounding boundary where two engines' round() legitimately disagree by
+    * 1 ulp — sf0.1 produced such a doc).
     *
-    * Returns (idCol, n_tokens, score, label) with
-    * score = round(Σ w[bucket(t)] / (1000·n_tokens), 6); empty documents
-    * drop (no tokens → no score).
+    * Returns (idCol, n_tokens, sum_w, score, label) with
+    * score = round(sum_w / (1000·n_tokens), 6); empty documents drop
+    * (no tokens → no score).
     */
   def hashedLinearScore(docs: org.apache.spark.sql.DataFrame, idCol: String,
                         textCol: String, weights: Array[Int], salt: String,
@@ -225,13 +231,15 @@ object TextAnalysis {
     val sumW = aggregate(
       transform(ws, t => element_at(w, (bucket(t) + 1).cast("int")).cast("long")),
       lit(0L), (acc, x) => acc + x)
+    val thresholdMicro = math.round(threshold * 1e6)
     docs
       .select(col(idCol), split(trim(col(textCol)), "\\s+").as("__ws"))
       .filter(size(ws) >= 1 && element_at(ws, 1) =!= "")
-      .select(col(idCol), size(ws).cast("long").as("n_tokens"), sumW.as("__sw"))
-      .select(col(idCol), col("n_tokens"),
-        round(col("__sw") / (col("n_tokens") * 1000.0), 6).as("score"))
-      .withColumn("label", (col("score") >= threshold).cast("int"))
+      .select(col(idCol), size(ws).cast("long").as("n_tokens"), sumW.as("sum_w"))
+      .select(col(idCol), col("n_tokens"), col("sum_w"),
+        round(col("sum_w") / (col("n_tokens") * 1000.0), 6).as("score"),
+        (col("sum_w") * 1000L >= lit(thresholdMicro) * col("n_tokens"))
+          .cast("int").as("label"))
   }
 
   /** Deterministic pseudo-weights for the classifier fixture/oracle: the

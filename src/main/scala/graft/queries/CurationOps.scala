@@ -305,13 +305,17 @@ object CurationOps {
   }
 
   /** Heavy-hitter trigrams via the builtin approx_top_k sketch, gated on
-    * its exact regime: the fixture's ~16.5 k distinct trigrams sit far
-    * under the 65 536 sketch capacity, so every count is exact and the
-    * cnt ≥ 5 cut matches DuckDB's exact GROUP BY row for row. The purge
+    * its exact regime: the fixture's distinct trigrams (~16.5 k at
+    * sf0.01, ~27 k at sf0.1) sit under the 65 536 sketch capacity, so
+    * every count is exact and the cnt ≥ 5 cut matches DuckDB's exact
+    * GROUP BY row for row. k = capacity so the top-k cut never binds
+    * inside the exact regime — a smaller k would truncate at an
+    * arbitrary-tie count boundary the oracle can't replay (sf0.1 has
+    * 25 831 qualifying trigrams; k = 1024 cut them). The purge
     * (approximate) regime is spec-gated instead. */
   def qTopTokens(spark: SparkSession, dir: String): DataFrame =
     Frequency.topGrams(Tables.documents(spark, dir), "text", n = 3,
-      k = 1024, maxTracked = 65536, minCount = 5L)
+      k = 65536, maxTracked = 65536, minCount = 5L)
 
   /** Sliding-window chunking with overlap (north-star: RAG/context
     * chunking) — 32-token windows every 24 tokens (8-token overlap), a

@@ -622,12 +622,17 @@ object LlmOps {
     * bucket weight, label thresholds at 0. Weights here are the
     * deterministic pseudo-model (md5-derived ints in [−1000, 1000]) so
     * the oracle regenerates the identical weight for every bucket —
-    * structurally exactly what a learned quantized model deploys as. */
+    * structurally exactly what a learned quantized model deploys as.
+    * Gated columns are the integer-exact ones (sum_w, label by
+    * cross-multiplication); the convenience float `score` is excluded —
+    * sum_w/(1000·n) can land exactly on a 6-dp rounding boundary where
+    * the two engines' round() disagrees by 1 ulp. */
   def qLinearScore(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val w = graft.operators.TextAnalysis.pseudoWeights(LinearWSalt, LinearBuckets)
     graft.operators.TextAnalysis.hashedLinearScore(
       Tables.documents(spark, dir), "doc_id", "text", w, LinearHSalt, 0.0)
+      .select($"doc_id", $"n_tokens", $"sum_w", $"label")
       .orderBy($"doc_id")
   }
 
@@ -897,7 +902,7 @@ object LlmOps {
                 FROM mv)
          SELECT doc_id, CAST(ri - 1 AS INTEGER) AS i,
                 CASE WHEN nrm = 0 THEN v[ri]
-                     ELSE round(v[ri] / nrm, 6) END AS vi
+                     ELSE round(v[ri] / nrm, 6) END + 0.0 AS vi
          FROM nv, range(1, 65) r(ri)
          ORDER BY doc_id, i""",
     "d_incr_exact" ->
@@ -964,14 +969,12 @@ object LlmOps {
          w AS (SELECT doc_id, n_tokens,
                       (${u24Sql("'lw8:' || bk")}) % 2001 - 1000 AS wt
                FROM b),
-         s AS (SELECT doc_id, min(n_tokens) AS n_tokens, sum(wt) AS sw
-               FROM w GROUP BY doc_id),
-         sc AS (SELECT doc_id, n_tokens,
-                       round(sw / (n_tokens * 1000.0), 6) AS score
-                FROM s)
-         SELECT doc_id, n_tokens, score,
-                CAST(score >= 0.0 AS INTEGER) AS label
-         FROM sc ORDER BY doc_id""",
+         s AS (SELECT doc_id, min(n_tokens) AS n_tokens,
+                      CAST(sum(wt) AS BIGINT) AS sum_w
+               FROM w GROUP BY doc_id)
+         SELECT doc_id, n_tokens, sum_w,
+                CAST(sum_w >= 0 AS INTEGER) AS label
+         FROM s ORDER BY doc_id""",
     "d_exact_dedup" ->
       """WITH all_docs AS (
            SELECT doc_id, text FROM documents

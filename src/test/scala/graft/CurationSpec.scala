@@ -1274,7 +1274,7 @@ class CurationSpec extends SparkTestBase {
     ).toDF("doc_id", "text")
     val got = graft.operators.TextAnalysis
       .hashedLinearScore(docs, "doc_id", "text", w, "fh:", threshold = 0.0)
-      .as[(Long, Long, Double, Int)].collect().map(r => r._1 -> r).toMap
+      .as[(Long, Long, Long, Double, Int)].collect().map(r => r._1 -> r).toMap
     assert(got.keySet == Set(1L, 2L), "blank/empty docs must drop")
     // replay: bucket(t) = md5-u24("fh:"+t) mod 64, weight from the same table
     def u24(s: String): Long = {
@@ -1282,14 +1282,18 @@ class CurationSpec extends SparkTestBase {
         .digest(s.getBytes("UTF-8")).take(3).map(b => f"$b%02x").mkString
       java.lang.Long.parseLong(hex, 16)
     }
-    def score(tokens: Seq[String]): Double = {
-      val s = tokens.map(t => w((u24("fh:" + t) % 64).toInt).toLong).sum
-      java.math.BigDecimal.valueOf(s.toDouble / (tokens.length * 1000.0))
+    def sumW(tokens: Seq[String]): Long =
+      tokens.map(t => w((u24("fh:" + t) % 64).toInt).toLong).sum
+    def score(tokens: Seq[String]): Double =
+      java.math.BigDecimal.valueOf(sumW(tokens).toDouble / (tokens.length * 1000.0))
         .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
-    }
-    assert(got(1L)._2 == 3L && got(1L)._3 == score(Seq("alpha", "beta", "gamma")))
-    assert(got(2L)._2 == 2L && got(2L)._3 == score(Seq("alpha", "alpha")))
-    assert(got(1L)._4 == (if (got(1L)._3 >= 0.0) 1 else 0))
+    assert(got(1L)._2 == 3L && got(1L)._3 == sumW(Seq("alpha", "beta", "gamma")) &&
+      got(1L)._4 == score(Seq("alpha", "beta", "gamma")))
+    assert(got(2L)._2 == 2L && got(2L)._3 == sumW(Seq("alpha", "alpha")) &&
+      got(2L)._4 == score(Seq("alpha", "alpha")))
+    // label is the integer cross-multiplied decision, not the rounded score
+    assert(got(1L)._5 == (if (got(1L)._3 >= 0L) 1 else 0))
+    assert(got(2L)._5 == (if (got(2L)._3 >= 0L) 1 else 0))
     // scoring is a shuffle-free projection: no exchange in the plan
     val plan = graft.operators.TextAnalysis
       .hashedLinearScore(docs, "doc_id", "text", w, "fh:", 0.0)
