@@ -540,6 +540,59 @@ object Bench {
         ((-1.0, -1.0), (-1.0, -1.0))
       }
 
+    // PQ ADC lookup-sum: the array_position/element_at formulation (the
+    // oracle-replayable form — m scans over ksub-entry literal id arrays
+    // per candidate) vs the native PqAdc expression (direct-indexed
+    // code→position map, one primitive loop). The sf fixtures are too
+    // small for this to show in sim_pq_topk (2k vectors — codebook
+    // TRAINING dominates there), so this measures the per-pair scoring
+    // rate at a production shape: m=8 subspaces, ksub=64 centroids,
+    // 1M synthetic candidate pairs. Identical results, spec-pinned
+    // (FunctionsSpec parity sweep).
+    val ((adcHofPairsPerSec, adcHofSpreadPct),
+         (adcExprPairsPerSec, adcExprSpreadPct)) =
+      try {
+        import org.apache.spark.sql.functions._
+        val m = 8
+        val ksub = 64
+        val n = 8000000L
+        val cbs: Map[Int, Array[(Int, Seq[Double])]] =
+          (0 until m).map(j => j -> (0 until ksub).map(i => (i, Seq(0.0))).toArray).toMap
+        val tbl: Seq[Seq[Double]] =
+          (0 until m).map(j => (0 until ksub).map(i => (j * ksub + i) * 1e-6))
+        // the distance table rides as a LITERAL (the broadcast-probe
+        // shape of the real search), NOT a cached column — materializing
+        // m·ksub doubles per row would turn the metric into a
+        // memory-bandwidth read of the table, identical in both paths
+        val pairs = spark.range(n).toDF("id")
+          .select(col("id"),
+            array((0 until m).map(j =>
+              pmod(xxhash64(col("id") * m + j), lit(ksub.toLong)).cast("int")): _*)
+              .as("codes"))
+          .repartition(cpus.toInt).cache()
+        pairs.count()
+        def run(fast: Boolean) = {
+          val d =
+            if (fast) graft.operators.Similarity.pqAdist(cbs, m)
+            else graft.operators.Similarity.pqAdistHof(cbs, m)
+          pairs.withColumn("__tbl", typedLit(tbl))
+            .select(d.as("adist")).agg(sum("adist")).head()
+        }
+        try {
+          run(false); run(true) // warm-up
+          val hofR = rateMedian(3) { () =>
+            val t = timed(() => run(false)); if (t > 0) n / t else -1.0
+          }
+          val exprR = rateMedian(3) { () =>
+            val t = timed(() => run(true)); if (t > 0) n / t else -1.0
+          }
+          (hofR, exprR)
+        } finally pairs.unpersist()
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] adc metric failed: $e")
+        ((-1.0, -1.0), (-1.0, -1.0))
+      }
+
     // ANN retrieval QUALITY: recall@10 of every approximate search path
     // against the exact brute-force neighborhood on the same vectors and
     // probes. The oracle gates pin replay determinism (the approximation
@@ -622,6 +675,26 @@ object Bench {
                 nprobe = 4, m = 4, subDim = 16),
               probes, vecs, k = recallK),
             exact, recallK)
+          // RESIDUAL IVFADC (Jégou §IV-A): same code budget spent on
+          // within-cell offsets — published next to the raw-vector
+          // ivfpq sweep so the residual-encoding gain is a visible pair
+          val rcb = Similarity.pqFitResidual(
+            vecs.filter(col("vec_id") % 4 === 0), cents,
+            m = 4, subDim = 16, ksub = 8, iters = 2)
+          val rindex = Similarity.pqIndexResidual(vecs, cents, rcb,
+            m = 4, subDim = 16)
+          val ivfpqRes = Seq(1, 2, 4).map { np =>
+            s"recall_ivfpq_res_nprobe$np" -> Similarity.recallAtK(
+              Similarity.ivfPqResidualTopK(rindex, cents, probes, rcb,
+                k = recallK, nprobe = np, m = 4, subDim = 16),
+              exact, recallK)
+          }
+          val ivfpqResRerankR = Similarity.recallAtK(
+            Similarity.rerankExact(
+              Similarity.ivfPqResidualTopK(rindex, cents, probes, rcb,
+                k = 400, nprobe = 4, m = 4, subDim = 16),
+              probes, vecs, k = recallK),
+            exact, recallK)
           // JL 64→16: the map-only dim-reduction screen. Raw recall is the
           // distortion cost of quartering every downstream shuffle —
           // isotropic random fixtures are JL's WORST case (real embedding
@@ -652,12 +725,13 @@ object Bench {
                 seed = "r8", k = 400),
               probes, vecs, k = recallK),
             exact, recallK)
-          val out = ivf ++ ivfpq ++ Seq("recall_pq_topk" -> pqR,
+          val out = ivf ++ ivfpq ++ ivfpqRes ++ Seq("recall_pq_topk" -> pqR,
             "recall_pq_rerank" -> pqRerankR,
             "recall_pq_m8k32_topk" -> pq2R,
             "recall_pq_m8k32_rerank" -> pq2RerankR,
             "recall_int8_topk" -> i8R,
             "recall_ivfpq_rerank" -> ivfpqRerankR,
+            "recall_ivfpq_res_rerank" -> ivfpqResRerankR,
             "recall_jl_d16_topk" -> jlR,
             "recall_jl_d16_rerank" -> jlRerankR,
             "recall_jl_d32_topk" -> jl32R,
@@ -683,7 +757,9 @@ object Bench {
       "rolling_fp_hof_docs_per_sec" -> rollingHofDocsPerSec,
       "rolling_fp_expr_docs_per_sec" -> rollingExprDocsPerSec,
       "argmax_hof_vecs_per_sec" -> argmaxHofVecsPerSec,
-      "argmax_expr_vecs_per_sec" -> argmaxExprVecsPerSec)
+      "argmax_expr_vecs_per_sec" -> argmaxExprVecsPerSec,
+      "adc_hof_pairs_per_sec" -> adcHofPairsPerSec,
+      "adc_expr_pairs_per_sec" -> adcExprPairsPerSec)
     val serdeDriftFlags: Seq[String] =
       try {
         prevBench.toSeq.flatMap { content =>
@@ -747,7 +823,9 @@ object Bench {
       "rolling_fp_hof_docs_per_sec" -> rollingHofSpreadPct,
       "rolling_fp_expr_docs_per_sec" -> rollingExprSpreadPct,
       "argmax_hof_vecs_per_sec" -> argmaxHofSpreadPct,
-      "argmax_expr_vecs_per_sec" -> argmaxExprSpreadPct)
+      "argmax_expr_vecs_per_sec" -> argmaxExprSpreadPct,
+      "adc_hof_pairs_per_sec" -> adcHofSpreadPct,
+      "adc_expr_pairs_per_sec" -> adcExprSpreadPct)
       .map { case (k, s) => "\"" + k + f"""\":$s%.1f""" }
       .mkString("{", ",", "}")
     val serdeDrift = (if (contended) Seq.empty else serdeDriftFlags)
@@ -763,7 +841,7 @@ object Bench {
       .map { case (k, v) => "\"" + k + f"""\":$v%.4f""" }
       .mkString("{", ",", "}")
     val json =
-      f"""{"metric":"total","value":$total%.4f,"unit":"sec","runs_per_query":$runsPerQuery,"queries":$qs,"query_spread_pct":$spreads,"drift_gt20pct_vs_prev":$drift,"drift_comparable":$driftComparable,"serde_rows_per_sec":$serdeRowsPerSec%.0f,"serde_rows_per_sec_core":$serdePerCore%.0f,"serde_uuid_rows_per_sec_core":$serdeUuidPerCore%.0f,"uuid_gen_rows_per_sec_core":$uuidGenPerCore%.0f,"uuid_rows_per_sec":$uuidRowsPerSec%.0f,"uuid_rows_per_sec_core":$uuidPerCore%.0f,"serde_spread_pct":$serdeSpreads,"serde_drift_gt20pct_vs_prev":$serdeDrift,"baseline_gate_rows_per_sec_core":90000,"serde_uuid_vs_gate":$gateRatio%.2f,"minhash_md5_docs_per_sec":$minhashMd5DocsPerSec%.0f,"minhash_xxh64_docs_per_sec":$minhashXxhDocsPerSec%.0f,"rolling_fp_hof_docs_per_sec":$rollingHofDocsPerSec%.0f,"rolling_fp_expr_docs_per_sec":$rollingExprDocsPerSec%.0f,"argmax_hof_vecs_per_sec":$argmaxHofVecsPerSec%.0f,"argmax_expr_vecs_per_sec":$argmaxExprVecsPerSec%.0f,"recall_at_k":$recallK,"recall":$recallJson,"calibration_ref_sec":$CalibrationRefSec%.2f,"calibration_start_sec":$calStartSec%.3f,"calibration_end_sec":$calEndSec%.3f,"calibration_par_ref_sec":$CalibrationParRefSec%.2f,"calibration_par_start_sec":$calParStartSec%.3f,"calibration_par_end_sec":$calParEndSec%.3f,"contended":$contended,"mass_drift_suspected":$massDrift,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.4f,"unit":"sec","runs_per_query":$runsPerQuery,"queries":$qs,"query_spread_pct":$spreads,"drift_gt20pct_vs_prev":$drift,"drift_comparable":$driftComparable,"serde_rows_per_sec":$serdeRowsPerSec%.0f,"serde_rows_per_sec_core":$serdePerCore%.0f,"serde_uuid_rows_per_sec_core":$serdeUuidPerCore%.0f,"uuid_gen_rows_per_sec_core":$uuidGenPerCore%.0f,"uuid_rows_per_sec":$uuidRowsPerSec%.0f,"uuid_rows_per_sec_core":$uuidPerCore%.0f,"serde_spread_pct":$serdeSpreads,"serde_drift_gt20pct_vs_prev":$serdeDrift,"baseline_gate_rows_per_sec_core":90000,"serde_uuid_vs_gate":$gateRatio%.2f,"minhash_md5_docs_per_sec":$minhashMd5DocsPerSec%.0f,"minhash_xxh64_docs_per_sec":$minhashXxhDocsPerSec%.0f,"rolling_fp_hof_docs_per_sec":$rollingHofDocsPerSec%.0f,"rolling_fp_expr_docs_per_sec":$rollingExprDocsPerSec%.0f,"argmax_hof_vecs_per_sec":$argmaxHofVecsPerSec%.0f,"argmax_expr_vecs_per_sec":$argmaxExprVecsPerSec%.0f,"adc_hof_pairs_per_sec":$adcHofPairsPerSec%.0f,"adc_expr_pairs_per_sec":$adcExprPairsPerSec%.0f,"recall_at_k":$recallK,"recall":$recallJson,"calibration_ref_sec":$CalibrationRefSec%.2f,"calibration_start_sec":$calStartSec%.3f,"calibration_end_sec":$calEndSec%.3f,"calibration_par_ref_sec":$CalibrationParRefSec%.2f,"calibration_par_start_sec":$calParStartSec%.3f,"calibration_par_end_sec":$calParEndSec%.3f,"contended":$contended,"mass_drift_suspected":$massDrift,"sf":"$sfDir"}"""
     // compact contract line — MUST stay well under the harness's ~2k-char
     // stdout tail window (see [[publish]]); everything here is either a
     // driver-contract field or a headline number the judge compares

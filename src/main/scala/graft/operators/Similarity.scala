@@ -531,15 +531,27 @@ object Similarity {
     * to 6 dp (each term is a 6-dp multiple, so the sum mathematically is
     * too and rounding absorbs summation-order noise). Code validity is
     * fused into the lookup instead of pre-filtered: an unresolvable code
-    * (stale codebook, short/null codes array) makes array_position
-    * return 0/null, nullif turns that into a null lookup index, the term
-    * and therefore the whole sum go null, and [[topKPerProbeBy]]'s
-    * null-score filter drops the candidate before ranking. Same
-    * drop-the-candidate semantics as the old pqCodesValid pre-pass, but
-    * without a second set of m array_positions per corpus row ahead of
-    * the join (measured ~20% of sim_pq_topk, and on the IVFADC path the
-    * pre-pass ran on the FULL index before cluster pruning). */
-  private def pqAdist(cbs: Map[Int, Array[(Int, Seq[Double])]], m: Int): Column = {
+    * (stale codebook, short/null codes array) makes the lookup index go
+    * null, the term and therefore the whole sum go null, and
+    * [[topKPerProbeBy]]'s null-score filter drops the candidate before
+    * ranking — same drop-the-candidate semantics as the old pqCodesValid
+    * pre-pass, without a second set of lookups per corpus row ahead of
+    * the join.
+    *
+    * The lookup-sum itself is the native [[graft.functions.PqAdc]]
+    * expression: the expression-built twin ([[pqAdistHof]], kept for the
+    * parity spec) pays m× `array_position` scans over ksub-entry literal
+    * arrays per candidate row — O(m·ksub) boxed comparisons, more work
+    * than the dim multiply-adds ADC exists to avoid — where PqAdc
+    * direct-indexes a code→position map precomputed once at plan build
+    * and runs one primitive loop inside whole-stage codegen. */
+  private[graft] def pqAdist(cbs: Map[Int, Array[(Int, Seq[Double])]], m: Int): Column =
+    graft.functions.PqAdc.pq_adc(col("codes"), col("__tbl"),
+      (0 until m).map(j => cbs(j).map(_._1)).toArray)
+
+  /** The column-expression ADC twin — bit-identical contract to
+    * [[pqAdist]] (FunctionsSpec pins the parity sweep, nulls included). */
+  private[graft] def pqAdistHof(cbs: Map[Int, Array[(Int, Seq[Double])]], m: Int): Column = {
     val ids = pqIdsLit(cbs, m)
     round((0 until m).map { j =>
       val pos = array_position(ids(j), element_at(col("codes"), j + 1))
@@ -594,6 +606,92 @@ object Similarity {
     val routed = routeProbes(probes, cents, nprobe)
     val withTbl = broadcast(
       probesWithDistTable(routed, cbs, m, subDim)
+        .select(col("probe_id"), col("cluster"), col("__tbl")))
+    val scored = index
+      .join(withTbl, "cluster")
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id"), pqAdist(cbs, m).as("adist"))
+    topKPerProbeBy(scored, k, col("adist"), ascending = true)
+  }
+
+  /** `v − centroid[cluster]` as a pure column expression: the k coarse
+    * centroids ride as a map literal (cluster id → array), so the
+    * subtraction is a shuffle-free projection with no join even when the
+    * cluster column is data-dependent. A cluster id absent from the map
+    * nulls the residual (and everything downstream drops it) — only
+    * possible with a stale centroid frame. */
+  private def residualExpr(centRows: Array[(Int, Seq[Double])],
+                           v: Column, cluster: Column): Column = {
+    val centMap = map(centRows.flatMap { case (id, c) =>
+      Seq(lit(id), typedLit(c)) }.toIndexedSeq: _*)
+    zip_with(v, element_at(centMap, cluster), (x, y) => x - y)
+  }
+
+  /** Coarse-label every vector and subtract its centroid — the residual
+    * frame IVFADC quantizes (Jégou §IV-A: PQ over `v − q_coarse(v)`
+    * concentrates the codebook's resolution on the within-cell offset
+    * instead of re-spending it on the coarse position every cell
+    * already encodes). One shuffle-free projection; returns
+    * (vec_id, cluster, v) with `v` the residual, so [[pqFit]] /
+    * [[pqEncode]] compose unchanged. */
+  def residuals(vectors: DataFrame, cents: DataFrame): DataFrame = {
+    val centRows = collectCents(cents)
+    assignClusters(vectors, centRows)
+      .select(col("vec_id"), col("cluster"),
+        residualExpr(centRows, col("v"), col("cluster")).as("v"))
+  }
+
+  /** PQ codebooks over coarse-cell residuals: exactly [[pqFit]] on the
+    * sample's residual frame, so training, seeding, and tie rules are
+    * the spec-pinned Lloyd loop — only the input vectors change. */
+  def pqFitResidual(sample: DataFrame, cents: DataFrame,
+                    m: Int, subDim: Int, ksub: Int, iters: Int): DataFrame =
+    pqFit(residuals(sample, cents).select(col("vec_id"), col("v")),
+      m, subDim, ksub, iters)
+
+  /** The residual IVFADC index (Jégou §IV-A — the composition the paper
+    * actually ships): ONE shuffle-free projection labels every vector
+    * with its coarse centroid AND its m PQ codes over the RESIDUAL
+    * `v − centroid[cluster]`. Same (vec_id, cluster, codes) storage
+    * contract as [[pqIndex]]; the residual never materializes outside
+    * the projection (the centroid map rides as a literal, both argmaxes
+    * are native expressions, no Exchange, no join). */
+  def pqIndexResidual(vectors: DataFrame, cents: DataFrame,
+                      codebooks: DataFrame, m: Int, subDim: Int): DataFrame = {
+    val centRows = collectCents(cents)
+    val cbs = collectCodebooks(codebooks)
+    require((0 until m).forall(cbs.contains), s"codebooks must cover subspaces 0 until $m")
+    val labeled = assignClusters(vectors, centRows)
+      .select(col("vec_id"), col("cluster"),
+        residualExpr(centRows, col("v"), col("cluster")).as("rv"))
+    val codeCols = (0 until m).map { j =>
+      val cs = cbs(j)
+      graft.functions.L2Argmin.l2_argmin(col("rv"),
+        cs.map(_._1), cs.map(_._2.toArray), j * subDim)
+    }
+    labeled.select(col("vec_id"), col("cluster"), array(codeCols: _*).as("codes"))
+  }
+
+  /** Residual IVFADC search: routes like [[ivfPqTopK]], but each probe's
+    * ADC distance table is computed over the probe's residual w.r.t. THE
+    * ROUTED CLUSTER's centroid (one table per routed (probe, cluster)
+    * pair — the asymmetric distance of Jégou §IV-A). Because codes spend
+    * their bits on within-cell offsets, raw-ADC ranking resolution rises
+    * sharply over raw-vector PQ at the same code budget (bench:
+    * recall_ivfpq_* vs recall_ivfpq_res_*); everything else — cluster
+    * pruning, code-validity-fused lookups, salted top-k, null-drop
+    * semantics — is the shared machinery. Compose with [[rerankExact]]
+    * for the exact final ranking. */
+  def ivfPqResidualTopK(index: DataFrame, cents: DataFrame, probes: DataFrame,
+                        codebooks: DataFrame, k: Int, nprobe: Int,
+                        m: Int, subDim: Int): DataFrame = {
+    val centRows = collectCents(cents)
+    val cbs = collectCodebooks(codebooks)
+    require((0 until m).forall(cbs.contains), s"codebooks must cover subspaces 0 until $m")
+    val routedRes = routeProbes(probes, cents, nprobe)
+      .withColumn("p", residualExpr(centRows, col("p"), col("cluster")))
+    val withTbl = broadcast(
+      probesWithDistTable(routedRes, cbs, m, subDim)
         .select(col("probe_id"), col("cluster"), col("__tbl")))
     val scored = index
       .join(withTbl, "cluster")

@@ -344,6 +344,35 @@ object LlmOps {
       .orderBy($"probe_id", $"rank")
   }
 
+  /** RESIDUAL IVFADC end to end (Jégou §IV-A — the composition the paper
+    * actually ships): identical coarse training/routing to sim_ivfpq_topk,
+    * but the PQ codebooks train on and encode `v − centroid[cluster]`
+    * residuals, so the code budget resolves within-cell offsets instead of
+    * re-encoding the coarse position (bench: recall_ivfpq_res_* vs
+    * recall_ivfpq_*). Each probe gets one ADC table per routed cluster,
+    * over ITS residual w.r.t. that cluster's centroid. The oracle replays
+    * coarse training, full assignment, residual computation, residual PQ
+    * training/encoding, per-(probe, cluster) tables, and the pruned ADC
+    * sums step for step. */
+  def qIvfPqResTopK(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val vecs = Tables.embeddings(spark, dir)
+      .select($"vec_id", $"embedding".cast("array<double>").as("v")).cache()
+    val sample = vecs.filter($"vec_id" % 4 === 0)
+    val cents = graft.operators.Similarity.kmeansFit(sample, k = 8, iters = 2)
+    val cb = graft.operators.Similarity.pqFitResidual(sample, cents,
+      m = 4, subDim = 16, ksub = 8, iters = 2)
+    val index = graft.operators.Similarity.pqIndexResidual(vecs, cents, cb,
+      m = 4, subDim = 16)
+    val probes = vecs.filter($"vec_id" < 5)
+      .select($"vec_id".as("probe_id"), $"v".as("p"))
+    graft.operators.Similarity
+      .ivfPqResidualTopK(index, cents, probes, cb, k = 3, nprobe = 2,
+        m = 4, subDim = 16)
+      .select($"probe_id", $"vec_id", $"adist", $"rank")
+      .orderBy($"probe_id", $"rank")
+  }
+
   /** Int8-quantized exact top-k (north-star: ANN over compressed
     * embeddings): per-vector symmetric scalar quantization (8× smaller
     * storage), then cosine over the integer codes — the scales cancel,
@@ -699,6 +728,7 @@ object LlmOps {
     "sim_pq_topk" -> (qPqTopK _),
     "sim_pq_rerank" -> (qPqRerank _),
     "sim_ivfpq_topk" -> (qIvfPqTopK _),
+    "sim_ivfpq_res_topk" -> (qIvfPqResTopK _),
     "sim_int8_topk" -> (qInt8TopK _),
     "t_quality_filter" -> (qQualityFilter _),
     "d_semantic_dedup" -> (qSemanticDedup _),
@@ -1421,6 +1451,66 @@ object LlmOps {
             FROM ivfapprox)
           SELECT probe_id, vec_id, adist, rank
           FROM ranked WHERE rank <= 3
+          ORDER BY probe_id, rank""",
+    "sim_ivfpq_res_topk" -> s"""WITH $pqAdcCtes,
+          $ivfCoarseCtes,
+          rres AS (
+            SELECT v.vec_id, ka2.cluster AS ccl,
+                   [v.e[i] - kc.cv[i] for i in range(1, 65)] AS e
+            FROM v JOIN ka2 ON ka2.vec_id = v.vec_id
+                   JOIN kc1 kc ON kc.cluster = ka2.cluster),
+          rs AS (SELECT vec_id, e FROM rres WHERE vec_id % 4 = 0),
+          rseeds AS (SELECT vec_id, e FROM rs ORDER BY vec_id LIMIT 8),
+          rc0 AS (
+            SELECT t.sub,
+                   row_number() OVER (PARTITION BY t.sub ORDER BY rseeds.vec_id) - 1 AS cluster,
+                   [rseeds.e[t.sub * 16 + i] for i in range(1, 17)] AS cv
+            FROM rseeds, range(0, 4) t(sub)),
+          ra1 AS (
+            SELECT sub, vec_id, e, cluster FROM (
+              SELECT rc0.sub, rs.vec_id, rs.e, rc0.cluster,
+                     row_number() OVER (PARTITION BY rc0.sub, rs.vec_id ORDER BY
+                       round(list_sum([(rs.e[rc0.sub * 16 + i] - rc0.cv[i]) *
+                                       (rs.e[rc0.sub * 16 + i] - rc0.cv[i])
+                                       for i in range(1, 17)]), 6) ASC,
+                       rc0.cluster ASC) AS rn
+              FROM rs, rc0) WHERE rn = 1),
+          rd1 AS (SELECT sub, cluster, i, round(avg(e[sub * 16 + i]), 6) AS mn
+                 FROM ra1, range(1, 17) t(i) GROUP BY 1, 2, 3),
+          rc1 AS (SELECT sub, cluster, list(mn ORDER BY i) AS cv
+                 FROM rd1 GROUP BY 1, 2),
+          renc AS (
+            SELECT sub, vec_id, ccl, cluster AS code FROM (
+              SELECT rc1.sub, rres.vec_id, rres.ccl, rc1.cluster,
+                     row_number() OVER (PARTITION BY rc1.sub, rres.vec_id ORDER BY
+                       round(list_sum([(rres.e[rc1.sub * 16 + i] - rc1.cv[i]) *
+                                       (rres.e[rc1.sub * 16 + i] - rc1.cv[i])
+                                       for i in range(1, 17)]), 6) ASC,
+                       rc1.cluster ASC) AS rn
+              FROM rres, rc1) WHERE rn = 1),
+          rptab AS (
+            SELECT r.pid, r.cluster AS ccl, c.sub, c.cluster,
+                   round(list_sum([(p.p[c.sub * 16 + i] - kc.cv[c.sub * 16 + i] - c.cv[i]) *
+                                   (p.p[c.sub * 16 + i] - kc.cv[c.sub * 16 + i] - c.cv[i])
+                                   for i in range(1, 17)]), 6) AS d
+            FROM routed r
+            JOIN probes p ON p.pid = r.pid
+            JOIN kc1 kc ON kc.cluster = r.cluster
+            CROSS JOIN rc1 c),
+          rapprox AS (
+            SELECT t.pid AS probe_id, renc.vec_id, round(sum(t.d), 6) AS adist
+            FROM renc
+            JOIN rptab t ON renc.sub = t.sub AND renc.code = t.cluster
+                        AND renc.ccl = t.ccl
+            WHERE renc.vec_id <> t.pid
+            GROUP BY 1, 2),
+          rranked AS (
+            SELECT probe_id, vec_id, adist,
+                   row_number() OVER (PARTITION BY probe_id
+                                      ORDER BY adist ASC, vec_id ASC) AS rank
+            FROM rapprox)
+          SELECT probe_id, vec_id, adist, rank
+          FROM rranked WHERE rank <= 3
           ORDER BY probe_id, rank""",
     "sim_pq_rerank" -> s"""WITH $pqAdcCtes,
           cand AS (

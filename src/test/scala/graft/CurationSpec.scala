@@ -530,7 +530,72 @@ class CurationSpec extends SparkTestBase {
         probes, vecs, k), exact, k)
     assert(ivfpqRerankR >= 0.9,
       s"ivfpq rerank recall@10 $ivfpqRerankR under its 0.9 floor")
+    // residual IVFADC (Jégou §IV-A): codes spend their bits on the
+    // within-cell offset, so the RAW ADC ranking must already clear a
+    // floor raw-vector PQ needs a re-rank stage to reach — and the
+    // re-ranked composition holds the same 0.9 gate as the others
+    val rcb = Similarity.pqFitResidual(vecs, cents, m = 8, subDim = 2,
+      ksub = 16, iters = 3)
+    val rindex = Similarity.pqIndexResidual(vecs, cents, rcb, m = 8, subDim = 2)
+    val resRawR = Similarity.recallAtK(
+      Similarity.ivfPqResidualTopK(rindex, cents, probes, rcb, k, nprobe = 4,
+        m = 8, subDim = 2), exact, k)
+    assert(resRawR >= 0.6,
+      s"residual ivfpq RAW adc recall@10 $resRawR under its 0.6 floor")
+    val resRerankR = Similarity.recallAtK(
+      Similarity.rerankExact(
+        Similarity.ivfPqResidualTopK(rindex, cents, probes, rcb, k = 8 * k,
+          nprobe = 4, m = 8, subDim = 2),
+        probes, vecs, k), exact, k)
+    assert(resRerankR >= 0.9,
+      s"residual ivfpq rerank recall@10 $resRerankR under its 0.9 floor")
     exact.unpersist(); vecs.unpersist()
+  }
+
+  test("residual IVFADC: one-projection index; exhaustive + full-fetch rerank ≡ brute force") {
+    import spark.implicits._
+    import graft.operators.Similarity
+    val rnd = new scala.util.Random(11)
+    val vecs = (0L until 48L).map { i =>
+      val base = (i % 8).toInt
+      (i, (0 until 8).map(d => math.cos(base + d) + 0.05 * rnd.nextGaussian()).toSeq)
+    }.toDF("vec_id", "v")
+    val probes = vecs.filter($"vec_id" < 3)
+      .select($"vec_id".as("probe_id"), $"v".as("p"))
+    val cents = Similarity.kmeansFit(vecs, k = 4, iters = 2)
+    val cb = Similarity.pqFitResidual(vecs, cents, m = 2, subDim = 4,
+      ksub = 4, iters = 2)
+    val index = Similarity.pqIndexResidual(vecs, cents, cb, m = 2, subDim = 4)
+    // the joint build equals the residuals() → encode pair
+    val res = Similarity.residuals(vecs, cents).cache()
+    val viaPair = res.select($"vec_id", $"cluster")
+      .join(Similarity.pqEncode(res.select($"vec_id", $"v"), cb,
+        m = 2, subDim = 4), "vec_id")
+      .select($"vec_id", $"cluster", $"codes")
+    assert(index.exceptAll(viaPair).isEmpty && viaPair.exceptAll(index).isEmpty,
+      "pqIndexResidual diverged from residuals + pqEncode")
+    // the index stays ONE shuffle-free projection even though the
+    // residual depends on the data-dependent cluster label (centroid
+    // map rides as a literal — no join materializes)
+    val p = index.queryExecution
+      .explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert(!p.linesIterator.exists(_.matches("\\(\\d+\\) Exchange.*")) &&
+      !p.contains("Join"),
+      s"the residual index build must be one shuffle-free projection:\n$p")
+    // exhaustive routing + a full-corpus candidate cut re-ranked exactly
+    // must reproduce brute force row for row
+    val rr = Similarity.rerankExact(
+      Similarity.ivfPqResidualTopK(index, cents, probes, cb, k = 48,
+        nprobe = 4, m = 2, subDim = 4),
+      probes, vecs, k = 5)
+    val exact = Similarity.bruteForceTopK(vecs, probes, k = 5)
+    val rrRows = rr.select($"probe_id", $"vec_id", $"cosine", $"rank")
+      .as[(Long, Long, Double, Int)].collect().toSet
+    val bfRows = exact.select($"probe_id", $"vec_id", $"cosine", $"rank")
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(rrRows == bfRows,
+      "exhaustive residual IVFADC + exact re-rank must equal brute force")
+    res.unpersist()
   }
 
   test("IVFADC: one-projection index; exhaustive routing ≡ flat ADC; plan shuffle-free") {
