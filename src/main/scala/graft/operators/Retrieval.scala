@@ -440,4 +440,41 @@ object Retrieval {
       .orderBy(col("n_occurrences").desc, col("pair"))
       .limit(topK)
   }
+
+  /** Reciprocal-rank fusion (Cormack, Clarke & Büttcher 2009) — the
+    * standard hybrid-retrieval combiner: given N ranked candidate runs
+    * per query (a BM25 lexical run, an ANN dense run, …), each
+    * candidate's fused score is Σ_runs 1/(c + rank), so a document only
+    * one retriever surfaces still scores, and rank positions — not
+    * incomparable raw scores — carry the evidence. Scored in exact
+    * integer ppm (`1000000 div (c + rank)` per run, summed), so fusion
+    * is bit-identical across engines and fold orders, matching the
+    * BM25/linear-score house contract.
+    *
+    * Input runs are (queryCol, idCol, rankCol) frames — each a PER-QUERY
+    * TOP-K list from an upstream retriever, so the union is bounded by
+    * |queries|·Σkᵣ rows, never corpus-sized; the fusion group-by
+    * map-side-combines and the final per-query window ranks ≤ Σkᵣ
+    * candidates per query (bounded by construction — this is a
+    * presentation step over already-cut lists, not a corpus window).
+    *
+    * Returns (queryCol, idCol, n_runs, rrf_ppm, rank ≤ k); ties break on
+    * ascending id.
+    */
+  def rrfFuse(runs: Seq[DataFrame], queryCol: String, idCol: String,
+              rankCol: String, k: Int, c: Int = 60): DataFrame = {
+    require(runs.nonEmpty && k > 0 && c >= 0)
+    val tagged = runs.map(_.select(col(queryCol).as("__q"),
+      col(idCol).as("__id"), col(rankCol).cast("long").as("__r")))
+    val fused = tagged.reduce(_ unionByName _)
+      .groupBy(col("__q"), col("__id"))
+      .agg(count(lit(1)).as("n_runs"),
+        sum(expr(s"1000000L div (${c}L + __r)")).as("rrf_ppm"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__q"))
+      .orderBy(col("rrf_ppm").desc, col("__id").asc)
+    fused.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("__q").as(queryCol), col("__id").as(idCol),
+        col("n_runs"), col("rrf_ppm"), col("rank"))
+  }
 }

@@ -31,6 +31,34 @@ object RetrievalOps {
       .orderBy($"score_ppm".desc, $"doc_id")
   }
 
+  /** Hybrid retrieval by reciprocal-rank fusion: the BM25 lexical run
+    * (the sim_bm25_topk fixture query) and a dense cosine run (brute-force
+    * top-15 for the probe embedding vec 0) fuse via `Retrieval.rrfFuse` —
+    * per candidate Σ_runs 1000000 div (60 + rank), exact integer ppm, so
+    * a doc surfaced by only one retriever still scores and rank
+    * positions (not incomparable raw scores) carry the evidence. The
+    * oracle replays both runs and the fused integer ranking step for
+    * step. */
+  def qHybridRrf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val lex = Retrieval.bm25TopK(Tables.documents(spark, dir), "doc_id", "text",
+        Bm25Terms, Bm25K)
+      // rank within the already-cut top-15 list — a bounded presentation
+      // window, same contract the retriever's ORDER BY/LIMIT pinned
+      .withColumn("rank",
+        row_number().over(Window.orderBy($"score_ppm".desc, $"doc_id")))
+      .select(lit(1L).as("query_id"), $"doc_id", $"rank")
+    val vecs = Tables.embeddings(spark, dir)
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+    val probes = vecs.filter($"vec_id" === 0)
+      .select($"vec_id".as("probe_id"), $"v".as("p"))
+    val dense = graft.operators.Similarity.bruteForceTopK(vecs, probes, k = Bm25K)
+      .select(lit(1L).as("query_id"), $"vec_id".as("doc_id"), $"rank")
+    Retrieval.rrfFuse(Seq(lex, dense), "query_id", "doc_id", "rank", k = 10)
+      .orderBy($"rank")
+  }
+
   /** Multi-query BM25: three probe queries scored in one pass — query 1
     * is the single-query fixture (its rows must agree with sim_bm25_topk),
     * query 2 overlaps it partially, query 3 mixes a stopword-common term
@@ -198,6 +226,7 @@ object RetrievalOps {
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_bm25_topk" -> (qBm25TopK _),
     "sim_bm25_multi" -> (qBm25Multi _),
+    "sim_hybrid_rrf" -> (qHybridRrf _),
     "t_bpe_pairs" -> (qBpePairs _),
     "t_bpe_apply" -> (qBpeApply _),
     "t_bpe_train" -> (qBpeTrain _),
@@ -233,6 +262,59 @@ object RetrievalOps {
                 CAST(sum(contrib) AS BIGINT) AS score_ppm
          FROM co GROUP BY doc_id
          ORDER BY score_ppm DESC, doc_id LIMIT 15""",
+    "sim_hybrid_rrf" ->
+      """WITH d AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ws
+                    FROM documents),
+         toks AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS dl,
+                         list_filter(ws, w -> w IN ('spark','window','hash','vector')) AS hit
+                  FROM d),
+         stats AS (SELECT count(*) AS n, CAST(sum(dl) AS BIGINT) AS t FROM toks),
+         tfc AS (SELECT doc_id, dl, u.term, count(*) AS tf
+                 FROM (SELECT doc_id, dl, unnest(hit) AS term FROM toks
+                       WHERE len(hit) > 0) u
+                 GROUP BY 1, 2, 3),
+         dfc AS (SELECT term, count(*) AS df FROM tfc GROUP BY 1),
+         sc AS (SELECT doc_id,
+                       (1000000 * (n - df + 1)) // (df + 1) AS idf_ppm,
+                       tf,
+                       250000 + (750 * ((1000000 * dl * n) // t)) // 1000 AS inner_ppm
+                FROM tfc JOIN dfc USING (term) CROSS JOIN stats),
+         co AS (SELECT doc_id,
+                       (idf_ppm * ((tf * 2200 * 1000000000) //
+                                   (tf * 1000000 + (1200 * inner_ppm) // 1000)))
+                         // 1000000 AS contrib
+                FROM sc),
+         bm AS (SELECT doc_id, CAST(sum(contrib) AS BIGINT) AS score_ppm
+                FROM co GROUP BY doc_id
+                ORDER BY score_ppm DESC, doc_id LIMIT 15),
+         lex AS (SELECT doc_id,
+                        row_number() OVER (ORDER BY score_ppm DESC, doc_id) AS r
+                 FROM bm),
+         v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+         p AS (SELECT e AS pe FROM v WHERE vec_id = 0),
+         scored AS (
+           SELECT vec_id,
+                  round(
+                    list_sum([pe[i] * e[i] for i in range(1, 65)]) /
+                    (sqrt(list_sum([e[i] * e[i] for i in range(1, 65)])) *
+                     sqrt(list_sum([pe[i] * pe[i] for i in range(1, 65)]))), 4) AS cosine
+           FROM v, p WHERE vec_id <> 0),
+         dense AS (
+           SELECT doc_id, r FROM (
+             SELECT vec_id AS doc_id,
+                    row_number() OVER (ORDER BY cosine DESC, vec_id ASC) AS r
+             FROM scored) WHERE r <= 15),
+         runs AS (SELECT doc_id, r FROM lex
+                  UNION ALL SELECT doc_id, r FROM dense),
+         fused AS (SELECT doc_id, count(*) AS n_runs,
+                          CAST(sum(1000000 // (60 + r)) AS BIGINT) AS rrf_ppm
+                   FROM runs GROUP BY doc_id),
+         ranked AS (SELECT doc_id, n_runs, rrf_ppm,
+                           row_number() OVER (ORDER BY rrf_ppm DESC, doc_id) AS rank
+                    FROM fused)
+         SELECT CAST(1 AS BIGINT) AS query_id, doc_id, n_runs, rrf_ppm, rank
+         FROM ranked WHERE rank <= 10
+         ORDER BY rank""",
     "sim_bm25_multi" ->
       """WITH q(query_id, term) AS (VALUES
            (CAST(1 AS BIGINT), 'spark'), (1, 'window'), (1, 'hash'), (1, 'vector'),

@@ -388,4 +388,32 @@ class RetrievalSpec extends SparkTestBase {
       .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
     assert(p.contains("__salt"), s"salted join must key on the salt:\n$p")
   }
+
+  test("rrfFuse: hand-computed integer fusion; one-run docs score; queries independent") {
+    import spark.implicits._
+    import graft.operators.Retrieval
+    // query 1: doc 10 tops both runs, doc 20 lexical-only, doc 30
+    // dense-only; query 2 exists only in the lexical run — its ranking
+    // must not see query 1's candidates
+    val lex = Seq((1L, 10L, 1), (1L, 20L, 2), (2L, 99L, 1))
+      .toDF("query_id", "doc_id", "rank")
+    val dense = Seq((1L, 10L, 1), (1L, 30L, 2))
+      .toDF("query_id", "doc_id", "rank")
+    val got = Retrieval.rrfFuse(Seq(lex, dense), "query_id", "doc_id", "rank",
+        k = 10, c = 60)
+      .select($"query_id", $"doc_id", $"n_runs", $"rrf_ppm", $"rank")
+      .as[(Long, Long, Long, Long, Int)].collect().toSet
+    // 1000000 div 61 = 16393, div 62 = 16129
+    assert(got == Set(
+      (1L, 10L, 2L, 32786L, 1),   // both runs at rank 1: 2 × 16393
+      (1L, 20L, 1L, 16129L, 2),   // lexical only, rank 2
+      (1L, 30L, 1L, 16129L, 3),   // dense only, rank 2 — id breaks the tie
+      (2L, 99L, 1L, 16393L, 1)),
+      s"unexpected fusion: $got")
+    // k cuts per query, not globally
+    val cut = Retrieval.rrfFuse(Seq(lex, dense), "query_id", "doc_id", "rank",
+        k = 1, c = 60)
+      .select($"query_id", $"doc_id").as[(Long, Long)].collect().toSet
+    assert(cut == Set((1L, 10L), (2L, 99L)))
+  }
 }
