@@ -700,6 +700,44 @@ object Similarity {
     topKPerProbeBy(scored, k, col("adist"), ascending = true)
   }
 
+  /** Diversity-aware candidate selection by greedy maximal marginal
+    * relevance (Carbonell & Goldstein 1998): per query, repeatedly pick
+    * the candidate maximizing λ·relevance − (1−λ)·max-cosine-to-chosen,
+    * so near-duplicates of an already-picked result defer to coverage —
+    * the final cut for RAG context packing, eval-set construction, and
+    * diversity-constrained curation sampling.
+    *
+    * `cands` is a PER-QUERY CANDIDATE frame (an upstream retriever's
+    * top-k: [[bruteForceTopK]]/[[rerankExact]] output joined to its
+    * vectors, an RRF fusion, …) with (queryCol, idCol, relCol integer
+    * ppm, vecCol array<double>). Each query's list collapses to ONE row
+    * (collect_list is bounded by the upstream k, never corpus-sized) and
+    * the sequential greedy loop runs inside the native
+    * [[graft.functions.MmrSelect]] expression — O(k·n·dim) per query,
+    * queries parallel across rows, one exchange total. Selection is
+    * input-order independent (argmax, ties to the lower id), so the
+    * unordered collect needs no sort; the exact integer score contract
+    * lives on the expression doc and is replayed by the
+    * sim_mmr_select recursive-CTE oracle.
+    *
+    * Returns (queryCol, sel_rank 1..n, idCol) in selection order.
+    */
+  def mmrSelect(cands: DataFrame, queryCol: String, idCol: String,
+                relCol: String, vecCol: String, n: Int,
+                lambdaPpm: Long): DataFrame = {
+    val packed = cands.groupBy(col(queryCol))
+      .agg(collect_list(col(idCol).cast("long")).as("__ids"),
+        collect_list(col(relCol).cast("long")).as("__rels"),
+        collect_list(col(vecCol)).as("__vecs"))
+      .select(col(queryCol),
+        graft.functions.MmrSelect.mmr_select(col("__ids"), col("__rels"),
+          col("__vecs"), n, lambdaPpm).as("__sel"))
+    packed
+      .select(col(queryCol), posexplode(col("__sel")).as(Seq("__pos", idCol)))
+      .select(col(queryCol), (col("__pos") + 1).cast("int").as("sel_rank"),
+        col(idCol))
+  }
+
   /** Two-stage PQ retrieval: ADC fetches `fetchK` candidates per probe
     * in the compressed domain ([[pqTopK]] — only (vec_id, codes) ever
     * shuffles), then ONLY those candidates join back to the full vector

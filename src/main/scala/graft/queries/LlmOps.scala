@@ -232,6 +232,33 @@ object LlmOps {
       .orderBy($"probe_id", $"rank")
   }
 
+  /** Diversity-aware selection (north-star: the final cut for RAG
+    * context packing / eval-set construction): greedy MMR over each
+    * probe's brute-force top-15 — relevance is the retriever's 4-dp
+    * cosine in exact ppm, the diversity penalty is the 6-dp pairwise
+    * cosine in ppm, λ = 0.7, all-integer scores (never divided — Spark
+    * `div` truncates, DuckDB `//` floors, and MMR scores go negative).
+    * The sequential greedy loop runs inside the native MmrSelect
+    * expression, one row per probe; the oracle replays it with a
+    * recursive CTE step for step. */
+  def qMmrSelect(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val vecs = Tables.embeddings(spark, dir)
+      .select($"vec_id", $"embedding".cast("array<double>").as("v")).cache()
+    val probes = vecs.filter($"vec_id" < 3)
+      .select($"vec_id".as("probe_id"), $"v".as("p"))
+    val top = graft.operators.Similarity.bruteForceTopK(vecs, probes, k = 15)
+      .select($"probe_id", $"vec_id",
+        expr("CAST(round(cosine * 1000000, 0) AS BIGINT)").as("rel_ppm"))
+    // candidate ids broadcast back to the vector table (the rerank join
+    // shape) — vectors never shuffle
+    val cands = vecs.join(broadcast(top), "vec_id")
+    graft.operators.Similarity
+      .mmrSelect(cands, "probe_id", "vec_id", "rel_ppm", "v",
+        n = 5, lambdaPpm = 700000L)
+      .orderBy($"probe_id", $"sel_rank")
+  }
+
   /** IVF-bucketed ANN (north-star: similarity search scale path): clusters
     * come from deterministic k-means training (k=8, 2 assignment rounds —
     * no fixture labels), probes route to the nearest computed centroid,
@@ -720,6 +747,7 @@ object LlmOps {
     "m_media_embed" -> (qMediaEmbed _),
     "m_media_resize" -> (qMediaResize _),
     "sim_knn_cosine" -> (qKnnCosine _),
+    "sim_mmr_select" -> (qMmrSelect _),
     "sim_jl_project" -> (qJlProject _),
     "sim_hamming_topk" -> (qHammingTopK _),
     "sim_jl_topk" -> (qJlTopK _),
@@ -1306,6 +1334,66 @@ object LlmOps {
           SELECT probe_id, vec_id, cosine, rank
           FROM ranked WHERE rank <= 3
           ORDER BY probe_id, rank""",
+    "sim_mmr_select" ->
+      """WITH RECURSIVE
+          v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+          probes AS (SELECT vec_id AS probe_id, e AS p FROM v WHERE vec_id < 3),
+          scored AS (
+            SELECT probe_id, vec_id,
+                   round(
+                     list_sum([p[i] * e[i] for i in range(1, 65)]) /
+                     (sqrt(list_sum([e[i] * e[i] for i in range(1, 65)])) *
+                      sqrt(list_sum([p[i] * p[i] for i in range(1, 65)]))), 4) AS cosine
+            FROM v, probes WHERE vec_id <> probe_id),
+          knn AS (
+            SELECT probe_id, vec_id, cosine FROM (
+              SELECT probe_id, vec_id, cosine,
+                     row_number() OVER (PARTITION BY probe_id
+                                        ORDER BY cosine DESC, vec_id ASC) AS r
+              FROM scored) WHERE r <= 15),
+          cand AS (SELECT probe_id AS qid, vec_id AS id,
+                          CAST(round(cosine * 1000000, 0) AS BIGINT) AS rel
+                   FROM knn),
+          ps AS (
+            SELECT a.qid, a.id AS a, b.id AS b,
+                   CAST(round(round(
+                     list_sum([va.e[i] * vb.e[i] for i in range(1, 65)]) /
+                     (sqrt(list_sum([va.e[i] * va.e[i] for i in range(1, 65)])) *
+                      sqrt(list_sum([vb.e[i] * vb.e[i] for i in range(1, 65)]))),
+                     6) * 1000000, 0) AS BIGINT) AS sp
+            FROM cand a
+            JOIN cand b ON a.qid = b.qid AND a.id <> b.id
+            JOIN v va ON va.vec_id = a.id
+            JOIN v vb ON vb.vec_id = b.id),
+          sel AS (
+            SELECT qid, 0 AS step, CAST([] AS BIGINT[]) AS chosen
+            FROM (SELECT DISTINCT qid FROM cand)
+            UNION ALL
+            SELECT sel.qid, step + 1,
+                   list_append(chosen, (
+                     SELECT id FROM (
+                       SELECT c.id,
+                              700000 * c.rel - 300000 *
+                                COALESCE((SELECT max(sp) FROM ps
+                                          WHERE ps.qid = c.qid AND ps.a = c.id
+                                            AND list_contains(sel.chosen, ps.b)), 0)
+                                AS score
+                       FROM cand c
+                       WHERE c.qid = sel.qid
+                         AND NOT list_contains(sel.chosen, c.id)
+                       ORDER BY score DESC, c.id ASC LIMIT 1)))
+            FROM sel
+            WHERE step < 5
+              AND EXISTS (SELECT 1 FROM cand c WHERE c.qid = sel.qid
+                          AND NOT list_contains(sel.chosen, c.id))),
+          best AS (
+            SELECT qid, chosen FROM sel
+            QUALIFY row_number() OVER (PARTITION BY qid ORDER BY step DESC) = 1)
+          SELECT qid AS probe_id, CAST(r AS INTEGER) AS sel_rank,
+                 chosen[r] AS vec_id
+          FROM best, range(1, 6) t(r)
+          WHERE r <= len(chosen)
+          ORDER BY probe_id, sel_rank""",
     "sim_ivf_topk" ->
       """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
           c0 AS (

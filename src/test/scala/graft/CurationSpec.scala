@@ -552,6 +552,47 @@ class CurationSpec extends SparkTestBase {
     exact.unpersist(); vecs.unpersist()
   }
 
+  test("mmrSelect: diversity defers the near-dup; λ=1 is pure relevance; degenerates drop") {
+    import spark.implicits._
+    import graft.operators.Similarity
+    // A and B are near-identical high-relevance candidates; C is diverse
+    // with lower relevance; D diverse, lowest. Pure relevance picks
+    // A, B, C; MMR at λ=0.7 must defer B behind the diverse C.
+    val cands = Seq(
+      (1L, 10L, 950000L, Seq(1.0, 0.10, 0.0, 0.0)),  // A
+      (1L, 20L, 940000L, Seq(1.0, 0.11, 0.0, 0.0)),  // B ≈ A
+      (1L, 30L, 600000L, Seq(0.1, 0.0, 1.0, 0.0)),   // C diverse
+      (1L, 40L, 500000L, Seq(0.0, 0.1, 0.0, 1.0)))   // D diverse
+      .toDF("probe_id", "vec_id", "rel_ppm", "v")
+      .withColumn("v", $"v".cast("array<double>"))
+    def run(df: org.apache.spark.sql.DataFrame, n: Int, lam: Long) =
+      Similarity.mmrSelect(df, "probe_id", "vec_id", "rel_ppm", "v", n, lam)
+        .orderBy($"sel_rank")
+        .select($"sel_rank", $"vec_id").as[(Int, Long)].collect().toSeq
+    assert(run(cands, 3, 700000L) == Seq((1, 10L), (2, 30L), (3, 20L)),
+      "MMR must pick A, then the diverse C, then the deferred near-dup B")
+    // λ = 1: the diversity term vanishes — selection is the relevance
+    // order (ties to lower id), regardless of similarity
+    assert(run(cands, 4, 1000000L) ==
+      Seq((1, 10L), (2, 20L), (3, 30L), (4, 40L)))
+    // n past the candidate count selects everything once
+    assert(run(cands, 99, 700000L).map(_._2).toSet == Set(10L, 20L, 30L, 40L))
+    // degenerate candidates (zero-norm, mismatched dim) drop before
+    // selection instead of ranking on an undefined cosine
+    val dirty = cands.unionByName(Seq(
+      (1L, 50L, 990000L, Seq(0.0, 0.0, 0.0, 0.0)),   // zero norm
+      (1L, 60L, 990000L, Seq(1.0, 0.0)))             // wrong dim
+      .toDF("probe_id", "vec_id", "rel_ppm", "v")
+      .withColumn("v", $"v".cast("array<double>")))
+    assert(run(dirty, 3, 700000L) == Seq((1, 10L), (2, 30L), (3, 20L)),
+      "degenerate candidates must not alter the selection")
+    // selection is input-order independent: reversed candidate order
+    // yields the identical picks (argmax + lower-id ties, no positional
+    // dependence) — the unordered collect_list needs no sort
+    assert(run(cands.orderBy($"vec_id".desc), 3, 700000L) ==
+      Seq((1, 10L), (2, 30L), (3, 20L)))
+  }
+
   test("residual IVFADC: one-projection index; exhaustive + full-fetch rerank ≡ brute force") {
     import spark.implicits._
     import graft.operators.Similarity
