@@ -66,6 +66,9 @@ object Bench {
     "d_incr_lsh",
     "q_salted_join",
     "t_linear_score",
+    "sim_ivfpq_res_topk",
+    "sim_hybrid_rrf",
+    "sim_mmr_select",
     "env_roundtrip")
 
   /** Committed reference times measured warm on an IDLE bench machine:

@@ -39,6 +39,14 @@ object Registration {
     fr.createOrReplaceTempFunction("rolling_fingerprint",
       exprs => RollingFingerprint64(exprs.head,
         literalInt(exprs(1), "rolling_fingerprint window")), "scala_udf")
+    // mmr_select(ids, rel_ppm, vecs, n, lambda_ppm) — the greedy
+    // diversity cut callable from pure SQL (n and λ as int literals;
+    // the expressions carrying array/matrix constructor state — PqAdc,
+    // CosineArgmax, MatVec… — stay DSL-only by design)
+    fr.createOrReplaceTempFunction("mmr_select",
+      exprs => MmrSelect(exprs.head, exprs(1), exprs(2),
+        literalInt(exprs(3), "mmr_select n"),
+        literalInt(exprs(4), "mmr_select lambda_ppm").toLong), "scala_udf")
   }
 
   private def literalString(e: org.apache.spark.sql.catalyst.expressions.Expression,

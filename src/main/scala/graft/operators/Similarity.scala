@@ -700,6 +700,50 @@ object Similarity {
     topKPerProbeBy(scored, k, col("adist"), ascending = true)
   }
 
+  /** Embedding-quality audit: the k LEAST-similar members of each
+    * k-means cell, ranked by ascending cosine to their own centroid —
+    * the curation review list for corrupt embeddings, mislabeled items
+    * and out-of-distribution strays (the outlier complement of
+    * SemDeDup's near-centroid pruning). Rank-based on purpose: a
+    * z-score/σ threshold needs order-dependent float moments whose
+    * boundary rows flip on 1-ulp aggregation differences, while a rank
+    * cut over exact integer ppm cosines (6-dp round → ×10⁶) is
+    * bit-deterministic across engines — the caller turns the audit
+    * budget (k per cell), not a fragile σ dial.
+    *
+    * One shuffle-free scoring projection (native argmax label + cosine
+    * to the centroid map literal — no join), then the salted two-phase
+    * per-cluster cut, so no single task ever sorts a whole cell even
+    * when a mega-cell holds half the corpus. Zero-norm / stale-labeled
+    * vectors score null and DROP before ranking (never crown an
+    * "outlier" on an undefined cosine).
+    *
+    * Returns (cluster, vec_id, cos_ppm, rank ≤ k), rank 1 = least
+    * similar; ties to the lower vec_id.
+    */
+  def clusterOutliers(vectors: DataFrame, cents: DataFrame, k: Int,
+                      nSalts: Int = 32): DataFrame = {
+    require(k > 0)
+    val centRows = collectCents(cents)
+    val centMap = map(centRows.flatMap { case (id, c) =>
+      Seq(lit(id), typedLit(c)) }.toIndexedSeq: _*)
+    val scored = assignClusters(vectors, centRows)
+      .select(col("vec_id"), col("cluster"),
+        round(graft.functions.CosineSim.cosine_sim(col("v"),
+          element_at(centMap, col("cluster"))), 6).as("__c6"))
+      .select(col("vec_id"), col("cluster"),
+        expr("CAST(round(__c6 * 1000000, 0) AS BIGINT)").as("cos_ppm"))
+    val w1 = Window
+      .partitionBy(col("cluster"), pmod(xxhash64(col("vec_id")), lit(nSalts.toLong)))
+      .orderBy(col("cos_ppm").asc, col("vec_id").asc)
+    val w2 = Window.partitionBy(col("cluster"))
+      .orderBy(col("cos_ppm").asc, col("vec_id").asc)
+    scored.filter(col("cos_ppm").isNotNull)
+      .withColumn("__brank", row_number().over(w1)).filter(col("__brank") <= k)
+      .withColumn("rank", row_number().over(w2)).filter(col("rank") <= k)
+      .select(col("cluster"), col("vec_id"), col("cos_ppm"), col("rank"))
+  }
+
   /** Diversity-aware candidate selection by greedy maximal marginal
     * relevance (Carbonell & Goldstein 1998): per query, repeatedly pick
     * the candidate maximizing λ·relevance − (1−λ)·max-cosine-to-chosen,

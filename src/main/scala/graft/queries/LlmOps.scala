@@ -232,6 +232,23 @@ object LlmOps {
       .orderBy($"probe_id", $"rank")
   }
 
+  /** Embedding-quality audit (north-star: curation review queue):
+    * the 5 least-similar members of each sample-trained k-means cell,
+    * by ascending integer-ppm cosine to their own centroid — the
+    * corrupt-embedding / out-of-distribution stray surfacing pass.
+    * Rank-based (not a σ threshold) so the cut is bit-deterministic;
+    * the oracle replays sample training, full assignment, the ppm
+    * scoring, and the per-cell ascending rank step for step. */
+  def qClusterOutliers(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val vecs = Tables.embeddings(spark, dir)
+      .select($"vec_id", $"embedding".cast("array<double>").as("v")).cache()
+    val cents = graft.operators.Similarity
+      .kmeansFit(vecs.filter($"vec_id" % 4 === 0), k = 8, iters = 2)
+    graft.operators.Similarity.clusterOutliers(vecs, cents, k = 5)
+      .orderBy($"cluster", $"rank")
+  }
+
   /** Diversity-aware selection (north-star: the final cut for RAG
     * context packing / eval-set construction): greedy MMR over each
     * probe's brute-force top-15 — relevance is the retriever's 4-dp
@@ -748,6 +765,7 @@ object LlmOps {
     "m_media_resize" -> (qMediaResize _),
     "sim_knn_cosine" -> (qKnnCosine _),
     "sim_mmr_select" -> (qMmrSelect _),
+    "sim_outliers" -> (qClusterOutliers _),
     "sim_jl_project" -> (qJlProject _),
     "sim_hamming_topk" -> (qHammingTopK _),
     "sim_jl_topk" -> (qJlTopK _),
@@ -1540,6 +1558,25 @@ object LlmOps {
           SELECT probe_id, vec_id, adist, rank
           FROM ranked WHERE rank <= 3
           ORDER BY probe_id, rank""",
+    "sim_outliers" -> s"""WITH $pqAdcCtes,
+          $ivfCoarseCtes,
+          osc AS (
+            SELECT ka2.cluster, ka2.vec_id,
+                   CAST(round(round(
+                     list_sum([v.e[i] * kc.cv[i] for i in range(1, 65)]) /
+                     (sqrt(list_sum([v.e[i] * v.e[i] for i in range(1, 65)])) *
+                      sqrt(list_sum([kc.cv[i] * kc.cv[i] for i in range(1, 65)]))),
+                     6) * 1000000, 0) AS BIGINT) AS cos_ppm
+            FROM ka2 JOIN v USING (vec_id)
+                     JOIN kc1 kc ON kc.cluster = ka2.cluster),
+          oranked AS (
+            SELECT cluster, vec_id, cos_ppm,
+                   row_number() OVER (PARTITION BY cluster
+                                      ORDER BY cos_ppm ASC, vec_id ASC) AS rank
+            FROM osc)
+          SELECT cluster, vec_id, cos_ppm, rank
+          FROM oranked WHERE rank <= 5
+          ORDER BY cluster, rank""",
     "sim_ivfpq_res_topk" -> s"""WITH $pqAdcCtes,
           $ivfCoarseCtes,
           rres AS (

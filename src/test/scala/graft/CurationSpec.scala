@@ -552,6 +552,42 @@ class CurationSpec extends SparkTestBase {
     exact.unpersist(); vecs.unpersist()
   }
 
+  test("clusterOutliers: the planted stray ranks first in its cell; zero-norm drops; scoring shuffle-free") {
+    import spark.implicits._
+    import graft.operators.Similarity
+    // two tight direction clusters + one planted stray that the argmax
+    // still assigns to cluster of direction 0 but with a much weaker
+    // cosine — it must surface as that cell's rank-1 outlier
+    val rnd = new scala.util.Random(23)
+    val base = (0L until 40L).map { i =>
+      val d = (i % 2).toInt
+      (i, (0 until 8).map(j => math.cos(3 * d + j) + 0.02 * rnd.nextGaussian()).toSeq)
+    }
+    val stray = (100L, (0 until 8).map(j =>
+      math.cos(j) + (if (j == 0) 2.5 else 0.4)).toSeq)
+    val zero = (101L, Seq.fill(8)(0.0))
+    val vecs = (base :+ stray :+ zero).toDF("vec_id", "v")
+    val cents = Similarity.kmeansFit(
+      vecs.filter($"vec_id" < 40L), k = 2, iters = 2)
+    val out = Similarity.clusterOutliers(vecs, cents, k = 3)
+    val rows = out.select($"cluster", $"vec_id", $"rank")
+      .as[(Int, Long, Int)].collect()
+    val strayRow = rows.filter(_._2 == 100L)
+    assert(strayRow.length == 1 && strayRow.head._3 == 1,
+      s"planted stray must be its cell's rank-1 outlier, got ${rows.toSeq}")
+    assert(!rows.exists(_._2 == 101L),
+      "zero-norm vector must drop, not rank on an undefined cosine")
+    assert(rows.count(_._1 == strayRow.head._1) == 3 &&
+      rows.forall(_._3 <= 3), "exactly k rows per cell, ranks within k")
+    // label+score stays one shuffle-free projection; only the salted
+    // two-phase cut exchanges
+    val p = out.queryExecution
+      .explainString(org.apache.spark.sql.execution.FormattedMode)
+    val exchanges = p.linesIterator.count(_.matches("\\(\\d+\\) Exchange.*"))
+    assert(exchanges <= 2 && !p.contains("Join"),
+      s"scoring must not join or extra-shuffle:\n$p")
+  }
+
   test("mmrSelect: diversity defers the near-dup; λ=1 is pure relevance; degenerates drop") {
     import spark.implicits._
     import graft.operators.Similarity

@@ -51,6 +51,14 @@ class FunctionsSpec extends SparkTestBase {
     // simhash64 from SQL too
     val h = spark.sql("SELECT simhash64(split('a b c', ' '))").head().getLong(0)
     assert(h != 0L)
+    // mmr_select from SQL: near-identical 20 defers behind diverse 30
+    val sel = spark.sql(
+      """SELECT mmr_select(
+           array(10L, 20L, 30L),
+           array(950000L, 940000L, 600000L),
+           array(array(1D, 0.1D), array(1D, 0.11D), array(-0.1D, 1D)),
+           2, 700000)""").head().getSeq[Long](0)
+    assert(sel == Seq(10L, 30L), s"SQL mmr_select picked $sel")
   }
 
   test("banded simhash near-dups equal the brute-force all-pairs result") {
