@@ -963,20 +963,29 @@ object Similarity {
     * count 0 and a null cosine; empty (zero-dimension) vectors carry no
     * distribution and don't count. Input frames carry (strataCol, v).
     * Returns (strataCol, n_old, n_new, drift_cos). */
+  /** Per-stratum centroid + count in ONE scan — the distribution profile
+    * the drift operators compare: (strataCol, c: array<double> of
+    * `roundTo`-rounded dim means, n: stratum row count). Centroid AND
+    * count come out of the same (strata, dim) aggregation (the dim-0
+    * count IS the stratum's vector count — a separate groupBy-count
+    * branch would re-run the whole lineage); state is |strata|·dim,
+    * never corpus-sized. Store this as the reference profile a
+    * [[graft.streaming.StreamingDrift]] monitor checks batches against. */
+  def strataCentroids(df: DataFrame, strataCol: String,
+                      vecCol: String = "v", roundTo: Int = 6): DataFrame =
+    df.select(col(strataCol), posexplode(col(vecCol)).as(Seq("dim", "x")))
+      .groupBy(col(strataCol), col("dim"))
+      .agg(round(avg(col("x")), roundTo).as("m"), count(lit(1)).as("c"))
+      .groupBy(col(strataCol))
+      .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("pairs"),
+        max(when(col("dim") === 0, col("c"))).as("n"))
+      .select(col(strataCol), expr("transform(pairs, q -> q.m)").as("c"), col("n"))
+
   def embeddingDrift(oldV: DataFrame, newV: DataFrame, strataCol: String,
                      roundTo: Int = 6): DataFrame = {
-    // centroid AND count come out of ONE scan per side: the (strata, dim)
-    // aggregation already counts each stratum's rows at every dim, so the
-    // dim-0 count is the stratum's vector count — a separate
-    // groupBy-count branch would re-run the side's whole lineage
     def side(df: DataFrame, vn: String, cn: String): DataFrame =
-      df.select(col(strataCol), posexplode(col("v")).as(Seq("dim", "x")))
-        .groupBy(col(strataCol), col("dim"))
-        .agg(round(avg(col("x")), roundTo).as("m"), count(lit(1)).as("c"))
-        .groupBy(col(strataCol))
-        .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("pairs"),
-          max(when(col("dim") === 0, col("c"))).as(cn))
-        .select(col(strataCol), expr("transform(pairs, q -> q.m)").as(vn), col(cn))
+      strataCentroids(df, strataCol, roundTo = roundTo)
+        .select(col(strataCol), col("c").as(vn), col("n").as(cn))
     side(oldV, "__co", "n_old")
       .join(side(newV, "__cn", "n_new"), Seq(strataCol), "full_outer")
       .select(col(strataCol),

@@ -237,4 +237,82 @@ object InvariantProps extends Properties("graft.invariants") {
         }) &&
         Prop(w.sameElements(graft.operators.TextAnalysis.pseudoWeights(salt, nb)))
     }
+
+  // --- PqAdc lookup-sum: reference equality + invalid-code null ---------
+
+  private def arr(xs: Seq[Any]): org.apache.spark.sql.catalyst.util.ArrayData =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(xs.toArray)
+
+  private val adcGen = for {
+    m <- Gen.chooseNum(1, 6)
+    ksub <- Gen.chooseNum(1, 8)
+    ids <- Gen.sequence[Seq[Seq[Int]], Seq[Int]](
+      Seq.fill(m)(Gen.pick(ksub, 0 until 16).map(_.toSeq.sorted)))
+    codes <- Gen.sequence[Seq[Int], Int](Seq.fill(m)(Gen.chooseNum(0, 17)))
+    tbl <- Gen.sequence[Seq[Seq[Double]], Seq[Double]](
+      Seq.fill(m)(Gen.sequence[Seq[Double], Double](
+        Seq.fill(ksub)(Gen.chooseNum(0, 999999).map(_ / 1e6)))))
+  } yield (ids.map(_.toArray).toArray, codes, tbl)
+
+  property("pq_adc equals the map-lookup reference; unresolvable codes are null") =
+    forAll(adcGen) { case (ids, codes, tbl) =>
+      val e = graft.functions.PqAdc(
+        org.apache.spark.sql.catalyst.expressions.Literal(null),
+        org.apache.spark.sql.catalyst.expressions.Literal(null), ids)
+      val got = e.compute(arr(codes), arr(tbl.map(r => arr(r))))
+      val ref: Option[Double] = {
+        val terms = ids.indices.map { j =>
+          val pos = ids(j).indexOf(codes(j))
+          if (pos < 0) None else Some(tbl(j)(pos))
+        }
+        if (terms.exists(_.isEmpty)) None
+        else Some(java.math.BigDecimal.valueOf(terms.flatten.sum)
+          .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue())
+      }
+      Prop(Option(got).map(_.asInstanceOf[Double]) == ref)
+    }
+
+  // --- MmrSelect: algebraic invariants of the greedy cut ----------------
+
+  private val mmrGen = for {
+    k <- Gen.chooseNum(1, 10)
+    dim <- Gen.chooseNum(1, 4)
+    ids <- Gen.pick(k, 0L until 40L).map(_.toSeq)
+    rels <- Gen.sequence[Seq[Long], Long](Seq.fill(k)(Gen.chooseNum(0L, 1000000L)))
+    vecs <- Gen.sequence[Seq[Seq[Double]], Seq[Double]](
+      Seq.fill(k)(Gen.sequence[Seq[Double], Double](
+        Seq.fill(dim)(Gen.chooseNum(-100, 100).map(_ / 10.0)))))
+      .suchThat(_.forall(v => v.exists(_ != 0.0)))
+    n <- Gen.chooseNum(1, 12)
+    lam <- Gen.chooseNum(0L, 1000000L)
+  } yield (ids, rels, vecs, n, lam)
+
+  private def mmrRun(ids: Seq[Long], rels: Seq[Long], vecs: Seq[Seq[Double]],
+                     n: Int, lam: Long): Seq[Long] = {
+    val e = graft.functions.MmrSelect(
+      org.apache.spark.sql.catalyst.expressions.Literal(null),
+      org.apache.spark.sql.catalyst.expressions.Literal(null),
+      org.apache.spark.sql.catalyst.expressions.Literal(null), n, lam)
+    e.compute(arr(ids), arr(rels), arr(vecs.map(v => arr(v))))
+      .toLongArray().toSeq
+  }
+
+  property("mmr_select picks min(n, k) DISTINCT input ids, permutation-invariant") =
+    forAll(mmrGen) { case (ids, rels, vecs, n, lam) =>
+      val out = mmrRun(ids, rels, vecs, n, lam)
+      val perm = scala.util.Random.shuffle(ids.indices.toList)
+      val out2 = mmrRun(perm.map(ids), perm.map(rels), perm.map(vecs), n, lam)
+      Prop(out.length == math.min(n, ids.length)) &&
+        Prop(out.distinct == out) &&
+        Prop(out.forall(ids.contains)) &&
+        Prop(out2 == out)
+    }
+
+  property("mmr_select at λ=1 is the pure relevance order (rel desc, id asc)") =
+    forAll(mmrGen) { case (ids, rels, vecs, n, _) =>
+      val out = mmrRun(ids, rels, vecs, n, 1000000L)
+      val expected = ids.zip(rels).sortBy { case (id, r) => (-r, id) }
+        .map(_._1).take(math.min(n, ids.length))
+      Prop(out == expected)
+    }
 }

@@ -671,4 +671,47 @@ class StreamingSpec extends SparkTestBase {
     assert(replayed == Set(10L), s"got $replayed")
     assert(stateFiles == Set("c_4", "d_5"), s"got $stateFiles")
   }
+
+  test("streaming drift monitor: rotated stratum and unvetted stratum alert; healthy stays silent") {
+    import spark.implicits._
+    import graft.streaming.StreamingDrift
+    import graft.operators.Similarity
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // vetted reference: stratum "a" points along +x, "b" along +y
+    val ref = Seq.tabulate(20) { i =>
+      if (i % 2 == 0) ("a", Seq(1.0, 0.02 * i, 0.0))
+      else ("b", Seq(0.0, 1.0, 0.02 * i))
+    }.toDF("label", "v")
+    val profile = Similarity.strataCentroids(ref, "label").cache()
+    profile.count()
+    // batch kernel first: "a" healthy, "b" rotated to -y, "c" unvetted
+    val batch = Seq(
+      ("a", Seq(1.0, 0.1, 0.0)), ("a", Seq(1.0, 0.3, 0.0)),
+      ("b", Seq(0.0, -1.0, 0.1)),
+      ("c", Seq(0.5, 0.5, 0.5))).toDF("label", "v")
+    val drift = StreamingDrift.driftVsProfile(profile, batch, "label")
+    val hit = StreamingDrift.alerts(drift, cosFloor = 0.5)
+      .select($"label").as[String].collect().toSet
+    assert(hit == Set("b", "c"), s"got $hit")
+    // a profile stratum absent from the batch must NOT alert
+    assert(!hit.contains("a"))
+    // the stream: same batches through foreachBatch, alerts land per
+    // batch_id partition
+    val dir = java.nio.file.Files.createTempDirectory("drift").toString
+    val input = MemoryStream[(String, Seq[Double])]
+    val q = StreamingDrift.monitor(
+      input.toDF().toDF("label", "v"), () => profile, "label",
+      cosFloor = 0.5, outPath = s"$dir/alerts", checkpoint = s"$dir/chk")
+    try {
+      input.addData(("a", Seq(1.0, 0.2, 0.0)), ("b", Seq(0.0, -1.0, 0.0)))
+      q.processAllAvailable()
+      input.addData(("c", Seq(0.3, 0.3, 0.9)))
+      q.processAllAvailable()
+      val alerts = spark.read.parquet(s"$dir/alerts")
+        .select($"batch_id", $"label", $"n_ref")
+        .as[(Long, String, Long)].collect().toSet
+      assert(alerts == Set((0L, "b", 10L), (1L, "c", 0L)), s"got $alerts")
+    } finally q.stop()
+    profile.unpersist()
+  }
 }
