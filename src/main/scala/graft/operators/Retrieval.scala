@@ -441,6 +441,32 @@ object Retrieval {
       .limit(topK)
   }
 
+  /** Tokenizer-fertility quality signal: per document, BPE tokens per
+    * word in exact integer ppm (`1000000·n_bpe_tokens div n_words`) —
+    * garbled/boilerplate/wrong-script text tokenizes BADLY under a
+    * vocabulary trained on clean text, so fertility is a standard
+    * curation filter (cf. the compression-ratio heuristics in quality
+    * pipelines). Shares [[bpeTokenCounts]]'s one vocabulary-bounded
+    * encode (corpus-sized work happens once); docs under `minWords`
+    * drop (a two-word doc's ratio is noise, not signal). Integer-exact
+    * to n_bpe_tokens ≈ 9·10¹². */
+  def fertility(docs: DataFrame, idCol: String, textCol: String,
+                merges: Seq[(String, String)], minWords: Long): DataFrame =
+    bpeTokenCounts(docs, idCol, textCol, merges)
+      .filter(col("n_words") >= minWords)
+      .withColumn("fertility_ppm",
+        expr("1000000L * n_bpe_tokens div n_words"))
+
+  /** The k worst-fertility documents — the review/drop queue.
+    * A global `orderBy.limit` plans as TakeOrderedAndProject (per-task
+    * top-k before the single merge — no full sort materializes). */
+  def fertilityOutliers(docs: DataFrame, idCol: String, textCol: String,
+                        merges: Seq[(String, String)], k: Int,
+                        minWords: Long = 5L): DataFrame =
+    fertility(docs, idCol, textCol, merges, minWords)
+      .orderBy(col("fertility_ppm").desc, col(idCol))
+      .limit(k)
+
   /** Reciprocal-rank fusion (Cormack, Clarke & Büttcher 2009) — the
     * standard hybrid-retrieval combiner: given N ranked candidate runs
     * per query (a BM25 lexical run, an ANN dense run, …), each

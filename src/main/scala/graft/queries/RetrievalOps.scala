@@ -75,6 +75,21 @@ object RetrievalOps {
       .orderBy($"query_id", $"rank")
   }
 
+  /** Tokenizer-fertility review queue: the 20 documents whose BPE
+    * tokens-per-word ratio (exact integer ppm) is worst under the fixed
+    * 12-merge table — the garbled-text curation filter. Shares the
+    * t_bpe_apply encode; docs under 5 words drop as ratio noise. */
+  def qFertility(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val merges = Seq(
+      ("t", "h"), ("th", "e"), ("i", "n"), ("a", "n"), ("an", "d"),
+      ("e", "r"), ("o", "n"), ("r", "e"), ("the", "</w>"), ("er", "</w>"),
+      ("o", "u"), ("in", "g"))
+    Retrieval.fertilityOutliers(Tables.documents(spark, dir), "doc_id", "text",
+        merges, k = 20, minWords = 5L)
+      .orderBy($"fertility_ppm".desc, $"doc_id")
+  }
+
   /** Tokenizer training step 0: global BPE symbol-pair counts (chars +
     * `</w>` marker), top 20. Pair explosion runs over the distinct-word
     * vocabulary, weighted by word counts — never over the corpus. */
@@ -228,12 +243,45 @@ object RetrievalOps {
     "sim_bm25_multi" -> (qBm25Multi _),
     "sim_hybrid_rrf" -> (qHybridRrf _),
     "t_bpe_pairs" -> (qBpePairs _),
+    "t_fertility" -> (qFertility _),
     "t_bpe_apply" -> (qBpeApply _),
     "t_bpe_train" -> (qBpeTrain _),
     "t_shard_plan" -> (qShardPlan _),
     "q_asof_join" -> (qAsofJoin _),
     "q_range_join" -> (qRangeJoin _)
   )
+
+  /** The fixed-12-merge BPE word-encode CTE chain (distinct-word
+    * vocabulary → char-symbol init → greedy best-rank merge recursion →
+    * per-word token count + the doc-word explode) shared by the
+    * t_bpe_apply and t_fertility oracles. */
+  private val bpeEncodeCtes: String =
+    """mt(pairs) AS (SELECT ['t h','th e','i n','a n','an d','e r','o n','r e',
+                               'the </w>','er </w>','o u','in g']),
+         wt AS (SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
+                FROM documents),
+         v AS (SELECT DISTINCT w FROM wt WHERE w <> ''),
+         init AS (SELECT w, list_append([w[i] for i in range(1, length(w)+1)],
+                                        '</w>') AS syms
+                  FROM v),
+         enc AS (
+           SELECT w, syms FROM init
+           UNION ALL
+           SELECT w,
+                  list_concat(list_concat(syms[1:best[2]-1],
+                                          [syms[best[2]] || syms[best[2]+1]]),
+                              syms[best[2]+2:]) AS syms
+           FROM (
+             SELECT w, syms,
+                    (list_sort([[list_position(pairs, syms[i] || ' ' || syms[i+1]), i]
+                                for i in range(1, len(syms))
+                                if list_position(pairs, syms[i] || ' ' || syms[i+1]) > 0]
+                    ))[1] AS best
+             FROM enc, mt)
+           WHERE best IS NOT NULL),
+         wtok AS (SELECT w, min(len(syms)) AS wtok FROM enc GROUP BY 1),
+         dw AS (SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
+                FROM documents)"""
 
   val oracles: Map[String, String] = Map(
     "sim_bm25_topk" ->
@@ -365,38 +413,23 @@ object RetrievalOps {
                FROM s)
          SELECT pair, CAST(sum(n) AS BIGINT) AS n_occurrences
          FROM p GROUP BY 1 ORDER BY n_occurrences DESC, pair LIMIT 20""",
-    "t_bpe_apply" ->
-      """WITH RECURSIVE
-         mt(pairs) AS (SELECT ['t h','th e','i n','a n','an d','e r','o n','r e',
-                               'the </w>','er </w>','o u','in g']),
-         wt AS (SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
-                FROM documents),
-         v AS (SELECT DISTINCT w FROM wt WHERE w <> ''),
-         init AS (SELECT w, list_append([w[i] for i in range(1, length(w)+1)],
-                                        '</w>') AS syms
-                  FROM v),
-         enc AS (
-           SELECT w, syms FROM init
-           UNION ALL
-           SELECT w,
-                  list_concat(list_concat(syms[1:best[2]-1],
-                                          [syms[best[2]] || syms[best[2]+1]]),
-                              syms[best[2]+2:]) AS syms
-           FROM (
-             SELECT w, syms,
-                    (list_sort([[list_position(pairs, syms[i] || ' ' || syms[i+1]), i]
-                                for i in range(1, len(syms))
-                                if list_position(pairs, syms[i] || ' ' || syms[i+1]) > 0]
-                    ))[1] AS best
-             FROM enc, mt)
-           WHERE best IS NOT NULL),
-         wtok AS (SELECT w, min(len(syms)) AS wtok FROM enc GROUP BY 1),
-         dw AS (SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
-                FROM documents)
+    "t_bpe_apply" -> s"""WITH RECURSIVE
+         $bpeEncodeCtes
          SELECT doc_id, count(*) AS n_words, CAST(sum(wtok) AS BIGINT) AS n_bpe_tokens
          FROM (SELECT doc_id, w FROM dw WHERE w <> '') d
          JOIN wtok USING (w)
          GROUP BY doc_id ORDER BY doc_id""",
+    "t_fertility" -> s"""WITH RECURSIVE
+         $bpeEncodeCtes,
+         f AS (SELECT doc_id, count(*) AS n_words,
+                      CAST(sum(wtok) AS BIGINT) AS n_bpe_tokens
+               FROM (SELECT doc_id, w FROM dw WHERE w <> '') d
+               JOIN wtok USING (w)
+               GROUP BY doc_id)
+         SELECT doc_id, n_words, n_bpe_tokens,
+                CAST((1000000 * n_bpe_tokens) // n_words AS BIGINT) AS fertility_ppm
+         FROM f WHERE n_words >= 5
+         ORDER BY fertility_ppm DESC, doc_id LIMIT 20""",
     "t_bpe_train" -> bpeTrainOracle(BpeTrainMerges),
     "t_shard_plan" ->
       """WITH a AS (SELECT doc_id, md5('shard:' || doc_id) AS sk FROM documents),

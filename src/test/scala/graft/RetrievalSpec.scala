@@ -389,6 +389,32 @@ class RetrievalSpec extends SparkTestBase {
     assert(p.contains("__salt"), s"salted join must key on the salt:\n$p")
   }
 
+  test("fertility: garbled doc ranks worst; clean text scores low; short docs drop") {
+    import spark.implicits._
+    import graft.operators.Retrieval
+    val merges = Seq(("t", "h"), ("th", "e"), ("e", "r"), ("i", "n"),
+      ("the", "</w>"), ("er", "</w>"), ("in", "g"))
+    val docs = Seq(
+      (1L, "the the the the the the"),         // fully mergeable: 2 tokens/word
+      (2L, "zxqvw kjfhg pqmzn xxyzw vvbnm"),   // garbled: ~6 tokens/word
+      (3L, "in in in in in"),                  // mergeable: 3 tokens/word
+      (4L, "zz qq"))                           // under minWords → dropped
+      .toDF("doc_id", "text")
+    val out = Retrieval.fertilityOutliers(docs, "doc_id", "text", merges,
+        k = 10, minWords = 5L)
+      .select($"doc_id", $"fertility_ppm").as[(Long, Long)].collect().toSeq
+    assert(out.map(_._1) == Seq(2L, 3L, 1L),
+      s"garbled doc must rank worst, got $out")
+    // hand-check the exact integer ratios: "the" merges all the way to
+    // the single [the</w>] symbol (t+h, th+e, the+</w>) → 1 token/word;
+    // "in" stops at [in, </w>] (no in+</w> merge) → 2 tokens/word
+    val byId = out.toMap
+    assert(byId(1L) == 1000000L, s"'the' docs must sit at 1 token/word, got ${byId(1L)}")
+    assert(byId(3L) == 2000000L, s"'in' docs must sit at 2 tokens/word, got ${byId(3L)}")
+    assert(byId(2L) == 6000000L, s"5-char garbage + </w> = 6 tokens/word, got ${byId(2L)}")
+    assert(!byId.contains(4L), "doc under minWords must drop")
+  }
+
   test("rrfFuse: hand-computed integer fusion; one-run docs score; queries independent") {
     import spark.implicits._
     import graft.operators.Retrieval
