@@ -596,6 +596,47 @@ object Bench {
         ((-1.0, -1.0), (-1.0, -1.0))
       }
 
+    // int8 quantized dot: the boxed zip_with/aggregate fold (the
+    // oracle-replayable form) vs the native Int8Dot multiply-accumulate
+    // — the memory-bandwidth claim of quantized search is only real if
+    // the per-pair kernel doesn't give it back in lambda dispatch. Same
+    // literal-probe shape as the ADC metric; dim=64, 4M synthetic pairs.
+    val ((i8HofPairsPerSec, i8HofSpreadPct),
+         (i8ExprPairsPerSec, i8ExprSpreadPct)) =
+      try {
+        import org.apache.spark.sql.functions._
+        val dim = 64
+        val n = 4000000L
+        val pairs = spark.range(n).toDF("id")
+          .select(col("id"),
+            transform(sequence(lit(1), lit(dim)),
+              i => (pmod(xxhash64(col("id") * 7 + i), lit(255L)) - 127L)
+                .cast("int")).as("q"))
+          .repartition(cpus.toInt).cache()
+        pairs.count()
+        val pqLit = typedLit((0 until dim).map(i => (i * 37 % 255) - 127))
+        def run(fast: Boolean) = {
+          val d =
+            if (fast) graft.functions.Int8Dot.int8_dot(col("q"), col("__pq"))
+            else graft.operators.Similarity.int8DotHof("q", "__pq")
+          pairs.withColumn("__pq", pqLit).select(d.as("d"))
+            .agg(sum("d")).head()
+        }
+        try {
+          run(false); run(true) // warm-up
+          val hofR = rateMedian(3) { () =>
+            val t = timed(() => run(false)); if (t > 0) n / t else -1.0
+          }
+          val exprR = rateMedian(3) { () =>
+            val t = timed(() => run(true)); if (t > 0) n / t else -1.0
+          }
+          (hofR, exprR)
+        } finally pairs.unpersist()
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] int8-dot metric failed: $e")
+        ((-1.0, -1.0), (-1.0, -1.0))
+      }
+
     // ANN retrieval QUALITY: recall@10 of every approximate search path
     // against the exact brute-force neighborhood on the same vectors and
     // probes. The oracle gates pin replay determinism (the approximation
@@ -762,7 +803,9 @@ object Bench {
       "argmax_hof_vecs_per_sec" -> argmaxHofVecsPerSec,
       "argmax_expr_vecs_per_sec" -> argmaxExprVecsPerSec,
       "adc_hof_pairs_per_sec" -> adcHofPairsPerSec,
-      "adc_expr_pairs_per_sec" -> adcExprPairsPerSec)
+      "adc_expr_pairs_per_sec" -> adcExprPairsPerSec,
+      "int8_dot_hof_pairs_per_sec" -> i8HofPairsPerSec,
+      "int8_dot_expr_pairs_per_sec" -> i8ExprPairsPerSec)
     val serdeDriftFlags: Seq[String] =
       try {
         prevBench.toSeq.flatMap { content =>
@@ -828,7 +871,9 @@ object Bench {
       "argmax_hof_vecs_per_sec" -> argmaxHofSpreadPct,
       "argmax_expr_vecs_per_sec" -> argmaxExprSpreadPct,
       "adc_hof_pairs_per_sec" -> adcHofSpreadPct,
-      "adc_expr_pairs_per_sec" -> adcExprSpreadPct)
+      "adc_expr_pairs_per_sec" -> adcExprSpreadPct,
+      "int8_dot_hof_pairs_per_sec" -> i8HofSpreadPct,
+      "int8_dot_expr_pairs_per_sec" -> i8ExprSpreadPct)
       .map { case (k, s) => "\"" + k + f"""\":$s%.1f""" }
       .mkString("{", ",", "}")
     val serdeDrift = (if (contended) Seq.empty else serdeDriftFlags)
@@ -844,7 +889,7 @@ object Bench {
       .map { case (k, v) => "\"" + k + f"""\":$v%.4f""" }
       .mkString("{", ",", "}")
     val json =
-      f"""{"metric":"total","value":$total%.4f,"unit":"sec","runs_per_query":$runsPerQuery,"queries":$qs,"query_spread_pct":$spreads,"drift_gt20pct_vs_prev":$drift,"drift_comparable":$driftComparable,"serde_rows_per_sec":$serdeRowsPerSec%.0f,"serde_rows_per_sec_core":$serdePerCore%.0f,"serde_uuid_rows_per_sec_core":$serdeUuidPerCore%.0f,"uuid_gen_rows_per_sec_core":$uuidGenPerCore%.0f,"uuid_rows_per_sec":$uuidRowsPerSec%.0f,"uuid_rows_per_sec_core":$uuidPerCore%.0f,"serde_spread_pct":$serdeSpreads,"serde_drift_gt20pct_vs_prev":$serdeDrift,"baseline_gate_rows_per_sec_core":90000,"serde_uuid_vs_gate":$gateRatio%.2f,"minhash_md5_docs_per_sec":$minhashMd5DocsPerSec%.0f,"minhash_xxh64_docs_per_sec":$minhashXxhDocsPerSec%.0f,"rolling_fp_hof_docs_per_sec":$rollingHofDocsPerSec%.0f,"rolling_fp_expr_docs_per_sec":$rollingExprDocsPerSec%.0f,"argmax_hof_vecs_per_sec":$argmaxHofVecsPerSec%.0f,"argmax_expr_vecs_per_sec":$argmaxExprVecsPerSec%.0f,"adc_hof_pairs_per_sec":$adcHofPairsPerSec%.0f,"adc_expr_pairs_per_sec":$adcExprPairsPerSec%.0f,"recall_at_k":$recallK,"recall":$recallJson,"calibration_ref_sec":$CalibrationRefSec%.2f,"calibration_start_sec":$calStartSec%.3f,"calibration_end_sec":$calEndSec%.3f,"calibration_par_ref_sec":$CalibrationParRefSec%.2f,"calibration_par_start_sec":$calParStartSec%.3f,"calibration_par_end_sec":$calParEndSec%.3f,"contended":$contended,"mass_drift_suspected":$massDrift,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.4f,"unit":"sec","runs_per_query":$runsPerQuery,"queries":$qs,"query_spread_pct":$spreads,"drift_gt20pct_vs_prev":$drift,"drift_comparable":$driftComparable,"serde_rows_per_sec":$serdeRowsPerSec%.0f,"serde_rows_per_sec_core":$serdePerCore%.0f,"serde_uuid_rows_per_sec_core":$serdeUuidPerCore%.0f,"uuid_gen_rows_per_sec_core":$uuidGenPerCore%.0f,"uuid_rows_per_sec":$uuidRowsPerSec%.0f,"uuid_rows_per_sec_core":$uuidPerCore%.0f,"serde_spread_pct":$serdeSpreads,"serde_drift_gt20pct_vs_prev":$serdeDrift,"baseline_gate_rows_per_sec_core":90000,"serde_uuid_vs_gate":$gateRatio%.2f,"minhash_md5_docs_per_sec":$minhashMd5DocsPerSec%.0f,"minhash_xxh64_docs_per_sec":$minhashXxhDocsPerSec%.0f,"rolling_fp_hof_docs_per_sec":$rollingHofDocsPerSec%.0f,"rolling_fp_expr_docs_per_sec":$rollingExprDocsPerSec%.0f,"argmax_hof_vecs_per_sec":$argmaxHofVecsPerSec%.0f,"argmax_expr_vecs_per_sec":$argmaxExprVecsPerSec%.0f,"adc_hof_pairs_per_sec":$adcHofPairsPerSec%.0f,"adc_expr_pairs_per_sec":$adcExprPairsPerSec%.0f,"int8_dot_hof_pairs_per_sec":$i8HofPairsPerSec%.0f,"int8_dot_expr_pairs_per_sec":$i8ExprPairsPerSec%.0f,"recall_at_k":$recallK,"recall":$recallJson,"calibration_ref_sec":$CalibrationRefSec%.2f,"calibration_start_sec":$calStartSec%.3f,"calibration_end_sec":$calEndSec%.3f,"calibration_par_ref_sec":$CalibrationParRefSec%.2f,"calibration_par_start_sec":$calParStartSec%.3f,"calibration_par_end_sec":$calParEndSec%.3f,"contended":$contended,"mass_drift_suspected":$massDrift,"sf":"$sfDir"}"""
     // compact contract line — MUST stay well under the harness's ~2k-char
     // stdout tail window (see [[publish]]); everything here is either a
     // driver-contract field or a headline number the judge compares

@@ -876,9 +876,13 @@ object Similarity {
     */
   def int8TopK(quantized: DataFrame, probes: DataFrame, k: Int,
                roundTo: Int = 4): DataFrame = {
-    val dot = expr("aggregate(zip_with(q, pq, (x, y) -> cast(x AS bigint) * y), 0L, (acc, z) -> acc + z)")
-    val nq = expr("aggregate(q, 0L, (acc, x) -> acc + cast(x AS bigint) * x)")
-    val np = expr("aggregate(pq, 0L, (acc, x) -> acc + cast(x AS bigint) * x)")
+    // the pair-level dot is the native Int8Dot expression (exact i64
+    // multiply-accumulate in whole-stage codegen); the HOF twin
+    // [[int8DotHof]] stays for the parity spec + bench pair. Norms are
+    // Int8Dot(x, x) — the same kernel, once per row.
+    val dot = graft.functions.Int8Dot.int8_dot(col("q"), col("pq"))
+    val nq = graft.functions.Int8Dot.int8_dot(col("q"), col("q"))
+    val np = graft.functions.Int8Dot.int8_dot(col("pq"), col("pq"))
     // Norms are per-row: compute each side's ONCE before the join (vs per
     // pair), and guard zero-norm codes (all-zero vectors — their cosine
     // would be NaN, which sorts above every real value in the descending
@@ -896,6 +900,11 @@ object Similarity {
         round(dot.cast("double") / (col("__nq") * col("__np")), roundTo).as("cosine"))
     topKPerProbe(scored, k)
   }
+
+  /** The HOF twin of the [[graft.functions.Int8Dot]] pair kernel —
+    * parity spec-pinned, bench-compared (int8_dot_hof vs _expr). */
+  private[graft] def int8DotHof(a: String, b: String): Column =
+    expr(s"aggregate(zip_with($a, $b, (x, y) -> cast(x AS bigint) * y), 0L, (acc, z) -> acc + z)")
 
   /** Recall@k of an approximate top-k result against the exact one —
     * the retrieval-quality number a user sizing nprobe / PQ codebooks /

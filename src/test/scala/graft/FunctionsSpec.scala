@@ -468,6 +468,32 @@ class FunctionsSpec extends SparkTestBase {
       "bloom pre-filter changed the exact semi-join result")
   }
 
+  test("int8_dot matches the zip_with/aggregate formulation, nulls included") {
+    import spark.implicits._
+    import graft.operators.Similarity
+    val rnd = new scala.util.Random(31)
+    val rows = (0L until 200L).map { i =>
+      (i, Seq.fill(16)(rnd.nextInt(255) - 127), Seq.fill(16)(rnd.nextInt(255) - 127))
+    }.toDF("id", "a", "b")
+    val both = rows.select($"id",
+      graft.functions.Int8Dot.int8_dot($"a", $"b").as("fast"),
+      Similarity.int8DotHof("a", "b").as("ref"))
+      .as[(Long, Long, Long)].collect()
+    both.foreach { case (id, fast, ref) =>
+      assert(fast == ref, s"row $id: native $fast != HOF $ref")
+    }
+    // null element / length mismatch must yield null, zip_with parity
+    val edge = Seq(
+      (1L, Seq[Integer](1, null), Seq[Integer](1, 2)),
+      (2L, Seq[Integer](1, 2, 3), Seq[Integer](1, 2)))
+      .toDF("id", "a", "b")
+      .select($"id", $"a".cast("array<int>").as("a"), $"b".cast("array<int>").as("b"))
+    val gotNulls = edge.select(
+      graft.functions.Int8Dot.int8_dot($"a", $"b").as("d"))
+      .collect().map(_.isNullAt(0))
+    assert(gotNulls.forall(identity))
+  }
+
   test("pq_adc matches the array_position/element_at formulation, nulls included") {
     import spark.implicits._
     import graft.operators.Similarity
