@@ -451,11 +451,13 @@ object Retrieval {
     * drop (a two-word doc's ratio is noise, not signal). Integer-exact
     * to n_bpe_tokens ≈ 9·10¹². */
   def fertility(docs: DataFrame, idCol: String, textCol: String,
-                merges: Seq[(String, String)], minWords: Long): DataFrame =
+                merges: Seq[(String, String)], minWords: Long): DataFrame = {
+    require(minWords >= 1L, "minWords < 1 would divide by a zero word count")
     bpeTokenCounts(docs, idCol, textCol, merges)
       .filter(col("n_words") >= minWords)
       .withColumn("fertility_ppm",
         expr("1000000L * n_bpe_tokens div n_words"))
+  }
 
   /** The k worst-fertility documents — the review/drop queue.
     * A global `orderBy.limit` plans as TakeOrderedAndProject (per-task
@@ -490,8 +492,12 @@ object Retrieval {
   def rrfFuse(runs: Seq[DataFrame], queryCol: String, idCol: String,
               rankCol: String, k: Int, c: Int = 60): DataFrame = {
     require(runs.nonEmpty && k > 0 && c >= 0)
+    // out-of-contract rows (rank < 1 — no retriever emits them) DROP
+    // instead of null-dividing at rank = −c and carrying a null score
+    // into the ranking
     val tagged = runs.map(_.select(col(queryCol).as("__q"),
-      col(idCol).as("__id"), col(rankCol).cast("long").as("__r")))
+      col(idCol).as("__id"), col(rankCol).cast("long").as("__r"))
+      .filter(col("__r") >= 1L))
     val fused = tagged.reduce(_ unionByName _)
       .groupBy(col("__q"), col("__id"))
       .agg(count(lit(1)).as("n_runs"),

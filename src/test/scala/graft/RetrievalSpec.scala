@@ -441,5 +441,12 @@ class RetrievalSpec extends SparkTestBase {
         k = 1, c = 60)
       .select($"query_id", $"doc_id").as[(Long, Long)].collect().toSet
     assert(cut == Set((1L, 10L), (2L, 99L)))
+    // out-of-contract ranks (< 1) drop instead of null-dividing at −c
+    val dirty = Seq((1L, 77L, 0), (1L, 78L, -60)).toDF("query_id", "doc_id", "rank")
+    val hardened = Retrieval.rrfFuse(Seq(lex, dense, dirty), "query_id",
+        "doc_id", "rank", k = 10, c = 60)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(!hardened.contains(77L) && !hardened.contains(78L),
+      s"rank<1 rows must drop, got $hardened")
   }
 }
