@@ -493,4 +493,52 @@ object Dedup {
       .filter(jac >= threshold)
       .select(col("d1"), col("d2"), round(jac, 6).as("jaccard"))
   }
+
+  /** Edit-distance self-join over a short key column — the entity-
+    * resolution / fuzzy-match primitive (near-identical titles, names,
+    * normalized URLs, OCR'd codes) the token-level near-dup family
+    * cannot express: PassJoin (Li, Deng & Feng 2011) partition blocking
+    * via the native [[graft.functions.PassJoinKeys]] generator (every
+    * true pair collides on ≥ 1 segment key — pigeonhole, NO false
+    * negatives, spec-pinned against brute force), an equi-join on the
+    * encoded keys, one distinct over the candidate pairs, and an exact
+    * banded-Levenshtein verify (`levenshtein(a, b, threshold)` — O(d·n)
+    * per candidate, not O(n²)) that kills every false candidate, so the
+    * OUTPUT contract is exactly "all unordered pairs with
+    * lev(key_a, key_b) ≤ d" regardless of blocking internals — which is
+    * why the oracle replays the naive quadratic definition while this
+    * runs the blocked plan.
+    *
+    * Scale shape: each row emits O(d²) index/probe keys (constant), the
+    * join shuffles (key, id, short-string) rows only, candidates are
+    * pigeonhole-bounded; like LSH hot buckets, a degenerate key
+    * distribution (mass-identical keys) fans out quadratically WITHIN
+    * the colliding group — pre-collapse exact duplicates via
+    * [[exactDedup]]/[[buildExactIndex]] when keys repeat heavily.
+    *
+    * Returns (id_a < id_b, key_a, key_b, dist ≤ maxDist).
+    */
+  def editDistancePairs(df: DataFrame, idCol: String, keyCol: String,
+                        maxDist: Int): DataFrame = {
+    require(maxDist >= 1, "maxDist >= 1 (use exactDedup for distance 0)")
+    val base = df.select(col(idCol).as("id"), col(keyCol).as("k"))
+      .filter(col("k").isNotNull)
+    val idx = base.select(col("id"), col("k"),
+      explode(graft.functions.PassJoinKeys.pass_join_index(col("k"), maxDist))
+        .as("bk"))
+    val prb = base.select(col("id").as("pid"), col("k").as("pk"),
+      explode(graft.functions.PassJoinKeys.pass_join_probe(col("k"), maxDist))
+        .as("bk"))
+    idx.join(prb, "bk")
+      .filter(col("id") =!= col("pid"))
+      .select(
+        when(col("id") < col("pid"), col("id")).otherwise(col("pid")).as("id_a"),
+        when(col("id") < col("pid"), col("pid")).otherwise(col("id")).as("id_b"),
+        when(col("id") < col("pid"), col("k")).otherwise(col("pk")).as("key_a"),
+        when(col("id") < col("pid"), col("pk")).otherwise(col("k")).as("key_b"))
+      .distinct()
+      .withColumn("dist", levenshtein(col("key_a"), col("key_b"), maxDist))
+      .filter(col("dist") =!= -1)
+      .select(col("id_a"), col("id_b"), col("key_a"), col("key_b"), col("dist"))
+  }
 }

@@ -167,6 +167,23 @@ object CurationOps {
       .orderBy($"user_id", $"session_id")
   }
 
+  /** Edit-distance fuzzy self-join (north-star: entity resolution /
+    * fuzzy key dedup — near-identical titles, names, OCR'd codes): all
+    * unordered doc pairs whose 12-char text prefix sits within
+    * Levenshtein distance 2, found by PassJoin segment blocking (no
+    * false negatives by pigeonhole) + exact banded-Levenshtein verify.
+    * Because the verify is exact, the OUTPUT contract is independent of
+    * the blocking — the oracle replays the naive quadratic definition
+    * while Spark runs the blocked plan. */
+  def qFuzzyPairs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val keyed = Tables.documents(spark, dir)
+      .select($"doc_id", substring($"text", 1, 12).as("k12"))
+    graft.operators.Dedup.editDistancePairs(keyed, "doc_id", "k12", maxDist = 2)
+      .select($"id_a", $"id_b", $"dist")
+      .orderBy($"id_a", $"id_b")
+  }
+
   /** URL-level dedup (north-star: crawl-frontier dedup — the cheapest
     * pass, run before any content hashing). The corpus has no URL column,
     * so a deterministic messy URL is derived per doc — four variants
@@ -387,6 +404,7 @@ object CurationOps {
     "t_boilerplate" -> (qBoilerplate _),
     "q_sessionize" -> (qSessionize _),
     "d_url_dedup" -> (qUrlDedup _),
+    "d_fuzzy_pairs" -> (qFuzzyPairs _),
     "d_chunk_dedup" -> (qChunkDedup _),
     "d_substring_dedup" -> (qSubstringDedup _),
     "d_substring_sampled" -> (qSubstringSampled _),
@@ -666,6 +684,13 @@ object CurationOps {
                   AS total_value_micros,
                 epoch_ms(max(ts)) - epoch_ms(min(ts)) AS duration_ms
          FROM numbered GROUP BY 1, 2 ORDER BY user_id, session_id""",
+    "d_fuzzy_pairs" ->
+      """WITH k AS (SELECT doc_id, substr(text, 1, 12) AS k FROM documents)
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                levenshtein(a.k, b.k) AS dist
+         FROM k a, k b
+         WHERE a.doc_id < b.doc_id AND levenshtein(a.k, b.k) <= 2
+         ORDER BY id_a, id_b""",
     "d_url_dedup" ->
       """WITH b AS (
            SELECT doc_id,

@@ -552,6 +552,39 @@ class CurationSpec extends SparkTestBase {
     exact.unpersist(); vecs.unpersist()
   }
 
+  test("editDistancePairs ≡ brute force on adversarial short strings (incl. empty, length gaps)") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    // small alphabet + short lengths force dense near-pairs across every
+    // edge: empty strings, strings shorter than d+1 (empty segments),
+    // length differences 0..d, and far pairs that blocking may or may
+    // not candidate but the verify must reject
+    val rnd = new scala.util.Random(41)
+    val strs = (0L until 120L).map { i =>
+      val len = rnd.nextInt(11) // 0..10
+      (i, (0 until len).map(_ => ('a' + rnd.nextInt(3)).toChar).mkString)
+    }
+    val df = strs.toDF("doc_id", "k")
+    val got = Dedup.editDistancePairs(df, "doc_id", "k", maxDist = 2)
+      .select($"id_a", $"id_b", $"dist").as[(Long, Long, Int)].collect().toSet
+    // reference: quadratic Levenshtein over the driver-side fixture
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0
+      }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val expected = (for {
+      (ia, ka) <- strs; (ib, kb) <- strs if ia < ib
+      dd = lev(ka, kb) if dd <= 2
+    } yield (ia, ib, dd)).toSet
+    assert(got == expected,
+      s"missing=${(expected -- got).take(5)} extra=${(got -- expected).take(5)}")
+  }
+
   test("clusterOutliers: the planted stray ranks first in its cell; zero-norm drops; scoring shuffle-free") {
     import spark.implicits._
     import graft.operators.Similarity
