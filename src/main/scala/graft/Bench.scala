@@ -69,6 +69,9 @@ object Bench {
     "sim_ivfpq_res_topk",
     "sim_hybrid_rrf",
     "sim_mmr_select",
+    "sim_outliers",
+    "t_fertility",
+    "d_fuzzy_pairs",
     "env_roundtrip")
 
   /** Committed reference times measured warm on an IDLE bench machine:

@@ -21,7 +21,8 @@ object ExplainAudit {
         "q_distinct_users", "sim_jl_project", "sim_jl_topk", "t_chunk_overlap",
         "d_incr_exact", "d_incr_lsh", "d_representatives", "t_linear_score",
         "q_skew_stats", "q_salted_join", "sim_mean_pool", "t_corpus_profile",
-        "sim_drift", "sim_ivfpq_res_topk", "sim_hybrid_rrf", "sim_mmr_select")
+        "sim_drift", "sim_ivfpq_res_topk", "sim_hybrid_rrf", "sim_mmr_select",
+        "sim_outliers", "t_fertility", "d_fuzzy_pairs")
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.ui.enabled", "false").getOrCreate()
