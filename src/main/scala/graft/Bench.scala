@@ -553,7 +553,7 @@ object Bench {
     // small for this to show in sim_pq_topk (2k vectors — codebook
     // TRAINING dominates there), so this measures the per-pair scoring
     // rate at a production shape: m=8 subspaces, ksub=64 centroids,
-    // 1M synthetic candidate pairs. Identical results, spec-pinned
+    // 8M synthetic candidate pairs. Identical results, spec-pinned
     // (FunctionsSpec parity sweep).
     val ((adcHofPairsPerSec, adcHofSpreadPct),
          (adcExprPairsPerSec, adcExprSpreadPct)) =

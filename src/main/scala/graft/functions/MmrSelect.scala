@@ -33,8 +33,10 @@ import org.apache.spark.sql.types._
   *
   * Degenerate candidates DROP before selection (never silently rank):
   * a null id/rel/vector entry, a vector whose length disagrees with the
-  * first valid candidate's, a null vector element, or a zero-norm
-  * vector (cosine undefined). Mismatched top-level array lengths or a
+  * first valid candidate's, a null vector element, a zero-norm
+  * vector (cosine undefined), or a |rel_ppm| beyond the documented
+  * 10¹² bound (λ_ppm·rel would overflow i64 and silently corrupt the
+  * argmax). Mismatched top-level array lengths or a
   * null input array yield null. Selection is input-order independent
   * (argmax + id tie-break), so the unordered `collect_list` feeding it
   * needs no sort.
@@ -99,7 +101,9 @@ case class MmrSelect(first: Expression, second: Expression, third: Expression,
     var dim = -1
     var i = 0
     while (i < k0) {
-      if (!ids.isNullAt(i) && !rels.isNullAt(i) && !vecs.isNullAt(i)) {
+      if (!ids.isNullAt(i) && !rels.isNullAt(i) && !vecs.isNullAt(i) &&
+          rels.getLong(i) >= -MmrSelect.MaxRelPpm &&
+          rels.getLong(i) <= MmrSelect.MaxRelPpm) {
         val va = vecs.getArray(i)
         val d = va.numElements()
         if (dim == -1 || d == dim) {
@@ -138,7 +142,12 @@ case class MmrSelect(first: Expression, second: Expression, third: Expression,
         if (!chosen(c)) {
           val simTerm = if (maxSim(c) == Long.MinValue) 0L else maxSim(c)
           val score = lambdaPpm * rel(c) - (1000000L - lambdaPpm) * simTerm
-          if (score > bestScore || (score == bestScore && vid(c) < vid(best))) {
+          // `best < 0` first: the very first candidate always seeds the
+          // argmax, so the vid(best) tie-break can never index -1 (a
+          // score of exactly Long.MinValue would otherwise tie the
+          // sentinel bestScore before any pick exists)
+          if (best < 0 || score > bestScore ||
+              (score == bestScore && vid(c) < vid(best))) {
             best = c
             bestScore = score
           }
@@ -178,6 +187,10 @@ case class MmrSelect(first: Expression, second: Expression, third: Expression,
 }
 
 object MmrSelect {
+  /** The documented |rel_ppm| contract bound: beyond this,
+    * λ_ppm·rel_ppm can exceed i64 (1e6·1e12 < 2⁶³ < 1e6·1e13). */
+  val MaxRelPpm: Long = 1000000000000L
+
   /** `mmr_select(ids, rel_ppm, vecs, n, λ_ppm)`: the ids of the n
     * greedy MMR picks, in selection order. */
   def mmr_select(ids: Column, relPpm: Column, vecs: Column,

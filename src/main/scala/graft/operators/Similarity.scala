@@ -769,13 +769,22 @@ object Similarity {
   def mmrSelect(cands: DataFrame, queryCol: String, idCol: String,
                 relCol: String, vecCol: String, n: Int,
                 lambdaPpm: Long): DataFrame = {
+    // ONE collect_list of a struct, then a positional unzip — never
+    // three parallel collect_lists: collect_list silently skips null
+    // INPUTS, so independent per-column collects would misalign the
+    // three arrays whenever any single column is null (pairing id[j]
+    // with the wrong rel/vec). A struct row with null fields is itself
+    // non-null, so every candidate survives the collect, and
+    // `transform` preserves nulls positionally — the expression's
+    // per-candidate degenerate-drop then fires as documented.
     val packed = cands.groupBy(col(queryCol))
-      .agg(collect_list(col(idCol).cast("long")).as("__ids"),
-        collect_list(col(relCol).cast("long")).as("__rels"),
-        collect_list(col(vecCol)).as("__vecs"))
+      .agg(collect_list(struct(col(idCol).cast("long").as("i"),
+        col(relCol).cast("long").as("r"), col(vecCol).as("v"))).as("__cand"))
       .select(col(queryCol),
-        graft.functions.MmrSelect.mmr_select(col("__ids"), col("__rels"),
-          col("__vecs"), n, lambdaPpm).as("__sel"))
+        graft.functions.MmrSelect.mmr_select(
+          expr("transform(__cand, c -> c.i)"),
+          expr("transform(__cand, c -> c.r)"),
+          expr("transform(__cand, c -> c.v)"), n, lambdaPpm).as("__sel"))
     packed
       .select(col(queryCol), posexplode(col("__sel")).as(Seq("__pos", idCol)))
       .select(col(queryCol), (col("__pos") + 1).cast("int").as("sel_rank"),

@@ -45,11 +45,19 @@ object StreamingDrift {
           roundTo).as("drift_cos"))
 
   /** The alert cut over a [[driftVsProfile]] frame: batch-present strata
-    * that are unknown to the profile (n_ref = 0) or whose centroid
-    * drifted below `cosFloor`. */
+    * that are unknown to the profile (n_ref = 0), whose centroid drifted
+    * below `cosFloor`, or — critically — whose comparison is UNDEFINED
+    * while both sides are present: a null drift_cos there means the
+    * batch centroid's length disagrees with the reference (an encoder
+    * silently swapped to a different embedding dim — the monitor's
+    * flagship scenario) and NaN means a zero-norm centroid (a feed gone
+    * all-zeros). Both would evaluate `drift_cos < cosFloor` to
+    * null/false and slip through a naive floor check. */
   def alerts(drift: DataFrame, cosFloor: Double): DataFrame =
     drift.filter(col("n_batch") > 0 &&
-      (col("n_ref") === 0L || col("drift_cos") < cosFloor))
+      (col("n_ref") === 0L || col("drift_cos") < cosFloor ||
+        (col("n_ref") > 0L &&
+          (col("drift_cos").isNull || isnan(col("drift_cos"))))))
 
   /** Start the monitor: per micro-batch, `stream` (strataCol, v)
     * aggregates to its per-stratum profile, compares against the stored

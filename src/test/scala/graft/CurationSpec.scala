@@ -655,6 +655,31 @@ class CurationSpec extends SparkTestBase {
       .withColumn("v", $"v".cast("array<double>")))
     assert(run(dirty, 3, 700000L) == Seq((1, 10L), (2, 30L), (3, 20L)),
       "degenerate candidates must not alter the selection")
+    // a candidate with ONE null column drops as a unit — it must not
+    // misalign the packed arrays (three parallel collect_lists would
+    // silently skip the null in just that column, pairing ids with the
+    // wrong rel/vec; the struct-pack keeps rows positional)
+    val nullRel = dirty.unionByName(Seq(
+      (1L, 70L, 0L, Seq(0.7, 0.7, 0.0, 0.0)))
+      .toDF("probe_id", "vec_id", "rel_ppm", "v")
+      .withColumn("v", $"v".cast("array<double>"))
+      .withColumn("rel_ppm", org.apache.spark.sql.functions.lit(null).cast("long")))
+    assert(run(nullRel, 3, 700000L) == Seq((1, 10L), (2, 30L), (3, 20L)),
+      "a null-rel candidate must drop as a whole row, not shift arrays")
+    val nullVec = dirty.unionByName(Seq(
+      (1L, 71L, 999000L, Seq(0.7, 0.7, 0.0, 0.0)))
+      .toDF("probe_id", "vec_id", "rel_ppm", "v")
+      .withColumn("v", org.apache.spark.sql.functions.lit(null).cast("array<double>")))
+    assert(run(nullVec, 3, 700000L) == Seq((1, 10L), (2, 30L), (3, 20L)),
+      "a null-vec candidate must drop as a whole row, not shift arrays")
+    // |rel_ppm| beyond the 1e12 contract bound drops instead of
+    // overflowing λ·rel and corrupting the argmax (or the tie-break)
+    val hugeRel = dirty.unionByName(Seq(
+      (1L, 72L, 4000000000000000000L, Seq(0.0, 0.7, 0.7, 0.0)))
+      .toDF("probe_id", "vec_id", "rel_ppm", "v")
+      .withColumn("v", $"v".cast("array<double>")))
+    assert(run(hugeRel, 3, 700000L) == Seq((1, 10L), (2, 30L), (3, 20L)),
+      "an out-of-contract rel_ppm must drop, not overflow the score")
     // selection is input-order independent: reversed candidate order
     // yields the identical picks (argmax + lower-id ties, no positional
     // dependence) — the unordered collect_list needs no sort

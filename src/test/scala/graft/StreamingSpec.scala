@@ -695,6 +695,18 @@ class StreamingSpec extends SparkTestBase {
     assert(hit == Set("b", "c"), s"got $hit")
     // a profile stratum absent from the batch must NOT alert
     assert(!hit.contains("a"))
+    // undefined comparisons with both sides present MUST alert — these
+    // are the flagship corruption modes and `drift_cos < floor` alone
+    // evaluates null/false on them: "a" swapped to a different embedding
+    // dim (drift_cos null), "b" gone all-zeros (zero-norm centroid → NaN)
+    val corrupt = Seq(
+      ("a", Seq(1.0, 0.1, 0.0, 0.0)),   // 4-dim vs the 3-dim reference
+      ("b", Seq(0.0, 0.0, 0.0))).toDF("label", "v")
+    val corruptHit = StreamingDrift.alerts(
+      StreamingDrift.driftVsProfile(profile, corrupt, "label"), cosFloor = 0.5)
+      .select($"label").as[String].collect().toSet
+    assert(corruptHit == Set("a", "b"),
+      s"dim-swap and zero-norm strata must alert, got $corruptHit")
     // the stream: same batches through foreachBatch, alerts land per
     // batch_id partition
     val dir = java.nio.file.Files.createTempDirectory("drift").toString
