@@ -700,6 +700,152 @@ object Similarity {
     topKPerProbeBy(scored, k, col("adist"), ascending = true)
   }
 
+  // ──────────────── OPQ: optimized product quantization ────────────────
+
+  /** Apply a fixed linear map to an embedding column in place — one
+    * shuffle-free [[graft.functions.MatVec]] projection (the rotation
+    * rides the plan as a literal, exactly like [[jlProject]]'s random
+    * matrix), so rotating before a PQ encode keeps the index build a
+    * single pass with no Exchange and no join. `roundTo = 6` pins the
+    * rotated values to the cross-engine decimal contract for
+    * oracle-gated paths; the default emits raw doubles. */
+  def rotate(df: DataFrame, vecCol: String, r: Array[Array[Double]],
+             roundTo: Int = graft.functions.MatVec.NoRounding): DataFrame =
+    df.withColumn(vecCol, graft.functions.MatVec.mat_vec(col(vecCol), r, roundTo))
+
+  /** The scaled Sylvester–Hadamard rotation H_d/√d — a fixed structured
+    * orthogonal matrix (the rotation family of cross-polytope LSH and
+    * structured-projection ANN) that mixes every input dim into every PQ
+    * subspace. For d a power of 4 the scale 1/√d is a power of two, so
+    * every entry (±1/√d) and every per-term product against it is
+    * exactly representable — the bit-deterministic rotation the
+    * sim_opq_topk oracle replays literal for literal. */
+  def hadamardRotation(d: Int): Array[Array[Double]] = {
+    require(d > 0 && (d & (d - 1)) == 0, s"Hadamard order must be a power of two, got $d")
+    var h = Array(Array(1.0))
+    while (h.length < d) {
+      val n = h.length
+      val nh = Array.ofDim[Double](2 * n, 2 * n)
+      var i = 0
+      while (i < n) {
+        var j = 0
+        while (j < n) {
+          nh(i)(j) = h(i)(j); nh(i)(j + n) = h(i)(j)
+          nh(i + n)(j) = h(i)(j); nh(i + n)(j + n) = -h(i)(j)
+          j += 1
+        }
+        i += 1
+      }
+      h = nh
+    }
+    val s = 1.0 / math.sqrt(d.toDouble)
+    h.map(_.map(_ * s))
+  }
+
+  /** OPQ-NP trainer (Ge, He, Ke & Sun, CVPR 2013 "Optimized Product
+    * Quantization", the non-parametric alternation of §4): learn an
+    * orthogonal rotation R so the PQ codebooks quantize R·x instead of
+    * x, minimizing total quantization distortion ‖R·x − q(R·x)‖² — the
+    * fix for subspace-imbalanced / correlated embedding dims, where the
+    * identity split wastes whole codebooks on low-variance subspaces.
+    * Alternation per round, all on the TRAINING SAMPLE only:
+    *  1. codebooks ← [[pqFit]] on the rotated sample (the spec-pinned
+    *     deterministic Lloyd loop — only the input vectors change);
+    *  2. Y ← sub-centroid reconstruction of each rotated sample vector
+    *     (one shuffle-free projection: native L2Argmin per subspace +
+    *     codebook map literals);
+    *  3. R ← the orthogonal Procrustes solution of min ‖X·Rᵀ − Y‖_F:
+    *     with UΣVᵀ = svd(XᵀY), R = (U·Vᵀ)ᵀ — XᵀY is a d×d Gram frame
+    *     (driver-sized at ANY corpus scale) reduced distributively,
+    *     SVD'd on the driver via breeze/LAPACK.
+    * opqIters = 0 degenerates to exactly [[pqFit]] with R = I
+    * (spec-pinned). The rotation is returned as a plain matrix that
+    * [[rotate]]/[[opqEncode]]/[[opqTopK]] apply as a MatVec literal, so
+    * the full-corpus index build stays ONE shuffle-free projection —
+    * training cost never touches the corpus.
+    *
+    * Scale shape: each round is pqFit's m·iters sample scans + one
+    * sample scan for Y + the (i, j)-keyed Gram reduction (map-side
+    * combined; n_sample·d² terms — bounded by the sample contract, never
+    * the corpus). The SVD is d×d on the driver (64×64 here).
+    *
+    * Returns (R row-major — out_j = Σ_i R(j)(i)·x(i) — and the codebooks
+    * trained in the rotated space, (sub, cluster, c) like [[pqFit]]).
+    */
+  def opqFit(sample: DataFrame, m: Int, subDim: Int, ksub: Int,
+             pqIters: Int, opqIters: Int): (Array[Array[Double]], DataFrame) = {
+    val d = m * subDim
+    // the sample is re-scanned every round — pin it once
+    val pinned = sample.select(col("vec_id"), col("v"))
+      .filter(size(col("v")) === d).localCheckpoint()
+    var r = Array.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0)
+    var cbs = pqFit(pinned, m, subDim, ksub, pqIters)
+    for (_ <- 0 until opqIters) {
+      val cbMap = collectCodebooks(cbs)
+      // x = the ORIGINAL vector, y = its reconstruction in rotated space
+      val xy = pinned.select(col("v").as("x"),
+        graft.functions.MatVec.mat_vec(col("v"), r).as("rv"))
+        .select(col("x"), flatten(array((0 until m).map { j =>
+          val cs = cbMap(j)
+          val centMap = map(cs.flatMap { case (id, c) =>
+            Seq(lit(id), typedLit(c)) }.toIndexedSeq: _*)
+          element_at(centMap, graft.functions.L2Argmin.l2_argmin(col("rv"),
+            cs.map(_._1), cs.map(_._2.toArray), j * subDim))
+        }.toIndexedSeq: _*)).as("y"))
+        .filter(col("y").isNotNull && size(col("y")) === d)
+      // Gram frame XᵀY: d² cells, reduced with map-side partial agg
+      val cells = xy
+        .select(posexplode(col("x")).as(Seq("i", "xi")), col("y"))
+        .select(col("i"), col("xi"), posexplode(col("y")).as(Seq("j", "yj")))
+        .groupBy(col("i"), col("j")).agg(sum(col("xi") * col("yj")).as("mij"))
+        .collect()
+      val g = breeze.linalg.DenseMatrix.zeros[Double](d, d)
+      cells.foreach(row => g(row.getInt(0), row.getInt(1)) = row.getDouble(2))
+      val sv = breeze.linalg.svd(g)
+      val omega = sv.U * sv.Vt // the polar factor = Procrustes argmin
+      r = Array.tabulate(d, d)((j, i) => omega(i, j))
+      cbs = pqFit(rotate(pinned, "v", r), m, subDim, ksub, pqIters)
+    }
+    (r, cbs)
+  }
+
+  /** PQ-encode in the rotated space: ONE shuffle-free projection — the
+    * MatVec rotation and the per-subspace native argmins collapse into a
+    * single corpus pass (same storage contract as [[pqEncode]]). */
+  def opqEncode(vectors: DataFrame, rot: Array[Array[Double]],
+                codebooks: DataFrame, m: Int, subDim: Int,
+                roundTo: Int = graft.functions.MatVec.NoRounding): DataFrame =
+    pqEncode(rotate(vectors, "v", rot, roundTo), codebooks, m, subDim)
+
+  /** ADC search in the rotated space: probes rotate through the same
+    * matrix (rotation is orthogonal, so rotated-space L2 ≡ original-space
+    * L2 and the ranking contract carries over), then exactly [[pqTopK]].
+    */
+  def opqTopK(encoded: DataFrame, probes: DataFrame, rot: Array[Array[Double]],
+              codebooks: DataFrame, k: Int, m: Int, subDim: Int,
+              roundTo: Int = graft.functions.MatVec.NoRounding): DataFrame =
+    pqTopK(encoded, rotate(probes, "p", rot, roundTo), codebooks, k, m, subDim)
+
+  /** Mean squared quantization distortion E‖v − q(v)‖² of a codebook
+    * over a vector frame — the objective OPQ minimizes; published in the
+    * bench next to the recall pairs so the rotation's effect is visible
+    * even where recall is code-capacity-bound. One aggregation pass. */
+  def pqDistortion(vectors: DataFrame, codebooks: DataFrame,
+                   m: Int, subDim: Int): Double = {
+    val cbMap = collectCodebooks(codebooks)
+    val recon = flatten(array((0 until m).map { j =>
+      val cs = cbMap(j)
+      val centMap = map(cs.flatMap { case (id, c) =>
+        Seq(lit(id), typedLit(c)) }.toIndexedSeq: _*)
+      element_at(centMap, graft.functions.L2Argmin.l2_argmin(col("v"),
+        cs.map(_._1), cs.map(_._2.toArray), j * subDim))
+    }.toIndexedSeq: _*))
+    vectors.filter(size(col("v")) === m * subDim)
+      .select(aggregate(zip_with(col("v"), recon,
+        (a, b) => (a - b) * (a - b)), lit(0.0), _ + _).as("e2"))
+      .agg(avg(col("e2"))).head.getDouble(0)
+  }
+
   /** Embedding-quality audit: the k LEAST-similar members of each
     * k-means cell, ranked by ascending cosine to their own centroid —
     * the curation review list for corrupt embeddings, mislabeled items

@@ -552,6 +552,73 @@ class CurationSpec extends SparkTestBase {
     exact.unpersist(); vecs.unpersist()
   }
 
+  test("OPQ: trained rotation is orthogonal, cuts distortion, lifts recall on anisotropic data; opqIters=0 ≡ pqFit") {
+    import spark.implicits._
+    import graft.operators.Similarity
+    // Anisotropic fixture — exponentially decaying per-dim variance, the
+    // spectrum shape real embeddings have and the case OPQ exists for:
+    // under the identity split subspace 0 holds nearly all the energy,
+    // so three of four codebooks quantize noise. Row-normalized so the
+    // exact-cosine neighborhood and the ADC L2 ranking agree in kind.
+    val rnd = new scala.util.Random(23)
+    val m = 4; val subDim = 4; val d = m * subDim
+    val vecs = (0L until 600L).map { i =>
+      val raw = (0 until d).map(j => rnd.nextGaussian() * math.exp(-j / 3.0))
+      val nrm = math.sqrt(raw.map(x => x * x).sum)
+      (i, raw.map(_ / nrm))
+    }.toDF("vec_id", "v").cache()
+    val sample = vecs.filter($"vec_id" % 2 === 0)
+    // opqIters = 0 degenerates to exactly pqFit with R = I
+    val (r0, cb0) = Similarity.opqFit(sample, m, subDim, ksub = 8,
+      pqIters = 2, opqIters = 0)
+    assert((0 until d).forall(i => (0 until d).forall(j =>
+      r0(i)(j) == (if (i == j) 1.0 else 0.0))), "opqIters=0 must return I")
+    val plainCb = Similarity.pqFit(sample, m, subDim, ksub = 8, iters = 2)
+    assert(cb0.orderBy($"sub", $"cluster").collect().toSeq ==
+      plainCb.orderBy($"sub", $"cluster").collect().toSeq,
+      "opqIters=0 codebooks must equal pqFit's")
+    // trained rotation: orthogonal to float tolerance
+    val (r, cb) = Similarity.opqFit(sample, m, subDim, ksub = 8,
+      pqIters = 2, opqIters = 6)
+    val rtr = Array.tabulate(d, d)((i, j) =>
+      (0 until d).map(t => r(t)(i) * r(t)(j)).sum)
+    assert((0 until d).forall(i => (0 until d).forall(j =>
+      math.abs(rtr(i)(j) - (if (i == j) 1.0 else 0.0)) < 1e-9)),
+      "trained rotation must be orthogonal (RᵀR = I)")
+    // the objective OPQ minimizes must actually drop
+    val dist0 = Similarity.pqDistortion(vecs, cb0, m, subDim)
+    val distR = Similarity.pqDistortion(Similarity.rotate(vecs, "v", r),
+      cb, m, subDim)
+    info(f"distortion: PQ $dist0%.5f OPQ $distR%.5f")
+    assert(distR < 0.8 * dist0,
+      s"OPQ distortion $distR must undercut plain PQ $dist0 by >20%")
+    // and the raw-ADC recall must rise materially on this spectrum
+    val probes = vecs.filter($"vec_id" < 8)
+      .select($"vec_id".as("probe_id"), $"v".as("p"))
+    val k = 10
+    val exact = Similarity.bruteForceTopK(vecs, probes, k).cache()
+    exact.count()
+    val pqR = Similarity.recallAtK(
+      Similarity.pqTopK(Similarity.pqEncode(vecs, cb0, m, subDim),
+        probes, cb0, k, m, subDim), exact, k)
+    val opqR = Similarity.recallAtK(
+      Similarity.opqTopK(Similarity.opqEncode(vecs, r, cb, m, subDim),
+        probes, r, cb, k, m, subDim), exact, k)
+    info(f"recall@10: PQ $pqR%.2f OPQ $opqR%.2f")
+    assert(opqR >= pqR + 0.1,
+      s"OPQ raw-ADC recall $opqR must beat plain PQ $pqR by >= 0.1")
+    // the fixed structured rotation the oracle replays: orthogonal with
+    // exactly-representable ±1/√d entries at d a power of 4
+    val h = Similarity.hadamardRotation(16)
+    assert(h.flatten.forall(x => x == 0.25 || x == -0.25))
+    val hth = Array.tabulate(16, 16)((i, j) =>
+      (0 until 16).map(t => h(t)(i) * h(t)(j)).sum)
+    assert((0 until 16).forall(i => (0 until 16).forall(j =>
+      hth(i)(j) == (if (i == j) 1.0 else 0.0))),
+      "H/√d must be exactly orthogonal")
+    exact.unpersist(); vecs.unpersist()
+  }
+
   test("editDistancePairs ≡ brute force on adversarial short strings (incl. empty, length gaps)") {
     import spark.implicits._
     import graft.operators.Dedup
