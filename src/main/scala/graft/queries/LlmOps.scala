@@ -341,6 +341,38 @@ object LlmOps {
       .orderBy($"probe_id", $"rank")
   }
 
+  /** OPQ search end to end (Ge et al. 2013: PQ over a rotated space —
+    * the rotation mixes every input dim into every subspace before the
+    * codebooks quantize): corpus sliced to 16 dims, rotated through the
+    * fixed Sylvester–Hadamard H₁₆/4 (entries ±0.25, exactly
+    * representable — bit-deterministic across engines, so the oracle
+    * replays the rotation literal for literal), codebooks trained on the
+    * rotated quarter sample, full corpus encoded in ONE shuffle-free
+    * rotate+argmin projection, probes rotated through the same matrix,
+    * ADC top-3. The TRAINED rotation (the SVD Procrustes alternation of
+    * `Similarity.opqFit`) is not SQL-expressible and is spec-gated in
+    * CurationSpec (orthogonality, distortion drop, recall lift); this
+    * row gates the full rotated search pipeline those rotations ride. */
+  def qOpqTopK(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val vecs = Tables.embeddings(spark, dir)
+      .select($"vec_id",
+        expr("slice(CAST(embedding AS array<double>), 1, 16)").as("v")).cache()
+    val rot = graft.operators.Similarity.hadamardRotation(16)
+    val cb = graft.operators.Similarity.pqFit(
+      graft.operators.Similarity.rotate(
+        vecs.filter($"vec_id" % 4 === 0), "v", rot, roundTo = 6),
+      m = 4, subDim = 4, ksub = 8, iters = 2)
+    val enc = graft.operators.Similarity.opqEncode(vecs, rot, cb,
+      m = 4, subDim = 4, roundTo = 6)
+    val probes = vecs.filter($"vec_id" < 5)
+      .select($"vec_id".as("probe_id"), $"v".as("p"))
+    graft.operators.Similarity.opqTopK(enc, probes, rot, cb,
+      k = 3, m = 4, subDim = 4, roundTo = 6)
+      .select($"probe_id", $"vec_id", $"adist", $"rank")
+      .orderBy($"probe_id", $"rank")
+  }
+
   /** Two-stage PQ retrieval (north-star: the ANN shape that actually
     * ships at 100 TB): ADC fetches 50 candidates per probe in the
     * compressed code domain, then only those 50 join back to the full
@@ -772,6 +804,7 @@ object LlmOps {
     "sim_ivf_topk" -> (qIvfTopK _),
     "sim_ivf_sample" -> (qIvfSampleTopK _),
     "sim_pq_topk" -> (qPqTopK _),
+    "sim_opq_topk" -> (qOpqTopK _),
     "sim_pq_rerank" -> (qPqRerank _),
     "sim_ivfpq_topk" -> (qIvfPqTopK _),
     "sim_ivfpq_res_topk" -> (qIvfPqResTopK _),
@@ -867,6 +900,65 @@ object LlmOps {
             FROM enc JOIN ptab t ON enc.sub = t.sub AND enc.code = t.cluster
             WHERE enc.vec_id <> t.pid
             GROUP BY 1, 2)"""
+
+  /** The OPQ oracle chain: 16-dim slice → fixed Hadamard rotation
+    * (literals generated from the SAME `Similarity.hadamardRotation(16)`
+    * array the query uses — entries ±0.25 are exactly representable and
+    * the explicit left-associated sum replays MatVec's ascending-index
+    * accumulation bit for bit) → the sim_pq_topk Lloyd/encode/ADC
+    * machinery at subDim = 4 over the rotated space. */
+  private val opqAdcCtes: String = {
+    val rot = graft.operators.Similarity.hadamardRotation(16)
+    val rotatedList = (0 until 16).map { j =>
+      val terms = (0 until 16).map(i => s"e[${i + 1}]*(${rot(j)(i)})")
+        .mkString(" + ")
+      s"round($terms, 6)"
+    }.mkString(",\n                   ")
+    s"""ov AS (SELECT vec_id,
+                   [$rotatedList] AS e
+            FROM (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)),
+          os AS (SELECT * FROM ov WHERE vec_id % 4 = 0),
+          oseeds AS (SELECT vec_id, e FROM os ORDER BY vec_id LIMIT 8),
+          oc0 AS (
+            SELECT t.sub,
+                   row_number() OVER (PARTITION BY t.sub ORDER BY oseeds.vec_id) - 1 AS cluster,
+                   [oseeds.e[t.sub * 4 + i] for i in range(1, 5)] AS cv
+            FROM oseeds, range(0, 4) t(sub)),
+          oa1 AS (
+            SELECT sub, vec_id, e, cluster FROM (
+              SELECT oc0.sub, os.vec_id, os.e, oc0.cluster,
+                     row_number() OVER (PARTITION BY oc0.sub, os.vec_id ORDER BY
+                       round(list_sum([(os.e[oc0.sub * 4 + i] - oc0.cv[i]) *
+                                       (os.e[oc0.sub * 4 + i] - oc0.cv[i])
+                                       for i in range(1, 5)]), 6) ASC,
+                       oc0.cluster ASC) AS rn
+              FROM os, oc0) WHERE rn = 1),
+          od1 AS (SELECT sub, cluster, i, round(avg(e[sub * 4 + i]), 6) AS mn
+                 FROM oa1, range(1, 5) t(i) GROUP BY 1, 2, 3),
+          oc1 AS (SELECT sub, cluster, list(mn ORDER BY i) AS cv
+                 FROM od1 GROUP BY 1, 2),
+          oenc AS (
+            SELECT sub, vec_id, cluster AS code FROM (
+              SELECT oc1.sub, ov.vec_id, oc1.cluster,
+                     row_number() OVER (PARTITION BY oc1.sub, ov.vec_id ORDER BY
+                       round(list_sum([(ov.e[oc1.sub * 4 + i] - oc1.cv[i]) *
+                                       (ov.e[oc1.sub * 4 + i] - oc1.cv[i])
+                                       for i in range(1, 5)]), 6) ASC,
+                       oc1.cluster ASC) AS rn
+              FROM ov, oc1) WHERE rn = 1),
+          oprobes AS (SELECT vec_id AS pid, e AS p FROM ov WHERE vec_id < 5),
+          optab AS (
+            SELECT pid, sub, cluster,
+                   round(list_sum([(p[sub * 4 + i] - cv[i]) *
+                                   (p[sub * 4 + i] - cv[i])
+                                   for i in range(1, 5)]), 6) AS d
+            FROM oprobes, oc1),
+          oapprox AS (
+            SELECT t.pid AS probe_id, oenc.vec_id, round(sum(t.d), 6) AS adist
+            FROM oenc JOIN optab t ON oenc.sub = t.sub AND oenc.code = t.cluster
+            WHERE oenc.vec_id <> t.pid
+            GROUP BY 1, 2)"""
+  }
 
   /** The coarse (kc-prefixed, sample-trained) k-means + full-corpus
     * assignment + nprobe=2 routing CTE chain appended to the PQ encode
@@ -1537,6 +1629,15 @@ object LlmOps {
                    row_number() OVER (PARTITION BY probe_id
                                       ORDER BY adist ASC, vec_id ASC) AS rank
             FROM approx)
+          SELECT probe_id, vec_id, adist, rank
+          FROM ranked WHERE rank <= 3
+          ORDER BY probe_id, rank""",
+    "sim_opq_topk" -> s"""WITH $opqAdcCtes,
+          ranked AS (
+            SELECT probe_id, vec_id, adist,
+                   row_number() OVER (PARTITION BY probe_id
+                                      ORDER BY adist ASC, vec_id ASC) AS rank
+            FROM oapprox)
           SELECT probe_id, vec_id, adist, rank
           FROM ranked WHERE rank <= 3
           ORDER BY probe_id, rank""",
