@@ -549,6 +549,18 @@ class CurationSpec extends SparkTestBase {
         probes, vecs, k), exact, k)
     assert(resRerankR >= 0.9,
       s"residual ivfpq rerank recall@10 $resRerankR under its 0.9 floor")
+    // JL dim-HALVING + exact re-rank from an 8×k pool — the shipped
+    // screen shape (the bench's 64→32 dial, here at the fixture's 16→8);
+    // the d16 quartering config stays diagnostic (recall_diag_* in the
+    // bench) and deliberately has no floor
+    val jlHalfRerankR = Similarity.recallAtK(
+      Similarity.rerankExact(
+        Similarity.jlTopK(vecs, probes, inDim = 16, outDim = 8,
+          seed = "r10", k = 8 * k),
+        probes, vecs, k), exact, k)
+    info(f"jl 16->8 rerank recall@10 $jlHalfRerankR%.2f")
+    assert(jlHalfRerankR >= 0.9,
+      s"jl halving rerank recall@10 $jlHalfRerankR under its 0.9 floor")
     exact.unpersist(); vecs.unpersist()
   }
 
