@@ -509,12 +509,19 @@ object Dedup {
     * why the oracle replays the naive quadratic definition while this
     * runs the blocked plan.
     *
-    * Scale shape: each row emits O(d²) index/probe keys (constant), the
-    * join shuffles (key, id, short-string) rows only, candidates are
-    * pigeonhole-bounded; like LSH hot buckets, a degenerate key
-    * distribution (mass-identical keys) fans out quadratically WITHIN
-    * the colliding group — pre-collapse exact duplicates via
-    * [[exactDedup]]/[[buildExactIndex]] when keys repeat heavily.
+    * Scale shape: ALL blocking, candidate dedup, and Levenshtein
+    * verification run in DISTINCT-KEY space — one representative row per
+    * key value — and only the final fan-out joins the (dist ≤ d) key
+    * pairs back to their member ids. This is the hot-key guard: a
+    * mass-identical key distribution (the LSH-hot-bucket analog; every
+    * row the same title) contributes ONE row to the candidate join
+    * instead of fanning out quadratically through the explode/distinct,
+    * and Levenshtein runs once per distinct key pair, never per id pair.
+    * Identical-key groups emit their within-group pairs (dist 0)
+    * directly from a key-equality self-join — output-sized, which is the
+    * floor for an operator whose CONTRACT includes those pairs. Each
+    * distinct key emits O(d²) index/probe keys (constant); the join
+    * shuffles (key, short-string) rows only.
     *
     * Returns (id_a < id_b, key_a, key_b, dist ≤ maxDist).
     */
@@ -523,22 +530,50 @@ object Dedup {
     require(maxDist >= 1, "maxDist >= 1 (use exactDedup for distance 0)")
     val base = df.select(col(idCol).as("id"), col(keyCol).as("k"))
       .filter(col("k").isNotNull)
-    val idx = base.select(col("id"), col("k"),
+    val keyPairs = editDistanceKeyPairs(base.select(col("k")).distinct(), maxDist)
+    // fan the verified key pairs back out to member id pairs; a member
+    // of the lexically-later key may carry the smaller id, so ids AND
+    // keys swap together
+    val cross = keyPairs
+      .join(base.select(col("id").as("ia"), col("k").as("ka")), "ka")
+      .join(base.select(col("id").as("ib"), col("k").as("kb")), "kb")
+      .select(
+        when(col("ia") < col("ib"), col("ia")).otherwise(col("ib")).as("id_a"),
+        when(col("ia") < col("ib"), col("ib")).otherwise(col("ia")).as("id_b"),
+        when(col("ia") < col("ib"), col("ka")).otherwise(col("kb")).as("key_a"),
+        when(col("ia") < col("ib"), col("kb")).otherwise(col("ka")).as("key_b"),
+        col("dist"))
+    val within = base.select(col("id").as("ia"), col("k"))
+      .join(base.select(col("id").as("ib"), col("k")), "k")
+      .filter(col("ia") < col("ib"))
+      .select(col("ia").as("id_a"), col("ib").as("id_b"),
+        col("k").as("key_a"), col("k").as("key_b"),
+        lit(0).cast("int").as("dist"))
+    cross.unionByName(within)
+  }
+
+  /** The distinct-key core of [[editDistancePairs]]: PassJoin segment
+    * blocking + equi-join + one candidate distinct + banded-Levenshtein
+    * verify over a single-column (`k`) DISTINCT-key frame. Returns
+    * (ka, kb, dist ≤ maxDist) with ka/kb ordered by their hash-free
+    * stable proxy — the key STRING itself (distinct keys are unequal, so
+    * `<` totally orders every pair). Package-private so the hot-key spec
+    * can pin that candidate work is distinct-key-bounded. */
+  private[graft] def editDistanceKeyPairs(keys: DataFrame,
+                                          maxDist: Int): DataFrame = {
+    val idx = keys.select(col("k"),
       explode(graft.functions.PassJoinKeys.pass_join_index(col("k"), maxDist))
         .as("bk"))
-    val prb = base.select(col("id").as("pid"), col("k").as("pk"),
+    val prb = keys.select(col("k").as("pk"),
       explode(graft.functions.PassJoinKeys.pass_join_probe(col("k"), maxDist))
         .as("bk"))
     idx.join(prb, "bk")
-      .filter(col("id") =!= col("pid"))
+      .filter(col("k") =!= col("pk"))
       .select(
-        when(col("id") < col("pid"), col("id")).otherwise(col("pid")).as("id_a"),
-        when(col("id") < col("pid"), col("pid")).otherwise(col("id")).as("id_b"),
-        when(col("id") < col("pid"), col("k")).otherwise(col("pk")).as("key_a"),
-        when(col("id") < col("pid"), col("pk")).otherwise(col("k")).as("key_b"))
+        when(col("k") < col("pk"), col("k")).otherwise(col("pk")).as("ka"),
+        when(col("k") < col("pk"), col("pk")).otherwise(col("k")).as("kb"))
       .distinct()
-      .withColumn("dist", levenshtein(col("key_a"), col("key_b"), maxDist))
+      .withColumn("dist", levenshtein(col("ka"), col("kb"), maxDist))
       .filter(col("dist") =!= -1)
-      .select(col("id_a"), col("id_b"), col("key_a"), col("key_b"), col("dist"))
   }
 }

@@ -664,6 +664,48 @@ class CurationSpec extends SparkTestBase {
       s"missing=${(expected -- got).take(5)} extra=${(got -- expected).take(5)}")
   }
 
+  test("editDistancePairs hot-key guard: mass-identical keys stay distinct-key-bounded, output unchanged") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    // the LSH-hot-bucket degenerate: 90% of rows carry ONE identical key
+    // (180 of 200), the rest spread over 4 near keys within distance 2.
+    // Output is inherently quadratic in the hot group (every within-group
+    // pair IS a dist-0 answer), but candidate generation, the dedup
+    // distinct, and Levenshtein must all run in DISTINCT-KEY space — 5
+    // rows here — never fan the 180-member group through the join.
+    val hot = "title x"
+    val near = Seq("title y", "titlx x", "tile x", "qqqqqqq")
+    val rows = (0L until 200L).map { i =>
+      if (i % 10 != 0) (i, hot) else (i, near((i / 10 % 4).toInt))
+    }
+    val df = rows.toDF("doc_id", "k")
+    val got = Dedup.editDistancePairs(df, "doc_id", "k", maxDist = 2)
+      .select($"id_a", $"id_b", $"dist").as[(Long, Long, Int)].collect().toSet
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0
+      }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val expected = (for {
+      (ia, ka) <- rows; (ib, kb) <- rows if ia < ib
+      dd = lev(ka, kb) if dd <= 2
+    } yield (ia, ib, dd)).toSet
+    assert(got == expected,
+      s"missing=${(expected -- got).take(5)} extra=${(got -- expected).take(5)}")
+    // the verified-candidate core sees 5 distinct keys → at most C(5,2)
+    // pairs reach Levenshtein, regardless of the 180-row hot group
+    val keyPairs = Dedup.editDistanceKeyPairs(
+      df.select($"k").distinct(), maxDist = 2).collect()
+    assert(keyPairs.length <= 10,
+      s"candidate key pairs must be distinct-key-bounded, got ${keyPairs.length}")
+    assert(keyPairs.forall(r => r.getString(0) != r.getString(1)),
+      "key-pair core must never pair a key with itself")
+  }
+
   test("clusterOutliers: the planted stray ranks first in its cell; zero-norm drops; scoring shuffle-free") {
     import spark.implicits._
     import graft.operators.Similarity
