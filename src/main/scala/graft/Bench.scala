@@ -68,6 +68,7 @@ object Bench {
     "t_linear_score",
     "sim_ivfpq_res_topk",
     "sim_hybrid_rrf",
+    "sim_hybrid_mmr",
     "sim_mmr_select",
     "sim_outliers",
     "t_fertility",

@@ -59,6 +59,44 @@ object RetrievalOps {
       .orderBy($"rank")
   }
 
+  /** The COMPOSED deployment shape, gated end to end: BM25 lexical run ⊕
+    * dense cosine run → reciprocal-rank fusion → greedy-MMR diverse
+    * selection — retrieve, fuse, diversify, exactly the chain a RAG
+    * context packer runs. The fused top-10's integer rrf_ppm normalizes
+    * per query to ppm-of-best (non-negative `div`, replayable), becomes
+    * MMR's relevance, and the fused candidates join to their embeddings
+    * for the diversity penalty (a candidate surfaced only by the lexical
+    * run with no embedding row cannot be diversity-scored and drops —
+    * the join IS that contract). λ = 0.7, n = 5; the oracle replays the
+    * BM25 arithmetic, both rankings, the fused integer scores, the
+    * normalization, and the sequential greedy loop via recursive CTE. */
+  def qHybridMmr(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val lex = Retrieval.bm25TopK(Tables.documents(spark, dir), "doc_id", "text",
+        Bm25Terms, Bm25K)
+      .withColumn("rank",
+        row_number().over(Window.orderBy($"score_ppm".desc, $"doc_id")))
+      .select(lit(1L).as("query_id"), $"doc_id", $"rank")
+    val vecs = Tables.embeddings(spark, dir)
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+    val probes = vecs.filter($"vec_id" === 0)
+      .select($"vec_id".as("probe_id"), $"v".as("p"))
+    val dense = graft.operators.Similarity.bruteForceTopK(vecs, probes, k = Bm25K)
+      .select(lit(1L).as("query_id"), $"vec_id".as("doc_id"), $"rank")
+    val fused = Retrieval.rrfFuse(Seq(lex, dense), "query_id", "doc_id", "rank",
+      k = 10)
+    val cands = fused
+      .withColumn("__mx",
+        max($"rrf_ppm").over(Window.partitionBy($"query_id")))
+      .withColumn("rel_ppm", expr("(1000000 * rrf_ppm) DIV __mx"))
+      .join(vecs.select($"vec_id".as("doc_id"), $"v"), "doc_id")
+    graft.operators.Similarity
+      .mmrSelect(cands, "query_id", "doc_id", "rel_ppm", "v",
+        n = 5, lambdaPpm = 700000L)
+      .orderBy($"sel_rank")
+  }
+
   /** Multi-query BM25: three probe queries scored in one pass — query 1
     * is the single-query fixture (its rows must agree with sim_bm25_topk),
     * query 2 overlaps it partially, query 3 mixes a stopword-common term
@@ -242,6 +280,7 @@ object RetrievalOps {
     "sim_bm25_topk" -> (qBm25TopK _),
     "sim_bm25_multi" -> (qBm25Multi _),
     "sim_hybrid_rrf" -> (qHybridRrf _),
+    "sim_hybrid_mmr" -> (qHybridMmr _),
     "t_bpe_pairs" -> (qBpePairs _),
     "t_fertility" -> (qFertility _),
     "t_bpe_apply" -> (qBpeApply _),
@@ -283,35 +322,12 @@ object RetrievalOps {
          dw AS (SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
                 FROM documents)"""
 
-  val oracles: Map[String, String] = Map(
-    "sim_bm25_topk" ->
-      """WITH d AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ws
-                    FROM documents),
-         toks AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS dl,
-                         list_filter(ws, w -> w IN ('spark','window','hash','vector')) AS hit
-                  FROM d),
-         stats AS (SELECT count(*) AS n, CAST(sum(dl) AS BIGINT) AS t FROM toks),
-         tfc AS (SELECT doc_id, dl, u.term, count(*) AS tf
-                 FROM (SELECT doc_id, dl, unnest(hit) AS term FROM toks
-                       WHERE len(hit) > 0) u
-                 GROUP BY 1, 2, 3),
-         dfc AS (SELECT term, count(*) AS df FROM tfc GROUP BY 1),
-         sc AS (SELECT doc_id,
-                       (1000000 * (n - df + 1)) // (df + 1) AS idf_ppm,
-                       tf,
-                       250000 + (750 * ((1000000 * dl * n) // t)) // 1000 AS inner_ppm
-                FROM tfc JOIN dfc USING (term) CROSS JOIN stats),
-         co AS (SELECT doc_id,
-                       (idf_ppm * ((tf * 2200 * 1000000000) //
-                                   (tf * 1000000 + (1200 * inner_ppm) // 1000)))
-                         // 1000000 AS contrib
-                FROM sc)
-         SELECT doc_id, count(*) AS n_terms_matched,
-                CAST(sum(contrib) AS BIGINT) AS score_ppm
-         FROM co GROUP BY doc_id
-         ORDER BY score_ppm DESC, doc_id LIMIT 15""",
-    "sim_hybrid_rrf" ->
-      """WITH d AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ws
+  /** The shared BM25-lexical + dense-cosine -> reciprocal-rank-fusion
+    * CTE chain (through the fused `ranked` frame) - the sim_hybrid_rrf
+    * oracle publishes it directly; the sim_hybrid_mmr oracle appends
+    * the normalization + recursive-CTE greedy-MMR replay on top. */
+  private val hybridRrfCtes: String =
+    """d AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ws
                     FROM documents),
          toks AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS dl,
                          list_filter(ws, w -> w IN ('spark','window','hash','vector')) AS hit
@@ -359,10 +375,82 @@ object RetrievalOps {
                    FROM runs GROUP BY doc_id),
          ranked AS (SELECT doc_id, n_runs, rrf_ppm,
                            row_number() OVER (ORDER BY rrf_ppm DESC, doc_id) AS rank
-                    FROM fused)
+                    FROM fused)"""
+
+  val oracles: Map[String, String] = Map(
+    "sim_bm25_topk" ->
+      """WITH d AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ws
+                    FROM documents),
+         toks AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS dl,
+                         list_filter(ws, w -> w IN ('spark','window','hash','vector')) AS hit
+                  FROM d),
+         stats AS (SELECT count(*) AS n, CAST(sum(dl) AS BIGINT) AS t FROM toks),
+         tfc AS (SELECT doc_id, dl, u.term, count(*) AS tf
+                 FROM (SELECT doc_id, dl, unnest(hit) AS term FROM toks
+                       WHERE len(hit) > 0) u
+                 GROUP BY 1, 2, 3),
+         dfc AS (SELECT term, count(*) AS df FROM tfc GROUP BY 1),
+         sc AS (SELECT doc_id,
+                       (1000000 * (n - df + 1)) // (df + 1) AS idf_ppm,
+                       tf,
+                       250000 + (750 * ((1000000 * dl * n) // t)) // 1000 AS inner_ppm
+                FROM tfc JOIN dfc USING (term) CROSS JOIN stats),
+         co AS (SELECT doc_id,
+                       (idf_ppm * ((tf * 2200 * 1000000000) //
+                                   (tf * 1000000 + (1200 * inner_ppm) // 1000)))
+                         // 1000000 AS contrib
+                FROM sc)
+         SELECT doc_id, count(*) AS n_terms_matched,
+                CAST(sum(contrib) AS BIGINT) AS score_ppm
+         FROM co GROUP BY doc_id
+         ORDER BY score_ppm DESC, doc_id LIMIT 15""",
+    "sim_hybrid_rrf" -> s"""WITH $hybridRrfCtes
          SELECT CAST(1 AS BIGINT) AS query_id, doc_id, n_runs, rrf_ppm, rank
          FROM ranked WHERE rank <= 10
          ORDER BY rank""",
+    "sim_hybrid_mmr" -> s"""WITH RECURSIVE $hybridRrfCtes,
+         cand0 AS (SELECT doc_id, rrf_ppm FROM ranked WHERE rank <= 10),
+         mx AS (SELECT max(rrf_ppm) AS m FROM cand0),
+         cand AS (SELECT CAST(1 AS BIGINT) AS qid, c.doc_id AS id,
+                         (1000000 * c.rrf_ppm) // mx.m AS rel, v.e
+                  FROM cand0 c JOIN v ON v.vec_id = c.doc_id CROSS JOIN mx),
+         ps AS (
+           SELECT a.qid, a.id AS a, b.id AS b,
+                  CAST(round(round(
+                    list_sum([a.e[i] * b.e[i] for i in range(1, 65)]) /
+                    (sqrt(list_sum([a.e[i] * a.e[i] for i in range(1, 65)])) *
+                     sqrt(list_sum([b.e[i] * b.e[i] for i in range(1, 65)]))),
+                    6) * 1000000, 0) AS BIGINT) AS sp
+           FROM cand a JOIN cand b ON a.qid = b.qid AND a.id <> b.id),
+         sel AS (
+           SELECT qid, 0 AS step, CAST([] AS BIGINT[]) AS chosen
+           FROM (SELECT DISTINCT qid FROM cand)
+           UNION ALL
+           SELECT sel.qid, step + 1,
+                  list_append(chosen, (
+                    SELECT id FROM (
+                      SELECT c.id,
+                             700000 * c.rel - 300000 *
+                               COALESCE((SELECT max(sp) FROM ps
+                                         WHERE ps.qid = c.qid AND ps.a = c.id
+                                           AND list_contains(sel.chosen, ps.b)), 0)
+                               AS score
+                      FROM cand c
+                      WHERE c.qid = sel.qid
+                        AND NOT list_contains(sel.chosen, c.id)
+                      ORDER BY score DESC, c.id ASC LIMIT 1)))
+           FROM sel
+           WHERE step < 5
+             AND EXISTS (SELECT 1 FROM cand c WHERE c.qid = sel.qid
+                         AND NOT list_contains(sel.chosen, c.id))),
+         best AS (
+           SELECT qid, chosen FROM sel
+           QUALIFY row_number() OVER (PARTITION BY qid ORDER BY step DESC) = 1)
+         SELECT qid AS query_id, CAST(r AS INTEGER) AS sel_rank,
+                chosen[r] AS doc_id
+         FROM best, range(1, 6) t(r)
+         WHERE r <= len(chosen)
+         ORDER BY query_id, sel_rank""",
     "sim_bm25_multi" ->
       """WITH q(query_id, term) AS (VALUES
            (CAST(1 AS BIGINT), 'spark'), (1, 'window'), (1, 'hash'), (1, 'vector'),
