@@ -672,6 +672,68 @@ class StreamingSpec extends SparkTestBase {
     assert(stateFiles == Set("c_4", "d_5"), s"got $stateFiles")
   }
 
+  test("incremental dedup crash window: compaction batch dies after d_b, before c_b; replay converges to the clean run") {
+    import spark.implicits._
+    // The nastiest window in the delta-file discipline: batch b is a
+    // COMPACTION batch, the survivor delta d_b lands, the process dies
+    // before c_b is written. On restart Structured Streaming replays b.
+    // Because state-as-of-b is listed as "versions STRICTLY older than b"
+    // (never a latest pointer the dead attempt may have advanced), the
+    // replay must read the identical pre-b state, recompute identical
+    // admissions, overwrite its own half-state, and leave the pipeline
+    // byte-identical to one that never crashed.
+    val batches: Seq[Seq[(Long, String)]] = (0 to 5).map { b =>
+      (0 until 6).map(i => (b * 100L + i, s"t${(b * 6 + i) % 13}"))
+    }
+    def mkPipeline(): (String, String) = (
+      java.nio.file.Files.createTempDirectory("cw_state").toString,
+      java.nio.file.Files.createTempDirectory("cw_out").toString)
+    val (cleanState, cleanOut) = mkPipeline()
+    val (crashState, crashOut) = mkPipeline()
+    def run(state: String, out: String, id: Long, compactEvery: Int = 2): Unit =
+      graft.streaming.StreamingIncrementalDedup.processBatch(
+        batches(id.toInt).toDF("doc_id", "text"), id, state, out,
+        compactEvery = compactEvery)
+    def files(state: String): Set[String] = {
+      val p = new org.apache.hadoop.fs.Path(state)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.listStatus(p).map(_.getPath.getName)
+        .filter(n => n.startsWith("d_") || n.startsWith("c_")).toSet
+    }
+    for (b <- 0L to 3L) { run(cleanState, cleanOut, b); run(crashState, crashOut, b) }
+    // crashed attempt of compaction batch 4: compactEvery = 0 runs the
+    // identical admission + d_4 write and dies before compaction — the
+    // exact window under test
+    run(crashState, crashOut, 4L, compactEvery = 0)
+    assert(files(crashState).contains("d_4") && !files(crashState).contains("c_4"),
+      s"crash window not established: ${files(crashState)}")
+    // restart: replay batch 4 for real on the crashed pipeline
+    run(crashState, crashOut, 4L)
+    run(cleanState, cleanOut, 4L)
+    // next batch commits 4 and vacuums on both
+    run(crashState, crashOut, 5L)
+    run(cleanState, cleanOut, 5L)
+    val cleanCorpus = graft.streaming.StreamingIncrementalDedup
+      .admittedCorpus(spark, cleanOut)
+      .select($"doc_id", $"text", $"n_copies")
+      .as[(Long, String, Long)].collect().toSet
+    val crashCorpus = graft.streaming.StreamingIncrementalDedup
+      .admittedCorpus(spark, crashOut)
+      .select($"doc_id", $"text", $"n_copies")
+      .as[(Long, String, Long)].collect().toSet
+    assert(crashCorpus == cleanCorpus,
+      s"admitted corpora diverged:\nclean=$cleanCorpus\ncrash=$crashCorpus")
+    assert(files(crashState) == files(cleanState),
+      s"state layouts diverged: ${files(crashState)} vs ${files(cleanState)}")
+    val cleanIdx = graft.streaming.StreamingIncrementalDedup
+      .indexBefore(spark, cleanState, Long.MaxValue)
+      .as[(String, Long)].collect().toSet
+    val crashIdx = graft.streaming.StreamingIncrementalDedup
+      .indexBefore(spark, crashState, Long.MaxValue)
+      .as[(String, Long)].collect().toSet
+    assert(crashIdx == cleanIdx, "reconstructed index state diverged")
+  }
+
   test("streaming drift monitor: rotated stratum and unvetted stratum alert; healthy stays silent") {
     import spark.implicits._
     import graft.streaming.StreamingDrift
