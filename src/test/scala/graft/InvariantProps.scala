@@ -220,6 +220,137 @@ object InvariantProps extends Properties("graft.invariants") {
     }
   }
 
+  // --- DDL converters: type × nullability × default fuzz ----------------
+
+  private final case class FuzzCol(name: String, ddlType: String,
+      avro: String, spark: org.apache.spark.sql.types.DataType,
+      notNull: Boolean, pk: Boolean, defaultIsNull: Boolean) {
+    def nullable: Boolean = !notNull && !pk
+    def render(q: String): String = {
+      val nullSfx = if (notNull) " NOT NULL" else ""
+      val pkSfx = if (pk) " PRIMARY KEY" else ""
+      val defSfx = if (defaultIsNull) "" else " DEFAULT 0"
+      s"$q$name$q $ddlType$nullSfx$defSfx$pkSfx"
+    }
+  }
+
+  private def ddlColsGen(
+      pool: Seq[(String, String, org.apache.spark.sql.types.DataType)])
+      : Gen[List[FuzzCol]] =
+    Gen.nonEmptyListOf(for {
+      n <- Gen.identifier.map(s => "c" + s.take(8).toLowerCase)
+      (t, a, sp) <- Gen.oneOf(pool)
+      notNull <- Gen.oneOf(true, false)
+      pk <- Gen.frequency(9 -> Gen.const(false), 1 -> Gen.const(true))
+      defNull <- Gen.oneOf(true, false)
+    } yield FuzzCol(n, t, a, sp, notNull, pk, defNull))
+      .map(_.distinctBy(_.name))
+      // at most one inline PRIMARY KEY, like real DDL
+      .map { cols =>
+        var seen = false
+        cols.map { c =>
+          val keep = c.pk && !seen
+          if (c.pk) seen = true
+          c.copy(pk = keep)
+        }
+      }
+
+  private val mysqlPool = Seq(
+    ("TINYINT(1)", "boolean", org.apache.spark.sql.types.BooleanType),
+    ("BOOLEAN", "boolean", org.apache.spark.sql.types.BooleanType),
+    ("TINYINT", "int", org.apache.spark.sql.types.IntegerType),
+    ("SMALLINT", "int", org.apache.spark.sql.types.IntegerType),
+    ("MEDIUMINT", "int", org.apache.spark.sql.types.IntegerType),
+    ("INT", "int", org.apache.spark.sql.types.IntegerType),
+    ("INT UNSIGNED", "long", org.apache.spark.sql.types.LongType),
+    ("BIGINT", "long", org.apache.spark.sql.types.LongType),
+    ("BIGINT UNSIGNED", "long", org.apache.spark.sql.types.LongType),
+    ("FLOAT", "float", org.apache.spark.sql.types.FloatType),
+    ("DOUBLE", "double", org.apache.spark.sql.types.DoubleType),
+    ("DECIMAL(8,3)", "double", org.apache.spark.sql.types.DecimalType(8, 3)),
+    ("CHAR(4)", "string", org.apache.spark.sql.types.StringType),
+    ("VARCHAR(32)", "string", org.apache.spark.sql.types.StringType),
+    ("TEXT", "string", org.apache.spark.sql.types.StringType),
+    ("BINARY(8)", "bytes", org.apache.spark.sql.types.BinaryType),
+    ("VARBINARY(16)", "bytes", org.apache.spark.sql.types.BinaryType),
+    ("BLOB", "bytes", org.apache.spark.sql.types.BinaryType),
+    ("DATE", "long", org.apache.spark.sql.types.DateType),
+    ("DATETIME", "long", org.apache.spark.sql.types.TimestampType),
+    ("TIMESTAMP", "long", org.apache.spark.sql.types.TimestampType),
+    ("TIME", "long", org.apache.spark.sql.types.LongType),
+    ("YEAR", "int", org.apache.spark.sql.types.IntegerType),
+    ("ENUM('a','b')", "string", org.apache.spark.sql.types.StringType),
+    ("SET('x','y')", "string", org.apache.spark.sql.types.StringType),
+    ("JSON", "string", org.apache.spark.sql.types.StringType))
+
+  private val redshiftPool = Seq(
+    ("SMALLINT", "int", org.apache.spark.sql.types.ShortType),
+    ("INT2", "int", org.apache.spark.sql.types.ShortType),
+    ("INTEGER", "int", org.apache.spark.sql.types.IntegerType),
+    ("INT", "int", org.apache.spark.sql.types.IntegerType),
+    ("BIGINT", "long", org.apache.spark.sql.types.LongType),
+    ("REAL", "float", org.apache.spark.sql.types.FloatType),
+    ("FLOAT8", "double", org.apache.spark.sql.types.DoubleType),
+    ("BOOLEAN", "boolean", org.apache.spark.sql.types.BooleanType),
+    ("DECIMAL(10,2)", "double", org.apache.spark.sql.types.DecimalType(10, 2)),
+    ("VARCHAR(64)", "string", org.apache.spark.sql.types.StringType),
+    ("TEXT", "string", org.apache.spark.sql.types.StringType),
+    ("CHAR(3)", "string", org.apache.spark.sql.types.StringType),
+    ("TIMESTAMP", "long", org.apache.spark.sql.types.TimestampType),
+    ("DATE", "long", org.apache.spark.sql.types.DateType))
+
+  /** The full convert → Avro-parse → StructType round-trip contract for
+    * one generated table: field totals and order, the per-column Avro
+    * base type, union-iff-nullable with the default-driven branch order,
+    * the `default: null` attribute exactly when it is renderable, and
+    * the Spark nullability + type the registry's readers see. */
+  private def ddlRoundTrip(spec: graft.tools.DdlModel.TableSpec,
+                           cols: List[FuzzCol]): Prop = {
+    val avro = new org.apache.avro.Schema.Parser().parse(spec.avroSchemaJson)
+    val st = spec.structType
+    val totals = Prop(avro.getFields.size == cols.size &&
+      spec.columns.size == cols.size && st.size == cols.size) :| "field totals"
+    val names = Prop(spec.columns.map(_.name) == cols.map(_.name) &&
+      st.fields.map(_.name).toSeq == cols.map(_.name)) :| "name order"
+    val perCol = Prop.all(cols.zipWithIndex.map { case (c, i) =>
+      val f = avro.getFields.get(i)
+      val s = f.schema()
+      val unionOk =
+        if (!c.nullable) s.getType != org.apache.avro.Schema.Type.UNION &&
+          s.getType.getName == c.avro
+        else {
+          val branches = s.getTypes
+          s.getType == org.apache.avro.Schema.Type.UNION &&
+            branches.size == 2 &&
+            (if (c.defaultIsNull)
+              branches.get(0).getType.getName == "null" &&
+                branches.get(1).getType.getName == c.avro
+            else
+              branches.get(0).getType.getName == c.avro &&
+                branches.get(1).getType.getName == "null")
+        }
+      val defaultOk = f.hasDefaultValue == (c.nullable && c.defaultIsNull)
+      val sparkOk = st.fields(i).nullable == c.nullable &&
+        st.fields(i).dataType == c.spark
+      Prop(unionOk && defaultOk && sparkOk) :|
+        s"column ${c.name} (${c.ddlType} notNull=${c.notNull} pk=${c.pk} " +
+          s"defNull=${c.defaultIsNull}): avro=$s spark=${st.fields(i)}"
+    }: _*)
+    totals && names && perCol
+  }
+
+  property("mysql DDL fuzz: convert → Avro → StructType round-trips types, nullability, defaults") =
+    forAll(ddlColsGen(mysqlPool)) { cols =>
+      val ddl = s"CREATE TABLE db.t (${cols.map(_.render("`")).mkString(", ")})"
+      ddlRoundTrip(graft.tools.MysqlDdlConverter.parse(ddl), cols)
+    }
+
+  property("redshift DDL fuzz: convert → Avro → StructType round-trips types, nullability, defaults") =
+    forAll(ddlColsGen(redshiftPool)) { cols =>
+      val ddl = s"""CREATE TABLE public.t (${cols.map(_.render("\"")).mkString(", ")})"""
+      ddlRoundTrip(graft.tools.RedshiftDdlConverter.parse(ddl), cols)
+    }
+
   // --- hashed-classifier pseudo-weights: bounded, deterministic, u24 ----
 
   property("pseudoWeights lie in [-1000, 1000], replay the md5-u24 draw, and are stable") =
