@@ -22,7 +22,8 @@ object ExplainAudit {
         "d_incr_exact", "d_incr_lsh", "d_representatives", "t_linear_score",
         "q_skew_stats", "q_salted_join", "sim_mean_pool", "t_corpus_profile",
         "sim_drift", "sim_ivfpq_res_topk", "sim_hybrid_rrf", "sim_mmr_select",
-        "sim_outliers", "t_fertility", "d_fuzzy_pairs")
+        "sim_outliers", "t_fertility", "d_fuzzy_pairs", "sim_opq_topk",
+        "sim_hybrid_mmr")
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.ui.enabled", "false").getOrCreate()
