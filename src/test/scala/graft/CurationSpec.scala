@@ -631,6 +631,66 @@ class CurationSpec extends SparkTestBase {
     exact.unpersist(); vecs.unpersist()
   }
 
+  test("OPQ: one-projection encode; rotated wiring ≡ pre-rotated PQ; degenerate input never crashes") {
+    import spark.implicits._
+    import graft.operators.Similarity
+    val rnd = new scala.util.Random(29)
+    val m = 4; val subDim = 4; val d = m * subDim
+    val vecs = (0L until 80L).map { i =>
+      (i, (0 until d).map(_ => rnd.nextGaussian()))
+    }.toDF("vec_id", "v").cache()
+    val rot = Similarity.hadamardRotation(d)
+    val cb = Similarity.pqFit(Similarity.rotate(vecs, "v", rot),
+      m, subDim, ksub = 8, iters = 2)
+    // opqEncode ≡ pqEncode over a pre-rotated corpus (the wiring adds
+    // nothing but the rotation)
+    val viaOpq = Similarity.opqEncode(vecs, rot, cb, m, subDim)
+    val viaPre = Similarity.pqEncode(Similarity.rotate(vecs, "v", rot),
+      cb, m, subDim)
+    assert(viaOpq.exceptAll(viaPre).isEmpty && viaPre.exceptAll(viaOpq).isEmpty,
+      "opqEncode diverged from pqEncode over pre-rotated vectors")
+    // the rotated index build stays ONE shuffle-free projection: MatVec
+    // and the per-subspace argmins collapse into a single corpus pass
+    val p = viaOpq.queryExecution
+      .explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert(!p.linesIterator.exists(_.matches("\\(\\d+\\) Exchange.*")) &&
+      !p.contains("Join"),
+      s"the OPQ encode must be one shuffle-free projection:\n$p")
+    // opqTopK ≡ pqTopK with both sides pre-rotated (search-side wiring)
+    val probes = vecs.filter($"vec_id" < 3)
+      .select($"vec_id".as("probe_id"), $"v".as("p"))
+    val viaOpqTk = Similarity.opqTopK(viaOpq, probes, rot, cb, k = 3, m, subDim)
+    val viaPreTk = Similarity.pqTopK(viaPre,
+      Similarity.rotate(probes, "p", rot), cb, k = 3, m, subDim)
+    assert(viaOpqTk.exceptAll(viaPreTk).isEmpty &&
+      viaPreTk.exceptAll(viaOpqTk).isEmpty,
+      "opqTopK diverged from pqTopK over pre-rotated inputs")
+    // short/degenerate vectors drop from rankings instead of crashing:
+    // a corpus row narrower than m·subDim encodes null codes and its ADC
+    // distance nulls out of the top-k
+    val dirty = vecs.unionByName(Seq(
+      (900L, (0 until 3).map(_ => 1.0))).toDF("vec_id", "v"))
+    val dirtyTk = Similarity.opqTopK(
+      Similarity.opqEncode(dirty, rot, cb, m, subDim), probes, rot, cb,
+      k = 80, m, subDim)
+    assert(!dirtyTk.select($"vec_id").as[Long].collect().contains(900L),
+      "a width-mismatched vector must drop from the ADC ranking")
+    // rank-deficient training input (every vector identical): the Gram
+    // matrix is singular, the Procrustes update must still produce an
+    // orthogonal rotation and a usable codebook, not throw
+    val flat = (0L until 40L).map(i => (i, Seq.fill(d)(0.5)))
+      .toDF("vec_id", "v")
+    val (rf, cbf) = Similarity.opqFit(flat, m, subDim, ksub = 4,
+      pqIters = 2, opqIters = 2)
+    val rtr = Array.tabulate(d, d)((i, j) =>
+      (0 until d).map(t => rf(t)(i) * rf(t)(j)).sum)
+    assert((0 until d).forall(i => (0 until d).forall(j =>
+      math.abs(rtr(i)(j) - (if (i == j) 1.0 else 0.0)) < 1e-9)),
+      "rotation from rank-deficient training must still be orthogonal")
+    assert(Similarity.opqEncode(flat, rf, cbf, m, subDim).count() == 40L)
+    vecs.unpersist()
+  }
+
   test("editDistancePairs ≡ brute force on adversarial short strings (incl. empty, length gaps)") {
     import spark.implicits._
     import graft.operators.Dedup
