@@ -351,6 +351,69 @@ object InvariantProps extends Properties("graft.invariants") {
       ddlRoundTrip(graft.tools.RedshiftDdlConverter.parse(ddl), cols)
     }
 
+  // --- ALTER TABLE fuzz: applyAlter tracks a driver-side column model --
+
+  private sealed trait AlterOp
+  private final case class AddCol(c: FuzzCol) extends AlterOp
+  private final case class DropCol(ix: Int) extends AlterOp
+  private final case class ModifyCol(ix: Int, t: String, a: String,
+      sp: org.apache.spark.sql.types.DataType) extends AlterOp
+  private final case class ChangeCol(ix: Int, newName: String, t: String,
+      a: String, sp: org.apache.spark.sql.types.DataType) extends AlterOp
+
+  private val alterOpsGen: Gen[(List[FuzzCol], List[AlterOp])] = for {
+    base <- ddlColsGen(mysqlPool).suchThat(_.nonEmpty)
+    nOps <- Gen.chooseNum(1, 5)
+    ops <- Gen.listOfN(nOps, for {
+      kind <- Gen.chooseNum(0, 3)
+      ix <- Gen.chooseNum(0, 100)
+      (t, a, sp) <- Gen.oneOf(mysqlPool)
+      nn <- Gen.identifier.map(s => "z" + s.take(8).toLowerCase)
+      add <- ddlColsGen(mysqlPool).map(_.head)
+    } yield kind match {
+      case 0 => AddCol(add)
+      case 1 => DropCol(ix)
+      case 2 => ModifyCol(ix, t, a, sp)
+      case _ => ChangeCol(ix, nn, t, a, sp)
+    })
+  } yield (base, ops)
+
+  property("mysql applyAlter tracks add/drop/modify/change against a reference model") =
+    forAll(alterOpsGen) { case (base, ops) =>
+      // reference model: (name, avroType, nullable) triples, evolved in
+      // plain Scala next to the DDL statements we feed the converter
+      var model = base.map(c => (c.name, c.avro, c.nullable))
+      val clauses = scala.collection.mutable.ArrayBuffer.empty[String]
+      ops.foreach {
+        case AddCol(c) if !model.exists(_._1 == c.name) =>
+          clauses += s"ADD COLUMN ${c.render("`")}"
+          model = model :+ ((c.name, c.avro, c.nullable))
+        case DropCol(ix) if model.size > 1 =>
+          val name = model(ix % model.size)._1
+          clauses += s"DROP COLUMN `$name`"
+          model = model.filterNot(_._1 == name)
+        case ModifyCol(ix, t, a, sp) if model.nonEmpty =>
+          val name = model(ix % model.size)._1
+          clauses += s"MODIFY COLUMN `$name` $t"
+          model = model.map(m => if (m._1 == name) (name, a, true) else m)
+        case ChangeCol(ix, nn, t, a, sp)
+            if model.nonEmpty && !model.exists(_._1 == nn) =>
+          val name = model(ix % model.size)._1
+          clauses += s"CHANGE COLUMN `$name` `$nn` $t"
+          model = model.map(m => if (m._1 == name) (nn, a, true) else m)
+        case _ => () // skip ops that would be invalid DDL (dup name, last col)
+      }
+      val ddl = s"CREATE TABLE db.t (${base.map(_.render("`")).mkString(", ")})"
+      val parsed = graft.tools.MysqlDdlConverter.parse(ddl)
+      val evolved =
+        if (clauses.isEmpty) parsed
+        else graft.tools.MysqlDdlConverter.applyAlter(parsed,
+          s"ALTER TABLE db.t ${clauses.mkString(", ")}")
+      val got = evolved.columns.map(c => (c.name, c.avroType, c.nullable))
+      Prop(got == model) :|
+        s"model=$model got=$got clauses=${clauses.toList}"
+    }
+
   // --- hashed-classifier pseudo-weights: bounded, deterministic, u24 ----
 
   property("pseudoWeights lie in [-1000, 1000], replay the md5-u24 draw, and are stable") =
