@@ -414,6 +414,53 @@ object InvariantProps extends Properties("graft.invariants") {
         s"model=$model got=$got clauses=${clauses.toList}"
     }
 
+  // --- PassJoin pigeonhole: NO false negatives, for any edit script ----
+
+  private def passKeys(s: String, d: Int, probe: Boolean): Set[String] = {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.StringType
+    graft.functions.PassJoinKeys(Literal.create(s, StringType), d, probe)
+      .eval(null).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      .toArray[org.apache.spark.unsafe.types.UTF8String](StringType)
+      .map(_.toString).toSet
+  }
+
+  private val editedPairGen: Gen[(String, String, Int)] = for {
+    d <- Gen.chooseNum(1, 3)
+    len <- Gen.chooseNum(0, 12)
+    a <- Gen.listOfN(len, Gen.oneOf('a', 'b', 'c')).map(_.mkString)
+    nEdits <- Gen.chooseNum(0, d)
+    edits <- Gen.listOfN(nEdits, Gen.zip(Gen.chooseNum(0, 2),
+      Gen.chooseNum(0, 1000), Gen.oneOf('a', 'b', 'c')))
+  } yield {
+    // apply ≤ d random edits, so lev(a, b) ≤ d by construction
+    val b = edits.foldLeft(a) { case (s, (kind, pos, ch)) =>
+      kind match {
+        case 0 => // insert
+          val p = if (s.isEmpty) 0 else pos % (s.length + 1)
+          s.substring(0, p) + ch + s.substring(p)
+        case 1 if s.nonEmpty => // delete
+          val p = pos % s.length
+          s.substring(0, p) + s.substring(p + 1)
+        case 2 if s.nonEmpty => // substitute
+          val p = pos % s.length
+          s.substring(0, p) + ch + s.substring(p + 1)
+        case _ => s
+      }
+    }
+    (a, b, d)
+  }
+
+  property("PassJoin keys: any pair within edit distance d collides on >= 1 (index, probe) key") =
+    forAll(editedPairGen) { case (a, b, d) =>
+      // the shorter side plays the index role (its own d+1 segments);
+      // the longer side probes — exactly the join in editDistancePairs
+      val (s, l) = if (a.length <= b.length) (a, b) else (b, a)
+      val hit = passKeys(s, d, probe = false)
+        .intersect(passKeys(l, d, probe = true)).nonEmpty
+      Prop(hit) :| s"no key collision for ('$s', '$l') at d=$d"
+    }
+
   // --- hashed-classifier pseudo-weights: bounded, deterministic, u24 ----
 
   property("pseudoWeights lie in [-1000, 1000], replay the md5-u24 draw, and are stable") =
