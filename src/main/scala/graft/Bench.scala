@@ -281,16 +281,32 @@ object Bench {
             case (Some(fn), Some(tBig)) =>
               try {
                 fn(spark, smallSfDir.getPath).count() // warm-up
-                val times = Seq.fill(3)(
+                def attempt(): Seq[Double] = Seq.fill(3)(
                   timed(() => fn(spark, smallSfDir.getPath).count())).sorted
-                spark.catalog.clearCache()
-                spark.sparkContext.getPersistentRDDs.valuesIterator
-                  .foreach(_.unpersist(blocking = false))
+                // same burst-repair as the main loop whose tBig this
+                // divides: an external load burst covering the probe
+                // would inflate tSmall ~4× and shave ~0.6 off the
+                // exponent — a super-linear operator could escape the
+                // 1.3 flag line on a one-sided stretch
+                val first = attempt()
+                val times =
+                  if (first.head > 0 && first.last / first.head >= 2.0) {
+                    val second = attempt()
+                    if (second(second.size / 2) < first(first.size / 2)) second
+                    else first
+                  } else first
                 val tSmall = times(times.size / 2)
                 if (tSmall > 0)
                   Some(name -> math.log(tBig / tSmall) / math.log(10.0))
                 else None
               } catch { case _: Throwable => None }
+              finally {
+                // release the probe query's caches even when it throws —
+                // leaked blocks would depress every later micro-bench
+                spark.catalog.clearCache()
+                spark.sparkContext.getPersistentRDDs.valuesIterator
+                  .foreach(_.unpersist(blocking = false))
+              }
             case _ => None
           }
         }

@@ -537,6 +537,10 @@ object Dedup {
     val cross = keyPairs
       .join(base.select(col("id").as("ia"), col("k").as("ka")), "ka")
       .join(base.select(col("id").as("ib"), col("k").as("kb")), "kb")
+      // an id may legitimately appear on several rows (doc versions with
+      // near keys); it must never pair with itself — the pre-refactor
+      // code's id =!= pid guard, applied post-fan-out
+      .filter(col("ia") =!= col("ib"))
       .select(
         when(col("ia") < col("ib"), col("ia")).otherwise(col("ib")).as("id_a"),
         when(col("ia") < col("ib"), col("ib")).otherwise(col("ia")).as("id_b"),

@@ -721,7 +721,17 @@ object Similarity {
     * exactly representable — the bit-deterministic rotation the
     * sim_opq_topk oracle replays literal for literal. */
   def hadamardRotation(d: Int): Array[Array[Double]] = {
-    require(d > 0 && (d & (d - 1)) == 0, s"Hadamard order must be a power of two, got $d")
+    // powers of FOUR only: that is what makes 1/√d a power of two and
+    // every entry exactly representable — the whole point of this
+    // rotation for oracle-gated paths. A power-of-two-but-not-four order
+    // (8, 32, …) would build fine but silently void the bit-determinism
+    // contract and set up exactly the cross-engine last-ulp hash
+    // mismatch the oracle rules exist to prevent; trained rotations
+    // (opqFit) cover every other need.
+    require(d > 0 && (d & (d - 1)) == 0 && (d & 0x55555555) != 0,
+      s"Hadamard rotation order must be a power of FOUR (got $d): " +
+        "only then is 1/sqrt(d) a power of two and the rotation exactly " +
+        "representable for cross-engine replay")
     var h = Array(Array(1.0))
     while (h.length < d) {
       val n = h.length
@@ -775,38 +785,42 @@ object Similarity {
   def opqFit(sample: DataFrame, m: Int, subDim: Int, ksub: Int,
              pqIters: Int, opqIters: Int): (Array[Array[Double]], DataFrame) = {
     val d = m * subDim
-    // the sample is re-scanned every round — pin it once
+    // the sample is re-scanned every round — pin it once, release on
+    // every exit path (a periodic-retrain deployment calling this in a
+    // long-lived session must not accumulate pinned sample copies)
     val pinned = sample.select(col("vec_id"), col("v"))
       .filter(size(col("v")) === d).localCheckpoint()
-    var r = Array.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0)
-    var cbs = pqFit(pinned, m, subDim, ksub, pqIters)
-    for (_ <- 0 until opqIters) {
-      val cbMap = collectCodebooks(cbs)
-      // x = the ORIGINAL vector, y = its reconstruction in rotated space
-      val xy = pinned.select(col("v").as("x"),
-        graft.functions.MatVec.mat_vec(col("v"), r).as("rv"))
-        .select(col("x"), flatten(array((0 until m).map { j =>
-          val cs = cbMap(j)
-          val centMap = map(cs.flatMap { case (id, c) =>
-            Seq(lit(id), typedLit(c)) }.toIndexedSeq: _*)
-          element_at(centMap, graft.functions.L2Argmin.l2_argmin(col("rv"),
-            cs.map(_._1), cs.map(_._2.toArray), j * subDim))
-        }.toIndexedSeq: _*)).as("y"))
-        .filter(col("y").isNotNull && size(col("y")) === d)
-      // Gram frame XᵀY: d² cells, reduced with map-side partial agg
-      val cells = xy
-        .select(posexplode(col("x")).as(Seq("i", "xi")), col("y"))
-        .select(col("i"), col("xi"), posexplode(col("y")).as(Seq("j", "yj")))
-        .groupBy(col("i"), col("j")).agg(sum(col("xi") * col("yj")).as("mij"))
-        .collect()
-      val g = breeze.linalg.DenseMatrix.zeros[Double](d, d)
-      cells.foreach(row => g(row.getInt(0), row.getInt(1)) = row.getDouble(2))
-      val sv = breeze.linalg.svd(g)
-      val omega = sv.U * sv.Vt // the polar factor = Procrustes argmin
-      r = Array.tabulate(d, d)((j, i) => omega(i, j))
-      cbs = pqFit(rotate(pinned, "v", r), m, subDim, ksub, pqIters)
-    }
-    (r, cbs)
+    try {
+      var r = Array.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0)
+      var cbs = pqFit(pinned, m, subDim, ksub, pqIters)
+      for (_ <- 0 until opqIters) {
+        val cbMap = collectCodebooks(cbs)
+        // x = the ORIGINAL vector, y = its reconstruction in rotated space
+        val xy = pinned.select(col("v").as("x"),
+          graft.functions.MatVec.mat_vec(col("v"), r).as("rv"))
+          .select(col("x"), flatten(array((0 until m).map { j =>
+            val cs = cbMap(j)
+            val centMap = map(cs.flatMap { case (id, c) =>
+              Seq(lit(id), typedLit(c)) }.toIndexedSeq: _*)
+            element_at(centMap, graft.functions.L2Argmin.l2_argmin(col("rv"),
+              cs.map(_._1), cs.map(_._2.toArray), j * subDim))
+          }.toIndexedSeq: _*)).as("y"))
+          .filter(col("y").isNotNull && size(col("y")) === d)
+        // Gram frame XᵀY: d² cells, reduced with map-side partial agg
+        val cells = xy
+          .select(posexplode(col("x")).as(Seq("i", "xi")), col("y"))
+          .select(col("i"), col("xi"), posexplode(col("y")).as(Seq("j", "yj")))
+          .groupBy(col("i"), col("j")).agg(sum(col("xi") * col("yj")).as("mij"))
+          .collect()
+        val g = breeze.linalg.DenseMatrix.zeros[Double](d, d)
+        cells.foreach(row => g(row.getInt(0), row.getInt(1)) = row.getDouble(2))
+        val sv = breeze.linalg.svd(g)
+        val omega = sv.U * sv.Vt // the polar factor = Procrustes argmin
+        r = Array.tabulate(d, d)((j, i) => omega(i, j))
+        cbs = pqFit(rotate(pinned, "v", r), m, subDim, ksub, pqIters)
+      }
+      (r, cbs)
+    } finally pinned.unpersist(blocking = false)
   }
 
   /** PQ-encode in the rotated space: ONE shuffle-free projection — the

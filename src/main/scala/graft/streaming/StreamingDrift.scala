@@ -56,8 +56,7 @@ object StreamingDrift {
   def alerts(drift: DataFrame, cosFloor: Double): DataFrame =
     drift.filter(col("n_batch") > 0 &&
       (col("n_ref") === 0L || col("drift_cos") < cosFloor ||
-        (col("n_ref") > 0L &&
-          (col("drift_cos").isNull || isnan(col("drift_cos"))))))
+        col("drift_cos").isNull || isnan(col("drift_cos"))))
 
   /** Start the monitor: per micro-batch, `stream` (strataCol, v)
     * aggregates to its per-stratum profile, compares against the stored

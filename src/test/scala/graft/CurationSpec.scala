@@ -764,6 +764,14 @@ class CurationSpec extends SparkTestBase {
       s"candidate key pairs must be distinct-key-bounded, got ${keyPairs.length}")
     assert(keyPairs.forall(r => r.getString(0) != r.getString(1)),
       "key-pair core must never pair a key with itself")
+    // an id appearing on multiple rows (doc versions carrying near keys)
+    // must never pair with itself through the cross-key fan-out — the
+    // pre-refactor id =!= pid guard, preserved
+    val withDup = df.unionByName(Seq((3L, "titlx x")).toDF("doc_id", "k"))
+    val dupOut = Dedup.editDistancePairs(withDup, "doc_id", "k", maxDist = 2)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect()
+    assert(dupOut.nonEmpty && dupOut.forall { case (a, b) => a != b },
+      "duplicate-id input must never emit a self-pair")
   }
 
   test("clusterOutliers: the planted stray ranks first in its cell; zero-norm drops; scoring shuffle-free") {
