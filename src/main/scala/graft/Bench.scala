@@ -601,6 +601,50 @@ object Bench {
         ((-1.0, -1.0), (-1.0, -1.0))
       }
 
+    // coarse-residual projection: the zip_with/map-literal HOF form (the
+    // executable documentation of the oracle's element order) vs the
+    // native CentroidResidual expression — the v − centroid[cluster]
+    // step of the residual-IVFADC index build, where the HOF form is
+    // CodegenFallback and breaks the index projection's codegen stage.
+    // Same caveat as rolling-fp/argmax: the native run sits near the
+    // scheduling floor at sf0.1, so its rate is a LOWER bound.
+    val ((residualHofVecsPerSec, residualHofSpreadPct),
+         (residualExprVecsPerSec, residualExprSpreadPct)) =
+      try {
+        import org.apache.spark.sql.functions._
+        val vecs = Tables.embeddings(spark, sfDir)
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+          .withColumn("cluster", pmod(col("vec_id"), lit(32)).cast("int"))
+          .repartition(cpus.toInt).cache()
+        val n = vecs.count().toDouble
+        val centRows = vecs.filter(col("vec_id") < 32)
+          .select(col("vec_id").cast("int").as("cluster"), col("v").as("c"))
+          .collect()
+          .map(r => (r.getInt(0), r.getSeq[Double](1))).sortBy(_._1)
+        def run(fast: Boolean) = {
+          val res =
+            if (fast) graft.functions.CentroidResidual.centroid_residual(
+              col("v"), col("cluster"),
+              centRows.map(_._1), centRows.map(_._2.toArray))
+            else graft.operators.Similarity
+              .residualExprHof(centRows, col("v"), col("cluster"))
+          vecs.select(element_at(res, 1).as("r0")).agg(sum(col("r0"))).head()
+        }
+        try {
+          run(false); run(true) // warm-up
+          val hofR = rateMedian(3) { () =>
+            val t = timed(() => run(false)); if (t > 0) n / t else -1.0
+          }
+          val exprR = rateMedian(3) { () =>
+            val t = timed(() => run(true)); if (t > 0) n / t else -1.0
+          }
+          (hofR, exprR)
+        } finally vecs.unpersist()
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] residual metric failed: $e")
+        ((-1.0, -1.0), (-1.0, -1.0))
+      }
+
     // PQ ADC lookup-sum: the array_position/element_at formulation (the
     // oracle-replayable form — m scans over ksub-entry literal id arrays
     // per candidate) vs the native PqAdc expression (direct-indexed
@@ -914,6 +958,8 @@ object Bench {
       "rolling_fp_expr_docs_per_sec" -> rollingExprDocsPerSec,
       "argmax_hof_vecs_per_sec" -> argmaxHofVecsPerSec,
       "argmax_expr_vecs_per_sec" -> argmaxExprVecsPerSec,
+      "residual_hof_vecs_per_sec" -> residualHofVecsPerSec,
+      "residual_expr_vecs_per_sec" -> residualExprVecsPerSec,
       "adc_hof_pairs_per_sec" -> adcHofPairsPerSec,
       "adc_expr_pairs_per_sec" -> adcExprPairsPerSec,
       "int8_dot_hof_pairs_per_sec" -> i8HofPairsPerSec,
@@ -982,6 +1028,8 @@ object Bench {
       "rolling_fp_expr_docs_per_sec" -> rollingExprSpreadPct,
       "argmax_hof_vecs_per_sec" -> argmaxHofSpreadPct,
       "argmax_expr_vecs_per_sec" -> argmaxExprSpreadPct,
+      "residual_hof_vecs_per_sec" -> residualHofSpreadPct,
+      "residual_expr_vecs_per_sec" -> residualExprSpreadPct,
       "adc_hof_pairs_per_sec" -> adcHofSpreadPct,
       "adc_expr_pairs_per_sec" -> adcExprSpreadPct,
       "int8_dot_hof_pairs_per_sec" -> i8HofSpreadPct,
@@ -1006,7 +1054,7 @@ object Bench {
     val slopeFlagsJson = scaleSlopeFlags
       .map("\"" + _ + "\"").mkString("[", ",", "]")
     val json =
-      f"""{"metric":"total","value":$total%.4f,"unit":"sec","runs_per_query":$runsPerQuery,"queries":$qs,"query_spread_pct":$spreads,"drift_gt20pct_vs_prev":$drift,"drift_comparable":$driftComparable,"serde_rows_per_sec":$serdeRowsPerSec%.0f,"serde_rows_per_sec_core":$serdePerCore%.0f,"serde_uuid_rows_per_sec_core":$serdeUuidPerCore%.0f,"uuid_gen_rows_per_sec_core":$uuidGenPerCore%.0f,"uuid_rows_per_sec":$uuidRowsPerSec%.0f,"uuid_rows_per_sec_core":$uuidPerCore%.0f,"serde_spread_pct":$serdeSpreads,"serde_drift_gt20pct_vs_prev":$serdeDrift,"baseline_gate_rows_per_sec_core":90000,"serde_uuid_vs_gate":$gateRatio%.2f,"minhash_md5_docs_per_sec":$minhashMd5DocsPerSec%.0f,"minhash_xxh64_docs_per_sec":$minhashXxhDocsPerSec%.0f,"rolling_fp_hof_docs_per_sec":$rollingHofDocsPerSec%.0f,"rolling_fp_expr_docs_per_sec":$rollingExprDocsPerSec%.0f,"argmax_hof_vecs_per_sec":$argmaxHofVecsPerSec%.0f,"argmax_expr_vecs_per_sec":$argmaxExprVecsPerSec%.0f,"adc_hof_pairs_per_sec":$adcHofPairsPerSec%.0f,"adc_expr_pairs_per_sec":$adcExprPairsPerSec%.0f,"int8_dot_hof_pairs_per_sec":$i8HofPairsPerSec%.0f,"int8_dot_expr_pairs_per_sec":$i8ExprPairsPerSec%.0f,"recall_at_k":$recallK,"recall":$recallJson,"scale_slope_exponents":$slopesJson,"scale_slope_flags":$slopeFlagsJson,"calibration_ref_sec":$CalibrationRefSec%.2f,"calibration_start_sec":$calStartSec%.3f,"calibration_end_sec":$calEndSec%.3f,"calibration_par_ref_sec":$CalibrationParRefSec%.2f,"calibration_par_start_sec":$calParStartSec%.3f,"calibration_par_end_sec":$calParEndSec%.3f,"contended":$contended,"mass_drift_suspected":$massDrift,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.4f,"unit":"sec","runs_per_query":$runsPerQuery,"queries":$qs,"query_spread_pct":$spreads,"drift_gt20pct_vs_prev":$drift,"drift_comparable":$driftComparable,"serde_rows_per_sec":$serdeRowsPerSec%.0f,"serde_rows_per_sec_core":$serdePerCore%.0f,"serde_uuid_rows_per_sec_core":$serdeUuidPerCore%.0f,"uuid_gen_rows_per_sec_core":$uuidGenPerCore%.0f,"uuid_rows_per_sec":$uuidRowsPerSec%.0f,"uuid_rows_per_sec_core":$uuidPerCore%.0f,"serde_spread_pct":$serdeSpreads,"serde_drift_gt20pct_vs_prev":$serdeDrift,"baseline_gate_rows_per_sec_core":90000,"serde_uuid_vs_gate":$gateRatio%.2f,"minhash_md5_docs_per_sec":$minhashMd5DocsPerSec%.0f,"minhash_xxh64_docs_per_sec":$minhashXxhDocsPerSec%.0f,"rolling_fp_hof_docs_per_sec":$rollingHofDocsPerSec%.0f,"rolling_fp_expr_docs_per_sec":$rollingExprDocsPerSec%.0f,"argmax_hof_vecs_per_sec":$argmaxHofVecsPerSec%.0f,"argmax_expr_vecs_per_sec":$argmaxExprVecsPerSec%.0f,"residual_hof_vecs_per_sec":$residualHofVecsPerSec%.0f,"residual_expr_vecs_per_sec":$residualExprVecsPerSec%.0f,"adc_hof_pairs_per_sec":$adcHofPairsPerSec%.0f,"adc_expr_pairs_per_sec":$adcExprPairsPerSec%.0f,"int8_dot_hof_pairs_per_sec":$i8HofPairsPerSec%.0f,"int8_dot_expr_pairs_per_sec":$i8ExprPairsPerSec%.0f,"recall_at_k":$recallK,"recall":$recallJson,"scale_slope_exponents":$slopesJson,"scale_slope_flags":$slopeFlagsJson,"calibration_ref_sec":$CalibrationRefSec%.2f,"calibration_start_sec":$calStartSec%.3f,"calibration_end_sec":$calEndSec%.3f,"calibration_par_ref_sec":$CalibrationParRefSec%.2f,"calibration_par_start_sec":$calParStartSec%.3f,"calibration_par_end_sec":$calParEndSec%.3f,"contended":$contended,"mass_drift_suspected":$massDrift,"sf":"$sfDir"}"""
     // compact contract line — MUST stay well under the harness's ~2k-char
     // stdout tail window (see [[publish]]); everything here is either a
     // driver-contract field or a headline number the judge compares

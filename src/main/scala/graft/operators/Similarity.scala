@@ -168,13 +168,20 @@ object Similarity {
                      roundTo: Int = 4): DataFrame = {
     require(nPlanes % bandBits == 0, s"bandBits=$bandBits must divide nPlanes=$nPlanes")
     val signs = hyperplaneSigns(nPlanes, dim)
-    val bitCols = (0 until nPlanes).map { p =>
-      val proj = aggregate(
-        zip_with(col("v"), typedLit(signs(p).toSeq), (x, y) => x * y),
-        lit(0.0), (acc, z) => acc + z)
-      when(round(proj, 6) >= 0, 1).otherwise(0).as(s"b$p")
-    }
-    val bits = vectors.select(col("vec_id") +: bitCols: _*)
+    // ALL nPlanes sign projections in ONE native MatVec pass: the old
+    // form paid nPlanes interpreted aggregate(zip_with) folds per row —
+    // CodegenFallback on a FULL-CORPUS scan. MatVec's roundTo = 6 is
+    // exactly the old round(proj, 6) (same left-to-right fold order,
+    // same Spark-round semantics), and a null / width-mismatched vector
+    // yields a null projection row whose bits all read 0 below — the
+    // same bits the HOF's null-padded folds produced, element for
+    // element (spec-pinned in DedupSpec's SRP fixture).
+    val projections = graft.functions.MatVec.mat_vec(col("v"), signs, 6)
+    val bits = vectors
+      .withColumn("__proj", projections)
+      .select(col("vec_id") +: (0 until nPlanes).map { p =>
+        when(element_at(col("__proj"), p + 1) >= 0, 1).otherwise(0).as(s"b$p")
+      }: _*)
     val bandCols = (0 until nPlanes / bandBits).map { b =>
       val code = (0 until bandBits)
         .map(j => col(s"b${b * bandBits + j}") * lit(1 << j)).reduce(_ + _)
@@ -614,14 +621,26 @@ object Similarity {
     topKPerProbeBy(scored, k, col("adist"), ascending = true)
   }
 
-  /** `v − centroid[cluster]` as a pure column expression: the k coarse
-    * centroids ride as a map literal (cluster id → array), so the
-    * subtraction is a shuffle-free projection with no join even when the
-    * cluster column is data-dependent. A cluster id absent from the map
-    * nulls the residual (and everything downstream drops it) — only
-    * possible with a stale centroid frame. */
+  /** `v − centroid[cluster]`: the k coarse centroids ride ON the native
+    * [[graft.functions.CentroidResidual]] expression (same plan-literal
+    * footprint as a map literal), so the subtraction is a shuffle-free
+    * projection with no join even when the cluster column is
+    * data-dependent — and, unlike the zip_with formulation it replaced
+    * (a CodegenFallback higher-order function), it keeps the whole
+    * index-build projection inside one whole-stage-codegen stage. A
+    * cluster id absent from the table nulls the residual (and everything
+    * downstream drops it) — only possible with a stale centroid frame. */
   private def residualExpr(centRows: Array[(Int, Seq[Double])],
-                           v: Column, cluster: Column): Column = {
+                           v: Column, cluster: Column): Column =
+    graft.functions.CentroidResidual.centroid_residual(v, cluster.cast("int"),
+      centRows.map(_._1), centRows.map(_._2.toArray))
+
+  /** The column-expression twin of [[residualExpr]] — identical values
+    * on the operator contract (FunctionsSpec pins the parity, degenerate
+    * cases included); kept as executable documentation of the
+    * element-order the oracle replays. */
+  private[graft] def residualExprHof(centRows: Array[(Int, Seq[Double])],
+                                     v: Column, cluster: Column): Column = {
     val centMap = map(centRows.flatMap { case (id, c) =>
       Seq(lit(id), typedLit(c)) }.toIndexedSeq: _*)
     zip_with(v, element_at(centMap, cluster), (x, y) => x - y)

@@ -631,6 +631,40 @@ class CurationSpec extends SparkTestBase {
     exact.unpersist(); vecs.unpersist()
   }
 
+  test("SRP sketch bits via MatVec ≡ the HOF sign folds, degenerate rows included") {
+    import spark.implicits._
+    import graft.operators.Similarity
+    // the cosineNearDups sketch replaced nPlanes interpreted
+    // aggregate(zip_with) folds with one MatVec projection; the bits
+    // must be identical element for element — including a null vector
+    // and a width-mismatched vector, whose HOF folds null-padded to a
+    // null projection and therefore all-zero bits
+    val nPlanes = 16; val dim = 8
+    val rnd = new scala.util.Random(31)
+    val clean = (0L until 40L).map(i => (i, Option((0 until dim).map(_ => rnd.nextGaussian()).toSeq)))
+    val dirty = Seq((900L, None), (901L, Option(Seq(1.0, 2.0))))
+    val df = (clean ++ dirty).toDF("vec_id", "v")
+      .withColumn("v", $"v".cast("array<double>"))
+    val signs = Similarity.hyperplaneSigns(nPlanes, dim)
+    val viaExpr = df
+      .withColumn("__p", graft.functions.MatVec.mat_vec($"v", signs, 6))
+      .select($"vec_id" +: (0 until nPlanes).map { p =>
+        when(element_at($"__p", p + 1) >= 0, 1).otherwise(0).as(s"b$p")
+      }: _*)
+    val viaHof = df.select($"vec_id" +: (0 until nPlanes).map { p =>
+      val proj = aggregate(
+        zip_with($"v", typedLit(signs(p).toSeq), (x, y) => x * y),
+        lit(0.0), (acc, z) => acc + z)
+      when(round(proj, 6) >= 0, 1).otherwise(0).as(s"b$p")
+    }: _*)
+    val a = viaExpr.orderBy($"vec_id").collect().map(_.toSeq)
+    val b = viaHof.orderBy($"vec_id").collect().map(_.toSeq)
+    assert(a.toSeq == b.toSeq, "MatVec sketch bits diverged from the HOF folds")
+    // degenerate rows read all-zero bits in both forms
+    assert(a.filter(r => r.head.asInstanceOf[Long] >= 900L)
+      .forall(_.tail.forall(_ == 0)))
+  }
+
   test("OPQ: one-projection encode; rotated wiring ≡ pre-rotated PQ; degenerate input never crashes") {
     import spark.implicits._
     import graft.operators.Similarity

@@ -527,4 +527,43 @@ class FunctionsSpec extends SparkTestBase {
     assert(Seq(3L, 4L, 5L).forall(byId(_) == null),
       "unresolvable codes must drop to null, never rank")
   }
+
+  test("centroid_residual matches the zip_with formulation; degenerates null the row") {
+    import spark.implicits._
+    import graft.operators.Similarity
+    val centRows: Array[(Int, Seq[Double])] = Array(
+      (0, Seq(1.0, -2.0, 0.5)), (3, Seq(0.25, 0.0, -1.0)))
+    val rows = Seq(
+      (0L, Option(Seq(2.0, 2.0, 2.0)), Option(0)),     // clean
+      (1L, Option(Seq(-1.5, 0.0, 3.25)), Option(3)),   // clean, gappy id
+      (2L, Option(Seq(1.0, 1.0, 1.0)), Option(7)),     // unknown cluster
+      (3L, None, Option(0)),                           // null vector
+      (4L, Option(Seq(1.0, 1.0, 1.0)), None),          // null cluster
+      (5L, Option(Seq(1.0, 1.0)), Option(0)))          // width mismatch
+      .toDF("vec_id", "v", "cluster")
+      .select($"vec_id", $"v".cast("array<double>").as("v"),
+        $"cluster".cast("int").as("cluster"))
+    val out = rows.select($"vec_id",
+      graft.functions.CentroidResidual.centroid_residual(
+        $"v", $"cluster", centRows.map(_._1), centRows.map(_._2.toArray))
+        .as("fast"),
+      Similarity.residualExprHof(centRows, $"v", $"cluster").as("ref"))
+      .collect()
+    val byId = out.map(r => r.getLong(0) -> (r.get(1), r.get(2))).toMap
+    // clean rows: bit-identical to the HOF form
+    Seq(0L, 1L).foreach { id =>
+      assert(byId(id)._1 == byId(id)._2 && byId(id)._1 != null,
+        s"row $id: native ${byId(id)._1} != HOF ${byId(id)._2}")
+    }
+    assert(byId(0L)._1 == Seq(1.0, 4.0, 1.5))
+    // degenerates: whole-row null (unknown/null cluster and null vector
+    // agree with the HOF form; the width mismatch is the documented
+    // whole-null-vs-padded-nulls trade, same drop-the-row signal)
+    Seq(2L, 3L, 4L, 5L).foreach { id =>
+      assert(byId(id)._1 == null, s"row $id must null, got ${byId(id)._1}")
+    }
+    Seq(2L, 3L, 4L).foreach { id =>
+      assert(byId(id)._2 == null, s"HOF row $id should also null")
+    }
+  }
 }
