@@ -725,6 +725,52 @@ class CurationSpec extends SparkTestBase {
     vecs.unpersist()
   }
 
+  test("OPQ ∘ residual IVFADC composes with zero new code and does not lose recall") {
+    import spark.implicits._
+    import graft.operators.Similarity
+    // The FAISS-canonical production index shape (OPQ pretransform →
+    // coarse IVF → residual PQ) is a pure COMPOSITION of existing
+    // operators: rotate the corpus once (MatVec literal), then the whole
+    // residual-IVFADC chain runs unchanged in the rotated space; probes
+    // rotate through the same matrix. Rotation preserves cosine/L2, so
+    // the exact re-rank against ORIGINAL vectors and the recall
+    // accounting stay valid. Pinned on the anisotropic fixture where
+    // rotation matters: composition ≥ the unrotated residual recall.
+    val rnd = new scala.util.Random(37)
+    val m = 4; val subDim = 4; val d = m * subDim
+    val vecs = (0L until 400L).map { i =>
+      val raw = (0 until d).map(j => rnd.nextGaussian() * math.exp(-j / 3.0))
+      val nrm = math.sqrt(raw.map(x => x * x).sum)
+      (i, raw.map(_ / nrm))
+    }.toDF("vec_id", "v").cache()
+    val probes = vecs.filter($"vec_id" < 5)
+      .select($"vec_id".as("probe_id"), $"v".as("p"))
+    val k = 10
+    val exact = Similarity.bruteForceTopK(vecs, probes, k).cache()
+    exact.count()
+    val sample = vecs.filter($"vec_id" % 2 === 0)
+
+    def residualRecall(corpus: org.apache.spark.sql.DataFrame,
+                       prb: org.apache.spark.sql.DataFrame): Double = {
+      val cents = Similarity.kmeansFit(corpus, k = 4, iters = 2)
+      val rcb = Similarity.pqFitResidual(
+        corpus.filter($"vec_id" % 2 === 0), cents, m, subDim, ksub = 8, iters = 2)
+      val rindex = Similarity.pqIndexResidual(corpus, cents, rcb, m, subDim)
+      Similarity.recallAtK(
+        Similarity.ivfPqResidualTopK(rindex, cents, prb, rcb, k,
+          nprobe = 4, m, subDim), exact, k)
+    }
+    val plainR = residualRecall(vecs, probes)
+    val (rot, _) = Similarity.opqFit(sample, m, subDim, ksub = 8,
+      pqIters = 2, opqIters = 4)
+    val opqR = residualRecall(Similarity.rotate(vecs, "v", rot),
+      Similarity.rotate(probes, "p", rot))
+    info(f"residual IVFADC recall@10: plain $plainR%.2f opq-rotated $opqR%.2f")
+    assert(opqR >= plainR,
+      s"OPQ pretransform must not lose residual-IVFADC recall: $opqR < $plainR")
+    exact.unpersist(); vecs.unpersist()
+  }
+
   test("editDistancePairs ≡ brute force on adversarial short strings (incl. empty, length gaps)") {
     import spark.implicits._
     import graft.operators.Dedup
