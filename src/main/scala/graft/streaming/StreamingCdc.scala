@@ -49,6 +49,51 @@ object StreamingCdc {
     }
   }
 
+  /** The per-batch body, exposed so a spec (or a backfill job) can run
+    * and re-run it deterministically. Unlike
+    * [[StreamingIncrementalDedup]] — whose state read must be pinned to
+    * versions strictly older than the batch because re-admitting against
+    * its own output would CHANGE the admissions — the CDC merge reads
+    * whatever `_latest` points to, and that is safe through BOTH crash
+    * windows because applying a batch is IDEMPOTENT over its own result:
+    *  - crash after `v_b` lands but before the pointer flips: the replay
+    *    reads the old snapshot, recomputes the identical merge, and
+    *    overwrites `v_b` in place;
+    *  - crash after the flip (the nasty window — `_latest` already names
+    *    the dead attempt's `v_b`): the replay re-applies batch b ON TOP
+    *    of a snapshot that already contains it — every upsert rewrites
+    *    its identical winning row (the batch side beats the snapshot
+    *    side unconditionally, and the within-batch seq winner is the
+    *    same), every delete re-deletes an absent key — landing on the
+    *    byte-identical snapshot. Spec-pinned (StreamingSpec crash-window
+    *    test). */
+  def processBatch(batch: DataFrame, batchId: Long, statePath: String,
+                   keyCol: String, seqCols: Seq[String], opCol: String,
+                   payloadCols: Seq[String], retainVersions: Int = 2,
+                   flipPointer: Boolean = true): Unit = {
+    val spark = batch.sparkSession
+    val stateSchema = StructType(batch.schema.fields
+      .filter(f => f.name == keyCol || payloadCols.contains(f.name)))
+    val snapshot = currentState(spark, statePath, stateSchema)
+    val merged = CdcMerge.applyCdc(snapshot, batch, keyCol, seqCols,
+      opCol, payloadCols)
+    val dir = new Path(statePath)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val version = s"v_$batchId"
+    merged.write.mode("overwrite").parquet(new Path(dir, version).toString)
+    if (flipPointer) {
+      // flip the pointer only after the full snapshot is on disk
+      val out = fs.create(new Path(dir, "_latest"), true)
+      try out.write(version.getBytes("UTF-8")) finally out.close()
+      // vacuum superseded snapshots (keep the newest retainVersions)
+      fs.listStatus(dir).map(_.getPath.getName)
+        .collect { case s if s.startsWith("v_") => s.drop(2).toLong }
+        .sorted.dropRight(retainVersions)
+        .foreach(i => fs.delete(new Path(dir, s"v_$i"), true))
+    }
+    ()
+  }
+
   /** Start materializing `changes` (a streaming frame carrying `keyCol`,
     * `seqCols`, `opCol`, `payloadCols`) into `statePath`.
     *
@@ -57,36 +102,19 @@ object StreamingCdc {
     * `v_*` directories accumulate forever — O(snapshot) dead bytes per
     * batch. N ≥ 2 (enforced) keeps the previous snapshot as a grace
     * window for readers that resolved `_latest` just before the flip;
-    * replay safety is untouched because a replayed batch reads only
-    * `_latest` (never an older version) and re-vacuums idempotently. */
+    * replay safety is [[processBatch]]'s idempotence argument,
+    * spec-pinned through both crash windows. */
   def materialize(changes: DataFrame, statePath: String, checkpoint: String,
                   keyCol: String, seqCols: Seq[String], opCol: String,
                   payloadCols: Seq[String],
                   retainVersions: Int = 2): StreamingQuery = {
     require(retainVersions >= 2,
       "retainVersions < 2 would vacuum the snapshot a pre-flip reader holds")
-    val stateSchema = StructType(changes.schema.fields
-      .filter(f => f.name == keyCol || payloadCols.contains(f.name)))
     changes.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val spark = batch.sparkSession
-        val snapshot = currentState(spark, statePath, stateSchema)
-        val merged = CdcMerge.applyCdc(snapshot, batch, keyCol, seqCols,
-          opCol, payloadCols)
-        val dir = new Path(statePath)
-        val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        val version = s"v_$batchId"
-        merged.write.mode("overwrite").parquet(new Path(dir, version).toString)
-        // flip the pointer only after the full snapshot is on disk
-        val out = fs.create(new Path(dir, "_latest"), true)
-        try out.write(version.getBytes("UTF-8")) finally out.close()
-        // vacuum superseded snapshots (keep the newest retainVersions)
-        fs.listStatus(dir).map(_.getPath.getName)
-          .collect { case s if s.startsWith("v_") => s.drop(2).toLong }
-          .sorted.dropRight(retainVersions)
-          .foreach(i => fs.delete(new Path(dir, s"v_$i"), true))
-        ()
+        processBatch(batch, batchId, statePath, keyCol, seqCols, opCol,
+          payloadCols, retainVersions)
       }
       .start()
   }

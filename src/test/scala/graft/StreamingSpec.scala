@@ -211,6 +211,52 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming CDC crash windows: replay before and after the pointer flip lands on the identical snapshot") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("cdc_crash").toString
+    val state = s"$root/state"
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "k BIGINT, name STRING, bal BIGINT")
+    def batchDf(rows: (Long, String, String, Long, Long)*) =
+      rows.toDF("k", "op", "name", "bal", "seq")
+    def run(df: org.apache.spark.sql.DataFrame, id: Long,
+            flip: Boolean = true): Unit =
+      graft.streaming.StreamingCdc.processBatch(df, id, state,
+        keyCol = "k", seqCols = Seq("seq"), opCol = "op",
+        payloadCols = Seq("name", "bal"), flipPointer = flip)
+    def snap(): Set[(Long, String, Long)] = graft.streaming.StreamingCdc
+      .currentState(spark, state, schema)
+      .select($"k", $"name", $"bal").as[(Long, String, Long)].collect().toSet
+    run(batchDf((1L, "u", "alice", 100L, 1L), (2L, "u", "bob", 200L, 1L)), 0L)
+    assert(snap() == Set((1L, "alice", 100L), (2L, "bob", 200L)))
+    // window 1: crash AFTER v_1 lands, BEFORE the pointer flips — the
+    // replay reads the OLD snapshot, recomputes the identical merge, and
+    // overwrites v_1 in place
+    val b1 = batchDf((1L, "d", "", 0L, 1L), (3L, "u", "carol", 300L, 1L))
+    run(b1, 1L, flip = false)
+    assert(snap() == Set((1L, "alice", 100L), (2L, "bob", 200L)),
+      "an unflipped pointer must keep serving the old snapshot")
+    run(b1, 1L)
+    val afterB1 = snap()
+    assert(afterB1 == Set((2L, "bob", 200L), (3L, "carol", 300L)))
+    // window 2 (the nasty one): batch 2 commits fully — pointer already
+    // names its own v_2 — then the batch REPLAYS on top of its own
+    // output. Every upsert rewrites its identical winning row, the
+    // delete re-deletes an absent key: byte-identical state.
+    val b2 = batchDf((2L, "u", "bob9", 290L, 1L), (3L, "d", "", 0L, 1L),
+      (4L, "u", "dave", 400L, 1L), (4L, "u", "dave2", 410L, 2L))
+    run(b2, 2L)
+    val afterB2 = snap()
+    assert(afterB2 == Set((2L, "bob9", 290L), (4L, "dave2", 410L)))
+    run(b2, 2L) // the post-flip replay
+    assert(snap() == afterB2,
+      "replaying a committed batch over its own snapshot must be a no-op")
+    // retention still bounds versions through the replays
+    val versions = new java.io.File(state).list()
+      .filter(_.startsWith("v_")).toSet
+    assert(versions == Set("v_1", "v_2"), s"got $versions")
+  }
+
   test("streaming windowed heavy hitters: per-window sketch counts, emitted at close") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
