@@ -884,6 +884,32 @@ object Bench {
                 k = 400, nprobe = 4, m = 4, subDim = 16),
               probes, vecs, k = recallK),
             exact, recallK)
+          // OPQ ∘ residual IVFADC — the FAISS-canonical composition
+          // (rotate, then the unchanged residual chain; zero new code),
+          // measured beside the unrotated residual sweep with the SAME
+          // m=4 code budget and the already-trained m=4 rotation. The
+          // exact re-rank runs against the ORIGINAL vectors (rotation
+          // preserves cosine, so the candidate ids carry over).
+          val rvecs = Similarity.rotate(vecs, "v", orot4).cache()
+          val (opqResRawR, opqResRerankR) = try {
+            val rprobes = Similarity.rotate(probes, "p", orot4)
+            val rcents = Similarity.kmeansFit(rvecs, k = 8, iters = 2)
+            val orcb = Similarity.pqFitResidual(
+              rvecs.filter(col("vec_id") % 4 === 0), rcents,
+              m = 4, subDim = 16, ksub = 8, iters = 2)
+            val orindex = Similarity.pqIndexResidual(rvecs, rcents, orcb,
+              m = 4, subDim = 16)
+            (Similarity.recallAtK(
+              Similarity.ivfPqResidualTopK(orindex, rcents, rprobes, orcb,
+                k = recallK, nprobe = 4, m = 4, subDim = 16),
+              exact, recallK),
+              Similarity.recallAtK(
+                Similarity.rerankExact(
+                  Similarity.ivfPqResidualTopK(orindex, rcents, rprobes, orcb,
+                    k = 400, nprobe = 4, m = 4, subDim = 16),
+                  probes, vecs, k = recallK),
+                exact, recallK))
+          } finally rvecs.unpersist(blocking = false)
           // JL 64→16: the map-only dim-reduction screen. Raw recall is the
           // distortion cost of quartering every downstream shuffle —
           // isotropic random fixtures are JL's WORST case (real embedding
@@ -927,6 +953,8 @@ object Bench {
             "recall_opq_topk" -> opq4R,
             "recall_opq_m8k32_topk" -> opq8R,
             "recall_opq_m8k32_rerank" -> opq8RerankR,
+            "recall_opq_ivfpq_res_nprobe4" -> opqResRawR,
+            "recall_opq_ivfpq_res_rerank" -> opqResRerankR,
             "opq_vs_pq_distortion_m4" -> distRatio4,
             "opq_vs_pq_distortion_m8k32" -> distRatio8,
             "recall_int8_topk" -> i8R,
