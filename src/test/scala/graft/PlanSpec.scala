@@ -236,6 +236,33 @@ class PlanSpec extends SparkTestBase {
       s"the per-probe distance tables must broadcast:\n$p")
   }
 
+  test("sim_opq_topk: rotated vectors never shuffle — only codes; rotation fuses into the scan-side projection") {
+    val p = planOf("sim_opq_topk")
+    // the rotation is a MatVec literal applied in the same projection as
+    // the encode argmins — the corpus side of the ADC join still carries
+    // only (vec_id, codes), never the (rotated) vector
+    hashExchangeInputs(p).foreach(in =>
+      assert(!in.contains("v#") && !in.contains("embedding#") &&
+        !in.contains("mat_vec"),
+        s"(rotated) corpus vectors enter a shuffle:\n$in"))
+    assert(p.contains("mat_vec"),
+      s"the rotation must ride the plan as a MatVec projection:\n$p")
+    assert(p.contains("BroadcastExchange"),
+      s"the per-probe distance tables must broadcast:\n$p")
+  }
+
+  test("sim_hybrid_mmr: MMR candidate packing is bounded — document text and vectors stay out of the fusion shuffles") {
+    val p = planOf("sim_hybrid_mmr")
+    // the fused candidate frame is ≤ Σk rows per query; the corpus-sized
+    // inputs (document text for BM25, embeddings for the dense run)
+    // must reduce BEFORE anything corpus-sized moves
+    hashExchangeInputs(p).foreach(in => assert(!in.contains("text#"),
+      s"document text enters a shuffle:\n$in"))
+    assert(!p.contains("CartesianProduct"), s"cartesian in:\n$p")
+    assert(p.contains("mmr_select"),
+      s"the greedy selection must run as the native expression:\n$p")
+  }
+
   test("t_weighted_sample: text stays at the scan; group-limit runs map-side") {
     val p = planOf("t_weighted_sample")
     hashExchangeInputs(p).foreach(in => assert(!in.contains("text#"),

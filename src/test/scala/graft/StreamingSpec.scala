@@ -257,6 +257,34 @@ class StreamingSpec extends SparkTestBase {
     assert(versions == Set("v_1", "v_2"), s"got $versions")
   }
 
+  test("applyCdc is idempotent over its own result for randomized change batches") {
+    import spark.implicits._
+    import graft.refresh.CdcMerge
+    // the property the CDC crash-window replay rests on, checked over
+    // randomized (snapshot, batch) pairs: applying a batch to its own
+    // merged result is a no-op — upserts rewrite identical winners,
+    // deletes re-delete absent keys, untouched keys pass through
+    val rnd = new scala.util.Random(43)
+    for (round <- 0 until 8) {
+      val snapshot = (0 until rnd.nextInt(20)).map { _ =>
+        (rnd.nextInt(12).toLong, s"n${rnd.nextInt(5)}", rnd.nextInt(100).toLong)
+      }.distinctBy(_._1).toDF("k", "name", "bal")
+      val changes = (0 until 1 + rnd.nextInt(25)).zipWithIndex.map { case (_, i) =>
+        (rnd.nextInt(12).toLong, if (rnd.nextBoolean()) "u" else "d",
+          s"c${rnd.nextInt(5)}", rnd.nextInt(100).toLong, i.toLong)
+      }.toDF("k", "op", "name", "bal", "seq")
+      val once = CdcMerge.applyCdc(snapshot, changes, "k", Seq("seq"), "op",
+        Seq("name", "bal")).cache()
+      val twice = CdcMerge.applyCdc(once, changes, "k", Seq("seq"), "op",
+        Seq("name", "bal"))
+      val a = once.as[(Long, String, Long)].collect().toSet
+      val b = twice.as[(Long, String, Long)].collect().toSet
+      assert(a == b, s"round $round: re-applying the batch changed state " +
+        s"(${(a -- b).take(3)} vs ${(b -- a).take(3)})")
+      once.unpersist()
+    }
+  }
+
   test("streaming windowed heavy hitters: per-window sketch counts, emitted at close") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
