@@ -38,9 +38,13 @@ case class CentroidResidual(left: Expression, right: Expression,
                             cents: Array[Array[Double]])
   extends BinaryExpression {
 
-  require(cents.nonEmpty && clusterIds.length == cents.length,
-    "one cluster id per centroid, at least one centroid")
-  require(cents.forall(_.length == cents(0).length),
+  // an EMPTY centroid table is legal (k-means over an empty/degenerate
+  // corpus): every lookup misses and every residual nulls — the same
+  // graceful empty-result path the map-literal form this replaced had,
+  // not a plan-construction crash
+  require(clusterIds.length == cents.length,
+    "one cluster id per centroid")
+  require(cents.isEmpty || cents.forall(_.length == cents(0).length),
     "all centroids must share one dimensionality")
 
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)

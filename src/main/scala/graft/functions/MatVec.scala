@@ -28,7 +28,12 @@ import org.apache.spark.sql.types._
   * also yields null, matching the HOF form where `zip_with` null-pads
   * and the fold propagates null into every output element — a whole-row
   * null beats an array of nulls for filterability and carries the same
-  * signal.
+  * signal. A vector CONTAINING a null element likewise yields a whole
+  * null (the HOF fold nulls every output element through `acc + null`);
+  * reading the slot as 0.0 instead would silently produce a projection
+  * the fold forms disagree with. The per-element null check only runs
+  * when the input schema admits null elements, so the common
+  * containsNull = false path stays branch-free.
   */
 case class MatVec(child: Expression, mat: Array[Array[Double]],
                   roundTo: Int = MatVec.NoRounding)
@@ -70,9 +75,19 @@ case class MatVec(child: Expression, mat: Array[Array[Double]],
     * rounding is exactly Spark's `round` for doubles
     * (`BigDecimal.valueOf(x).setScale(d, HALF_UP)`, NaN/±Inf pass
     * through), the same contract CosineArgmax pins. */
+  // resolved lazily: the child's type is only bound after analysis
+  private lazy val mayContainNull: Boolean = child.dataType match {
+    case ArrayType(_, containsNull) => containsNull
+    case _ => true
+  }
+
   def compute(v: ArrayData): ArrayData = {
     val n = v.numElements()
     if (n != mat(0).length) return null
+    if (mayContainNull) {
+      var i = 0
+      while (i < n) { if (v.isNullAt(i)) return null; i += 1 }
+    }
     val out = new Array[Double](mat.length)
     var j = 0
     while (j < mat.length) {

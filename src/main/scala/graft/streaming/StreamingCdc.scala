@@ -15,15 +15,29 @@ import graft.refresh.CdcMerge
   * over Structured Streaming.
   *
   * State layout is versioned-snapshot-plus-pointer (the minimal
-  * transactional table): each micro-batch merges into a NEW directory
-  * `v_<batchId>` and then flips the one-line `_latest` pointer, so
-  * readers always see a complete snapshot (never a half-written one)
-  * and a crash between write and flip just leaves an orphan version.
-  * Replays are safe end to end: re-running batch b rewrites `v_b` from
-  * the same inputs deterministically, and the merge itself is
-  * idempotent under batch replay (spec-pinned on the batch operator) —
-  * together that is exactly-once table state over an at-least-once
-  * stream, the same recipe as `StreamArchiver`'s rotate-then-commit.
+  * transactional table): each micro-batch merges into a STAGING
+  * directory, renames it into `v_<batchId>` (a metadata-only swap —
+  * the merge's lazy read of the previous snapshot is NEVER overwritten
+  * by its own write, which would otherwise delete the live data mid-job
+  * on any plan that reads after the overwrite starts), and then flips
+  * the one-line `_latest` pointer via its own write-temp-then-rename.
+  * Readers resolve the pointer and VALIDATE it (target present with a
+  * `_SUCCESS` commit marker); an invalid or mid-swap pointer falls back
+  * to the newest committed version on disk — so every crash window
+  * leaves readers a complete snapshot:
+  *  - die during the staging write → orphan staging dir, old state
+  *    intact; the replay deletes it and rewrites.
+  *  - die between the `v_b` delete and the staging rename (a replay
+  *    rewriting its own committed version) → the pointer names a
+  *    missing dir, readers fall back to the retained previous version,
+  *    and the replay's next attempt recomputes from that same fallback
+  *    — which is exactly the snapshot the dead attempt read, because
+  *    applying a batch is idempotent over its own result (spec-pinned).
+  *  - die between the pointer delete and its rename → readers fall back
+  *    to the newest committed version, which IS the one the pointer was
+  *    about to name.
+  * Together with the merge's replay idempotence this is exactly-once
+  * table state over an at-least-once stream.
   *
   * At 100 TB the full-rewrite merge becomes a partition-wise rewrite
   * (bucket the snapshot on the key with [[graft.operators.Bucketing]]
@@ -33,20 +47,42 @@ import graft.refresh.CdcMerge
   */
 object StreamingCdc {
 
+  private val VersionName = "^v_(\\d+)$".r
+
+  private def committedVersions(fs: org.apache.hadoop.fs.FileSystem,
+                                dir: Path): Seq[Long] =
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).map(_.getPath.getName).toSeq.collect {
+      case VersionName(n) if fs.exists(new Path(dir, s"v_$n/_SUCCESS")) =>
+        n.toLong
+    }.sorted
+
   /** Read the current materialized snapshot (empty with `schema` before
-    * the first batch commits). */
+    * the first batch commits). The `_latest` pointer is validated — its
+    * target must exist with a `_SUCCESS` commit marker — and an
+    * invalid/missing/mid-swap pointer falls back to the newest committed
+    * version on disk, so readers survive every writer crash window. */
   def currentState(spark: SparkSession, statePath: String,
                    schema: StructType): DataFrame = {
     val dir = new Path(statePath)
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val ptr = new Path(dir, "_latest")
-    if (!fs.exists(ptr))
-      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    else {
-      val in = fs.open(ptr)
-      val v = try scala.io.Source.fromInputStream(in).mkString.trim finally in.close()
-      spark.read.parquet(new Path(dir, v).toString)
-    }
+    val pointed: Option[String] =
+      if (!fs.exists(ptr)) None
+      else {
+        val in = fs.open(ptr)
+        val v = try scala.io.Source.fromInputStream(in).mkString.trim
+        finally in.close()
+        v match {
+          case VersionName(_) if fs.exists(new Path(dir, s"$v/_SUCCESS")) =>
+            Some(v)
+          case _ => None
+        }
+      }
+    pointed.orElse(committedVersions(fs, dir).lastOption.map(v => s"v_$v"))
+      .map(v => spark.read.parquet(new Path(dir, v).toString))
+      .getOrElse(spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema))
   }
 
   /** The per-batch body, exposed so a spec (or a backfill job) can run
@@ -54,23 +90,18 @@ object StreamingCdc {
     * [[StreamingIncrementalDedup]] — whose state read must be pinned to
     * versions strictly older than the batch because re-admitting against
     * its own output would CHANGE the admissions — the CDC merge reads
-    * whatever `_latest` points to, and that is safe through BOTH crash
-    * windows because applying a batch is IDEMPOTENT over its own result:
-    *  - crash after `v_b` lands but before the pointer flips: the replay
-    *    reads the old snapshot, recomputes the identical merge, and
-    *    overwrites `v_b` in place;
-    *  - crash after the flip (the nasty window — `_latest` already names
-    *    the dead attempt's `v_b`): the replay re-applies batch b ON TOP
-    *    of a snapshot that already contains it — every upsert rewrites
-    *    its identical winning row (the batch side beats the snapshot
-    *    side unconditionally, and the within-batch seq winner is the
-    *    same), every delete re-deletes an absent key — landing on the
-    *    byte-identical snapshot. Spec-pinned (StreamingSpec crash-window
-    *    test). */
+    * the current snapshot (possibly its own committed `v_b` on a
+    * post-commit replay) and that is safe because applying a batch is
+    * IDEMPOTENT over its own result: every upsert rewrites its identical
+    * winning row, every delete re-deletes an absent key (spec-pinned,
+    * batches randomized). The staging-then-rename write discipline in
+    * the class doc makes every crash window recoverable. */
   def processBatch(batch: DataFrame, batchId: Long, statePath: String,
                    keyCol: String, seqCols: Seq[String], opCol: String,
                    payloadCols: Seq[String], retainVersions: Int = 2,
                    flipPointer: Boolean = true): Unit = {
+    require(retainVersions >= 2,
+      "retainVersions < 2 would vacuum the snapshot a pre-flip reader holds")
     val spark = batch.sparkSession
     val stateSchema = StructType(batch.schema.fields
       .filter(f => f.name == keyCol || payloadCols.contains(f.name)))
@@ -80,16 +111,37 @@ object StreamingCdc {
     val dir = new Path(statePath)
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val version = s"v_$batchId"
-    merged.write.mode("overwrite").parquet(new Path(dir, version).toString)
+    val staging = new Path(dir, s"_staging_$version")
+    // stage the merge: the job's lazy read of the previous snapshot —
+    // which on a replay may be v_<batchId> ITSELF — must never race its
+    // own overwrite (observed failure mode of in-place overwrite: the
+    // write deletes the directory before the read plan scans it,
+    // killing the job AND the live snapshot)
+    fs.delete(staging, true)
+    merged.write.mode("overwrite").parquet(staging.toString)
+    fs.delete(new Path(dir, version), true)
+    if (!fs.rename(staging, new Path(dir, version)))
+      throw new java.io.IOException(s"rename $staging -> $version failed")
     if (flipPointer) {
-      // flip the pointer only after the full snapshot is on disk
-      val out = fs.create(new Path(dir, "_latest"), true)
+      // pointer flip via write-temp-then-rename: a reader never observes
+      // a truncated/partial pointer, and the missing-pointer instant
+      // between delete and rename falls back (currentState) to the
+      // newest committed version — which is the one being named
+      val ptr = new Path(dir, "_latest")
+      val ptrTmp = new Path(dir, "_latest.tmp")
+      val out = fs.create(ptrTmp, true)
       try out.write(version.getBytes("UTF-8")) finally out.close()
-      // vacuum superseded snapshots (keep the newest retainVersions)
-      fs.listStatus(dir).map(_.getPath.getName)
-        .collect { case s if s.startsWith("v_") => s.drop(2).toLong }
+      fs.delete(ptr, false)
+      if (!fs.rename(ptrTmp, ptr))
+        throw new java.io.IOException(s"pointer flip to $version failed")
+      // vacuum superseded snapshots (keep the newest retainVersions) and
+      // any orphan staging dirs from dead attempts of OTHER batches
+      val names = fs.listStatus(dir).map(_.getPath.getName)
+      names.collect { case VersionName(n) => n.toLong }
         .sorted.dropRight(retainVersions)
         .foreach(i => fs.delete(new Path(dir, s"v_$i"), true))
+      names.filter(n => n.startsWith("_staging_") && n != s"_staging_$version")
+        .foreach(n => fs.delete(new Path(dir, n), true))
     }
     ()
   }
@@ -100,10 +152,12 @@ object StreamingCdc {
     * `retainVersions` bounds storage: after each pointer flip, all but
     * the newest N snapshot versions vacuum. Without a bound, superseded
     * `v_*` directories accumulate forever — O(snapshot) dead bytes per
-    * batch. N ≥ 2 (enforced) keeps the previous snapshot as a grace
-    * window for readers that resolved `_latest` just before the flip;
-    * replay safety is [[processBatch]]'s idempotence argument,
-    * spec-pinned through both crash windows. */
+    * batch. N ≥ 2 (enforced here AND in [[processBatch]] — a backfill
+    * caller passing 0 would vacuum every version including the one just
+    * committed) keeps the previous snapshot as a grace window for
+    * readers that resolved `_latest` just before the flip; replay
+    * safety is [[processBatch]]'s idempotence argument, spec-pinned
+    * through the crash windows. */
   def materialize(changes: DataFrame, statePath: String, checkpoint: String,
                   keyCol: String, seqCols: Seq[String], opCol: String,
                   payloadCols: Seq[String],

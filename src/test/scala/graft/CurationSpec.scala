@@ -641,8 +641,13 @@ class CurationSpec extends SparkTestBase {
     // null projection and therefore all-zero bits
     val nPlanes = 16; val dim = 8
     val rnd = new scala.util.Random(31)
-    val clean = (0L until 40L).map(i => (i, Option((0 until dim).map(_ => rnd.nextGaussian()).toSeq)))
-    val dirty = Seq((900L, None), (901L, Option(Seq(1.0, 2.0))))
+    val clean = (0L until 40L).map(i => (i,
+      Option((0 until dim).map(x => Option(rnd.nextGaussian())).toSeq)))
+    val dirty = Seq(
+      (900L, None),                                        // null vector
+      (901L, Option(Seq(Option(1.0), Option(2.0)))),       // wrong width
+      (902L, Option((0 until dim).map(j =>                 // null ELEMENT
+        if (j == 3) Option.empty[Double] else Option(1.0)).toSeq)))
     val df = (clean ++ dirty).toDF("vec_id", "v")
       .withColumn("v", $"v".cast("array<double>"))
     val signs = Similarity.hyperplaneSigns(nPlanes, dim)
@@ -660,7 +665,9 @@ class CurationSpec extends SparkTestBase {
     val a = viaExpr.orderBy($"vec_id").collect().map(_.toSeq)
     val b = viaHof.orderBy($"vec_id").collect().map(_.toSeq)
     assert(a.toSeq == b.toSeq, "MatVec sketch bits diverged from the HOF folds")
-    // degenerate rows read all-zero bits in both forms
+    // degenerate rows — null vector, wrong width, null ELEMENT (the HOF
+    // fold nulls through acc + null; MatVec must null the row, never
+    // read the slot as 0.0) — read all-zero bits in both forms
     assert(a.filter(r => r.head.asInstanceOf[Long] >= 900L)
       .forall(_.tail.forall(_ == 0)))
   }

@@ -565,5 +565,13 @@ class FunctionsSpec extends SparkTestBase {
     Seq(2L, 3L, 4L).foreach { id =>
       assert(byId(id)._2 == null, s"HOF row $id should also null")
     }
+    // an EMPTY centroid table is a graceful all-null projection (k-means
+    // over an empty corpus), never a plan-construction crash
+    val emptyOut = rows.select(
+      graft.functions.CentroidResidual.centroid_residual(
+        $"v", $"cluster", Array.empty[Int], Array.empty[Array[Double]])
+        .as("r")).collect()
+    assert(emptyOut.forall(_.get(0) == null),
+      "empty centroid table must null every residual")
   }
 }

@@ -255,6 +255,31 @@ class StreamingSpec extends SparkTestBase {
     val versions = new java.io.File(state).list()
       .filter(_.startsWith("v_")).toSet
     assert(versions == Set("v_1", "v_2"), s"got $versions")
+    // window 3: die between the v_b delete and the staging rename — the
+    // pointer names a MISSING dir; readers must fall back to the
+    // retained previous version, and the replay must rebuild v_2 from
+    // that same fallback snapshot
+    val fs = new org.apache.hadoop.fs.Path(state)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(state, "v_2"), true)
+    assert(snap() == afterB1,
+      "a dangling pointer must fall back to the newest committed version")
+    run(b2, 2L)
+    assert(snap() == afterB2, "the replay must rebuild the lost version")
+    // window 4: die mid-pointer-swap (no _latest at all) — readers fall
+    // back to the newest committed version, which is the one the flip
+    // was about to name
+    fs.delete(new org.apache.hadoop.fs.Path(state, "_latest"), false)
+    assert(snap() == afterB2,
+      "a missing pointer must fall back to the newest committed version")
+    // a truncated/garbage pointer likewise falls back instead of
+    // resolving the state root
+    val out = fs.create(new org.apache.hadoop.fs.Path(state, "_latest"), true)
+    out.close()
+    assert(snap() == afterB2,
+      "an empty pointer must fall back, never read the state root")
+    run(batchDf((5L, "u", "erin", 500L, 1L)), 3L) // heals the pointer
+    assert(snap() == afterB2 + ((5L, "erin", 500L)))
   }
 
   test("applyCdc is idempotent over its own result for randomized change batches") {
