@@ -21,10 +21,14 @@ import graft.refresh.CdcMerge
   * by its own write, which would otherwise delete the live data mid-job
   * on any plan that reads after the overwrite starts), and then flips
   * the one-line `_latest` pointer via its own write-temp-then-rename.
-  * Readers resolve the pointer and VALIDATE it (target present with a
-  * `_SUCCESS` commit marker); an invalid or mid-swap pointer falls back
-  * to the newest committed version on disk — so every crash window
-  * leaves readers a complete snapshot:
+  * Readers resolve the pointer and VALIDATE it (target present with
+  * this operator's own `_COMMITTED` marker, written only after the
+  * rename returns — independent of Spark committer config, and immune
+  * to object-store renames landing marker files before data); an
+  * invalid or mid-swap pointer falls back to the newest committed
+  * version on disk, while a never-published state dir (backfills with
+  * `flipPointer = false`) stays EMPTY to readers — so every crash
+  * window leaves readers a complete snapshot:
   *  - die during the staging write → orphan staging dir, old state
   *    intact; the replay deletes it and rewrites.
   *  - die between the `v_b` delete and the staging rename (a replay
@@ -49,40 +53,66 @@ object StreamingCdc {
 
   private val VersionName = "^v_(\\d+)$".r
 
+  /** This operator's OWN commit marker, written only after the staging
+    * rename fully returns. Deliberately not Spark's `_SUCCESS`: that
+    * marker is config-dependent (`marksuccessfuljobs=false` would make
+    * every committed snapshot invisible and silently merge onto empty
+    * state), and on an object store whose rename copies object by
+    * object a crash mid-rename can land `_SUCCESS` before the data
+    * files — our marker cannot exist until the whole rename call
+    * completed. */
+  private val CommitMarker = "_COMMITTED"
+
+  private def isCommitted(fs: org.apache.hadoop.fs.FileSystem, dir: Path,
+                          version: String): Boolean =
+    fs.exists(new Path(dir, s"$version/$CommitMarker"))
+
   private def committedVersions(fs: org.apache.hadoop.fs.FileSystem,
                                 dir: Path): Seq[Long] =
     if (!fs.exists(dir)) Seq.empty
     else fs.listStatus(dir).map(_.getPath.getName).toSeq.collect {
-      case VersionName(n) if fs.exists(new Path(dir, s"v_$n/_SUCCESS")) =>
-        n.toLong
+      case VersionName(n) if isCommitted(fs, dir, s"v_$n") => n.toLong
     }.sorted
 
   /** Read the current materialized snapshot (empty with `schema` before
-    * the first batch commits). The `_latest` pointer is validated — its
-    * target must exist with a `_SUCCESS` commit marker — and an
-    * invalid/missing/mid-swap pointer falls back to the newest committed
-    * version on disk, so readers survive every writer crash window. */
+    * the first batch PUBLISHES). Resolution order:
+    *  - a pointer naming a committed version wins;
+    *  - a pointer that exists but is garbage or names a
+    *    missing/uncommitted version (the dangling-pointer crash window,
+    *    or a replay rebuilding its own version) falls back to the
+    *    newest committed version on disk;
+    *  - a MISSING pointer with a `_latest.tmp` present is the mid-swap
+    *    instant (the writer deletes the pointer only after its
+    *    replacement is fully staged) — same fallback;
+    *  - a missing pointer with no tmp means nothing was ever published
+    *    (e.g. only `flipPointer = false` backfill versions exist) →
+    *    the EMPTY frame. The fallback must not leak deliberately
+    *    unpublished snapshots.
+    * The pointer open races the writer's delete+rename; a vanishing
+    * file reads as mid-swap, never as a reader crash. */
   def currentState(spark: SparkSession, statePath: String,
                    schema: StructType): DataFrame = {
     val dir = new Path(statePath)
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val ptr = new Path(dir, "_latest")
-    val pointed: Option[String] =
-      if (!fs.exists(ptr)) None
-      else {
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    val ptrContent: Option[String] =
+      try {
         val in = fs.open(ptr)
-        val v = try scala.io.Source.fromInputStream(in).mkString.trim
-        finally in.close()
-        v match {
-          case VersionName(_) if fs.exists(new Path(dir, s"$v/_SUCCESS")) =>
-            Some(v)
-          case _ => None
-        }
-      }
-    pointed.orElse(committedVersions(fs, dir).lastOption.map(v => s"v_$v"))
-      .map(v => spark.read.parquet(new Path(dir, v).toString))
-      .getOrElse(spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema))
+        Some(try scala.io.Source.fromInputStream(in).mkString.trim
+        finally in.close())
+      } catch { case _: java.io.FileNotFoundException => None }
+    val resolved: Option[String] = ptrContent match {
+      case Some(v @ VersionName(_)) if isCommitted(fs, dir, v) => Some(v)
+      case Some(_) => // garbage or dangling target: newest committed
+        committedVersions(fs, dir).lastOption.map(v => s"v_$v")
+      case None if fs.exists(new Path(dir, "_latest.tmp")) => // mid-swap
+        committedVersions(fs, dir).lastOption.map(v => s"v_$v")
+      case None => None // never published: the publish gate holds
+    }
+    resolved.map(v => spark.read.parquet(new Path(dir, v).toString))
+      .getOrElse(empty)
   }
 
   /** The per-batch body, exposed so a spec (or a backfill job) can run
@@ -116,12 +146,17 @@ object StreamingCdc {
     // which on a replay may be v_<batchId> ITSELF — must never race its
     // own overwrite (observed failure mode of in-place overwrite: the
     // write deletes the directory before the read plan scans it,
-    // killing the job AND the live snapshot)
-    fs.delete(staging, true)
+    // killing the job AND the live snapshot); overwrite mode clears any
+    // orphan staging dir from a dead attempt
     merged.write.mode("overwrite").parquet(staging.toString)
     fs.delete(new Path(dir, version), true)
     if (!fs.rename(staging, new Path(dir, version)))
       throw new java.io.IOException(s"rename $staging -> $version failed")
+    // commit marker AFTER the rename returned: a crash mid-rename (an
+    // object store copies object by object) leaves the version
+    // invisible to readers and vacuum, and the replay rebuilds it
+    val mk = fs.create(new Path(dir, s"$version/$CommitMarker"), true)
+    mk.close()
     if (flipPointer) {
       // pointer flip via write-temp-then-rename: a reader never observes
       // a truncated/partial pointer, and the missing-pointer instant
@@ -134,12 +169,16 @@ object StreamingCdc {
       fs.delete(ptr, false)
       if (!fs.rename(ptrTmp, ptr))
         throw new java.io.IOException(s"pointer flip to $version failed")
-      // vacuum superseded snapshots (keep the newest retainVersions) and
-      // any orphan staging dirs from dead attempts of OTHER batches
+      // vacuum: retention counts COMMITTED versions only (an
+      // uncommitted/partial dir must not occupy a retention slot and
+      // push out the committed snapshot the crash-fallback depends on);
+      // everything else — superseded committed versions, uncommitted
+      // debris, orphan staging dirs of other batches — deletes
+      val keep = committedVersions(fs, dir).takeRight(retainVersions)
+        .map(i => s"v_$i").toSet + version
       val names = fs.listStatus(dir).map(_.getPath.getName)
-      names.collect { case VersionName(n) => n.toLong }
-        .sorted.dropRight(retainVersions)
-        .foreach(i => fs.delete(new Path(dir, s"v_$i"), true))
+      names.collect { case v @ VersionName(_) if !keep.contains(v) => v }
+        .foreach(v => fs.delete(new Path(dir, v), true))
       names.filter(n => n.startsWith("_staging_") && n != s"_staging_$version")
         .foreach(n => fs.delete(new Path(dir, n), true))
     }

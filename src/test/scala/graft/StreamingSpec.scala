@@ -266,14 +266,24 @@ class StreamingSpec extends SparkTestBase {
       "a dangling pointer must fall back to the newest committed version")
     run(b2, 2L)
     assert(snap() == afterB2, "the replay must rebuild the lost version")
-    // window 4: die mid-pointer-swap (no _latest at all) — readers fall
-    // back to the newest committed version, which is the one the flip
-    // was about to name
+    // window 4: die mid-pointer-swap — the writer deletes `_latest` only
+    // while its fully-written `_latest.tmp` replacement exists, so
+    // readers detect the instant and fall back to the newest committed
+    // version (the one the flip was about to name)
+    val tmpOut = fs.create(
+      new org.apache.hadoop.fs.Path(state, "_latest.tmp"), true)
+    try tmpOut.write("v_2".getBytes("UTF-8")) finally tmpOut.close()
     fs.delete(new org.apache.hadoop.fs.Path(state, "_latest"), false)
     assert(snap() == afterB2,
-      "a missing pointer must fall back to the newest committed version")
-    // a truncated/garbage pointer likewise falls back instead of
-    // resolving the state root
+      "mid-swap (tmp present, pointer missing) must fall back to the " +
+        "newest committed version")
+    // NO pointer and NO tmp = never published: the publish gate holds —
+    // committed backfill versions must not leak to readers
+    fs.delete(new org.apache.hadoop.fs.Path(state, "_latest.tmp"), false)
+    assert(snap() == Set.empty,
+      "an unpublished state dir must read empty, never leak versions")
+    // a truncated/garbage pointer falls back instead of resolving the
+    // state root
     val out = fs.create(new org.apache.hadoop.fs.Path(state, "_latest"), true)
     out.close()
     assert(snap() == afterB2,
