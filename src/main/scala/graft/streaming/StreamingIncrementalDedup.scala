@@ -56,21 +56,77 @@ object StreamingIncrementalDedup {
     StructField("content_md5", StringType),
     StructField("kept_id", LongType)))
 
+  /** The admitted-output contract: the batch's (doc_id, text) plus the
+    * survivor's copy count. */
+  val AdmittedSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("n_copies", LongType)))
+
+  /** Per-directory commit marker (the [[StreamingCdc]] discipline),
+    * written only after the parquet job returns: a partially-written
+    * delta/base/output dir from a dead attempt — possible when a
+    * BACKFILL caller drives [[processBatch]] past a crashed batch, or
+    * for any reader racing a replay's overwrite — is invisible rather
+    * than silently read as truncated state. The streaming path never
+    * reads a partial dir on its own (a batch's files are strictly older
+    * than it, and Structured Streaming replays the failed batch before
+    * advancing), so this guards the out-of-band readers and callers. */
+  private val CommitMarker = "_COMMITTED"
+
+  private def mark(fs: org.apache.hadoop.fs.FileSystem, dir: Path): Unit = {
+    val out = fs.create(new Path(dir, CommitMarker), true)
+    out.close()
+  }
+
   private def emptyIndex(spark: SparkSession): DataFrame =
     spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], IndexSchema)
 
-  /** (compacted-base ids, delta ids) present in `statePath`. */
+  private val StateName = "^([cd])_(\\d+)$".r
+
+  /** (compacted-base ids, delta ids) COMMITTED in `statePath`; foreign
+    * file names are inert, unmarked (partial) dirs invisible. */
   private def listVersions(spark: SparkSession,
                            statePath: String): (Array[Long], Array[Long]) = {
     val dir = new Path(statePath)
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(dir)) (Array.empty[Long], Array.empty[Long])
     else {
-      val names = fs.listStatus(dir).map(_.getPath.getName)
-      (names.collect { case s if s.startsWith("c_") => s.drop(2).toLong },
-        names.collect { case s if s.startsWith("d_") => s.drop(2).toLong })
+      val names = fs.listStatus(dir).map(_.getPath.getName).collect {
+        case n @ StateName(kind, id)
+          if fs.exists(new Path(dir, s"$n/$CommitMarker")) => (kind, id.toLong)
+      }
+      (names.collect { case ("c", i) => i }, names.collect { case ("d", i) => i })
     }
+  }
+
+  /** The highest batchId whose body completed against this state dir —
+    * monotone within any legitimate run (Structured Streaming replays at
+    * most the last batch). An incoming batchId BELOW it means a
+    * different run is driving the directory (a reset/repointed
+    * checkpoint restarting ids at 0): continuing would silently hide the
+    * whole index from `indexBefore`'s strictly-older reads, mix deltas
+    * of two runs, and let vacuum destroy live state — so the batch
+    * fails loudly instead. */
+  private def highWater(fs: org.apache.hadoop.fs.FileSystem,
+                        dir: Path): Option[Long] = {
+    val p = new Path(dir, "_max_batch")
+    try {
+      val in = fs.open(p)
+      val v = try scala.io.Source.fromInputStream(in).mkString.trim
+      finally in.close()
+      v.toLongOption
+    } catch { case _: java.io.FileNotFoundException => None }
+  }
+
+  private def writeHighWater(fs: org.apache.hadoop.fs.FileSystem, dir: Path,
+                             batchId: Long): Unit = {
+    val tmp = new Path(dir, "_max_batch.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(batchId.toString.getBytes("UTF-8")) finally out.close()
+    fs.delete(new Path(dir, "_max_batch"), false)
+    fs.rename(tmp, new Path(dir, "_max_batch"))
   }
 
   /** The index state strictly older than `batchId`: newest compacted
@@ -114,6 +170,12 @@ object StreamingIncrementalDedup {
                    statePath: String, outPath: String,
                    compactEvery: Int = 10): Unit = {
     val spark = batch.sparkSession
+    val stateDir = new Path(statePath)
+    val fs = stateDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    highWater(fs, stateDir).foreach(hw => require(batchId >= hw,
+      s"state at $statePath was built by a run that already processed " +
+        s"batch $hw; refusing batch $batchId — a reset checkpoint must " +
+        "get a fresh state directory, or it silently corrupts the index"))
     vacuum(spark, statePath, batchId)
     val index = indexBefore(spark, statePath, batchId)
     // the batch feeds the anti-join AND the admitted-doc join back;
@@ -129,13 +191,20 @@ object StreamingIncrementalDedup {
     val admitted = pinned.join(
       broadcast(survivors.select(col("kept_id").as("doc_id"), col("n_copies"))),
       "doc_id")
-    admitted.write.mode("overwrite")
-      .parquet(new Path(outPath, s"batch_$batchId").toString)
+    val outDir = new Path(outPath, s"batch_$batchId")
+    admitted.write.mode("overwrite").parquet(outDir.toString)
+    mark(outDir.getFileSystem(spark.sparkContext.hadoopConfiguration), outDir)
+    val deltaDir = new Path(stateDir, s"d_$batchId")
     survivors.select(col("content_md5"), col("kept_id")).write.mode("overwrite")
-      .parquet(new Path(statePath, s"d_$batchId").toString)
-    if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
+      .parquet(deltaDir.toString)
+    mark(fs, deltaDir)
+    if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0) {
+      val baseDir = new Path(stateDir, s"c_$batchId")
       Dedup.mergeExactIndex(index, survivors).write.mode("overwrite")
-        .parquet(new Path(statePath, s"c_$batchId").toString)
+        .parquet(baseDir.toString)
+      mark(fs, baseDir)
+    }
+    writeHighWater(fs, stateDir, batchId)
   }
 
   /** Start corpus-lifetime dedup of a streaming (doc_id, text) frame. */
@@ -148,7 +217,23 @@ object StreamingIncrementalDedup {
       }
       .start()
 
-  /** All admitted documents so far (the deduplicated corpus). */
-  def admittedCorpus(spark: SparkSession, outPath: String): DataFrame =
-    spark.read.parquet(new Path(outPath, "batch_*").toString)
+  /** All admitted documents so far (the deduplicated corpus): COMMITTED
+    * batch outputs only — a torn dir from a crashed attempt or a batch
+    * mid-replay-overwrite never serves a truncated corpus — and a typed
+    * empty frame before the first batch commits (not an unresolvable
+    * glob). */
+  def admittedCorpus(spark: SparkSession, outPath: String): DataFrame = {
+    val dir = new Path(outPath)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val committed =
+      if (!fs.exists(dir)) Array.empty[String]
+      else fs.listStatus(dir).map(_.getPath).collect {
+        case p if p.getName.matches("^batch_\\d+$") &&
+          fs.exists(new Path(p, CommitMarker)) => p.toString
+      }
+    if (committed.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], AdmittedSchema)
+    else spark.read.schema(AdmittedSchema).parquet(committed.toIndexedSeq: _*)
+  }
 }

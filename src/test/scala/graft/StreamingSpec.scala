@@ -781,6 +781,38 @@ class StreamingSpec extends SparkTestBase {
     assert(stateFiles == Set("c_4", "d_5"), s"got $stateFiles")
   }
 
+  test("incremental dedup state hygiene: run fencing, partial/foreign dirs inert, typed empty corpus") {
+    import spark.implicits._
+    import graft.streaming.StreamingIncrementalDedup
+    val state = java.nio.file.Files.createTempDirectory("hyg_state").toString
+    val out = java.nio.file.Files.createTempDirectory("hyg_out").toString
+    // before anything commits: a typed empty frame, not a glob error
+    assert(StreamingIncrementalDedup.admittedCorpus(spark, out).isEmpty)
+    def run(id: Long, rows: (Long, String)*): Unit =
+      StreamingIncrementalDedup.processBatch(
+        rows.toDF("doc_id", "text"), id, state, out, compactEvery = 2)
+    run(0L, (1L, "a")); run(1L, (2L, "b")); run(2L, (3L, "c"))
+    // run fencing: a reset checkpoint restarting ids at 0 against this
+    // state dir must fail loudly, never silently hide the index
+    val e = intercept[IllegalArgumentException] { run(0L, (9L, "z")) }
+    assert(e.getMessage.contains("fresh state directory"), e.getMessage)
+    // a partial (unmarked) state dir from a dead attempt and a foreign
+    // name are both inert to the version listing
+    val fs = new org.apache.hadoop.fs.Path(state)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(state, "c_9"))   // no marker
+    fs.mkdirs(new org.apache.hadoop.fs.Path(state, "d_backup"))
+    val idx = StreamingIncrementalDedup.indexBefore(spark, state, 100L)
+      .as[(String, Long)].collect().map(_._2).toSet
+    assert(idx == Set(1L, 2L, 3L),
+      s"partial/foreign dirs must not enter the index, got $idx")
+    // a torn OUTPUT dir (no marker) never serves a truncated corpus
+    fs.mkdirs(new org.apache.hadoop.fs.Path(out, "batch_9"))
+    val corpus = StreamingIncrementalDedup.admittedCorpus(spark, out)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(corpus == Set(1L, 2L, 3L), s"got $corpus")
+  }
+
   test("incremental dedup crash window: compaction batch dies after d_b, before c_b; replay converges to the clean run") {
     import spark.implicits._
     // The nastiest window in the delta-file discipline: batch b is a
