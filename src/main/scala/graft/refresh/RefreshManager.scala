@@ -17,9 +17,19 @@ object RefreshManager {
 
   final case class Tick(started: Seq[RefreshJob], caps: Map[Int, Int])
 
-  /** One poll: start the per-source queue heads while concurrency allows,
-    * mark them IN_PROGRESS in the catalog at their stored resume offsets,
-    * and allocate rate caps across everything running after the tick. */
+  /** One poll: start the per-(namespace, source) queue heads while
+    * concurrency allows, mark them IN_PROGRESS in the catalog, and
+    * allocate rate caps across everything running after the tick.
+    *
+    * Every start goes through the registry's atomic
+    * `transitionRefresh(id, snapshotStatus, InProgress)`: the decision is
+    * made over a snapshot, so an unconditional write-back would (a) roll
+    * a concurrently-flushed resume offset backwards — the CAS preserves
+    * the STORED offset — and (b) double-start a job a concurrent tick
+    * already claimed — the CAS fails and the job is skipped. The
+    * one-active-job guard keys on (namespace, source), matching
+    * [[PriorityRefreshQueue.schedule]]'s grouping; a bare source-name
+    * match would starve same-named sources in other namespaces. */
   def tick(registry: SchemaRegistry, maxConcurrent: Int = 8,
            totalCap: Int = ThroughputAllocator.DefaultTotalCap): Tick = {
     val all = registry.refreshes
@@ -28,19 +38,24 @@ object RefreshManager {
     val toStart =
       if (slots <= 0) Seq.empty
       else PriorityRefreshQueue.schedule(all)
-        .filterNot(j => running.exists(_.sourceName == j.sourceName)) // one per source
+        .filterNot(j => running.exists(r =>
+          r.sourceName == j.sourceName && r.namespaceName == j.namespaceName))
         .take(slots)
-    val started = toStart.map(j =>
-      registry.updateRefresh(j.refreshId, RefreshStatus.InProgress, j.offset))
+    val started = toStart.flatMap(j =>
+      registry.transitionRefresh(j.refreshId, j.status, RefreshStatus.InProgress))
     Tick(started, ThroughputAllocator.allocate(running ++ started, totalCap))
   }
 
   /** Worker-loss handling (refresh_manager.py:273-304 zombie sweep): jobs
     * whose workers died flip to FAILED at their last stored offset so a
-    * later requester can re-queue them. */
+    * later requester can re-queue them. The CAS skips any job whose
+    * worker raced the sweep with its own terminal update (a GC-paused
+    * worker's SUCCESS must not be overwritten to FAILED, nor vice
+    * versa). */
   def failLostJobs(registry: SchemaRegistry, lostRefreshIds: Set[Int]): Seq[RefreshJob] =
     lostRefreshIds.toSeq.sorted
       .flatMap(registry.getRefreshById)
       .filter(_.status == RefreshStatus.InProgress)
-      .map(j => registry.updateRefresh(j.refreshId, RefreshStatus.Failed, j.offset))
+      .flatMap(j => registry.transitionRefresh(j.refreshId,
+        RefreshStatus.InProgress, RefreshStatus.Failed))
 }

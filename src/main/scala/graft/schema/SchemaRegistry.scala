@@ -486,6 +486,27 @@ class SchemaRegistry extends Serializable {
     updated
   }
 
+  /** Atomic status transition: succeeds only when the job's CURRENT
+    * status equals `from`, and preserves the STORED offset — never a
+    * caller snapshot's. This is the manager's check-then-act primitive:
+    * tick/zombie-sweep decisions are made over a snapshot, and writing
+    * the snapshot's offset back would roll a concurrent pause-flush's
+    * resume offset backwards (re-extracting and re-publishing the gap),
+    * while an unconditional status write would resurrect a job whose
+    * worker raced the sweep. [[updateRefresh]] stays the
+    * reference-faithful unconditional PATCH for requester/tooling
+    * flows. */
+  def transitionRefresh(refreshId: Int, from: RefreshStatus.Value,
+                        to: RefreshStatus.Value): Option[RefreshJob] =
+    synchronized {
+      refreshesById.get(refreshId).filter(_.status == from).map { j =>
+        val updated = j.copy(status = to,
+          updatedAt = clock.incrementAndGet().toLong)
+        refreshesById.put(refreshId, updated)
+        updated
+      }
+    }
+
   def getRefreshById(refreshId: Int): Option[RefreshJob] = refreshesById.get(refreshId)
 
   def refreshes: Seq[RefreshJob] = refreshesById.values.toSeq.sortBy(_.refreshId)
@@ -577,12 +598,32 @@ class SchemaRegistry extends Serializable {
     * data targets/consumer groups/meta-attribute mappings). The store is
     * the registry's durability layer — an embedded stand-in for the
     * Schematizer's MySQL (at cluster scale: a shared object-store path or
-    * Delta table). */
-  def save(spark: SparkSession, dir: String): Unit = {
+    * Delta table).
+    *
+    * Atomic and point-in-time consistent: the whole call is synchronized
+    * on the registry (a registration racing the save can otherwise split
+    * across the table snapshots and produce a store that fails its own
+    * reload-drift checks), all tables land in a fresh GENERATION
+    * directory `gen_<n>`, a `_COMMITTED` marker lands after the last
+    * table, and only then does the `_latest_gen` pointer flip
+    * (write-temp-then-rename) — a crash at ANY point leaves the previous
+    * generation fully intact and resolvable. Old generations vacuum
+    * (newest 2 kept). [[SchemaRegistry.load]] still reads the legacy
+    * flat layout when no generation exists. */
+  def save(spark: SparkSession, dir: String): Unit = synchronized {
     import spark.implicits._
-    topicsDF(spark).write.mode("overwrite").parquet(s"$dir/topics")
-    schemasDF(spark).write.mode("overwrite").parquet(s"$dir/schemas")
-    sourcesDF(spark).write.mode("overwrite").parquet(s"$dir/sources")
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val gens =
+      if (!fs.exists(root)) Seq.empty[Long]
+      else fs.listStatus(root).map(_.getPath.getName).toSeq.collect {
+        case n if n.matches("^gen_\\d+$") => n.drop(4).toLong
+      }.sorted
+    val gen = s"gen_${gens.lastOption.getOrElse(-1L) + 1L}"
+    val base = s"$dir/$gen"
+    topicsDF(spark).write.mode("overwrite").parquet(s"$base/topics")
+    schemasDF(spark).write.mode("overwrite").parquet(s"$base/schemas")
+    sourcesDF(spark).write.mode("overwrite").parquet(s"$base/sources")
     schemas.flatMap(s => Seq(
         schemaNotes.get(s.schemaId).map(n => (s.schemaId, "note", "", n)),
         fileSources.get(s.schemaId).map { case (d, u) => (s.schemaId, "file_source", d, u) })
@@ -590,27 +631,47 @@ class SchemaRegistry extends Serializable {
         getFieldNotes(s.schemaId).toSeq.sortBy(_._1)
           .map { case (f, n) => (s.schemaId, "field_note", f, n) })
       .toDF("schema_id", "kind", "key", "value")
-      .write.mode("overwrite").parquet(s"$dir/schema_meta")
-    refreshesDF(spark).write.mode("overwrite").parquet(s"$dir/refreshes")
+      .write.mode("overwrite").parquet(s"$base/schema_meta")
+    refreshesDF(spark).write.mode("overwrite").parquet(s"$base/refreshes")
     dataTargets.map(t => (t.dataTargetId, t.name, t.targetType, t.destination))
       .toDF("data_target_id", "name", "target_type", "destination")
-      .write.mode("overwrite").parquet(s"$dir/data_targets")
+      .write.mode("overwrite").parquet(s"$base/data_targets")
     consumerGroups.map(g => (g.consumerGroupId, g.name, g.dataTargetId))
       .toDF("consumer_group_id", "name", "data_target_id")
-      .write.mode("overwrite").parquet(s"$dir/consumer_groups")
+      .write.mode("overwrite").parquet(s"$base/consumer_groups")
     groupSources.toSeq
       .flatMap { case (gid, srcs) => srcs.map(s => (gid, s._1, s._2)) }
       .toDF("consumer_group_id", "namespace", "source")
-      .write.mode("overwrite").parquet(s"$dir/group_sources")
+      .write.mode("overwrite").parquet(s"$base/group_sources")
     metaAttrMappings.toSeq
       .flatMap { case ((ns, src), ids) => ids.map(id => (ns, src, id)) }
       .toDF("namespace", "source", "meta_attribute_schema_id")
-      .write.mode("overwrite").parquet(s"$dir/meta_attr_mappings")
+      .write.mode("overwrite").parquet(s"$base/meta_attr_mappings")
+    // commit: marker after every table, pointer flip after the marker
+    val mk = fs.create(new org.apache.hadoop.fs.Path(base, "_COMMITTED"), true)
+    mk.close()
+    val ptrTmp = new org.apache.hadoop.fs.Path(root, "_latest_gen.tmp")
+    val out = fs.create(ptrTmp, true)
+    try out.write(gen.getBytes("UTF-8")) finally out.close()
+    fs.delete(new org.apache.hadoop.fs.Path(root, "_latest_gen"), false)
+    if (!fs.rename(ptrTmp, new org.apache.hadoop.fs.Path(root, "_latest_gen")))
+      throw new java.io.IOException(s"catalog pointer flip to $gen failed")
+    // vacuum superseded generations (keep the newest 2: one grace copy
+    // for a reader that resolved the pointer just before the flip)
+    gens.dropRight(1).foreach(g =>
+      fs.delete(new org.apache.hadoop.fs.Path(root, s"gen_$g"), true))
   }
 
   /** Restore a refresh row verbatim (reload path: ids, offsets and states
-    * must survive a manager restart exactly). */
+    * must survive a manager restart exactly). Referential integrity is
+    * re-checked: a torn or hand-edited store whose refresh references a
+    * source with no topics would otherwise load silently and get
+    * actively scheduled against nothing — the same invariant
+    * [[createRefresh]] enforces. */
   private[schema] def restoreRefresh(j: RefreshJob): Unit = synchronized {
+    require(topicsBySource(j.namespaceName, j.sourceName).nonEmpty,
+      s"refresh ${j.refreshId} references ${j.namespaceName}.${j.sourceName}, " +
+        "which has no topics in the restored catalog — corrupt store")
     refreshesById.put(j.refreshId, j)
     var cur = nextRefreshId.get()
     while (cur < j.refreshId && !nextRefreshId.compareAndSet(cur, j.refreshId))
@@ -628,6 +689,9 @@ class SchemaRegistry extends Serializable {
   }
 
   private[schema] def restoreConsumerGroup(g: ConsumerGroup): Unit = synchronized {
+    require(dataTargetsById.contains(g.dataTargetId),
+      s"consumer group ${g.consumerGroupId} references data target " +
+        s"${g.dataTargetId}, absent from the restored catalog — corrupt store")
     consumerGroupsById.put(g.consumerGroupId, g)
     var cur = nextConsumerGroupId.get()
     while (cur < g.consumerGroupId && !nextConsumerGroupId.compareAndSet(cur, g.consumerGroupId))
@@ -650,8 +714,30 @@ object SchemaRegistry {
   val MaxCatalogRows: Long = 1L << 20
 
   def load(spark: SparkSession, dir: String): SchemaRegistry = {
+    // resolve the catalog generation: a validated `_latest_gen` pointer
+    // (target present with its `_COMMITTED` marker) wins; a missing or
+    // dangling pointer falls back to the newest committed generation; a
+    // store with no generations at all is the legacy flat layout
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val rootFs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def genCommitted(g: String): Boolean =
+      rootFs.exists(new org.apache.hadoop.fs.Path(root, s"$g/_COMMITTED"))
+    val pointedGen: Option[String] =
+      try {
+        val in = rootFs.open(new org.apache.hadoop.fs.Path(root, "_latest_gen"))
+        val g = try scala.io.Source.fromInputStream(in).mkString.trim
+        finally in.close()
+        Some(g).filter(v => v.matches("^gen_\\d+$") && genCommitted(v))
+      } catch { case _: java.io.FileNotFoundException => None }
+    val resolvedGen: Option[String] = pointedGen.orElse {
+      if (!rootFs.exists(root)) None
+      else rootFs.listStatus(root).map(_.getPath.getName).toSeq.collect {
+        case n if n.matches("^gen_\\d+$") && genCommitted(n) => n.drop(4).toLong
+      }.sorted.lastOption.map(g => s"gen_$g")
+    }
+    val base = resolvedGen.map(g => s"$dir/$g").getOrElse(dir)
     val reg = new SchemaRegistry
-    val catalog = spark.read.parquet(s"$dir/schemas")
+    val catalog = spark.read.parquet(s"$base/schemas")
     val nRows = catalog.count() // parquet metadata only — no scan
     require(nRows <= MaxCatalogRows,
       s"refusing to rehydrate $nRows rows from $dir/schemas driver-side — " +
@@ -668,9 +754,13 @@ object SchemaRegistry {
     val compat =
       if (withBase.columns.contains("cluster_type")) withBase
       else withBase.withColumn("cluster_type", lit("datapipe"))
-    val rows = compat
+    val withTick =
+      if (compat.columns.contains("created_at")) compat
+      else compat.withColumn("created_at",
+        lit(null).cast(org.apache.spark.sql.types.LongType))
+    val rows = withTick
       .select("schema_id", "namespace", "source", "schema_json", "contains_pii",
-        "base_schema_id", "cluster_type")
+        "base_schema_id", "cluster_type", "created_at")
       .collect().sortBy(_.getAs[Int]("schema_id"))
     rows.foreach { r =>
       val entry = reg.registerSchema(
@@ -681,6 +771,16 @@ object SchemaRegistry {
         clusterType = r.getAs[String]("cluster_type"))
       require(entry.schemaId == r.getAs[Int]("schema_id"),
         s"catalog reload drifted: got ${entry.schemaId}, expected ${r.getAs[Int]("schema_id")}")
+      // restore the persisted logical tick verbatim: the replay above
+      // re-synthesized ticks in replay order, which shifts the clock
+      // whenever refresh/update ticks were interleaved between
+      // registrations — a new-topics-only consumer's checkpointed tick
+      // would then skip genuinely newer topics after a restart
+      Option(r.get(r.fieldIndex("created_at"))).map(_.asInstanceOf[Long])
+        .foreach { t =>
+          reg.schemasById.put(entry.schemaId,
+            reg.schemasById(entry.schemaId).copy(createdAt = t))
+        }
     }
     // Optional-table existence goes through the Hadoop FileSystem API, not
     // java.io.File: save() targets any Hadoop-supported scheme (s3://,
@@ -688,10 +788,10 @@ object SchemaRegistry {
     // silently drop the refresh queue and group state on reload there.
     val hadoopConf = spark.sparkContext.hadoopConfiguration
     def table(name: String): Seq[org.apache.spark.sql.Row] = {
-      val path = new org.apache.hadoop.fs.Path(s"$dir/$name")
+      val path = new org.apache.hadoop.fs.Path(s"$base/$name")
       val fs = path.getFileSystem(hadoopConf)
       if (!fs.exists(path)) Seq.empty
-      else spark.read.parquet(s"$dir/$name").collect().toSeq
+      else spark.read.parquet(s"$base/$name").collect().toSeq
     }
     // Source rows were re-created by the registration replay above (same
     // order ⇒ same ids); patch on the persisted owner/category metadata.
@@ -706,6 +806,22 @@ object SchemaRegistry {
         reg.sourcesById.put(id, stored.get.copy(ownerEmail = owner))
       Option(r.getAs[String]("category")).foreach(reg.setSourceCategory(id, _))
     }
+    // same verbatim-tick restoration for topics (by unique topic name)
+    table("topics").foreach { r =>
+      val name = r.getAs[String]("name")
+      val t = r.getAs[Long]("created_at")
+      reg.topicsById.collectFirst { case (id, e) if e.name == name => (id, e) }
+        .foreach { case (id, e) => reg.topicsById.put(id, e.copy(createdAt = t)) }
+    }
+    // advance the clock past every persisted tick so post-reload ticks
+    // stay strictly monotone vs the restored history
+    val maxTick = (rows.flatMap(r =>
+      Option(r.get(r.fieldIndex("created_at"))).map(_.asInstanceOf[Long])) ++
+      table("topics").map(_.getAs[Long]("created_at"))).foldLeft(0L)(math.max)
+    var c = reg.clock.get()
+    while (c < maxTick && !reg.clock.compareAndSet(c, maxTick.toInt))
+      c = reg.clock.get()
+
     table("schema_meta").foreach { r =>
       val id = r.getAs[Int]("schema_id")
       (r.getAs[String]("kind"), r.getAs[String]("key"), r.getAs[String]("value")) match {

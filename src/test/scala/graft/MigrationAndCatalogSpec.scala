@@ -126,6 +126,16 @@ class MigrationAndCatalogSpec extends SparkTestBase {
     assert(back.getFileSource(b.schemaId).contains(("b.avsc", "repo://b.avsc")))
   }
 
+  // save() now writes generation directories; corruption/migration tests
+  // must target the LIVE generation the loader resolves
+  private def liveGen(dir: String): String = {
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val gens = fs.listStatus(root).map(_.getPath.getName)
+      .filter(_.matches("^gen_\\d+$")).map(_.drop(4).toLong).sorted
+    if (gens.isEmpty) dir else s"$dir/gen_${gens.last}"
+  }
+
   test("load rejects a drifted source catalog") {
     val dir = java.nio.file.Files.createTempDirectory("reg_store_drift").toString
     val reg = new SchemaRegistry
@@ -134,14 +144,15 @@ class MigrationAndCatalogSpec extends SparkTestBase {
     reg.save(spark, dir)
     // corrupt: swap the stored source ids so replay ids can't match
     import scala.jdk.CollectionConverters._
-    val src = spark.read.parquet(s"$dir/sources")
+    val base = liveGen(dir)
+    val src = spark.read.parquet(s"$base/sources")
     val swapped = src.collect().toSeq.map { r =>
       org.apache.spark.sql.Row(
         3 - r.getInt(0), r.getString(1), r.getString(2), r.getString(3),
         r.get(4), r.getLong(5))
     }
     spark.createDataFrame(swapped.asJava, src.schema)
-      .write.mode("overwrite").parquet(s"$dir/sources")
+      .write.mode("overwrite").parquet(s"$base/sources")
     val ex = intercept[IllegalArgumentException](SchemaRegistry.load(spark, dir))
     assert(ex.getMessage.contains("catalog reload drifted"))
   }
@@ -155,16 +166,18 @@ class MigrationAndCatalogSpec extends SparkTestBase {
     // rewrite the schemas table in the pre-diff column set (no
     // base_schema_id / cluster_type) and drop the then-nonexistent tables
     import scala.jdk.CollectionConverters._
-    val legacy = spark.read.parquet(s"$dir/schemas").drop("base_schema_id", "cluster_type")
+    val base = liveGen(dir)
+    val legacy = spark.read.parquet(s"$base/schemas")
+      .drop("base_schema_id", "cluster_type", "created_at")
     val rows = legacy.collect().toSeq
     spark.createDataFrame(rows.asJava, legacy.schema)
-      .write.mode("overwrite").parquet(s"$dir/schemas")
+      .write.mode("overwrite").parquet(s"$base/schemas")
     def rm(p: String): Unit = {
-      val path = new org.apache.hadoop.fs.Path(s"$dir/$p")
+      val path = new org.apache.hadoop.fs.Path(s"$base/$p")
       val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
       if (fs.exists(path)) fs.delete(path, true)
     }
-    rm("sources"); rm("schema_meta")
+    rm("sources"); rm("schema_meta"); rm("topics")
     val back = SchemaRegistry.load(spark, dir)
     assert(back.snapshot == reg.snapshot)
     assert(back.topics.forall(_.clusterType == "datapipe"))

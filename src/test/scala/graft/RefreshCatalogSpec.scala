@@ -249,4 +249,105 @@ class RefreshCatalogSpec extends SparkTestBase {
     assert(batched == folded,
       "batch apply must equal the sequential one-change-at-a-time fold")
   }
+
+  test("catalog save is crash-atomic: a generation without its commit marker is invisible") {
+    val dir = java.nio.file.Files.createTempDirectory("reg_atomic").toString
+    val reg = new SchemaRegistry
+    reg.registerSchema("yelp", "user", userJson)
+    reg.createRefresh("yelp", "user", 0L, 500, 50)
+    reg.save(spark, dir)
+    reg.updateRefresh(1, RefreshStatus.InProgress, 1234L)
+    reg.save(spark, dir)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // simulate a crash mid-save of a THIRD generation: tables written,
+    // marker never landed, pointer never flipped
+    fs.mkdirs(new org.apache.hadoop.fs.Path(dir, "gen_2/schemas"))
+    val back = SchemaRegistry.load(spark, dir)
+    assert(back.getRefreshById(1).exists(j =>
+      j.status == RefreshStatus.InProgress && j.offset == 1234L),
+      "load must resolve the newest COMMITTED generation")
+    // and a dangling pointer (names a gen whose marker is gone) falls
+    // back to the newest committed generation instead of failing
+    fs.delete(new org.apache.hadoop.fs.Path(dir, "gen_1/_COMMITTED"), false)
+    val back2 = SchemaRegistry.load(spark, dir)
+    assert(back2.getRefreshById(1).exists(j =>
+      j.status == RefreshStatus.NotStarted && j.offset == 0L),
+      "a dangling pointer must fall back to the previous committed generation")
+  }
+
+  test("reload restores logical ticks verbatim: a checkpointed new-topics consumer never skips a newer topic") {
+    val dir = java.nio.file.Files.createTempDirectory("reg_ticks").toString
+    val reg = new SchemaRegistry
+    reg.registerSchema("yelp", "user", userJson)
+    // burn a stretch of clock ticks on refresh traffic between the two
+    // registrations — the replay-resynthesized ticks would collapse this
+    // gap and shift topic2 BELOW the consumer's checkpoint
+    reg.createRefresh("yelp", "user", 0L, 500, 50)
+    (0 until 10).foreach(i =>
+      reg.updateRefresh(1, RefreshStatus.InProgress, i.toLong))
+    val checkpoint = reg.topics.map(_.createdAt).max // consumer caught up
+    reg.registerSchema("yelp", "biz", userJson.replace("user", "biz"))
+    assert(reg.topicsCreatedAfter(checkpoint).map(_.sourceName) == Seq("biz"))
+    reg.save(spark, dir)
+    val back = SchemaRegistry.load(spark, dir)
+    assert(back.topicsCreatedAfter(checkpoint).map(_.sourceName) == Seq("biz"),
+      "restored topic ticks must compare identically against a pre-restart checkpoint")
+    // and post-reload ticks stay strictly monotone vs restored history
+    val r2 = back.createRefresh("yelp", "biz", 0L, 100, 10)
+    assert(r2.createdAt > back.topics.map(_.createdAt).max)
+  }
+
+  test("manager transitions are compare-and-set: no offset rollback, no zombie resurrection, namespaces independent") {
+    import graft.refresh.RefreshManager
+    val reg = new SchemaRegistry
+    reg.registerSchema("ads", "users", userJson)
+    reg.registerSchema("billing", "users", userJson)
+    val a = reg.createRefresh("ads", "users", 0L, 500, 90)
+    val b = reg.createRefresh("billing", "users", 0L, 500, 10)
+    // ads.users running must NOT starve billing.users (same source name,
+    // different namespace)
+    reg.updateRefresh(a.refreshId, RefreshStatus.InProgress, 100L)
+    val t = RefreshManager.tick(reg)
+    assert(t.started.map(_.refreshId) == Seq(b.refreshId),
+      s"same-named source in another namespace must start, got ${t.started}")
+    // offset preservation: a pause-flush that lands after the scheduling
+    // snapshot must not be rolled back by the start transition
+    reg.updateRefresh(b.refreshId, RefreshStatus.Paused, 2000L)
+    val resumed = reg.transitionRefresh(b.refreshId,
+      RefreshStatus.Paused, RefreshStatus.InProgress)
+    assert(resumed.exists(_.offset == 2000L),
+      "transition must preserve the STORED offset, never a snapshot's")
+    // stale CAS fails instead of resurrecting
+    assert(reg.transitionRefresh(b.refreshId,
+      RefreshStatus.Paused, RefreshStatus.InProgress).isEmpty)
+    // zombie sweep cannot overwrite a terminal state the worker raced in
+    reg.updateRefresh(a.refreshId, RefreshStatus.Success, 9999L)
+    val failed = RefreshManager.failLostJobs(reg, Set(a.refreshId))
+    assert(failed.isEmpty &&
+      reg.getRefreshById(a.refreshId).exists(_.status == RefreshStatus.Success),
+      "a completed job must not be flipped to FAILED by the sweep")
+  }
+
+  test("reload rejects a store whose refresh references a source with no topics") {
+    val dir = java.nio.file.Files.createTempDirectory("reg_orphan").toString
+    val reg = new SchemaRegistry
+    reg.registerSchema("yelp", "user", userJson)
+    reg.createRefresh("yelp", "user", 0L, 500, 50)
+    reg.save(spark, dir)
+    // corrupt the live generation: repoint the refresh at a nonexistent source
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val gen = fs.listStatus(root).map(_.getPath.getName)
+      .filter(_.matches("^gen_\\d+$")).map(_.drop(4).toLong).max
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.functions.lit
+    val ref = spark.read.parquet(s"$dir/gen_$gen/refreshes")
+      .withColumn("source_name", lit("ghost"))
+    val rows = ref.collect().toSeq
+    spark.createDataFrame(rows.asJava, ref.schema)
+      .write.mode("overwrite").parquet(s"$dir/gen_$gen/refreshes")
+    val ex = intercept[IllegalArgumentException](SchemaRegistry.load(spark, dir))
+    assert(ex.getMessage.contains("corrupt store"), ex.getMessage)
+  }
 }
