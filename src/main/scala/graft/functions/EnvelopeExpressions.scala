@@ -60,19 +60,35 @@ case class UnpackEnvelope(child: Expression)
     extends UnaryExpression {
   override def dataType: DataType = Envelope.sparkType
   override def nullIntolerant: Boolean = true
+  override def nullable: Boolean = true
   override def prettyName: String = "unpack_envelope"
 
   override def nullSafeEval(input: Any): Any = unpack(input.asInstanceOf[Array[Byte]])
 
-  def unpack(framed: Array[Byte]): InternalRow = {
-    val avroBytes = AvroCodec.unframe(framed)
-    val record = AvroCodec.decode(avroBytes, envelopeSchema, envelopeSchema)
-    AvroConversions.toCatalyst(record, envelopeSchema).asInstanceOf[InternalRow]
-  }
+  // Corrupt transport bytes (bad magic byte, truncated/garbage Avro)
+  // yield a NULL envelope — the dead-letter contract: at corpus scale a
+  // single poisoned message must route to the dead-letter split, never
+  // kill the task after retries.
+  def unpack(framed: Array[Byte]): InternalRow =
+    try {
+      val avroBytes = AvroCodec.unframe(framed)
+      val record = AvroCodec.decode(avroBytes, envelopeSchema, envelopeSchema)
+      AvroConversions.toCatalyst(record, envelopeSchema).asInstanceOf[InternalRow]
+    } catch { case scala.util.control.NonFatal(_) => null }
 
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("unpackEnvelope", this, classOf[UnpackEnvelope].getName)
-    nullSafeCodeGen(ctx, ev, v => s"${ev.value} = $ref.unpack($v);")
+    nullSafeCodeGen(ctx, ev, v => {
+      val res = ctx.freshName("unpacked")
+      s"""
+         |org.apache.spark.sql.catalyst.InternalRow $res = $ref.unpack($v);
+         |if ($res == null) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = $res;
+         |}
+       """.stripMargin
+    })
   }
 
   @transient private lazy val envelopeSchema = AvroCodec.parse(Envelope.avroSchemaJson)
@@ -148,14 +164,16 @@ case class DecodePayload(
   override def nullSafeEval(payloadBytes: Any, writerId: Any): Any =
     decode(payloadBytes.asInstanceOf[Array[Byte]], writerId.asInstanceOf[Int])
 
-  // returns null for unknown writer ids — the dead-letter contract
+  // returns null for unknown writer ids AND for corrupt payload bytes
+  // (truncated/garbage Avro, or ciphertext that skipped decryption) —
+  // the dead-letter contract both ways
   def decode(payloadBytes: Array[Byte], writerId: Int): InternalRow = {
     val writerSchema = writerSchemaById.get(writerId).orNull
     if (writerSchema == null) null
-    else {
+    else try {
       val record = AvroCodec.decode(payloadBytes, writerSchema, readerSchema)
       AvroConversions.toCatalyst(record, readerSchema).asInstanceOf[InternalRow]
-    }
+    } catch { case scala.util.control.NonFatal(_) => null }
   }
 
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {

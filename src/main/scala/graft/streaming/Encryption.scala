@@ -62,7 +62,7 @@ object Encryption {
                 key: String, keyId: Int, ivSchemaId: Int,
                 iv: Column = randomIv()): org.apache.spark.sql.DataFrame = {
     val prefixed = call_function("aes_encrypt",
-      col(payloadCol), lit(key), lit("CBC"), lit("PKCS"), col("__iv"))
+      col(payloadCol), keyCol(key, keyId), lit("CBC"), lit("PKCS"), col("__iv"))
     df.withColumn("__iv", iv)
       .withColumn("__ct", prefixed)
       .withColumn(payloadCol, col("__ct").substr(lit(17), length(col("__ct")) - 16))
@@ -72,25 +72,45 @@ object Encryption {
       .drop("__iv", "__ct")
   }
 
+  /** Key material as a plan-opaque column: `lit(key)` would render the
+    * key verbatim in `explain()`, the Spark UI SQL tab, and event logs —
+    * [[graft.functions.SecretBytes]] carries it as an object reference
+    * and prints only the key id. */
+  private def keyCol(key: String, keyId: Int): Column =
+    graft.functions.SecretBytes.secret(key, s"aes-key-$keyId")
+
   /** Decrypt an encrypted envelope payload: IV from the meta attribute,
-    * key chosen by the key id parsed from encryption_type. Rows with
-    * unknown key ids (or unencrypted rows) pass through as null —
-    * dead-letter, not task failure. */
+    * key chosen by the key id parsed from encryption_type. EVERY failure
+    * mode degrades to null — dead-letter, not task failure: an unknown
+    * or foreign encryption_type (the key-id parse is guarded, so a
+    * non-matching scheme never hits an ANSI cast error), a meta array
+    * without an IV attribute (`try_element_at`, not ANSI `element_at`),
+    * and wrong key material or corrupt/truncated ciphertext
+    * (`try_aes_decrypt` — plain `aes_decrypt` throws on the ~255/256
+    * padding-check failures a rotated key produces). CBC is
+    * unauthenticated, so the residual ~1/256 wrong-key decrypts that
+    * pass padding yield garbage that the downstream Avro decode's own
+    * dead-letter path rejects. */
   def decrypt(ciphertext: Column, encryptionType: Column, meta: Column,
               ivSchemaId: Int, keys: Map[Int, String]): Column = {
     val iv = ivFromMeta(meta, ivSchemaId)
-    val keyId = regexp_extract(encryptionType,
-      EncryptionTypePrefix.replace("-", "\\-") + "(\\d+)", 1).cast("int")
+    val keyIdStr = regexp_extract(encryptionType,
+      EncryptionTypePrefix.replace("-", "\\-") + "(\\d+)", 1)
+    // regexp_extract's no-match result is '' — cast only inside the
+    // matched branch (ANSI-safe; digits always cast)
+    val keyId = when(keyIdStr =!= "", keyIdStr.cast("int"))
     keys.foldLeft(lit(null).cast("binary")) { case (acc, (id, key)) =>
       when(keyId === id && iv.isNotNull,
-        call_function("aes_decrypt",
-          concat(iv, ciphertext), lit(key), lit("CBC"), lit("PKCS")))
+        call_function("try_aes_decrypt",
+          concat(iv, ciphertext), keyCol(key, id), lit("CBC"), lit("PKCS")))
         .otherwise(acc)
     }
   }
 
-  /** IV recorded in the meta attributes for the given schema id. */
+  /** IV recorded in the meta attributes for the given schema id; null —
+    * never an ANSI array-index error — when meta carries no IV. */
   def ivFromMeta(meta: Column, ivSchemaId: Int): Column =
-    element_at(filter(meta, m => m.getField("schema_id") === ivSchemaId), 1)
+    try_element_at(
+      filter(meta, m => m.getField("schema_id") === ivSchemaId), lit(1))
       .getField("payload")
 }

@@ -57,6 +57,36 @@ object Pipeline {
     if (ascii) pack_envelope_ascii(env) else pack_envelope(env)
   }
 
+  /** Envelope over PRE-ENCODED payload bytes — the producer half of the
+    * encryption integration (reference: message.py:465-468 — encrypt the
+    * ENCODED payload, then envelope the ciphertext with the IV meta
+    * attribute and encryption_type): encode with
+    * [[graft.functions.encode_payload]], run
+    * [[Encryption.encryptDF]] over the bytes column, then envelope the
+    * ciphertext with the meta/encryption_type columns it added.
+    * [[consumeEncrypted]] is the inverse. */
+  def envelopeForBytes(
+      payloadBytes: Column,
+      messageType: String,
+      schemaId: Int,
+      timestamp: Column,
+      uuid: Column = uuid4_binary(),
+      meta: Option[Column] = None,
+      encryptionType: Option[Column] = None,
+      ascii: Boolean = false): Column = {
+    val metaType = Envelope.sparkType("meta").dataType
+    val env = struct(
+      uuid.as("uuid"),
+      lit(messageType).as("message_type"),
+      lit(schemaId).as("schema_id"),
+      payloadBytes.as("payload"),
+      lit(null).cast("binary").as("previous_payload"),
+      meta.getOrElse(lit(null).cast(metaType)).as("meta"),
+      encryptionType.getOrElse(lit(null).cast("string")).as("encryption_type"),
+      timestamp.cast("int").as("timestamp"))
+    if (ascii) pack_envelope_ascii(env) else pack_envelope(env)
+  }
+
   /** Producer: payload df → (topic, key, value) transport rows.
     * PII topics are dropped when `skipPii` (reference:
     * _kafka_producer.py:107-124) — the filter is a broadcast-set lookup,
@@ -76,7 +106,12 @@ object Pipeline {
       lit(entry.topicName).as("topic"),
       keyFor(payload, entry).as("key"),
       envelopeFor(payload, messageType, entry, timestamp, uuid).as("value"))
-    if (skipPii && piiTopics.contains(entry.topicName)) out.limit(0) else out
+    // filter(lit(false)), not limit(0): a streaming limit is unsupported
+    // in update output mode and otherwise plans a stateful global-limit
+    // operator — the row-local filter is free in every mode
+    if (skipPii && piiTopics.contains(entry.topicName))
+      out.filter(lit(false))
+    else out
   }
 
   /** Kafka message key: the Avro-encoded primary-key projection of the
@@ -112,20 +147,64 @@ object Pipeline {
       transport: DataFrame,
       registry: SchemaRegistry,
       readerSchemaId: Int,
-      valueCol: String = "value"): DataFrame = {
+      valueCol: String = "value"): DataFrame =
+    consumeDecrypted(transport, registry, readerSchemaId, valueCol,
+      decryptPayload = None).drop("raw_envelope")
+
+  /** Consumer for a stream that may carry AES-CBC-encrypted payloads
+    * (reference: message.py:489-550 — decrypt BEFORE the Avro decode):
+    * encrypted rows decrypt with the provided key map (IV from meta, key
+    * id from encryption_type), then decode; a wrong/rotated key or
+    * corrupt ciphertext degrades through `try_aes_decrypt` → null → the
+    * Avro decode's own null → the dead-letter split, never a task
+    * failure. Plain [[consume]] leaves encrypted payloads as null
+    * (ciphertext is not decodable Avro) rather than crashing on them. */
+  def consumeEncrypted(
+      transport: DataFrame,
+      registry: SchemaRegistry,
+      readerSchemaId: Int,
+      keys: Map[Int, String],
+      ivSchemaId: Int,
+      valueCol: String = "value"): DataFrame =
+    consumeDecrypted(transport, registry, readerSchemaId, valueCol,
+      decryptPayload = Some((bytes, env) =>
+        Encryption.decrypt(bytes, env.getField("encryption_type"),
+          env.getField("meta"), ivSchemaId, keys))).drop("raw_envelope")
+
+  private def consumeDecrypted(
+      transport: DataFrame,
+      registry: SchemaRegistry,
+      readerSchemaId: Int,
+      valueCol: String,
+      decryptPayload: Option[(Column, Column) => Column]): DataFrame = {
+    val env = col("env")
+    def payloadBytes(raw: Column): Column = decryptPayload match {
+      case Some(d) =>
+        when(env.getField("encryption_type").isNotNull, d(raw, env))
+          .otherwise(raw)
+      case None =>
+        // without key material, ciphertext must not reach the Avro
+        // decoder as if it were plaintext — null it into the
+        // dead-letter path instead
+        when(env.getField("encryption_type").isNotNull,
+          lit(null).cast("binary")).otherwise(raw)
+    }
     transport
       .withColumn("env", unpack_envelope(col(valueCol)))
       .select(
+        col(valueCol).as("raw_envelope"),
         col("env.uuid").as("uuid"),
         col("env.message_type").as("message_type"),
         col("env.schema_id").as("schema_id"),
         col("env.timestamp").as("timestamp"),
         col("env.encryption_type").as("encryption_type"),
-        decode_payload(col("env.payload"), col("env.schema_id"),
+        col("env.meta").as("meta"),
+        decode_payload(payloadBytes(col("env.payload")), col("env.schema_id"),
           registry, readerSchemaId).as("payload"),
         when(col("env.previous_payload").isNotNull,
-          decode_payload(col("env.previous_payload"), col("env.schema_id"),
-            registry, readerSchemaId)).as("previous_payload"))
+          decode_payload(payloadBytes(col("env.previous_payload")),
+            col("env.schema_id"), registry, readerSchemaId))
+          .as("previous_payload"))
   }
 
   /** Multi-topic consume with per-topic reader schemas (reference:
@@ -155,8 +234,12 @@ object Pipeline {
       registry: SchemaRegistry,
       readerSchemaId: Int,
       valueCol: String = "value"): (DataFrame, DataFrame) = {
-    val consumed = consume(transport, registry, readerSchemaId, valueCol)
-    (consumed.filter(col("payload").isNotNull),
+    val consumed = consumeDecrypted(transport, registry, readerSchemaId,
+      valueCol, decryptPayload = None)
+    (consumed.filter(col("payload").isNotNull).drop("raw_envelope"),
+      // the dead-letter frame KEEPS the raw transport bytes: after a
+      // registry fix the letters re-consume from raw_envelope — without
+      // it the original envelope is unrecoverable and replay impossible
       consumed.filter(col("payload").isNull))
   }
 
@@ -178,14 +261,30 @@ object Pipeline {
   /** Heartbeat rows for quiet-topic keep-alive (SURVEY §2.7 ST5): in
     * streaming mode wire `spark.readStream.format("rate")` through this to
     * union synthetic heartbeats into a transport stream so downstream
-    * auditors can distinguish stalled from empty topics. */
+    * auditors can distinguish stalled from empty topics. Emits REAL
+    * (topic, key, value) transport rows — value is a packed envelope with
+    * message_type = heartbeat, schema_id = 0 (the no-schema sentinel;
+    * consume() decodes its empty payload to null and the dead-letter
+    * split or a message_type filter routes it) — so the frame unions
+    * directly with produce() output or a Kafka source and downstream
+    * consumers see a decodable envelope, not a schema-mismatched control
+    * row. */
   def heartbeats(ticks: DataFrame, topics: Seq[String], tsCol: String = "timestamp"): DataFrame = {
+    val metaType = Envelope.sparkType("meta").dataType
+    val env = struct(
+      uuid4_binary().as("uuid"),
+      lit("heartbeat").as("message_type"),
+      lit(0).as("schema_id"),
+      lit(Array.emptyByteArray).as("payload"),
+      lit(null).cast("binary").as("previous_payload"),
+      lit(null).cast(metaType).as("meta"),
+      lit(null).cast("string").as("encryption_type"),
+      unix_timestamp(col(tsCol)).cast("int").as("timestamp"))
     val topicCol = explode(array(topics.map(lit(_)): _*))
     ticks.select(
       topicCol.as("topic"),
       lit(null).cast("binary").as("key"),
-      lit("heartbeat").as("message_type"),
-      unix_timestamp(col(tsCol)).cast("int").as("timestamp"))
+      pack_envelope(env).as("value"))
   }
 
   /** Update-message field diff on a consumed stream: per-field
@@ -196,7 +295,11 @@ object Pipeline {
       struct(
         col(s"previous_payload.$f").as("old"),
         col(s"payload.$f").as("current"),
-        (col(s"previous_payload.$f") =!= col(s"payload.$f")).as("changed")
+        // null-SAFE inequality: =!= yields NULL when either side is
+        // null, silently hiding null→value and value→null transitions
+        // from any `changed === true` consumer — the reference's
+        // has_changed counts those as changes
+        (!(col(s"previous_payload.$f") <=> col(s"payload.$f"))).as("changed")
       ).as(s"diff_$f")
     }
     consumed

@@ -72,4 +72,74 @@ class EncryptionSpec extends SparkTestBase {
       .head()
     assert(out.isNullAt(0))
   }
+
+  test("encrypted envelope end to end: encode -> encrypt -> envelope -> consumeEncrypted round-trips; wrong key dead-letters") {
+    import spark.implicits._
+    import graft.streaming.Pipeline
+    val reg = new SchemaRegistry
+    val ivEntry = Encryption.registerIvSchema(reg)
+    val entry = reg.registerSchema("crypto", "ev",
+      """{"type":"record","name":"ev","namespace":"crypto","fields":[
+        |{"name":"event_id","type":"long"},{"name":"body","type":"string"}]}""".stripMargin)
+    val rows = Seq((1L, "alpha"), (2L, "beta")).toDF("event_id", "body")
+    val enveloped = Encryption.encryptDF(
+      rows.withColumn("pb",
+        graft.functions.encode_payload(
+          org.apache.spark.sql.functions.struct($"event_id", $"body"),
+          entry.schemaJson)),
+      "pb", key, keyId = 1, ivSchemaId = ivEntry.schemaId)
+      .select(Pipeline.envelopeForBytes($"pb", "create", entry.schemaId,
+        org.apache.spark.sql.functions.lit(1700000000L),
+        meta = Some($"meta"), encryptionType = Some($"encryption_type"))
+        .as("value"))
+    // right key: decrypt-then-decode round-trips the payload
+    val good = Pipeline.consumeEncrypted(enveloped, reg, entry.schemaId,
+      keys = Map(1 -> key), ivSchemaId = ivEntry.schemaId)
+      .select($"payload.event_id", $"payload.body", $"encryption_type")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).sortBy(_._1)
+    assert(good.toSeq == Seq((1L, "alpha", "AES_MODE_CBC-1"),
+      (2L, "beta", "AES_MODE_CBC-1")), s"got ${good.toSeq}")
+    // rotated/wrong key: try_aes_decrypt -> null -> dead-letter, no crash
+    val (ok, dead) = Pipeline.consumeWithDeadLetters(
+      enveloped, reg, entry.schemaId)
+    assert(ok.count() == 0 && dead.count() == 2,
+      "without key material, encrypted payloads must dead-letter")
+    val wrong = Pipeline.consumeEncrypted(enveloped, reg, entry.schemaId,
+      keys = Map(1 -> "1111222233334444"), ivSchemaId = ivEntry.schemaId)
+    assert(wrong.filter($"payload".isNotNull).count() == 0,
+      "a wrong key must dead-letter, never return garbage or crash")
+    // foreign scheme + missing IV degrade to null (ANSI-safe guards)
+    val foreign = enveloped.limit(1)
+      .withColumn("env", graft.functions.unpack_envelope($"value"))
+      .select(
+        Encryption.decrypt($"env.payload", org.apache.spark.sql.functions
+          .lit("AES_MODE_GCM-2"), $"env.meta", ivEntry.schemaId,
+          Map(1 -> key)).as("d1"),
+        Encryption.decrypt($"env.payload", $"env.encryption_type",
+          $"env.meta", ivEntry.schemaId + 999, // no IV attr under that id
+          Map(1 -> key)).as("d2"))
+      .head()
+    assert(foreign.isNullAt(0) && foreign.isNullAt(1))
+  }
+
+  test("key material never appears in the query plan") {
+    import spark.implicits._
+    val reg = new SchemaRegistry
+    val ivEntry = Encryption.registerIvSchema(reg)
+    val df = Seq((1L, "x")).toDF("id", "data")
+      .withColumn("payload", $"data".cast("binary"))
+    val enc = Encryption.encryptDF(df, "payload", key,
+      keyId = 1, ivSchemaId = ivEntry.schemaId)
+    val dec = enc.select(Encryption.decrypt($"payload", $"encryption_type",
+      $"meta", ivEntry.schemaId, Map(1 -> key)).as("d"))
+    Seq(enc, dec).foreach { frame =>
+      val plans = frame.queryExecution.toString +
+        frame.queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode)
+      assert(!plans.contains(key),
+        "AES key leaked into the query plan (explain/UI/event logs)")
+      assert(plans.contains("secret_bytes(aes-key-1)"),
+        "the key must render as its redacted label")
+    }
+  }
 }

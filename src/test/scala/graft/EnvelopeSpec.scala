@@ -62,13 +62,17 @@ class EnvelopeSpec extends SparkTestBase {
     assert(a.drop(1).forall(c => c >= 32 && c < 127))
   }
 
-  test("unpack rejects unknown magic bytes") {
+  test("unpack dead-letters corrupt bytes: unknown magic and truncated envelopes null, never kill the task") {
+    // the dead-letter contract: at corpus scale one poisoned message must
+    // route to the dead-letter split, not fail the job after retries
     val bad = spark.createDataFrame(
-      spark.sparkContext.parallelize(Seq(Row(Array[Byte](0x7f, 1, 2)))),
+      spark.sparkContext.parallelize(Seq(
+        Row(Array[Byte](0x7f, 1, 2)),          // unknown magic byte
+        Row(Array[Byte](1)),                   // truncated after the magic
+        Row(Array.fill[Byte](8)(0x33)))),      // garbage avro body
       StructType(Seq(StructField("value", BinaryType))))
-    val e = intercept[Exception] {
-      bad.select(unpack_envelope(col("value"))).collect()
-    }
-    assert(e.getMessage != null)
+    val out = bad.select(unpack_envelope(col("value")).as("env")).collect()
+    assert(out.length == 3 && out.forall(_.isNullAt(0)),
+      s"corrupt transport bytes must unpack to null, got ${out.toSeq}")
   }
 }

@@ -209,11 +209,56 @@ class MigrationAndCatalogSpec extends SparkTestBase {
     assert(orphan.schemaId >= 0) // silence unused warning
   }
 
-  test("heartbeats fan out per topic from tick rows") {
+  test("dead letters carry the raw envelope for replay; corrupt payload bytes route there too") {
     import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val reg = new SchemaRegistry
+    val entry = reg.registerSchema("s", "ev", graft.queries.EnvelopeOps.eventSchemaJson)
+    val good = Seq((1L, 10L, "click", 1.5)).toDF("event_id", "user_id", "event_type", "value")
+      .select(graft.streaming.Pipeline.envelopeFor(
+        struct($"event_id", $"user_id", $"event_type", $"value"), "create", entry,
+        lit(1700000000L), unhex(md5($"event_id".cast("string")))).as("value"))
+    // corrupt PAYLOAD bytes under a KNOWN schema_id — previously a task
+    // killer (the decoder threw), now the dead-letter contract both ways
+    val corrupt = Seq(1).toDF("x")
+      .select(graft.streaming.Pipeline.envelopeForBytes(
+        lit(Array[Byte](0x7f, 0x33, 0x01)), "create", entry.schemaId,
+        lit(1700000002L), unhex(md5(lit("c")))).as("value"))
+    val (ok, dead) = graft.streaming.Pipeline.consumeWithDeadLetters(
+      good.union(corrupt), reg, entry.schemaId)
+    assert(ok.count() == 1 && dead.count() == 1)
+    // the dead frame keeps the raw transport bytes: after a registry or
+    // codec fix the letters re-consume from raw_envelope verbatim
+    val raw = dead.select($"raw_envelope").head().getAs[Array[Byte]](0)
+    val replayed = graft.streaming.Pipeline.consume(
+      Seq(raw).toDF("value"), reg, entry.schemaId)
+    assert(replayed.count() == 1,
+      "raw_envelope must re-consume after the fix")
+    // fully corrupt TRANSPORT bytes dead-letter as an all-null row, raw intact
+    val garbage = Seq(Array[Byte](0x7f, 1, 2)).toDF("value")
+    val (_, dead2) = graft.streaming.Pipeline.consumeWithDeadLetters(
+      garbage, reg, entry.schemaId)
+    assert(dead2.count() == 1 &&
+      dead2.select($"raw_envelope").head().getAs[Array[Byte]](0).length == 3)
+  }
+
+  test("heartbeats fan out per topic as REAL enveloped transport rows") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
     val ticks = Seq(java.sql.Timestamp.valueOf("2024-01-01 00:00:00")).toDF("timestamp")
     val hb = graft.streaming.Pipeline.heartbeats(ticks, Seq("t1", "t2"))
-    val rows = hb.collect().map(r => (r.getString(0), r.getString(2))).sorted
-    assert(rows.toSeq == Seq(("t1", "heartbeat"), ("t2", "heartbeat")))
+    // unionable with produce() output: exactly (topic, key, value)
+    assert(hb.columns.toSeq == Seq("topic", "key", "value"))
+    // and the value is a decodable envelope carrying the heartbeat type
+    val rows = hb
+      .select(col("topic"),
+        graft.functions.unpack_envelope(col("value")).as("env"))
+      .select(col("topic"), col("env.message_type"), col("env.schema_id"),
+        col("env.timestamp"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2), r.getInt(3)))
+      .sortBy(_._1)
+    assert(rows.toSeq == Seq(
+      ("t1", "heartbeat", 0, 1704067200), ("t2", "heartbeat", 0, 1704067200)),
+      s"got ${rows.toSeq}")
   }
 }

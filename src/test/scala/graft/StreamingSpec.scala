@@ -682,6 +682,30 @@ class StreamingSpec extends SparkTestBase {
       && nameDiff.getBoolean(2))
   }
 
+  test("payload diff reports null-to-value and value-to-null transitions as changed") {
+    import spark.implicits._
+    val reg = new SchemaRegistry
+    // name is nullable so a null-to-value flip is representable
+    val entry = reg.registerSchema("s", "biz_n",
+      """{"type":"record","name":"bizn","namespace":"s","fields":[
+        |{"name":"id","type":"int"},{"name":"name","type":["null","string"],"default":null}]}""".stripMargin)
+    val df = Seq((1, Some("new"), Option.empty[String], 1700000000L),
+      (2, Option.empty[String], Some("old"), 1700000001L))
+      .toDF("id", "name", "prev_name", "epoch")
+    val transport = df.select(
+      Pipeline.envelopeFor(
+        struct($"id", $"name"), "update", entry, $"epoch",
+        unhex(md5($"id".cast("string"))),
+        previousPayload = Some(struct($"id", $"prev_name".as("name")))).as("value"))
+    val diffs = Pipeline.payloadDiff(
+      Pipeline.consume(transport, reg, entry.schemaId), Seq("name"))
+      .orderBy($"uuid")
+      .select($"diff_name.changed").collect().map(_.getBoolean(0))
+    // =!= would have yielded NULL here, silently hiding both transitions
+    assert(diffs.toSeq == Seq(true, true),
+      s"null transitions must report changed, got ${diffs.toSeq}")
+  }
+
   test("streaming incremental dedup: corpus-lifetime admission over a persistent index") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
