@@ -61,6 +61,7 @@ object Encryption {
   def encryptDF(df: org.apache.spark.sql.DataFrame, payloadCol: String,
                 key: String, keyId: Int, ivSchemaId: Int,
                 iv: Column = randomIv()): org.apache.spark.sql.DataFrame = {
+    requireValidKey(key, keyId)
     val prefixed = call_function("aes_encrypt",
       col(payloadCol), keyCol(key, keyId), lit("CBC"), lit("PKCS"), col("__iv"))
     df.withColumn("__iv", iv)
@@ -79,6 +80,17 @@ object Encryption {
   private def keyCol(key: String, keyId: Int): Column =
     graft.functions.SecretBytes.secret(key, s"aes-key-$keyId")
 
+  /** Driver-side key sanity, checked EAGERLY at plan build: an invalid
+    * key length is permanent misconfiguration — letting try_aes_decrypt
+    * null it per row would silently drain the entire stream into the
+    * dead-letter path, indistinguishable from universal corruption. The
+    * try_ degradation is reserved for genuinely per-row failures. */
+  private def requireValidKey(key: String, keyId: Int): Unit = {
+    val n = key.getBytes(java.nio.charset.StandardCharsets.UTF_8).length
+    require(n == 16 || n == 24 || n == 32,
+      s"AES key $keyId has $n bytes; must be 16, 24 or 32")
+  }
+
   /** Decrypt an encrypted envelope payload: IV from the meta attribute,
     * key chosen by the key id parsed from encryption_type. EVERY failure
     * mode degrades to null — dead-letter, not task failure: an unknown
@@ -93,11 +105,15 @@ object Encryption {
     * dead-letter path rejects. */
   def decrypt(ciphertext: Column, encryptionType: Column, meta: Column,
               ivSchemaId: Int, keys: Map[Int, String]): Column = {
+    keys.foreach { case (id, k) => requireValidKey(k, id) }
     val iv = ivFromMeta(meta, ivSchemaId)
+    // the id group is bounded to 9 digits: always in int range, so the
+    // guarded cast can never hit an ANSI overflow — a longer (foreign /
+    // poisoned) id simply fails the key match and degrades to null
     val keyIdStr = regexp_extract(encryptionType,
-      EncryptionTypePrefix.replace("-", "\\-") + "(\\d+)", 1)
+      EncryptionTypePrefix.replace("-", "\\-") + "(\\d{1,9})$", 1)
     // regexp_extract's no-match result is '' — cast only inside the
-    // matched branch (ANSI-safe; digits always cast)
+    // matched branch
     val keyId = when(keyIdStr =!= "", keyIdStr.cast("int"))
     keys.foldLeft(lit(null).cast("binary")) { case (acc, (id, key)) =>
       when(keyId === id && iv.isNotNull,

@@ -171,6 +171,27 @@ object Pipeline {
         Encryption.decrypt(bytes, env.getField("encryption_type"),
           env.getField("meta"), ivSchemaId, keys))).drop("raw_envelope")
 
+  /** [[consumeEncrypted]] with the dead-letter split — the composition
+    * an encrypted stream actually runs: good rows decrypt+decode, while
+    * wrong-key / corrupt / unknown-schema rows land in the dead frame
+    * WITH their raw transport bytes, so they replay verbatim once the
+    * key or registry is fixed (the plain consumeWithDeadLetters would
+    * dead-letter every encrypted row, good ones included). */
+  def consumeEncryptedWithDeadLetters(
+      transport: DataFrame,
+      registry: SchemaRegistry,
+      readerSchemaId: Int,
+      keys: Map[Int, String],
+      ivSchemaId: Int,
+      valueCol: String = "value"): (DataFrame, DataFrame) = {
+    val consumed = consumeDecrypted(transport, registry, readerSchemaId,
+      valueCol, decryptPayload = Some((bytes, env) =>
+        Encryption.decrypt(bytes, env.getField("encryption_type"),
+          env.getField("meta"), ivSchemaId, keys)))
+    (consumed.filter(col("payload").isNotNull).drop("raw_envelope"),
+      consumed.filter(col("payload").isNull))
+  }
+
   private def consumeDecrypted(
       transport: DataFrame,
       registry: SchemaRegistry,
@@ -270,21 +291,12 @@ object Pipeline {
     * consumers see a decodable envelope, not a schema-mismatched control
     * row. */
   def heartbeats(ticks: DataFrame, topics: Seq[String], tsCol: String = "timestamp"): DataFrame = {
-    val metaType = Envelope.sparkType("meta").dataType
-    val env = struct(
-      uuid4_binary().as("uuid"),
-      lit("heartbeat").as("message_type"),
-      lit(0).as("schema_id"),
-      lit(Array.emptyByteArray).as("payload"),
-      lit(null).cast("binary").as("previous_payload"),
-      lit(null).cast(metaType).as("meta"),
-      lit(null).cast("string").as("encryption_type"),
-      unix_timestamp(col(tsCol)).cast("int").as("timestamp"))
     val topicCol = explode(array(topics.map(lit(_)): _*))
     ticks.select(
       topicCol.as("topic"),
       lit(null).cast("binary").as("key"),
-      pack_envelope(env).as("value"))
+      envelopeForBytes(lit(Array.emptyByteArray), "heartbeat", schemaId = 0,
+        timestamp = unix_timestamp(col(tsCol))).as("value"))
   }
 
   /** Update-message field diff on a consumed stream: per-field

@@ -108,6 +108,27 @@ class EncryptionSpec extends SparkTestBase {
       keys = Map(1 -> "1111222233334444"), ivSchemaId = ivEntry.schemaId)
     assert(wrong.filter($"payload".isNotNull).count() == 0,
       "a wrong key must dead-letter, never return garbage or crash")
+    // the ENCRYPTED dead-letter composition: wrong-key rows land in the
+    // dead frame WITH raw bytes, and replay verbatim once the right key
+    // is restored
+    val (okW, deadW) = Pipeline.consumeEncryptedWithDeadLetters(
+      enveloped, reg, entry.schemaId,
+      keys = Map(1 -> "1111222233334444"), ivSchemaId = ivEntry.schemaId)
+    assert(okW.count() == 0 && deadW.count() == 2)
+    val rawLetters = deadW.select($"raw_envelope").as[Array[Byte]].collect()
+    val healed = Pipeline.consumeEncrypted(
+      rawLetters.toSeq.toDF("value"), reg, entry.schemaId,
+      keys = Map(1 -> key), ivSchemaId = ivEntry.schemaId)
+      .select($"payload.body").as[String].collect().sorted
+    assert(healed.toSeq == Seq("alpha", "beta"),
+      "dead letters must replay once the right key is restored")
+    // permanent misconfiguration fails FAST at plan build, never a
+    // silent full-stream dead-letter drain
+    intercept[IllegalArgumentException] {
+      Pipeline.consumeEncrypted(enveloped, reg, entry.schemaId,
+        keys = Map(1 -> "tooshort"), ivSchemaId = ivEntry.schemaId)
+        .count()
+    }
     // foreign scheme + missing IV degrade to null (ANSI-safe guards)
     val foreign = enveloped.limit(1)
       .withColumn("env", graft.functions.unpack_envelope($"value"))

@@ -227,13 +227,42 @@ class MigrationAndCatalogSpec extends SparkTestBase {
     val (ok, dead) = graft.streaming.Pipeline.consumeWithDeadLetters(
       good.union(corrupt), reg, entry.schemaId)
     assert(ok.count() == 1 && dead.count() == 1)
-    // the dead frame keeps the raw transport bytes: after a registry or
-    // codec fix the letters re-consume from raw_envelope verbatim
-    val raw = dead.select($"raw_envelope").head().getAs[Array[Byte]](0)
+    // the dead frame keeps the raw transport bytes VERBATIM: a letter
+    // dead because the consumer registry lacked its schema must decode
+    // field-for-field once replayed against the fixed registry
+    val fullReg = new SchemaRegistry
+    // a filler registration first, so the event schema's id (2) does NOT
+    // exist in the consumer registry below (whose only id is 1) — the
+    // letter must dead-letter on a genuinely unknown id
+    fullReg.registerSchema("other", "filler",
+      """{"type":"record","name":"f","namespace":"o","fields":[
+           {"name":"z","type":"int","default":0}]}""")
+    val fullEntry = fullReg.registerSchema("s", "ev",
+      graft.queries.EnvelopeOps.eventSchemaJson)
+    val unknownOnly = Seq((9L, 90L, "view", 2.5))
+      .toDF("event_id", "user_id", "event_type", "value")
+      .select(graft.streaming.Pipeline.envelopeFor(
+        struct($"event_id", $"user_id", $"event_type", $"value"), "create",
+        fullEntry, lit(1700000003L), unhex(md5(lit("u")))).as("value"))
+    val emptyReg = new SchemaRegistry // consumer missing the schema
+    val rdrEntry = emptyReg.registerSchema("s", "ev",
+      graft.queries.EnvelopeOps.eventSchemaJson)
+    val shortReg = new SchemaRegistry
+    val shortRdr = shortReg.registerSchema("other", "x",
+      """{"type":"record","name":"x","namespace":"o","fields":[
+           {"name":"z","type":"int","default":0}]}""")
+    val (_, deadU) = graft.streaming.Pipeline.consumeWithDeadLetters(
+      unknownOnly, shortReg, shortRdr.schemaId)
+    assert(deadU.count() == 1)
+    val raw = deadU.select($"raw_envelope").head().getAs[Array[Byte]](0)
     val replayed = graft.streaming.Pipeline.consume(
-      Seq(raw).toDF("value"), reg, entry.schemaId)
-    assert(replayed.count() == 1,
-      "raw_envelope must re-consume after the fix")
+      Seq(raw).toDF("value"), fullReg, fullEntry.schemaId)
+      .select($"payload.event_id", $"payload.event_type", $"payload.value")
+      .head()
+    assert((replayed.getLong(0), replayed.getString(1), replayed.getDouble(2))
+      == ((9L, "view", 2.5)),
+      "the replayed letter must decode field-for-field against the fixed registry")
+    assert(rdrEntry.schemaId >= 0) // silence unused warning
     // fully corrupt TRANSPORT bytes dead-letter as an all-null row, raw intact
     val garbage = Seq(Array[Byte](0x7f, 1, 2)).toDF("value")
     val (_, dead2) = graft.streaming.Pipeline.consumeWithDeadLetters(
