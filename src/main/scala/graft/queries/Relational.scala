@@ -661,7 +661,7 @@ object Relational {
                 'mon' AS client_name,
                 'consumer' AS client_type,
                 CAST(coalesce(c.observed, 0) AS INTEGER) AS message_count,
-                r.start_timestamp
+                CAST(r.start_timestamp AS INTEGER) AS start_timestamp
          FROM ranges r
          LEFT JOIN counts c ON r.topic = c.topic AND r.start_timestamp = c.start_timestamp
          ORDER BY r.topic, r.start_timestamp""",

@@ -21,6 +21,15 @@ sealed trait ConsumerSource {
     * base_consumer.py:829-882 refresh_new_topics vs :884-947
     * refresh_topics). */
   def incremental: Boolean = false
+
+  /** Two-phase discovery: `resolve` must be a side-effect-free PREVIEW;
+    * the controller calls `commit()` only after the refreshed
+    * subscription passed validation. A stateful (new-topics-only) source
+    * that advanced its cutoff inside resolve() would permanently LOSE
+    * every topic surfaced by a tick whose cluster-type validation then
+    * failed — valid topics included. Default no-op for stateless
+    * sources. */
+  def commit(): Unit = ()
 }
 
 object ConsumerSource {
@@ -82,9 +91,20 @@ object ConsumerSource {
   final case class FixedSchemas(schemaIds: Set[Int]) extends ConsumerSource {
     def resolve(registry: SchemaRegistry): Set[String] =
       schemaIds.flatMap(id => registry.getSchemaById(id).map(_.topicName))
-    /** topic → forced reader schema id */
-    def readerSchemaByTopic(registry: SchemaRegistry): Map[String, Int] =
-      schemaIds.flatMap(id => registry.getSchemaById(id).map(_.topicName -> id)).toMap
+    /** topic → forced reader schema id. Two requested schema ids living
+      * on the SAME topic would silently force an arbitrary one of them
+      * (hash-order last-write-wins) — refused loudly instead: a consumer
+      * can pin exactly one reader per topic. */
+    def readerSchemaByTopic(registry: SchemaRegistry): Map[String, Int] = {
+      val pairs = schemaIds.toSeq
+        .flatMap(id => registry.getSchemaById(id).map(_.topicName -> id))
+      pairs.groupBy(_._1).foreach { case (topic, ids) =>
+        require(ids.size == 1,
+          s"FixedSchemas pins ${ids.map(_._2).sorted.mkString(",")} on the " +
+            s"same topic $topic — one reader schema per topic")
+      }
+      pairs.toMap
+    }
   }
 
   /** Topics feeding a data target via its consumer groups
@@ -109,17 +129,22 @@ object ConsumerSource {
     * topic set. */
   final class NewTopicsOnlyInNamespaces(namespaces: Set[String]) extends ConsumerSource {
     private val lastQueryTick = scala.collection.mutable.Map.empty[String, Long]
+    private var pending = Map.empty[String, Long]
     override def incremental: Boolean = true
     def resolve(registry: SchemaRegistry): Set[String] = synchronized {
-      namespaces.flatMap { ns =>
+      val now = registry.currentTick
+      val out = namespaces.flatMap { ns =>
         val cutoff = lastQueryTick.get(ns)
-        val now = registry.currentTick
-        val out = registry.topics
+        registry.topics
           .filter(t => t.namespaceName == ns && cutoff.forall(t.createdAt >= _))
           .map(_.name)
-        lastQueryTick(ns) = now
-        out
       }
+      pending = namespaces.iterator.map(_ -> now).toMap
+      out
+    }
+    override def commit(): Unit = synchronized {
+      pending.foreach { case (ns, t) => lastQueryTick(ns) = t }
+      pending = Map.empty
     }
   }
 
@@ -127,14 +152,17 @@ object ConsumerSource {
     * consumer_source.py:199-229). */
   final class NewTopicsOnlyInSource(namespace: String, source: String) extends ConsumerSource {
     private var lastQueryTick: Option[Long] = None
+    private var pending: Option[Long] = None
     override def incremental: Boolean = true
     def resolve(registry: SchemaRegistry): Set[String] = synchronized {
-      val now = registry.currentTick
-      val out = registry.topicsBySource(namespace, source)
+      pending = Some(registry.currentTick)
+      registry.topicsBySource(namespace, source)
         .filter(t => lastQueryTick.forall(t.createdAt >= _))
         .map(_.name).toSet
-      lastQueryTick = Some(now)
-      out
+    }
+    override def commit(): Unit = synchronized {
+      pending.foreach(t => lastQueryTick = Some(t))
+      pending = None
     }
   }
 
@@ -142,14 +170,17 @@ object ConsumerSource {
     * (reference: NewTopicOnlyInDataTarget, consumer_source.py:232-265). */
   final class NewTopicsOnlyInDataTarget(dataTargetId: Int) extends ConsumerSource {
     private var lastQueryTick: Option[Long] = None
+    private var pending: Option[Long] = None
     override def incremental: Boolean = true
     def resolve(registry: SchemaRegistry): Set[String] = synchronized {
-      val now = registry.currentTick
-      val out = registry.topicsByDataTarget(dataTargetId)
+      pending = Some(registry.currentTick)
+      registry.topicsByDataTarget(dataTargetId)
         .filter(t => lastQueryTick.forall(t.createdAt >= _))
         .map(_.name).toSet
-      lastQueryTick = Some(now)
-      out
+    }
+    override def commit(): Unit = synchronized {
+      pending.foreach(t => lastQueryTick = Some(t))
+      pending = None
     }
   }
 }
@@ -186,7 +217,11 @@ final class TopicRefreshController(source: ConsumerSource, registry: SchemaRegis
   def tick(): Refresh = synchronized {
     val resolved = source.resolve(registry)
     val next = if (source.incremental) current ++ resolved else resolved
+    // validate BEFORE committing the source's discovery cutoff: a failed
+    // tick must leave the source able to re-surface the same topics next
+    // tick (a cutoff advanced on failure would lose them forever)
     val nextClusterType = ConsumerSource.determineClusterType(registry, next)
+    source.commit()
     val refresh = Refresh(next -- current, current -- next, next)
     current = next
     currentClusterType = nextClusterType

@@ -55,9 +55,12 @@ object MonitorStream {
       clientType: String,
       windowSec: Int = DefaultWindowSeconds): DataFrame = {
     val aligned = (floor(unix_timestamp(col("ts")) / windowSec) * windowSec).cast("long")
+    // cached: `ranges` derives FROM `counts` and joins back to it — the
+    // shared lineage would otherwise scan + aggregate the source twice
     val counts = messages
       .groupBy(col("topic"), aligned.as("start_timestamp"))
       .agg(count(lit(1)).cast("int").as("observed"))
+      .localCheckpoint()
     val ranges = counts.groupBy(col("topic"))
       .agg(min(col("start_timestamp")).as("w0"), max(col("start_timestamp")).as("w1"))
       .select(col("topic"),
@@ -68,7 +71,10 @@ object MonitorStream {
         lit(clientName).as("client_name"),
         lit(clientType).as("client_type"),
         coalesce(col("observed"), lit(0)).as("message_count"),
-        col("start_timestamp"))
+        // int like monitorCounts — the monitoring_message_v1 contract
+        // (start_timestamp: int); the two aggregations must stay
+        // schema-interchangeable
+        col("start_timestamp").cast("int").as("start_timestamp"))
   }
 
   // --- streaming catch-up (client.py:303-324, incremental form) ----------
@@ -101,7 +107,10 @@ object MonitorStream {
         catchupUpdate(windowSec))
       .select(col("topic"), lit(clientName).as("client_name"),
         lit(clientType).as("client_type"), col("message_count"),
-        col("start_timestamp"))
+        // int like monitorCounts / the batch catch-up: the
+        // monitoring_message_v1 contract pins start_timestamp to int, and
+        // the three aggregations must stay schema-interchangeable
+        col("start_timestamp").cast("int").as("start_timestamp"))
   }
 
   private def catchupUpdate(windowSec: Int)(

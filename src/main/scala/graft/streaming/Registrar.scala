@@ -57,7 +57,10 @@ object Team {
     var currentTeam: Option[String] = None
     val acc = scala.collection.mutable.LinkedHashMap.empty[String, Option[String]]
     text.linesIterator.foreach { raw =>
-      val line = raw.replaceAll("#.*$", "")
+      // YAML comment rules: '#' starts a comment only at line start or
+      // after whitespace — a '#' INSIDE a value (ops#oncall@example.com)
+      // is data, and stripping it would silently corrupt the value
+      val line = raw.replaceAll("(^|\\s)#.*$", "")
       if (line.trim.nonEmpty) {
         val indent = line.takeWhile(_ == ' ').length
         val body = line.trim
@@ -140,18 +143,15 @@ final class Registrar(
       "timestamp", "expected_frequency_seconds", "schema_id")
   }
 
-  /** Avro schema for registration messages, mirroring the reference's
-    * registration_message_v1.avsc field set (client_type as string — the
-    * require above enforces the enum domain). */
+  /** Avro schema for registration messages: the CANONICAL
+    * [[graft.core.Envelope.registrationMessageSchemaJson]] — one
+    * registration_message_v1 definition in the codebase, not a second
+    * divergent copy (a string-typed client_type twin here once made
+    * Registrar-written messages unreadable under the canonical enum
+    * schema and vice versa; the string→enum encode is handled by
+    * AvroConversions and the require above pins the symbol domain). */
   val registrationSchemaJson: String =
-    """{"type":"record","name":"client_registration_message_v1",
-       |"namespace":"graft.registration","fields":[
-       |{"name":"team_name","type":"string"},
-       |{"name":"client_name","type":"string"},
-       |{"name":"client_type","type":"string"},
-       |{"name":"timestamp","type":["null","long"],"default":null},
-       |{"name":"expected_frequency_seconds","type":"int"},
-       |{"name":"schema_id","type":"int"}]}""".stripMargin
+    graft.core.Envelope.registrationMessageSchemaJson
 
   /** Register the registration-message schema itself (reference:
     * registrar.py:113-122 registration_schema — registered under the

@@ -38,17 +38,33 @@ object Tailer {
   /** Kafka source options for the given topic specs: offset seeks map to
     * startingOffsets (partition 0 — the reference producer always writes
     * partition 0, _kafka_producer.py:243-247), a start timestamp to the
-    * broker-side startingOffsetsByTimestamp index. */
+    * broker-side startingOffsetsByTimestamp index.
+    *
+    * Contract guards: (1) Spark rejects a specific-offsets JSON that does
+    * not cover every subscribed topic, so offset-LESS topics get the -2
+    * (earliest) sentinel alongside the explicit seeks; (2) a timestamp
+    * seek and explicit per-topic offsets are mutually exclusive in the
+    * Kafka source — supplying both is refused loudly instead of silently
+    * discarding the user's offsets; (3) a tailing tool exists to inspect
+    * EXACT positions, so failOnDataLoss=true — an out-of-range seek must
+    * error, never silently reset to a different position. */
   def kafkaOptions(bootstrapServers: String, specs: Seq[TopicSpec],
                    startTimestampSec: Option[Long] = None): Map[String, String] =
     startTimestampSec match {
       case Some(ts) =>
+        require(specs.forall(_.offset.isEmpty),
+          "explicit per-topic offsets cannot combine with a timestamp " +
+            s"seek (offsets given for ${specs.filter(_.offset.nonEmpty).map(_.topic).mkString(",")})")
         graft.streaming.KafkaTransport.sourceOptionsByTimestamp(
           bootstrapServers, specs.map(_.topic), ts * 1000L)
-      case None =>
+      case None if specs.exists(_.offset.nonEmpty) =>
         graft.streaming.KafkaTransport.sourceOptions(
           bootstrapServers, specs.map(_.topic),
-          specs.flatMap(s => s.offset.map(o => (s.topic, 0) -> o)).toMap)
+          specs.map(s => (s.topic, 0) -> s.offset.getOrElse(-2L)).toMap,
+          failOnDataLoss = true)
+      case None =>
+        graft.streaming.KafkaTransport.sourceOptions(
+          bootstrapServers, specs.map(_.topic), failOnDataLoss = true)
     }
 
   /** Tail projection: select fields, optional ISO-8601 time, optional
@@ -66,7 +82,11 @@ object Tailer {
     endTimestamp.foreach(t => df = df.filter(col("timestamp") < t))
     val projected: Seq[Column] = fields.map {
       case "timestamp" if isoTime =>
-        date_format(to_timestamp(col("timestamp")), "yyyy-MM-dd'T'HH:mm:ss").as("timestamp")
+        // rendered in UTC by construction (convert_timezone → NTZ wall
+        // time), not the session timezone — the same envelope must tail
+        // identically on every cluster config
+        date_format(convert_timezone(lit("UTC"), to_timestamp(col("timestamp"))),
+          "yyyy-MM-dd'T'HH:mm:ss").as("timestamp")
       case "uuid" => hex(col("uuid")).as("uuid")
       case f => col(f)
     }

@@ -172,26 +172,34 @@ class ControlPlaneSpec extends SparkTestBase {
     assert(src.resolve(reg) == Set(b.topicName))
   }
 
-  test("new-topics-only source returns the full set once, then only newcomers") {
+  test("new-topics-only source returns the full set once, then only newcomers; uncommitted resolves re-surface") {
     val reg = new SchemaRegistry
     val a = reg.registerSchema("ns", "src", schemaJson)
     val src = new ConsumerSource.NewTopicsOnlyInSource("ns", "src")
-    assert(src.resolve(reg) == Set(a.topicName)) // first query: everything
-    assert(src.resolve(reg) == Set.empty)        // steady state: nothing new
+    def tick(): Set[String] = { val out = src.resolve(reg); src.commit(); out }
+    assert(tick() == Set(a.topicName)) // first query: everything
+    assert(tick() == Set.empty)        // steady state: nothing new
     val b = reg.registerSchema("ns", "src", incompatibleJson)
-    assert(src.resolve(reg) == Set(b.topicName)) // only the newcomer
-    assert(src.resolve(reg) == Set.empty)
+    // resolve is a side-effect-free PREVIEW: a tick that fails validation
+    // never commits, so the same topics re-surface next tick instead of
+    // being lost forever
+    assert(src.resolve(reg) == Set(b.topicName))
+    assert(src.resolve(reg) == Set(b.topicName),
+      "an uncommitted resolve must not advance the cutoff")
+    assert(tick() == Set(b.topicName)) // committed now
+    assert(tick() == Set.empty)
   }
 
   test("new-topics-only per-namespace cursors advance independently") {
     val reg = new SchemaRegistry
     val a1 = reg.registerSchema("ns1", "sa", schemaJson)
     val src = new ConsumerSource.NewTopicsOnlyInNamespaces(Set("ns1", "ns2"))
-    assert(src.resolve(reg) == Set(a1.topicName))
+    def tick(): Set[String] = { val out = src.resolve(reg); src.commit(); out }
+    assert(tick() == Set(a1.topicName))
     val b1 = reg.registerSchema("ns2", "sb", schemaJson)
     val a2 = reg.registerSchema("ns1", "sa", incompatibleJson)
-    assert(src.resolve(reg) == Set(b1.topicName, a2.topicName))
-    assert(src.resolve(reg) == Set.empty)
+    assert(tick() == Set(b1.topicName, a2.topicName))
+    assert(tick() == Set.empty)
   }
 
   test("new-topics-only data-target scope sees topics via consumer-group sources") {
@@ -201,13 +209,14 @@ class ControlPlaneSpec extends SparkTestBase {
     reg.addConsumerGroupDataSource(g.consumerGroupId, "ns", None)
     val a = reg.registerSchema("ns", "src", schemaJson)
     val src = new ConsumerSource.NewTopicsOnlyInDataTarget(t.dataTargetId)
-    assert(src.resolve(reg) == Set(a.topicName))
-    assert(src.resolve(reg) == Set.empty)
+    def tick(): Set[String] = { val out = src.resolve(reg); src.commit(); out }
+    assert(tick() == Set(a.topicName))
+    assert(tick() == Set.empty)
     val b = reg.registerSchema("ns", "src", incompatibleJson)
-    assert(src.resolve(reg) == Set(b.topicName))
+    assert(tick() == Set(b.topicName))
     // out-of-scope namespaces never appear
     reg.registerSchema("elsewhere", "x", schemaJson)
-    assert(src.resolve(reg) == Set.empty)
+    assert(tick() == Set.empty)
   }
 
   test("controller appends for incremental sources instead of dropping the subscription") {

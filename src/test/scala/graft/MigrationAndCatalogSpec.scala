@@ -71,7 +71,7 @@ class MigrationAndCatalogSpec extends SparkTestBase {
     ).toDF("ts", "topic")
     val out = MonitorStream.monitorCountsWithCatchup(df, "c", "consumer")
       .select($"topic", $"start_timestamp", $"message_count")
-      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2))).sorted
+      .collect().map(r => (r.getString(0), r.getInt(1).toLong, r.getInt(2))).sorted
     val base = t("2024-01-01 00:00:00").getTime / 1000
     assert(out.toSeq == Seq(
       ("topic_a", base, 1), ("topic_a", base + 600, 0), ("topic_a", base + 1200, 0),

@@ -422,7 +422,7 @@ class StreamingSpec extends SparkTestBase {
       q.processAllAvailable()
       val afterClose = spark.table("catchup_out")
         .select($"topic", $"message_count", $"start_timestamp")
-        .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSet
+        .collect().map(r => (r.getString(0), r.getInt(1), r.getInt(2).toLong)).toSet
       assert(afterClose == Set(("a", 2, 1200L)))
 
       // another topic drives the watermark past window 2400's horizon:
@@ -433,7 +433,7 @@ class StreamingSpec extends SparkTestBase {
       q.processAllAvailable()
       val afterCatchup = spark.table("catchup_out")
         .select($"topic", $"message_count", $"start_timestamp")
-        .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSet
+        .collect().map(r => (r.getString(0), r.getInt(1), r.getInt(2).toLong)).toSet
       assert(afterCatchup == Set(
         ("a", 2, 1200L), ("a", 0, 1800L), ("a", 2, 2400L)))
     } finally q.stop()

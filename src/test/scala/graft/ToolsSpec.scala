@@ -67,8 +67,19 @@ class ToolsSpec extends SparkTestBase {
     val specs = Seq(Tailer.TopicSpec("t.a.v1", Some(42L)), Tailer.TopicSpec("t.b.v2", None))
     val byOffset = Tailer.kafkaOptions("b:9092", specs)
     assert(byOffset("subscribe") == "t.a.v1,t.b.v2")
-    assert(byOffset("startingOffsets") == """{"t.a.v1": {"0": 42}}""")
-    val byTime = Tailer.kafkaOptions("b:9092", specs, startTimestampSec = Some(1700000000L))
+    // Spark rejects a specific-offsets JSON that omits a subscribed
+    // topic: the offset-less topic rides the -2 (earliest) sentinel
+    assert(byOffset("startingOffsets") == """{"t.a.v1": {"0": 42}, "t.b.v2": {"0": -2}}""")
+    // a tailer inspects EXACT positions — out-of-range seeks must error,
+    // never silently reset
+    assert(byOffset("failOnDataLoss") == "true")
+    // explicit offsets and a timestamp seek are mutually exclusive in
+    // the Kafka source: refused loudly, never silently discarded
+    intercept[IllegalArgumentException] {
+      Tailer.kafkaOptions("b:9092", specs, startTimestampSec = Some(1700000000L))
+    }
+    val byTime = Tailer.kafkaOptions("b:9092",
+      specs.map(_.copy(offset = None)), startTimestampSec = Some(1700000000L))
     assert(byTime("startingOffsetsByTimestamp") ==
       """{"t.a.v1": {"-1": 1700000000000}, "t.b.v2": {"-1": 1700000000000}}""")
   }
