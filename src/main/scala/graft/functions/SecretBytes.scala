@@ -21,34 +21,52 @@ import org.apache.spark.sql.types.{BinaryType, DataType}
   * the node prints only the caller-chosen label, and the generated code
   * references the object, never an inline constant.
   *
+  * The bytes ride inside [[SecretBytes.Holder]], an opaque non-product
+  * wrapper, because TreeNode renders CONSTRUCTOR ARGUMENTS on every
+  * path — `toString`/`sql` are overridable, but `toJSON`
+  * (`queryExecution.logical.toJSON`, plan-change JSON logging) walks
+  * `productIterator` directly and serializes a raw `Array[Byte]` arg as
+  * a JSON byte array. A holder that is neither a product, a Spark type,
+  * nor an array falls through every branch of that serializer to
+  * `JNull`, and its own `toString` is the label, so no rendering path
+  * reaches the bytes.
+  *
   * Deterministic and row-independent, so it composes anywhere a literal
-  * would. Two instances with different labels are never
-  * common-subexpression'd into each other (case-class equality includes
-  * the label and the array reference).
+  * would. Two instances with different holders are never
+  * common-subexpression'd into each other (the holder equality is
+  * reference identity).
   */
-case class SecretBytes(bytes: Array[Byte], label: String)
+case class SecretBytes(key: SecretBytes.Holder)
     extends LeafExpression {
 
   override def nullable: Boolean = false
   override def foldable: Boolean = false // never collapse into a Literal
   override def dataType: DataType = BinaryType
   override def prettyName: String = "secret_bytes"
-  override def toString: String = s"secret_bytes($label)"
-  override def sql: String = s"secret_bytes('$label')"
+  override def toString: String = s"secret_bytes(${key.label})"
+  override def sql: String = s"secret_bytes('${key.label}')"
 
-  override def eval(input: InternalRow): Any = bytes
+  override def eval(input: InternalRow): Any = key.bytes
 
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val ref = ctx.addReferenceObj("secretBytes", bytes, "byte[]")
+    val ref = ctx.addReferenceObj("secretBytes", key.bytes, "byte[]")
     ev.copy(code = code"final byte[] ${ev.value} = $ref;",
       isNull = FalseLiteral)
   }
 }
 
 object SecretBytes {
+
+  /** Opaque key-material carrier: deliberately NOT a case class (no
+    * productIterator for tree-node JSON to walk), equality is reference
+    * identity, and every string rendering is the label. */
+  final class Holder(val bytes: Array[Byte], val label: String) {
+    override def toString: String = s"secret_bytes($label)"
+  }
+
   /** The secret as a binary column; only `label` ever renders. */
   def secret(bytes: Array[Byte], label: String): Column =
-    GraftBridge.column(SecretBytes(bytes, label))
+    GraftBridge.column(SecretBytes(new Holder(bytes, label)))
 
   def secret(utf8: String, label: String): Column =
     secret(utf8.getBytes(java.nio.charset.StandardCharsets.UTF_8), label)

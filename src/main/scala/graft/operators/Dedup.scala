@@ -528,8 +528,13 @@ object Dedup {
   def editDistancePairs(df: DataFrame, idCol: String, keyCol: String,
                         maxDist: Int): DataFrame = {
     require(maxDist >= 1, "maxDist >= 1 (use exactDedup for distance 0)")
+    // distinct at the source: a duplicated (id, key) input row would
+    // otherwise multiply through BOTH the fan-out joins and the
+    // key-equality self-join (dup² emitted pairs — the pre-refactor
+    // explode/distinct deduplicated these), and deduplicating here also
+    // caps the join fan-out instead of cleaning up after it
     val base = df.select(col(idCol).as("id"), col(keyCol).as("k"))
-      .filter(col("k").isNotNull)
+      .filter(col("k").isNotNull).distinct()
     val keyPairs = editDistanceKeyPairs(base.select(col("k")).distinct(), maxDist)
     // fan the verified key pairs back out to member id pairs; a member
     // of the lexically-later key may carry the smaller id, so ids AND

@@ -1,6 +1,6 @@
 package graft.schema
 
-import java.util.concurrent.atomic.AtomicInteger
+import java.util.concurrent.atomic.{AtomicInteger, AtomicLong}
 
 import scala.collection.concurrent.TrieMap
 import scala.jdk.CollectionConverters._
@@ -69,7 +69,10 @@ class SchemaRegistry extends Serializable {
   private val schemasById = TrieMap.empty[Int, SchemaEntry]
   private val topicsById = TrieMap.empty[Int, TopicEntry]
   private val sourcesById = TrieMap.empty[Int, SourceEntry]
-  private val clock = new AtomicInteger(0) // deterministic created_at ticks
+  // deterministic created_at ticks; a Long so a persisted tick history
+  // restores without truncation (an Int clock wrapped negative past 2^31
+  // and broke post-reload monotonicity vs restored created_at values)
+  private val clock = new AtomicLong(0L)
 
   // schema_ref / documentation-tool metadata (reference: tools/schema_ref.py,
   // bootstrapper.py:107-144 — notes, categories and file sources attach via
@@ -656,9 +659,17 @@ class SchemaRegistry extends Serializable {
     fs.delete(new org.apache.hadoop.fs.Path(root, "_latest_gen"), false)
     if (!fs.rename(ptrTmp, new org.apache.hadoop.fs.Path(root, "_latest_gen")))
       throw new java.io.IOException(s"catalog pointer flip to $gen failed")
-    // vacuum superseded generations (keep the newest 2: one grace copy
-    // for a reader that resolved the pointer just before the flip)
-    gens.dropRight(1).foreach(g =>
+    // vacuum superseded generations: keep ONE grace copy for a reader
+    // that resolved the pointer just before the flip — and that reader
+    // can only have resolved a COMMITTED generation, so the survivor is
+    // chosen among committed gens only. Uncommitted debris (a save that
+    // crashed pre-marker) deletes unconditionally: keeping it as the
+    // grace copy would vacuum the newest committed old generation and
+    // void the guarantee exactly in the crash window it exists for.
+    def oldGenCommitted(g: Long): Boolean =
+      fs.exists(new org.apache.hadoop.fs.Path(root, s"gen_$g/_COMMITTED"))
+    val (committedOld, uncommittedOld) = gens.partition(oldGenCommitted)
+    (committedOld.dropRight(1) ++ uncommittedOld).foreach(g =>
       fs.delete(new org.apache.hadoop.fs.Path(root, s"gen_$g"), true))
   }
 
@@ -676,7 +687,7 @@ class SchemaRegistry extends Serializable {
     var cur = nextRefreshId.get()
     while (cur < j.refreshId && !nextRefreshId.compareAndSet(cur, j.refreshId))
       cur = nextRefreshId.get()
-    val tick = math.max(j.createdAt, j.updatedAt).toInt
+    val tick = math.max(j.createdAt, j.updatedAt)
     var c = clock.get()
     while (c < tick && !clock.compareAndSet(c, tick)) c = clock.get()
   }
@@ -806,8 +817,10 @@ object SchemaRegistry {
         reg.sourcesById.put(id, stored.get.copy(ownerEmail = owner))
       Option(r.getAs[String]("category")).foreach(reg.setSourceCategory(id, _))
     }
-    // same verbatim-tick restoration for topics (by unique topic name)
-    table("topics").foreach { r =>
+    // same verbatim-tick restoration for topics (by unique topic name);
+    // collected ONCE — the max-tick fold below reuses this seq
+    val topicRows = table("topics")
+    topicRows.foreach { r =>
       val name = r.getAs[String]("name")
       val t = r.getAs[Long]("created_at")
       reg.topicsById.collectFirst { case (id, e) if e.name == name => (id, e) }
@@ -817,9 +830,9 @@ object SchemaRegistry {
     // stay strictly monotone vs the restored history
     val maxTick = (rows.flatMap(r =>
       Option(r.get(r.fieldIndex("created_at"))).map(_.asInstanceOf[Long])) ++
-      table("topics").map(_.getAs[Long]("created_at"))).foldLeft(0L)(math.max)
+      topicRows.map(_.getAs[Long]("created_at"))).foldLeft(0L)(math.max)
     var c = reg.clock.get()
-    while (c < maxTick && !reg.clock.compareAndSet(c, maxTick.toInt))
+    while (c < maxTick && !reg.clock.compareAndSet(c, maxTick))
       c = reg.clock.get()
 
     table("schema_meta").foreach { r =>

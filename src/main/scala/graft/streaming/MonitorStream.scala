@@ -47,34 +47,55 @@ object MonitorStream {
   /** Batch variant with the reference's catch-up flush (client.py:316-324):
     * quiet windows between a topic's first and last activity emit explicit
     * zero-count rows, so auditors can distinguish "stalled" from "empty".
-    * The window range generates per topic (sequence + explode) and
-    * left-joins the observed counts — no per-window state. */
+    *
+    * Single-pass shape: one (topic, window) count aggregation, then one
+    * per-topic aggregation that sorts the observed windows and expands
+    * the quiet gaps between consecutive entries inline. The source is
+    * scanned ONCE with nothing pinned — the earlier range-generate +
+    * left-join formulation either localCheckpointed the counts (cached
+    * blocks that outlive the call and a non-recomputable lineage that
+    * fails on executor loss) or scanned the source twice (column pruning
+    * makes the two aggregate branches non-identical, so exchange reuse
+    * cannot deduplicate them — verified on the physical plan). Per-topic
+    * state is the OBSERVED-window list only; gap zeros are generated at
+    * emit, never stored. */
   def monitorCountsWithCatchup(
       messages: DataFrame,
       clientName: String,
       clientType: String,
       windowSec: Int = DefaultWindowSeconds): DataFrame = {
+    val step = windowSec.toLong
     val aligned = (floor(unix_timestamp(col("ts")) / windowSec) * windowSec).cast("long")
-    // cached: `ranges` derives FROM `counts` and joins back to it — the
-    // shared lineage would otherwise scan + aggregate the source twice
-    val counts = messages
+    messages
       .groupBy(col("topic"), aligned.as("start_timestamp"))
       .agg(count(lit(1)).cast("int").as("observed"))
-      .localCheckpoint()
-    val ranges = counts.groupBy(col("topic"))
-      .agg(min(col("start_timestamp")).as("w0"), max(col("start_timestamp")).as("w1"))
-      .select(col("topic"),
-        explode(sequence(col("w0"), col("w1"), lit(windowSec.toLong))).as("start_timestamp"))
-    ranges.join(counts, Seq("topic", "start_timestamp"), "left")
+      .groupBy(col("topic"))
+      .agg(sort_array(collect_list(struct(col("start_timestamp"), col("observed"))))
+        .as("obs"))
+      // (e, i) -> the entry itself, prefixed by one zero struct per quiet
+      // window since the previous entry. Lazy IF keeps the obs[i-1]
+      // access (ANSI: out-of-bounds throws) behind the i = 0 guard, and
+      // the gap guard keeps sequence() bounds valid.
+      .select(col("topic"), explode(expr(
+        s"""flatten(transform(obs, (e, i) ->
+              IF(i = 0, array(e),
+                 IF(e.start_timestamp - obs[i-1].start_timestamp <= ${step}L,
+                    array(e),
+                    concat(transform(
+                             sequence(obs[i-1].start_timestamp + ${step}L,
+                                      e.start_timestamp - ${step}L, ${step}L),
+                             w -> struct(w AS start_timestamp,
+                                         CAST(0 AS INT) AS observed)),
+                           array(e))))))""")).as("w"))
       .select(
         col("topic"),
         lit(clientName).as("client_name"),
         lit(clientType).as("client_type"),
-        coalesce(col("observed"), lit(0)).as("message_count"),
+        col("w.observed").as("message_count"),
         // int like monitorCounts — the monitoring_message_v1 contract
-        // (start_timestamp: int); the two aggregations must stay
+        // (start_timestamp: int); the aggregations must stay
         // schema-interchangeable
-        col("start_timestamp").cast("int").as("start_timestamp"))
+        col("w.start_timestamp").cast("int").as("start_timestamp"))
   }
 
   // --- streaming catch-up (client.py:303-324, incremental form) ----------

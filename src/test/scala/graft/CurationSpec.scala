@@ -561,6 +561,21 @@ class CurationSpec extends SparkTestBase {
     info(f"jl 16->8 rerank recall@10 $jlHalfRerankR%.2f")
     assert(jlHalfRerankR >= 0.9,
       s"jl halving rerank recall@10 $jlHalfRerankR under its 0.9 floor")
+    // OPQ (m=8) + exact re-rank holds the SAME 0.9 deployment floor as
+    // plain PQ: on near-isotropic data the rotation cannot help (the
+    // bench fixture reads 0.92 vs plain-PQ 0.98 — expected, rotation
+    // has nothing to align there), but it must never erode BELOW the
+    // floor the unrotated config clears
+    val (orot, ocb) = Similarity.opqFit(vecs, m = 8, subDim = 2,
+      ksub = 16, pqIters = 3, opqIters = 3)
+    val opqRerankR = Similarity.recallAtK(
+      Similarity.rerankExact(
+        Similarity.opqTopK(
+          Similarity.opqEncode(vecs, orot, ocb, m = 8, subDim = 2),
+          probes, orot, ocb, k = 8 * k, m = 8, subDim = 2),
+        probes, vecs, k), exact, k)
+    assert(opqRerankR >= 0.9,
+      s"opq m=8 rerank recall@10 $opqRerankR under its 0.9 floor")
     exact.unpersist(); vecs.unpersist()
   }
 

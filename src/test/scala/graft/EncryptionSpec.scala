@@ -161,6 +161,17 @@ class EncryptionSpec extends SparkTestBase {
         "AES key leaked into the query plan (explain/UI/event logs)")
       assert(plans.contains("secret_bytes(aes-key-1)"),
         "the key must render as its redacted label")
+      // TreeNode JSON serialization walks constructor args directly
+      // (bypassing toString/sql): a raw Array[Byte] arg would render as
+      // a JSON byte array — the Holder wrapper must fall through to null
+      Seq(frame.queryExecution.logical, frame.queryExecution.analyzed)
+        .foreach { plan =>
+          val json = plan.toJSON
+          assert(!json.contains(key),
+            "AES key leaked into tree-node JSON (plan-change logging)")
+          assert(!json.contains(key.getBytes("UTF-8").mkString(",")),
+            "AES key bytes leaked into tree-node JSON as a byte array")
+        }
     }
   }
 }

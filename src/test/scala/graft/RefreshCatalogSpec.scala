@@ -276,6 +276,32 @@ class RefreshCatalogSpec extends SparkTestBase {
       "a dangling pointer must fall back to the previous committed generation")
   }
 
+  test("generation vacuum keeps a COMMITTED grace copy and deletes crash debris") {
+    val dir = java.nio.file.Files.createTempDirectory("reg_vacuum").toString
+    val reg = new SchemaRegistry
+    reg.registerSchema("yelp", "user", userJson)
+    reg.save(spark, dir) // gen_0 committed
+    reg.save(spark, dir) // gen_1 committed
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // crash mid-save of gen_2: tables written, marker never landed
+    fs.mkdirs(new org.apache.hadoop.fs.Path(dir, "gen_2/schemas"))
+    reg.save(spark, dir) // gen_3 committed; vacuum runs
+    val left = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .map(_.getPath.getName).filter(_.matches("^gen_\\d+$")).sorted.toSeq
+    // survivors: the new generation + ONE grace copy, and the grace copy
+    // must be the newest COMMITTED old gen — a reader that resolved the
+    // pointer just before the flip was reading gen_1, never the gen_2
+    // debris, so keeping debris as the "grace copy" (and deleting gen_1)
+    // would void the guarantee exactly in the crash window
+    assert(left == Seq("gen_1", "gen_3"),
+      s"expected committed grace copy gen_1 + new gen_3, got $left")
+    // the surviving grace copy still loads if the new pointer is torn
+    fs.delete(new org.apache.hadoop.fs.Path(dir, "gen_3/_COMMITTED"), false)
+    val back = SchemaRegistry.load(spark, dir)
+    assert(back.schemas.nonEmpty, "grace copy must remain loadable")
+  }
+
   test("reload restores logical ticks verbatim: a checkpointed new-topics consumer never skips a newer topic") {
     val dir = java.nio.file.Files.createTempDirectory("reg_ticks").toString
     val reg = new SchemaRegistry
@@ -327,6 +353,36 @@ class RefreshCatalogSpec extends SparkTestBase {
     assert(failed.isEmpty &&
       reg.getRefreshById(a.refreshId).exists(_.status == RefreshStatus.Success),
       "a completed job must not be flipped to FAILED by the sweep")
+  }
+
+  test("a persisted tick above Int.MaxValue restores without wrap: post-reload ticks stay monotone") {
+    val dir = java.nio.file.Files.createTempDirectory("reg_bigtick").toString
+    val reg = new SchemaRegistry
+    reg.registerSchema("yelp", "user", userJson)
+    reg.createRefresh("yelp", "user", 0L, 500, 50)
+    reg.save(spark, dir)
+    // a long-lived deployment's clock history: rewrite the persisted
+    // refresh ticks past 2^31 (an Int clock would truncate these
+    // negative on restore and break monotonicity for every later tick)
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val gen = fs.listStatus(root).map(_.getPath.getName)
+      .filter(_.matches("^gen_\\d+$")).map(_.drop(4).toLong).max
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.functions.lit
+    val bigTick = Int.MaxValue.toLong + 7L
+    val ref = spark.read.parquet(s"$dir/gen_$gen/refreshes")
+      .withColumn("created_at", lit(bigTick))
+      .withColumn("updated_at", lit(bigTick))
+    val rows = ref.collect().toSeq
+    spark.createDataFrame(rows.asJava, ref.schema)
+      .write.mode("overwrite").parquet(s"$dir/gen_$gen/refreshes")
+    val back = SchemaRegistry.load(spark, dir)
+    assert(back.currentTick >= bigTick,
+      s"clock must restore past the persisted tick, got ${back.currentTick}")
+    val r2 = back.createRefresh("yelp", "user", 0L, 100, 10)
+    assert(r2.createdAt > bigTick,
+      s"post-reload ticks must stay monotone vs restored history, got ${r2.createdAt}")
   }
 
   test("reload rejects a store whose refresh references a source with no topics") {
