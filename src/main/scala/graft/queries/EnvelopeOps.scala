@@ -104,10 +104,71 @@ object EnvelopeOps {
       .orderBy($"doc_id")
   }
 
+  /** Dead-letter split classification, oracle-gated (SURVEY §2.2 P5;
+    * reference decode-failure classes: message.py:812-856 envelope
+    * unpack failures, envelope.py:103-121 payload decode failures).
+    *
+    * Corruption is PLANTED deterministically by event_id % 10 —
+    * 0: corrupt transport bytes (0xFF×3 — envelope unpack fails),
+    * 1: corrupt payload bytes (a lone 0xFF — an Avro varint with its
+    * continuation bit set and no continuation, so the decode always
+    * hits EOF), 2: unknown schema_id (valid envelope + payload, id
+    * 9999 absent from the registry), everything else clean — then
+    * [[graft.streaming.Pipeline.consumeWithDeadLetters]] must route
+    * each class to the dead frame as a NULL-payload row with its raw
+    * envelope retained (n_raw = n; the good frame drops raw_envelope,
+    * so its n_raw is 0) while every clean row decodes (the ok bucket's
+    * event_id sum equals the source's). The classification the query
+    * reports is exactly the reference's: no schema_id ⇒ the transport
+    * bytes never unpacked; a schema_id the registry doesn't know ⇒
+    * unknown-schema; a known schema_id with a null decode ⇒ corrupt
+    * payload. DuckDB replays the planting rule directly. */
+  def qDeadLetterSplit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (reg, v1, v2) = registryForEvents
+    val metaType = Envelope.sparkType("meta").dataType
+    val cls = pmod($"event_id", lit(10))
+    val payloadBytes = when(cls === 1, lit(Array(0xFF.toByte)))
+      .otherwise(encode_payload(
+        struct($"event_id", $"user_id", $"event_type", $"value"),
+        eventSchemaJson))
+    val env = struct(
+      unhex(md5($"event_id".cast("string"))).as("uuid"),
+      lit("create").as("message_type"),
+      when(cls === 2, lit(9999)).otherwise(lit(v1)).as("schema_id"),
+      payloadBytes.as("payload"),
+      lit(null).cast("binary").as("previous_payload"),
+      lit(null).cast(metaType).as("meta"),
+      lit(null).cast("string").as("encryption_type"),
+      unix_timestamp($"ts").cast("int").as("timestamp"))
+    val transport = Tables.events(spark, dir).select(
+      when(cls === 0, lit(Array.fill(3)(0xFF.toByte)))
+        .otherwise(pack_envelope(env)).as("value"))
+    val (good, dead) = graft.streaming.Pipeline
+      .consumeWithDeadLetters(transport, reg, v1)
+    val okRow = good
+      .agg(count(lit(1)).as("n"), sum($"payload.event_id").as("event_id_sum"))
+      .select(lit("ok").as("bucket"), $"n", lit(0L).as("n_raw"),
+        $"event_id_sum")
+    val deadRows = dead
+      .select(
+        when($"schema_id".isNull, "dead_transport")
+          .when(!$"schema_id".isin(v1, v2), "dead_unknown_schema")
+          .otherwise("dead_payload").as("bucket"),
+        $"raw_envelope")
+      .groupBy($"bucket")
+      .agg(count(lit(1)).as("n"),
+        sum(when($"raw_envelope".isNotNull, 1L).otherwise(0L)).as("n_raw"))
+      .select($"bucket", $"n", $"n_raw",
+        lit(null).cast("long").as("event_id_sum"))
+    okRow.unionByName(deadRows).orderBy($"bucket")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "env_roundtrip" -> (qEnvelopeRoundtrip _),
     "env_evolution" -> (qEnvelopeEvolution _),
-    "env_encrypt_roundtrip" -> (qEncryptRoundtrip _)
+    "env_encrypt_roundtrip" -> (qEncryptRoundtrip _),
+    "env_dead_letter" -> (qDeadLetterSplit _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -119,6 +180,24 @@ object EnvelopeOps {
          FROM events ORDER BY event_id""",
     "env_encrypt_roundtrip" ->
       """SELECT doc_id, text AS decrypted, true AS matches
-         FROM documents ORDER BY doc_id"""
+         FROM documents ORDER BY doc_id""",
+    // replay the deterministic planting rule: class = event_id % 10
+    // (0 transport, 1 payload, 2 unknown schema, else ok); dead buckets
+    // retain every raw envelope (n_raw = n), the ok bucket none
+    "env_dead_letter" ->
+      """WITH cls AS (SELECT event_id, event_id % 10 AS c FROM events)
+         SELECT 'ok' AS bucket, COUNT(*) AS n, CAST(0 AS BIGINT) AS n_raw,
+                CAST(SUM(event_id) AS BIGINT) AS event_id_sum
+         FROM cls WHERE c > 2
+         UNION ALL
+         SELECT 'dead_payload', COUNT(*), CAST(COUNT(*) AS BIGINT),
+                CAST(NULL AS BIGINT) FROM cls WHERE c = 1
+         UNION ALL
+         SELECT 'dead_transport', COUNT(*), CAST(COUNT(*) AS BIGINT),
+                CAST(NULL AS BIGINT) FROM cls WHERE c = 0
+         UNION ALL
+         SELECT 'dead_unknown_schema', COUNT(*), CAST(COUNT(*) AS BIGINT),
+                CAST(NULL AS BIGINT) FROM cls WHERE c = 2
+         ORDER BY bucket"""
   )
 }

@@ -42,13 +42,16 @@ object RetrievalOps {
   def qHybridRrf(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
-    val lex = Retrieval.bm25TopK(Tables.documents(spark, dir), "doc_id", "text",
-        Bm25Terms, Bm25K)
-      // rank within the already-cut top-15 list — a bounded presentation
-      // window, same contract the retriever's ORDER BY/LIMIT pinned
-      .withColumn("rank",
-        row_number().over(Window.orderBy($"score_ppm".desc, $"doc_id")))
-      .select(lit(1L).as("query_id"), $"doc_id", $"rank")
+    // the single-query run goes through the MULTI-query retriever with a
+    // 1-row query table: identical scores and ranks (documented contract
+    // of bm25TopKMulti), but the rank window partitions by a REAL query
+    // column — attaching lit(1) and partitioning by it constant-folds
+    // back to an unpartitioned WindowExec, this doesn't, and the plan
+    // shape is the one a many-query batch runs
+    val qterms = Bm25Terms.map((1L, _)).toDF("query_id", "term")
+    val lex = Retrieval.bm25TopKMulti(Tables.documents(spark, dir), "doc_id",
+        "text", qterms, "query_id", "term", k = Bm25K)
+      .select($"query_id", $"doc_id", $"rank")
     val vecs = Tables.embeddings(spark, dir)
       .select($"vec_id", $"embedding".cast("array<double>").as("v"))
     val probes = vecs.filter($"vec_id" === 0)
@@ -73,11 +76,12 @@ object RetrievalOps {
   def qHybridMmr(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
-    val lex = Retrieval.bm25TopK(Tables.documents(spark, dir), "doc_id", "text",
-        Bm25Terms, Bm25K)
-      .withColumn("rank",
-        row_number().over(Window.orderBy($"score_ppm".desc, $"doc_id")))
-      .select(lit(1L).as("query_id"), $"doc_id", $"rank")
+    // single query through the multi-query retriever (see qHybridRrf):
+    // identical ranks, and every window in the chain stays keyed
+    val qterms = Bm25Terms.map((1L, _)).toDF("query_id", "term")
+    val lex = Retrieval.bm25TopKMulti(Tables.documents(spark, dir), "doc_id",
+        "text", qterms, "query_id", "term", k = Bm25K)
+      .select($"query_id", $"doc_id", $"rank")
     val vecs = Tables.embeddings(spark, dir)
       .select($"vec_id", $"embedding".cast("array<double>").as("v"))
     val probes = vecs.filter($"vec_id" === 0)
@@ -95,6 +99,48 @@ object RetrievalOps {
       .mmrSelect(cands, "query_id", "doc_id", "rel_ppm", "v",
         n = 5, lambdaPpm = 700000L)
       .orderBy($"sel_rank")
+  }
+
+  /** The composed hybrid→MMR chain at ≥ 2 queries — the shape that
+    * exercises per-query parallelism end to end: BOTH retrieval runs,
+    * the fusion rank, the per-query ppm-of-best normalization, and the
+    * greedy MMR all partition by query_id (every window in the plan is
+    * keyed — no single-partition WindowExec anywhere), so the chain's
+    * shuffle width scales with the query batch instead of serializing
+    * on one key. Query 1 is the sim_hybrid_mmr fixture (BM25 terms +
+    * dense probe vec 0); query 2 uses the sim_bm25_multi overlap terms
+    * and dense probe vec 1. The oracle replays both retrievals, the
+    * fused integer scores per query, and the per-query greedy loops via
+    * the same recursive CTE (written per-qid from the start). */
+  def qHybridMmrMulti(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val queries = Seq(
+      (1L, "spark"), (1L, "window"), (1L, "hash"), (1L, "vector"),
+      (2L, "hash"), (2L, "data"), (2L, "model")).toDF("query_id", "term")
+    val lex = Retrieval.bm25TopKMulti(Tables.documents(spark, dir), "doc_id",
+        "text", queries, "query_id", "term", k = Bm25K)
+      .select($"query_id", $"doc_id", $"rank")
+    val vecs = Tables.embeddings(spark, dir)
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+    // probe vec q−1 serves query q; probe_id stays the VECTOR id through
+    // the search so the self-exclusion contract (a probe never retrieves
+    // itself) keeps its meaning, then maps to the query id
+    val probes = vecs.filter($"vec_id".isin(0L, 1L))
+      .select($"vec_id".as("probe_id"), $"v".as("p"))
+    val dense = graft.operators.Similarity.bruteForceTopK(vecs, probes, k = Bm25K)
+      .select(($"probe_id" + 1L).as("query_id"), $"vec_id".as("doc_id"), $"rank")
+    val fused = Retrieval.rrfFuse(Seq(lex, dense), "query_id", "doc_id", "rank",
+      k = 10)
+    val cands = fused
+      .withColumn("__mx",
+        max($"rrf_ppm").over(Window.partitionBy($"query_id")))
+      .withColumn("rel_ppm", expr("(1000000 * rrf_ppm) DIV __mx"))
+      .join(vecs.select($"vec_id".as("doc_id"), $"v"), "doc_id")
+    graft.operators.Similarity
+      .mmrSelect(cands, "query_id", "doc_id", "rel_ppm", "v",
+        n = 5, lambdaPpm = 700000L)
+      .orderBy($"query_id", $"sel_rank")
   }
 
   /** Multi-query BM25: three probe queries scored in one pass — query 1
@@ -281,6 +327,7 @@ object RetrievalOps {
     "sim_bm25_multi" -> (qBm25Multi _),
     "sim_hybrid_rrf" -> (qHybridRrf _),
     "sim_hybrid_mmr" -> (qHybridMmr _),
+    "sim_hybrid_mmr_multi" -> (qHybridMmrMulti _),
     "t_bpe_pairs" -> (qBpePairs _),
     "t_fertility" -> (qFertility _),
     "t_bpe_apply" -> (qBpeApply _),
@@ -377,6 +424,117 @@ object RetrievalOps {
                            row_number() OVER (ORDER BY rrf_ppm DESC, doc_id) AS rank
                     FROM fused)"""
 
+  /** The sim_hybrid_mmr_multi oracle: the multi-query retrieval CTEs
+    * (BM25 over the 2-query term table, dense runs from the per-query
+    * probe-vector map) feeding the SAME per-qid recursive greedy-MMR
+    * replay the single-query oracle uses (that recursion was written
+    * per-qid from the start — only the retrieval front end changes). */
+  private val hybridMmrMultiOracle: String =
+    """WITH RECURSIVE
+         q(query_id, term) AS (VALUES
+           (CAST(1 AS BIGINT), 'spark'), (1, 'window'), (1, 'hash'), (1, 'vector'),
+           (2, 'hash'), (2, 'data'), (2, 'model')),
+         d AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ws
+               FROM documents),
+         toks AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS dl,
+                         list_filter(ws, w -> w IN ('spark','window','hash',
+                                                    'vector','data','model')) AS hit
+                  FROM d),
+         stats AS (SELECT count(*) AS n, CAST(sum(dl) AS BIGINT) AS t FROM toks),
+         tfc AS (SELECT doc_id, dl, u.term, count(*) AS tf
+                 FROM (SELECT doc_id, dl, unnest(hit) AS term FROM toks
+                       WHERE len(hit) > 0) u
+                 GROUP BY 1, 2, 3),
+         dfc AS (SELECT term, count(*) AS df FROM tfc GROUP BY 1),
+         sc AS (SELECT doc_id, term,
+                       (1000000 * (n - df + 1)) // (df + 1) AS idf_ppm,
+                       tf,
+                       250000 + (750 * ((1000000 * dl * n) // t)) // 1000 AS inner_ppm
+                FROM tfc JOIN dfc USING (term) CROSS JOIN stats),
+         co AS (SELECT doc_id, term,
+                       (idf_ppm * ((tf * 2200 * 1000000000) //
+                                   (tf * 1000000 + (1200 * inner_ppm) // 1000)))
+                         // 1000000 AS contrib
+                FROM sc),
+         pq AS (SELECT q.query_id, co.doc_id,
+                       CAST(sum(contrib) AS BIGINT) AS score_ppm
+                FROM co JOIN q ON co.term = q.term
+                GROUP BY 1, 2),
+         lex AS (SELECT query_id, doc_id, r FROM (
+                   SELECT query_id, doc_id,
+                          row_number() OVER (PARTITION BY query_id
+                                             ORDER BY score_ppm DESC, doc_id) AS r
+                   FROM pq) WHERE r <= 15),
+         v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+         pm(query_id, pvec) AS (VALUES (CAST(1 AS BIGINT), 0), (2, 1)),
+         p AS (SELECT pm.query_id, pm.pvec, v.e AS pe
+               FROM v JOIN pm ON v.vec_id = pm.pvec),
+         scored AS (
+           SELECT p.query_id, v.vec_id,
+                  round(
+                    list_sum([pe[i] * e[i] for i in range(1, 65)]) /
+                    (sqrt(list_sum([e[i] * e[i] for i in range(1, 65)])) *
+                     sqrt(list_sum([pe[i] * pe[i] for i in range(1, 65)]))), 4) AS cosine
+           FROM v, p WHERE v.vec_id <> p.pvec),
+         dense AS (
+           SELECT query_id, doc_id, r FROM (
+             SELECT query_id, vec_id AS doc_id,
+                    row_number() OVER (PARTITION BY query_id
+                                       ORDER BY cosine DESC, vec_id ASC) AS r
+             FROM scored) WHERE r <= 15),
+         runs AS (SELECT query_id, doc_id, r FROM lex
+                  UNION ALL SELECT query_id, doc_id, r FROM dense),
+         fused AS (SELECT query_id, doc_id, count(*) AS n_runs,
+                          CAST(sum(1000000 // (60 + r)) AS BIGINT) AS rrf_ppm
+                   FROM runs GROUP BY 1, 2),
+         ranked AS (SELECT query_id, doc_id, rrf_ppm,
+                           row_number() OVER (PARTITION BY query_id
+                                              ORDER BY rrf_ppm DESC, doc_id) AS rank
+                    FROM fused),
+         cand0 AS (SELECT query_id, doc_id, rrf_ppm FROM ranked WHERE rank <= 10),
+         mx AS (SELECT query_id, max(rrf_ppm) AS m FROM cand0 GROUP BY 1),
+         cand AS (SELECT c.query_id AS qid, c.doc_id AS id,
+                         (1000000 * c.rrf_ppm) // mx.m AS rel, v.e
+                  FROM cand0 c JOIN v ON v.vec_id = c.doc_id
+                  JOIN mx ON mx.query_id = c.query_id),
+         ps AS (
+           SELECT a.qid, a.id AS a, b.id AS b,
+                  CAST(round(round(
+                    list_sum([a.e[i] * b.e[i] for i in range(1, 65)]) /
+                    (sqrt(list_sum([a.e[i] * a.e[i] for i in range(1, 65)])) *
+                     sqrt(list_sum([b.e[i] * b.e[i] for i in range(1, 65)]))),
+                    6) * 1000000, 0) AS BIGINT) AS sp
+           FROM cand a JOIN cand b ON a.qid = b.qid AND a.id <> b.id),
+         sel AS (
+           SELECT qid, 0 AS step, CAST([] AS BIGINT[]) AS chosen
+           FROM (SELECT DISTINCT qid FROM cand)
+           UNION ALL
+           SELECT sel.qid, step + 1,
+                  list_append(chosen, (
+                    SELECT id FROM (
+                      SELECT c.id,
+                             700000 * c.rel - 300000 *
+                               COALESCE((SELECT max(sp) FROM ps
+                                         WHERE ps.qid = c.qid AND ps.a = c.id
+                                           AND list_contains(sel.chosen, ps.b)), 0)
+                               AS score
+                      FROM cand c
+                      WHERE c.qid = sel.qid
+                        AND NOT list_contains(sel.chosen, c.id)
+                      ORDER BY score DESC, c.id ASC LIMIT 1)))
+           FROM sel
+           WHERE step < 5
+             AND EXISTS (SELECT 1 FROM cand c WHERE c.qid = sel.qid
+                         AND NOT list_contains(sel.chosen, c.id))),
+         best AS (
+           SELECT qid, chosen FROM sel
+           QUALIFY row_number() OVER (PARTITION BY qid ORDER BY step DESC) = 1)
+         SELECT qid AS query_id, CAST(r AS INTEGER) AS sel_rank,
+                chosen[r] AS doc_id
+         FROM best, range(1, 6) t(r)
+         WHERE r <= len(chosen)
+         ORDER BY query_id, sel_rank"""
+
   val oracles: Map[String, String] = Map(
     "sim_bm25_topk" ->
       """WITH d AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ws
@@ -451,6 +609,7 @@ object RetrievalOps {
          FROM best, range(1, 6) t(r)
          WHERE r <= len(chosen)
          ORDER BY query_id, sel_rank""",
+    "sim_hybrid_mmr_multi" -> hybridMmrMultiOracle,
     "sim_bm25_multi" ->
       """WITH q(query_id, term) AS (VALUES
            (CAST(1 AS BIGINT), 'spark'), (1, 'window'), (1, 'hash'), (1, 'vector'),
