@@ -759,6 +759,90 @@ class StreamingSpec extends SparkTestBase {
     assert(idx2 == idx, "replayed state must be identical")
   }
 
+  test("CDC vacuum under a lazy reader: the retention grace covers one flip, and the bound still vacuums") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("cdc_reader").toString
+    val state = s"$root/state"
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "k BIGINT, name STRING, bal BIGINT")
+    def run(id: Long, rows: (Long, String, String, Long, Long)*): Unit =
+      graft.streaming.StreamingCdc.processBatch(
+        rows.toDF("k", "op", "name", "bal", "seq"), id, state,
+        keyCol = "k", seqCols = Seq("seq"), opCol = "op",
+        payloadCols = Seq("name", "bal"))
+    run(0L, (1L, "u", "alice", 100L, 1L))
+    // a reader resolves v_0 and holds the frame WITHOUT materializing —
+    // the lazy-consumer shape (a downstream join planned but not yet
+    // executed) the staging-then-rename discipline exists for
+    val reader = graft.streaming.StreamingCdc.currentState(spark, state, schema)
+    run(1L, (2L, "u", "bob", 200L, 1L))
+    // one flip later the grace copy still serves the READER'S version:
+    // retainVersions = 2 keeps v_0, and materializing now returns v_0's
+    // content, not v_1's
+    assert(reader.select($"k", $"name", $"bal").as[(Long, String, Long)]
+      .collect().toSet == Set((1L, "alice", 100L)),
+      "a reader one flip behind must still materialize ITS version")
+    run(2L, (3L, "u", "carol", 300L, 1L))
+    // two flips later the bound wins: v_0 is vacuumed (the storage bound
+    // is real) and the stale frame fails to materialize rather than
+    // silently returning someone else's snapshot
+    val versions = new java.io.File(state).list().filter(_.startsWith("v_")).toSet
+    assert(versions == Set("v_1", "v_2"),
+      s"retention must vacuum v_0 after two flips, got $versions")
+    intercept[Throwable] {
+      reader.select($"k").as[Long].collect()
+    }
+    // a FRESH resolution after the vacuum sees the newest snapshot — the
+    // hazard is bounded to frames held across > retainVersions-1 flips
+    val fresh = graft.streaming.StreamingCdc.currentState(spark, state, schema)
+      .select($"k").as[Long].collect().toSet
+    assert(fresh == Set(1L, 2L, 3L))
+    // widening retainVersions widens the grace window: with 3 retained a
+    // reader survives two flips
+    val state2 = s"$root/state2"
+    def run3(id: Long, rows: (Long, String, String, Long, Long)*): Unit =
+      graft.streaming.StreamingCdc.processBatch(
+        rows.toDF("k", "op", "name", "bal", "seq"), id, state2,
+        keyCol = "k", seqCols = Seq("seq"), opCol = "op",
+        payloadCols = Seq("name", "bal"), retainVersions = 3)
+    run3(0L, (1L, "u", "alice", 100L, 1L))
+    val reader2 = graft.streaming.StreamingCdc.currentState(spark, state2, schema)
+    run3(1L, (2L, "u", "bob", 200L, 1L))
+    run3(2L, (3L, "u", "carol", 300L, 1L))
+    assert(reader2.select($"k").as[Long].collect().toSet == Set(1L),
+      "retainVersions = 3 must keep a reader two flips behind alive")
+  }
+
+  test("incremental-dedup vacuum under a lazy reader: deferred vacuum covers the delta window; a superseding compaction bounds it") {
+    import spark.implicits._
+    import graft.streaming.StreamingIncrementalDedup
+    val state = java.nio.file.Files.createTempDirectory("incr_reader").toString
+    val out = java.nio.file.Files.createTempDirectory("incr_reader_out").toString
+    def run(id: Long, rows: (Long, String)*): Unit =
+      StreamingIncrementalDedup.processBatch(
+        rows.toDF("doc_id", "text"), id, state, out, compactEvery = 2)
+    run(0L, (1L, "a")); run(1L, (2L, "b"))
+    // an out-of-band reader (a monitoring query, a batch join against
+    // the index) takes the state as of batch 2 lazily: c-less, d_0 + d_1
+    val reader = StreamingIncrementalDedup.indexBefore(spark, state, 2L)
+    run(2L, (3L, "c")) // compaction c_2 lands; vacuum runs one batch late
+    assert(reader.as[(String, Long)].collect().map(_._2).toSet == Set(1L, 2L),
+      "deferred vacuum must keep the previous batch's file set readable")
+    run(3L, (4L, "d")) // batch 3 vacuums what c_2 superseded: d_0, d_1 go
+    // the HELD frame's file set is gone — re-materializing fails rather
+    // than silently reading partial state (a fresh indexBefore(2) call
+    // would instead list the current versions and return the typed
+    // empty frame: resolution is list-time, so only frames held across
+    // a superseding compaction + one batch are exposed)
+    intercept[Throwable] {
+      reader.as[(String, Long)].collect()
+    }
+    // the live read path is unaffected: state-as-of-4 reads c_2 + d_3
+    val live = StreamingIncrementalDedup.indexBefore(spark, state, 4L)
+      .as[(String, Long)].collect().map(_._2).toSet
+    assert(live == Set(1L, 2L, 3L, 4L))
+  }
+
   test("streaming incremental dedup: compaction bounds state files, vacuum is replay-safe") {
     import spark.implicits._
     val state = java.nio.file.Files.createTempDirectory("incr_state2").toString
