@@ -134,15 +134,24 @@ object Bench {
     (System.nanoTime() - t0) / 1e9
   }
 
+  /** Driver per-round BENCH record names; shared by the round counter
+    * and the drift-baseline candidate scan so the two can never
+    * partition rounds differently. */
+  private val BenchFileRe = "^BENCH_r(\\d+)(_clean)?\\.json$".r
+
   /** The round currently in progress: newest driver-written
     * `BENCH_r<k>.json` + 1. The driver writes that file from a round's
     * FINAL bench run only after the round ends, so while a round runs,
     * only completed rounds have files — which makes this derivable
-    * without any side channel. */
+    * without any side channel. One exception needs the override: a
+    * clean RE-run of a completed round N (the BENCH_rN_clean.json
+    * workflow) happens while BENCH_rN.json already exists and would
+    * self-label as round N+1 — set SPARK_GRAFT_ROUND=N there. */
   private def roundInProgress(files: Array[java.io.File]): Int =
-    files.flatMap(f => "^BENCH_r(\\d+)(?:_clean)?\\.json$".r
-      .findFirstMatchIn(f.getName).map(_.group(1).toInt))
-      .foldLeft(0)(math.max) + 1
+    sys.env.get("SPARK_GRAFT_ROUND").flatMap(_.toIntOption).getOrElse(
+      files.flatMap(f => BenchFileRe
+        .findFirstMatchIn(f.getName).map(_.group(1).toInt))
+        .foldLeft(0)(math.max) + 1)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -370,12 +379,11 @@ object Bench {
         // regression. Only PRIOR-round records (n < round) qualify, and
         // the details files are sf-specific by name, so an sf0.01
         // iteration run never poisons the sf0.1 drift baseline.
-        val benchRe = "^BENCH_r(\\d+)(_clean)?\\.json$".r
         val detailsRe = ("^bench_details_r(\\d+)_" +
           java.util.regex.Pattern.quote(sfName) + "\\.json$").r
         val ordered: Seq[java.io.File] = files.toSeq.flatMap { f =>
           f.getName match {
-            case benchRe(n, clean) =>
+            case BenchFileRe(n, clean) =>
               Some((n.toInt, if (clean == null) 0 else 1, f))
             case detailsRe(n) if n.toInt < round => Some((n.toInt, 2, f))
             case _ => None
@@ -390,6 +398,15 @@ object Bench {
               Some((try text.mkString finally text.close()).replace("\\\"", "\""))
             } catch { case _: Throwable => None }
           }
+          // a baseline is only comparable at the SAME scale factor: the
+          // driver's BENCH files are sf0.1, so an sf0.01 iteration run
+          // must not diff against them (every median differs ~10×, the
+          // mass-drift detector trips, and main() silently burns a full
+          // re-run). Every record carries its "sf" field — keep only
+          // records whose sf basename matches this run's.
+          .filter(c => ("\"sf\":\"[^\"]*" +
+            java.util.regex.Pattern.quote(sfName) + "\"").r
+            .findFirstIn(c).isDefined)
         // drift must compare against the newest CLEAN round: a
         // contention-flagged file's medians are environment, and
         // diffing against them flags phantom moves for a full round

@@ -59,8 +59,11 @@ object SecretBytes {
 
   /** Opaque key-material carrier: deliberately NOT a case class (no
     * productIterator for tree-node JSON to walk), equality is reference
-    * identity, and every string rendering is the label. */
-  final class Holder(val bytes: Array[Byte], val label: String) {
+    * identity, and every string rendering is the label. Serializable
+    * because non-codegen operator paths (codegen disabled, Janino
+    * fallback) ship the expression tree in the task closure. */
+  final class Holder(val bytes: Array[Byte], val label: String)
+      extends Serializable {
     override def toString: String = s"secret_bytes($label)"
   }
 

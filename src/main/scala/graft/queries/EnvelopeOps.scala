@@ -181,23 +181,28 @@ object EnvelopeOps {
     "env_encrypt_roundtrip" ->
       """SELECT doc_id, text AS decrypted, true AS matches
          FROM documents ORDER BY doc_id""",
-    // replay the deterministic planting rule: class = event_id % 10
+    // replay the deterministic planting rule: class = pmod(event_id, 10)
     // (0 transport, 1 payload, 2 unknown schema, else ok); dead buckets
-    // retain every raw envelope (n_raw = n), the ok bucket none
+    // retain every raw envelope (n_raw = n), the ok bucket none. The
+    // pmod replication (((x % 10) + 10) % 10) keeps a negative event_id
+    // in 0..9 like Spark's pmod, and the HAVING mirrors Spark's groupBy
+    // omitting empty dead buckets (the ok row is a global aggregate —
+    // one row on both sides even over an empty class).
     "env_dead_letter" ->
-      """WITH cls AS (SELECT event_id, event_id % 10 AS c FROM events)
+      """WITH cls AS (SELECT event_id,
+                             ((event_id % 10) + 10) % 10 AS c FROM events)
          SELECT 'ok' AS bucket, COUNT(*) AS n, CAST(0 AS BIGINT) AS n_raw,
                 CAST(SUM(event_id) AS BIGINT) AS event_id_sum
          FROM cls WHERE c > 2
          UNION ALL
          SELECT 'dead_payload', COUNT(*), CAST(COUNT(*) AS BIGINT),
-                CAST(NULL AS BIGINT) FROM cls WHERE c = 1
+                CAST(NULL AS BIGINT) FROM cls WHERE c = 1 HAVING COUNT(*) > 0
          UNION ALL
          SELECT 'dead_transport', COUNT(*), CAST(COUNT(*) AS BIGINT),
-                CAST(NULL AS BIGINT) FROM cls WHERE c = 0
+                CAST(NULL AS BIGINT) FROM cls WHERE c = 0 HAVING COUNT(*) > 0
          UNION ALL
          SELECT 'dead_unknown_schema', COUNT(*), CAST(COUNT(*) AS BIGINT),
-                CAST(NULL AS BIGINT) FROM cls WHERE c = 2
+                CAST(NULL AS BIGINT) FROM cls WHERE c = 2 HAVING COUNT(*) > 0
          ORDER BY bucket"""
   )
 }

@@ -39,25 +39,59 @@ object RetrievalOps {
     * positions (not incomparable raw scores) carry the evidence. The
     * oracle replays both runs and the fused integer ranking step for
     * step. */
-  def qHybridRrf(spark: SparkSession, dir: String): DataFrame = {
+  /** Shared hybrid-retrieval front end: the BM25 lexical run over a
+    * (query_id, term) table and the dense cosine run from probe vector
+    * q−1 for each query q, both as (query_id, doc_id, rank), plus the
+    * embedding frame for downstream diversity scoring.
+    *
+    * Single-query callers go through the MULTI-query retriever with a
+    * 1-row query table: identical scores and ranks (documented contract
+    * of bm25TopKMulti), but the rank window partitions by a REAL query
+    * column — attaching lit(1) and partitioning by it constant-folds
+    * back to an unpartitioned WindowExec, this doesn't, and the plan
+    * shape is the one a many-query batch runs. On the dense side the
+    * probe_id stays the VECTOR id through the search so the
+    * self-exclusion contract (a probe never retrieves itself) keeps its
+    * meaning, then maps to the query id. */
+  private def hybridRuns(spark: SparkSession, dir: String,
+                         queries: Seq[(Long, String)])
+      : (DataFrame, DataFrame, DataFrame) = {
     import spark.implicits._
-    import org.apache.spark.sql.expressions.Window
-    // the single-query run goes through the MULTI-query retriever with a
-    // 1-row query table: identical scores and ranks (documented contract
-    // of bm25TopKMulti), but the rank window partitions by a REAL query
-    // column — attaching lit(1) and partitioning by it constant-folds
-    // back to an unpartitioned WindowExec, this doesn't, and the plan
-    // shape is the one a many-query batch runs
-    val qterms = Bm25Terms.map((1L, _)).toDF("query_id", "term")
+    val qterms = queries.toDF("query_id", "term")
     val lex = Retrieval.bm25TopKMulti(Tables.documents(spark, dir), "doc_id",
         "text", qterms, "query_id", "term", k = Bm25K)
       .select($"query_id", $"doc_id", $"rank")
     val vecs = Tables.embeddings(spark, dir)
       .select($"vec_id", $"embedding".cast("array<double>").as("v"))
-    val probes = vecs.filter($"vec_id" === 0)
+    val probeIds = queries.map(_._1 - 1L).distinct.sorted
+    val probes = vecs.filter($"vec_id".isin(probeIds: _*))
       .select($"vec_id".as("probe_id"), $"v".as("p"))
     val dense = graft.operators.Similarity.bruteForceTopK(vecs, probes, k = Bm25K)
-      .select(lit(1L).as("query_id"), $"vec_id".as("doc_id"), $"rank")
+      .select(($"probe_id" + 1L).as("query_id"), $"vec_id".as("doc_id"), $"rank")
+    (lex, dense, vecs)
+  }
+
+  /** The shared fuse→normalize→diversify tail of the hybrid chain (see
+    * [[qHybridMmr]] for the contract): RRF top-10 per query, ppm-of-best
+    * relevance, embedding join, greedy MMR with λ = 0.7, n = 5. */
+  private def hybridMmrTail(lex: DataFrame, dense: DataFrame,
+                            vecs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val fused = Retrieval.rrfFuse(Seq(lex, dense), "query_id", "doc_id", "rank",
+      k = 10)
+    val cands = fused
+      .withColumn("__mx",
+        max(col("rrf_ppm")).over(Window.partitionBy(col("query_id"))))
+      .withColumn("rel_ppm", expr("(1000000 * rrf_ppm) DIV __mx"))
+      .join(vecs.select(col("vec_id").as("doc_id"), col("v")), "doc_id")
+    graft.operators.Similarity
+      .mmrSelect(cands, "query_id", "doc_id", "rel_ppm", "v",
+        n = 5, lambdaPpm = 700000L)
+  }
+
+  def qHybridRrf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (lex, dense, _) = hybridRuns(spark, dir, Bm25Terms.map((1L, _)))
     Retrieval.rrfFuse(Seq(lex, dense), "query_id", "doc_id", "rank", k = 10)
       .orderBy($"rank")
   }
@@ -75,30 +109,8 @@ object RetrievalOps {
     * normalization, and the sequential greedy loop via recursive CTE. */
   def qHybridMmr(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    import org.apache.spark.sql.expressions.Window
-    // single query through the multi-query retriever (see qHybridRrf):
-    // identical ranks, and every window in the chain stays keyed
-    val qterms = Bm25Terms.map((1L, _)).toDF("query_id", "term")
-    val lex = Retrieval.bm25TopKMulti(Tables.documents(spark, dir), "doc_id",
-        "text", qterms, "query_id", "term", k = Bm25K)
-      .select($"query_id", $"doc_id", $"rank")
-    val vecs = Tables.embeddings(spark, dir)
-      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
-    val probes = vecs.filter($"vec_id" === 0)
-      .select($"vec_id".as("probe_id"), $"v".as("p"))
-    val dense = graft.operators.Similarity.bruteForceTopK(vecs, probes, k = Bm25K)
-      .select(lit(1L).as("query_id"), $"vec_id".as("doc_id"), $"rank")
-    val fused = Retrieval.rrfFuse(Seq(lex, dense), "query_id", "doc_id", "rank",
-      k = 10)
-    val cands = fused
-      .withColumn("__mx",
-        max($"rrf_ppm").over(Window.partitionBy($"query_id")))
-      .withColumn("rel_ppm", expr("(1000000 * rrf_ppm) DIV __mx"))
-      .join(vecs.select($"vec_id".as("doc_id"), $"v"), "doc_id")
-    graft.operators.Similarity
-      .mmrSelect(cands, "query_id", "doc_id", "rel_ppm", "v",
-        n = 5, lambdaPpm = 700000L)
-      .orderBy($"sel_rank")
+    val (lex, dense, vecs) = hybridRuns(spark, dir, Bm25Terms.map((1L, _)))
+    hybridMmrTail(lex, dense, vecs).orderBy($"sel_rank")
   }
 
   /** The composed hybrid→MMR chain at ≥ 2 queries — the shape that
@@ -114,33 +126,10 @@ object RetrievalOps {
     * the same recursive CTE (written per-qid from the start). */
   def qHybridMmrMulti(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    import org.apache.spark.sql.expressions.Window
-    val queries = Seq(
+    val (lex, dense, vecs) = hybridRuns(spark, dir, Seq(
       (1L, "spark"), (1L, "window"), (1L, "hash"), (1L, "vector"),
-      (2L, "hash"), (2L, "data"), (2L, "model")).toDF("query_id", "term")
-    val lex = Retrieval.bm25TopKMulti(Tables.documents(spark, dir), "doc_id",
-        "text", queries, "query_id", "term", k = Bm25K)
-      .select($"query_id", $"doc_id", $"rank")
-    val vecs = Tables.embeddings(spark, dir)
-      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
-    // probe vec q−1 serves query q; probe_id stays the VECTOR id through
-    // the search so the self-exclusion contract (a probe never retrieves
-    // itself) keeps its meaning, then maps to the query id
-    val probes = vecs.filter($"vec_id".isin(0L, 1L))
-      .select($"vec_id".as("probe_id"), $"v".as("p"))
-    val dense = graft.operators.Similarity.bruteForceTopK(vecs, probes, k = Bm25K)
-      .select(($"probe_id" + 1L).as("query_id"), $"vec_id".as("doc_id"), $"rank")
-    val fused = Retrieval.rrfFuse(Seq(lex, dense), "query_id", "doc_id", "rank",
-      k = 10)
-    val cands = fused
-      .withColumn("__mx",
-        max($"rrf_ppm").over(Window.partitionBy($"query_id")))
-      .withColumn("rel_ppm", expr("(1000000 * rrf_ppm) DIV __mx"))
-      .join(vecs.select($"vec_id".as("doc_id"), $"v"), "doc_id")
-    graft.operators.Similarity
-      .mmrSelect(cands, "query_id", "doc_id", "rel_ppm", "v",
-        n = 5, lambdaPpm = 700000L)
-      .orderBy($"query_id", $"sel_rank")
+      (2L, "hash"), (2L, "data"), (2L, "model")))
+    hybridMmrTail(lex, dense, vecs).orderBy($"query_id", $"sel_rank")
   }
 
   /** Multi-query BM25: three probe queries scored in one pass — query 1
