@@ -38,12 +38,18 @@ object BinlogAnalyzer {
     val line = col(lineCol)
     val w = Window.partitionBy(col(fileCol)).orderBy(col(lineNoCol))
       .rowsBetween(Window.unboundedPreceding, 0)
+    // `H` (not `HH`): mysqlbinlog prints hours with %2d, so morning
+    // events read `#210305  4:25:30` — a strict two-digit HH nulled
+    // every 0:00-9:59 header (silently carrying the previous header's
+    // timestamp forward) and killed the task outright in ANSI mode.
+    // try_to_timestamp keeps a malformed-but-regex-matching header a
+    // null (skipped by the carry-forward) instead of an ANSI task death.
     val headerTs = when(line.rlike(HeaderRe),
-      unix_timestamp(to_timestamp(
+      unix_timestamp(try_to_timestamp(
         concat_ws(" ",
           regexp_extract(line, HeaderRe, 1),
           regexp_extract(line, HeaderRe, 2)),
-        "yyMMdd HH:mm:ss")))
+        lit("yyMMdd H:mm:ss"))))
     val verb = regexp_extract(line, StatementRe, 1)
     lines
       .withColumn("__hts", last(headerTs, ignoreNulls = true).over(w))

@@ -61,14 +61,33 @@ object Bootstrapper {
     reg.registerSchema(spec.schema, spec.table, spec.avroSchemaJson)
   }
 
-  private val MysqlMarkers =
-    Seq("`", "ENGINE=", "engine=", "UNSIGNED", "unsigned", "AUTO_INCREMENT", "auto_increment")
+  /** MySQL surface markers by whole word — a raw substring match routed
+    * a Redshift table with an `unsigned_delta` column to the MySQL
+    * parser. */
+  private val MysqlMarkerRe =
+    "(?is)`|\\bENGINE\\s*=|\\bUNSIGNED\\b|\\bAUTO_INCREMENT\\b".r
 
-  private[tools] def parseSqlDdl(ddl: String): DdlModel.TableSpec =
-    if (MysqlMarkers.exists(ddl.contains)) MysqlDdlConverter.parse(ddl)
-    else
-      try RedshiftDdlConverter.parse(ddl)
-      catch { case _: IllegalArgumentException => MysqlDdlConverter.parse(ddl) }
+  /** Dialect sniffing is a heuristic, so BOTH branches fall back to the
+    * other parser — and a parse that yields zero columns counts as a
+    * failure (a misrouted dialect can "succeed" by dropping every
+    * unparseable column line, silently registering an empty schema). */
+  private[graft] def parseSqlDdl(ddl: String): DdlModel.TableSpec = {
+    def nonEmpty(t: DdlModel.TableSpec): DdlModel.TableSpec =
+      if (t.columns.isEmpty)
+        throw new IllegalArgumentException("no columns parsed from DDL")
+      else t
+    def attempt(primary: String => DdlModel.TableSpec,
+                secondary: String => DdlModel.TableSpec): DdlModel.TableSpec =
+      try nonEmpty(primary(ddl))
+      catch {
+        case e: IllegalArgumentException =>
+          try nonEmpty(secondary(ddl))
+          catch { case _: IllegalArgumentException => throw e }
+      }
+    if (MysqlMarkerRe.findFirstIn(ddl).isDefined)
+      attempt(MysqlDdlConverter.parse, RedshiftDdlConverter.parse)
+    else attempt(RedshiftDdlConverter.parse, MysqlDdlConverter.parse)
+  }
 
   /** Bootstrap every `.avsc`/`.sql` file matching the patterns; other
     * extensions are skipped. */

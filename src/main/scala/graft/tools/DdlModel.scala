@@ -71,19 +71,66 @@ object DdlModel {
       columns.filter(_.pkeyOrdinal.isDefined).sortBy(_.pkeyOrdinal.get).map(_.name)
   }
 
-  /** Split a DDL column body on top-level commas (decimal(10,2) and
-    * enum('a','b') safe). */
+  /** Split a DDL column body on top-level commas — paren-depth AND
+    * quote aware: parens or commas inside single-quoted literals
+    * (`DEFAULT '('`, `enum('a)b','c')` — '' is the escaped quote),
+    * double-quoted or backticked identifiers never split or shift
+    * depth. A quote-blind split silently dropped every column after a
+    * quoted '(' (depth never returned to 0). */
   def splitColumns(body: String): Seq[String] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[String]
     val sb = new StringBuilder
     var depth = 0
-    body.foreach {
-      case '(' => depth += 1; sb.append('(')
-      case ')' => depth -= 1; sb.append(')')
-      case ',' if depth == 0 => out += sb.toString; sb.clear()
-      case c => sb.append(c)
+    var quote: Char = 0
+    var i = 0
+    while (i < body.length) {
+      val c = body.charAt(i)
+      if (quote != 0) {
+        sb.append(c)
+        if (c == quote) {
+          if (quote == '\'' && i + 1 < body.length && body.charAt(i + 1) == '\'') {
+            sb.append('\''); i += 1 // '' = escaped quote, literal continues
+          } else quote = 0
+        }
+      } else c match {
+        case '\'' | '"' | '`' => quote = c; sb.append(c)
+        case '(' => depth += 1; sb.append(c)
+        case ')' => depth -= 1; sb.append(c)
+        case ',' if depth == 0 => out += sb.toString; sb.clear()
+        case other => sb.append(other)
+      }
+      i += 1
     }
     if (sb.nonEmpty) out += sb.toString
     out.toSeq.map(_.trim).filter(_.nonEmpty)
+  }
+
+  /** Index of the ')' matching the '(' at `open`, with the same quote
+    * discipline as [[splitColumns]]. Lets the CREATE TABLE parsers cut
+    * the column body by matching instead of a greedy regex — a table
+    * suffix containing parens (PARTITION BY LIST (...), SORTKEY(...))
+    * polluted the regex-captured body. */
+  def matchingParen(s: String, open: Int): Int = {
+    require(open < s.length && s.charAt(open) == '(',
+      s"expected '(' at offset $open")
+    var depth = 0
+    var quote: Char = 0
+    var i = open
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (quote != 0) {
+        if (c == quote) {
+          if (quote == '\'' && i + 1 < s.length && s.charAt(i + 1) == '\'') i += 1
+          else quote = 0
+        }
+      } else c match {
+        case '\'' | '"' | '`' => quote = c
+        case '(' => depth += 1
+        case ')' => depth -= 1; if (depth == 0) return i
+        case _ =>
+      }
+      i += 1
+    }
+    throw new IllegalArgumentException("unbalanced parentheses in DDL")
   }
 }

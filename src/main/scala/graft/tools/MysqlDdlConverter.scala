@@ -35,30 +35,53 @@ import DdlModel.{ColumnSpec, TableSpec}
   */
 object MysqlDdlConverter {
 
-  private val createRe: Regex =
-    """(?is)CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?(?:`?([\w]+)`?\.)?`?([\w]+)`?\s*\((.*)\)\s*[^)]*;?\s*$""".r
+  /** Statement head only — the column body is cut by quote-aware paren
+    * MATCHING ([[DdlModel.matchingParen]]), not a greedy regex: a table
+    * suffix containing parens (PARTITION BY LIST (...) (...), COMMENT
+    * with parens) pulled trailing clauses into the regex-captured body
+    * and mis-parsed them as columns. */
+  private val createHeadRe: Regex =
+    """(?is)^\s*CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?(?:`?([\w]+)`?\.)?`?([\w]+)`?\s*\(""".r
 
-  private val colRe: Regex =
-    """(?is)^`?([\w]+)`?\s+([\w]+)(?:\s*\(([^)]*)\))?(.*)$""".r
+  /** Constraint entries are recognized by whole WORD, not prefix — a
+    * bare-prefix match dropped ordinary columns named key_id / checksum /
+    * index_name / unique_token from the schema. (A column literally
+    * named `key` must be backticked in real MySQL, which these patterns
+    * deliberately don't match.) */
+  private val PkEntryRe: Regex = """(?is)^PRIMARY\s+KEY\b.*""".r
+  private val SkipEntryRe: Regex =
+    """(?is)^(?:UNIQUE|KEY|INDEX|CONSTRAINT|FOREIGN\s+KEY|FULLTEXT|SPATIAL|CHECK)\b.*""".r
 
-  private val SkipPrefixes = Seq(
-    "PRIMARY KEY", "UNIQUE", "KEY", "INDEX", "CONSTRAINT", "FOREIGN KEY",
-    "FULLTEXT", "SPATIAL", "CHECK")
+  private val nameTypeRe: Regex = """(?is)^`?([\w]+)`?\s+([\w]+)\s*(.*)$""".r
+
+  /** (name, type, typeArgs, rest) — type args cut by quote-aware paren
+    * matching so enum('a)b','c') keeps its full value list. */
+  private[tools] def parseColDef(raw: String)
+      : Option[(String, String, Option[String], String)] =
+    raw.trim match {
+      case nameTypeRe(name, tpe, tail0) =>
+        val tail = tail0.trim
+        if (tail.startsWith("(")) {
+          val close = DdlModel.matchingParen(tail, 0)
+          Some((name, tpe, Some(tail.substring(1, close)), tail.substring(close + 1)))
+        } else Some((name, tpe, None, tail))
+      case _ => None
+    }
 
   def parse(ddl: String): TableSpec = {
-    val (schemaName, tableName, body) = ddl match {
-      case createRe(s, t, b) => (Option(s).getOrElse("default"), t, b)
-      case _ => throw new IllegalArgumentException(s"unparseable CREATE TABLE: $ddl")
-    }
+    val head = createHeadRe.findFirstMatchIn(ddl).getOrElse(
+      throw new IllegalArgumentException(s"unparseable CREATE TABLE: $ddl"))
+    val open = head.end - 1
+    val close = DdlModel.matchingParen(ddl, open)
+    val (schemaName, tableName, body) =
+      (Option(head.group(1)).getOrElse("default"), head.group(2),
+        ddl.substring(open + 1, close))
     val tableConstraints = scala.collection.mutable.ArrayBuffer.empty[String]
     val cols = DdlModel.splitColumns(body).flatMap { raw =>
-      val upper = raw.toUpperCase
-      if (upper.startsWith("PRIMARY KEY")) { tableConstraints += raw; None }
-      else if (SkipPrefixes.exists(upper.startsWith)) None
-      else raw match {
-        case colRe(name, tpe, args, rest) =>
-          Some(buildColumn(name, tpe.toLowerCase, Option(args), rest))
-        case _ => None
+      if (PkEntryRe.matches(raw)) { tableConstraints += raw; None }
+      else if (SkipEntryRe.matches(raw)) None
+      else parseColDef(raw).map { case (name, tpe, args, rest) =>
+        buildColumn(name, tpe.toLowerCase, args, rest)
       }
     }
     val tablePk: Seq[String] = tableConstraints.headOption.toSeq.flatMap { c =>
@@ -158,21 +181,25 @@ object MysqlDdlConverter {
     clauses.foldLeft(table) { (acc, clause) =>
       val c = clause.trim
       val upper = c.toUpperCase
-      def colDef(s: String): ColumnSpec = s.trim match {
-        case colRe(name, tpe, args, rest) =>
-          buildColumn(name, tpe.toLowerCase, Option(args), rest)
-        case other => throw new IllegalArgumentException(s"unparseable column def: $other")
-      }
+      def colDef(s: String): ColumnSpec = parseColDef(s)
+        .map { case (name, tpe, args, rest) =>
+          buildColumn(name, tpe.toLowerCase, args, rest) }
+        .getOrElse(throw new IllegalArgumentException(s"unparseable column def: $s"))
       def stripPositional(s: String): String =
         s.replaceAll("(?i)\\s+(FIRST|AFTER\\s+`?[\\w]+`?)\\s*$", "")
-      if (upper.startsWith("ADD COLUMN") || (upper.startsWith("ADD ") &&
-          !upper.startsWith("ADD INDEX") && !upper.startsWith("ADD KEY") &&
-          !upper.startsWith("ADD CONSTRAINT") && !upper.startsWith("ADD PRIMARY"))) {
+      // non-column ADD/DROP forms are excluded by whole word — ADD
+      // UNIQUE/FULLTEXT/SPATIAL INDEX and DROP CHECK/CONSTRAINT are
+      // legal MySQL that a prefix list rejected as bad column defs
+      val addNonColumn = upper.matches(
+        "(?s)ADD\\s+(?:INDEX|KEY|CONSTRAINT|PRIMARY|UNIQUE|FULLTEXT|SPATIAL|FOREIGN|CHECK|PARTITION)\\b.*")
+      val dropNonColumn = upper.matches(
+        "(?s)DROP\\s+(?:INDEX|KEY|PRIMARY|FOREIGN|CHECK|CONSTRAINT|PARTITION)\\b.*")
+      if (upper.startsWith("ADD COLUMN") ||
+          (upper.startsWith("ADD ") && !addNonColumn)) {
         val body = stripPositional(c.replaceFirst("(?i)^ADD\\s+(COLUMN\\s+)?", ""))
         acc.copy(columns = acc.columns :+ colDef(body))
-      } else if (upper.startsWith("DROP COLUMN") || (upper.startsWith("DROP ") &&
-          !upper.startsWith("DROP INDEX") && !upper.startsWith("DROP KEY") &&
-          !upper.startsWith("DROP PRIMARY") && !upper.startsWith("DROP FOREIGN"))) {
+      } else if (upper.startsWith("DROP COLUMN") ||
+          (upper.startsWith("DROP ") && !dropNonColumn)) {
         val name = c.replaceFirst("(?i)^DROP\\s+(COLUMN\\s+)?", "")
           .trim.stripPrefix("`").stripSuffix("`")
         require(acc.columns.exists(_.name.equalsIgnoreCase(name)),
@@ -202,7 +229,13 @@ object MysqlDdlConverter {
                               alter: String): TableSpec = {
     val newSpec = parse(newCreate)
     val derived = applyAlter(parse(oldCreate), alter)
-    def shape(t: TableSpec) = t.columns.map(c => (c.name.toLowerCase, c.avroType, c.nullable))
+    // compared by NAME, not position: applyAlter appends added columns
+    // at the end while ADD COLUMN ... AFTER x places them — a
+    // position-sensitive compare rejected consistent positional
+    // migrations. What must agree is the column SET and each column's
+    // type/nullability.
+    def shape(t: TableSpec) = t.columns
+      .map(c => (c.name.toLowerCase, c.avroType, c.nullable)).sortBy(_._1)
     require(shape(derived) == shape(newSpec),
       s"old + alter does not produce the new table: derived ${shape(derived)}, " +
         s"declared ${shape(newSpec)}")

@@ -19,23 +19,34 @@ import DdlModel.{ColumnSpec, TableSpec}
   */
 object RedshiftDdlConverter {
 
-  private val createRe: Regex =
-    """(?is)CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?(?:"?([\w]+)"?\.)?"?([\w]+)"?\s*\((.*)\)[^)]*;?\s*$""".r
+  /** Statement head only; the body is cut by quote-aware paren matching
+    * — DISTKEY(...)/SORTKEY(...)/INTERLEAVED SORTKEY(...) suffixes
+    * polluted a greedy regex capture (same hazard as the MySQL
+    * converter's PARTITION BY). */
+  private val createHeadRe: Regex =
+    """(?is)^\s*CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?(?:"?([\w]+)"?\.)?"?([\w]+)"?\s*\(""".r
 
   private val colRe: Regex =
     """(?is)^"?([\w]+)"?\s+([\w]+)(?:\s*\(\s*(\d+)\s*(?:,\s*(\d+))?\s*\))?(.*)$""".r
 
+  /** Constraint entries matched by whole WORD — a bare prefix dropped
+    * ordinary columns named unique_visitors etc. */
+  private val PkEntryRe: Regex = """(?is)^PRIMARY\s+KEY\b.*""".r
+  private val SkipEntryRe: Regex = """(?is)^(?:UNIQUE|FOREIGN\s+KEY)\b.*""".r
+
   def parse(ddl: String): TableSpec = {
-    val (schemaName, tableName, body) = ddl match {
-      case createRe(s, t, b) => (Option(s).getOrElse("public"), t, b)
-      case _ => throw new IllegalArgumentException(s"unparseable CREATE TABLE: $ddl")
-    }
+    val head = createHeadRe.findFirstMatchIn(ddl).getOrElse(
+      throw new IllegalArgumentException(s"unparseable CREATE TABLE: $ddl"))
+    val open = head.end - 1
+    val close = DdlModel.matchingParen(ddl, open)
+    val (schemaName, tableName, body) =
+      (Option(head.group(1)).getOrElse("public"), head.group(2),
+        ddl.substring(open + 1, close))
     val tableConstraints = scala.collection.mutable.ArrayBuffer.empty[String]
     val cols = DdlModel.splitColumns(body).flatMap { raw =>
-      val upper = raw.toUpperCase
-      if (upper.startsWith("PRIMARY KEY")) {
+      if (PkEntryRe.matches(raw)) {
         tableConstraints += raw; None
-      } else if (upper.startsWith("UNIQUE") || upper.startsWith("FOREIGN KEY")) {
+      } else if (SkipEntryRe.matches(raw)) {
         None
       } else raw match {
         case colRe(name, tpe, len, scale, rest) =>

@@ -14,13 +14,18 @@ object SchemaMigration {
 
   /** CREATE TABLE when `from` is absent, else ALTER TABLE statements:
     * drops first, then adds (with defaults where the avro schema has one),
-    * then type changes. Renames are modeled as drop+add (avro carries no
-    * rename lineage — same as the reference). */
+    * then type changes, then nullability changes (SET/DROP NOT NULL as
+    * their own statements — `NOT NULL` is not legal inside an
+    * `ALTER COLUMN ... TYPE` clause, and folding it into the type string
+    * also left nullable-ward migrations with the constraint in place).
+    * Renames are modeled as drop+add (avro carries no rename lineage —
+    * same as the reference). */
   def plan(fromJson: Option[String], toJson: String, tableName: String): Seq[String] = {
     val to = AvroCodec.parse(toJson)
     fromJson match {
       case None =>
-        val cols = to.getFields.asScala.map(f => s"  ${f.name()} ${sqlType(f.schema())}")
+        val cols = to.getFields.asScala.map(f =>
+          s"  ${f.name()} ${sqlType(f.schema())}${notNullSuffix(f.schema())}")
         Seq(s"CREATE TABLE $tableName (\n${cols.mkString(",\n")}\n);")
       case Some(fj) =>
         val from = AvroCodec.parse(fj)
@@ -34,23 +39,52 @@ object SchemaMigration {
           case f if !fromFields.contains(f.name()) =>
             val default = Option(f.defaultVal())
               .filterNot(_ == org.apache.avro.JsonProperties.NULL_VALUE)
-              .map(d => s" DEFAULT $d").getOrElse("")
-            s"ALTER TABLE $tableName ADD COLUMN ${f.name()} ${sqlType(f.schema())}$default;"
+              .map(d => s" DEFAULT ${sqlLiteral(d)}").getOrElse("")
+            s"ALTER TABLE $tableName ADD COLUMN ${f.name()} " +
+              s"${sqlType(f.schema())}${notNullSuffix(f.schema())}$default;"
         }
         val retypes = to.getFields.asScala.collect {
           case f if fromFields.contains(f.name()) &&
             sqlType(f.schema()) != sqlType(fromFields(f.name()).schema()) =>
             s"ALTER TABLE $tableName ALTER COLUMN ${f.name()} TYPE ${sqlType(f.schema())};"
         }
-        (drops ++ adds ++ retypes).toSeq
+        val renulls = to.getFields.asScala.collect {
+          case f if fromFields.contains(f.name()) &&
+            isNullable(f.schema()) != isNullable(fromFields(f.name()).schema()) =>
+            if (isNullable(f.schema()))
+              s"ALTER TABLE $tableName ALTER COLUMN ${f.name()} DROP NOT NULL;"
+            else
+              s"ALTER TABLE $tableName ALTER COLUMN ${f.name()} SET NOT NULL;"
+        }
+        (drops ++ adds ++ retypes ++ renulls).toSeq
     }
   }
 
+  /** Render an Avro default as a SQL literal: strings/enums quote (with
+    * '' escaping — a raw interpolation emitted barewords like
+    * `DEFAULT new` that fail to execute or bind to identifiers),
+    * booleans as TRUE/FALSE, numbers verbatim. */
+  private def sqlLiteral(v: AnyRef): String = v match {
+    case n: Number => n.toString
+    case b: java.lang.Boolean => if (b) "TRUE" else "FALSE"
+    case other => "'" + other.toString.replace("'", "''") + "'"
+  }
+
+  private def isNullable(s: Schema): Boolean =
+    s.getType == Schema.Type.UNION &&
+      s.getTypes.asScala.exists(_.getType == Schema.Type.NULL)
+
+  private def notNullSuffix(s: Schema): String =
+    if (isNullable(s)) "" else " NOT NULL"
+
+  /** The bare SQL type — nullability is rendered separately by the
+    * caller (see [[plan]]). */
   private def sqlType(s: Schema): String = {
     val base = if (s.getType == Schema.Type.UNION)
-      s.getTypes.asScala.find(_.getType != Schema.Type.NULL).get
+      s.getTypes.asScala.find(_.getType != Schema.Type.NULL).getOrElse(
+        throw new IllegalArgumentException(s"union with no non-null branch: $s"))
     else s
-    val t = base.getType match {
+    base.getType match {
       case Schema.Type.INT => "INTEGER"
       case Schema.Type.LONG => "BIGINT"
       case Schema.Type.FLOAT => "REAL"
@@ -60,6 +94,5 @@ object SchemaMigration {
       case Schema.Type.BYTES | Schema.Type.FIXED => "VARBYTE"
       case other => throw new IllegalArgumentException(s"no SQL type for avro $other")
     }
-    if (s.getType == Schema.Type.UNION) t else s"$t NOT NULL"
   }
 }

@@ -80,6 +80,19 @@ object Tailer {
     var df = consumed
     startTimestamp.foreach(t => df = df.filter(col("timestamp") >= t))
     endTimestamp.foreach(t => df = df.filter(col("timestamp") < t))
+    // deterministic first-N: the reference tailer consumes sequentially
+    // and stops after N in offset order — a bare limit() on a
+    // multi-partition frame keeps whichever rows arrive first, so
+    // repeated runs of the same tail print different messages. Order by
+    // the best available sequencing columns (plans as
+    // TakeOrderedAndProject — a per-partition top-N, not a global
+    // sort) before cutting; the sort runs pre-projection because the
+    // projection may reformat or drop the ordering columns.
+    messageLimit.foreach { n =>
+      val seqCols = Seq("offset", "timestamp", "uuid")
+        .filter(df.columns.contains).map(col)
+      df = (if (seqCols.nonEmpty) df.orderBy(seqCols: _*) else df).limit(n)
+    }
     val projected: Seq[Column] = fields.map {
       case "timestamp" if isoTime =>
         // rendered in UTC by construction (convert_timezone → NTZ wall
@@ -91,7 +104,6 @@ object Tailer {
       case f => col(f)
     }
     df = df.select(projected: _*)
-    messageLimit.foreach(n => df = df.limit(n))
     if (json) df.select(to_json(struct(col("*"))).as("line")) else df
   }
 }

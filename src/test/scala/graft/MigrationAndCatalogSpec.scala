@@ -29,7 +29,35 @@ class MigrationAndCatalogSpec extends SparkTestBase {
     assert(alter.contains("ALTER TABLE g.t DROP COLUMN old_col;"))
     assert(alter.contains("ALTER TABLE g.t ADD COLUMN note VARCHAR;"))
     assert(alter.contains("ALTER TABLE g.t ADD COLUMN n INTEGER NOT NULL DEFAULT 7;"))
-    assert(alter.contains("ALTER TABLE g.t ALTER COLUMN amount TYPE BIGINT NOT NULL;"))
+    // NOT NULL never rides inside an ALTER COLUMN ... TYPE clause (it is
+    // not legal SQL there); amount stays non-nullable on both sides so
+    // no nullability statement is emitted either
+    assert(alter.contains("ALTER TABLE g.t ALTER COLUMN amount TYPE BIGINT;"))
+    assert(!alter.exists(_.contains("TYPE BIGINT NOT NULL")))
+  }
+
+  test("migration plan: string defaults quote, nullability changes emit SET/DROP NOT NULL") {
+    val from =
+      """{"type":"record","name":"t","namespace":"g","fields":[
+           {"name":"id","type":"long"},
+           {"name":"status","type":["null","string"],"default":null},
+           {"name":"tag","type":"string"}]}"""
+    val to =
+      """{"type":"record","name":"t","namespace":"g","fields":[
+           {"name":"id","type":"long"},
+           {"name":"status","type":"string"},
+           {"name":"tag","type":["null","string"],"default":null},
+           {"name":"label","type":"string","default":"new"},
+           {"name":"quoty","type":"string","default":"it's"}]}"""
+    val alter = SchemaMigration.plan(Some(from), to, "g.t")
+    // a raw interpolation emitted `DEFAULT new` — an unquoted bareword
+    assert(alter.contains("ALTER TABLE g.t ADD COLUMN label VARCHAR NOT NULL DEFAULT 'new';"),
+      alter.mkString("\n"))
+    assert(alter.contains("ALTER TABLE g.t ADD COLUMN quoty VARCHAR NOT NULL DEFAULT 'it''s';"))
+    assert(alter.contains("ALTER TABLE g.t ALTER COLUMN status SET NOT NULL;"))
+    assert(alter.contains("ALTER TABLE g.t ALTER COLUMN tag DROP NOT NULL;"))
+    // same base type on both sides: no TYPE statement for these columns
+    assert(!alter.exists(s => s.contains("status TYPE") || s.contains("tag TYPE")))
   }
 
   private val payloadJson =

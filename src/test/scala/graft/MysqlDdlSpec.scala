@@ -88,6 +88,55 @@ class MysqlDdlSpec extends AnyFunSuite {
     assert(!altered.columns.find(_.name == "b").get.nullable)
   }
 
+  test("columns whose names start with a constraint keyword are kept; real constraints still skip") {
+    val spec = MysqlDdlConverter.parse(
+      """CREATE TABLE t (
+        |  key_id INT NOT NULL,
+        |  checksum INT,
+        |  index_name VARCHAR(10),
+        |  unique_token TEXT,
+        |  constraint_kind TEXT,
+        |  KEY ix (key_id),
+        |  UNIQUE KEY ux (checksum),
+        |  CHECK (key_id > 0)
+        |)""".stripMargin)
+    assert(spec.columns.map(_.name) ==
+      Seq("key_id", "checksum", "index_name", "unique_token", "constraint_kind"),
+      s"got ${spec.columns.map(_.name)}")
+  }
+
+  test("table suffix with parens (PARTITION BY) and quoted parens in defaults parse cleanly") {
+    val spec = MysqlDdlConverter.parse(
+      """CREATE TABLE t (a INT NOT NULL, c INT NOT NULL)
+        |PARTITION BY LIST (c) (PARTITION p0 VALUES IN (1), PARTITION p1 VALUES IN (2));""".stripMargin)
+    assert(spec.columns.map(_.name) == Seq("a", "c"))
+    // a quoted '(' in a default must not swallow the following column,
+    // and enum values containing ')' keep their full value list
+    val q = MysqlDdlConverter.parse(
+      """CREATE TABLE t (a VARCHAR(10) DEFAULT '(', b INT NOT NULL, e ENUM('a)b','c') NOT NULL)""")
+    assert(q.columns.map(_.name) == Seq("a", "b", "e"), s"got ${q.columns.map(_.name)}")
+    assert(q.columns.find(_.name == "e").get.metas.toMap
+      .apply("enum_values").contains("a)b"))
+  }
+
+  test("positional ADD ... AFTER validates; ADD UNIQUE INDEX and DROP CHECK are not column ops") {
+    val reg = new SchemaRegistry
+    // old + (ADD b AFTER a) => new with b in the middle: consistent, and
+    // the shape compare must be order-insensitive (applyAlter appends)
+    val entry = reg.registerSchemaFromMysqlStmts(
+      "yelp", "pos_tbl",
+      newCreateTableStmt = "CREATE TABLE pos_tbl (`a` INT NOT NULL, `b` INT NOT NULL, `c` INT NOT NULL)",
+      oldCreateTableStmt = Some("CREATE TABLE pos_tbl (`a` INT NOT NULL, `c` INT NOT NULL)"),
+      alterTableStmt = Some("ALTER TABLE pos_tbl ADD COLUMN `b` INT NOT NULL AFTER `a`"))
+    assert(entry.schemaId >= 0)
+    // index/constraint ALTER clauses pass through without column effects
+    val base = MysqlDdlConverter.parse("CREATE TABLE t (a INT NOT NULL, b INT)")
+    val after = MysqlDdlConverter.applyAlter(base,
+      """ALTER TABLE t ADD UNIQUE INDEX ix (a), ADD FULLTEXT INDEX fx (b),
+        |DROP CHECK c1, ADD CHECK (a > 0)""".stripMargin)
+    assert(after.columns.map(_.name) == Seq("a", "b"))
+  }
+
   test("registerSchemaFromMysqlStmts validates the (new, old, alter) triple") {
     val reg = new SchemaRegistry
     val entry = reg.registerSchemaFromMysqlStmts(

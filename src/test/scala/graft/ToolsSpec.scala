@@ -43,6 +43,17 @@ class ToolsSpec extends SparkTestBase {
       org.apache.spark.sql.types.DecimalType(10, 2)))
   }
 
+  test("redshift: keyword-prefixed column names survive; SORTKEY/DISTKEY suffix stays out of the body") {
+    val spec = RedshiftDdlConverter.parse(
+      """CREATE TABLE s.metrics (
+           unique_visitors INT,
+           day DATE NOT NULL,
+           UNIQUE (day)
+         ) DISTKEY(day) COMPOUND SORTKEY(day, unique_visitors);""")
+    assert(spec.columns.map(_.name) == Seq("unique_visitors", "day"),
+      s"got ${spec.columns.map(_.name)}")
+  }
+
   test("table-level PRIMARY KEY assigns pkey ordinals in list order") {
     val spec = RedshiftDdlConverter.parse(
       """CREATE TABLE s.t (a INT, b VARCHAR(10), c INT, PRIMARY KEY (b, a));""")
@@ -464,6 +475,41 @@ class ToolsSpec extends SparkTestBase {
     assert(configs(keyed.topicName).isEmpty)
   }
 
+  test("dialect sniffing recovers from misleading markers; zero-column parses count as failures") {
+    import graft.tools.Bootstrapper
+    // 'unsigned_delta' contains the substring but not the WORD unsigned:
+    // routes to Redshift directly
+    val rs = Bootstrapper.parseSqlDdl(
+      "CREATE TABLE public.metrics (unsigned_delta INT8 NOT NULL)")
+    assert(rs.columns.map(_.name) == Seq("unsigned_delta") &&
+      rs.columns.head.avroType == "long")
+    // a genuine MySQL marker (ENGINE=) but with a type only the
+    // Redshift parser knows would fail MySQL — the fallback recovers
+    val fb = Bootstrapper.parseSqlDdl(
+      "CREATE TABLE m (a INT8 NOT NULL) ENGINE=InnoDB;")
+    assert(fb.columns.map(_.name) == Seq("a"))
+    // a parse that drops every column line must not "succeed" as an
+    // empty schema
+    intercept[IllegalArgumentException] {
+      Bootstrapper.parseSqlDdl("CREATE TABLE t (KEY only_a_key (x))")
+    }
+  }
+
+  test("tail limit is deterministic first-N in sequence order") {
+    import spark.implicits._
+    // many partitions, ids shuffled across them: a bare limit() would
+    // return whichever rows arrive first
+    val consumed = spark.range(0, 1000, 1, 16)
+      .selectExpr("cast(id as int) as schema_id",
+        "'create' as message_type", "cast(1700000000 + id as int) as timestamp")
+    val got = (0 until 3).map { _ =>
+      Tailer.tail(consumed, fields = Seq("schema_id", "timestamp"),
+        messageLimit = Some(5)).collect().map(_.getInt(0)).toSeq
+    }
+    assert(got.forall(_ == Seq(0, 1, 2, 3, 4)),
+      s"limit must take the FIRST five in timestamp order, got $got")
+  }
+
   test("binlog analyzer carries header timestamps forward per file") {
     import spark.implicits._
     // two files: carry-forward must not leak across the partition key
@@ -475,6 +521,11 @@ class ToolsSpec extends SparkTestBase {
       ("a", 5L, "#231114 22:30:00 server id 3  end_log_pos 120 CRC32 0xbeef  Delete_rows: table id 5 flags: STMT_END_F"),
       ("a", 6L, "### DELETE FROM db.orders"),
       ("a", 7L, "# at 120"),                // noise lines don't emit or reset
+      // mysqlbinlog prints hours with %2d: single-digit hours arrive
+      // space-padded — a strict HH pattern nulled these (carrying the
+      // previous header's timestamp) and died in ANSI mode
+      ("a", 8L, "#231115  4:05:06 server id 3  end_log_pos 150 CRC32 0xfeed  Write_rows: table id 5 flags: STMT_END_F"),
+      ("a", 9L, "### INSERT INTO db.morning"),
       ("b", 1L, "### INSERT INTO db.other") // file b has no header yet -> null ts
     ).toDF("file", "line_no", "line")
     val got = graft.tools.BinlogAnalyzer.parse(lines, "file", "line_no", "line")
@@ -486,10 +537,13 @@ class ToolsSpec extends SparkTestBase {
       .toEpochSecond(java.time.ZoneOffset.UTC)
     val t2 = java.time.LocalDateTime.of(2023, 11, 14, 22, 30, 0)
       .toEpochSecond(java.time.ZoneOffset.UTC)
+    val t3 = java.time.LocalDateTime.of(2023, 11, 15, 4, 5, 6)
+      .toEpochSecond(java.time.ZoneOffset.UTC)
     assert(got == Seq(
       ("a", 3L, t1, "insert", "db.users"),
       ("a", 4L, t1, "update", "db.users"),
       ("a", 6L, t2, "delete", "db.orders"),
+      ("a", 9L, t3, "insert", "db.morning"),
       ("b", 1L, -1L, "insert", "db.other")))
   }
 }
