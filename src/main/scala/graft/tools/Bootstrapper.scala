@@ -68,9 +68,13 @@ object Bootstrapper {
     "(?is)`|\\bENGINE\\s*=|\\bUNSIGNED\\b|\\bAUTO_INCREMENT\\b".r
 
   /** Dialect sniffing is a heuristic, so BOTH branches fall back to the
-    * other parser — and a parse that yields zero columns counts as a
-    * failure (a misrouted dialect can "succeed" by dropping every
-    * unparseable column line, silently registering an empty schema). */
+    * other parser. Both attempts run the converters in STRICT mode (any
+    * body entry that is neither a recognized constraint nor a parseable
+    * column throws, as does a zero-column parse): registration is the
+    * one place a lenient parse is dangerous — a misrouted dialect could
+    * otherwise "succeed" by silently dropping the columns it can't
+    * read, registering a partial schema while swallowing the primary
+    * parser's informative error. */
   private[graft] def parseSqlDdl(ddl: String): DdlModel.TableSpec = {
     def nonEmpty(t: DdlModel.TableSpec): DdlModel.TableSpec =
       if (t.columns.isEmpty)
@@ -85,8 +89,10 @@ object Bootstrapper {
           catch { case _: IllegalArgumentException => throw e }
       }
     if (MysqlMarkerRe.findFirstIn(ddl).isDefined)
-      attempt(MysqlDdlConverter.parse, RedshiftDdlConverter.parse)
-    else attempt(RedshiftDdlConverter.parse, MysqlDdlConverter.parse)
+      attempt(MysqlDdlConverter.parse(_, strict = true),
+        RedshiftDdlConverter.parse(_, strict = true))
+    else attempt(RedshiftDdlConverter.parse(_, strict = true),
+      MysqlDdlConverter.parse(_, strict = true))
   }
 
   /** Bootstrap every `.avsc`/`.sql` file matching the patterns; other

@@ -71,35 +71,57 @@ object DdlModel {
       columns.filter(_.pkeyOrdinal.isDefined).sortBy(_.pkeyOrdinal.get).map(_.name)
   }
 
+  /** Index just past the end of the quoted span opening at `i`
+    * (`s(i)` must be `'`, `"` or a backtick). One scanner shared by
+    * [[splitColumns]], [[matchingParen]] and the MySQL enum/set value
+    * decoder so the quoting rules can never diverge between column
+    * splitting, body cutting, and value extraction.
+    *
+    * A doubled quote char is always an escape (SQL `''`, `""`, MySQL
+    * ` `` ` in identifiers). With `backslashEscapes` (MySQL string
+    * semantics), a backslash inside a `'`/`"` literal escapes the next
+    * char — without it (standard SQL / Redshift), `'C:\'` is a complete
+    * literal ending in a backslash. Backticks never take backslash
+    * escapes in either dialect. An unterminated span ends at the
+    * string's end. */
+  private[tools] def quoteSpanEnd(s: String, i: Int,
+                                  backslashEscapes: Boolean): Int = {
+    val q = s.charAt(i)
+    var j = i + 1
+    while (j < s.length) {
+      val c = s.charAt(j)
+      if (backslashEscapes && q != '`' && c == '\\' && j + 1 < s.length) j += 2
+      else if (c == q) {
+        if (j + 1 < s.length && s.charAt(j + 1) == q) j += 2
+        else return j + 1
+      } else j += 1
+    }
+    j
+  }
+
   /** Split a DDL column body on top-level commas — paren-depth AND
     * quote aware: parens or commas inside single-quoted literals
-    * (`DEFAULT '('`, `enum('a)b','c')` — '' is the escaped quote),
-    * double-quoted or backticked identifiers never split or shift
-    * depth. A quote-blind split silently dropped every column after a
-    * quoted '(' (depth never returned to 0). */
-  def splitColumns(body: String): Seq[String] = {
+    * (`DEFAULT '('`, `enum('a)b','c')` — '' is the escaped quote, and
+    * under `backslashEscapes` so is MySQL's `\'`), double-quoted or
+    * backticked identifiers never split or shift depth. A quote-blind
+    * split silently dropped every column after a quoted '(' (depth
+    * never returned to 0); a backslash-blind one desynced on the `\'`
+    * MySQL itself emits from SHOW CREATE TABLE. */
+  def splitColumns(body: String, backslashEscapes: Boolean = false): Seq[String] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[String]
     val sb = new StringBuilder
     var depth = 0
-    var quote: Char = 0
     var i = 0
     while (i < body.length) {
-      val c = body.charAt(i)
-      if (quote != 0) {
-        sb.append(c)
-        if (c == quote) {
-          if (quote == '\'' && i + 1 < body.length && body.charAt(i + 1) == '\'') {
-            sb.append('\''); i += 1 // '' = escaped quote, literal continues
-          } else quote = 0
-        }
-      } else c match {
-        case '\'' | '"' | '`' => quote = c; sb.append(c)
-        case '(' => depth += 1; sb.append(c)
-        case ')' => depth -= 1; sb.append(c)
-        case ',' if depth == 0 => out += sb.toString; sb.clear()
-        case other => sb.append(other)
+      body.charAt(i) match {
+        case '\'' | '"' | '`' =>
+          val end = quoteSpanEnd(body, i, backslashEscapes)
+          sb.append(body.substring(i, end)); i = end
+        case '(' => depth += 1; sb.append('('); i += 1
+        case ')' => depth -= 1; sb.append(')'); i += 1
+        case ',' if depth == 0 => out += sb.toString; sb.clear(); i += 1
+        case other => sb.append(other); i += 1
       }
-      i += 1
     }
     if (sb.nonEmpty) out += sb.toString
     out.toSeq.map(_.trim).filter(_.nonEmpty)
@@ -110,26 +132,21 @@ object DdlModel {
     * the column body by matching instead of a greedy regex — a table
     * suffix containing parens (PARTITION BY LIST (...), SORTKEY(...))
     * polluted the regex-captured body. */
-  def matchingParen(s: String, open: Int): Int = {
+  def matchingParen(s: String, open: Int,
+                    backslashEscapes: Boolean = false): Int = {
     require(open < s.length && s.charAt(open) == '(',
       s"expected '(' at offset $open")
     var depth = 0
-    var quote: Char = 0
     var i = open
     while (i < s.length) {
-      val c = s.charAt(i)
-      if (quote != 0) {
-        if (c == quote) {
-          if (quote == '\'' && i + 1 < s.length && s.charAt(i + 1) == '\'') i += 1
-          else quote = 0
-        }
-      } else c match {
-        case '\'' | '"' | '`' => quote = c
-        case '(' => depth += 1
-        case ')' => depth -= 1; if (depth == 0) return i
-        case _ =>
+      s.charAt(i) match {
+        case '\'' | '"' | '`' => i = quoteSpanEnd(s, i, backslashEscapes)
+        case '(' => depth += 1; i += 1
+        case ')' =>
+          depth -= 1; if (depth == 0) return i
+          i += 1
+        case _ => i += 1
       }
-      i += 1
     }
     throw new IllegalArgumentException("unbalanced parentheses in DDL")
   }

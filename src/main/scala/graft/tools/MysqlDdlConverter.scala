@@ -47,8 +47,11 @@ object MysqlDdlConverter {
     * bare-prefix match dropped ordinary columns named key_id / checksum /
     * index_name / unique_token from the schema. (A column literally
     * named `key` must be backticked in real MySQL, which these patterns
-    * deliberately don't match.) */
-  private val PkEntryRe: Regex = """(?is)^PRIMARY\s+KEY\b.*""".r
+    * deliberately don't match.) A NAMED primary key
+    * (`CONSTRAINT pk_name PRIMARY KEY (a)`) is a PK entry, not a skip —
+    * routing it through the CONSTRAINT skip lost every pkey ordinal. */
+  private val PkEntryRe: Regex =
+    """(?is)^(?:CONSTRAINT\s+`?[\w]+`?\s+)?PRIMARY\s+KEY\b.*""".r
   private val SkipEntryRe: Regex =
     """(?is)^(?:UNIQUE|KEY|INDEX|CONSTRAINT|FOREIGN\s+KEY|FULLTEXT|SPATIAL|CHECK)\b.*""".r
 
@@ -62,26 +65,36 @@ object MysqlDdlConverter {
       case nameTypeRe(name, tpe, tail0) =>
         val tail = tail0.trim
         if (tail.startsWith("(")) {
-          val close = DdlModel.matchingParen(tail, 0)
+          val close = DdlModel.matchingParen(tail, 0, backslashEscapes = true)
           Some((name, tpe, Some(tail.substring(1, close)), tail.substring(close + 1)))
         } else Some((name, tpe, None, tail))
       case _ => None
     }
 
-  def parse(ddl: String): TableSpec = {
+  def parse(ddl: String): TableSpec = parse(ddl, strict = false)
+
+  /** `strict = true` rejects any body entry that is neither a
+    * recognized constraint nor a parseable column instead of dropping
+    * it — [[Bootstrapper]] registers schemas through strict mode so a
+    * misrouted dialect can never "succeed" by silently losing columns. */
+  def parse(ddl: String, strict: Boolean): TableSpec = {
     val head = createHeadRe.findFirstMatchIn(ddl).getOrElse(
       throw new IllegalArgumentException(s"unparseable CREATE TABLE: $ddl"))
     val open = head.end - 1
-    val close = DdlModel.matchingParen(ddl, open)
+    val close = DdlModel.matchingParen(ddl, open, backslashEscapes = true)
     val (schemaName, tableName, body) =
       (Option(head.group(1)).getOrElse("default"), head.group(2),
         ddl.substring(open + 1, close))
     val tableConstraints = scala.collection.mutable.ArrayBuffer.empty[String]
-    val cols = DdlModel.splitColumns(body).flatMap { raw =>
+    val cols = DdlModel.splitColumns(body, backslashEscapes = true).flatMap { raw =>
       if (PkEntryRe.matches(raw)) { tableConstraints += raw; None }
       else if (SkipEntryRe.matches(raw)) None
-      else parseColDef(raw).map { case (name, tpe, args, rest) =>
-        buildColumn(name, tpe.toLowerCase, args, rest)
+      else parseColDef(raw) match {
+        case Some((name, tpe, args, rest)) =>
+          Some(buildColumn(name, tpe.toLowerCase, args, rest))
+        case None if strict =>
+          throw new IllegalArgumentException(s"unparseable column entry: $raw")
+        case None => None
       }
     }
     val tablePk: Seq[String] = tableConstraints.headOption.toSeq.flatMap { c =>
@@ -102,8 +115,51 @@ object MysqlDdlConverter {
     (parts.headOption.map(_.toInt), parts.lift(1).map(_.toInt))
   }
 
+  /** MySQL string-literal unescape: `''` → `'`, `\n`/`\t`/`\r`/`\0`/
+    * `\b`/`\Z` → control chars, `\%`/`\_` keep the backslash (MySQL
+    * reserves them for LIKE), any other `\x` → `x`. */
+  private[tools] def decodeMysqlString(raw: String): String = {
+    val sb = new StringBuilder(raw.length)
+    var i = 0
+    while (i < raw.length) {
+      val c = raw.charAt(i)
+      if (c == '\'' && i + 1 < raw.length && raw.charAt(i + 1) == '\'') {
+        sb.append('\''); i += 2
+      } else if (c == '\\' && i + 1 < raw.length) {
+        raw.charAt(i + 1) match {
+          case 'n' => sb.append('\n')
+          case 't' => sb.append('\t')
+          case 'r' => sb.append('\r')
+          case '0' => sb.append('\u0000')
+          case 'b' => sb.append('\b')
+          case 'Z' => sb.append('\u001a')
+          case e @ ('%' | '_') => sb.append('\\').append(e)
+          case e => sb.append(e)
+        }
+        i += 2
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
+  /** Enum/set value list — each literal cut by the shared quote scanner
+    * and DECODED: the old `'([^']*)'` regex split `'don''t'` (the form
+    * SHOW CREATE TABLE emits) into two wrong values and desynced on
+    * `\'`. */
   private def quotedList(args: Option[String]): Seq[String] =
-    args.toSeq.flatMap("'([^']*)'".r.findAllMatchIn(_).map(_.group(1)))
+    args.toSeq.flatMap { s =>
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      var i = 0
+      while (i < s.length) {
+        if (s.charAt(i) == '\'') {
+          val end = DdlModel.quoteSpanEnd(s, i, backslashEscapes = true)
+          val closed = end <= s.length && end > i + 1 && s.charAt(end - 1) == '\''
+          out += decodeMysqlString(s.substring(i + 1, if (closed) end - 1 else end))
+          i = end
+        } else i += 1
+      }
+      out.toSeq
+    }
 
   private def buildColumn(name: String, tpe: String, args: Option[String],
                           rest: String): ColumnSpec = {
@@ -120,6 +176,12 @@ object MysqlDdlConverter {
       tpe match {
         case "tinyint" if len.contains(1) => ("boolean", Nil, BooleanType)
         case "bool" | "boolean" => ("boolean", Nil, BooleanType)
+        // BIT(1) is MySQL's other boolean idiom; wider bit fields ride
+        // as bytes with the declared width (MySQL returns b'...' values
+        // as binary)
+        case "bit" if len.forall(_ == 1) => ("boolean", Nil, BooleanType)
+        case "bit" =>
+          ("bytes", len.map(l => "bits" -> l.toString).toSeq, BinaryType)
         case "tinyint" | "smallint" | "mediumint" => ("int", Nil, IntegerType)
         case "int" | "integer" =>
           if (unsigned) ("long", Nil, LongType) else ("int", Nil, IntegerType)
@@ -173,7 +235,8 @@ object MysqlDdlConverter {
     * Schematizer performs on the (new, old, alter) statement triple. */
   def applyAlter(table: TableSpec, alterStmt: String): TableSpec = {
     val (t, clauses) = alterStmt match {
-      case alterHeadRe(name, body) => (name, DdlModel.splitColumns(body))
+      case alterHeadRe(name, body) =>
+        (name, DdlModel.splitColumns(body, backslashEscapes = true))
       case _ => throw new IllegalArgumentException(s"unparseable ALTER TABLE: $alterStmt")
     }
     require(t.equalsIgnoreCase(table.table),

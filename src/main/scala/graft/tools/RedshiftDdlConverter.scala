@@ -11,11 +11,15 @@ import DdlModel.{ColumnSpec, TableSpec}
   * schema-conversion path).
   *
   * Type mapping follows the reference's conventions: integer families →
-  * int/long, varchar/text → string with `maxlen` meta, char → string with
-  * `fixlen` meta, decimal/numeric → double with `fixed_pt`/`precision`/
-  * `scale` metas, timestamp/date → long with a `timestamp`/`date` meta,
-  * NULLable columns → unions ordered by whether the default is null
-  * (`["null", T]` vs `[T, "null"]`), primary keys → `pkey: <ordinal>`.
+  * int/long, varchar/nvarchar/text → string with `maxlen` meta, char →
+  * string with `fixlen` meta, decimal/numeric → double with `fixed_pt`/
+  * `precision`/`scale` metas, timestamp/date → long with a `timestamp`/
+  * `date` meta, NULLable columns → unions ordered by whether the default
+  * is null (`["null", T]` vs `[T, "null"]`), primary keys →
+  * `pkey: <ordinal>`. One deliberate deviation: the reference maps
+  * `date` to a STRING with a date meta (redshift_sql_to_avsc.py:54) —
+  * here it is a long epoch-day like the MySQL converter's, so the two
+  * dialects share one Avro convention and date columns stay orderable.
   */
 object RedshiftDdlConverter {
 
@@ -30,11 +34,23 @@ object RedshiftDdlConverter {
     """(?is)^"?([\w]+)"?\s+([\w]+)(?:\s*\(\s*(\d+)\s*(?:,\s*(\d+))?\s*\))?(.*)$""".r
 
   /** Constraint entries matched by whole WORD — a bare prefix dropped
-    * ordinary columns named unique_visitors etc. */
-  private val PkEntryRe: Regex = """(?is)^PRIMARY\s+KEY\b.*""".r
-  private val SkipEntryRe: Regex = """(?is)^(?:UNIQUE|FOREIGN\s+KEY)\b.*""".r
+    * ordinary columns named unique_visitors etc. A NAMED primary key
+    * (`CONSTRAINT t_pk PRIMARY KEY (a)` — legal Redshift) is a PK
+    * entry; other named constraints skip via the CONSTRAINT word
+    * (previously they fell through to colRe, parsed as a column named
+    * CONSTRAINT, and threw — handing the DDL to the MySQL fallback,
+    * which lost the pkey ordinals). */
+  private val PkEntryRe: Regex =
+    """(?is)^(?:CONSTRAINT\s+"?[\w]+"?\s+)?PRIMARY\s+KEY\b.*""".r
+  private val SkipEntryRe: Regex =
+    """(?is)^(?:UNIQUE|FOREIGN\s+KEY|CONSTRAINT)\b.*""".r
 
-  def parse(ddl: String): TableSpec = {
+  def parse(ddl: String): TableSpec = parse(ddl, strict = false)
+
+  /** `strict = true` rejects any body entry that is neither a
+    * recognized constraint nor a parseable column instead of dropping
+    * it — see [[MysqlDdlConverter.parse]]. */
+  def parse(ddl: String, strict: Boolean): TableSpec = {
     val head = createHeadRe.findFirstMatchIn(ddl).getOrElse(
       throw new IllegalArgumentException(s"unparseable CREATE TABLE: $ddl"))
     val open = head.end - 1
@@ -52,6 +68,8 @@ object RedshiftDdlConverter {
         case colRe(name, tpe, len, scale, rest) =>
           Some(buildColumn(name, tpe.toLowerCase,
             Option(len).map(_.toInt), Option(scale).map(_.toInt), rest))
+        case _ if strict =>
+          throw new IllegalArgumentException(s"unparseable column entry: $raw")
         case _ => None
       }
     }
@@ -90,7 +108,7 @@ object RedshiftDdlConverter {
         ("double",
           Seq("fixed_pt" -> "true", "precision" -> p.toString, "scale" -> s.toString),
           DecimalType(p, s))
-      case "varchar" | "character varying" | "text" =>
+      case "varchar" | "nvarchar" | "character varying" | "text" =>
         ("string", len.map(l => "maxlen" -> l.toString).toSeq, StringType)
       case "char" | "character" | "nchar" | "bpchar" =>
         ("string", len.map(l => "fixlen" -> l.toString).toSeq, StringType)

@@ -19,7 +19,18 @@ object SchemaMigration {
     * `ALTER COLUMN ... TYPE` clause, and folding it into the type string
     * also left nullable-ward migrations with the constraint in place).
     * Renames are modeled as drop+add (avro carries no rename lineage —
-    * same as the reference). */
+    * same as the reference).
+    *
+    * Dialect notes: statements use Postgres-family grammar. Redshift
+    * proper cannot ALTER a column's nullability (or, on most types, its
+    * TYPE) — a consumer executing this plan against Redshift must
+    * rewrite retype/renull statements as add-copy-drop-rename rebuild
+    * steps; the plan deliberately still STATES the change so no
+    * migration step can be silently lost. ADD COLUMN renders NOT NULL
+    * before DEFAULT, matching the column shape the reference's own
+    * Redshift DDL parser expects (redshift_sql_to_avsc.py:136 — default
+    * must follow the NULL/NOT NULL clause), so emitted DDL round-trips
+    * through [[RedshiftDdlConverter]]. */
   def plan(fromJson: Option[String], toJson: String, tableName: String): Seq[String] = {
     val to = AvroCodec.parse(toJson)
     fromJson match {

@@ -158,6 +158,25 @@ object InvariantProps extends Properties("graft.invariants") {
       got == cols.filter(_.nonEmpty)
     }
 
+  // quote-hostile entries: commas/parens inside literals, '' and \'
+  // escapes, backticked identifiers — the split must never cut inside
+  // a literal regardless of how these are interleaved
+  private val hostileColGen: Gen[List[String]] = Gen.listOf(Gen.oneOf(
+    "a INT NOT NULL",
+    "e ENUM('x,y','don''t','p(q') NOT NULL",
+    """f VARCHAR(10) DEFAULT 'don\'t'""",
+    """g VARCHAR(10) DEFAULT '(,'""",
+    "`weird,name` INT",
+    "h SET('a','b,c')",
+    "PRIMARY KEY (a)"))
+
+  property("splitColumns (mysql escapes) never cuts inside a literal") =
+    forAll(hostileColGen) { cols =>
+      val body = cols.mkString(", ")
+      val got = graft.tools.DdlModel.splitColumns(body, backslashEscapes = true)
+      got == cols.filter(_.nonEmpty)
+    }
+
   // --- MysqlDdlConverter emits valid Avro ------------------------------------
 
   private val mysqlColsGen: Gen[List[(String, String)]] = Gen.nonEmptyListOf(for {

@@ -119,6 +119,41 @@ class MysqlDdlSpec extends AnyFunSuite {
       .apply("enum_values").contains("a)b"))
   }
 
+  test("backslash escapes in literals: split stays aligned, enum/set values decode") {
+    // MySQL's own SHOW CREATE TABLE emits \' — a backslash-blind scanner
+    // closes the literal at the \', reopens one at the real closing
+    // quote, and the next column vanishes into the phantom literal
+    val spec = MysqlDdlConverter.parse(
+      """CREATE TABLE t (a VARCHAR(10) DEFAULT 'don\'t', b INT NOT NULL, e ENUM('don''t','x\\y','p\%q') NOT NULL)""")
+    assert(spec.columns.map(_.name) == Seq("a", "b", "e"),
+      s"got ${spec.columns.map(_.name)}")
+    // enum values are DECODED: '' → ', \\ → \, \% keeps its backslash
+    // (MySQL reserves \% for LIKE); the old regex split 'don''t' in two
+    val enumJson =
+      spec.columns.find(_.name == "e").get.metas.toMap.apply("enum_values")
+    assert(enumJson == """["don't", "x\\y", "p\\%q"]""", enumJson)
+  }
+
+  test("named CONSTRAINT ... PRIMARY KEY keeps pkey ordinals") {
+    val spec = MysqlDdlConverter.parse(
+      """CREATE TABLE t (
+        |  a INT NOT NULL,
+        |  b VARCHAR(10) NOT NULL,
+        |  CONSTRAINT `t_pk` PRIMARY KEY (`b`, `a`),
+        |  CONSTRAINT `t_fk` FOREIGN KEY (a) REFERENCES o (id)
+        |)""".stripMargin)
+    assert(spec.primaryKeys == Seq("b", "a"), s"got ${spec.primaryKeys}")
+  }
+
+  test("bit maps: BIT(1) to boolean, wider bit fields to bytes with width meta") {
+    val spec = MysqlDdlConverter.parse(
+      "CREATE TABLE t (f1 BIT(1) NOT NULL, f2 BIT NOT NULL, f8 BIT(8))")
+    def col(n: String) = spec.columns.find(_.name == n).get
+    assert(col("f1").avroType == "boolean" && col("f2").avroType == "boolean")
+    assert(col("f8").avroType == "bytes" &&
+      col("f8").metas.toMap.get("bits").contains("8"))
+  }
+
   test("positional ADD ... AFTER validates; ADD UNIQUE INDEX and DROP CHECK are not column ops") {
     val reg = new SchemaRegistry
     // old + (ADD b AFTER a) => new with b in the middle: consistent, and

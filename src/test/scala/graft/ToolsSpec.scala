@@ -495,6 +495,36 @@ class ToolsSpec extends SparkTestBase {
     }
   }
 
+  test("redshift named CONSTRAINT pk parses directly and keeps ordinals") {
+    import graft.tools.RedshiftDdlConverter
+    // previously CONSTRAINT fell through to colRe (parsed as a column
+    // named CONSTRAINT, threw) and the MySQL fallback registered the
+    // table with NO pkey ordinals — silently breaking downstream CDC
+    // keying
+    val spec = RedshiftDdlConverter.parse(
+      """CREATE TABLE public.t (
+        |  a INT NOT NULL,
+        |  b VARCHAR(16) NOT NULL,
+        |  CONSTRAINT t_pk PRIMARY KEY (a, b),
+        |  CONSTRAINT t_uq UNIQUE (b)
+        |)""".stripMargin, strict = true)
+    assert(spec.primaryKeys == Seq("a", "b"), s"got ${spec.primaryKeys}")
+  }
+
+  test("bootstrapper fallback cannot mask a lossy parse: strict mode surfaces the primary error") {
+    import graft.tools.Bootstrapper
+    // MySQL-marked DDL with one unsupported type: the MySQL parser
+    // throws; the Redshift fallback cannot parse the backticked column
+    // either — but LENIENTLY it would drop just that entry and
+    // register a partial schema. Strict mode makes the fallback fail
+    // too, and the informative PRIMARY error is the one that surfaces.
+    val e = intercept[IllegalArgumentException] {
+      Bootstrapper.parseSqlDdl(
+        "CREATE TABLE t (id INT NOT NULL, `shape` GEOMETRY NOT NULL)")
+    }
+    assert(e.getMessage.contains("geometry"), e.getMessage)
+  }
+
   test("tail limit is deterministic first-N in sequence order") {
     import spark.implicits._
     // many partitions, ids shuffled across them: a bare limit() would
