@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -42,21 +42,35 @@ object EnvelopeOps {
     (reg, v1.schemaId, v2.schemaId)
   }
 
-  private def packEvents(spark: SparkSession, dir: String, schemaId: Int,
-                         ascii: Boolean): DataFrame = {
-    import spark.implicits._
+  /** The one envelope-construction contract for the events fixture —
+    * every envelope query (round-trip, evolution, dead-letter) builds
+    * through here so a shape change (new field, different uuid
+    * derivation) can never diverge the fixtures. `schemaId`/`payload`
+    * are columns so the dead-letter query can plant per-row corruption. */
+  private def eventEnvelope(schemaId: Column, payload: Column): Column = {
     val metaType = Envelope.sparkType("meta").dataType
-    val env = struct(
-      unhex(md5($"event_id".cast("string"))).as("uuid"),
+    struct(
+      unhex(md5(col("event_id").cast("string"))).as("uuid"),
       lit("create").as("message_type"),
-      lit(schemaId).as("schema_id"),
-      encode_payload(
-        struct($"event_id", $"user_id", $"event_type", $"value"),
-        eventSchemaJson).as("payload"),
+      schemaId.as("schema_id"),
+      payload.as("payload"),
       lit(null).cast("binary").as("previous_payload"),
       lit(null).cast(metaType).as("meta"),
       lit(null).cast("string").as("encryption_type"),
-      unix_timestamp($"ts").cast("int").as("timestamp"))
+      unix_timestamp(col("ts")).cast("int").as("timestamp"))
+  }
+
+  /** The canonical v1 payload encoding of an events row. */
+  private def eventPayload(spark: SparkSession): Column = {
+    import spark.implicits._
+    encode_payload(
+      struct($"event_id", $"user_id", $"event_type", $"value"),
+      eventSchemaJson)
+  }
+
+  private def packEvents(spark: SparkSession, dir: String, schemaId: Int,
+                         ascii: Boolean): DataFrame = {
+    val env = eventEnvelope(lit(schemaId), eventPayload(spark))
     val packer = if (ascii) pack_envelope_ascii(env) else pack_envelope(env)
     Tables.events(spark, dir).select(packer.as("value"))
   }
@@ -126,21 +140,11 @@ object EnvelopeOps {
   def qDeadLetterSplit(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val (reg, v1, v2) = registryForEvents
-    val metaType = Envelope.sparkType("meta").dataType
     val cls = pmod($"event_id", lit(10))
-    val payloadBytes = when(cls === 1, lit(Array(0xFF.toByte)))
-      .otherwise(encode_payload(
-        struct($"event_id", $"user_id", $"event_type", $"value"),
-        eventSchemaJson))
-    val env = struct(
-      unhex(md5($"event_id".cast("string"))).as("uuid"),
-      lit("create").as("message_type"),
-      when(cls === 2, lit(9999)).otherwise(lit(v1)).as("schema_id"),
-      payloadBytes.as("payload"),
-      lit(null).cast("binary").as("previous_payload"),
-      lit(null).cast(metaType).as("meta"),
-      lit(null).cast("string").as("encryption_type"),
-      unix_timestamp($"ts").cast("int").as("timestamp"))
+    val env = eventEnvelope(
+      schemaId = when(cls === 2, lit(9999)).otherwise(lit(v1)),
+      payload = when(cls === 1, lit(Array(0xFF.toByte)))
+        .otherwise(eventPayload(spark)))
     val transport = Tables.events(spark, dir).select(
       when(cls === 0, lit(Array.fill(3)(0xFF.toByte)))
         .otherwise(pack_envelope(env)).as("value"))

@@ -413,6 +413,55 @@ object RetrievalOps {
                            row_number() OVER (ORDER BY rrf_ppm DESC, doc_id) AS rank
                     FROM fused)"""
 
+  /** The greedy-MMR recursive-CTE replay + final per-query unroll — ONE
+    * copy shared by the sim_hybrid_mmr and sim_hybrid_mmr_multi oracles
+    * (it was written per-qid from the start, so the single-query oracle
+    * runs it with a one-row qid domain). Expects a `cand(qid, id, rel,
+    * e)` CTE upstream; a change to the MMR/ppm arithmetic here lands in
+    * both gates or neither — two hand-synced copies previously meant a
+    * one-sided edit would hash-red one query and silently diverge the
+    * other. */
+  private val MmrGreedyReplaySql: String =
+    """
+         ps AS (
+           SELECT a.qid, a.id AS a, b.id AS b,
+                  CAST(round(round(
+                    list_sum([a.e[i] * b.e[i] for i in range(1, 65)]) /
+                    (sqrt(list_sum([a.e[i] * a.e[i] for i in range(1, 65)])) *
+                     sqrt(list_sum([b.e[i] * b.e[i] for i in range(1, 65)]))),
+                    6) * 1000000, 0) AS BIGINT) AS sp
+           FROM cand a JOIN cand b ON a.qid = b.qid AND a.id <> b.id),
+         sel AS (
+           SELECT qid, 0 AS step, CAST([] AS BIGINT[]) AS chosen
+           FROM (SELECT DISTINCT qid FROM cand)
+           UNION ALL
+           SELECT sel.qid, step + 1,
+                  list_append(chosen, (
+                    SELECT id FROM (
+                      SELECT c.id,
+                             700000 * c.rel - 300000 *
+                               COALESCE((SELECT max(sp) FROM ps
+                                         WHERE ps.qid = c.qid AND ps.a = c.id
+                                           AND list_contains(sel.chosen, ps.b)), 0)
+                               AS score
+                      FROM cand c
+                      WHERE c.qid = sel.qid
+                        AND NOT list_contains(sel.chosen, c.id)
+                      ORDER BY score DESC, c.id ASC LIMIT 1)))
+           FROM sel
+           WHERE step < 5
+             AND EXISTS (SELECT 1 FROM cand c WHERE c.qid = sel.qid
+                         AND NOT list_contains(sel.chosen, c.id))),
+         best AS (
+           SELECT qid, chosen FROM sel
+           QUALIFY row_number() OVER (PARTITION BY qid ORDER BY step DESC) = 1)
+         SELECT qid AS query_id, CAST(r AS INTEGER) AS sel_rank,
+                chosen[r] AS doc_id
+         FROM best, range(1, 6) t(r)
+         WHERE r <= len(chosen)
+         ORDER BY query_id, sel_rank"""
+
+
   /** The sim_hybrid_mmr_multi oracle: the multi-query retrieval CTEs
     * (BM25 over the 2-query term table, dense runs from the per-query
     * probe-vector map) feeding the SAME per-qid recursive greedy-MMR
@@ -485,44 +534,8 @@ object RetrievalOps {
          cand AS (SELECT c.query_id AS qid, c.doc_id AS id,
                          (1000000 * c.rrf_ppm) // mx.m AS rel, v.e
                   FROM cand0 c JOIN v ON v.vec_id = c.doc_id
-                  JOIN mx ON mx.query_id = c.query_id),
-         ps AS (
-           SELECT a.qid, a.id AS a, b.id AS b,
-                  CAST(round(round(
-                    list_sum([a.e[i] * b.e[i] for i in range(1, 65)]) /
-                    (sqrt(list_sum([a.e[i] * a.e[i] for i in range(1, 65)])) *
-                     sqrt(list_sum([b.e[i] * b.e[i] for i in range(1, 65)]))),
-                    6) * 1000000, 0) AS BIGINT) AS sp
-           FROM cand a JOIN cand b ON a.qid = b.qid AND a.id <> b.id),
-         sel AS (
-           SELECT qid, 0 AS step, CAST([] AS BIGINT[]) AS chosen
-           FROM (SELECT DISTINCT qid FROM cand)
-           UNION ALL
-           SELECT sel.qid, step + 1,
-                  list_append(chosen, (
-                    SELECT id FROM (
-                      SELECT c.id,
-                             700000 * c.rel - 300000 *
-                               COALESCE((SELECT max(sp) FROM ps
-                                         WHERE ps.qid = c.qid AND ps.a = c.id
-                                           AND list_contains(sel.chosen, ps.b)), 0)
-                               AS score
-                      FROM cand c
-                      WHERE c.qid = sel.qid
-                        AND NOT list_contains(sel.chosen, c.id)
-                      ORDER BY score DESC, c.id ASC LIMIT 1)))
-           FROM sel
-           WHERE step < 5
-             AND EXISTS (SELECT 1 FROM cand c WHERE c.qid = sel.qid
-                         AND NOT list_contains(sel.chosen, c.id))),
-         best AS (
-           SELECT qid, chosen FROM sel
-           QUALIFY row_number() OVER (PARTITION BY qid ORDER BY step DESC) = 1)
-         SELECT qid AS query_id, CAST(r AS INTEGER) AS sel_rank,
-                chosen[r] AS doc_id
-         FROM best, range(1, 6) t(r)
-         WHERE r <= len(chosen)
-         ORDER BY query_id, sel_rank"""
+                  JOIN mx ON mx.query_id = c.query_id),""" +
+      MmrGreedyReplaySql
 
   val oracles: Map[String, String] = Map(
     "sim_bm25_topk" ->
@@ -555,49 +568,13 @@ object RetrievalOps {
          SELECT CAST(1 AS BIGINT) AS query_id, doc_id, n_runs, rrf_ppm, rank
          FROM ranked WHERE rank <= 10
          ORDER BY rank""",
-    "sim_hybrid_mmr" -> s"""WITH RECURSIVE $hybridRrfCtes,
+    "sim_hybrid_mmr" -> (s"""WITH RECURSIVE $hybridRrfCtes,
          cand0 AS (SELECT doc_id, rrf_ppm FROM ranked WHERE rank <= 10),
          mx AS (SELECT max(rrf_ppm) AS m FROM cand0),
          cand AS (SELECT CAST(1 AS BIGINT) AS qid, c.doc_id AS id,
                          (1000000 * c.rrf_ppm) // mx.m AS rel, v.e
-                  FROM cand0 c JOIN v ON v.vec_id = c.doc_id CROSS JOIN mx),
-         ps AS (
-           SELECT a.qid, a.id AS a, b.id AS b,
-                  CAST(round(round(
-                    list_sum([a.e[i] * b.e[i] for i in range(1, 65)]) /
-                    (sqrt(list_sum([a.e[i] * a.e[i] for i in range(1, 65)])) *
-                     sqrt(list_sum([b.e[i] * b.e[i] for i in range(1, 65)]))),
-                    6) * 1000000, 0) AS BIGINT) AS sp
-           FROM cand a JOIN cand b ON a.qid = b.qid AND a.id <> b.id),
-         sel AS (
-           SELECT qid, 0 AS step, CAST([] AS BIGINT[]) AS chosen
-           FROM (SELECT DISTINCT qid FROM cand)
-           UNION ALL
-           SELECT sel.qid, step + 1,
-                  list_append(chosen, (
-                    SELECT id FROM (
-                      SELECT c.id,
-                             700000 * c.rel - 300000 *
-                               COALESCE((SELECT max(sp) FROM ps
-                                         WHERE ps.qid = c.qid AND ps.a = c.id
-                                           AND list_contains(sel.chosen, ps.b)), 0)
-                               AS score
-                      FROM cand c
-                      WHERE c.qid = sel.qid
-                        AND NOT list_contains(sel.chosen, c.id)
-                      ORDER BY score DESC, c.id ASC LIMIT 1)))
-           FROM sel
-           WHERE step < 5
-             AND EXISTS (SELECT 1 FROM cand c WHERE c.qid = sel.qid
-                         AND NOT list_contains(sel.chosen, c.id))),
-         best AS (
-           SELECT qid, chosen FROM sel
-           QUALIFY row_number() OVER (PARTITION BY qid ORDER BY step DESC) = 1)
-         SELECT qid AS query_id, CAST(r AS INTEGER) AS sel_rank,
-                chosen[r] AS doc_id
-         FROM best, range(1, 6) t(r)
-         WHERE r <= len(chosen)
-         ORDER BY query_id, sel_rank""",
+                  FROM cand0 c JOIN v ON v.vec_id = c.doc_id CROSS JOIN mx),""" +
+      MmrGreedyReplaySql),
     "sim_hybrid_mmr_multi" -> hybridMmrMultiOracle,
     "sim_bm25_multi" ->
       """WITH q(query_id, term) AS (VALUES

@@ -67,6 +67,14 @@ object MonitorStream {
     val step = windowSec.toLong
     val aligned = (floor(unix_timestamp(col("ts")) / windowSec) * windowSec).cast("long")
     messages
+      // a null ts has no window: drop it BEFORE aggregating (the
+      // range-join formulation dropped the null bucket implicitly). If
+      // it survived, its null start_timestamp would null the next
+      // entry's gap arithmetic, sequence(null, ..) would null that
+      // transform element, and flatten() of an array containing a null
+      // array returns NULL — explode would then emit ZERO rows for the
+      // topic, erasing every observed window because of one bad row.
+      .filter(col("ts").isNotNull)
       .groupBy(col("topic"), aligned.as("start_timestamp"))
       .agg(count(lit(1)).cast("int").as("observed"))
       .groupBy(col("topic"))

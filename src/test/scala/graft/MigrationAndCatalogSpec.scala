@@ -91,10 +91,15 @@ class MigrationAndCatalogSpec extends SparkTestBase {
   test("monitor catch-up emits zero-count rows for quiet windows") {
     import spark.implicits._
     def t(s: String) = Timestamp.valueOf(s)
-    // topic_a: activity in window 0 and window 3 -> windows 1,2 must zero-fill
+    // topic_a: activity in window 0 and window 3 -> windows 1,2 must zero-fill.
+    // The null-ts row must be DROPPED, not erase the topic: a null
+    // start_timestamp entry nulls the next entry's gap arithmetic, and
+    // flatten() of an array with a null element returns NULL — one bad
+    // row previously wiped every observed window for its topic.
     val df = Seq(
       (t("2024-01-01 00:01:00"), "topic_a"),
       (t("2024-01-01 00:31:00"), "topic_a"),
+      (null.asInstanceOf[Timestamp], "topic_a"),
       (t("2024-01-01 00:05:00"), "topic_b")
     ).toDF("ts", "topic")
     val out = MonitorStream.monitorCountsWithCatchup(df, "c", "consumer")
