@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
 
 /** Embedding similarity search (north-star requirement).
   *
@@ -204,7 +205,12 @@ object Similarity {
       .join(vectors.select(col("vec_id").as("v1"), col("v").as("va")), "v1")
       .join(vectors.select(col("vec_id").as("v2"), col("v").as("vb")), "v2")
       .select(col("v1"), col("v2"), cos.as("cosine"))
-      .filter(col("cosine") >= threshold)
+      // !isnan matters: zero-norm vectors all share the all-ones sign
+      // code in every band (0.0 >= 0), so they pair with each other —
+      // their cosine is 0/0 = NaN, and Spark's nan-safe compare treats
+      // NaN >= threshold as TRUE. An undefined similarity is not a
+      // verified near-duplicate.
+      .filter(col("cosine") >= threshold && !isnan(col("cosine")))
   }
 
   /** Deterministic Lloyd k-means (cosine metric) for IVF training —
@@ -327,15 +333,25 @@ object Similarity {
     vectors
       .withColumn("__cents", centLit)
       .withColumn("__nv", expr("sqrt(aggregate(v, 0D, (acc, x) -> acc + x * x))"))
+      // try_divide: a zero-norm vector divides by zero — under ANSI
+      // (this engine's default) a bare `/` KILLS the stage with
+      // DIVIDE_BY_ZERO; with ANSI off it yields NaN, which Spark's
+      // nan-safe compare evaluates as > -2.0, handing the degenerate
+      // row to the FIRST centroid. try_divide nulls the cosine in both
+      // modes, and the isnan guard below covers any other NaN source —
+      // either way the fold keeps acc and the row gets the native
+      // path's -1 label ("NaN never wins").
       .withColumn("__scored", expr(
         """transform(__cents, ct -> struct(
-             round(aggregate(zip_with(v, ct.c, (x, y) -> x * y), 0D,
-                             (acc, z) -> acc + z) / (__nv * ct.nc), 6) AS ccos,
+             round(try_divide(aggregate(zip_with(v, ct.c, (x, y) -> x * y), 0D,
+                              (acc, z) -> acc + z), __nv * ct.nc), 6) AS ccos,
              ct.cluster AS cluster))"""))
+      // a null ccos (width mismatch, zero norm) loses: the comparison
+      // is null and if(null) keeps acc
       .withColumn("cluster", expr(
         """aggregate(__scored,
              struct(cast(-2.0 AS double) AS ccos, -1 AS cluster),
-             (acc, p) -> if(p.ccos > acc.ccos, p, acc)).cluster"""))
+             (acc, p) -> if(NOT isnan(p.ccos) AND p.ccos > acc.ccos, p, acc)).cluster"""))
       .select(col("vec_id"), col("v"), col("cluster"))
   }
 
@@ -421,36 +437,58 @@ object Similarity {
     * subspace (fewer if a cluster empties, which both engines drop
     * identically).
     */
+  /** Release a localCheckpoint pin for real: `Dataset.unpersist` goes
+    * through the CacheManager, which never registered a checkpoint's
+    * backing RDD (it was persisted directly), so on a checkpointed
+    * frame it is a silent no-op — verified empirically against
+    * getPersistentRDDs. The pin lives in the plan's LogicalRDD leaf;
+    * unpersist THAT. Safe on the checkpointed frame itself: its
+    * analyzed plan is exactly one LogicalRDD leaf (the checkpoint
+    * replaced the original lineage), so an upstream caller's own pin
+    * is never touched. */
+  private def releasePin(df: DataFrame): Unit =
+    df.queryExecution.analyzed.collectLeaves().foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
+
   def pqFit(sample: DataFrame, m: Int, subDim: Int, ksub: Int, iters: Int): DataFrame = {
     require(iters >= 1, "PQ training needs at least one assignment round")
     val spark = sample.sparkSession
     import spark.implicits._
-    // the sample is scanned m·iters times — pin it once
+    // the sample is scanned m·iters times — pin it once, release before
+    // returning: the codebooks below are a driver-side Seq, so nothing
+    // downstream reads the pin, and [[opqFit]] calls this once per
+    // alternation round (an unreleased pin per round accumulated
+    // sample-sized block-manager copies for the life of the session)
     val pinned = sample.select(col("vec_id"), col("v")).localCheckpoint()
-    val perSub = (0 until m).map { j =>
-      val off = j * subDim
-      val sv = expr(s"slice(v, ${off + 1}, $subDim)")
-      var cents: Array[(Int, Seq[Double])] = pinned
-        .orderBy(col("vec_id")).limit(ksub)
-        .select(sv.as("c")).collect().zipWithIndex
-        .map { case (r, i) => (i, r.getSeq[Double](0)) }
-      for (_ <- 1 until iters) {
-        cents = pinned
-          .select(sv.as("sv"),
-            graft.functions.L2Argmin.l2_argmin(col("v"),
-              cents.map(_._1), cents.map(_._2.toArray), off).as("cluster"))
-          .select(col("cluster"), posexplode(col("sv")).as(Seq("dim", "x")))
-          .groupBy(col("cluster"), col("dim"))
-          .agg(round(avg(col("x")), 6).as("mn"))
-          .groupBy(col("cluster"))
-          .agg(array_sort(collect_list(struct(col("dim"), col("mn")))).as("pairs"))
-          .select(col("cluster").cast("int"), expr("transform(pairs, q -> q.mn)").as("c"))
-          .collect().map(r => (r.getInt(0), r.getSeq[Double](1))).sortBy(_._1)
+    try {
+      val perSub = (0 until m).map { j =>
+        val off = j * subDim
+        val sv = expr(s"slice(v, ${off + 1}, $subDim)")
+        var cents: Array[(Int, Seq[Double])] = pinned
+          .orderBy(col("vec_id")).limit(ksub)
+          .select(sv.as("c")).collect().zipWithIndex
+          .map { case (r, i) => (i, r.getSeq[Double](0)) }
+        for (_ <- 1 until iters) {
+          cents = pinned
+            .select(sv.as("sv"),
+              graft.functions.L2Argmin.l2_argmin(col("v"),
+                cents.map(_._1), cents.map(_._2.toArray), off).as("cluster"))
+            .select(col("cluster"), posexplode(col("sv")).as(Seq("dim", "x")))
+            .groupBy(col("cluster"), col("dim"))
+            .agg(round(avg(col("x")), 6).as("mn"))
+            .groupBy(col("cluster"))
+            .agg(array_sort(collect_list(struct(col("dim"), col("mn")))).as("pairs"))
+            .select(col("cluster").cast("int"), expr("transform(pairs, q -> q.mn)").as("c"))
+            .collect().map(r => (r.getInt(0), r.getSeq[Double](1))).sortBy(_._1)
+        }
+        (j, cents)
       }
-      (j, cents)
-    }
-    perSub.flatMap { case (j, cs) => cs.map { case (cid, c) => (j, cid, c) } }
-      .toDF("sub", "cluster", "c")
+      perSub.flatMap { case (j, cs) => cs.map { case (cid, c) => (j, cid, c) } }
+        .toDF("sub", "cluster", "c")
+    } finally releasePin(pinned)
   }
 
   /** (sub → ascending-cluster codebook rows) from a [[pqFit]] frame. */
@@ -839,7 +877,7 @@ object Similarity {
         cbs = pqFit(rotate(pinned, "v", r), m, subDim, ksub, pqIters)
       }
       (r, cbs)
-    } finally pinned.unpersist(blocking = false)
+    } finally releasePin(pinned)
   }
 
   /** PQ-encode in the rotated space: ONE shuffle-free projection — the
@@ -912,14 +950,11 @@ object Similarity {
           element_at(centMap, col("cluster"))), 6).as("__c6"))
       .select(col("vec_id"), col("cluster"),
         expr("CAST(round(__c6 * 1000000, 0) AS BIGINT)").as("cos_ppm"))
-    val w1 = Window
-      .partitionBy(col("cluster"), pmod(xxhash64(col("vec_id")), lit(nSalts.toLong)))
-      .orderBy(col("cos_ppm").asc, col("vec_id").asc)
-    val w2 = Window.partitionBy(col("cluster"))
-      .orderBy(col("cos_ppm").asc, col("vec_id").asc)
-    scored.filter(col("cos_ppm").isNotNull)
-      .withColumn("__brank", row_number().over(w1)).filter(col("__brank") <= k)
-      .withColumn("rank", row_number().over(w2)).filter(col("rank") <= k)
+    // same salted two-phase machinery as the per-probe rankers, via the
+    // shared helper (partitioned by cluster instead of probe_id) — one
+    // implementation carries the null/NaN guard for all of them
+    topKByPartition(scored, k, col("cos_ppm"), ascending = true,
+        parts = Seq(col("cluster")), nSalts = nSalts)
       .select(col("cluster"), col("vec_id"), col("cos_ppm"), col("rank"))
   }
 
@@ -948,6 +983,18 @@ object Similarity {
   def mmrSelect(cands: DataFrame, queryCol: String, idCol: String,
                 relCol: String, vecCol: String, n: Int,
                 lambdaPpm: Long): DataFrame = {
+    // fail loudly on non-integral ids/relevances: the packing below
+    // casts both to long, so a string id ('doc42') would cast to null
+    // and the expression's degenerate-drop would silently discard EVERY
+    // candidate of the query — an empty selection with no error
+    def requireIntegral(name: String): Unit = {
+      val t = cands.schema(name).dataType
+      require(Seq(ByteType, ShortType, IntegerType, LongType).contains(t),
+        s"mmrSelect: column `$name` must be an integral type (ids and " +
+          s"ppm relevances ride as longs), got $t")
+    }
+    requireIntegral(idCol)
+    requireIntegral(relCol)
     // ONE collect_list of a struct, then a positional unzip — never
     // three parallel collect_lists: collect_list silently skips null
     // INPUTS, so independent per-column collects would misalign the
@@ -1002,28 +1049,49 @@ object Similarity {
     * the join key. Output contract matches [[bruteForceTopK]]. */
   def rerankExact(cands: DataFrame, probes: DataFrame, vectors: DataFrame,
                   k: Int, roundTo: Int = 4): DataFrame = {
+    // distinct + self-pair filter BEFORE the join: an external candidate
+    // frame may carry duplicate (probe_id, vec_id) rows (a union of two
+    // ANN sources) or the probe itself — a duplicate would hold two of
+    // the k ranks for one vector and a self-pair would crown rank 1 at
+    // cosine 1.0, both violating the bruteForceTopK output contract
+    // this stage claims. Candidate-set-sized (≤ fetchK·|probes|), so
+    // the distinct is a broadcast-side no-op at scale.
+    val cleaned = cands.select(col("probe_id"), col("vec_id"))
+      .filter(col("vec_id") =!= col("probe_id")).distinct()
     val scored = vectors.select(col("vec_id"), col("v"))
-      .join(broadcast(cands.select(col("probe_id"), col("vec_id"))), "vec_id")
+      .join(broadcast(cleaned), "vec_id")
       .join(broadcast(probes.select(col("probe_id"), col("p"))), "probe_id")
       .select(col("probe_id"), col("vec_id"), round(cosineExpr, roundTo).as("cosine"))
     topKPerProbe(scored, k)
   }
 
   /** The [[topKPerProbe]] two-phase salted pattern under an arbitrary
-    * score ordering (ties always break on ascending vec_id). A null
-    * score can only arise from out-of-contract input (a null probe code,
-    * mismatched array widths null-padding a fold) — those rows DROP
-    * before ranking: ascending row_number is NULLS FIRST, so without the
-    * filter one garbage row per probe would silently crown the top-k. */
+    * score ordering (ties always break on ascending vec_id). A null OR
+    * NaN score can only arise from out-of-contract input (a null probe
+    * code, mismatched array widths null-padding a fold, a zero-norm
+    * vector whose cosine is 0/0) — those rows DROP before ranking:
+    * ascending row_number is NULLS FIRST and Spark's nan-safe ordering
+    * sorts NaN ABOVE every real double, so without both guards one
+    * garbage row per probe would silently crown the descending top-k
+    * (a single all-zero corpus vector would become the rank-1
+    * "neighbor" of every probe). */
   private def topKPerProbeBy(scored: DataFrame, k: Int, score: Column,
-                             ascending: Boolean, nSalts: Int = 32): DataFrame = {
+                             ascending: Boolean, nSalts: Int = 32): DataFrame =
+    topKByPartition(scored, k, score, ascending, Seq(col("probe_id")), nSalts)
+
+  /** [[topKPerProbeBy]] under an arbitrary partition key — shared by the
+    * per-probe rankers and [[clusterOutliers]]' per-cluster cut so the
+    * salted two-phase machinery (and its null/NaN guard) exists once. */
+  private def topKByPartition(scored: DataFrame, k: Int, score: Column,
+                              ascending: Boolean, parts: Seq[Column],
+                              nSalts: Int = 32): DataFrame = {
     val primary = if (ascending) score.asc else score.desc
     val w1 = Window
-      .partitionBy(col("probe_id"), pmod(xxhash64(col("vec_id")), lit(nSalts.toLong)))
+      .partitionBy(parts :+ pmod(xxhash64(col("vec_id")), lit(nSalts.toLong)): _*)
       .orderBy(primary, col("vec_id").asc)
-    val w2 = Window.partitionBy(col("probe_id"))
+    val w2 = Window.partitionBy(parts: _*)
       .orderBy(primary, col("vec_id").asc)
-    scored.filter(score.isNotNull)
+    scored.filter(score.isNotNull && !isnan(score.cast("double")))
       .withColumn("__brank", row_number().over(w1)).filter(col("__brank") <= k)
       .withColumn("rank", row_number().over(w2)).filter(col("rank") <= k)
       .drop("__brank")
@@ -1180,12 +1248,19 @@ object Similarity {
 
   def embeddingDrift(oldV: DataFrame, newV: DataFrame, strataCol: String,
                      roundTo: Int = 6): DataFrame = {
-    def side(df: DataFrame, vn: String, cn: String): DataFrame =
+    def side(df: DataFrame, kn: String, vn: String, cn: String): DataFrame =
       strataCentroids(df, strataCol, roundTo = roundTo)
-        .select(col(strataCol), col("c").as(vn), col("n").as(cn))
-    side(oldV, "__co", "n_old")
-      .join(side(newV, "__cn", "n_new"), Seq(strataCol), "full_outer")
-      .select(col(strataCol),
+        .select(col(strataCol).as(kn), col("c").as(vn), col("n").as(cn))
+    // null-SAFE join key (<=>): a null stratum (unlabeled source) is a
+    // legitimate slice a drift monitor must pair across versions — a
+    // plain USING join never matches null keys, so the null stratum
+    // split into TWO rows each claiming the other version was empty,
+    // and drift_cos was never computed for exactly the unattributed
+    // slice most likely to hide a broken encoder.
+    side(oldV, "__so", "__co", "n_old")
+      .join(side(newV, "__sn", "__cn", "n_new"),
+        col("__so") <=> col("__sn"), "full_outer")
+      .select(coalesce(col("__so"), col("__sn")).as(strataCol),
         coalesce(col("n_old"), lit(0L)).as("n_old"),
         coalesce(col("n_new"), lit(0L)).as("n_new"),
         round(graft.functions.CosineSim.cosine_sim(col("__co"), col("__cn")),
@@ -1216,7 +1291,13 @@ object Similarity {
     * it is checkpointed — one assignment pass, not two. */
   def semanticDedup(vectors: DataFrame, cents: DataFrame,
                     threshold: Double, reliable: Boolean): DataFrame = {
-    val assigned = assignClusters(vectors, cents)
+    // cluster -1 is the degenerate label (zero-norm / width-mismatched
+    // vectors — CosineArgmax returns -1 when no cosine is defined):
+    // exclude it BEFORE the self-join. Degenerates pairing with each
+    // other is an unintended O(n_degenerate²) bucket whose cosines are
+    // all 0/0 = NaN, and Spark's nan-safe compare would pass NaN >=
+    // threshold — reporting "duplicates" whose similarity is undefined.
+    val assigned = assignClusters(vectors, cents).filter(col("cluster") =!= -1)
     val labeled = if (reliable) assigned.checkpoint(eager = false)
       else assigned.localCheckpoint(eager = false)
     val lo = labeled.select(col("cluster"), col("vec_id").as("lo_id"), col("v"))
@@ -1224,7 +1305,7 @@ object Similarity {
     lo.join(hi, Seq("cluster"))
       .filter(col("lo_id") < col("hi_id"))
       .select(col("cluster"), col("hi_id"), round(cosineExpr, 6).as("cos"))
-      .filter(col("cos") >= threshold)
+      .filter(col("cos") >= threshold && !isnan(col("cos")))
       .groupBy(col("hi_id").as("removed_vec_id"))
       .agg(max(col("cluster")).as("cluster"),
         count(lit(1)).as("n_near"),

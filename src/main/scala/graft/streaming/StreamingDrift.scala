@@ -34,11 +34,19 @@ object StreamingDrift {
     * drift_cos whenever a side is missing. */
   def driftVsProfile(profile: DataFrame, batch: DataFrame, strataCol: String,
                      roundTo: Int = 6): DataFrame =
-    profile.select(col(strataCol), col("c").as("__cr"), col("n").as("n_ref"))
+    // null-SAFE key (<=>): a null stratum (unlabeled rows) must pair
+    // across the profile and the batch — a USING join never matches
+    // null keys, so the null stratum split into two half-rows, each
+    // with a null drift_cos, and the alert cut misread the slice as
+    // "unknown to the profile" + "untouched this batch" instead of
+    // comparing its centroids (same hazard as embeddingDrift's).
+    profile.select(col(strataCol).as("__sr"), col("c").as("__cr"),
+        col("n").as("n_ref"))
       .join(Similarity.strataCentroids(batch, strataCol, roundTo = roundTo)
-        .select(col(strataCol), col("c").as("__cb"), col("n").as("n_batch")),
-        Seq(strataCol), "full_outer")
-      .select(col(strataCol),
+          .select(col(strataCol).as("__sb"), col("c").as("__cb"),
+            col("n").as("n_batch")),
+        col("__sr") <=> col("__sb"), "full_outer")
+      .select(coalesce(col("__sr"), col("__sb")).as(strataCol),
         coalesce(col("n_ref"), lit(0L)).as("n_ref"),
         coalesce(col("n_batch"), lit(0L)).as("n_batch"),
         round(graft.functions.CosineSim.cosine_sim(col("__cr"), col("__cb")),

@@ -400,13 +400,18 @@ class CurationSpec extends SparkTestBase {
     val hof = Similarity.assignClustersHof(vecs, cents)
       .select($"vec_id", $"cluster").as[(Long, Int)].collect().toMap
     assert(native == hof, "native and HOF argmax diverged")
-    // out-of-contract zero-norm vector: the HOF/SQL form raises ANSI
-    // DIVIDE_BY_ZERO; the native expression degrades to the no-match
-    // label instead of killing the stage
-    val zero = Similarity
-      .assignClusters(Seq((900L, Seq(0.0, 0.0))).toDF("vec_id", "v"), cents)
+    // out-of-contract zero-norm vector: a bare `/` raises ANSI
+    // DIVIDE_BY_ZERO (killing the stage); with ANSI off it yields NaN,
+    // which nan-safe compare hands to the FIRST centroid. The HOF path
+    // must survive (try_divide) AND agree with native on -1.
+    val zeroVec = Seq((900L, Seq(0.0, 0.0))).toDF("vec_id", "v")
+    val zero = Similarity.assignClusters(zeroVec, cents)
       .select($"cluster").as[Int].head()
     assert(zero == -1, "a zero-norm vector must match no centroid")
+    val zeroHof = Similarity.assignClustersHof(zeroVec, cents)
+      .select($"cluster").as[Int].head()
+    assert(zeroHof == -1,
+      "HOF path must give the zero-norm vector the same -1 label (NaN never wins)")
     // out-of-contract length mismatch: the HOF form's zip_with null-pads
     // and the null propagates through the fold, so the -1 init wins; the
     // native expression must take the same -1 path on BOTH directions of
@@ -1890,5 +1895,114 @@ class CurationSpec extends SparkTestBase {
     val hot = got.head
     assert(hot._3 == 600000L) // 60/100 in ppm, integer-exact
     assert(hot._4 == 7.2)     // 60 / (100/12 mean)
+  }
+
+  // --- NaN / degenerate-input guards (zero-norm cosine is 0/0 = NaN,
+  // and Spark's nan-safe ordering + comparisons treat NaN as LARGER
+  // than every real double — so an unguarded desc ranking or
+  // >= threshold filter promotes exactly the garbage rows) ------------
+
+  test("zero-norm vectors never rank, pair, or semantically dedup") {
+    import spark.implicits._
+    import graft.operators.Similarity
+    // brute-force top-k: an all-zero corpus vector must not crown any
+    // probe (pre-guard it ranked FIRST for every probe: cosine NaN
+    // sorts above 1.0 in a descending nan-safe sort)
+    val vecs = ((0L until 6L)
+      .map(i => (i, Seq(math.cos(i / 6.0), math.sin(i / 6.0)))) :+
+      (99L, Seq(0.0, 0.0))).toDF("vec_id", "v")
+    val probes = Seq((1000L, Seq(1.0, 0.0))).toDF("probe_id", "p")
+    val top = Similarity.bruteForceTopK(vecs, probes, k = 3)
+      .select($"vec_id", $"cosine").as[(Long, Double)].collect()
+    assert(!top.map(_._1).contains(99L),
+      s"zero-norm vector crowned the top-k: ${top.toSeq}")
+    assert(top.forall(r => !r._2.isNaN) && top.length == 3)
+    // SRP near-dup pairs: zero vectors share the all-ones sign code in
+    // every band (0.0 >= 0), so they become candidates of each other —
+    // but an undefined cosine is not a verified near-duplicate
+    val withZeros = ((0L until 4L)
+      .map(i => (i, Seq(1.0, 2.0, 3.0, 4.0))) ++
+      Seq((50L, Seq(0.0, 0.0, 0.0, 0.0)), (51L, Seq(0.0, 0.0, 0.0, 0.0))))
+      .toDF("vec_id", "v")
+    val pairs = Similarity.cosineNearDups(withZeros, threshold = 0.9, dim = 4)
+      .select($"v1", $"v2", $"cosine").as[(Long, Long, Double)].collect()
+    assert(pairs.nonEmpty && pairs.forall(p => !p._3.isNaN),
+      s"NaN cosine emitted as a near-dup: ${pairs.toSeq}")
+    assert(!pairs.exists(p => p._1 >= 50L || p._2 >= 50L),
+      s"zero-norm vectors reported as near-dups: ${pairs.toSeq}")
+    // semanticDedup: degenerates share the -1 no-match label — they
+    // must neither pair with each other nor appear as removed rows
+    val sem = Similarity.semanticDedup(withZeros, k = 2, iters = 2,
+        threshold = 0.9)
+      .select($"removed_vec_id", $"max_cos").as[(Long, Double)].collect()
+    assert(sem.map(_._1).toSet == Set(1L, 2L, 3L),
+      s"expected exactly the identical-vector dups removed: ${sem.toSeq}")
+    assert(sem.forall(r => !r._2.isNaN))
+  }
+
+  test("rerankExact cleans duplicate and self-pair candidates") {
+    import spark.implicits._
+    import graft.operators.Similarity
+    val vecs = (0L until 6L)
+      .map(i => (i, Seq(math.cos(i / 6.0), math.sin(i / 6.0))))
+      .toDF("vec_id", "v")
+    val probes = Seq((0L, Seq(1.0, 0.0))).toDF("probe_id", "p")
+    // candidate list carries the probe itself AND a duplicated pair —
+    // a union of two ANN sources does exactly this
+    val cands = Seq((0L, 0L), (0L, 1L), (0L, 1L), (0L, 2L), (0L, 3L))
+      .toDF("probe_id", "vec_id")
+    val got = Similarity.rerankExact(cands, probes, vecs, k = 3)
+      .select($"vec_id", $"rank").as[(Long, Int)].collect().sortBy(_._2)
+    assert(got.map(_._1).toSeq == Seq(1L, 2L, 3L),
+      s"self-pair or duplicate survived the rerank: ${got.toSeq}")
+  }
+
+  test("mmrSelect rejects non-integral id and relevance columns loudly") {
+    import spark.implicits._
+    import graft.operators.Similarity
+    val cands = Seq(("q1", "doc42", 1000000L, Seq(1.0, 0.0)))
+      .toDF("query_id", "id", "rel_ppm", "v")
+    // a string id would cast to null and silently drop EVERY candidate
+    val e = intercept[IllegalArgumentException] {
+      Similarity.mmrSelect(cands, "query_id", "id", "rel_ppm", "v",
+        n = 1, lambdaPpm = 700000L)
+    }
+    assert(e.getMessage.contains("integral"), e.getMessage)
+  }
+
+  test("embeddingDrift pairs the null stratum across versions") {
+    import spark.implicits._
+    import graft.operators.Similarity
+    val oldV = Seq((Option("a"), Seq(1.0, 0.0)), (Option.empty[String], Seq(0.0, 1.0)))
+      .toDF("src", "v")
+    val newV = Seq((Option("a"), Seq(1.0, 0.0)), (Option.empty[String], Seq(0.0, 1.0)))
+      .toDF("src", "v")
+    val got = Similarity.embeddingDrift(oldV, newV, "src")
+      .select($"src", $"n_old", $"n_new", $"drift_cos")
+      .as[(Option[String], Long, Long, Option[Double])].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // a plain USING join split the null stratum into two half-rows each
+    // claiming the other version was empty, with no drift_cos at all
+    assert(got(None) == ((1L, 1L, Some(1.0))),
+      s"null stratum must pair across versions: $got")
+    assert(got(Some("a")) == ((1L, 1L, Some(1.0))))
+  }
+
+  test("pqFit and opqFit release their pinned training samples") {
+    import spark.implicits._
+    import graft.operators.Similarity
+    val sample = (0L until 32L)
+      .map(i => (i, Seq.tabulate(4)(j => math.sin(i + j))))
+      .toDF("vec_id", "v")
+    val before = spark.sparkContext.getPersistentRDDs.size
+    Similarity.pqFit(sample, m = 2, subDim = 2, ksub = 4, iters = 2).count()
+    Similarity.opqFit(sample, m = 2, subDim = 2, ksub = 4,
+      pqIters = 1, opqIters = 1)
+    val after = spark.sparkContext.getPersistentRDDs.size
+    // Dataset.unpersist on a localCheckpoint is a CacheManager no-op —
+    // the release must go through the plan's LogicalRDD (pre-fix this
+    // leaked one sample-sized pin per call, one PER ROUND under opqFit)
+    assert(after <= before,
+      s"pinned training samples leaked: $before -> $after persistent RDDs")
   }
 }

@@ -1018,6 +1018,20 @@ class StreamingSpec extends SparkTestBase {
       .select($"label").as[String].collect().toSet
     assert(corruptHit == Set("a", "b"),
       s"dim-swap and zero-norm strata must alert, got $corruptHit")
+    // the NULL stratum (unlabeled rows) must pair across profile and
+    // batch like any other: a USING join split it into two half-rows
+    // (n_ref=0 + n_batch=0) whose null drift_cos misread the slice as
+    // unknown+untouched instead of comparing its centroids
+    val nref = Seq((Option("a"), Seq(1.0, 0.0)), (Option.empty[String], Seq(0.0, 1.0)))
+      .toDF("label", "v")
+    val nbatch = Seq((Option.empty[String], Seq(0.0, 1.0))).toDF("label", "v")
+    val nrows = StreamingDrift.driftVsProfile(
+        Similarity.strataCentroids(nref, "label"), nbatch, "label")
+      .select($"label", $"n_ref", $"n_batch", $"drift_cos")
+      .as[(Option[String], Long, Long, Option[Double])].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(nrows(None) == ((1L, 1L, Some(1.0))),
+      s"null stratum must pair across versions: $nrows")
     // the stream: same batches through foreachBatch, alerts land per
     // batch_id partition
     val dir = java.nio.file.Files.createTempDirectory("drift").toString
