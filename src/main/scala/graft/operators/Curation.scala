@@ -43,12 +43,6 @@ object Curation {
         round(col("i") / col("bn"), 6).as("coverage"))
   }
 
-  /** Deterministic keep/drop decision for hash-based stratified sampling
-    * (language/domain mixing): keep a row iff the uniform draw derived
-    * from md5(salt || key) is below the stratum's rate. The hash is the
-    * first 6 hex digits as an integer in [0, 16^6) — portable to any
-    * engine with md5, so mixtures are reproducible byte-for-byte.
-    */
   /** First 6 hex digits of md5(salt || key) as a long in [0, 16^6) — the
     * engine-portable uniform draw shared by sampling ([[sampleKeep]]) and
     * shard assignment ([[packBatchesSharded]]); [[shardAssign]] applies
@@ -57,6 +51,12 @@ object Curation {
   private def md5Draw(salt: String, key: Column): Column =
     conv(substring(md5(concat(lit(salt), key)), 1, 6), 16, 10).cast("long")
 
+  /** Deterministic keep/drop decision for hash-based stratified sampling
+    * (language/domain mixing): keep a row iff the uniform draw derived
+    * from md5(salt || key) is below the stratum's rate. The hash is the
+    * first 6 hex digits as an integer in [0, 16^6) — portable to any
+    * engine with md5, so mixtures are reproducible byte-for-byte.
+    */
   def sampleKeep(keyExpr: org.apache.spark.sql.Column,
                  strataCol: org.apache.spark.sql.Column,
                  rates: Map[String, Double], defaultRate: Double,
@@ -114,6 +114,12 @@ object Curation {
     * the deterministic "greedy fill, spill overflow" packing used to build
     * fixed-budget training batches. Adds `batch_id`.
     *
+    * Reproducibility contract (all three packers): `orderCol` must be
+    * UNIQUE within a stratum — the running sum uses a ROWS frame, so
+    * rows tied on orderCol get an arbitrary relative order each run and
+    * their batch_ids would differ run to run. Pack on a doc id, or a
+    * (date, id) composite, never a bare date.
+    *
     * Pure long arithmetic (`div`, no double division): exact past 2^53
     * cumulative tokens — a 100 TB corpus overflows double-precision token
     * offsets, integer division does not — and bit-identical across
@@ -121,6 +127,7 @@ object Curation {
     */
   def packBatches(rows: DataFrame, strataCol: String, orderCol: String,
                   tokensCol: String, budget: Long): DataFrame = {
+    require(budget > 0, s"token budget must be positive, got $budget")
     val w = Window.partitionBy(col(strataCol))
       .orderBy(col(orderCol)).rowsBetween(Window.unboundedPreceding, 0)
     rows
@@ -139,6 +146,7 @@ object Curation {
     * beyond the stratum window. */
   def packBatchesSplitting(rows: DataFrame, strataCol: String, orderCol: String,
                            tokensCol: String, budget: Long): DataFrame = {
+    require(budget > 0, s"token budget must be positive, got $budget")
     val w = Window.partitionBy(col(strataCol))
       .orderBy(col(orderCol)).rowsBetween(Window.unboundedPreceding, 0)
     rows
@@ -175,6 +183,7 @@ object Curation {
                          tokensCol: String, budget: Long, nShards: Int,
                          salt: String): DataFrame = {
     require(nShards >= 1, "nShards must be positive")
+    require(budget > 0, s"token budget must be positive, got $budget")
     val shard = md5Draw(salt, col(orderCol).cast("string")) % nShards
     val w = Window.partitionBy(col(strataCol), col("shard_id"))
       .orderBy(col(orderCol)).rowsBetween(Window.unboundedPreceding, 0)
@@ -237,11 +246,17 @@ object Curation {
         filter(array_distinct(ws), w => w =!= ""))).as("t"))
       .groupBy(col("t")).agg(count(lit(1)).as("df"))
     val nDocs = counts.filter(col("t") === "").select(col("df").as("n"))
+    // pinned lazily (the in-file bm25TopKMulti discipline): the take()
+    // probe below fully runs the corpus-sized token-df aggregation, and
+    // the oversized-stoplist branch reads stopDf AGAIN inside the
+    // anti-join — without the pin that whole explode+groupBy lineage
+    // executed twice. The materialized frame is vocabulary-bounded.
     val stopDf = counts
       .filter(col("t") =!= "")
       .crossJoin(broadcast(nDocs))
       .filter(col("df") > floor(lit(dfRatio) * col("n")))
       .select(col("t"))
+      .localCheckpoint(eager = false)
     val probe = stopDf.take(maxStoplistLiteral + 1)
     if (probe.length <= maxStoplistLiteral) {
       val stop = probe.map(_.getString(0)).toSeq.sorted
@@ -285,16 +300,6 @@ object Curation {
     }
   }
 
-  /** Temperature-based mixture weights over strata (north-star: data
-    * mixing — the per-source sampling weights fed to [[sampleKeep]] when
-    * building a training mix). Weight of stratum s is n_s^α / Σ n_t^α:
-    * α = 1 reproduces natural proportions, α = 0 is uniform, α ≈ 0.3–0.7
-    * is the usual low-resource up-weighting.
-    *
-    * One map-side-combinable count shuffle; the denominator is a 1-row
-    * broadcast. Weights round to 6 dp so the ratio is stable across
-    * summation orders. Returns (strataCol, n_docs, weight).
-    */
   /** One-pass corpus profile per stratum — the data card a 100 TB
     * curation run publishes next to its output: document and token
     * volume, mean document length, language diversity, and the short-doc
@@ -307,7 +312,11 @@ object Curation {
                     langCol: String, shortBelowTokens: Long): DataFrame =
     docs
       .select(col(strataCol), col(langCol),
-        size(split(trim(col(textCol)), "\\s+")).cast("long").as("__nt"))
+        // non-empty tokens only: split(trim('')) is [''] with size 1, so
+        // a stratum of empty docs (scraper failures) would publish one
+        // phantom token per document on its data card
+        size(filter(split(trim(col(textCol)), "\\s+"), w => w =!= ""))
+          .cast("long").as("__nt"))
       .groupBy(col(strataCol))
       .agg(
         count(lit(1)).as("n_docs"),
@@ -319,6 +328,16 @@ object Curation {
         col("n_langs"),
         expr("1000000 * __short div n_docs").as("short_ppm"))
 
+  /** Temperature-based mixture weights over strata (north-star: data
+    * mixing — the per-source sampling weights fed to [[sampleKeep]] when
+    * building a training mix). Weight of stratum s is n_s^α / Σ n_t^α:
+    * α = 1 reproduces natural proportions, α = 0 is uniform, α ≈ 0.3–0.7
+    * is the usual low-resource up-weighting.
+    *
+    * One map-side-combinable count shuffle; the denominator is a 1-row
+    * broadcast. Weights round to 6 dp so the ratio is stable across
+    * summation orders. Returns (strataCol, n_docs, weight).
+    */
   def mixtureWeights(docs: DataFrame, strataCol: String, alpha: Double): DataFrame = {
     val counts = docs.groupBy(col(strataCol)).agg(count(lit(1)).as("n_docs"))
     val denom = counts.agg(sum(pow(col("n_docs"), alpha)).as("denom"))

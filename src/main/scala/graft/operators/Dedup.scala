@@ -328,7 +328,10 @@ object Dedup {
     require(maxHamming < bands, s"exactness needs maxHamming < bands (pigeonhole)")
     require(64 % bands == 0, s"bands=$bands must divide 64")
     val bits = 64 / bands
-    val mask = (1L << bits) - 1
+    // bands = 1 => bits = 64, and Scala shifts wrap mod 64: (1L << 64) - 1
+    // is 0, which would collapse EVERY fingerprint to band code 0 — one
+    // corpus-sized bucket instead of exact 64-bit matching
+    val mask = if (bits == 64) -1L else (1L << bits) - 1
     val bandCols = (0 until bands).map(b => struct(
       lit(b).as("band"),
       shiftrightunsigned(col("f"), b * bits).bitwiseAND(lit(mask)).as("code")))
@@ -388,6 +391,14 @@ object Dedup {
       labels = updated.select(col("id"), col("next").as("rep"))
       iter += 1
     }
+    // fail LOUDLY on a maxIter exit: partially-propagated labels split
+    // one true cluster into several, and selectRepresentatives would
+    // then silently keep multiple copies of the same content. Min-label
+    // propagation needs ~graph-diameter rounds — raise maxIter for
+    // long near-dup chains.
+    require(converged,
+      s"connectedComponents did not converge within maxIter=$maxIter " +
+        "iterations (labels would be wrong); raise maxIter")
     labels.select(col("id").as("doc_id"), col("rep").as("cluster_rep"))
   }
 
@@ -450,6 +461,11 @@ object Dedup {
     val db = buildBandIndex(delta, idCol, textCol, n, k, bands)
       .withColumnRenamed("id", "delta_id")
     index.join(db, Seq("band_id", "h"))
+      // a doc present in BOTH the stored index and the delta (a replayed
+      // batch after a partial ingestion failure) would otherwise pair
+      // with itself, score Jaccard 1.0 downstream, and be dropped as a
+      // duplicate of itself
+      .filter(col("id") =!= col("delta_id"))
       .select(col("id").as("corpus_id"), col("delta_id"))
       .distinct()
   }
@@ -471,9 +487,12 @@ object Dedup {
       .join(quality.select(col(idCol).as("doc_id"), col(qCol).as("__q")), "doc_id")
       .groupBy(col("cluster_rep"))
       .agg(
-        // argmax by (quality, then smaller id): struct comparison is
-        // field-wise, so maximizing (q, -id) breaks ties downward on id
-        max_by(col("doc_id"), struct(col("__q"), (-col("doc_id")).as("nid")))
+        // argmin by (-quality, id): struct comparison is field-wise, so
+        // minimizing (-q, id) maximizes quality and breaks ties on the
+        // SMALLER id. (The previous max_by over (q, -id) negated the doc
+        // id, which threw under ANSI for the string ids every other
+        // dedup operator supports.)
+        min_by(col("doc_id"), struct((-col("__q")).as("nq"), col("doc_id")))
           .as("kept_doc_id"),
         count(lit(1)).as("n_members"),
         max(col("__q")).as("best_q"))

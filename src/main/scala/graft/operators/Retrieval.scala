@@ -54,9 +54,13 @@ object Retrieval {
     * docs, ties broken by ascending id.
     */
   def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
-               terms: Seq[String], k: Int,
+               terms0: Seq[String], k: Int,
                k1Milli: Long = 1200L, bMilli: Long = 750L): DataFrame = {
-    require(terms.nonEmpty && k > 0)
+    require(terms0.nonEmpty && k > 0)
+    // corpus tokens are lower()'d below, so query terms must normalize
+    // the same way — a verbatim 'Transformer' would silently match
+    // nothing; distinct so 'Spark' + 'spark' can't double-count a tf
+    val terms = terms0.map(_.toLowerCase).distinct
     val ws = split(trim(lower(col(textCol))), "\\s+")
     // pinned (lazily): corpus stats AND tf both consume the per-doc
     // (id, dl, hits) frame — without the checkpoint each consumer re-runs
@@ -132,7 +136,10 @@ object Retrieval {
                     k: Int, k1Milli: Long = 1200L, bMilli: Long = 750L,
                     maxVocabLiteral: Int = 65536): DataFrame = {
     require(k > 0)
-    val qt = queries.select(col(qidCol).as("__qid"), col(termCol).as("term")).distinct()
+    // lower() the query terms like the corpus tokens (see [[bm25TopK]]);
+    // the distinct collapses case-variant duplicates within a query
+    val qt = queries
+      .select(col(qidCol).as("__qid"), lower(col(termCol)).as("term")).distinct()
     val ws = split(trim(lower(col(textCol))), "\\s+")
     val base = docs.select(col(idCol).as("id"), ws.as("__ws"))
     val stats = base.select(size(col("__ws")).cast("long").as("dl"))
@@ -188,18 +195,6 @@ object Retrieval {
         col("n_terms_matched"), col("score_ppm"), col("rank"))
   }
 
-  /** Global adjacent-symbol pair counts over the corpus — the first
-    * iteration of BPE tokenizer training (Sennrich et al. 2016). Words are
-    * whitespace tokens lowercased; symbols are single characters plus the
-    * `</w>` end-of-word marker; every adjacent pair in every word counts
-    * once per corpus occurrence of the word.
-    *
-    * The corpus collapses to (word, count) FIRST — one map-side-combined
-    * shuffle bounded by vocabulary size — and pairs explode over distinct
-    * words only, weighted by the count. A 100 TB corpus with a 10 M-word
-    * vocabulary explodes ~100 M pair rows, not trillions. Returns the
-    * `topK` pairs as (pair, n_occurrences), ties broken by ascending pair.
-    */
   /** Greedy BPE encode of one word under a ranked merge table — the
     * standard lowest-rank-first loop (Sennrich et al. 2016 `apply_bpe`):
     * start from characters + `</w>`, repeatedly merge the adjacent pair
@@ -422,6 +417,18 @@ object Retrieval {
     learned.toSeq
   }
 
+  /** Global adjacent-symbol pair counts over the corpus — the first
+    * iteration of BPE tokenizer training (Sennrich et al. 2016). Words are
+    * whitespace tokens lowercased; symbols are single characters plus the
+    * `</w>` end-of-word marker; every adjacent pair in every word counts
+    * once per corpus occurrence of the word.
+    *
+    * The corpus collapses to (word, count) FIRST — one map-side-combined
+    * shuffle bounded by vocabulary size — and pairs explode over distinct
+    * words only, weighted by the count. A 100 TB corpus with a 10 M-word
+    * vocabulary explodes ~100 M pair rows, not trillions. Returns the
+    * `topK` pairs as (pair, n_occurrences), ties broken by ascending pair.
+    */
   def bpePairCounts(docs: DataFrame, textCol: String, topK: Int): DataFrame = {
     val vocab = docs
       .select(explode(split(trim(lower(col(textCol))), "\\s+")).as("w"))

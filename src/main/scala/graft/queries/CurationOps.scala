@@ -426,7 +426,8 @@ object CurationOps {
     "t_corpus_profile" ->
       """WITH d AS (
            SELECT source, lang,
-                  len(string_split_regex(trim(text), '\s+'))::BIGINT AS nt
+                  len(list_filter(string_split_regex(trim(text), '\s+'),
+                                  w -> w <> ''))::BIGINT AS nt
            FROM documents)
          SELECT source, count(*) AS n_docs, CAST(sum(nt) AS BIGINT) AS sum_tokens,
                 CAST(sum(nt) // count(*) AS BIGINT) AS mean_tokens,

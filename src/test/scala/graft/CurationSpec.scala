@@ -1988,6 +1988,74 @@ class CurationSpec extends SparkTestBase {
     assert(got(Some("a")) == ((1L, 1L, Some(1.0))))
   }
 
+  test("dedup edge contracts: bands=1 simhash, replayed-delta self-pairs, string-id representatives, unconverged components fail loudly") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    // bands = 1: the band mask is the FULL 64 bits ((1L << 64) wraps to
+    // 1, so a naive mask collapsed every fingerprint to code 0 — one
+    // corpus-sized bucket). Distinct fingerprints must NOT pair.
+    val fps = Seq((1L, 5L), (2L, 5L), (3L, 0x7fffffffffffffffL))
+      .toDF("id", "f")
+    val sp = Dedup.simhashNearDups(fps, maxHamming = 0, bands = 1)
+      .select($"d1", $"d2").as[(Long, Long)].collect().toSet
+    assert(sp == Set((1L, 2L)),
+      s"bands=1 must bucket on the full 64-bit code: $sp")
+    // a doc present in both the stored index and a replayed delta batch
+    // must not pair with itself (it would verify at Jaccard 1.0 and be
+    // dropped as a duplicate of itself)
+    val corpus = Seq((10L, "alpha beta gamma delta epsilon zeta")).toDF("id", "text")
+    val idx = Dedup.buildBandIndex(corpus, "id", "text", n = 3, k = 8, bands = 4)
+    val cands = Dedup.incrementalNearDupCandidates(idx, corpus, "id", "text",
+        n = 3, k = 8, bands = 4)
+      .collect()
+    assert(cands.isEmpty, s"self-pairs from a replayed delta: ${cands.toSeq}")
+    // string doc ids: the old tie-break negated the id (ANSI cast error /
+    // nondeterministic ties); (−q, id) struct argmin keeps string support
+    val clusters = Seq(("doc-b", "rep"), ("doc-a", "rep"), ("doc-c", "rep"))
+      .toDF("doc_id", "cluster_rep")
+    val quality = Seq(("doc-a", 1.0), ("doc-b", 1.0), ("doc-c", 0.5))
+      .toDF("doc_id", "q")
+    val kept = Dedup.selectRepresentatives(clusters, quality, "doc_id", "q")
+      .select($"kept_doc_id").as[String].head()
+    assert(kept == "doc-a", s"quality tie must keep the smaller id: $kept")
+    // a chain longer than maxIter propagates partially — that must THROW
+    // (silent partial labels split one true cluster into several)
+    val chain = (0L until 6L).sliding(2).map(p => (p(0), p(1))).toSeq
+      .toDF("d1", "d2")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.connectedComponents(chain, maxIter = 2).collect()
+    }
+    assert(e.getMessage.contains("converge"), e.getMessage)
+    // and with enough rounds the same chain fully converges to one rep
+    val reps = Dedup.connectedComponents(chain, maxIter = 10)
+      .select($"cluster_rep").distinct().as[Long].collect().toSeq
+    assert(reps == Seq(0L))
+  }
+
+  test("curation guards: empty docs carry zero tokens, zero budget throws, uppercase bm25 terms match") {
+    import spark.implicits._
+    import graft.operators.{Curation, Retrieval}
+    val docs = Seq(
+      (1L, "one two three", "en", "web"),
+      (2L, "   ", "en", "web"),
+      (3L, "", "en", "web")).toDF("doc_id", "text", "lang", "source")
+    val prof = Curation.corpusProfile(docs, "source", "text", "lang",
+        shortBelowTokens = 2L)
+      .select($"sum_tokens", $"n_docs").as[(Long, Long)].head()
+    // split(trim('')) is [''] — a phantom token per empty doc unless
+    // filtered; 2 empty docs must contribute 0, not 2
+    assert(prof == ((3L, 3L)), s"phantom tokens on empty docs: $prof")
+    intercept[IllegalArgumentException] {
+      Curation.packBatches(docs, "source", "doc_id", "doc_id", budget = 0L)
+    }
+    // corpus tokens lowercase; a verbatim uppercase query term must
+    // normalize instead of silently matching nothing
+    val hits = Retrieval.bm25TopK(docs, "doc_id", "text", Seq("Two", "TWO"),
+        k = 5)
+      .select($"doc_id").as[Long].collect().toSeq
+    assert(hits == Seq(1L), s"case-variant terms must match (once): $hits")
+  }
+
   test("pqFit and opqFit release their pinned training samples") {
     import spark.implicits._
     import graft.operators.Similarity
