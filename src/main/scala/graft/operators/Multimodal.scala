@@ -51,8 +51,12 @@ object Multimodal {
   def extractMeta(content: Column, kind: String): Column =
     struct(
       lit(kind).as("kind"),
-      conv(substring(hex(content), 9, 8), 16, 10).cast("int").as("width"),
-      conv(substring(hex(content), 17, 8), 16, 10).cast("int").as("height"),
+      // hex ONLY the 4 header bytes: hex(content) materialized a string
+      // 2x the whole blob per expression just to read 8 chars — a
+      // 100 MB video paid ~400 MB of hex strings on the path that
+      // exists to be the cheap pre-codec filter
+      conv(hex(substring(content, 5, 4)), 16, 10).cast("int").as("width"),
+      conv(hex(substring(content, 9, 4)), 16, 10).cast("int").as("height"),
       length(content).cast("long").as("n_bytes"))
 
   /** Batched per-partition decode — the real-codec integration seam.
@@ -202,7 +206,7 @@ object Multimodal {
     * rewrite and proportional byte budget are the plumbing a codec swap
     * keeps). */
   def resizeStub(content: Column, newWidth: Column, newHeight: Column): Column = {
-    val oldWidth = conv(substring(hex(content), 9, 8), 16, 10).cast("int")
+    val oldWidth = conv(hex(substring(content, 5, 4)), 16, 10).cast("int")
     val payloadLen = length(content) - 12
     val keep = greatest(lit(1),
       ((payloadLen * newWidth) / greatest(oldWidth, lit(1))).cast("int"))
@@ -222,6 +226,11 @@ object Multimodal {
       contentCol: String,
       bins: Int = 16,
       batchSize: Int = 64): DataFrame = {
+    // validated HERE, not per row: cp % 0 would throw inside
+    // mapPartitions and kill the task after 4 retries, violating the
+    // module's bad-input-poisons-its-row discipline
+    require(bins >= 1, s"bins must be positive, got $bins")
+    require(batchSize >= 1, s"batchSize must be positive, got $batchSize")
     val schema = StructType(df.schema.fields :+
       StructField("hist", ArrayType(LongType, containsNull = false), nullable = true))
     val contentIx = df.schema.fieldIndex(contentCol)

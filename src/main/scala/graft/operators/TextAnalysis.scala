@@ -69,10 +69,15 @@ object TextAnalysis {
       PhoneRe, "<PHONE>")
 
   /** (email, phone) match counts — the audit signal logged alongside
-    * redaction. */
+    * redaction. Phones are counted on the EMAIL-REDACTED text, exactly
+    * mirroring [[redactPii]]'s replacement order: a phone-shaped digit
+    * run inside an email (bob555-1234@mail.com) is replaced as part of
+    * the email, so counting it as a phone too would claim a redaction
+    * that never happened and break scrub-count reconciliation. */
   def piiCounts(text: Column): (Column, Column) =
     (size(regexp_extract_all(text, lit(EmailRe), lit(0))).cast("long"),
-      size(regexp_extract_all(text, lit(PhoneRe), lit(0))).cast("long"))
+      size(regexp_extract_all(regexp_replace(text, EmailRe, "<EMAIL>"),
+        lit(PhoneRe), lit(0))).cast("long"))
 
   /** Rabin–Karp rolling hashes over the character stream (north-star:
     * rolling-hash document fingerprinting). Every `w`-char window gets the
@@ -122,7 +127,10 @@ object TextAnalysis {
     * expression: codegen'd, shuffle-free.
     */
   def qualityFlags(text: Column, minWords: Int = 10, maxWords: Int = 1000): Column = {
-    val ws = split(trim(text), "\\s+")
+    // non-empty tokens only: split(trim('')) is [''], so an
+    // empty/whitespace-only doc would report n_words = 1 (passing a
+    // minWords = 1 gate) and pollute every ratio denominator
+    val ws = filter(split(trim(text), "\\s+"), w => w =!= "")
     val n = size(ws)
     val wchars = aggregate(ws, lit(0), (a, w) => a + length(w))
     val nAlpha = size(filter(ws, w => w.rlike("[A-Za-z]")))

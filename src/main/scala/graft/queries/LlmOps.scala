@@ -1319,7 +1319,9 @@ object LlmOps {
          SELECT doc_id,
                 CAST(len(regexp_extract_all(s, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+')) AS BIGINT)
                   AS n_emails,
-                CAST(len(regexp_extract_all(s, '[0-9]{3}-[0-9]{4}')) AS BIGINT)
+                CAST(len(regexp_extract_all(
+                  regexp_replace(s, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+', '<EMAIL>', 'g'),
+                  '[0-9]{3}-[0-9]{4}')) AS BIGINT)
                   AS n_phones,
                 regexp_replace(
                   regexp_replace(s, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+', '<EMAIL>', 'g'),
@@ -1788,7 +1790,9 @@ object LlmOps {
           FROM ranked WHERE rank <= 3
           ORDER BY probe_id, rank""",
     "t_quality_filter" ->
-      """WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+      """WITH w AS (SELECT doc_id,
+                           list_filter(string_split_regex(trim(text), '\s+'),
+                                       x -> x <> '') AS ws
                     FROM documents),
           m AS (SELECT doc_id,
                        len(ws) AS n,

@@ -126,24 +126,45 @@ object Alerting {
       if (!disable) eventTimeMillis.foreach(ts => set((now - ts) / 1000.0))
   }
 
-  /** The Spark seam: a [[StreamingQueryListener]] that feeds every query
-    * progress beat to the registered processors, carrying the batch's max
-    * event time (the same "timestamp of the message being processed" the
-    * reference passes to `periodic_process`). Attach with
-    * `spark.streams.addListener(...)`; one listener serves every query on
-    * the session. */
+  /** The Spark seam: a [[StreamingQueryListener]] that feeds query
+    * progress beats to the registered processors, carrying the batch's
+    * max event time (the same "timestamp of the message being processed"
+    * the reference passes to `periodic_process`). Attach with
+    * `spark.streams.addListener(...)`.
+    *
+    * `forQuery` scopes the listener to ONE query (by name or run id):
+    * processors hold per-stream state (delay deadlines, deadman TTLs),
+    * so feeding them beats from EVERY query on a multi-query session
+    * let a healthy query's beat consume the interval deadline and
+    * refresh the TTL while another query sat hours behind — a dead
+    * pipeline that pages nobody. Leave None only on single-query
+    * sessions; attach one listener per monitored query otherwise.
+    *
+    * Each processor is isolated: one processor's throwing `send` (a
+    * down monitoring endpoint) must not starve the processors after it
+    * in the list — most critically the deadman beat. */
   final class ProgressAlertListener(
-      processors: Seq[PeriodicProcessor]) extends StreamingQueryListener {
+      processors: Seq[PeriodicProcessor],
+      forQuery: Option[String] = None) extends StreamingQueryListener {
 
     override def onQueryStarted(
         e: StreamingQueryListener.QueryStartedEvent): Unit = ()
     override def onQueryTerminated(
         e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
     override def onQueryProgress(
-        e: StreamingQueryListener.QueryProgressEvent): Unit = {
-      val ts = maxEventTimeMillis(e.progress.eventTime)
-      processors.foreach(_.maybeProcess(ts))
-    }
+        e: StreamingQueryListener.QueryProgressEvent): Unit =
+      if (forQuery.forall(q =>
+          q == e.progress.name || q == e.progress.id.toString))
+        beat(maxEventTimeMillis(e.progress.eventTime))
+
+    /** One beat through every processor, each isolated from the others'
+      * failures (also the test seam — QueryProgressEvent cannot be
+      * constructed outside Spark). */
+    private[graft] def beat(ts: Option[Long]): Unit =
+      processors.foreach { p =>
+        try p.maybeProcess(ts)
+        catch { case scala.util.control.NonFatal(_) => () }
+      }
 
     /** Parse the progress map's "max" event time (ISO-8601 UTC). */
     private[graft] def maxEventTimeMillis(

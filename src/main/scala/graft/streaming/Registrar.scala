@@ -37,11 +37,17 @@ object Team {
     def get(teamName: String): Option[TeamInfo] = byName.get(teamName)
 
     /** Validate-or-throw (the client constructor path). A team must also
-      * carry a notification_email to register producers/consumers
-      * (client.py:69-72). */
-    def validate(teamName: String): TeamInfo =
-      byName.get(teamName).filter(_.notificationEmail.nonEmpty)
-        .getOrElse(throw new InvalidTeamError(teamName))
+      * carry a notification_email to register producers/consumers —
+      * a DISTINCT error from an unknown team (reference client.py:69-72
+      * vs 140-146): collapsing them sent operators who could see their
+      * team plainly in the config down the wrong debugging path. */
+    def validate(teamName: String): TeamInfo = {
+      val t = byName.getOrElse(teamName, throw new InvalidTeamError(teamName))
+      require(t.notificationEmail.exists(_.nonEmpty),
+        s"Team '$teamName' is registered but has no notification_email; " +
+          "add one to the teams config to register clients for it.")
+      t
+    }
   }
 
   def apply(teams: TeamInfo*): Teams =
@@ -76,7 +82,16 @@ object Team {
             currentTeam = Some(name)
           } else if (teamIndent.exists(indent > _) && currentTeam.isDefined &&
               body.startsWith("notification_email:")) {
-            val email = body.stripPrefix("notification_email:").trim
+            // strip matching YAML quotes: `"a@b.com"` is idiomatic
+            // quoting, and storing the quote characters would bounce
+            // every notification sent to the literal-quoted address
+            val raw = body.stripPrefix("notification_email:").trim
+            val email =
+              if (raw.length >= 2 &&
+                  ((raw.head == '"' && raw.last == '"') ||
+                   (raw.head == '\'' && raw.last == '\'')))
+                raw.substring(1, raw.length - 1).trim
+              else raw
             if (email.nonEmpty) acc.put(currentTeam.get, Some(email))
           }
         }
@@ -155,9 +170,21 @@ final class Registrar(
 
   /** Register the registration-message schema itself (reference:
     * registrar.py:113-122 registration_schema — registered under the
-    * pipeline's own namespace with the platform owner email). */
-  def registrationSchema(registry: SchemaRegistry): registry.SchemaEntry =
+    * pipeline's own namespace with the PLATFORM owner email, a fixed
+    * constant: registering with the calling team's address made the
+    * shared schema's ownership churn last-writer-wins across tenants,
+    * routing platform schema-change notices to an arbitrary team. */
+  def registrationSchema(registry: SchemaRegistry,
+                         platformOwnerEmail: String =
+                           Registrar.PlatformOwnerEmail): registry.SchemaEntry =
     registry.registerSchema("graft.registration",
       "client_registration_message_v1", registrationSchemaJson,
-      sourceOwnerEmail = team.notificationEmail.getOrElse(""))
+      sourceOwnerEmail = platformOwnerEmail)
+}
+
+object Registrar {
+  /** Owner of the platform-level registration stream (deployments
+    * override per install; reference registrar.py:119 hardcodes its
+    * platform list address the same way). */
+  val PlatformOwnerEmail: String = "platform@graft.invalid"
 }

@@ -123,7 +123,16 @@ object StreamingNearDup {
     * scan prunes on the join key), and exact shingle Jaccard ≥
     * `threshold` keeps a pair or kills the false-positive collision.
     *
-    * Returns (first_id, new_id, n_bands, jaccard).
+    * Returns (first_id, new_id, n_bands, jaccard, verified):
+    * `verified = true` rows passed exact Jaccard ≥ threshold;
+    * `verified = false` rows (null jaccard) could NOT be checked because
+    * one or both documents are missing from the store — typically a
+    * same-micro-batch pair whose texts are upserted only after the batch
+    * (candidates fire in Append mode exactly once, so silently dropping
+    * these permanently lost the near-dup; callers must retry them after
+    * their store upsert, or dead-letter them). Pairs whose Jaccard fell
+    * below threshold are rejected as before — that is a verified
+    * false-positive collision, not a lost pair.
     */
   def verifyBatch(cands: DataFrame, store: DataFrame, threshold: Double,
                   shingleN: Int = 3): DataFrame = {
@@ -136,17 +145,29 @@ object StreamingNearDup {
       .select(explode(array(col("d1"), col("d2"))).as("doc_id"))
       .distinct()
     val texts = store.join(broadcast(ids), "doc_id")
+    val present = texts.select(col("doc_id")).distinct()
+    val checkable = pairs
+      .join(broadcast(present.select(col("doc_id").as("d1"))), Seq("d1"), "left_semi")
+      .join(broadcast(present.select(col("doc_id").as("d2"))), Seq("d2"), "left_semi")
+    val unverifiable = pairs
+      .join(checkable.select(col("d1"), col("d2")), Seq("d1", "d2"), "left_anti")
     val shingles = graft.operators.Dedup.wordShingles(texts, "doc_id", "text", shingleN)
-    graft.operators.Dedup.verifyJaccard(pairs.select(col("d1"), col("d2")), shingles, threshold)
+    graft.operators.Dedup
+      .verifyJaccard(checkable.select(col("d1"), col("d2")), shingles, threshold)
       .join(pairs, Seq("d1", "d2"))
       .select(col("d1").as("first_id"), col("d2").as("new_id"),
-        col("n_bands"), col("jaccard"))
+        col("n_bands"), col("jaccard"), lit(true).as("verified"))
+      .unionByName(unverifiable.select(
+        col("d1").as("first_id"), col("d2").as("new_id"), col("n_bands"),
+        lit(null).cast("double").as("jaccard"), lit(false).as("verified")))
   }
 
   /** The worked end-to-end wiring: [[candidates]] → `foreachBatch` →
     * [[verifyBatch]] against a document store → `onBatch` receives each
-    * micro-batch's CONFIRMED near-dups (false-positive band collisions
-    * already rejected by exact Jaccard). Call `.start()` on the returned
+    * micro-batch's near-dups: `verified = true` rows are CONFIRMED
+    * (false-positive band collisions already rejected by exact Jaccard),
+    * `verified = false` rows await their store upsert — re-verify or
+    * dead-letter them. Call `.start()` on the returned
     * writer (add `checkpointLocation` for production restarts; `store`
     * is re-read per batch, so a Delta/parquet-backed store reflects
     * upserts between batches).

@@ -135,6 +135,24 @@ class AlertingSpec extends SparkTestBase {
     assert(sent.nonEmpty && sent.head.status == 0) // 3600 <= 3600: still OK
   }
 
+  test("a throwing processor never starves the ones after it") {
+    val (clock, _) = mkClock()
+    val beats = ArrayBuffer.empty[Int]
+    def proc(tag: Int, boom: Boolean) = new Alerting.PeriodicProcessor(0L, clock) {
+      protected def process(ts: Option[Long], now: Long): Unit = {
+        beats += tag
+        if (boom) sys.error("monitoring endpoint down")
+      }
+    }
+    // the throwing processor sits FIRST — the deadman beat behind it
+    // must still fire (pre-fix the listener's foreach aborted, so a down
+    // alerting endpoint silently stopped the deadman event stream)
+    val l = new ProgressAlertListener(Seq(proc(1, boom = true), proc(2, boom = false)))
+    l.beat(Some(1000L))
+    assert(beats.toSeq == Seq(1, 2),
+      s"the processor after the throwing one must still beat: $beats")
+  }
+
   test("ISO event-time parsing tolerates Z and space-separated forms") {
     val l = new ProgressAlertListener(Seq.empty)
     val m = new java.util.HashMap[String, String]()

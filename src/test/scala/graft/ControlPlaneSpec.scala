@@ -100,10 +100,25 @@ class ControlPlaneSpec extends SparkTestBase {
     intercept[Team.InvalidTeamError](
       new Registrar(teams, "nope", "svc.client", "producer", ExpectedFrequency.Hourly))
     // a team without notification_email cannot register (client.py:69-72)
-    intercept[Team.InvalidTeamError](
+    // — a DISTINCT diagnostic from unknown-team: the team IS registered,
+    // and "is not a registered team" sent operators down the wrong path
+    val noEmail = intercept[IllegalArgumentException](
       new Registrar(teams, "ghosts", "svc.client", "producer", ExpectedFrequency.Hourly))
+    assert(!noEmail.isInstanceOf[Team.InvalidTeamError] &&
+      noEmail.getMessage.contains("notification_email"), noEmail.getMessage)
     intercept[IllegalArgumentException](
       new Registrar(teams, "bam", "svc.client", "publisher", ExpectedFrequency.Hourly))
+    // quoted YAML values store WITHOUT the quote characters (a
+    // literal-quoted address bounces every notification silently)
+    val quoted = Team.parseConfig(
+      """teams:
+        |  dq:
+        |    notification_email: "dq@example.com"
+        |  sq:
+        |    notification_email: 'sq@example.com'
+        |""".stripMargin)
+    assert(quoted.get("dq").flatMap(_.notificationEmail).contains("dq@example.com"))
+    assert(quoted.get("sq").flatMap(_.notificationEmail).contains("sq@example.com"))
   }
 
   test("registrar folds last-seen per schema and renders registration messages") {
@@ -127,8 +142,12 @@ class ControlPlaneSpec extends SparkTestBase {
     val reg = new SchemaRegistry
     val entry = r.registrationSchema(reg)
     assert(entry.namespaceName == "graft.registration")
+    // the shared platform schema is owned by the PLATFORM address, not
+    // the calling tenant team (reference registrar.py:119): per-team
+    // ownership churned last-writer-wins and routed platform
+    // schema-change notices to an arbitrary tenant
     assert(reg.getSourceByName("graft.registration", "client_registration_message_v1")
-      .get.ownerEmail == "bam@example.com")
+      .get.ownerEmail == Registrar.PlatformOwnerEmail)
     // idempotent: same schema returns the same entry
     assert(r.registrationSchema(reg).schemaId == entry.schemaId)
   }

@@ -661,6 +661,17 @@ class StreamingSpec extends SparkTestBase {
     val loose = StreamingNearDup.verifyBatch(fp, store, threshold = 0.5)
       .as[StreamingNearDup.Confirmed].collect()
     assert(loose.length == 1 && math.abs(loose(0).jaccard - 5.0 / 7.0) < 1e-6)
+    // a pair whose doc is NOT in the store yet (same-micro-batch race:
+    // candidates fire before the store upsert) must SURFACE as
+    // verified = false instead of vanishing in the inner joins —
+    // candidates are Append-mode once-only, so a silent drop lost the
+    // near-dup permanently
+    val sameBatch = Seq((1L, 99L, 0)).toDF("first_id", "new_id", "band_id")
+    val un = StreamingNearDup.verifyBatch(sameBatch, store, threshold = 0.9)
+      .select($"first_id", $"new_id", $"verified")
+      .as[(Long, Long, Boolean)].collect()
+    assert(un.toSeq == Seq((1L, 99L, false)),
+      s"unverifiable pair must surface for retry/dead-letter: ${un.toSeq}")
   }
 
   test("payload diff surfaces changed fields on update messages") {
