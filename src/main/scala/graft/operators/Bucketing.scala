@@ -36,8 +36,14 @@ object Bucketing {
     // in-memory catalog a fresh session forgets the table but the
     // warehouse directory persists, and CTAS refuses to reuse it
     spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    // the orphan location must come from the CATALOG's default-path rule
+    // (warehouse/<db>.db/<table> outside the default database) — a
+    // hand-built warehouse/<table> path pointed at the DEFAULT database's
+    // namespace, deleting an unrelated managed table's files there while
+    // missing the real stale directory
+    val ident = spark.sessionState.sqlParser.parseTableIdentifier(table)
     val loc = new org.apache.hadoop.fs.Path(
-      spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
+      spark.sessionState.catalog.defaultTablePath(ident))
     val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(loc)) fs.delete(loc, true)
     df.repartition(nBuckets, col(key))
@@ -55,8 +61,12 @@ object Bucketing {
     * layout this operator exists to exploit; at 100 TB neither side
     * broadcasts and SMJ is what the optimizer picks anyway). */
   def colocatedJoin(spark: SparkSession, leftTable: String, rightTable: String,
-                    leftKey: String, rightKey: String): DataFrame =
-    spark.table(leftTable)
-      .join(spark.table(rightTable).hint("merge"),
-        col(leftKey) === col(rightKey))
+                    leftKey: String, rightKey: String): DataFrame = {
+    // side-qualified keys: two tables bucketed on an identically NAMED
+    // key (the common case) made bare col(key) === col(key) ambiguous
+    // and the operator unusable exactly where it matters most
+    val l = spark.table(leftTable).alias("__bl")
+    val r = spark.table(rightTable).hint("merge").alias("__br")
+    l.join(r, col(s"__bl.$leftKey") === col(s"__br.$rightKey"))
+  }
 }

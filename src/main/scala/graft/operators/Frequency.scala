@@ -97,6 +97,15 @@ object Frequency {
     */
   def skewStats(df: DataFrame, keyCols: Seq[String], topN: Int,
                 nSalts: Int = 32): DataFrame = {
+    // output/internal aliases must not collide with a key column — a key
+    // literally named `n` made every later reference ambiguous at
+    // analysis time with no useful error
+    val reserved = Seq("n", "share_ppm", "skew_x", "rank",
+      "__total", "__nkeys", "__brank")
+    val clash = keyCols.toSet intersect reserved.toSet
+    require(clash.isEmpty,
+      s"key columns ${clash.mkString(", ")} collide with skewStats " +
+        "output names; rename them first")
     // the per-key count frame feeds BOTH the global-stats fold and the
     // ranked cut — pin it so the corpus scan + count shuffle run once
     // (the bpeTokenCounts lesson: an un-pinned shared frame re-runs its
@@ -131,7 +140,11 @@ object Frequency {
     * shingling wants the distinct set). */
   private[graft] def ngrams(docs: DataFrame, textCol: String, n: Int): DataFrame = {
     require(n >= 1, "n-gram size must be at least 1")
-    val ws = split(trim(col(textCol)), "\\s+")
+    // non-empty tokens on BOTH paths: trim removes only spaces, so a
+    // leading tab/newline leaves a "" head token from split — the n >= 2
+    // path then emitted corrupt grams like " a" and phantom counts (the
+    // n == 1 path already guarded via length > 0)
+    val ws = filter(split(trim(col(textCol)), "\\s+"), w => w =!= "")
     if (n == 1)
       docs.select(explode(ws).as("g")).filter(length(col("g")) > 0)
     else

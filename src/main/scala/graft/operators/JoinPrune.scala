@@ -77,8 +77,11 @@ object JoinPrune {
   def saltedJoin(fact: DataFrame, dim: DataFrame, keys: Seq[String],
                  saltOn: String, nSalts: Int): DataFrame = {
     require(nSalts >= 1, "nSalts must be >= 1")
-    require(!keys.contains("__salt") && saltOn != "__salt",
-      "__salt is reserved by saltedJoin")
+    // reserved across ALL columns, not just the keys: a non-key __salt
+    // data column would be silently overwritten by the salt, violating
+    // the bit-identical-to-plain-join contract
+    require(!fact.columns.contains("__salt") && !dim.columns.contains("__salt"),
+      "__salt is reserved by saltedJoin; rename the column first")
     val saltedFact = fact.withColumn("__salt",
       pmod(xxhash64(col(saltOn)), lit(nSalts.toLong)).cast("int"))
     val saltedDim = dim.withColumn("__salt",

@@ -51,11 +51,17 @@ object Temporal {
       lit(null).cast(org.apache.spark.sql.types.StructType(
         payloadCols.map(c => right.schema(c)))).as("__p"),
       lit(1).as("__side"))
-    val r = right.select(
-      col(rightKey).as("__k"), col(rightTs).as("__ts"), col(tieCol).as("__tie"),
-      lit(null).cast(left.select(leftCols.map(col): _*).schema).as("__l"),
-      struct(payloadCols.map(col): _*).as("__p"),
-      lit(0).as("__side"))
+    val r = right
+      // a null right timestamp matches NOTHING (SQL: r.ts <= l.ts is
+      // never true for null r.ts) — but nulls sort FIRST under the
+      // ascending window order, so an unfiltered null-ts row's payload
+      // would be carried forward into every left row of its key
+      .filter(col(rightTs).isNotNull)
+      .select(
+        col(rightKey).as("__k"), col(rightTs).as("__ts"), col(tieCol).as("__tie"),
+        lit(null).cast(left.select(leftCols.map(col): _*).schema).as("__l"),
+        struct(payloadCols.map(col): _*).as("__p"),
+        lit(0).as("__side"))
     // right rows sort before left rows at equal ts (inclusive match); among
     // right rows at equal (key, ts) the greatest tie sorts last, so the
     // running last() picks it
@@ -114,6 +120,13 @@ object Temporal {
                 bucketMs: Long, saltBuckets: Int = 1): DataFrame = {
     require(bucketMs > 0, "bucketMs must be positive")
     require(saltBuckets >= 1, "saltBuckets must be >= 1")
+    // same reserved-name discipline as saltedJoin: silently overwriting
+    // (then dropping) a caller's __bucket/__salt column would make it
+    // vanish from the output with no error
+    Seq("__bucket", "__salt").foreach { rc =>
+      require(!left.columns.contains(rc) && !right.columns.contains(rc),
+        s"column name `$rc` is reserved by rangeJoin; rename it first")
+    }
     val ib = right
       .filter(col(endCol) > col(startCol))
       .withColumn("__bucket", explode(sequence(

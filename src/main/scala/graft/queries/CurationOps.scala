@@ -506,7 +506,8 @@ object CurationOps {
          SELECT doc_id, weight, draw, rank
          FROM ranked WHERE rank <= 100 ORDER BY rank""",
     "t_top_tokens" ->
-      """WITH w AS (SELECT string_split_regex(trim(text), '\s+') AS ws
+      """WITH w AS (SELECT list_filter(string_split_regex(trim(text), '\s+'),
+                                       x -> x <> '') AS ws
                     FROM documents),
          grams AS (
            SELECT unnest([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]

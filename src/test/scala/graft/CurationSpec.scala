@@ -1742,6 +1742,35 @@ class CurationSpec extends SparkTestBase {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("colocatedJoin resolves identically named bucket keys; reserved-name guards fire") {
+    import spark.implicits._
+    import graft.operators.{Bucketing, Frequency, JoinPrune, Temporal}
+    // two tables bucketed on the SAME key name: bare col === col was
+    // ambiguous and the operator unusable in its most common shape
+    Bucketing.writeBucketed((0L until 50L).map(i => (i, s"l$i"))
+      .toDF("key_id", "lv"), "co_l", "key_id", nBuckets = 4)
+    Bucketing.writeBucketed((0L until 50L by 2).map(i => (i, s"r$i"))
+      .toDF("key_id", "rv"), "co_r", "key_id", nBuckets = 4)
+    val n = Bucketing.colocatedJoin(spark, "co_l", "co_r", "key_id", "key_id").count()
+    assert(n == 25L, s"same-name bucket keys must join: $n")
+    // reserved internal column names fail loudly instead of silently
+    // overwriting (then dropping) caller data
+    val withSalt = Seq((1L, 0)).toDF("k", "__salt")
+    intercept[IllegalArgumentException] {
+      JoinPrune.saltedJoin(withSalt, Seq((1L, "d")).toDF("k", "d"),
+        Seq("k"), "k", nSalts = 4)
+    }
+    val withBucket = Seq((1L, 5L, 0)).toDF("k", "ts", "__bucket")
+    intercept[IllegalArgumentException] {
+      Temporal.rangeJoin(withBucket, "ts",
+        Seq((1L, 0L, 10L)).toDF("k", "s", "e"), "s", "e", Seq("k"),
+        bucketMs = 100L)
+    }
+    intercept[IllegalArgumentException] {
+      Frequency.skewStats(Seq((1L, 2L)).toDF("n", "x"), Seq("n"), topN = 3)
+    }
+  }
+
   test("selectRepresentatives keeps the argmax-quality member, ties to the smaller id") {
     import spark.implicits._
     val clusters = Seq(

@@ -37,6 +37,19 @@ class RetrievalSpec extends SparkTestBase {
     assert(got(2L) == (Some(21L), Some(23L)))  // latest ≤ 01-20 is 01-15, tie→21
     assert(got(3L) == (None, None))            // nothing at or before
     assert(got(4L) == (Some(21L), Some(23L)))  // equal ts is inclusive
+
+    // a NULL right timestamp matches NOTHING (SQL: r.ts <= l.ts is never
+    // true): pre-fix it sorted FIRST and its payload was carried into
+    // every left row of the key
+    val nullRight = Seq(
+      (300L, Option.empty[Timestamp], 90L, 99L)
+    ).toDF("k", "ets", "eid", "v")
+    val nl = Seq((9L, 300L, ts("2026-01-10 00:00:00"))).toDF("order_id", "k", "ots")
+    val ngot = Temporal.asofJoin(nl, nullRight, "k", "k", "ots", "ets",
+      "eid", Seq("eid", "v"))
+      .select($"eid", $"v").as[(Option[Long], Option[Long])].head()
+    assert(ngot == ((None, None)),
+      s"null-ts right row must match nothing: $ngot")
   }
 
   test("asofJoin rejects payload columns that collide with left columns") {
