@@ -81,10 +81,24 @@ case class CosineArgmax(child: Expression,
     nullSafeCodeGen(ctx, ev, v => s"${ev.value} = $ref.compute($v);")
   }
 
+  // resolved lazily: the child's type is only bound after analysis
+  private lazy val mayContainNull: Boolean = child.dataType match {
+    case org.apache.spark.sql.types.ArrayType(_, containsNull) => containsNull
+    case _ => true
+  }
+
   /** The fused argmax loop shared by the interpreted and generated paths. */
   def compute(v: ArrayData): Int = {
     val n = v.numElements()
     if (n != cents(0).length) return -1 // HOF zip_with null path (see doc)
+    if (mayContainNull) {
+      // a null ELEMENT reads as 0.0 through getDouble — the HOF parity
+      // (zip_with null product -> null fold -> -1) demands the no-match
+      // label, not a silently wrong cluster from a phantom zero (the
+      // same hazard MatVec fixed; ported here)
+      var i = 0
+      while (i < n) { if (v.isNullAt(i)) return -1; i += 1 }
+    }
     var sv = 0.0
     var i = 0
     while (i < n) { val x = v.getDouble(i); sv += x * x; i += 1 }

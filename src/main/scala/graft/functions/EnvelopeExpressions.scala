@@ -33,6 +33,18 @@ case class PackEnvelope(child: Expression, ascii: Boolean)
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "pack_envelope"
 
+  // analysis-time shape check: pack() reads the child row POSITIONALLY
+  // against Envelope.sparkType — a reordered or wrong struct would
+  // silently transpose compatible fields into the wrong Avro slots
+  // (corrupt envelopes on the wire) or throw per-row at runtime
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (org.apache.spark.sql.types.DataType.equalsIgnoreNullability(
+        child.dataType, Envelope.sparkType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"pack_envelope expects the envelope struct ${Envelope.sparkType.sql}, " +
+        s"got ${child.dataType.sql}")
+
   override def nullSafeEval(input: Any): Any = pack(input.asInstanceOf[InternalRow])
 
   def pack(row: InternalRow): Array[Byte] = {
@@ -154,6 +166,21 @@ case class DecodePayload(
   override def right: Expression = schemaId
   override def prettyName: String = "decode_payload"
   override def nullable: Boolean = true
+
+  // analysis-time check: schema_id columns are often modeled BIGINT —
+  // without this the cast in eval threw ClassCastException per row (and
+  // the generated code failed Janino compilation) deep inside a job
+  // instead of a clear error at plan time
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (payload.dataType, schemaId.dataType) match {
+      case (org.apache.spark.sql.types.BinaryType,
+            org.apache.spark.sql.types.IntegerType) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (p, s) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"decode_payload expects (BINARY, INT), got (${p.sql}, ${s.sql}) — " +
+            "cast a bigint schema_id to int first")
+    }
 
   private val readerJson: String = registrySnapshot.getOrElse(readerSchemaId,
     throw new IllegalArgumentException(s"reader schema id $readerSchemaId not in registry snapshot"))

@@ -50,9 +50,24 @@ case class L2Argmin(child: Expression,
   override def nullSafeEval(input: Any): Any =
     java.lang.Integer.valueOf(compute(input.asInstanceOf[ArrayData]))
 
+  // resolved lazily: the child's type is only bound after analysis
+  private lazy val mayContainNull: Boolean = child.dataType match {
+    case org.apache.spark.sql.types.ArrayType(_, containsNull) => containsNull
+    case _ => true
+  }
+
   /** The fused argmin loop shared by the interpreted and generated paths. */
   def compute(v: ArrayData): Int = {
     val n = v.numElements()
+    if (mayContainNull && cents.nonEmpty) {
+      // a null element inside the scored sub-range would read as 0.0 and
+      // emit a concrete (wrong) codebook id; -1 is the degenerate code —
+      // PqAdc (code < 0 -> null) and the stale-code drop path already
+      // reject it downstream (same null-element hazard MatVec fixed)
+      val hi = math.min(offset + cents(0).length, n)
+      var i = offset
+      while (i < hi) { if (v.isNullAt(i)) return -1; i += 1 }
+    }
     var best = Double.PositiveInfinity
     var bestC = -1
     var c = 0

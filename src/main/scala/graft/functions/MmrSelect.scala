@@ -92,13 +92,27 @@ case class MmrSelect(first: Expression, second: Expression, third: Expression,
   def compute(ids: ArrayData, rels: ArrayData, vecs: ArrayData): ArrayData = {
     val k0 = ids.numElements()
     if (rels.numElements() != k0 || vecs.numElements() != k0) return null
-    // validate + unpack candidates (degenerates drop, see doc)
+    // validate + unpack candidates (degenerates drop, see doc).
+    // The accepted dimensionality anchors to the SMALLEST-ID candidate,
+    // not the first in input order: collect_list order is
+    // shuffle-dependent, so a first-seen anchor made the drop set (and
+    // the selection) nondeterministic when a stray off-dim vector was
+    // present — ids are unique per query, so min-id is order-free.
+    var dim = -1
+    var anchorId = Long.MaxValue
+    var p = 0
+    while (p < k0) {
+      if (!ids.isNullAt(p) && !vecs.isNullAt(p)) {
+        val id = ids.getLong(p)
+        if (id < anchorId) { anchorId = id; dim = vecs.getArray(p).numElements() }
+      }
+      p += 1
+    }
     val vid = new Array[Long](k0)
     val rel = new Array[Long](k0)
     val vec = new Array[Array[Double]](k0)
     val nrm = new Array[Double](k0)
     var k = 0
-    var dim = -1
     var i = 0
     while (i < k0) {
       if (!ids.isNullAt(i) && !rels.isNullAt(i) && !vecs.isNullAt(i) &&
@@ -106,7 +120,7 @@ case class MmrSelect(first: Expression, second: Expression, third: Expression,
           rels.getLong(i) <= MmrSelect.MaxRelPpm) {
         val va = vecs.getArray(i)
         val d = va.numElements()
-        if (dim == -1 || d == dim) {
+        if (d == dim) {
           var ok = true
           val arr = new Array[Double](d)
           var s2 = 0.0
@@ -115,8 +129,12 @@ case class MmrSelect(first: Expression, second: Expression, third: Expression,
             if (va.isNullAt(j)) ok = false
             else { arr(j) = va.getDouble(j); s2 += arr(j) * arr(j); j += 1 }
           }
-          if (ok && s2 > 0.0) {
-            if (dim == -1) dim = d
+          // isFinite: an Infinity element gives s2 = Inf (passes > 0)
+          // and its cosine is Inf/Inf = NaN, which the exact-decimal ppm
+          // conversion rejects with NumberFormatException — one poisoned
+          // row must drop, never kill the task (NaN elements already
+          // drop: NaN > 0.0 is false)
+          if (ok && s2 > 0.0 && java.lang.Double.isFinite(s2)) {
             vid(k) = ids.getLong(i)
             rel(k) = rels.getLong(i)
             vec(k) = arr

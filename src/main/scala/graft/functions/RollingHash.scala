@@ -172,12 +172,17 @@ case class RollingFingerprint64(child: Expression, window: Int)
         Array[Any](0L, null, 0L))
     val nw = n - window + 1
     // open-addressed set of window hashes (values < M, sentinel -1);
-    // capacity = next power of two ≥ 2·nw keeps load factor ≤ 0.5
-    var cap = 4
-    while (cap < nw * 2) cap <<= 1
-    val table = new Array[Long](cap)
+    // capacity = next power of two ≥ 2·nw keeps load factor ≤ 0.5.
+    // LONG arithmetic: nw * 2 overflowed Int for a ~600M-char document,
+    // leaving cap at 4 — after 4 distinct hashes the full table made the
+    // linear probe spin forever (a hung task, not even a failure)
+    var cap = 4L
+    while (cap < nw.toLong * 2L) cap <<= 1
+    require(cap <= (1L << 30),
+      s"document too large for rolling-hash set: $nw windows")
+    val table = new Array[Long](cap.toInt)
     java.util.Arrays.fill(table, -1L)
-    val mask = cap - 1
+    val mask = cap.toInt - 1
     var distinct = 0L
 
     var h = 0L

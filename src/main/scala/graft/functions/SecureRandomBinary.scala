@@ -27,6 +27,10 @@ import org.apache.spark.sql.types.{BinaryType, DataType}
 case class SecureRandomBinary(numBytes: Int, instanceTag: Long)
     extends LeafExpression with Nondeterministic {
 
+  // fail at plan construction on the driver, not per-row on executors
+  // (new byte[-1] would throw NegativeArraySizeException per task)
+  require(numBytes >= 0, s"numBytes must be non-negative, got $numBytes")
+
   override def nullable: Boolean = false
   override def dataType: DataType = BinaryType
   override def prettyName: String = "secure_random_binary"

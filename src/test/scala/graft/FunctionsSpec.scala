@@ -574,4 +574,70 @@ class FunctionsSpec extends SparkTestBase {
     assert(emptyOut.forall(_.get(0) == null),
       "empty centroid table must null every residual")
   }
+
+  test("null array ELEMENTS degrade argmax/argmin instead of reading as 0.0") {
+    import spark.implicits._
+    import graft.functions.{CosineArgmax, L2Argmin}
+    // getDouble on a null slot returns 0.0 — pre-fix the kernels scored
+    // a phantom zero coordinate and emitted a real (wrong) label/code
+    // (the exact hazard MatVec fixed in round 10; ported)
+    val rows = Seq(
+      (1L, Seq[Option[Double]](Some(1.0), Some(0.0))),
+      (2L, Seq[Option[Double]](None, Some(1.0)))
+    ).toDF("id", "v")
+    val ids = Array(0, 1)
+    val cents = Array(Array(1.0, 0.0), Array(0.0, 1.0))
+    val am = rows.select($"id",
+        CosineArgmax.cosine_argmax($"v", ids, cents).as("c"))
+      .as[(Long, Int)].collect().toMap
+    assert(am(1L) == 0 && am(2L) == -1,
+      s"null element must take the -1 no-match label: $am")
+    val lm = rows.select($"id",
+        L2Argmin.l2_argmin($"v", ids, cents, 0).as("c"))
+      .as[(Long, Int)].collect().toMap
+    assert(lm(1L) == 0 && lm(2L) == -1,
+      s"null element must take the -1 degenerate code: $lm")
+  }
+
+  test("mmr_select drops non-finite candidates; dim anchors to the min id") {
+    import spark.implicits._
+    import graft.operators.Similarity
+    // an Infinity element gives s2 = Inf and cosine NaN — pre-fix the
+    // exact-decimal ppm conversion threw NumberFormatException and
+    // killed the task; one poisoned row must drop, never rank
+    val cands = Seq(
+      (1L, 10L, 900000L, Seq(1.0, 0.0)),
+      (1L, 11L, 800000L, Seq(0.0, 1.0)),
+      (1L, 12L, 999999L, Seq(Double.PositiveInfinity, 1.0)),
+      // stray off-dim vector: the accepted dim anchors to the SMALLEST
+      // id (10 -> 2-dim), not input order, so this drops deterministically
+      (1L, 42L, 950000L, Seq(1.0, 0.0, 0.0))
+    ).toDF("query_id", "id", "rel_ppm", "v")
+    val got = Similarity.mmrSelect(cands, "query_id", "id", "rel_ppm", "v",
+        n = 4, lambdaPpm = 700000L)
+      .select($"id").as[Long].collect().toSet
+    assert(got == Set(10L, 11L),
+      s"Inf candidate and off-anchor-dim candidate must drop: $got")
+  }
+
+  test("decode_payload rejects a bigint schema_id at analysis time") {
+    import spark.implicits._
+    val reg = new graft.schema.SchemaRegistry
+    val e = reg.registerSchema("t", "s",
+      """{"type":"record","name":"p","namespace":"g",
+         "fields":[{"name":"f","type":"int"}]}""")
+    val df = Seq((Array[Byte](2), 1L)).toDF("payload", "sid")
+    val err = intercept[org.apache.spark.sql.AnalysisException] {
+      df.select(graft.functions.decode_payload($"payload", $"sid", reg,
+        e.schemaId)).collect()
+    }
+    assert(err.getMessage.contains("BIGINT") ||
+      err.getMessage.toLowerCase.contains("decode_payload"), err.getMessage)
+  }
+
+  test("secure_random_binary validates its length at construction") {
+    intercept[IllegalArgumentException] {
+      graft.functions.SecureRandomBinary(-1, 0L)
+    }
+  }
 }
