@@ -34,12 +34,14 @@ case class PackEnvelope(child: Expression, ascii: Boolean)
   override def prettyName: String = "pack_envelope"
 
   // analysis-time shape check: pack() reads the child row POSITIONALLY
-  // against Envelope.sparkType — a reordered or wrong struct would
-  // silently transpose compatible fields into the wrong Avro slots
-  // (corrupt envelopes on the wire) or throw per-row at runtime
+  // against Envelope.sparkType, so the check is STRUCTURAL (types by
+  // position, names irrelevant — legitimate callers build unaliased
+  // structs). A wrong-shaped or type-transposed struct previously threw
+  // ClassCastException per row deep in a job; same-type transpositions
+  // remain undetectable, which is inherent to positional semantics.
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
-    if (org.apache.spark.sql.types.DataType.equalsIgnoreNullability(
-        child.dataType, Envelope.sparkType))
+    if (org.apache.spark.sql.types.DataType.equalsStructurally(
+        child.dataType, Envelope.sparkType, ignoreNullability = true))
       org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
     else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
       s"pack_envelope expects the envelope struct ${Envelope.sparkType.sql}, " +

@@ -89,8 +89,16 @@ object ConsumerSource {
   /** Topics owning the given schema ids, with those ids forced as reader
     * schemas (FixedSchemas — reference: consumer_source.py:120-147). */
   final case class FixedSchemas(schemaIds: Set[Int]) extends ConsumerSource {
-    def resolve(registry: SchemaRegistry): Set[String] =
+    /** Unknown schema ids fail LOUDLY (reference parity: the
+      * schematizer raises on an unregistered id): silently dropping a
+      * typo'd id produced a consumer missing a topic — or an empty
+      * subscription failing later with an unrelated error. */
+    def resolve(registry: SchemaRegistry): Set[String] = {
+      val unknown = schemaIds.filter(registry.getSchemaById(_).isEmpty)
+      require(unknown.isEmpty,
+        s"FixedSchemas: unknown schema ids ${unknown.toSeq.sorted.mkString(",")}")
       schemaIds.flatMap(id => registry.getSchemaById(id).map(_.topicName))
+    }
     /** topic → forced reader schema id. Two requested schema ids living
       * on the SAME topic would silently force an arbitrary one of them
       * (hash-order last-write-wins) — refused loudly instead: a consumer

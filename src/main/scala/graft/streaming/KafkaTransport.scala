@@ -51,6 +51,20 @@ object KafkaTransport {
                     maxOffsetsPerTrigger: Option[Long] = None,
                     failOnDataLoss: Boolean = false): Map[String, String] = {
     require(topics.nonEmpty, "subscription needs at least one topic")
+    // Spark's specific-offsets JSON must name every TopicPartition of
+    // the subscription — partition counts are broker metadata we cannot
+    // see here, but a topic-level mismatch IS checkable: failing loudly
+    // with the topic list beats the source's opaque all-TopicPartitions
+    // assertion at stream start (a new topic since the last checkpoint
+    // is the common way offsets go stale — resume it with a fresh
+    // earliest read by omitting it from startingOffsets entirely)
+    if (startingOffsets.nonEmpty) {
+      val missing = topics.toSet -- startingOffsets.keySet.map(_._1)
+      val extra = startingOffsets.keySet.map(_._1) -- topics.toSet
+      require(missing.isEmpty && extra.isEmpty,
+        s"startingOffsets must cover exactly the subscribed topics; " +
+          s"missing=${missing.mkString(",")} extra=${extra.mkString(",")}")
+    }
     val base = Map(
       "kafka.bootstrap.servers" -> bootstrapServers,
       "subscribe" -> topics.sorted.mkString(","),
@@ -63,17 +77,25 @@ object KafkaTransport {
 
   /** Timestamp-seek options (reference:
     * tools/timestamp_to_offset_mapper.py:31-263 binary search — delegated
-    * to the broker-side index via startingOffsetsByTimestamp). */
+    * to the broker-side timestamp index via the GLOBAL
+    * `startingTimestamp` option: the per-partition
+    * startingOffsetsByTimestamp JSON has NO partition wildcard — Spark
+    * parses a "-1" key as TopicPartition(t, -1), which matches nothing
+    * and fails the all-TopicPartitions assertion at start. One global
+    * timestamp covers every subscribed partition without needing broker
+    * metadata here. `failOnDataLoss` defaults TRUE: a timestamp seek is
+    * an exact-position inspection (the Tailer contract) — silently
+    * resetting to earliest when retention expired the target offsets
+    * would return data from a different position with no error. */
   def sourceOptionsByTimestamp(bootstrapServers: String, topics: Seq[String],
-                               startMillis: Long): Map[String, String] = {
+                               startMillis: Long,
+                               failOnDataLoss: Boolean = true): Map[String, String] = {
     require(topics.nonEmpty, "subscription needs at least one topic")
     Map(
       "kafka.bootstrap.servers" -> bootstrapServers,
       "subscribe" -> topics.sorted.mkString(","),
-      "startingOffsetsByTimestamp" ->
-        topics.sorted.map(t => s""""$t": {"-1": $startMillis}""")
-          .mkString("{", ", ", "}"),
-      "failOnDataLoss" -> "false")
+      "startingTimestamp" -> startMillis.toString,
+      "failOnDataLoss" -> failOnDataLoss.toString)
   }
 
   /** `{"topic": {"partition": offset}}` JSON for startingOffsets. */
@@ -103,9 +125,27 @@ object KafkaTransport {
   def reader(spark: SparkSession, registry: SchemaRegistry,
              source: ConsumerSource, bootstrapServers: String,
              startingOffsets: Map[(String, Int), Long] = Map.empty,
-             maxOffsetsPerTrigger: Option[Long] = None): DataStreamReader = {
-    val topics = source.resolve(registry).toSeq
-    sourceOptions(bootstrapServers, topics, startingOffsets, maxOffsetsPerTrigger)
+             maxOffsetsPerTrigger: Option[Long] = None): DataStreamReader =
+    readerForTopics(spark, registry, source.resolve(registry),
+      bootstrapServers, startingOffsets, maxOffsetsPerTrigger)
+
+  /** [[reader]] over an EXPLICIT topic set — what a restart under a
+    * [[TopicRefreshController]] must use: incremental sources
+    * (NewTopicsOnly) resolve only post-cutoff topics after a commit, so
+    * re-resolving on restart would silently drop the accumulated
+    * subscription (or throw on an empty delta); the controller's
+    * `currentTopics` is the authoritative set. Refuses a topic set
+    * spanning kafka cluster types — one subscription rides ONE broker
+    * list, and the wrong-cluster topics would otherwise just be absent
+    * there (the loud [[graft.core.NamespaceInfo]] cluster contract the
+    * control plane enforces on every tick). */
+  def readerForTopics(spark: SparkSession, registry: SchemaRegistry,
+                      topics: Set[String], bootstrapServers: String,
+                      startingOffsets: Map[(String, Int), Long] = Map.empty,
+                      maxOffsetsPerTrigger: Option[Long] = None): DataStreamReader = {
+    ConsumerSource.determineClusterType(registry, topics)
+    sourceOptions(bootstrapServers, topics.toSeq, startingOffsets,
+        maxOffsetsPerTrigger)
       .foldLeft(spark.readStream.format("kafka"))((r, kv) => r.option(kv._1, kv._2))
   }
 }

@@ -49,14 +49,23 @@ object StreamArchiver {
       trigger: Trigger = Trigger.ProcessingTime("1 minute"),
       codec: String = "snappy"): StreamingQuery = {
     // seconds since epoch — timezone-independent; day/hour follow by
-    // integer arithmetic (UTC has no DST, every day is 86400 s)
+    // INTEGER floor arithmetic (UTC has no DST, every day is 86400 s).
+    // pmod + subtract-then-div, not `/` and `%`: Spark's `/` returns
+    // DOUBLE, so hour 9 rendered "9.0", lpad truncated it to "9." and
+    // every single-digit hour landed in a garbage partition readers
+    // never match; and `%` keeps the dividend's sign, so pre-1970
+    // events got hour "-1" on the wrong date. pmod is non-negative and
+    // (epoch - pmod) div 86400 is exact floorDiv — both empirically
+    // pinned in StreamArchiverSpec.
     val epoch = col(tsCol).cast("long")
+    val secOfDay = pmod(epoch, lit(86400L))
+    val epochDay = ((epoch - secOfDay) / 86400L).cast("int")
     df
       .withColumn("archive_date",
         date_format(date_add(lit(java.sql.Date.valueOf("1970-01-01")),
-          (epoch / 86400L).cast("int")), "yyyy-MM-dd"))
+          epochDay), "yyyy-MM-dd"))
       .withColumn("archive_hour",
-        lpad(((epoch % 86400L) / 3600L).cast("string"), 2, "0"))
+        lpad((secOfDay / 3600L).cast("int").cast("string"), 2, "0"))
       .writeStream
       .format("parquet")
       .option("path", outDir)

@@ -55,7 +55,11 @@ object Introspector {
   /** Compaction-eligible topics: latest schema declares primary keys
     * (reference: tools/compaction_setter.py, schematizer.py:1221-1242). */
   def compactionEligibleTopics(registry: SchemaRegistry): Seq[String] =
-    registry.topicsWithPrimaryKeys.map(_.name)
+    // ONE eligibility rule: delegate to the compaction setter's own
+    // computation so the introspector's report can never drift from
+    // what the setter actually compacts (e.g. a future disabled-topic
+    // filter added to one but not the other)
+    CompactionSetter.topicsToCompact(registry)
 
   // --- command-suite row models (reference: introspector/models/*.py —
   //     field lists ARE the reference's _fields orderings) ---------------

@@ -43,10 +43,17 @@ class KafkaTransportSpec extends SparkTestBase {
     assert(KafkaTransport.sourceOptions("b:9092", Seq("t"))("startingOffsets") == "earliest")
   }
 
-  test("timestamp seek delegates to startingOffsetsByTimestamp") {
+  test("timestamp seek delegates to the global startingTimestamp option") {
+    // per-partition startingOffsetsByTimestamp has NO partition wildcard
+    // (Spark parses "-1" as TopicPartition(t, -1), which matches nothing
+    // and fails the all-TopicPartitions assertion at stream start) —
+    // the global option covers every subscribed partition
     val o = KafkaTransport.sourceOptionsByTimestamp("b:9092", Seq("t1", "t0"), 1700000000000L)
-    assert(o("startingOffsetsByTimestamp") ==
-      """{"t0": {"-1": 1700000000000}, "t1": {"-1": 1700000000000}}""")
+    assert(o("startingTimestamp") == "1700000000000")
+    assert(!o.contains("startingOffsetsByTimestamp"))
+    // an exact-position seek must ERROR when retention expired the
+    // target, never silently reset to earliest
+    assert(o("failOnDataLoss") == "true")
   }
 
   test("produce rows wire into a kafka writer; start() reaches provider resolution") {

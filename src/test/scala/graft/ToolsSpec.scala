@@ -91,8 +91,8 @@ class ToolsSpec extends SparkTestBase {
     }
     val byTime = Tailer.kafkaOptions("b:9092",
       specs.map(_.copy(offset = None)), startTimestampSec = Some(1700000000L))
-    assert(byTime("startingOffsetsByTimestamp") ==
-      """{"t.a.v1": {"-1": 1700000000000}, "t.b.v2": {"-1": 1700000000000}}""")
+    assert(byTime("startingTimestamp") == "1700000000000")
+    assert(byTime("failOnDataLoss") == "true")
   }
 
   test("tail projects fields, formats ISO time, bounds and limits") {
