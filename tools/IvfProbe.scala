@@ -25,15 +25,18 @@ object IvfProbe {
       spark.sparkContext.getPersistentRDDs.valuesIterator
         .foreach(_.unpersist(blocking = false))
     }
-    val fn = SparkEntry.queries("sim_ivf_topk")
-    val medians = (0 until 5).map { _ =>
-      fn(spark, sfDir).count(); fn(spark, sfDir).count() // bench warm-ups
-      val ts = Seq.fill(3)(timed(fn(spark, sfDir).count())).sorted
-      clear()
-      ts(1)
+    val names = if (args.nonEmpty) args.toSeq else Seq("sim_ivf_topk")
+    names.foreach { name =>
+      val fn = SparkEntry.queries(name)
+      val medians = (0 until 5).map { _ =>
+        fn(spark, sfDir).count(); fn(spark, sfDir).count() // bench warm-ups
+        val ts = Seq.fill(3)(timed(fn(spark, sfDir).count())).sorted
+        clear()
+        ts(1)
+      }
+      println(s"$name bench-protocol medians: " +
+        medians.map(t => f"$t%.3f").mkString(","))
     }
-    println("ivf_topk bench-protocol medians: " +
-      medians.map(t => f"$t%.3f").mkString(","))
     spark.stop()
   }
 }
