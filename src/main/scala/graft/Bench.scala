@@ -420,7 +420,13 @@ object Bench {
         // only the published retry
         val stripped = contents
           .map(_.replaceAll("\"contended_first_attempt\":\\{.*", ""))
-        stripped.filterNot(_.contains("\"contended\":true")).lastOption
+        // a clean baseline is neither contended NOR mass-drift-flagged:
+        // a published retry carrying mass_drift_suspected=true has
+        // environment-poisoned medians even when the contention probes
+        // stayed quiet, and diffing against it builds the phantom-drift
+        // wall the r7 lesson documents
+        stripped.filterNot(c => c.contains("\"contended\":true") ||
+            c.contains("\"mass_drift_suspected\":true")).lastOption
           .orElse(stripped.lastOption)
       } catch { case _: Throwable => None }
 
@@ -1138,6 +1144,11 @@ object Bench {
     val serdeDrift = (if (contended) Seq.empty else serdeDriftFlags)
       .map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).filter(_ >= 0).sum
+    // failed queries must be VISIBLE at the headline: their -1 medians
+    // drop out of `total`, so a crashing query otherwise reads as a
+    // round-over-round speedup with the only signal a -1 buried in the
+    // queries map
+    val failedQueries = results.filter(_._2 < 0).map(_._1)
     // preserve the -1 failure sentinel on derived metrics (dividing -1 by
     // cpus would print ≈ -0 and hide the failure)
     val uuidPerCore = if (uuidRowsPerSec < 0) -1.0 else uuidRowsPerSec / cpus.toInt
@@ -1152,8 +1163,9 @@ object Bench {
       .mkString("{", ",", "}")
     val slopeFlagsJson = scaleSlopeFlags
       .map("\"" + _ + "\"").mkString("[", ",", "]")
+    val failedJson = failedQueries.map(q => "\"" + q + "\"").mkString("[", ",", "]")
     val json =
-      f"""{"metric":"total","value":$total%.4f,"unit":"sec","runs_per_query":$runsPerQuery,"queries":$qs,"query_spread_pct":$spreads,"drift_gt20pct_vs_prev":$drift,"drift_comparable":$driftComparable,"serde_rows_per_sec":$serdeRowsPerSec%.0f,"serde_rows_per_sec_core":$serdePerCore%.0f,"serde_uuid_rows_per_sec_core":$serdeUuidPerCore%.0f,"uuid_gen_rows_per_sec_core":$uuidGenPerCore%.0f,"uuid_rows_per_sec":$uuidRowsPerSec%.0f,"uuid_rows_per_sec_core":$uuidPerCore%.0f,"serde_spread_pct":$serdeSpreads,"serde_drift_gt20pct_vs_prev":$serdeDrift,"baseline_gate_rows_per_sec_core":90000,"serde_uuid_vs_gate":$gateRatio%.2f,"minhash_md5_docs_per_sec":$minhashMd5DocsPerSec%.0f,"minhash_xxh64_docs_per_sec":$minhashXxhDocsPerSec%.0f,"rolling_fp_hof_docs_per_sec":$rollingHofDocsPerSec%.0f,"rolling_fp_expr_docs_per_sec":$rollingExprDocsPerSec%.0f,"argmax_hof_vecs_per_sec":$argmaxHofVecsPerSec%.0f,"argmax_expr_vecs_per_sec":$argmaxExprVecsPerSec%.0f,"residual_hof_vecs_per_sec":$residualHofVecsPerSec%.0f,"residual_expr_vecs_per_sec":$residualExprVecsPerSec%.0f,"adc_hof_pairs_per_sec":$adcHofPairsPerSec%.0f,"adc_expr_pairs_per_sec":$adcExprPairsPerSec%.0f,"int8_dot_hof_pairs_per_sec":$i8HofPairsPerSec%.0f,"int8_dot_expr_pairs_per_sec":$i8ExprPairsPerSec%.0f,"recall_at_k":$recallK,"recall":$recallJson,"recall_notes":"recall_diag_* are diagnostic curve points, not shipped configs; shipped rerank paths are recall_ivfpq_res_rerank and recall_opq_ivfpq_res_rerank. recall_opq_m8k32_rerank < recall_pq_m8k32_rerank is expected on this near-isotropic fixture (rotation cannot help an isotropic spectrum; the 0.9 floor holds and the anisotropic gain is spec-pinned in CurationSpec)","scale_slope_exponents":$slopesJson,"scale_slope_flags":$slopeFlagsJson,"calibration_ref_sec":$CalibrationRefSec%.2f,"calibration_start_sec":$calStartSec%.3f,"calibration_end_sec":$calEndSec%.3f,"calibration_par_ref_sec":$CalibrationParRefSec%.2f,"calibration_par_start_sec":$calParStartSec%.3f,"calibration_par_end_sec":$calParEndSec%.3f,"contended":$contended,"mass_drift_suspected":$massDrift,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.4f,"unit":"sec","runs_per_query":$runsPerQuery,"queries":$qs,"query_spread_pct":$spreads,"drift_gt20pct_vs_prev":$drift,"drift_comparable":$driftComparable,"failed_queries":$failedJson,"serde_rows_per_sec":$serdeRowsPerSec%.0f,"serde_rows_per_sec_core":$serdePerCore%.0f,"serde_uuid_rows_per_sec_core":$serdeUuidPerCore%.0f,"uuid_gen_rows_per_sec_core":$uuidGenPerCore%.0f,"uuid_rows_per_sec":$uuidRowsPerSec%.0f,"uuid_rows_per_sec_core":$uuidPerCore%.0f,"serde_spread_pct":$serdeSpreads,"serde_drift_gt20pct_vs_prev":$serdeDrift,"baseline_gate_rows_per_sec_core":90000,"serde_uuid_vs_gate":$gateRatio%.2f,"minhash_md5_docs_per_sec":$minhashMd5DocsPerSec%.0f,"minhash_xxh64_docs_per_sec":$minhashXxhDocsPerSec%.0f,"rolling_fp_hof_docs_per_sec":$rollingHofDocsPerSec%.0f,"rolling_fp_expr_docs_per_sec":$rollingExprDocsPerSec%.0f,"argmax_hof_vecs_per_sec":$argmaxHofVecsPerSec%.0f,"argmax_expr_vecs_per_sec":$argmaxExprVecsPerSec%.0f,"residual_hof_vecs_per_sec":$residualHofVecsPerSec%.0f,"residual_expr_vecs_per_sec":$residualExprVecsPerSec%.0f,"adc_hof_pairs_per_sec":$adcHofPairsPerSec%.0f,"adc_expr_pairs_per_sec":$adcExprPairsPerSec%.0f,"int8_dot_hof_pairs_per_sec":$i8HofPairsPerSec%.0f,"int8_dot_expr_pairs_per_sec":$i8ExprPairsPerSec%.0f,"recall_at_k":$recallK,"recall":$recallJson,"recall_notes":"recall_diag_* are diagnostic curve points, not shipped configs; shipped rerank paths are recall_ivfpq_res_rerank and recall_opq_ivfpq_res_rerank. recall_opq_m8k32_rerank < recall_pq_m8k32_rerank is expected on this near-isotropic fixture (rotation cannot help an isotropic spectrum; the 0.9 floor holds and the anisotropic gain is spec-pinned in CurationSpec)","scale_slope_exponents":$slopesJson,"scale_slope_flags":$slopeFlagsJson,"calibration_ref_sec":$CalibrationRefSec%.2f,"calibration_start_sec":$calStartSec%.3f,"calibration_end_sec":$calEndSec%.3f,"calibration_par_ref_sec":$CalibrationParRefSec%.2f,"calibration_par_start_sec":$calParStartSec%.3f,"calibration_par_end_sec":$calParEndSec%.3f,"contended":$contended,"mass_drift_suspected":$massDrift,"sf":"$sfDir"}"""
     // compact contract line — MUST stay well under the harness's ~2k-char
     // stdout tail window (see [[publish]]); everything here is either a
     // driver-contract field or a headline number the judge compares

@@ -25,6 +25,17 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // delete any PREVIOUS run's output for this query: a failure
+        // that throws before the overwrite executes (analysis error)
+        // would otherwise leave stale parquet behind, and the oracle
+        // compare would hash last run's result as a pass — a broken
+        // query must read as MISSING, never as green
+        try {
+          val stale = new java.io.File(s"$outDir/$name")
+          if (stale.isDirectory) {
+            stale.listFiles().foreach(_.delete()); stale.delete()
+          }
+        } catch { case _: Throwable => () }
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

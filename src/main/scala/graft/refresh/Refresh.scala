@@ -81,7 +81,12 @@ object PriorityRefreshQueue {
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .drop("rn")
-      .orderBy(col("priority").desc, statusRankCol.asc, col("created_at").asc)
+      // refresh_id tiebreaker like the Scala `ordering`: without it two
+      // cross-source heads tied on (priority, status, created_at) sorted
+      // in partition order, so a limit(slots) consumer could start a
+      // different job than schedule() on identical catalog state
+      .orderBy(col("priority").desc, statusRankCol.asc, col("created_at").asc,
+        col("refresh_id").asc)
   }
 }
 
@@ -133,8 +138,18 @@ object RefreshScan {
   /** Contiguous half-open pk ranges covering (minPk, maxPk]. */
   def keysetRanges(minPk: Long, maxPk: Long, batchSize: Long): Seq[(Long, Long)] = {
     require(batchSize > 0)
-    Iterator.iterate(minPk)(_ + batchSize).takeWhile(_ < maxPk)
-      .map(lo => (lo, math.min(lo + batchSize, maxPk)))
+    // overflow-safe step: lo + batchSize can wrap past Long.MaxValue
+    // when maxPk is a sentinel max / unsigned-bigint bound — the
+    // unguarded iterate never terminated (takeWhile stayed true on the
+    // wrapped negative) and the wrapped hi emitted negative predicates
+    Iterator.iterate(minPk) { lo =>
+      val next = lo + batchSize
+      if (next < lo) maxPk else next // wrapped -> terminate
+    }.takeWhile(_ < maxPk)
+      .map { lo =>
+        val hi = lo + batchSize
+        (lo, if (hi < lo) maxPk else math.min(hi, maxPk))
+      }
       .toSeq
   }
 

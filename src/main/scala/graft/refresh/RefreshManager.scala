@@ -41,9 +41,18 @@ object RefreshManager {
         .filterNot(j => running.exists(r =>
           r.sourceName == j.sourceName && r.namespaceName == j.namespaceName))
         .take(slots)
+    // capped CAS: the snapshot's slot arithmetic is advisory only — the
+    // registry re-checks the authoritative running count inside the same
+    // lock as the status flip, so two concurrent ticks can never admit
+    // past maxConcurrent between them (the snapshot-computed `slots`
+    // just bounds how many candidates this tick ATTEMPTS)
     val started = toStart.flatMap(j =>
-      registry.transitionRefresh(j.refreshId, j.status, RefreshStatus.InProgress))
-    Tick(started, ThroughputAllocator.allocate(running ++ started, totalCap))
+      registry.startRefreshCapped(j.refreshId, j.status, maxConcurrent))
+    // allocate over the AUTHORITATIVE running set, not this tick's
+    // snapshot: a concurrent tick's starts would otherwise let both
+    // allocations sum to totalCap each
+    val runningNow = registry.refreshes.filter(_.status == RefreshStatus.InProgress)
+    Tick(started, ThroughputAllocator.allocate(runningNow, totalCap))
   }
 
   /** Worker-loss handling (refresh_manager.py:273-304 zombie sweep): jobs

@@ -510,6 +510,21 @@ class SchemaRegistry extends Serializable {
       }
     }
 
+  /** [[transitionRefresh]] to InProgress, ADMITTED against the
+    * authoritative running count inside the same lock: a per-job CAS
+    * alone prevents double-starting one job but not over-admission —
+    * two concurrent ticks could each see 7 running under a cap of 8 and
+    * start DIFFERENT ninth jobs. Count-check + CAS must be one atomic
+    * step; this is it (single-registry scope — multi-process managers
+    * still need the deployment lock, as the reference's ZK lock does). */
+  def startRefreshCapped(refreshId: Int, from: RefreshStatus.Value,
+                         maxInProgress: Int): Option[RefreshJob] =
+    synchronized {
+      val running = refreshesById.values.count(_.status == RefreshStatus.InProgress)
+      if (running >= maxInProgress) None
+      else transitionRefresh(refreshId, from, RefreshStatus.InProgress)
+    }
+
   def getRefreshById(refreshId: Int): Option[RefreshJob] = refreshesById.get(refreshId)
 
   def refreshes: Seq[RefreshJob] = refreshesById.values.toSeq.sortBy(_.refreshId)

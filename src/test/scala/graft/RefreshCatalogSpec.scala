@@ -406,4 +406,40 @@ class RefreshCatalogSpec extends SparkTestBase {
     val ex = intercept[IllegalArgumentException](SchemaRegistry.load(spark, dir))
     assert(ex.getMessage.contains("corrupt store"), ex.getMessage)
   }
+
+  test("capped admission is atomic with the status flip: no over-admission past maxConcurrent") {
+    import graft.refresh.{RefreshManager, RefreshStatus}
+    val reg = new SchemaRegistry
+    val s1 = reg.registerSchema("ns", "a",
+      """{"type":"record","name":"p","namespace":"g","fields":[{"name":"f","type":"int","default":0}]}""")
+    reg.registerSchema("ns", "b",
+      """{"type":"record","name":"q","namespace":"g","fields":[{"name":"f","type":"int","default":0}]}""")
+    val r1 = reg.createRefresh("ns", "a", offset = 0L, batchSize = 100, priority = 50)
+    val r2 = reg.createRefresh("ns", "b", offset = 0L, batchSize = 100, priority = 50)
+    // tick admits exactly one under cap 1
+    val t1 = RefreshManager.tick(reg, maxConcurrent = 1)
+    assert(t1.started.map(_.refreshId) == Seq(r1.refreshId) ||
+      t1.started.map(_.refreshId) == Seq(r2.refreshId))
+    // the registry-level capped CAS refuses a second start even when the
+    // caller's snapshot is stale (the per-job CAS alone could not): a
+    // concurrent tick that computed slots=1 from a pre-start snapshot
+    // hits the authoritative count inside the lock and backs off
+    val other = Seq(r1, r2).find(r =>
+      !t1.started.map(_.refreshId).contains(r.refreshId)).get
+    assert(reg.startRefreshCapped(other.refreshId, RefreshStatus.NotStarted,
+      maxInProgress = 1).isEmpty, "stale-snapshot start must be refused")
+    // with the cap lifted it starts
+    assert(reg.startRefreshCapped(other.refreshId, RefreshStatus.NotStarted,
+      maxInProgress = 2).isDefined)
+  }
+
+  test("keysetRanges terminates at the Long.MaxValue boundary") {
+    import graft.refresh.RefreshScan
+    // lo + batchSize wraps past Long.MaxValue: the unguarded iterate
+    // never terminated and the wrapped hi emitted negative predicates
+    val ranges = RefreshScan.keysetRanges(Long.MaxValue - 10, Long.MaxValue, 7)
+    assert(ranges == Seq(
+      (Long.MaxValue - 10, Long.MaxValue - 3),
+      (Long.MaxValue - 3, Long.MaxValue)), ranges.toString)
+  }
 }
