@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** A/B timing probe for disputed bench reads — the committed-artifact
+  * successor of the round-11 `tools/IvfProbe.scala` ad-hoc harness (whose
+  * numbers lived only in SURVEY prose and were unauditable afterwards).
+  *
+  * Replicates the bench's exact per-query protocol — 2 warm-ups then 3
+  * timed runs with caches left hot, cache cleared between sessions — for
+  * `sessions` sessions in one JVM, and APPENDS one JSON line per query to
+  * the probe record (`SPARK_GRAFT_AB_OUT`, default `ab_probe.jsonl`), so
+  * an A/B driver script can interleave runs of two checked-out trees
+  * (tagged via `SPARK_GRAFT_AB_TREE`) and the resulting record carries
+  * both sides plus a machine-health reading per JVM: the same
+  * single-thread and 32-thread calibration probes the bench itself uses
+  * to flag contention. A probe line whose calibration is far off the
+  * idle reference (0.80 s / 0.22 s) is a machine-day artifact, not
+  * evidence — exactly the distinction the r11 drift disputes needed.
+  *
+  * Usage: `sbt "runMain graft.AbProbe q1 q2 ..."` (default query set =
+  * the queries the r11 drift list flagged). Not part of the library.
+  */
+object AbProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val tree = sys.env.getOrElse("SPARK_GRAFT_AB_TREE", "worktree")
+    val out = sys.env.getOrElse("SPARK_GRAFT_AB_OUT", "ab_probe.jsonl")
+    val sessions = sys.env.get("SPARK_GRAFT_AB_SESSIONS")
+      .flatMap(_.toIntOption).getOrElse(5)
+    val names = if (args.nonEmpty) args.toSeq
+      else Seq("sim_hybrid_rrf", "sim_hybrid_mmr", "d_fuzzy_pairs",
+        "sim_ivfpq_res_topk", "sim_bm25_multi", "t_fertility")
+    Bench.calibrationSecs() // JIT warm-up for the probe loop
+    val cal = Bench.calibrationSecs()
+    val calPar = Bench.calibrationParallelSecs()
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    def timed(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    def clear(): Unit = {
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.valuesIterator
+        .foreach(_.unpersist(blocking = false))
+    }
+    val lines = names.map { name =>
+      val fn = SparkEntry.queries(name)
+      val medians = (0 until sessions).map { _ =>
+        fn(spark, sfDir).count(); fn(spark, sfDir).count() // bench warm-ups
+        val ts = Seq.fill(3)(timed(fn(spark, sfDir).count())).sorted
+        clear()
+        ts(1)
+      }
+      val sortedM = medians.sorted
+      val med = sortedM(sortedM.size / 2)
+      val line = s"""{"query":"$name","tree":"$tree","sf":"${
+          new java.io.File(sfDir).getName
+        }","median":$med,"session_medians":[${medians.mkString(",")}],""" +
+        s""""calibration_sec":$cal,"calibration_parallel_sec":$calPar}"""
+      println(line)
+      line
+    }
+    spark.stop()
+    val w = new java.io.FileWriter(out, true)
+    try lines.foreach(l => w.write(l + "\n")) finally w.close()
+  }
+}

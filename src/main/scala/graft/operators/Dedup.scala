@@ -547,13 +547,8 @@ object Dedup {
   def editDistancePairs(df: DataFrame, idCol: String, keyCol: String,
                         maxDist: Int): DataFrame = {
     require(maxDist >= 1, "maxDist >= 1 (use exactDedup for distance 0)")
-    // distinct at the source: a duplicated (id, key) input row would
-    // otherwise multiply through BOTH the fan-out joins and the
-    // key-equality self-join (dup² emitted pairs — the pre-refactor
-    // explode/distinct deduplicated these), and deduplicating here also
-    // caps the join fan-out instead of cleaning up after it
     val base = df.select(col(idCol).as("id"), col(keyCol).as("k"))
-      .filter(col("k").isNotNull).distinct()
+      .filter(col("k").isNotNull)
     val keyPairs = editDistanceKeyPairs(base.select(col("k")).distinct(), maxDist)
     // fan the verified key pairs back out to member id pairs; a member
     // of the lexically-later key may carry the smaller id, so ids AND
@@ -577,7 +572,16 @@ object Dedup {
       .select(col("ia").as("id_a"), col("ib").as("id_b"),
         col("k").as("key_a"), col("k").as("key_b"),
         lit(0).cast("int").as("dist"))
-    cross.unionByName(within)
+    // a duplicated (id, key) INPUT row multiplies through the fan-out
+    // joins and the key-equality self-join (dup² copies of each affected
+    // pair) — deduplicate at the OUTPUT, where the frame is pair-sized
+    // (blocked near-pairs, a sliver of the input), instead of paying a
+    // corpus-sized distinct shuffle up front (the r11 form: one extra
+    // all-rows exchange before blocking cost d_fuzzy_pairs +33%). The
+    // cross/within branches never overlap (cross requires key_a ≠ key_b,
+    // within key_a = key_b), so the distinct only collapses input-dup
+    // echoes
+    cross.unionByName(within).distinct()
   }
 
   /** The distinct-key core of [[editDistancePairs]]: PassJoin segment

