@@ -22,6 +22,35 @@ import org.apache.spark.sql.SparkSession
   * the queries the r11 drift list flagged). Not part of the library.
   */
 object AbProbe {
+  // self-contained copies of Bench's calibration probes (same constants,
+  // same loop) so this ONE file can be dropped into any older tree for
+  // an A/B session without dragging Bench's internals along
+  private def mixRounds(seed: Long, rounds: Long): Long = {
+    var h = 0x9e3779b97f4a7c15L ^ seed
+    var i = 0L
+    while (i < rounds) {
+      h ^= i; h *= 0xff51afd7ed558ccdL; h ^= (h >>> 33)
+      i += 1
+    }
+    h
+  }
+  private def calSecs(): Double = {
+    val t0 = System.nanoTime()
+    if (mixRounds(0L, 400000000L) == 42L) System.out.print("")
+    (System.nanoTime() - t0) / 1e9
+  }
+  private def calParSecs(): Double = {
+    val t0 = System.nanoTime()
+    val ts = (0 until 32).map { k =>
+      val t = new Thread(() => {
+        if (mixRounds(k.toLong, 100000000L) == 42L) System.out.print("")
+      })
+      t.start(); t
+    }
+    ts.foreach(_.join())
+    (System.nanoTime() - t0) / 1e9
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val tree = sys.env.getOrElse("SPARK_GRAFT_AB_TREE", "worktree")
@@ -31,9 +60,9 @@ object AbProbe {
     val names = if (args.nonEmpty) args.toSeq
       else Seq("sim_hybrid_rrf", "sim_hybrid_mmr", "d_fuzzy_pairs",
         "sim_ivfpq_res_topk", "sim_bm25_multi", "t_fertility")
-    Bench.calibrationSecs() // JIT warm-up for the probe loop
-    val cal = Bench.calibrationSecs()
-    val calPar = Bench.calibrationParallelSecs()
+    calSecs() // JIT warm-up for the probe loop
+    val cal = calSecs()
+    val calPar = calParSecs()
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")

@@ -73,7 +73,12 @@ object Bench {
     "sim_outliers",
     "t_fertility",
     "d_fuzzy_pairs",
-    "env_roundtrip")
+    "env_roundtrip",
+    // r12 additions (r11 verdict #5): the keyed-window hybrid→MMR chain
+    // at 2 queries — the scaling claim the keyed-window work was made
+    // for — and the dead-letter split, the newest oracle gates
+    "sim_hybrid_mmr_multi",
+    "env_dead_letter")
 
   /** Committed reference times measured warm on an IDLE bench machine:
     * single-thread probe ~0.77 s (spread ~10%), 32-thread parallel probe
@@ -163,14 +168,33 @@ object Bench {
       // the probes saw external load, so every median in this pass is
       // low-trust and a round-over-round comparison against it would
       // burn (the r7 lesson: a contended BENCH file poisons the next
-      // round's drift baseline). Re-run ONCE on a fresh session and
-      // publish the retry — clean or not — with the contended first
-      // attempt attached for the record.
-      val (retryJson, retryCompact, _) = runBench(sfDir, cpus)
+      // round's drift baseline). Re-run on a fresh session — and if the
+      // retry ITSELF is flagged, once more (bounded at 3 attempts
+      // total; r11 published a mass-flagged retry after one burned
+      // attempt and the whole round's perf record was low-trust). A
+      // still-dirty final record carries an explicit
+      // baseline_skipped_reason: the next round's baseline filter
+      // rejects flagged records BY DESIGN, and the record should say so
+      // itself instead of leaving the reader to infer it.
+      val (retryJson, retryCompact, retrySuspect) = runBench(sfDir, cpus)
+      val (finJson, finCompact, finSuspect, attempt) =
+        if (!retrySuspect) (retryJson, retryCompact, false, 2)
+        else {
+          val (j3, c3, s3) = runBench(sfDir, cpus)
+          (j3, c3, s3, 3)
+        }
+      val skippedNote =
+        if (finSuspect)
+          ",\"baseline_skipped_reason\":\"contended_or_mass_drift_after_" +
+            attempt + "_attempts; next round's drift baseline filter " +
+            "rejects this record\""
+        else ""
       publish(sfDir,
-        retryJson.dropRight(1) +
-          ",\"bench_attempt\":2,\"contended_first_attempt\":" + json + "}",
-        retryCompact.dropRight(1) + ",\"bench_attempt\":2}")
+        finJson.dropRight(1) +
+          ",\"bench_attempt\":" + attempt + skippedNote +
+          ",\"contended_first_attempt\":" + json + "}",
+        finCompact.dropRight(1) + ",\"bench_attempt\":" + attempt +
+          skippedNote + "}")
     }
   }
 
@@ -311,9 +335,14 @@ object Bench {
     // round keeps such shifts separable from a genuine complexity change
     // (a level shift moves both sf readings together; the exponent
     // stays put).
+    // + the hybrid-retrieval chain (r11 verdict #1): 1-query and 2-query
+    // forms probed at both sfs so the multi-query scaffolding's cost is
+    // separable into fixed overhead (low exponent, level shift) vs
+    // corpus-proportional work — the question the r11 regression left open
     val slopeQueries = Seq("sim_ivfpq_res_topk", "d_dup_clusters",
       "d_minhash_lsh", "sim_pq_topk", "d_fuzzy_pairs",
-      "d_ngram_near_dups", "d_incr_lsh", "sim_ivf_topk")
+      "d_ngram_near_dups", "d_incr_lsh", "sim_ivf_topk",
+      "sim_hybrid_rrf", "sim_hybrid_mmr", "sim_hybrid_mmr_multi")
     val smallSfDir = new java.io.File(
       new java.io.File(sfDir).getParentFile, "sf0.01")
     val scaleSlopes: Seq[(String, Double)] =
@@ -461,20 +490,28 @@ object Bench {
     // ever-growing amount of prior bench work (heap state, JIT tier-down,
     // ContextCleaner backlog) — a median with a published spread separates
     // a codec regression from measurement noise.
+    // Contention-aware (r11 verdict #4): the r11 driver record published
+    // serde_uuid at 153.6% spread, and its burned first attempt printed
+    // the GATE metric at 0.61× the gate purely from machine noise — a
+    // gate number must not be publishable below the gate on a noisy
+    // machine-day when the fix costs seconds. Each metric re-runs ALONE
+    // (not the 25-minute sweep) until its spread is ≤ 20%, bounded at 4
+    // attempts; of contended attempts the HIGHEST median wins (noise
+    // only ever drags rates DOWN, so max-median is the least-contended
+    // reading), and the published spread is that attempt's.
     def rateMedian(runs: Int)(f: () => Double): (Double, Double) = {
-      def attempt(): Seq[Double] = Seq.fill(runs)(f()).sorted
-      val first = attempt()
-      // same burst repair as the queries (rates invert: a burst drags
-      // the MIN down, so retry when max ≥ 2×min and keep the attempt
-      // with the HIGHER median)
-      val vs =
-        if (first.head > 0 && first.last / first.head >= 2.0) {
-          val second = attempt()
-          if (second(second.size / 2) > first(first.size / 2)) second else first
-        } else first
-      val med = vs(vs.size / 2)
-      val spread = if (med > 0) 100.0 * (vs.last - vs.head) / med else -1.0
-      (med, spread)
+      def spreadOf(vs: Seq[Double]): Double = {
+        val med = vs(vs.size / 2)
+        if (med > 0) 100.0 * (vs.last - vs.head) / med else -1.0
+      }
+      var best: Seq[Double] = Seq.fill(runs)(f()).sorted
+      var tries = 1
+      while (spreadOf(best) > 20.0 && tries < 4) {
+        val next = Seq.fill(runs)(f()).sorted
+        if (next(next.size / 2) > best(best.size / 2)) best = next
+        tries += 1
+      }
+      (best(best.size / 2), spreadOf(best))
     }
 
     // serde throughput: full envelope round trip (encode → pack → unpack
@@ -1036,6 +1073,11 @@ object Bench {
             // 1.00) and the OPQ-composed path (recall_opq_ivfpq_res_
             // rerank, 1.00), which supersede it at the same code budget
             "recall_diag_ivfpq_rerank" -> ivfpqRerankR,
+            // continuity alias (one round, r11 ADVICE): the r11 rename
+            // to recall_diag_ivfpq_rerank silently broke this series'
+            // longitudinal comparison — publish BOTH keys this round so
+            // the break is explicit; drop the old key in r13
+            "recall_ivfpq_rerank" -> ivfpqRerankR,
             "recall_ivfpq_res_rerank" -> ivfpqResRerankR,
             "recall_diag_jl_d16_topk" -> jlR,
             "recall_diag_jl_d16_rerank" -> jlRerankR,

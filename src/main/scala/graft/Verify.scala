@@ -29,12 +29,23 @@ object Verify {
         // that throws before the overwrite executes (analysis error)
         // would otherwise leave stale parquet behind, and the oracle
         // compare would hash last run's result as a pass — a broken
-        // query must read as MISSING, never as green
+        // query must read as MISSING, never as green. RECURSIVE: a
+        // nested subdirectory (partitioned output, leftover _temporary)
+        // makes a one-level delete fail silently and the stale parquet
+        // still hashes green — walk depth-first, and if anything
+        // survives, say so loudly rather than let the gate lie.
         try {
-          val stale = new java.io.File(s"$outDir/$name")
-          if (stale.isDirectory) {
-            stale.listFiles().foreach(_.delete()); stale.delete()
+          def rmTree(f: java.io.File): Unit = {
+            if (f.isDirectory)
+              Option(f.listFiles()).getOrElse(Array.empty).foreach(rmTree)
+            f.delete(): Unit
           }
+          val stale = new java.io.File(s"$outDir/$name")
+          rmTree(stale)
+          if (stale.exists())
+            System.err.println(
+              s"[verify] WARNING: stale output $outDir/$name survived delete — " +
+                "the oracle compare may read last run's result as green")
         } catch { case _: Throwable => () }
       }
     }

@@ -92,27 +92,25 @@ case class MmrSelect(first: Expression, second: Expression, third: Expression,
   def compute(ids: ArrayData, rels: ArrayData, vecs: ArrayData): ArrayData = {
     val k0 = ids.numElements()
     if (rels.numElements() != k0 || vecs.numElements() != k0) return null
-    // validate + unpack candidates (degenerates drop, see doc).
-    // The accepted dimensionality anchors to the SMALLEST-ID candidate,
-    // not the first in input order: collect_list order is
-    // shuffle-dependent, so a first-seen anchor made the drop set (and
-    // the selection) nondeterministic when a stray off-dim vector was
-    // present — ids are unique per query, so min-id is order-free.
-    var dim = -1
-    var anchorId = Long.MaxValue
-    var p = 0
-    while (p < k0) {
-      if (!ids.isNullAt(p) && !vecs.isNullAt(p)) {
-        val id = ids.getLong(p)
-        if (id < anchorId) { anchorId = id; dim = vecs.getArray(p).numElements() }
-      }
-      p += 1
-    }
+    // validate + unpack candidates (degenerates drop, see doc) in ONE
+    // pass: a candidate is well-formed when id/rel/vec are non-null, rel
+    // is in ppm bounds, no vector element is null, and the squared norm
+    // is finite and > 0 (an Infinity element gives s2 = Inf, whose
+    // cosine is Inf/Inf = NaN and the exact-decimal ppm conversion would
+    // throw NumberFormatException — one poisoned row must drop, never
+    // kill the task; NaN elements already drop: NaN > 0.0 is false).
+    // The accepted dimensionality then anchors to the SMALLEST-ID
+    // WELL-FORMED candidate: collect_list order is shuffle-dependent, so
+    // a first-seen anchor made the drop set nondeterministic — and
+    // anchoring on merely non-null candidates let an INVALID stray
+    // (zero-norm, out-of-range rel) carrying the wrong dim veto every
+    // well-formed candidate into an empty selection. Ids are unique per
+    // query, so min-id over well-formed candidates is order-free.
     val vid = new Array[Long](k0)
     val rel = new Array[Long](k0)
     val vec = new Array[Array[Double]](k0)
     val nrm = new Array[Double](k0)
-    var k = 0
+    var m = 0
     var i = 0
     while (i < k0) {
       if (!ids.isNullAt(i) && !rels.isNullAt(i) && !vecs.isNullAt(i) &&
@@ -120,30 +118,40 @@ case class MmrSelect(first: Expression, second: Expression, third: Expression,
           rels.getLong(i) <= MmrSelect.MaxRelPpm) {
         val va = vecs.getArray(i)
         val d = va.numElements()
-        if (d == dim) {
-          var ok = true
-          val arr = new Array[Double](d)
-          var s2 = 0.0
-          var j = 0
-          while (ok && j < d) {
-            if (va.isNullAt(j)) ok = false
-            else { arr(j) = va.getDouble(j); s2 += arr(j) * arr(j); j += 1 }
-          }
-          // isFinite: an Infinity element gives s2 = Inf (passes > 0)
-          // and its cosine is Inf/Inf = NaN, which the exact-decimal ppm
-          // conversion rejects with NumberFormatException — one poisoned
-          // row must drop, never kill the task (NaN elements already
-          // drop: NaN > 0.0 is false)
-          if (ok && s2 > 0.0 && java.lang.Double.isFinite(s2)) {
-            vid(k) = ids.getLong(i)
-            rel(k) = rels.getLong(i)
-            vec(k) = arr
-            nrm(k) = math.sqrt(s2)
-            k += 1
-          }
+        var ok = true
+        val arr = new Array[Double](d)
+        var s2 = 0.0
+        var j = 0
+        while (ok && j < d) {
+          if (va.isNullAt(j)) ok = false
+          else { arr(j) = va.getDouble(j); s2 += arr(j) * arr(j); j += 1 }
+        }
+        if (ok && s2 > 0.0 && java.lang.Double.isFinite(s2)) {
+          vid(m) = ids.getLong(i)
+          rel(m) = rels.getLong(i)
+          vec(m) = arr
+          nrm(m) = math.sqrt(s2)
+          m += 1
         }
       }
       i += 1
+    }
+    var dim = -1
+    var anchorId = Long.MaxValue
+    var p = 0
+    while (p < m) {
+      if (vid(p) < anchorId) { anchorId = vid(p); dim = vec(p).length }
+      p += 1
+    }
+    // keep only the anchor dimensionality (compact in place)
+    var k = 0
+    var c0 = 0
+    while (c0 < m) {
+      if (vec(c0).length == dim) {
+        vid(k) = vid(c0); rel(k) = rel(c0); vec(k) = vec(c0); nrm(k) = nrm(c0)
+        k += 1
+      }
+      c0 += 1
     }
     val take = math.min(n, k)
     val out = new Array[Long](take)

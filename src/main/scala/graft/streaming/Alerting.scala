@@ -157,13 +157,25 @@ object Alerting {
           q == e.progress.name || q == e.progress.id.toString))
         beat(maxEventTimeMillis(e.progress.eventTime))
 
+    /** Count of processor beats that threw — a permanently broken alert
+      * sink (a misconfigured deadman, a down endpoint) must be VISIBLE,
+      * not silently absorbed forever; ops can scrape this alongside the
+      * alerts themselves. */
+    val beatFailures = new AtomicLong(0L)
+
     /** One beat through every processor, each isolated from the others'
       * failures (also the test seam — QueryProgressEvent cannot be
-      * constructed outside Spark). */
+      * constructed outside Spark). A failure logs and counts — never
+      * silently, never starving the processors after it. */
     private[graft] def beat(ts: Option[Long]): Unit =
       processors.foreach { p =>
         try p.maybeProcess(ts)
-        catch { case scala.util.control.NonFatal(_) => () }
+        catch {
+          case scala.util.control.NonFatal(e) =>
+            beatFailures.incrementAndGet()
+            System.err.println(
+              s"[alerting] processor ${p.getClass.getSimpleName} beat failed: $e")
+        }
       }
 
     /** Parse the progress map's "max" event time (ISO-8601 UTC). */

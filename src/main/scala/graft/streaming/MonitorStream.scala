@@ -63,7 +63,8 @@ object MonitorStream {
       messages: DataFrame,
       clientName: String,
       clientType: String,
-      windowSec: Int = DefaultWindowSeconds): DataFrame = {
+      windowSec: Int = DefaultWindowSeconds,
+      maxWindowsPerTopic: Int = 1 << 19): DataFrame = {
     val step = windowSec.toLong
     val aligned = (floor(unix_timestamp(col("ts")) / windowSec) * windowSec).cast("long")
     messages
@@ -80,6 +81,22 @@ object MonitorStream {
       .groupBy(col("topic"))
       .agg(sort_array(collect_list(struct(col("start_timestamp"), col("observed"))))
         .as("obs"))
+      // per-topic state is O(observed windows) IN ONE ROW — fine for the
+      // audit ranges this serves (default cap 2^19 windows ≈ 8 MiB/row;
+      // at the 30 s default window that is ~6 months of nonstop
+      // activity), but a tiny windowSec over a years-long range would
+      // silently build multi-GB rows and OOM executors. Past the cap the
+      // job FAILS LOUDLY naming the topic instead: narrow the time
+      // range, widen windowSec, or use the streaming variant (whose
+      // state is watermark-bounded). The guard row-filters on the
+      // assert's null result so column pruning can never drop it.
+      .withColumn("__cap", assert_true(
+        size(col("obs")) <= maxWindowsPerTopic,
+        concat(lit("monitorCountsWithCatchup: topic "), col("topic"),
+          lit(s" exceeds $maxWindowsPerTopic observed windows — narrow the" +
+            " time range, widen windowSec, or use the streaming variant"))))
+      .filter(col("__cap").isNull)
+      .drop("__cap")
       // (e, i) -> the entry itself, prefixed by one zero struct per quiet
       // window since the previous entry. Lazy IF keeps the obs[i-1]
       // access (ANSI: out-of-bounds throws) behind the i = 0 guard, and

@@ -151,6 +151,12 @@ class AlertingSpec extends SparkTestBase {
     l.beat(Some(1000L))
     assert(beats.toSeq == Seq(1, 2),
       s"the processor after the throwing one must still beat: $beats")
+    // the swallowed failure must be VISIBLE: a permanently broken sink
+    // (misconfigured deadman) previously failed invisibly forever
+    assert(l.beatFailures.get() == 1L,
+      s"a throwing beat must count as a failure: ${l.beatFailures.get()}")
+    l.beat(Some(2000L))
+    assert(l.beatFailures.get() == 2L)
   }
 
   test("ISO event-time parsing tolerates Z and space-separated forms") {

@@ -620,6 +620,26 @@ class FunctionsSpec extends SparkTestBase {
       s"Inf candidate and off-anchor-dim candidate must drop: $got")
   }
 
+  test("mmr_select: an INVALID smallest-id candidate never anchors the dim") {
+    import spark.implicits._
+    import graft.operators.Similarity
+    // the smallest-id candidate is itself degenerate (zero-norm) AND
+    // off-dim — pre-fix its dim still anchored, vetoing every
+    // well-formed candidate into an empty selection with no error; the
+    // anchor must come from the smallest WELL-FORMED id (10 → 2-dim)
+    val cands = Seq(
+      (1L, 5L, 900000L, Seq(0.0, 0.0, 0.0)),          // zero-norm, 3-dim stray
+      (1L, 6L, 2000000000000L, Seq(1.0, 1.0, 1.0)),   // rel past ±10^12, 3-dim
+      (1L, 10L, 900000L, Seq(1.0, 0.0)),
+      (1L, 11L, 800000L, Seq(0.0, 1.0))
+    ).toDF("query_id", "id", "rel_ppm", "v")
+    val got = Similarity.mmrSelect(cands, "query_id", "id", "rel_ppm", "v",
+        n = 4, lambdaPpm = 700000L)
+      .select($"id").as[Long].collect().toSet
+    assert(got == Set(10L, 11L),
+      s"well-formed candidates must survive an invalid min-id stray: $got")
+  }
+
   test("decode_payload rejects a bigint schema_id at analysis time") {
     import spark.implicits._
     val reg = new graft.schema.SchemaRegistry

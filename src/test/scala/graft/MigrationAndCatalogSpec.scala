@@ -112,6 +112,31 @@ class MigrationAndCatalogSpec extends SparkTestBase {
       ("topic_b", base, 1)))
   }
 
+  test("monitorCountsWithCatchup fails loudly past the per-topic window cap") {
+    import spark.implicits._
+    def t(s: String) = Timestamp.valueOf(s)
+    val df = Seq(
+      (t("2024-01-01 00:01:00"), "topic_a"),
+      (t("2024-01-01 00:31:00"), "topic_a"),
+      (t("2024-01-01 01:01:00"), "topic_a"),
+      (t("2024-01-01 00:05:00"), "topic_b")
+    ).toDF("ts", "topic")
+    // 3 observed windows for topic_a over a cap of 2: the run must fail
+    // NAMING the topic, never silently build an unbounded row
+    val e = intercept[Exception] {
+      MonitorStream.monitorCountsWithCatchup(df, "c", "consumer",
+        maxWindowsPerTopic = 2).collect()
+    }
+    def msgs(x: Throwable): Seq[String] =
+      Option(x).toSeq.flatMap(t => Option(t.getMessage).toSeq ++ msgs(t.getCause))
+    assert(msgs(e).exists(m => m.contains("topic_a") && m.contains("windows")),
+      s"cap failure must name the topic: ${msgs(e)}")
+    // under the cap the same frame emits normally
+    val ok = MonitorStream.monitorCountsWithCatchup(df, "c", "consumer",
+      maxWindowsPerTopic = 3).collect()
+    assert(ok.nonEmpty)
+  }
+
   test("registry save/load reproduces ids, topics and snapshot") {
     val dir = java.nio.file.Files.createTempDirectory("reg_store").toString
     val reg = new SchemaRegistry

@@ -1,0 +1,26 @@
+#!/bin/bash
+# A/B timing driver (r11 verdict #2): alternate graft.AbProbe sessions
+# between two checked-out trees so machine drift cancels, appending every
+# session's medians + calibration readings to one committed JSONL record.
+#
+#   tools/ab_probe.sh <treeA_dir> <tagA> <treeB_dir> <tagB> <out.jsonl> <queries...>
+#
+# Runs INTERLEAVED JVMs (A B A B ...; 2 rounds by default, override with
+# AB_ROUNDS) — a same-day level shift shows up as BOTH trees moving
+# together, a code regression as a one-tree offset that survives the
+# interleave. Each tree needs graft.AbProbe on its compile path (copy
+# src/main/scala/graft/AbProbe.scala in; it is self-contained).
+set -e
+A_DIR=$1; A_TAG=$2; B_DIR=$3; B_TAG=$4; OUT=$5; shift 5
+QUERIES="$*"
+ROUNDS=${AB_ROUNDS:-2}
+for r in $(seq 1 "$ROUNDS"); do
+  for side in A B; do
+    if [ $side = A ]; then DIR=$A_DIR; TAG=$A_TAG; else DIR=$B_DIR; TAG=$B_TAG; fi
+    echo "== round $r tree $TAG =="
+    (cd "$DIR" && SPARK_GRAFT_AB_TREE="$TAG" SPARK_GRAFT_AB_OUT="$OUT" \
+      SPARK_GRAFT_AB_SESSIONS=${AB_SESSIONS:-3} \
+      sbt -batch "runMain graft.AbProbe $QUERIES" 2>&1 | grep -F '"query"' || true)
+  done
+done
+echo "record: $OUT"
