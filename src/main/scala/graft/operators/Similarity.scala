@@ -464,29 +464,49 @@ object Similarity {
     // sample-sized block-manager copies for the life of the session)
     val pinned = sample.select(col("vec_id"), col("v")).localCheckpoint()
     try {
-      val perSub = (0 until m).map { j =>
-        val off = j * subDim
-        val sv = expr(s"slice(v, ${off + 1}, $subDim)")
-        var cents: Array[(Int, Seq[Double])] = pinned
-          .orderBy(col("vec_id")).limit(ksub)
-          .select(sv.as("c")).collect().zipWithIndex
-          .map { case (r, i) => (i, r.getSeq[Double](0)) }
-        for (_ <- 1 until iters) {
-          cents = pinned
-            .select(sv.as("sv"),
-              graft.functions.L2Argmin.l2_argmin(col("v"),
-                cents.map(_._1), cents.map(_._2.toArray), off).as("cluster"))
-            .select(col("cluster"), posexplode(col("sv")).as(Seq("dim", "x")))
-            .groupBy(col("cluster"), col("dim"))
-            .agg(round(avg(col("x")), 6).as("mn"))
-            .groupBy(col("cluster"))
-            .agg(array_sort(collect_list(struct(col("dim"), col("mn")))).as("pairs"))
-            .select(col("cluster").cast("int"), expr("transform(pairs, q -> q.mn)").as("c"))
-            .collect().map(r => (r.getInt(0), r.getSeq[Double](1))).sortBy(_._1)
-        }
-        (j, cents)
+      // seed: the first ksub vectors by id seed EVERY subspace's codebook
+      // — ONE collect, each sub slices its dims locally (bit-identical to
+      // the former per-sub orderBy/limit/slice collects, m× fewer jobs)
+      val seedRows = pinned.orderBy(col("vec_id")).limit(ksub)
+        .select(col("v")).collect().map(_.getSeq[Double](0))
+      var cents: Array[Array[(Int, Seq[Double])]] = Array.tabulate(m) { j =>
+        seedRows.zipWithIndex.map { case (v, i) =>
+          (i, v.slice(j * subDim, (j + 1) * subDim)) }
       }
-      perSub.flatMap { case (j, cs) => cs.map { case (cid, c) => (j, cid, c) } }
+      // ONE job per training round updates ALL m codebooks: per row an
+      // array of (sub, argmin cluster, sub-vector) structs explodes, and
+      // the (sub, cluster, dim) means aggregate behind a single shuffle.
+      // The group keys carry `sub`, so every mean is the one the former
+      // per-sub loop computed — same rows, same round(avg, 6) — while
+      // the job count drops from m·(iters−1)+m to (iters−1)+1; the
+      // sequential per-sub form made PQ/OPQ training the bench's widest
+      // scheduling-overhead surface (subspaces are independent, their
+      // jobs never were).
+      for (_ <- 1 until iters) {
+        val perSubCols = (0 until m).map { j =>
+          struct(lit(j).as("sub"),
+            graft.functions.L2Argmin.l2_argmin(col("v"),
+              cents(j).map(_._1), cents(j).map(_._2.toArray), j * subDim)
+              .as("cluster"),
+            expr(s"slice(v, ${j * subDim + 1}, $subDim)").as("sv"))
+        }
+        val updated = pinned
+          .select(explode(array(perSubCols: _*)).as("e"))
+          .select(col("e.sub").as("sub"), col("e.cluster").as("cluster"),
+            posexplode(col("e.sv")).as(Seq("dim", "x")))
+          .groupBy(col("sub"), col("cluster"), col("dim"))
+          .agg(round(avg(col("x")), 6).as("mn"))
+          .groupBy(col("sub"), col("cluster"))
+          .agg(array_sort(collect_list(struct(col("dim"), col("mn")))).as("pairs"))
+          .select(col("sub"), col("cluster").cast("int"),
+            expr("transform(pairs, q -> q.mn)").as("c"))
+          .collect().map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2)))
+        cents = Array.tabulate(m) { j =>
+          updated.collect { case (s, cid, c) if s == j => (cid, c) }.sortBy(_._1)
+        }
+      }
+      cents.zipWithIndex.toSeq
+        .flatMap { case (cs, j) => cs.map { case (cid, c) => (j, cid, c) } }
         .toDF("sub", "cluster", "c")
     } finally releasePin(pinned)
   }
