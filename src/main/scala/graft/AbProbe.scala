@@ -57,15 +57,24 @@ object AbProbe {
     val out = sys.env.getOrElse("SPARK_GRAFT_AB_OUT", "ab_probe.jsonl")
     val sessions = sys.env.get("SPARK_GRAFT_AB_SESSIONS")
       .flatMap(_.toIntOption).getOrElse(5)
+    // same session shape as the bench run whose reads are under dispute:
+    // a probe at a fixed local[32] would amortize the scheduling/fixed
+    // overhead (exactly the quantity the disputed reads are made of)
+    // differently from a local[4] bench and could clear a real regression
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val names = if (args.nonEmpty) args.toSeq
       else Seq("sim_hybrid_rrf", "sim_hybrid_mmr", "d_fuzzy_pairs",
         "sim_ivfpq_res_topk", "sim_bm25_multi", "t_fertility")
+    // validate up front: a mistyped name must fail BEFORE minutes of
+    // timed sessions run, not after them
+    val unknown = names.filterNot(SparkEntry.queries.contains)
+    require(unknown.isEmpty, s"unknown queries: ${unknown.mkString(", ")}")
     calSecs() // JIT warm-up for the probe loop
-    val cal = calSecs()
-    val calPar = calParSecs()
+    val calStart = calSecs()
+    val calParStart = calParSecs()
     val spark = SparkSession.builder()
-      .master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
@@ -79,7 +88,11 @@ object AbProbe {
       spark.sparkContext.getPersistentRDDs.valuesIterator
         .foreach(_.unpersist(blocking = false))
     }
-    val lines = names.map { name =>
+    def append(line: String): Unit = {
+      val w = new java.io.FileWriter(out, true)
+      try w.write(line + "\n") finally w.close()
+    }
+    names.foreach { name =>
       val fn = SparkEntry.queries(name)
       val medians = (0 until sessions).map { _ =>
         fn(spark, sfDir).count(); fn(spark, sfDir).count() // bench warm-ups
@@ -89,15 +102,26 @@ object AbProbe {
       }
       val sortedM = medians.sorted
       val med = sortedM(sortedM.size / 2)
+      // appended PER QUERY (a later query's failure must not discard the
+      // minutes of sessions already measured); end-of-run calibration is
+      // stamped by the closing line below — a load burst arriving
+      // mid-run shows up there, not nowhere
       val line = s"""{"query":"$name","tree":"$tree","sf":"${
           new java.io.File(sfDir).getName
         }","median":$med,"session_medians":[${medians.mkString(",")}],""" +
-        s""""calibration_sec":$cal,"calibration_parallel_sec":$calPar}"""
+        s""""calibration_sec":$calStart,"calibration_parallel_sec":$calParStart}"""
       println(line)
-      line
+      append(line)
     }
     spark.stop()
-    val w = new java.io.FileWriter(out, true)
-    try lines.foreach(l => w.write(l + "\n")) finally w.close()
+    // bracket the JVM like the bench does (probes sample instants; a
+    // burst between them can still slip through, but a burst DURING the
+    // sessions moves the end reading): one closing machine-health line
+    val calEnd = calSecs()
+    val calParEnd = calParSecs()
+    val closing = s"""{"tree":"$tree","calibration_end_sec":$calEnd,""" +
+      s""""calibration_parallel_end_sec":$calParEnd}"""
+    println(closing)
+    append(closing)
   }
 }

@@ -116,7 +116,7 @@ object Bench {
     * the bench: on a quiet machine it reproduces [[CalibrationRefSec]]
     * within noise; when something else holds the SAME core class it
     * stretches. Senses single-core pressure and cgroup throttling. */
-  private[graft] def calibrationSecs(): Double = {
+  private def calibrationSecs(): Double = {
     val t0 = System.nanoTime()
     if (mixRounds(0L, 400000000L) == 42L) System.out.print("") // defeat DCE
     (System.nanoTime() - t0) / 1e9
@@ -127,7 +127,7 @@ object Bench {
     * the MACHINE's aggregate capacity, not the session's cpu setting).
     * Stretches whenever total compute throughput is down — the failure
     * mode the single-thread probe cannot see. */
-  private[graft] def calibrationParallelSecs(): Double = {
+  private def calibrationParallelSecs(): Double = {
     val t0 = System.nanoTime()
     val ts = (0 until ParProbeThreads).map { k =>
       val t = new Thread(() => {

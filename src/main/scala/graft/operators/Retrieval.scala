@@ -59,8 +59,12 @@ object Retrieval {
     require(terms0.nonEmpty && k > 0)
     // corpus tokens are lower()'d below, so query terms must normalize
     // the same way — a verbatim 'Transformer' would silently match
-    // nothing; distinct so 'Spark' + 'spark' can't double-count a tf
-    val terms = terms0.map(_.toLowerCase).distinct
+    // nothing; distinct so 'Spark' + 'spark' can't double-count a tf.
+    // Locale.ROOT: Spark's lower() is locale-independent, while a bare
+    // String.toLowerCase follows the JVM default locale (tr-TR maps
+    // 'TITLE' to dotless-ı 'tıtle' — the term would silently match zero
+    // docs on a Turkish-locale driver)
+    val terms = terms0.map(_.toLowerCase(java.util.Locale.ROOT)).distinct
     val ws = split(trim(lower(col(textCol))), "\\s+")
     // pinned (lazily): corpus stats AND tf both consume the per-doc
     // (id, dl, hits) frame — without the checkpoint each consumer re-runs
@@ -228,9 +232,10 @@ object Retrieval {
                          maxVocabLiteral: Int = 65536): DataFrame = {
     require(queries.nonEmpty && k > 0)
     // same normalization contract as the table path: lower() beside the
-    // corpus tokens, distinct so case-variant duplicates within a query
-    // can't double-count a term's contribution
-    val qn = queries.map { case (q, t) => (q, t.toLowerCase) }.distinct
+    // corpus tokens (Locale.ROOT — see [[bm25TopK]]), distinct so
+    // case-variant duplicates within a query can't double-count a term
+    val qn = queries
+      .map { case (q, t) => (q, t.toLowerCase(java.util.Locale.ROOT)) }.distinct
     val termToQids: Map[String, Seq[Long]] =
       qn.groupBy(_._2).map { case (t, qs) => (t, qs.map(_._1).sorted) }
     if (termToQids.size > maxVocabLiteral) {

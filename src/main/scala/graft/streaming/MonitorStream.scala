@@ -81,20 +81,24 @@ object MonitorStream {
       .groupBy(col("topic"))
       .agg(sort_array(collect_list(struct(col("start_timestamp"), col("observed"))))
         .as("obs"))
-      // per-topic state is O(observed windows) IN ONE ROW — fine for the
-      // audit ranges this serves (default cap 2^19 windows ≈ 8 MiB/row;
-      // at the 30 s default window that is ~6 months of nonstop
-      // activity), but a tiny windowSec over a years-long range would
-      // silently build multi-GB rows and OOM executors. Past the cap the
-      // job FAILS LOUDLY naming the topic instead: narrow the time
-      // range, widen windowSec, or use the streaming variant (whose
-      // state is watermark-bounded). The guard row-filters on the
+      // the blow-up hazard is the EMITTED span — observed windows PLUS
+      // the gap-fill's generated zeros ((last−first)/windowSec + 1 per
+      // topic): a topic with just TWO messages six years apart at a 30 s
+      // window would materialize ~6.3M zero structs in one flatten()
+      // value before the explode ever runs. Cap that span (default 2^19
+      // emitted windows ≈ 8 MiB/row ≈ 6 months of 30 s windows) and FAIL
+      // LOUDLY naming the topic: narrow the time range, widen windowSec,
+      // or use the streaming variant (whose state is watermark-bounded).
+      // `obs` is sorted ascending, so first/last elements bound the span
+      // without touching the interior. The guard row-filters on the
       // assert's null result so column pruning can never drop it.
       .withColumn("__cap", assert_true(
-        size(col("obs")) <= maxWindowsPerTopic,
+        expr(s"(element_at(obs, -1).start_timestamp - " +
+          s"element_at(obs, 1).start_timestamp) div ${step}L " +
+          s"< ${maxWindowsPerTopic.toLong}L"),
         concat(lit("monitorCountsWithCatchup: topic "), col("topic"),
-          lit(s" exceeds $maxWindowsPerTopic observed windows — narrow the" +
-            " time range, widen windowSec, or use the streaming variant"))))
+          lit(s" would emit more than $maxWindowsPerTopic windows — narrow" +
+            " the time range, widen windowSec, or use the streaming variant"))))
       .filter(col("__cap").isNull)
       .drop("__cap")
       // (e, i) -> the entry itself, prefixed by one zero struct per quiet

@@ -121,20 +121,23 @@ class MigrationAndCatalogSpec extends SparkTestBase {
       (t("2024-01-01 01:01:00"), "topic_a"),
       (t("2024-01-01 00:05:00"), "topic_b")
     ).toDF("ts", "topic")
-    // 3 observed windows for topic_a over a cap of 2: the run must fail
-    // NAMING the topic, never silently build an unbounded row
+    // topic_a spans 7 EMITTED windows (00:00..01:00 at 600 s — observed
+    // PLUS gap zeros; the gap zeros are what blow the row up, two sparse
+    // messages years apart would pass any observed-count check): a cap
+    // of 6 must fail NAMING the topic, never silently build the row
     val e = intercept[Exception] {
       MonitorStream.monitorCountsWithCatchup(df, "c", "consumer",
-        maxWindowsPerTopic = 2).collect()
+        maxWindowsPerTopic = 6).collect()
     }
     def msgs(x: Throwable): Seq[String] =
       Option(x).toSeq.flatMap(t => Option(t.getMessage).toSeq ++ msgs(t.getCause))
     assert(msgs(e).exists(m => m.contains("topic_a") && m.contains("windows")),
       s"cap failure must name the topic: ${msgs(e)}")
-    // under the cap the same frame emits normally
+    // at exactly the span the same frame emits normally (7 rows for
+    // topic_a: 3 observed + 4 gap zeros)
     val ok = MonitorStream.monitorCountsWithCatchup(df, "c", "consumer",
-      maxWindowsPerTopic = 3).collect()
-    assert(ok.nonEmpty)
+      maxWindowsPerTopic = 7).collect()
+    assert(ok.count(_.getString(0) == "topic_a") == 7)
   }
 
   test("registry save/load reproduces ids, topics and snapshot") {
