@@ -396,6 +396,16 @@ object Similarity {
     val probeCent = probes.crossJoin(broadcast(cents))
       .select(col("probe_id"), col("p"), col("cluster"),
         round(graft.functions.CosineSim.cosine_sim(col("c"), col("p")), 6).as("ccos"))
+      // NaN guard (the r11 zero-norm class, at the ROUTING rank): a
+      // degenerate centroid — the cluster −1 a zero-norm corpus vector
+      // forms under assignClusters, or an all-zero mean — has ccos =
+      // 0/0 = NaN, and Spark orders NaN ABOVE every real double, so ONE
+      // corrupt vector's cell out-ranked every real centroid and (at
+      // nprobe = 1) captured ALL routing: every probe searched only the
+      // degenerate cell and the whole query returned ZERO rows.
+      // Undefined similarity must never route (DuckDB yields NULL here
+      // and NULLS sort last — the oracles already skip it).
+      .filter(col("ccos").isNotNull && !isnan(col("ccos")))
     val wc = Window.partitionBy(col("probe_id")).orderBy(col("ccos").desc, col("cluster").asc)
     probeCent.withColumn("crank", row_number().over(wc))
       .filter(col("crank") <= nprobe)
@@ -1283,8 +1293,18 @@ object Similarity {
       .select(coalesce(col("__so"), col("__sn")).as(strataCol),
         coalesce(col("n_old"), lit(0L)).as("n_old"),
         coalesce(col("n_new"), lit(0L)).as("n_new"),
-        round(graft.functions.CosineSim.cosine_sim(col("__co"), col("__cn")),
-          roundTo).as("drift_cos"))
+        // undefined drift is NULL, never NaN: a zero-norm centroid (a
+        // stratum of all-zero embeddings — a broken encoder, exactly
+        // what this monitor watches for) gives cosine 0/0 = NaN, which
+        // serializes engine-specifically and compares as ABOVE every
+        // real value in Spark — a reader's `drift_cos < 0.9` alert
+        // would silently never fire for the one stratum that is
+        // entirely corrupt. NULL = "could not be measured" is the
+        // honest signal and what a SQL replay yields.
+        when(!isnan(round(graft.functions.CosineSim.cosine_sim(
+            col("__co"), col("__cn")), roundTo)),
+          round(graft.functions.CosineSim.cosine_sim(col("__co"), col("__cn")),
+            roundTo)).as("drift_cos"))
   }
 
   /** SemDeDup-style semantic dedup (Abbas et al. 2023): cluster the

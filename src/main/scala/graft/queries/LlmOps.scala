@@ -1,7 +1,6 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -40,24 +39,35 @@ object LlmOps {
     * formulation: join on shingle, count intersections, filter. */
   def qNgramNearDups(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    // the shingle frame feeds three plan branches (sizes + both join
-    // sides); cache it — Spark self-joins recompute lineage otherwise.
-    // At cluster scale this is persist(DISK_ONLY) or a checkpoint.
+    ngramJaccardScored(spark, dir, maxBucket = None)
+      .filter($"jac" >= JaccardThreshold)
+      .select($"d1", $"d2", round($"jac", 6).as("jaccard"))
+      .orderBy($"d1", $"d2")
+  }
+
+  /** The shared shingle→sizes→intersections→Jaccard pipeline behind the
+    * exhaustive and hot-bucket-capped pair queries (one definition — a
+    * join or scoring fix can no longer land in one and miss the other):
+    * returns (d1, d2, i, jac) for every candidate pair.
+    *
+    * The shingle frame feeds three plan branches (sizes + both join
+    * sides); cache it — Spark self-joins recompute lineage otherwise
+    * (persist(DISK_ONLY) or a checkpoint at cluster scale).
+    * Intersections via one groupBy(g) + pair explode — the self-join
+    * alternative shuffles the shingle frame (the dominant intermediate)
+    * twice and emits k² rows per shingle instead of k(k−1)/2. */
+  private def ngramJaccardScored(spark: SparkSession, dir: String,
+                                 maxBucket: Option[Int]): DataFrame = {
+    import spark.implicits._
     val sh = Dedup.wordShingles(Tables.documents(spark, dir), "doc_id", "text", ShingleN).cache()
     val sizes = sh.groupBy($"id").agg(count(lit(1)).as("n"))
-    // intersections via one groupBy(g) + pair explode — the self-join
-    // alternative shuffles the shingle frame (the dominant intermediate)
-    // twice and emits k² rows per shingle instead of k(k−1)/2.
-    val inter = Dedup.bucketPairs(sh, Seq("g"), "id")
+    val inter = Dedup.bucketPairs(sh, Seq("g"), "id", maxBucket = maxBucket)
       .select($"x.pid".as("d1"), $"y.pid".as("d2"))
       .groupBy($"d1", $"d2").agg(count(lit(1)).as("i"))
-    val jac = $"i" / ($"n1" + $"n2" - $"i")
     inter
       .join(sizes.withColumnRenamed("id", "d1").withColumnRenamed("n", "n1"), "d1")
       .join(sizes.withColumnRenamed("id", "d2").withColumnRenamed("n", "n2"), "d2")
-      .filter(jac >= JaccardThreshold)
-      .select($"d1", $"d2", round(jac, 6).as("jaccard"))
-      .orderBy($"d1", $"d2")
+      .select($"d1", $"d2", $"i", ($"i" / ($"n1" + $"n2" - $"i")).as("jac"))
   }
 
   /** Hot-bucket cap for the capped pair query: shingle buckets larger
@@ -75,17 +85,9 @@ object LlmOps {
     * (hot buckets removed from the join, sizes kept exhaustive). */
   def qNgramCappedNearDups(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val sh = Dedup.wordShingles(Tables.documents(spark, dir), "doc_id", "text", ShingleN).cache()
-    val sizes = sh.groupBy($"id").agg(count(lit(1)).as("n"))
-    val inter = Dedup.bucketPairs(sh, Seq("g"), "id", maxBucket = Some(HotBucketCap))
-      .select($"x.pid".as("d1"), $"y.pid".as("d2"))
-      .groupBy($"d1", $"d2").agg(count(lit(1)).as("i"))
-    val jac = $"i" / ($"n1" + $"n2" - $"i")
-    inter
-      .join(sizes.withColumnRenamed("id", "d1").withColumnRenamed("n", "n1"), "d1")
-      .join(sizes.withColumnRenamed("id", "d2").withColumnRenamed("n", "n2"), "d2")
-      .filter(jac >= CappedThreshold)
-      .select($"d1", $"d2", $"i".as("shared_shingles"), round(jac, 6).as("jaccard_lb"))
+    ngramJaccardScored(spark, dir, maxBucket = Some(HotBucketCap))
+      .filter($"jac" >= CappedThreshold)
+      .select($"d1", $"d2", $"i".as("shared_shingles"), round($"jac", 6).as("jaccard_lb"))
       .orderBy($"d1", $"d2")
   }
 
@@ -173,10 +175,6 @@ object LlmOps {
       .orderBy(col("doc_id"))
   }
 
-  /** Brute-force cosine top-k (SURVEY north-star: similarity search
-    * baseline): 5 probe vectors against the full table via broadcast —
-    * the fact side never shuffles. Cosines rounded to 4dp before ranking
-    * so ordering is reproducible across engines. */
   /** Binary-code ANN: top-3 nearest documents per probe by Hamming
     * distance over SimHash64 fingerprints — the 8-bytes-per-document
     * search tier below int8/PQ. Oracle replays fingerprint + xor +
@@ -221,6 +219,10 @@ object LlmOps {
       .orderBy($"probe_id", $"rank")
   }
 
+  /** Brute-force cosine top-k (SURVEY north-star: similarity search
+    * baseline): 5 probe vectors against the full table via broadcast —
+    * the fact side never shuffles. Cosines rounded to 4dp before ranking
+    * so ordering is reproducible across engines. */
   def qKnnCosine(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val vecs = Tables.embeddings(spark, dir)
@@ -489,8 +491,7 @@ object LlmOps {
       // mixed-case email: case-sensitivity regressions must fail the gate
       when($"doc_id" % 3 === 0, lit(" cc John.Doe@Example.COM")).otherwise(lit("")),
       lit(" call 555-"), lpad(($"doc_id" % 10000).cast("string"), 4, "0"))
-    val (emails, phones) = (TextAnalysis.piiCounts(col("s"))._1,
-      TextAnalysis.piiCounts(col("s"))._2)
+    val (emails, phones) = TextAnalysis.piiCounts(col("s"))
     Tables.documents(spark, dir)
       .select($"doc_id", withPii.as("s"))
       .select($"doc_id", emails.as("n_emails"), phones.as("n_phones"),
@@ -568,14 +569,20 @@ object LlmOps {
     import graft.operators.Multimodal
     val content = Multimodal.syntheticContent(
       ($"n_chars" % 1920).cast("int"), (($"doc_id" * 7) % 1080).cast("int"), $"text")
+    // freq divides by length(text) — the histogram counts payload code
+    // points, which ARE the text's, and the oracle divides by strlen(text);
+    // dividing by the n_chars METADATA column here made parity hang on the
+    // fixture generator keeping the two coincidentally equal
     val withHist = Multimodal.byteHistogram(
-      Tables.documents(spark, dir).select($"doc_id", $"n_chars", content.as("content")),
+      Tables.documents(spark, dir)
+        .select($"doc_id", length($"text").cast("long").as("__len"),
+          content.as("content")),
       "content", bins = 16)
     withHist
-      .select($"doc_id", $"n_chars", posexplode($"hist"))
+      .select($"doc_id", $"__len", posexplode($"hist"))
       .select($"doc_id", $"pos".cast("int").as("bin"),
         $"col".as("bin_count"),
-        round($"col" / $"n_chars", 6).as("freq"))
+        round($"col" / $"__len", 6).as("freq"))
       .orderBy($"doc_id", $"bin")
   }
 
@@ -815,36 +822,25 @@ object LlmOps {
     "t_lm_score" -> (qLmScore _)
   )
 
-  private val shingleSql =
-    """sh AS (
+  /** The word-trigram shingle CTE over an arbitrary (doc_id, text)
+    * source — the ONE definition of the oracle-side shingle family
+    * (every copy that existed drifted independently from
+    * [[graft.operators.Dedup.wordShingles]]'s contract). */
+  private def shingleSqlOver(src: String): String =
+    s"""sh AS (
          SELECT doc_id AS id,
                 unnest(list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
                                       for i in range(1, len(ws) - 1)])) AS g
-         FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws FROM documents)
+         FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws FROM $src)
          WHERE len(ws) >= 3)"""
+
+  private val shingleSql = shingleSqlOver("documents")
 
   /** The MinHash-LSH pair pipeline (shingles → signatures → bands →
     * candidates → intersections) as a CTE chain shared by the pair and
     * cluster oracles. */
   private val minhashPairCtes =
-    s"""$shingleSql,
-          sig AS (
-            SELECT id,
-                   min(md5(g || '#0')) AS s0, min(md5(g || '#1')) AS s1,
-                   min(md5(g || '#2')) AS s2, min(md5(g || '#3')) AS s3,
-                   min(md5(g || '#4')) AS s4, min(md5(g || '#5')) AS s5,
-                   min(md5(g || '#6')) AS s6, min(md5(g || '#7')) AS s7,
-                   min(md5(g || '#8')) AS s8, min(md5(g || '#9')) AS s9,
-                   min(md5(g || '#10')) AS s10, min(md5(g || '#11')) AS s11
-            FROM sh GROUP BY id),
-          bands AS (
-            SELECT id, 0 AS band_id, md5(s0 || ',' || s1 || ',' || s2) AS h FROM sig
-            UNION ALL
-            SELECT id, 1, md5(s3 || ',' || s4 || ',' || s5) FROM sig
-            UNION ALL
-            SELECT id, 2, md5(s6 || ',' || s7 || ',' || s8) FROM sig
-            UNION ALL
-            SELECT id, 3, md5(s9 || ',' || s10 || ',' || s11) FROM sig),
+    s"""${minhashBandCtesOver("documents")},
           cand AS (
             SELECT DISTINCT a.id AS d1, b.id AS d2
             FROM bands a JOIN bands b ON a.band_id = b.band_id AND a.h = b.h AND a.id < b.id),
@@ -1007,12 +1003,7 @@ object LlmOps {
     * reused by the incremental-LSH oracle where the source is a tagged
     * corpus ∪ delta union instead of the raw documents table. */
   private def minhashBandCtesOver(src: String): String =
-    s"""sh AS (
-         SELECT doc_id AS id,
-                unnest(list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
-                                      for i in range(1, len(ws) - 1)])) AS g
-         FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws FROM $src)
-         WHERE len(ws) >= 3),
+    s"""${shingleSqlOver(src)},
        sig AS (
          SELECT id,
                 min(md5(g || '#0')) AS s0, min(md5(g || '#1')) AS s1,
@@ -1056,8 +1047,8 @@ object LlmOps {
                       (sqrt(list_sum([oc.c[i] * oc.c[i] for i in range(1, 65)])) *
                        sqrt(list_sum([nc.c[i] * nc.c[i] for i in range(1, 65)]))), 6)
                   AS drift_cos
-         FROM cnt LEFT JOIN oc ON cnt.label = oc.label
-                  LEFT JOIN nc ON cnt.label = nc.label
+         FROM cnt LEFT JOIN oc ON cnt.label IS NOT DISTINCT FROM oc.label
+                  LEFT JOIN nc ON cnt.label IS NOT DISTINCT FROM nc.label
          ORDER BY cnt.label""",
     "sim_mean_pool" ->
       """WITH c AS (SELECT vec_id // 4 AS doc_id, embedding::DOUBLE[] AS e
@@ -1247,7 +1238,8 @@ object LlmOps {
                         (sqrt(list_sum([a.e[i] * a.e[i] for i in range(1, 65)])) *
                          sqrt(list_sum([b.e[i] * b.e[i] for i in range(1, 65)]))), 4) AS cosine
            FROM cand c JOIN v a ON a.vec_id = c.v1 JOIN v b ON b.vec_id = c.v2)
-         SELECT v1, v2, cosine FROM verified WHERE cosine >= 0.4 ORDER BY v1, v2""",
+         SELECT v1, v2, cosine FROM verified
+         WHERE cosine >= 0.4 AND NOT isnan(cosine) ORDER BY v1, v2""",
     "m_media_resize" ->
       """WITH m AS (
            SELECT doc_id, n_chars % 1920 AS ow, strlen(text) AS plen, text
@@ -1273,7 +1265,8 @@ object LlmOps {
                 n_chars,
                 CASE
                   WHEN len(ws) >= 60
-                       AND len(list_distinct(ws)) * 1.0 / len(ws) >= 0.3 THEN 'good'
+                       AND round(len(list_distinct(ws)) * 1.0 / len(ws), 6) >= 0.3
+                    THEN 'good'
                   WHEN len(ws) >= 20 THEN 'ok'
                   ELSE 'short'
                 END AS quality_band
@@ -1424,7 +1417,7 @@ object LlmOps {
             SELECT probe_id, vec_id, cosine,
                    row_number() OVER (PARTITION BY probe_id
                                       ORDER BY cosine DESC, vec_id ASC) AS rank
-            FROM scored)
+            FROM scored WHERE NOT isnan(cosine))
           SELECT probe_id, vec_id, cosine, rank
           FROM ranked WHERE rank <= 3
           ORDER BY probe_id, rank""",
@@ -1442,7 +1435,7 @@ object LlmOps {
             SELECT probe_id, vec_id, cosine,
                    row_number() OVER (PARTITION BY probe_id
                                       ORDER BY cosine DESC, vec_id ASC) AS rank
-            FROM scored)
+            FROM scored WHERE NOT isnan(cosine))
           SELECT probe_id, vec_id, cosine, rank
           FROM ranked WHERE rank <= 3
           ORDER BY probe_id, rank""",
@@ -1462,7 +1455,7 @@ object LlmOps {
               SELECT probe_id, vec_id, cosine,
                      row_number() OVER (PARTITION BY probe_id
                                         ORDER BY cosine DESC, vec_id ASC) AS r
-              FROM scored) WHERE r <= 15),
+              FROM scored WHERE NOT isnan(cosine)) WHERE r <= 15),
           cand AS (SELECT probe_id AS qid, vec_id AS id,
                           CAST(round(cosine * 1000000, 0) AS BIGINT) AS rel
                    FROM knn),
@@ -1563,7 +1556,7 @@ object LlmOps {
             SELECT probe_id, vec_id, cosine,
                    row_number() OVER (PARTITION BY probe_id
                                       ORDER BY cosine DESC, vec_id ASC) AS rank
-            FROM scored)
+            FROM scored WHERE NOT isnan(cosine))
           SELECT probe_id, vec_id, cosine, rank
           FROM ranked WHERE rank <= 3
           ORDER BY probe_id, rank""",
@@ -1621,7 +1614,7 @@ object LlmOps {
             SELECT probe_id, vec_id, cosine,
                    row_number() OVER (PARTITION BY probe_id
                                       ORDER BY cosine DESC, vec_id ASC) AS rank
-            FROM scored)
+            FROM scored WHERE NOT isnan(cosine))
           SELECT probe_id, vec_id, cosine, rank
           FROM ranked WHERE rank <= 3
           ORDER BY probe_id, rank""",
@@ -1759,7 +1752,7 @@ object LlmOps {
             SELECT probe_id, vec_id, cosine,
                    row_number() OVER (PARTITION BY probe_id
                                       ORDER BY cosine DESC, vec_id ASC) AS rank
-            FROM rescored)
+            FROM rescored WHERE NOT isnan(cosine))
           SELECT probe_id, vec_id, cosine, rank
           FROM rranked WHERE rank <= 3
           ORDER BY probe_id, rank""",
@@ -1785,7 +1778,7 @@ object LlmOps {
             SELECT probe_id, vec_id, cosine,
                    row_number() OVER (PARTITION BY probe_id
                                       ORDER BY cosine DESC, vec_id ASC) AS rank
-            FROM scored)
+            FROM scored WHERE NOT isnan(cosine))
           SELECT probe_id, vec_id, cosine, rank
           FROM ranked WHERE rank <= 3
           ORDER BY probe_id, rank""",
@@ -1854,7 +1847,7 @@ object LlmOps {
             FROM a2 x JOIN a2 y ON x.cluster = y.cluster AND x.vec_id < y.vec_id)
           SELECT hi_id AS removed_vec_id, max(cluster) AS cluster,
                  count(*) AS n_near, max(cos) AS max_cos
-          FROM p WHERE cos >= 0.95
+          FROM p WHERE cos >= 0.95 AND NOT isnan(cos)
           GROUP BY 1 ORDER BY removed_vec_id""",
     "d_semantic_sample" ->
       """WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
@@ -1897,7 +1890,7 @@ object LlmOps {
             FROM a2 x JOIN a2 y ON x.cluster = y.cluster AND x.vec_id < y.vec_id)
           SELECT hi_id AS removed_vec_id, max(cluster) AS cluster,
                  count(*) AS n_near, max(cos) AS max_cos
-          FROM p WHERE cos >= 0.95
+          FROM p WHERE cos >= 0.95 AND NOT isnan(cos)
           GROUP BY 1 ORDER BY removed_vec_id""",
     "t_lm_score" ->
       """WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws

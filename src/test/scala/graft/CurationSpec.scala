@@ -464,6 +464,18 @@ class CurationSpec extends SparkTestBase {
       nprobe = 1, roundTo = 4, reliable = false)
     val prunedRecall = Similarity.recallAtK(pruned, exact, 5)
     assert(prunedRecall > 0.0 && prunedRecall <= 1.0)
+    // a zero-norm corpus vector forms the degenerate cluster −1 whose
+    // centroid's routing cosine is NaN; NaN sorts above every real in
+    // the desc rank, so pre-fix it out-ranked every real centroid and
+    // (at nprobe = 1) captured ALL routing — every probe searched only
+    // the zero vector and the query returned ZERO rows. Routing must
+    // skip undefined similarities and reproduce the clean result.
+    val withZero = vecs.unionByName(
+      Seq((999L, Seq.fill(8)(0.0))).toDF("vec_id", "v"))
+    val prunedZ = Similarity.ivfTopK(
+      Similarity.kmeansLabels(withZero, k = 4, iters = 2), "cluster",
+      probes, k = 5, nprobe = 1)
+    assert(prunedZ.count() > 0, "a zero-norm vector must not hijack IVF routing")
     // int8 quantization error is sub-percent per component; on separated
     // neighborhoods it must clear the published floor
     val quant = Similarity.quantizeInt8(vecs)
