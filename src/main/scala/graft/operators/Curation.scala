@@ -27,6 +27,16 @@ object Curation {
     * the standard n-gram-overlap decontamination check run before
     * training. Benchmark grams are broadcast: the corpus side joins
     * map-side with no shuffle.
+    *
+    * CONTRACT: `bench` is a benchmark SUITE — KBs-to-MBs of eval docs,
+    * never a corpus fraction. The broadcast() hint is unconditional (it
+    * is what keeps the 100 TB training side shuffle-free), so a
+    * corpus-proportional bench side grows the broadcast linearly with
+    * scale until it hits the 8 GB broadcast ceiling / driver memory —
+    * if the "benchmark" is itself corpus-sized, use a plain shuffle
+    * join instead of this operator. (The d_contamination gate feeds a
+    * ~9% fixture slice as the stand-in bench; fine at test sfs, and
+    * exactly what this note exists to warn about at sf ≫ 1.)
     */
   def ngramContamination(train: DataFrame, bench: DataFrame, idCol: String,
                          textCol: String, n: Int, threshold: Double): DataFrame = {

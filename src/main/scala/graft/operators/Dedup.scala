@@ -38,7 +38,12 @@ object Dedup {
     val grams = transform(positions, i =>
       concat_ws(" ", (0 until n).map(o => element_at(ws, i + o)): _*))
     docs
-      .select(col(idCol).as("id"), split(trim(col(textCol)), "\\s+").as("__ws"))
+      // drop empty tokens before windowing: trim strips only spaces, so a
+      // leading tab/newline splits to a "" head token and every shingle
+      // containing it is a PHANTOM gram (a 4-word doc grows a 5-gram) —
+      // the class Frequency.ngrams already guards against
+      .select(col(idCol).as("id"),
+        filter(split(trim(col(textCol)), "\\s+"), w => w =!= "").as("__ws"))
       .filter(size(ws) >= n)
       .select(col("id"), explode(array_distinct(grams)).as("g"))
   }

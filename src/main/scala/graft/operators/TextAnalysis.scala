@@ -281,7 +281,11 @@ object TextAnalysis {
       sequence(lit(1), size(ws) - (n - 1)),
       i => concat_ws(" ", (0 until n).map(o => element_at(ws, i + o)): _*))
     docs
-      .select(col(idCol).as("id"), split(trim(lower(col(textCol))), "\\s+").as("__ws"))
+      // non-empty tokens only (see Dedup.wordShingles): a leading
+      // tab/newline's "" token fabricated a phantom bigram per doc,
+      // halving a maximally repetitive doc's fraction
+      .select(col(idCol).as("id"),
+        filter(split(trim(lower(col(textCol))), "\\s+"), w => w =!= "").as("__ws"))
       .filter(size(ws) >= n)
       .select(col("id"), explode(grams).as("g"))
       .groupBy(col("id"), col("g")).agg(count(lit(1)).as("c"))

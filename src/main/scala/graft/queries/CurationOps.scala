@@ -55,7 +55,8 @@ object CurationOps {
     import spark.implicits._
     val docs = Tables.documents(spark, dir)
       .select($"doc_id", $"lang",
-        size(split(trim($"text"), "\\s+")).cast("long").as("n_tokens"))
+        size(filter(split(trim($"text"), "\\s+"), w => w =!= ""))
+          .cast("long").as("n_tokens"))
     Curation.packBatches(docs, "lang", "doc_id", "n_tokens", PackBudget)
       .groupBy($"lang", $"batch_id")
       .agg(count(lit(1)).as("n_docs"), sum($"n_tokens").as("batch_tokens"))
@@ -70,7 +71,8 @@ object CurationOps {
     import spark.implicits._
     val docs = Tables.documents(spark, dir)
       .select($"doc_id", $"lang",
-        size(split(trim($"text"), "\\s+")).cast("long").as("n_tokens"))
+        size(filter(split(trim($"text"), "\\s+"), w => w =!= ""))
+          .cast("long").as("n_tokens"))
     Curation.packBatchesSplitting(docs, "lang", "doc_id", "n_tokens", PackBudget)
       .groupBy($"lang", $"batch_id")
       .agg(count(lit(1)).as("n_chunks"), sum($"tokens_in_batch").as("batch_tokens"))
@@ -86,7 +88,8 @@ object CurationOps {
     import spark.implicits._
     val docs = Tables.documents(spark, dir)
       .select($"doc_id", $"lang",
-        size(split(trim($"text"), "\\s+")).cast("long").as("n_tokens"))
+        size(filter(split(trim($"text"), "\\s+"), w => w =!= ""))
+          .cast("long").as("n_tokens"))
     Curation.packBatchesSharded(docs, "lang", "doc_id", "n_tokens",
       PackBudget, nShards = 4, salt = "psh:")
       .groupBy($"lang", $"shard_id", $"batch_id")
@@ -100,7 +103,9 @@ object CurationOps {
   def qLengthQuantiles(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Tables.documents(spark, dir)
-      .select($"lang", size(split(trim($"text"), "\\s+")).cast("long").as("n_tokens"))
+      .select($"lang",
+        size(filter(split(trim($"text"), "\\s+"), w => w =!= ""))
+          .cast("long").as("n_tokens"))
       .groupBy($"lang")
       .agg(
         count(lit(1)).as("n_docs"),
@@ -120,7 +125,9 @@ object CurationOps {
   def qLengthQuantilesApprox(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Tables.documents(spark, dir)
-      .select($"lang", size(split(trim($"text"), "\\s+")).cast("long").as("n_tokens"))
+      .select($"lang",
+        size(filter(split(trim($"text"), "\\s+"), w => w =!= ""))
+          .cast("long").as("n_tokens"))
       .groupBy($"lang")
       .agg(
         count(lit(1)).as("n_docs"),
@@ -209,6 +216,17 @@ object CurationOps {
       .orderBy($"kept_doc_id")
   }
 
+  /** The planted-banner fixture: every 5th doc gets the 16-word
+    * [[ChunkBoilerplate]] banner prepended — ONE definition shared by
+    * all four chunk/substring gates (and mirrored by [[banneredSql]] on
+    * the oracle side). */
+  private def bannered(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir).select($"doc_id",
+      when($"doc_id" % 5 === 0, concat(lit(ChunkBoilerplate + " "), $"text"))
+        .otherwise($"text").as("text"))
+  }
+
   /** CCNet-style chunk dedup: docs are cut into 16-word windows and a
     * window duplicated anywhere in the corpus survives only at its first
     * occurrence. Every 5th doc gets a fixed 16-word boilerplate banner
@@ -218,9 +236,7 @@ object CurationOps {
     * the reassembled text, not just counts). */
   def qChunkDedup(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val docs = Tables.documents(spark, dir).select($"doc_id",
-      when($"doc_id" % 5 === 0, concat(lit(ChunkBoilerplate + " "), $"text"))
-        .otherwise($"text").as("text"))
+    val docs = bannered(spark, dir)
     Curation.dedupChunks(docs, "doc_id", "text", ChunkWords)
       .groupBy($"doc_id")
       .agg(
@@ -242,9 +258,7 @@ object CurationOps {
     * repeats. Output is per-doc window/duplicate counts. */
   def qSubstringDedup(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val docs = Tables.documents(spark, dir).select($"doc_id",
-      when($"doc_id" % 5 === 0, concat(lit(ChunkBoilerplate + " "), $"text"))
-        .otherwise($"text").as("text"))
+    val docs = bannered(spark, dir)
     graft.operators.Dedup.substringDupWindows(docs, "doc_id", "text", w = 8)
       .orderBy($"doc_id")
   }
@@ -256,9 +270,7 @@ object CurationOps {
     * for string (the strongest gate in the dedup family). */
   def qSubstringRemoval(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val docs = Tables.documents(spark, dir).select($"doc_id",
-      when($"doc_id" % 5 === 0, concat(lit(ChunkBoilerplate + " "), $"text"))
-        .otherwise($"text").as("text"))
+    val docs = bannered(spark, dir)
     graft.operators.Dedup.removeDupSpans(docs, "doc_id", "text", w = 8)
       .orderBy($"doc_id")
   }
@@ -272,9 +284,7 @@ object CurationOps {
     * for digit; production runs the same path on xxhash64. */
   def qSubstringSampled(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val docs = Tables.documents(spark, dir).select($"doc_id",
-      when($"doc_id" % 5 === 0, concat(lit(ChunkBoilerplate + " "), $"text"))
-        .otherwise($"text").as("text"))
+    val docs = bannered(spark, dir)
     graft.operators.Dedup.substringDupWindows(docs, "doc_id", "text", w = 8,
       selectMod = 4, portableHash = true)
       .orderBy($"doc_id")
@@ -316,7 +326,8 @@ object CurationOps {
     import spark.implicits._
     val docs = Tables.documents(spark, dir)
       .select($"doc_id",
-        size(split(trim($"text"), "\\s+")).cast("long").as("weight"))
+        size(filter(split(trim($"text"), "\\s+"), w => w =!= ""))
+          .cast("long").as("weight"))
     Curation.weightedSample(docs, "doc_id", "weight", k = 100, salt = "ws:")
       .orderBy($"rank")
   }
@@ -413,13 +424,29 @@ object CurationOps {
     "t_rolling_fp" -> (qRollingFingerprint _)
   )
 
+  /** The planted-banner fixture as a CTE — the ONE oracle-side
+    * definition of the %5 banner rule (was hand-duplicated inside four
+    * SQL strings; a banner edit required four synchronized string
+    * edits). Interpolates [[ChunkBoilerplate]] so the Spark fixture and
+    * every oracle share the literal. */
+  private val banneredSql =
+    s"""t AS (
+           SELECT doc_id,
+                  CASE WHEN doc_id % 5 = 0
+                       THEN '$ChunkBoilerplate ' || text
+                       ELSE text END AS tx
+           FROM documents)"""
+
   private val gramSql =
     """sh AS (
          SELECT doc_id AS id,
                 unnest(list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
                                       || ' ' || ws[i+3] || ' ' || ws[i+4]
                                       for i in range(1, len(ws) - 3)])) AS g
-         FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws FROM documents)
+         FROM (SELECT doc_id,
+                      list_filter(string_split_regex(trim(text), '\s+'),
+                                  x -> x <> '') AS ws
+               FROM documents)
          WHERE len(ws) >= 5)"""
 
   val oracles: Map[String, String] = Map(
@@ -489,7 +516,7 @@ object CurationOps {
     "t_weighted_sample" ->
       """WITH w AS (
            SELECT doc_id,
-                  CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS weight,
+                  CAST(len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) AS BIGINT) AS weight,
                   list_sum([(strpos('0123456789abcdef',
                                     substr(md5('ws:' || doc_id), i, 1)) - 1)
                             * power(16, 6 - i)::BIGINT
@@ -543,7 +570,7 @@ object CurationOps {
     "t_pack_batches" ->
       """WITH toks AS (
            SELECT doc_id, lang,
-                  CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
+                  CAST(len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) AS BIGINT) AS n_tokens
            FROM documents),
          packed AS (
            SELECT lang, doc_id, n_tokens,
@@ -557,7 +584,7 @@ object CurationOps {
     "t_pack_split" ->
       """WITH toks AS (
            SELECT doc_id, lang,
-                  CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n
+                  CAST(len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) AS BIGINT) AS n
            FROM documents),
          pos AS (
            SELECT lang, doc_id, n,
@@ -578,7 +605,7 @@ object CurationOps {
     "t_pack_sharded" ->
       """WITH toks AS (
            SELECT doc_id, lang,
-                  CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
+                  CAST(len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) AS BIGINT) AS n_tokens
            FROM documents),
          sh AS (
            SELECT doc_id, lang, n_tokens,
@@ -613,12 +640,12 @@ object CurationOps {
       """SELECT lang, count(*) AS n_docs,
                 round(quantile_cont(n_tokens, 0.5), 4) AS p50_tokens,
                 round(quantile_cont(n_tokens, 0.9), 4) AS p90_tokens
-         FROM (SELECT lang, len(string_split_regex(trim(text), '\s+')) AS n_tokens
+         FROM (SELECT lang, len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) AS n_tokens
                FROM documents)
          GROUP BY lang ORDER BY lang""",
     "t_length_quantiles_approx" ->
       """WITH d AS (SELECT lang,
-                    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
+                    CAST(len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) AS BIGINT) AS n_tokens
                     FROM documents),
          r AS (SELECT lang, n_tokens,
                       row_number() OVER (PARTITION BY lang ORDER BY n_tokens) AS rn,
@@ -634,7 +661,9 @@ object CurationOps {
       """WITH grams AS (
            SELECT doc_id,
                   unnest([ws[i] || ' ' || ws[i+1] for i in range(1, len(ws))]) AS g
-           FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ws
+           FROM (SELECT doc_id,
+                        list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                                    x -> x <> '') AS ws
                  FROM documents)
            WHERE len(ws) >= 2),
          counts AS (SELECT doc_id, g, count(*) AS c FROM grams GROUP BY 1, 2)
@@ -648,7 +677,12 @@ object CurationOps {
                     FROM documents),
          toks AS (SELECT doc_id, unnest(ws) AS tok,
                          generate_subscripts(ws, 1) AS pos FROM d),
-         dfreq AS (SELECT tok, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+         -- tok <> '': the operator's stoplist is built from non-empty tokens
+         -- only, so the empty-doc marker token can never be stoplisted —
+         -- without this an ''-heavy corpus (> dfRatio empty docs) stoplists
+         -- '' here and diverges on every empty doc's n_kept
+         dfreq AS (SELECT tok, count(DISTINCT doc_id) AS df FROM toks
+                   WHERE tok <> '' GROUP BY 1),
          hot AS (SELECT tok FROM dfreq
                  WHERE df > floor(0.79 * (SELECT count(*) FROM d))),
          kept AS (SELECT t.doc_id, t.pos, t.tok
@@ -736,13 +770,8 @@ object CurationOps {
          SELECT canonical_url, min(doc_id) AS kept_doc_id, count(*) AS n_copies
          FROM canon GROUP BY 1 ORDER BY kept_doc_id""",
     "d_chunk_dedup" ->
-      """WITH t AS (
-           SELECT doc_id,
-                  CASE WHEN doc_id % 5 = 0
-                       THEN 'cookie policy accept all terms of service privacy notice subscribe to our newsletter sign in today ' || text
-                       ELSE text END AS tx
-           FROM documents),
-         toks AS (SELECT doc_id, string_split_regex(trim(tx), '\s+') AS ws FROM t),
+      s"""WITH $banneredSql,
+         toks AS (SELECT doc_id, string_split_regex(trim(tx), '\\s+') AS ws FROM t),
          ch AS (SELECT doc_id, u.idx AS chunk_idx, u.c AS chunk FROM (
                   SELECT doc_id,
                          unnest([{'idx': i - 1,
@@ -760,13 +789,8 @@ object CurationOps {
                                   ' '), '')) AS clean_md5
          FROM k GROUP BY 1 ORDER BY doc_id""",
     "d_substring_dedup" ->
-      """WITH t AS (
-           SELECT doc_id,
-                  CASE WHEN doc_id % 5 = 0
-                       THEN 'cookie policy accept all terms of service privacy notice subscribe to our newsletter sign in today ' || text
-                       ELSE text END AS tx
-           FROM documents),
-         d AS (SELECT doc_id, string_split_regex(trim(tx), '\s+') AS ws FROM t),
+      s"""WITH $banneredSql,
+         d AS (SELECT doc_id, string_split_regex(trim(tx), '\\s+') AS ws FROM t),
          wnd AS (SELECT doc_id, u.idx AS idx, u.g AS g FROM (
                    SELECT doc_id,
                           unnest([{'idx': i - 1,
@@ -780,13 +804,8 @@ object CurationOps {
                 count(*) FILTER (WHERE rn > 1) AS n_dup_windows
          FROM r GROUP BY 1 ORDER BY doc_id""",
     "d_substring_removal" ->
-      """WITH t AS (
-           SELECT doc_id,
-                  CASE WHEN doc_id % 5 = 0
-                       THEN 'cookie policy accept all terms of service privacy notice subscribe to our newsletter sign in today ' || text
-                       ELSE text END AS tx
-           FROM documents),
-         d AS (SELECT doc_id, string_split_regex(trim(tx), '\s+') AS ws FROM t),
+      s"""WITH $banneredSql,
+         d AS (SELECT doc_id, string_split_regex(trim(tx), '\\s+') AS ws FROM t),
          wnd AS (SELECT doc_id, u.idx AS idx, u.g AS g FROM (
                    SELECT doc_id,
                           unnest([{'idx': i - 1,
@@ -829,13 +848,8 @@ object CurationOps {
                 CAST(len(ws) - len(ks) AS BIGINT) AS n_removed
          FROM kept ORDER BY doc_id""",
     "d_substring_sampled" ->
-      """WITH t AS (
-           SELECT doc_id,
-                  CASE WHEN doc_id % 5 = 0
-                       THEN 'cookie policy accept all terms of service privacy notice subscribe to our newsletter sign in today ' || text
-                       ELSE text END AS tx
-           FROM documents),
-         d AS (SELECT doc_id, string_split_regex(trim(tx), '\s+') AS ws FROM t),
+      s"""WITH $banneredSql,
+         d AS (SELECT doc_id, string_split_regex(trim(tx), '\\s+') AS ws FROM t),
          wnd AS (SELECT doc_id, u.idx AS idx, md5(u.g) AS h FROM (
                    SELECT doc_id,
                           unnest([{'idx': i - 1,

@@ -720,7 +720,8 @@ object LlmOps {
       .select(col("d1"), col("d2"))
     val clusters = Dedup.connectedComponents(pairs)
     val quality = docs.select($"doc_id",
-      size(split(trim($"text"), "\\s+")).cast("long").as("q"))
+      size(filter(split(trim($"text"), "\\s+"), w => w =!= ""))
+        .cast("long").as("q"))
     graft.operators.Dedup.selectRepresentatives(clusters, quality, "doc_id", "q")
       .orderBy($"cluster_rep")
   }
@@ -831,7 +832,9 @@ object LlmOps {
          SELECT doc_id AS id,
                 unnest(list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
                                       for i in range(1, len(ws) - 1)])) AS g
-         FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws FROM $src)
+         FROM (SELECT doc_id,
+                      list_filter(string_split_regex(trim(text), '\\s+'),
+                                  x -> x <> '') AS ws FROM $src)
          WHERE len(ws) >= 3)"""
 
   private val shingleSql = shingleSqlOver("documents")
@@ -1106,7 +1109,8 @@ object LlmOps {
             SELECT a AS doc_id, least(a, min(b)) AS cluster_rep
             FROM reach GROUP BY a),
           q AS (SELECT doc_id,
-                       len(string_split_regex(trim(text), '\\s+'))::BIGINT AS q
+                       len(list_filter(string_split_regex(trim(text), '\\s+'),
+                                       x -> x <> ''))::BIGINT AS q
                 FROM documents),
           sel AS (
             SELECT c.cluster_rep, c.doc_id, q.q,
