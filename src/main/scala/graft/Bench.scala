@@ -21,11 +21,14 @@ import org.apache.spark.sql.SparkSession
   * mark the run `"contended": true` and suppress the drift flags, so an
   * environmental shift (other tenants on the machine) reads as exactly
   * that instead of a wall of phantom regressions. A contended pass
-  * additionally triggers ONE full re-run on a fresh session — the retry
-  * is what gets published, with the burned attempt attached under
-  * `contended_first_attempt` — and the drift baseline skips contended
-  * BENCH files in favor of the newest clean one (including
-  * `BENCH_r<N>_clean.json` re-runs).
+  * additionally triggers a full re-run on a fresh session (bounded at 3
+  * attempts when the retry is itself flagged) — the final pass is what
+  * gets published, each burned attempt written to its own
+  * `bench_burned_r<N>_a<k>_<sf>.json` file and referenced by name
+  * (never embedded: the driver's ~2k stdout tail truncated an embedded
+  * attempt's clean/dirty flags into the published record's) — and the
+  * drift baseline skips contended BENCH files in favor of the newest
+  * clean one (including `BENCH_r<N>_clean.json` re-runs).
   *
   * Beyond throughput, the bench publishes ANN retrieval QUALITY:
   * recall@10 of ivf (nprobe sweep), PQ/ADC, and int8 search against the
@@ -80,6 +83,11 @@ object Bench {
     "sim_hybrid_mmr_multi",
     "env_dead_letter")
 
+  private val slopeQueries = Seq("sim_ivfpq_res_topk", "d_dup_clusters",
+    "d_minhash_lsh", "sim_pq_topk", "d_fuzzy_pairs",
+    "d_ngram_near_dups", "d_incr_lsh", "sim_ivf_topk",
+    "sim_hybrid_rrf", "sim_hybrid_mmr", "sim_hybrid_mmr_multi")
+
   /** Committed reference times measured warm on an IDLE bench machine:
     * single-thread probe ~0.77 s (spread ~10%), 32-thread parallel probe
     * ~0.22 s (spread ~12% — all 32 vCPUs run the 32×100M rounds truly
@@ -96,7 +104,18 @@ object Bench {
     * 0.2 s sampling window sees more scheduler jitter. */
   private val CalibrationRefSec = 0.80
   private val ContentionFactor = 1.3
-  private val CalibrationParRefSec = 0.22
+  private val CalibrationParRefSec32 = 0.22
+  // the 0.22 s reference was measured with the probe's 32 threads on the
+  // 32-vCPU bench box; on a smaller machine the SAME fixed-thread probe
+  // legitimately takes ~32/cores as long even when perfectly idle, so
+  // the reference scales with the deficit (cores beyond 32 don't speed a
+  // 32-thread probe up — the factor floors at 1). Without this an
+  // 8-core host read "contended" on every pass forever, burning 3 full
+  // ~25-minute attempts per bench with no way to distinguish "smaller
+  // machine" from actual contention.
+  private def calibrationParRefSec: Double =
+    CalibrationParRefSec32 * math.max(1.0,
+      32.0 / Runtime.getRuntime.availableProcessors())
   private val ParContentionFactor = 2.0
   private val ParProbeThreads = 32
 
@@ -176,12 +195,23 @@ object Bench {
       // baseline_skipped_reason: the next round's baseline filter
       // rejects flagged records BY DESIGN, and the record should say so
       // itself instead of leaving the reader to infer it.
+      // EVERY burned attempt goes to its OWN file, never embedded in the
+      // published line: the driver captures only stdout's last ~2k
+      // chars, so an embedded attempt's tail — including its
+      // "mass_drift_suspected":true — survived truncation while the
+      // retry's own clean flags (early in the line) scrolled away, and
+      // the next round's clean-baseline filter misread the CLEAN record
+      // as dirty (confirmed against BENCH_r11.json). Files also keep
+      // attempt 2's evidence when a third attempt runs (the singular
+      // embedded field silently dropped it).
+      val burned1 = writeBurned(sfDir, 1, json)
       val (retryJson, retryCompact, retrySuspect) = runBench(sfDir, cpus)
-      val (finJson, finCompact, finSuspect, attempt) =
-        if (!retrySuspect) (retryJson, retryCompact, false, 2)
+      val (finJson, finCompact, finSuspect, attempt, burnedFiles) =
+        if (!retrySuspect) (retryJson, retryCompact, false, 2, Seq(burned1))
         else {
+          val burned2 = writeBurned(sfDir, 2, retryJson)
           val (j3, c3, s3) = runBench(sfDir, cpus)
-          (j3, c3, s3, 3)
+          (j3, c3, s3, 3, Seq(burned1, burned2))
         }
       val skippedNote =
         if (finSuspect)
@@ -189,13 +219,28 @@ object Bench {
             attempt + "_attempts; next round's drift baseline filter " +
             "rejects this record\""
         else ""
-      publish(sfDir,
-        finJson.dropRight(1) +
-          ",\"bench_attempt\":" + attempt + skippedNote +
-          ",\"contended_first_attempt\":" + json + "}",
-        finCompact.dropRight(1) + ",\"bench_attempt\":" + attempt +
-          skippedNote + "}")
+      val tail = ",\"bench_attempt\":" + attempt + skippedNote +
+        ",\"burned_attempt_files\":[" +
+        burnedFiles.map("\"" + _ + "\"").mkString(",") + "]}"
+      publish(sfDir, finJson.dropRight(1) + tail,
+        finCompact.dropRight(1) + tail)
     }
+  }
+
+  /** Persist a burned (contention/mass-drift-flagged) attempt's full
+    * line to its own per-round file and return the file name; the
+    * published record references it by name only. Best-effort — a write
+    * failure must never take down the bench. */
+  private def writeBurned(sfDir: String, attempt: Int, json: String): String = {
+    val sfName = new java.io.File(sfDir).getName
+    val round = roundInProgress(
+      Option(new java.io.File(".").listFiles()).getOrElse(Array.empty))
+    val name = s"bench_burned_r${round}_a${attempt}_$sfName.json"
+    try {
+      val w = new java.io.PrintWriter(name)
+      try w.println(json) finally w.close()
+    } catch { case _: Throwable => () }
+    name
   }
 
   /** Publication order matters: the per-round harness keeps only the LAST
@@ -242,6 +287,20 @@ object Bench {
     * diagnostics JSON line, the compact contract line, and whether the
     * calibration probes flagged contention. */
   private def runBench(sfDir: String, cpus: String): (String, String, Boolean) = {
+    // parse ONCE with a fallback: SPARK_GRAFT_CPUS="*" is a valid master
+    // string, and the lone bare cpusN used to sit in the final
+    // JSON-assembly line OUTSIDE any try — a 25-minute run completed all
+    // measurement and then crashed publishing NOTHING
+    val cpusN = cpus.toIntOption.getOrElse(
+      Runtime.getRuntime.availableProcessors())
+    // a renamed/mistyped query must FAIL the bench UP FRONT, not silently
+    // vanish from the suite (flatMap over queries.get dropped it, total
+    // read as a round-over-round speedup, and failed_queries stayed empty)
+    locally {
+      val unknown = (headline ++ slopeQueries).filterNot(SparkEntry.queries.contains)
+      require(unknown.isEmpty,
+        s"bench names not in SparkEntry.queries: " + unknown.mkString(", "))
+    }
     val calStartSec = calibrationSecs()
     val calParStartSec = calibrationParallelSecs()
     val spark = SparkSession.builder()
@@ -339,10 +398,7 @@ object Bench {
     // forms probed at both sfs so the multi-query scaffolding's cost is
     // separable into fixed overhead (low exponent, level shift) vs
     // corpus-proportional work — the question the r11 regression left open
-    val slopeQueries = Seq("sim_ivfpq_res_topk", "d_dup_clusters",
-      "d_minhash_lsh", "sim_pq_topk", "d_fuzzy_pairs",
-      "d_ngram_near_dups", "d_incr_lsh", "sim_ivf_topk",
-      "sim_hybrid_rrf", "sim_hybrid_mmr", "sim_hybrid_mmr_multi")
+
     val smallSfDir = new java.io.File(
       new java.io.File(sfDir).getParentFile, "sf0.01")
     val scaleSlopes: Seq[(String, Double)] =
@@ -504,15 +560,51 @@ object Bench {
         val med = vs(vs.size / 2)
         if (med > 0) 100.0 * (vs.last - vs.head) / med else -1.0
       }
-      var best: Seq[Double] = Seq.fill(runs)(f()).sorted
-      var tries = 1
-      while (spreadOf(best) > 20.0 && tries < 4) {
-        val next = Seq.fill(runs)(f()).sorted
-        if (next(next.size / 2) > best(best.size / 2)) best = next
-        tries += 1
-      }
+      // selection is TIGHT-FIRST: any attempt with spread ≤ 20% beats
+      // every wide one (a max-median-only rule could publish a 120%-
+      // spread attempt forever just because one of its runs spiked
+      // high, discarding three clean retries); among tight attempts the
+      // HIGHEST median wins — uniform contention depresses a whole
+      // attempt with a deceptively tight spread, and noise only ever
+      // drags rates DOWN. Only if no attempt is tight does max-median
+      // pick among the wide ones.
+      var attempts = List(Seq.fill(runs)(f()).sorted)
+      while (spreadOf(attempts.head) > 20.0 && attempts.size < 4)
+        attempts = Seq.fill(runs)(f()).sorted :: attempts
+      val tight = attempts.filter(a => { val sp = spreadOf(a); sp >= 0 && sp <= 20.0 })
+      val pool = if (tight.nonEmpty) tight else attempts
+      val best = pool.maxBy(a => a(a.size / 2))
       (best(best.size / 2), spreadOf(best))
     }
+
+    /** Shared interpreted-vs-native micro harness (ONE definition for
+      * the six hof/expr pairs — the tail was copy-pasted six times and a
+      * repair-policy change had to be replicated by hand): `prep` builds
+      * the cached input and returns (frame, rowCount, run) where
+      * run(false) executes the portable/HOF form and run(true) the
+      * native expression. Both paths warm once, each rate is a
+      * tight-first [[rateMedian]] of 3, the cached frame is released
+      * even on a throw, and a failed block logs and yields −1
+      * sentinels. */
+    def hofExprRates(label: String)(
+        prep: () => (org.apache.spark.sql.DataFrame, Double, Boolean => Any))
+        : ((Double, Double), (Double, Double)) =
+      try {
+        val (frame, n, run) = prep()
+        try {
+          run(false); run(true) // warm-up
+          val slow = rateMedian(3) { () =>
+            val t = timed(() => { run(false); () }); if (t > 0) n / t else -1.0
+          }
+          val fast = rateMedian(3) { () =>
+            val t = timed(() => { run(true); () }); if (t > 0) n / t else -1.0
+          }
+          (slow, fast)
+        } finally frame.unpersist()
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] $label metric failed: $e")
+        ((-1.0, -1.0), (-1.0, -1.0))
+      }
 
     // serde throughput: full envelope round trip (encode → pack → unpack
     // → decode) at ≥1M rows so scheduling overhead doesn't mask the codec.
@@ -529,7 +621,7 @@ object Bench {
         // single-file parquet input arrives as 1-2 partitions; spread the
         // replicated rows across every core before the codec chain.
         val big = base.withColumn("rep", explode(lit((0 until factor).toArray)))
-          .repartition(cpus.toInt).cache()
+          .repartition(cpusN).cache()
         val n = big.count().toDouble
         def roundTrip() = {
           val env = struct(
@@ -586,7 +678,7 @@ object Bench {
         val n = 8000000L
         // project the uuid first (nondeterministic exprs can't live inside
         // an Aggregate), then fold — length() forces full evaluation
-        def run() = spark.range(0, n, 1, cpus.toInt)
+        def run() = spark.range(0, n, 1, cpusN)
           .select(graft.functions.uuid4_binary(42L).as("u"))
           .select(sum(length(col("u")))).head()
         run() // warm-up
@@ -603,7 +695,7 @@ object Bench {
     // frame, forced through every signature column)
     val ((minhashMd5DocsPerSec, minhashMd5SpreadPct),
          (minhashXxhDocsPerSec, minhashXxhSpreadPct)) =
-      try {
+      hofExprRates("minhash") { () =>
         import org.apache.spark.sql.functions._
         val sh = graft.operators.Dedup
           .wordShingles(Tables.documents(spark, sfDir), "doc_id", "text", 3).cache()
@@ -615,19 +707,7 @@ object Bench {
           // bit_xor folds every signature column without ANSI sum overflow
           sigs.select(xxhash64(allSigs: _*).as("h")).agg(expr("bit_xor(h)")).head()
         }
-        try {
-          run(false); run(true) // warm-up
-          val md5R = rateMedian(3) { () =>
-            val t = timed(() => run(false)); if (t > 0) nDocs / t else -1.0
-          }
-          val xxhR = rateMedian(3) { () =>
-            val t = timed(() => run(true)); if (t > 0) nDocs / t else -1.0
-          }
-          (md5R, xxhR)
-        } finally sh.unpersist()
-      } catch { case e: Throwable =>
-        System.err.println(s"[bench] minhash metric failed: $e")
-        ((-1.0, -1.0), (-1.0, -1.0))
+        (sh, nDocs, run)
       }
 
     // rolling-hash fingerprint: portable higher-order-function formulation
@@ -637,14 +717,14 @@ object Bench {
     // the native expression buys at scale.
     val ((rollingHofDocsPerSec, rollingHofSpreadPct),
          (rollingExprDocsPerSec, rollingExprSpreadPct)) =
-      try {
+      hofExprRates("rolling-hash") { () =>
         import org.apache.spark.sql.functions._
         // no row amplification here: the HOF path is orders of magnitude
         // slower (interpreted per-window slices), so the raw table is
         // already enough signal for it — and the expr rate then reads as
         // a scheduling-floor-bound LOWER bound on the true speedup
         val docs = Tables.documents(spark, sfDir).select(col("text"))
-          .repartition(cpus.toInt).cache()
+          .repartition(cpusN).cache()
         val n = docs.count().toDouble
         def run(fast: Boolean) = {
           val h =
@@ -652,19 +732,7 @@ object Bench {
             else array_min(graft.operators.TextAnalysis.rollingHashes(col("text"), 8))
           docs.select(h.as("h")).agg(expr("bit_xor(h)")).head()
         }
-        try {
-          run(false); run(true) // warm-up
-          val hofR = rateMedian(3) { () =>
-            val t = timed(() => run(false)); if (t > 0) n / t else -1.0
-          }
-          val exprR = rateMedian(3) { () =>
-            val t = timed(() => run(true)); if (t > 0) n / t else -1.0
-          }
-          (hofR, exprR)
-        } finally docs.unpersist()
-      } catch { case e: Throwable =>
-        System.err.println(s"[bench] rolling-hash metric failed: $e")
-        ((-1.0, -1.0), (-1.0, -1.0))
+        (docs, n, run)
       }
 
     // cluster-assignment argmax: the portable HOF projection (transform +
@@ -676,11 +744,11 @@ object Bench {
     // a LOWER bound on the true speedup.
     val ((argmaxHofVecsPerSec, argmaxHofSpreadPct),
          (argmaxExprVecsPerSec, argmaxExprSpreadPct)) =
-      try {
+      hofExprRates("argmax") { () =>
         import org.apache.spark.sql.functions._
         val vecs = Tables.embeddings(spark, sfDir)
           .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-          .repartition(cpus.toInt).cache()
+          .repartition(cpusN).cache()
         val n = vecs.count().toDouble
         // centroids collected ONCE outside the timed loop — the metric
         // times the label job, not the centroid collect
@@ -695,19 +763,7 @@ object Bench {
           labeled.select(col("cluster").cast("bigint").as("h"))
             .agg(expr("bit_xor(h)")).head()
         }
-        try {
-          run(false); run(true) // warm-up
-          val hofR = rateMedian(3) { () =>
-            val t = timed(() => run(false)); if (t > 0) n / t else -1.0
-          }
-          val exprR = rateMedian(3) { () =>
-            val t = timed(() => run(true)); if (t > 0) n / t else -1.0
-          }
-          (hofR, exprR)
-        } finally vecs.unpersist()
-      } catch { case e: Throwable =>
-        System.err.println(s"[bench] argmax metric failed: $e")
-        ((-1.0, -1.0), (-1.0, -1.0))
+        (vecs, n, run)
       }
 
     // coarse-residual projection: the zip_with/map-literal HOF form (the
@@ -719,12 +775,12 @@ object Bench {
     // scheduling floor at sf0.1, so its rate is a LOWER bound.
     val ((residualHofVecsPerSec, residualHofSpreadPct),
          (residualExprVecsPerSec, residualExprSpreadPct)) =
-      try {
+      hofExprRates("residual") { () =>
         import org.apache.spark.sql.functions._
         val vecs = Tables.embeddings(spark, sfDir)
           .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
           .withColumn("cluster", pmod(col("vec_id"), lit(32)).cast("int"))
-          .repartition(cpus.toInt).cache()
+          .repartition(cpusN).cache()
         val n = vecs.count().toDouble
         val centRows = vecs.filter(col("vec_id") < 32)
           .select(col("vec_id").cast("int").as("cluster"), col("v").as("c"))
@@ -739,19 +795,7 @@ object Bench {
               .residualExprHof(centRows, col("v"), col("cluster"))
           vecs.select(element_at(res, 1).as("r0")).agg(sum(col("r0"))).head()
         }
-        try {
-          run(false); run(true) // warm-up
-          val hofR = rateMedian(3) { () =>
-            val t = timed(() => run(false)); if (t > 0) n / t else -1.0
-          }
-          val exprR = rateMedian(3) { () =>
-            val t = timed(() => run(true)); if (t > 0) n / t else -1.0
-          }
-          (hofR, exprR)
-        } finally vecs.unpersist()
-      } catch { case e: Throwable =>
-        System.err.println(s"[bench] residual metric failed: $e")
-        ((-1.0, -1.0), (-1.0, -1.0))
+        (vecs, n, run)
       }
 
     // PQ ADC lookup-sum: the array_position/element_at formulation (the
@@ -765,7 +809,7 @@ object Bench {
     // (FunctionsSpec parity sweep).
     val ((adcHofPairsPerSec, adcHofSpreadPct),
          (adcExprPairsPerSec, adcExprSpreadPct)) =
-      try {
+      hofExprRates("adc") { () =>
         import org.apache.spark.sql.functions._
         val m = 8
         val ksub = 64
@@ -783,7 +827,7 @@ object Bench {
             array((0 until m).map(j =>
               pmod(xxhash64(col("id") * m + j), lit(ksub.toLong)).cast("int")): _*)
               .as("codes"))
-          .repartition(cpus.toInt).cache()
+          .repartition(cpusN).cache()
         pairs.count()
         def run(fast: Boolean) = {
           val d =
@@ -792,19 +836,7 @@ object Bench {
           pairs.withColumn("__tbl", typedLit(tbl))
             .select(d.as("adist")).agg(sum("adist")).head()
         }
-        try {
-          run(false); run(true) // warm-up
-          val hofR = rateMedian(3) { () =>
-            val t = timed(() => run(false)); if (t > 0) n / t else -1.0
-          }
-          val exprR = rateMedian(3) { () =>
-            val t = timed(() => run(true)); if (t > 0) n / t else -1.0
-          }
-          (hofR, exprR)
-        } finally pairs.unpersist()
-      } catch { case e: Throwable =>
-        System.err.println(s"[bench] adc metric failed: $e")
-        ((-1.0, -1.0), (-1.0, -1.0))
+        (pairs, n, run)
       }
 
     // int8 quantized dot: the boxed zip_with/aggregate fold (the
@@ -814,7 +846,7 @@ object Bench {
     // literal-probe shape as the ADC metric; dim=64, 4M synthetic pairs.
     val ((i8HofPairsPerSec, i8HofSpreadPct),
          (i8ExprPairsPerSec, i8ExprSpreadPct)) =
-      try {
+      hofExprRates("int8-dot") { () =>
         import org.apache.spark.sql.functions._
         val dim = 64
         val n = 4000000L
@@ -823,7 +855,7 @@ object Bench {
             transform(sequence(lit(1), lit(dim)),
               i => (pmod(xxhash64(col("id") * 7 + i), lit(255L)) - 127L)
                 .cast("int")).as("q"))
-          .repartition(cpus.toInt).cache()
+          .repartition(cpusN).cache()
         pairs.count()
         val pqLit = typedLit((0 until dim).map(i => (i * 37 % 255) - 127))
         def run(fast: Boolean) = {
@@ -833,19 +865,7 @@ object Bench {
           pairs.withColumn("__pq", pqLit).select(d.as("d"))
             .agg(sum("d")).head()
         }
-        try {
-          run(false); run(true) // warm-up
-          val hofR = rateMedian(3) { () =>
-            val t = timed(() => run(false)); if (t > 0) n / t else -1.0
-          }
-          val exprR = rateMedian(3) { () =>
-            val t = timed(() => run(true)); if (t > 0) n / t else -1.0
-          }
-          (hofR, exprR)
-        } finally pairs.unpersist()
-      } catch { case e: Throwable =>
-        System.err.println(s"[bench] int8-dot metric failed: $e")
-        ((-1.0, -1.0), (-1.0, -1.0))
+        (pairs, n, run)
       }
 
     // ANN retrieval QUALITY: recall@10 of every approximate search path
@@ -1093,24 +1113,29 @@ object Bench {
 
     // round-over-round drift on the throughput metrics, same 20% gate as
     // the queries — this is what would have caught the r04→r05 2× swing.
-    val serdeMetrics = Seq(
-      "serde_rows_per_sec" -> serdeRowsPerSec,
-      "serde_rows_per_sec_core" -> serdePerCore,
-      "serde_uuid_rows_per_sec_core" -> serdeUuidPerCore,
-      "uuid_gen_rows_per_sec_core" -> uuidGenPerCore,
-      "uuid_rows_per_sec" -> uuidRowsPerSec,
-      "minhash_md5_docs_per_sec" -> minhashMd5DocsPerSec,
-      "minhash_xxh64_docs_per_sec" -> minhashXxhDocsPerSec,
-      "rolling_fp_hof_docs_per_sec" -> rollingHofDocsPerSec,
-      "rolling_fp_expr_docs_per_sec" -> rollingExprDocsPerSec,
-      "argmax_hof_vecs_per_sec" -> argmaxHofVecsPerSec,
-      "argmax_expr_vecs_per_sec" -> argmaxExprVecsPerSec,
-      "residual_hof_vecs_per_sec" -> residualHofVecsPerSec,
-      "residual_expr_vecs_per_sec" -> residualExprVecsPerSec,
-      "adc_hof_pairs_per_sec" -> adcHofPairsPerSec,
-      "adc_expr_pairs_per_sec" -> adcExprPairsPerSec,
-      "int8_dot_hof_pairs_per_sec" -> i8HofPairsPerSec,
-      "int8_dot_expr_pairs_per_sec" -> i8ExprPairsPerSec)
+    // ONE canonical (name, rate, spread) table — the drift list, the
+    // spread map and the JSON rate fields all derive from it, so a
+    // metric rename can no longer land in one of three hand-written
+    // lists and silently stop that metric's drift checking
+    val serdeMetricRows: Seq[(String, Double, Double)] = Seq(
+      ("serde_rows_per_sec", serdeRowsPerSec, serdeSpreadPct),
+      ("serde_rows_per_sec_core", serdePerCore, serdeCoreSpreadPct),
+      ("serde_uuid_rows_per_sec_core", serdeUuidPerCore, serdeUuidSpreadPct),
+      ("uuid_gen_rows_per_sec_core", uuidGenPerCore, uuidGenSpreadPct),
+      ("uuid_rows_per_sec", uuidRowsPerSec, uuidSpreadPct),
+      ("minhash_md5_docs_per_sec", minhashMd5DocsPerSec, minhashMd5SpreadPct),
+      ("minhash_xxh64_docs_per_sec", minhashXxhDocsPerSec, minhashXxhSpreadPct),
+      ("rolling_fp_hof_docs_per_sec", rollingHofDocsPerSec, rollingHofSpreadPct),
+      ("rolling_fp_expr_docs_per_sec", rollingExprDocsPerSec, rollingExprSpreadPct),
+      ("argmax_hof_vecs_per_sec", argmaxHofVecsPerSec, argmaxHofSpreadPct),
+      ("argmax_expr_vecs_per_sec", argmaxExprVecsPerSec, argmaxExprSpreadPct),
+      ("residual_hof_vecs_per_sec", residualHofVecsPerSec, residualHofSpreadPct),
+      ("residual_expr_vecs_per_sec", residualExprVecsPerSec, residualExprSpreadPct),
+      ("adc_hof_pairs_per_sec", adcHofPairsPerSec, adcHofSpreadPct),
+      ("adc_expr_pairs_per_sec", adcExprPairsPerSec, adcExprSpreadPct),
+      ("int8_dot_hof_pairs_per_sec", i8HofPairsPerSec, i8HofSpreadPct),
+      ("int8_dot_expr_pairs_per_sec", i8ExprPairsPerSec, i8ExprSpreadPct))
+    val serdeMetrics = serdeMetricRows.map { case (n, v, _) => n -> v }
     val serdeDriftFlags: Seq[String] =
       try {
         prevBench.toSeq.flatMap { content =>
@@ -1138,7 +1163,7 @@ object Bench {
     val contended =
       math.max(calStartSec, calEndSec) > CalibrationRefSec * ContentionFactor ||
         math.max(calParStartSec, calParEndSec) >
-          CalibrationParRefSec * ParContentionFactor
+          calibrationParRefSec * ParContentionFactor
     // the probes sample the START and END instants only; external load
     // that ramps mid-run slips between them (observed live: clean probes,
     // yet every query from the 13th on 1.5–4× slower and 13/23 medians
@@ -1163,26 +1188,26 @@ object Bench {
     // the contended marker carries the signal instead
     val drift = (if (contended) Seq.empty else driftFlags)
       .map("\"" + _ + "\"").mkString("[", ",", "]")
-    val serdeSpreads = Seq(
-      "serde_rows_per_sec" -> serdeSpreadPct,
-      "serde_rows_per_sec_core" -> serdeCoreSpreadPct,
-      "serde_uuid_rows_per_sec_core" -> serdeUuidSpreadPct,
-      "uuid_gen_rows_per_sec_core" -> uuidGenSpreadPct,
-      "uuid_rows_per_sec" -> uuidSpreadPct,
-      "minhash_md5_docs_per_sec" -> minhashMd5SpreadPct,
-      "minhash_xxh64_docs_per_sec" -> minhashXxhSpreadPct,
-      "rolling_fp_hof_docs_per_sec" -> rollingHofSpreadPct,
-      "rolling_fp_expr_docs_per_sec" -> rollingExprSpreadPct,
-      "argmax_hof_vecs_per_sec" -> argmaxHofSpreadPct,
-      "argmax_expr_vecs_per_sec" -> argmaxExprSpreadPct,
-      "residual_hof_vecs_per_sec" -> residualHofSpreadPct,
-      "residual_expr_vecs_per_sec" -> residualExprSpreadPct,
-      "adc_hof_pairs_per_sec" -> adcHofSpreadPct,
-      "adc_expr_pairs_per_sec" -> adcExprSpreadPct,
-      "int8_dot_hof_pairs_per_sec" -> i8HofSpreadPct,
-      "int8_dot_expr_pairs_per_sec" -> i8ExprSpreadPct)
-      .map { case (k, s) => "\"" + k + f"""\":$s%.1f""" }
+    val serdeSpreads = serdeMetricRows
+      .map { case (k, _, sp) => "\"" + k + f"""\":$sp%.1f""" }
       .mkString("{", ",", "}")
+    // the JSON rate fields derive from the same table (split where the
+    // derived uuid_rows_per_sec_core / spread map / gate fields sit
+    // between them in the line)
+    def rateJson(names: String*): String = names.map { n =>
+      val v = serdeMetricRows.find(_._1 == n).get._2
+      "\"" + n + f"""\":$v%.0f"""
+    }.mkString(",")
+    val serdeRatesJson = rateJson("serde_rows_per_sec",
+      "serde_rows_per_sec_core", "serde_uuid_rows_per_sec_core",
+      "uuid_gen_rows_per_sec_core", "uuid_rows_per_sec")
+    val microRatesJson = rateJson("minhash_md5_docs_per_sec",
+      "minhash_xxh64_docs_per_sec", "rolling_fp_hof_docs_per_sec",
+      "rolling_fp_expr_docs_per_sec", "argmax_hof_vecs_per_sec",
+      "argmax_expr_vecs_per_sec", "residual_hof_vecs_per_sec",
+      "residual_expr_vecs_per_sec", "adc_hof_pairs_per_sec",
+      "adc_expr_pairs_per_sec", "int8_dot_hof_pairs_per_sec",
+      "int8_dot_expr_pairs_per_sec")
     val serdeDrift = (if (contended) Seq.empty else serdeDriftFlags)
       .map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).filter(_ >= 0).sum
@@ -1193,7 +1218,7 @@ object Bench {
     val failedQueries = results.filter(_._2 < 0).map(_._1)
     // preserve the -1 failure sentinel on derived metrics (dividing -1 by
     // cpus would print ≈ -0 and hide the failure)
-    val uuidPerCore = if (uuidRowsPerSec < 0) -1.0 else uuidRowsPerSec / cpus.toInt
+    val uuidPerCore = if (uuidRowsPerSec < 0) -1.0 else uuidRowsPerSec / cpusN
     // gate comparison: BASELINE.md requires the full envelope chain to
     // sustain ≥ ~90k rows/s/core; ratio < 1 means the gate failed
     val gateRatio = if (serdeUuidPerCore < 0) -1.0 else serdeUuidPerCore / 90000.0
@@ -1207,7 +1232,7 @@ object Bench {
       .map("\"" + _ + "\"").mkString("[", ",", "]")
     val failedJson = failedQueries.map(q => "\"" + q + "\"").mkString("[", ",", "]")
     val json =
-      f"""{"metric":"total","value":$total%.4f,"unit":"sec","runs_per_query":$runsPerQuery,"queries":$qs,"query_spread_pct":$spreads,"drift_gt20pct_vs_prev":$drift,"drift_comparable":$driftComparable,"failed_queries":$failedJson,"serde_rows_per_sec":$serdeRowsPerSec%.0f,"serde_rows_per_sec_core":$serdePerCore%.0f,"serde_uuid_rows_per_sec_core":$serdeUuidPerCore%.0f,"uuid_gen_rows_per_sec_core":$uuidGenPerCore%.0f,"uuid_rows_per_sec":$uuidRowsPerSec%.0f,"uuid_rows_per_sec_core":$uuidPerCore%.0f,"serde_spread_pct":$serdeSpreads,"serde_drift_gt20pct_vs_prev":$serdeDrift,"baseline_gate_rows_per_sec_core":90000,"serde_uuid_vs_gate":$gateRatio%.2f,"minhash_md5_docs_per_sec":$minhashMd5DocsPerSec%.0f,"minhash_xxh64_docs_per_sec":$minhashXxhDocsPerSec%.0f,"rolling_fp_hof_docs_per_sec":$rollingHofDocsPerSec%.0f,"rolling_fp_expr_docs_per_sec":$rollingExprDocsPerSec%.0f,"argmax_hof_vecs_per_sec":$argmaxHofVecsPerSec%.0f,"argmax_expr_vecs_per_sec":$argmaxExprVecsPerSec%.0f,"residual_hof_vecs_per_sec":$residualHofVecsPerSec%.0f,"residual_expr_vecs_per_sec":$residualExprVecsPerSec%.0f,"adc_hof_pairs_per_sec":$adcHofPairsPerSec%.0f,"adc_expr_pairs_per_sec":$adcExprPairsPerSec%.0f,"int8_dot_hof_pairs_per_sec":$i8HofPairsPerSec%.0f,"int8_dot_expr_pairs_per_sec":$i8ExprPairsPerSec%.0f,"recall_at_k":$recallK,"recall":$recallJson,"recall_notes":"recall_diag_* are diagnostic curve points, not shipped configs; shipped rerank paths are recall_ivfpq_res_rerank and recall_opq_ivfpq_res_rerank. recall_opq_m8k32_rerank < recall_pq_m8k32_rerank is expected on this near-isotropic fixture (rotation cannot help an isotropic spectrum; the 0.9 floor holds and the anisotropic gain is spec-pinned in CurationSpec)","scale_slope_exponents":$slopesJson,"scale_slope_flags":$slopeFlagsJson,"calibration_ref_sec":$CalibrationRefSec%.2f,"calibration_start_sec":$calStartSec%.3f,"calibration_end_sec":$calEndSec%.3f,"calibration_par_ref_sec":$CalibrationParRefSec%.2f,"calibration_par_start_sec":$calParStartSec%.3f,"calibration_par_end_sec":$calParEndSec%.3f,"contended":$contended,"mass_drift_suspected":$massDrift,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.4f,"unit":"sec","runs_per_query":$runsPerQuery,"queries":$qs,"query_spread_pct":$spreads,"drift_gt20pct_vs_prev":$drift,"drift_comparable":$driftComparable,"failed_queries":$failedJson,$serdeRatesJson,"uuid_rows_per_sec_core":$uuidPerCore%.0f,"serde_spread_pct":$serdeSpreads,"serde_drift_gt20pct_vs_prev":$serdeDrift,"baseline_gate_rows_per_sec_core":90000,"serde_uuid_vs_gate":$gateRatio%.2f,$microRatesJson,"recall_at_k":$recallK,"recall":$recallJson,"recall_notes":"recall_diag_* are diagnostic curve points, not shipped configs; shipped rerank paths are recall_ivfpq_res_rerank and recall_opq_ivfpq_res_rerank. recall_opq_m8k32_rerank < recall_pq_m8k32_rerank is expected on this near-isotropic fixture (rotation cannot help an isotropic spectrum; the 0.9 floor holds and the anisotropic gain is spec-pinned in CurationSpec)","scale_slope_exponents":$slopesJson,"scale_slope_flags":$slopeFlagsJson,"calibration_ref_sec":$CalibrationRefSec%.2f,"calibration_start_sec":$calStartSec%.3f,"calibration_end_sec":$calEndSec%.3f,"calibration_par_ref_sec":$calibrationParRefSec%.2f,"calibration_par_start_sec":$calParStartSec%.3f,"calibration_par_end_sec":$calParEndSec%.3f,"contended":$contended,"mass_drift_suspected":$massDrift,"sf":"$sfDir"}"""
     // compact contract line — MUST stay well under the harness's ~2k-char
     // stdout tail window (see [[publish]]); everything here is either a
     // driver-contract field or a headline number the judge compares
