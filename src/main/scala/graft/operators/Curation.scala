@@ -561,6 +561,15 @@ object Curation {
     val prev = lag(ms, 1).over(order)
     val startMs = when(prev.isNull || ms - prev > gapMillis, ms)
     events
+      // a NULL-timestamp event cannot be placed in a time-gap session —
+      // it must DROP, never sessionize. Engines disagree on where a null
+      // sorts (Spark nulls-first ASC, DuckDB nulls-last), so left in it
+      // either seeded a phantom session_id = NULL group (nulls-first:
+      // the null row opens the window, its own null start wins the
+      // running max) or silently attached the timeless event to the
+      // user's LAST session (nulls-last: null gap arithmetic reads "not
+      // new") — both wrong, and each engine picked a different one.
+      .filter(col(tsCol).isNotNull)
       .withColumn("session_id",
         max(startMs).over(order.rowsBetween(Window.unboundedPreceding, 0)))
   }

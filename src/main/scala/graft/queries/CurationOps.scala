@@ -698,10 +698,13 @@ object CurationOps {
          ORDER BY d.doc_id""",
     "q_sessionize" ->
       """WITH ordered AS (
+           -- ts IS NOT NULL mirrors the operator: a timeless event drops
+           -- (engines disagree on null sort position, so left in it either
+           -- seeded a phantom NULL session or silently joined the last one)
            SELECT user_id, event_id, ts, value,
                   lag(epoch_ms(ts)) OVER (PARTITION BY user_id
                                           ORDER BY ts, event_id) AS prev_ms
-           FROM events),
+           FROM events WHERE ts IS NOT NULL),
          flagged AS (
            SELECT user_id, event_id, ts, value,
                   CASE WHEN prev_ms IS NULL

@@ -663,7 +663,11 @@ object Relational {
                 CAST(coalesce(c.observed, 0) AS INTEGER) AS message_count,
                 CAST(r.start_timestamp AS INTEGER) AS start_timestamp
          FROM ranges r
-         LEFT JOIN counts c ON r.topic = c.topic AND r.start_timestamp = c.start_timestamp
+         -- IS NOT DISTINCT FROM: a NULL topic (an unparseable message's
+         -- stand-in) is a legitimate monitored group — plain equality
+         -- never matched it, so its own OBSERVED window read count 0
+         LEFT JOIN counts c ON r.topic IS NOT DISTINCT FROM c.topic
+                           AND r.start_timestamp = c.start_timestamp
          ORDER BY r.topic, r.start_timestamp""",
     "q_max_offset_fold" ->
       """SELECT event_type, max(event_id) + 1 AS commit_offset, count(*) AS n_messages

@@ -130,6 +130,17 @@ class CurationSpec extends SparkTestBase {
     // session_id = session start epoch ms (same contract as streaming)
     assert(got == Set(
       (1L, 100L, 0L), (1L, 101L, 0L), (1L, 102L, 4000000L), (2L, 200L, 0L)))
+    // a NULL-timestamp event DROPS and changes nothing else: engines
+    // disagree on null sort position, so it previously either seeded a
+    // phantom session_id = NULL group (Spark, nulls-first) or silently
+    // attached to the user's last session (nulls-last replay)
+    val withNull = ev.unionByName(
+      Seq((1L, null.asInstanceOf[Timestamp], 103L)).toDF("user_id", "ts", "event_id"))
+    val gotN = Curation.sessionize(withNull, "user_id", "ts", "event_id",
+        gapMillis = 3600000L)
+      .select($"user_id", $"event_id", $"session_id").as[(Long, Long, Long)]
+      .collect().toSet
+    assert(gotN == got, s"null-ts event must drop, not sessionize: $gotN")
   }
 
   // --- bucketPairs (shared LSH pair kernel) ------------------------------
