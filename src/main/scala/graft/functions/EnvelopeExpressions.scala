@@ -31,6 +31,10 @@ case class PackEnvelope(child: Expression, ascii: Boolean)
     extends UnaryExpression {
   override def dataType: DataType = BinaryType
   override def nullIntolerant: Boolean = true
+  // nullable beyond the child: a required-field-null row PACKS TO NULL
+  // (the producer-side dead-letter contract) even when the struct itself
+  // is non-null
+  override def nullable: Boolean = true
   override def prettyName: String = "pack_envelope"
 
   // analysis-time shape check: pack() reads the child row POSITIONALLY
@@ -49,7 +53,25 @@ case class PackEnvelope(child: Expression, ascii: Boolean)
 
   override def nullSafeEval(input: Any): Any = pack(input.asInstanceOf[InternalRow])
 
+  // ordinals of the envelope fields the Avro schema requires non-null —
+  // derived from the ONE schema definition, never hand-listed
+  @transient private lazy val requiredOrdinals: Array[Int] =
+    Envelope.sparkType.fields.zipWithIndex
+      .collect { case (f, i) if !f.nullable => i }
+
+  // A null in a REQUIRED field (a source row with no timestamp, a null
+  // event_type reaching the payload) cannot serialize: the Avro writer
+  // threw NullPointerException PER ROW deep in the job — at corpus
+  // scale one corrupt source row killed the whole producer pass after
+  // retries. Mirror [[UnpackEnvelope]]'s dead-letter contract instead:
+  // the unpackable row packs to NULL, which the caller can count,
+  // filter, or route — the job survives.
   def pack(row: InternalRow): Array[Byte] = {
+    var i = 0
+    while (i < requiredOrdinals.length) {
+      if (row.isNullAt(requiredOrdinals(i))) return null
+      i += 1
+    }
     val record = AvroConversions
       .toAvro(row, Envelope.sparkType, envelopeSchema)
       .asInstanceOf[GenericRecord]
@@ -59,7 +81,13 @@ case class PackEnvelope(child: Expression, ascii: Boolean)
 
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("packEnvelope", this, classOf[PackEnvelope].getName)
-    nullSafeCodeGen(ctx, ev, v => s"${ev.value} = $ref.pack($v);")
+    // propagate pack()'s dead-letter null: without the isNull flip the
+    // generated code would hand downstream a null VALUE flagged non-null
+    nullSafeCodeGen(ctx, ev, v =>
+      s"""
+         |${ev.value} = $ref.pack($v);
+         |if (${ev.value} == null) { ${ev.isNull} = true; }
+       """.stripMargin)
   }
 
   @transient private lazy val envelopeSchema = AvroCodec.parse(Envelope.avroSchemaJson)
@@ -117,6 +145,11 @@ case class EncodePayload(child: Expression, schemaJson: String)
     extends UnaryExpression {
   override def dataType: DataType = BinaryType
   override def nullIntolerant: Boolean = true
+  // nullable beyond the child: a row null in a field the WRITER SCHEMA
+  // requires encodes to NULL (the producer-side dead-letter contract of
+  // [[PackEnvelope]]) instead of the per-row Avro NullPointerException
+  // that killed the task
+  override def nullable: Boolean = true
   override def prettyName: String = "encode_payload"
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
@@ -128,7 +161,23 @@ case class EncodePayload(child: Expression, schemaJson: String)
 
   override def nullSafeEval(input: Any): Any = encode(input.asInstanceOf[InternalRow])
 
+  // ordinals the writer schema requires non-null (no null branch in the
+  // field's union) — derived from the schema, never hand-listed
+  @transient private lazy val requiredOrdinals: Array[Int] = {
+    import scala.jdk.CollectionConverters._
+    schema.getFields.asScala.zipWithIndex.collect {
+      case (f, i) if !(f.schema().getType == org.apache.avro.Schema.Type.UNION &&
+          f.schema().getTypes.asScala
+            .exists(_.getType == org.apache.avro.Schema.Type.NULL)) => i
+    }.toArray
+  }
+
   def encode(row: InternalRow): Array[Byte] = {
+    var i = 0
+    while (i < requiredOrdinals.length) {
+      if (row.isNullAt(requiredOrdinals(i))) return null
+      i += 1
+    }
     val record = AvroConversions
       .toAvro(row, child.dataType.asInstanceOf[StructType], schema)
       .asInstanceOf[GenericRecord]
@@ -137,7 +186,11 @@ case class EncodePayload(child: Expression, schemaJson: String)
 
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("encodePayload", this, classOf[EncodePayload].getName)
-    nullSafeCodeGen(ctx, ev, v => s"${ev.value} = $ref.encode($v);")
+    nullSafeCodeGen(ctx, ev, v =>
+      s"""
+         |${ev.value} = $ref.encode($v);
+         |if (${ev.value} == null) { ${ev.isNull} = true; }
+       """.stripMargin)
   }
 
   @transient private lazy val schema = AvroCodec.parse(schemaJson)

@@ -68,11 +68,24 @@ object EnvelopeOps {
       eventSchemaJson)
   }
 
+  /** The producer-side validation gate: a source row null in ANY field
+    * the envelope or payload schema requires (id, user, type, value, ts)
+    * cannot produce a message — pack_envelope/encode_payload would
+    * dead-letter it to NULL (their per-row contract; spec-pinned), and
+    * the identity oracles replay only producible rows. ONE definition so
+    * every envelope fixture agrees on the survivor set. */
+  private def validEvents(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir).filter(
+      $"event_id".isNotNull && $"user_id".isNotNull &&
+        $"event_type".isNotNull && $"value".isNotNull && $"ts".isNotNull)
+  }
+
   private def packEvents(spark: SparkSession, dir: String, schemaId: Int,
                          ascii: Boolean): DataFrame = {
     val env = eventEnvelope(lit(schemaId), eventPayload(spark))
     val packer = if (ascii) pack_envelope_ascii(env) else pack_envelope(env)
-    Tables.events(spark, dir).select(packer.as("value"))
+    validEvents(spark, dir).select(packer.as("value"))
   }
 
   /** encode → pack(binary) → unpack → decode(v1 reader) ≡ identity. */
@@ -145,7 +158,7 @@ object EnvelopeOps {
       schemaId = when(cls === 2, lit(9999)).otherwise(lit(v1)),
       payload = when(cls === 1, lit(Array(0xFF.toByte)))
         .otherwise(eventPayload(spark)))
-    val transport = Tables.events(spark, dir).select(
+    val transport = validEvents(spark, dir).select(
       when(cls === 0, lit(Array.fill(3)(0xFF.toByte)))
         .otherwise(pack_envelope(env)).as("value"))
     val (good, dead) = graft.streaming.Pipeline
@@ -177,11 +190,13 @@ object EnvelopeOps {
 
   val oracles: Map[String, String] = Map(
     "env_roundtrip" ->
-      """SELECT event_id, user_id, event_type, value FROM events ORDER BY event_id""",
+      """SELECT event_id, user_id, event_type, value FROM events
+         WHERE event_id IS NOT NULL AND user_id IS NOT NULL AND event_type IS NOT NULL AND value IS NOT NULL AND ts IS NOT NULL ORDER BY event_id""",
     "env_evolution" ->
       """SELECT event_id, user_id, event_type, value,
                 'unknown' AS channel
-         FROM events ORDER BY event_id""",
+         FROM events
+         WHERE event_id IS NOT NULL AND user_id IS NOT NULL AND event_type IS NOT NULL AND value IS NOT NULL AND ts IS NOT NULL ORDER BY event_id""",
     "env_encrypt_roundtrip" ->
       """SELECT doc_id, text AS decrypted, true AS matches
          FROM documents ORDER BY doc_id""",
@@ -194,7 +209,8 @@ object EnvelopeOps {
     // one row on both sides even over an empty class).
     "env_dead_letter" ->
       """WITH cls AS (SELECT event_id,
-                             ((event_id % 10) + 10) % 10 AS c FROM events)
+                             ((event_id % 10) + 10) % 10 AS c FROM events
+                      WHERE event_id IS NOT NULL AND user_id IS NOT NULL AND event_type IS NOT NULL AND value IS NOT NULL AND ts IS NOT NULL)
          SELECT 'ok' AS bucket, COUNT(*) AS n, CAST(0 AS BIGINT) AS n_raw,
                 CAST(SUM(event_id) AS BIGINT) AS event_id_sum
          FROM cls WHERE c > 2

@@ -352,6 +352,11 @@ object Relational {
     import spark.implicits._
     val w = Window.partitionBy($"user_id").orderBy($"ts".asc, $"event_id".asc)
     Tables.events(spark, dir)
+      // a NULL-timestamp event has no position in a per-user time
+      // sequence — drop it (engines even disagree where an ASC null
+      // sorts: Spark first, SQL replays last, so left in it silently
+      // shifted EVERY diff in its user's chain by one on one engine)
+      .filter($"ts".isNotNull)
       .withColumn("prev_value", lag($"value", 1).over(w))
       .withColumn("prev_type", lag($"event_type", 1).over(w))
       .filter($"prev_value".isNotNull)
@@ -719,6 +724,7 @@ object Relational {
                   lag(value) OVER w AS prev_value,
                   lag(event_type) OVER w AS prev_type
            FROM events
+           WHERE ts IS NOT NULL
            WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)) t
          WHERE prev_value IS NOT NULL
          ORDER BY user_id, event_id""",

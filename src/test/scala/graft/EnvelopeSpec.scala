@@ -62,6 +62,42 @@ class EnvelopeSpec extends SparkTestBase {
     assert(a.drop(1).forall(c => c >= 32 && c < 127))
   }
 
+  test("pack/encode dead-letter a null REQUIRED field to null, never a task-killing NPE") {
+    // one source row with no timestamp previously threw a per-row
+    // NullPointerException inside the Avro writer and killed the whole
+    // producer job after retries — the mirror of unpack's corrupt-bytes
+    // contract: an unserializable row packs to NULL (countable,
+    // filterable, dead-letter routable)
+    val rows = Seq(
+      Row(Array.fill[Byte](16)(1), "create", 1, Array[Byte](1), null, null,
+        null, null),                                     // null timestamp
+      Row(null, "create", 1, Array[Byte](1), null, null, null, 1700000000),
+      // null uuid
+      Row(Array.fill[Byte](16)(2), "create", 2, Array[Byte](2), null, null,
+        null, 1700000001))                               // fully valid
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2),
+      org.apache.spark.sql.types.StructType(Envelope.sparkType.fields
+        .map(_.copy(nullable = true))))
+    val packed = df.select(pack_envelope(struct(col("*"))).as("v")).collect()
+    assert(packed.count(_.isNullAt(0)) == 2 && packed.count(!_.isNullAt(0)) == 1,
+      "required-field-null rows must pack to null; valid rows must pack")
+    // encode_payload: required-ness comes from the WRITER SCHEMA (no
+    // null branch in the field's union) — a null required string
+    // dead-letters, a null in a nullable union field still encodes
+    val schema =
+      """{"type":"record","name":"p","namespace":"g","fields":[
+           {"name":"a","type":"long"},
+           {"name":"b","type":["null","string"],"default":null}]}"""
+    import spark.implicits._
+    val enc = Seq((Some(1L), Some("x")), (None, Some("y")), (Some(3L), None))
+      .toDF("a", "b")
+      .select(encode_payload(struct($"a", $"b"), schema).as("v")).collect()
+    assert(enc(0).isNullAt(0) == false && enc(1).isNullAt(0) == true &&
+      enc(2).isNullAt(0) == false,
+      "null required field -> null; null OPTIONAL field still encodes")
+  }
+
   test("unpack dead-letters corrupt bytes: unknown magic and truncated envelopes null, never kill the task") {
     // the dead-letter contract: at corpus scale one poisoned message must
     // route to the dead-letter split, not fail the job after retries
