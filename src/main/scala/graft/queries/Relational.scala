@@ -283,8 +283,14 @@ object Relational {
     */
   def qPriorityHead(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // NULLS LAST explicitly: a scheduler head pick must never let an
+    // UNKNOWN priority/date outrank a known one, and Spark's ASC default
+    // is nulls FIRST (a corrupt row with a null date won its customer's
+    // head slot — SQL replays with nulls-last defaults disagreed, and
+    // the picked head drove a different job on identical state)
     val w = Window.partitionBy($"o_custkey")
-      .orderBy($"o_orderpriority".asc, $"o_orderdate".asc, $"o_orderkey".asc)
+      .orderBy($"o_orderpriority".asc_nulls_last, $"o_orderdate".asc_nulls_last,
+        $"o_orderkey".asc_nulls_last)
     Tables.orders(spark, dir)
       .withColumn("rn", row_number().over(w))
       .filter($"rn" === 1)
