@@ -103,13 +103,20 @@ object AbProbe {
       val sortedM = medians.sorted
       val med = sortedM(sortedM.size / 2)
       // appended PER QUERY (a later query's failure must not discard the
-      // minutes of sessions already measured); end-of-run calibration is
-      // stamped by the closing line below — a load burst arriving
-      // mid-run shows up there, not nowhere
+      // minutes of sessions already measured). Each line carries a
+      // CONTEMPORANEOUS single-thread probe taken right after its own
+      // sessions (cheap — ~0.8 s next to minutes of timed work) plus the
+      // JVM-start readings under bench-matching *_start_* names: a
+      // reader of one line (the natural A/B comparison unit) must not
+      // mistake a stale JVM-start reading for this query's machine
+      // health — a load burst arriving mid-run shows in the per-query
+      // probe, not only in the closing line below.
+      val calQuery = calSecs()
       val line = s"""{"query":"$name","tree":"$tree","sf":"${
           new java.io.File(sfDir).getName
         }","median":$med,"session_medians":[${medians.mkString(",")}],""" +
-        s""""calibration_sec":$calStart,"calibration_parallel_sec":$calParStart}"""
+        s""""calibration_query_sec":$calQuery,""" +
+        s""""calibration_start_sec":$calStart,"calibration_par_start_sec":$calParStart}"""
       println(line)
       append(line)
     }
@@ -120,7 +127,7 @@ object AbProbe {
     val calEnd = calSecs()
     val calParEnd = calParSecs()
     val closing = s"""{"tree":"$tree","calibration_end_sec":$calEnd,""" +
-      s""""calibration_parallel_end_sec":$calParEnd}"""
+      s""""calibration_par_end_sec":$calParEnd}"""
     println(closing)
     append(closing)
   }

@@ -207,11 +207,11 @@ object Bench {
       val burned1 = writeBurned(sfDir, 1, json)
       val (retryJson, retryCompact, retrySuspect) = runBench(sfDir, cpus)
       val (finJson, finCompact, finSuspect, attempt, burnedFiles) =
-        if (!retrySuspect) (retryJson, retryCompact, false, 2, Seq(burned1))
+        if (!retrySuspect) (retryJson, retryCompact, false, 2, burned1.toSeq)
         else {
           val burned2 = writeBurned(sfDir, 2, retryJson)
           val (j3, c3, s3) = runBench(sfDir, cpus)
-          (j3, c3, s3, 3, Seq(burned1, burned2))
+          (j3, c3, s3, 3, burned1.toSeq ++ burned2.toSeq)
         }
       val skippedNote =
         if (finSuspect)
@@ -230,8 +230,12 @@ object Bench {
   /** Persist a burned (contention/mass-drift-flagged) attempt's full
     * line to its own per-round file and return the file name; the
     * published record references it by name only. Best-effort — a write
-    * failure must never take down the bench. */
-  private def writeBurned(sfDir: String, attempt: Int, json: String): String = {
+    * failure must never take down the bench — but a SILENT failure must
+    * not publish the name either: burned_attempt_files exists to
+    * preserve the attempt's evidence, and a record pointing at a file
+    * that was never written loses it invisibly. On failure the name is
+    * omitted (None) and the failure goes to stderr. */
+  private def writeBurned(sfDir: String, attempt: Int, json: String): Option[String] = {
     val sfName = new java.io.File(sfDir).getName
     val round = roundInProgress(
       Option(new java.io.File(".").listFiles()).getOrElse(Array.empty))
@@ -239,8 +243,11 @@ object Bench {
     try {
       val w = new java.io.PrintWriter(name)
       try w.println(json) finally w.close()
-    } catch { case _: Throwable => () }
-    name
+      Some(name)
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] failed to write burned attempt $name: $e")
+      None
+    }
   }
 
   /** Publication order matters: the per-round harness keeps only the LAST
@@ -399,54 +406,82 @@ object Bench {
     // separable into fixed overhead (low exponent, level shift) vs
     // corpus-proportional work — the question the r11 regression left open
 
+    // r13 (verdict #1): THREE-point fits. A single sf0.01→sf0.1 exponent
+    // cannot distinguish a fixed-cost offset from genuine curvature — a
+    // superlinear operator hiding under a large fixed cost reads as
+    // sublinear on one segment. The sf0.001 fixture (10× fewer rows
+    // again) adds a second decade: the published record carries BOTH
+    // per-decade exponents (scale_slope_exponents = the 0.01→0.1 segment,
+    // series-continuous with r10–r12; scale_slope_exponents_small = the
+    // 0.001→0.01 segment) plus their difference as curvature
+    // (scale_slope_curvature > 0 = the exponent GROWS with scale —
+    // the asymptotic complexity exceeds what either single segment
+    // shows). Flags: the big segment keeps the 1.3 super-linear line;
+    // additionally an op whose big-segment exponent exceeds 1.0 while
+    // ACCELERATING (curvature > 0.3) is flagged — at-least-linear growth
+    // that is still steepening is exactly the shape that does not
+    // survive a 100× scale-up, even if it has not crossed 1.3 yet.
+    def probeAt(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+                dir: String): Option[Double] =
+      try {
+        fn(spark, dir).count() // warm-up
+        def attempt(): Seq[Double] = Seq.fill(3)(
+          timed(() => fn(spark, dir).count())).sorted
+        // same burst-repair as the main loop whose tBig this divides: an
+        // external load burst covering the probe would inflate tSmall ~4×
+        // and shave ~0.6 off the exponent — a super-linear operator could
+        // escape the 1.3 flag line on a one-sided stretch
+        val first = attempt()
+        val times =
+          if (first.head > 0 && first.last / first.head >= 2.0) {
+            val second = attempt()
+            if (second(second.size / 2) < first(first.size / 2)) second
+            else first
+          } else first
+        Some(times(times.size / 2)).filter(_ > 0)
+      } catch { case _: Throwable => None }
+      finally {
+        // release the probe query's caches even when it throws — leaked
+        // blocks would depress every later micro-bench
+        spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.valuesIterator
+          .foreach(_.unpersist(blocking = false))
+      }
     val smallSfDir = new java.io.File(
       new java.io.File(sfDir).getParentFile, "sf0.01")
-    val scaleSlopes: Seq[(String, Double)] =
+    val tinySfDir = new java.io.File(
+      new java.io.File(sfDir).getParentFile, "sf0.001")
+    // (name, e_0.01→0.1, Option(e_0.001→0.01))
+    val scaleSlopes: Seq[(String, Double, Option[Double])] =
       if (new java.io.File(sfDir).getName == "sf0.1" && smallSfDir.isDirectory
           && only.isEmpty)
         slopeQueries.flatMap { name =>
           (SparkEntry.queries.get(name),
             results.find(_._1 == name).map(_._2).filter(_ > 0)) match {
             case (Some(fn), Some(tBig)) =>
-              try {
-                fn(spark, smallSfDir.getPath).count() // warm-up
-                def attempt(): Seq[Double] = Seq.fill(3)(
-                  timed(() => fn(spark, smallSfDir.getPath).count())).sorted
-                // same burst-repair as the main loop whose tBig this
-                // divides: an external load burst covering the probe
-                // would inflate tSmall ~4× and shave ~0.6 off the
-                // exponent — a super-linear operator could escape the
-                // 1.3 flag line on a one-sided stretch
-                val first = attempt()
-                val times =
-                  if (first.head > 0 && first.last / first.head >= 2.0) {
-                    val second = attempt()
-                    if (second(second.size / 2) < first(first.size / 2)) second
-                    else first
-                  } else first
-                val tSmall = times(times.size / 2)
-                if (tSmall > 0)
-                  Some(name -> math.log(tBig / tSmall) / math.log(10.0))
-                else None
-              } catch { case _: Throwable => None }
-              finally {
-                // release the probe query's caches even when it throws —
-                // leaked blocks would depress every later micro-bench
-                spark.catalog.clearCache()
-                spark.sparkContext.getPersistentRDDs.valuesIterator
-                  .foreach(_.unpersist(blocking = false))
+              probeAt(fn, smallSfDir.getPath).map { tSmall =>
+                val eBig = math.log(tBig / tSmall) / math.log(10.0)
+                val eSmall =
+                  if (tinySfDir.isDirectory)
+                    probeAt(fn, tinySfDir.getPath).map(tTiny =>
+                      math.log(tSmall / tTiny) / math.log(10.0))
+                  else None
+                (name, eBig, eSmall)
               }
             case _ => None
           }
         }
       else Seq.empty
-    val scaleSlopeFlags = scaleSlopes.collect { case (n, s) if s > 1.3 => n }
+    val scaleSlopeFlags = scaleSlopes.collect {
+      case (n, e, _) if e > 1.3 => n
+      case (n, e, Some(es)) if e > 1.0 && e - es > 0.3 => n
+    }.distinct
 
     // round-over-round drift check: compare medians against the newest
     // BENCH_r*.json in the working directory (the driver writes one per
     // round) and flag queries whose median moved > 20% — the gate the
     // single-run bench could not provide.
-    val prevBench: Option[String] =
+    val (prevBench: Option[String], cleanBaselines: Seq[String]) =
       try {
         val dir = new java.io.File(".")
         val files = Option(dir.listFiles()).getOrElse(Array.empty)
@@ -510,35 +545,66 @@ object Bench {
         // environment-poisoned medians even when the contention probes
         // stayed quiet, and diffing against it builds the phantom-drift
         // wall the r7 lesson documents
-        stripped.filterNot(c => c.contains("\"contended\":true") ||
-            c.contains("\"mass_drift_suspected\":true")).lastOption
-          .orElse(stripped.lastOption)
-      } catch { case _: Throwable => None }
+        val clean = stripped.filterNot(c => c.contains("\"contended\":true") ||
+            c.contains("\"mass_drift_suspected\":true"))
+        (clean.lastOption.orElse(stripped.lastOption), clean)
+      } catch { case _: Throwable => (None, Seq.empty[String]) }
+
+    // the LAST "queries":{ block of a record line is the published
+    // medians map (an attached contended first attempt was stripped
+    // above); one parser serves the round-over-round diff and the
+    // best-ever anchor so the two can never read a record differently
+    def parseQueryMedians(content: String): Map[String, Double] = {
+      val marker = "\"queries\":{"
+      val qIdx = content.lastIndexOf(marker)
+      if (qIdx < 0) Map.empty
+      else {
+        val entry = "\"([a-z0-9_]+)\":(-?[0-9.]+)".r
+        val block = content.substring(qIdx + marker.length).takeWhile(_ != '}')
+        entry.findAllMatchIn(block)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      }
+    }
 
     // (flagged names, count of queries the baseline could compare at all)
     val (driftFlags: Seq[String], driftComparable: Int) =
       try {
         prevBench.map { content =>
-          val marker = "\"queries\":{"
-          val qIdx = content.lastIndexOf(marker)
-          if (qIdx < 0) (Seq.empty[String], 0)
-          else {
-            val entry = "\"([a-z0-9_]+)\":([0-9.]+)".r
-            val block = content.substring(qIdx + marker.length).takeWhile(_ != '}')
-            val prevTimes = entry.findAllMatchIn(block)
-              .map(m => m.group(1) -> m.group(2).toDouble).toMap
-            val flags = results.collect {
-              case (name, median, _) if median > 0 && prevTimes.get(name).exists { p =>
-                p > 0 && math.abs(median - p) / p > 0.20
-              } => name
-            }
-            val comparable = results.count { case (name, median, _) =>
-              median > 0 && prevTimes.get(name).exists(_ > 0)
-            }
-            (flags, comparable)
+          val prevTimes = parseQueryMedians(content)
+          val flags = results.collect {
+            case (name, median, _) if median > 0 && prevTimes.get(name).exists { p =>
+              p > 0 && math.abs(median - p) / p > 0.20
+            } => name
           }
+          val comparable = results.count { case (name, median, _) =>
+            median > 0 && prevTimes.get(name).exists(_ > 0)
+          }
+          (flags, comparable)
         }.getOrElse((Seq.empty[String], 0))
       } catch { case _: Throwable => (Seq.empty[String], 0) }
+
+    // cumulative drift anchor (r12 verdict #3): the round-over-round
+    // diff is blind to slow creep — d_minhash_lsh gained +19% over TWO
+    // rounds at ~6% spread each step and was never flagged. Diff each
+    // median against the BEST-EVER clean same-sf record as well: >30%
+    // above the best this query has ever measured cleanly is cumulative
+    // drift no single round-over-round step showed. Published as a map
+    // name → {best, best_round-ish pct} so the reader sees the size of
+    // the creep, not just its existence; suppressed when contended like
+    // the round-over-round flags (an environment-shifted pass would
+    // flag half the suite against its best-ever anchor).
+    val driftVsBest: Seq[(String, Double, Double)] =
+      try {
+        val bestTimes: Map[String, Double] = cleanBaselines
+          .flatMap(c => parseQueryMedians(c).toSeq)
+          .filter(_._2 > 0)
+          .groupBy(_._1).map { case (n, vs) => n -> vs.map(_._2).min }
+        results.collect {
+          case (name, median, _) if median > 0 && bestTimes.get(name).exists { b =>
+            b > 0 && (median - b) / b > 0.30
+          } => (name, bestTimes(name), 100.0 * (median - bestTimes(name)) / bestTimes(name))
+        }
+      } catch { case _: Throwable => Seq.empty }
 
     // every throughput metric below is a multi-run median with min→max
     // spread, exactly like the queries: BENCH r04→r05 showed a 2× swing
@@ -660,14 +726,21 @@ object Bench {
     // uuid-cost regression stay separately visible (BASELINE.md tiers:
     // no-uuid ~730k/s, FastUUID instantiation ~185k/s, uuid-only 385k/s;
     // gate: ≥ ~90k rows/s/core on the full chain).
+    // r13 (verdict #4): the timed windows were too SHORT for the ≤20%
+    // spread goal on a noisy machine-hour — 300k chain rows ≈ 0.35 s and
+    // 2M uuid rows ≈ 0.02 s, so one GC pause or scheduler blip inside
+    // the window moved the reading 25%+ (the r12 driver record published
+    // the GATE at 26.4% spread). 5× the chain window (~1.7 s) and 25×
+    // the uuid window (~0.5 s) amortize a blip below the 20% line;
+    // seconds per attempt next to the 25-minute sweep.
     val (serdePerCore, serdeCoreSpreadPct) = // fixed uuid (ref "no uuid" tier)
-      try rateMedian(5)(() => SerdeMicroBench.chainRowsPerSecCore(300000))
+      try rateMedian(5)(() => SerdeMicroBench.chainRowsPerSecCore(1500000))
       catch { case _: Throwable => (-1.0, -1.0) }
     val (serdeUuidPerCore, serdeUuidSpreadPct) = // fresh uuid4 per message
-      try rateMedian(5)(() => SerdeMicroBench.chainWithUuidRowsPerSecCore(300000))
+      try rateMedian(5)(() => SerdeMicroBench.chainWithUuidRowsPerSecCore(1500000))
       catch { case _: Throwable => (-1.0, -1.0) }
     val (uuidGenPerCore, uuidGenSpreadPct) = // uuid4 alone (ref 385,845/s best)
-      try rateMedian(5)(() => SerdeMicroBench.uuidRowsPerSecCore(2000000))
+      try rateMedian(5)(() => SerdeMicroBench.uuidRowsPerSecCore(50000000))
       catch { case _: Throwable => (-1.0, -1.0) }
 
     // uuid4 generation rate through the codegen'd Uuid4Binary expression
@@ -1092,12 +1165,10 @@ object Bench {
             // configs are the residual path (recall_ivfpq_res_rerank,
             // 1.00) and the OPQ-composed path (recall_opq_ivfpq_res_
             // rerank, 1.00), which supersede it at the same code budget
+            // (the one-round recall_ivfpq_rerank continuity alias
+            // expired as planned in r13 — the rename is noted in
+            // recall_notes so the r11→r12 series break stays explicit)
             "recall_diag_ivfpq_rerank" -> ivfpqRerankR,
-            // continuity alias (one round, r11 ADVICE): the r11 rename
-            // to recall_diag_ivfpq_rerank silently broke this series'
-            // longitudinal comparison — publish BOTH keys this round so
-            // the break is explicit; drop the old key in r13
-            "recall_ivfpq_rerank" -> ivfpqRerankR,
             "recall_ivfpq_res_rerank" -> ivfpqResRerankR,
             "recall_diag_jl_d16_topk" -> jlR,
             "recall_diag_jl_d16_rerank" -> jlRerankR,
@@ -1226,13 +1297,28 @@ object Bench {
       .map { case (k, v) => "\"" + k + f"""\":$v%.4f""" }
       .mkString("{", ",", "}")
     val slopesJson = scaleSlopes
-      .map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
+      .map { case (k, v, _) => "\"" + k + f"""\":$v%.3f""" }
+      .mkString("{", ",", "}")
+    // the 0.001→0.01 decade + per-op curvature (big − small exponent):
+    // curvature ≈ 0 = straight power law across both decades; < 0 =
+    // fixed costs still amortizing (typical here); > 0 = the exponent
+    // grows with scale and the big-segment reading UNDERSTATES the
+    // asymptotic complexity
+    val slopesSmallJson = scaleSlopes
+      .collect { case (k, _, Some(v)) => "\"" + k + f"""\":$v%.3f""" }
+      .mkString("{", ",", "}")
+    val curvatureJson = scaleSlopes
+      .collect { case (k, e, Some(es)) => "\"" + k + f"""\":${e - es}%.3f""" }
       .mkString("{", ",", "}")
     val slopeFlagsJson = scaleSlopeFlags
       .map("\"" + _ + "\"").mkString("[", ",", "]")
+    val driftVsBestJson = (if (contended) Seq.empty else driftVsBest)
+      .map { case (n, b, pct) =>
+        "\"" + n + f"""\":{"best_sec":$b%.4f,"over_best_pct":$pct%.1f}""" }
+      .mkString("{", ",", "}")
     val failedJson = failedQueries.map(q => "\"" + q + "\"").mkString("[", ",", "]")
     val json =
-      f"""{"metric":"total","value":$total%.4f,"unit":"sec","runs_per_query":$runsPerQuery,"queries":$qs,"query_spread_pct":$spreads,"drift_gt20pct_vs_prev":$drift,"drift_comparable":$driftComparable,"failed_queries":$failedJson,$serdeRatesJson,"uuid_rows_per_sec_core":$uuidPerCore%.0f,"serde_spread_pct":$serdeSpreads,"serde_drift_gt20pct_vs_prev":$serdeDrift,"baseline_gate_rows_per_sec_core":90000,"serde_uuid_vs_gate":$gateRatio%.2f,$microRatesJson,"recall_at_k":$recallK,"recall":$recallJson,"recall_notes":"recall_diag_* are diagnostic curve points, not shipped configs; shipped rerank paths are recall_ivfpq_res_rerank and recall_opq_ivfpq_res_rerank. recall_opq_m8k32_rerank < recall_pq_m8k32_rerank is expected on this near-isotropic fixture (rotation cannot help an isotropic spectrum; the 0.9 floor holds and the anisotropic gain is spec-pinned in CurationSpec)","scale_slope_exponents":$slopesJson,"scale_slope_flags":$slopeFlagsJson,"calibration_ref_sec":$CalibrationRefSec%.2f,"calibration_start_sec":$calStartSec%.3f,"calibration_end_sec":$calEndSec%.3f,"calibration_par_ref_sec":$calibrationParRefSec%.2f,"calibration_par_start_sec":$calParStartSec%.3f,"calibration_par_end_sec":$calParEndSec%.3f,"contended":$contended,"mass_drift_suspected":$massDrift,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.4f,"unit":"sec","runs_per_query":$runsPerQuery,"queries":$qs,"query_spread_pct":$spreads,"drift_gt20pct_vs_prev":$drift,"drift_comparable":$driftComparable,"drift_vs_best":$driftVsBestJson,"failed_queries":$failedJson,$serdeRatesJson,"uuid_rows_per_sec_core":$uuidPerCore%.0f,"serde_spread_pct":$serdeSpreads,"serde_drift_gt20pct_vs_prev":$serdeDrift,"baseline_gate_rows_per_sec_core":90000,"serde_uuid_vs_gate":$gateRatio%.2f,$microRatesJson,"recall_at_k":$recallK,"recall":$recallJson,"recall_notes":"recall_diag_* are diagnostic curve points, not shipped configs; shipped rerank paths are recall_ivfpq_res_rerank and recall_opq_ivfpq_res_rerank. recall_ivfpq_rerank was renamed recall_diag_ivfpq_rerank in r11 (dual-keyed r12, old key dropped r13) — longitudinal readers join the series there. recall_opq_m8k32_rerank < recall_pq_m8k32_rerank is expected on this near-isotropic fixture (rotation cannot help an isotropic spectrum; the 0.9 floor holds and the anisotropic gain is spec-pinned in CurationSpec)","scale_slope_exponents":$slopesJson,"scale_slope_exponents_small":$slopesSmallJson,"scale_slope_curvature":$curvatureJson,"scale_slope_flags":$slopeFlagsJson,"calibration_ref_sec":$CalibrationRefSec%.2f,"calibration_start_sec":$calStartSec%.3f,"calibration_end_sec":$calEndSec%.3f,"calibration_par_ref_sec":$calibrationParRefSec%.2f,"calibration_par_start_sec":$calParStartSec%.3f,"calibration_par_end_sec":$calParEndSec%.3f,"contended":$contended,"mass_drift_suspected":$massDrift,"sf":"$sfDir"}"""
     // compact contract line — MUST stay well under the harness's ~2k-char
     // stdout tail window (see [[publish]]); everything here is either a
     // driver-contract field or a headline number the judge compares

@@ -65,18 +65,26 @@ case class PackEnvelope(child: Expression, ascii: Boolean)
   // scale one corrupt source row killed the whole producer pass after
   // retries. Mirror [[UnpackEnvelope]]'s dead-letter contract instead:
   // the unpackable row packs to NULL, which the caller can count,
-  // filter, or route — the job survives.
+  // filter, or route — the job survives. The ordinal scan is the cheap
+  // fast path for the common top-level case; the catch makes the
+  // contract TOTAL — a null nested INSIDE a required complex field (a
+  // null meta array element, containsNull=false) passes the top-level
+  // scan yet still cannot serialize, and without the catch it threw the
+  // very per-row NPE the contract claims to eliminate. Symmetric with
+  // unpack/decode's NonFatal dead-letter on the consume side.
   def pack(row: InternalRow): Array[Byte] = {
     var i = 0
     while (i < requiredOrdinals.length) {
       if (row.isNullAt(requiredOrdinals(i))) return null
       i += 1
     }
-    val record = AvroConversions
-      .toAvro(row, Envelope.sparkType, envelopeSchema)
-      .asInstanceOf[GenericRecord]
-    val avroBytes = AvroCodec.encode(record, envelopeSchema)
-    if (ascii) AvroCodec.frameAscii(avroBytes) else AvroCodec.frameBinary(avroBytes)
+    try {
+      val record = AvroConversions
+        .toAvro(row, Envelope.sparkType, envelopeSchema)
+        .asInstanceOf[GenericRecord]
+      val avroBytes = AvroCodec.encode(record, envelopeSchema)
+      if (ascii) AvroCodec.frameAscii(avroBytes) else AvroCodec.frameBinary(avroBytes)
+    } catch { case scala.util.control.NonFatal(_) => null }
   }
 
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
@@ -172,16 +180,22 @@ case class EncodePayload(child: Expression, schemaJson: String)
     }.toArray
   }
 
+  // same totality catch as [[PackEnvelope.pack]]: the ordinal scan only
+  // sees TOP-LEVEL writer-required nulls; a null nested inside a
+  // required complex field (array element, nested record field) still
+  // reached the Avro writer's per-row NPE — dead-letter those too
   def encode(row: InternalRow): Array[Byte] = {
     var i = 0
     while (i < requiredOrdinals.length) {
       if (row.isNullAt(requiredOrdinals(i))) return null
       i += 1
     }
-    val record = AvroConversions
-      .toAvro(row, child.dataType.asInstanceOf[StructType], schema)
-      .asInstanceOf[GenericRecord]
-    AvroCodec.encode(record, schema)
+    try {
+      val record = AvroConversions
+        .toAvro(row, child.dataType.asInstanceOf[StructType], schema)
+        .asInstanceOf[GenericRecord]
+      AvroCodec.encode(record, schema)
+    } catch { case scala.util.control.NonFatal(_) => null }
   }
 
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {

@@ -1293,18 +1293,22 @@ object Similarity {
       .select(coalesce(col("__so"), col("__sn")).as(strataCol),
         coalesce(col("n_old"), lit(0L)).as("n_old"),
         coalesce(col("n_new"), lit(0L)).as("n_new"),
-        // undefined drift is NULL, never NaN: a zero-norm centroid (a
-        // stratum of all-zero embeddings — a broken encoder, exactly
-        // what this monitor watches for) gives cosine 0/0 = NaN, which
-        // serializes engine-specifically and compares as ABOVE every
-        // real value in Spark — a reader's `drift_cos < 0.9` alert
-        // would silently never fire for the one stratum that is
-        // entirely corrupt. NULL = "could not be measured" is the
-        // honest signal and what a SQL replay yields.
-        when(!isnan(round(graft.functions.CosineSim.cosine_sim(
-            col("__co"), col("__cn")), roundTo)),
-          round(graft.functions.CosineSim.cosine_sim(col("__co"), col("__cn")),
-            roundTo)).as("drift_cos"))
+        // the dim-length array fold runs ONCE per row behind a named
+        // column; CollapseProject keeps a twice-referenced non-cheap
+        // alias in its own Project rather than re-inlining it into both
+        // branches of the NaN guard below
+        round(graft.functions.CosineSim.cosine_sim(col("__co"), col("__cn")),
+          roundTo).as("__dc"))
+      // undefined drift is NULL, never NaN: a zero-norm centroid (a
+      // stratum of all-zero embeddings — a broken encoder, exactly
+      // what this monitor watches for) gives cosine 0/0 = NaN, which
+      // serializes engine-specifically and compares as ABOVE every
+      // real value in Spark — a reader's `drift_cos < 0.9` alert
+      // would silently never fire for the one stratum that is
+      // entirely corrupt. NULL = "could not be measured" is the
+      // honest signal and what a SQL replay yields.
+      .select(col(strataCol), col("n_old"), col("n_new"),
+        when(!isnan(col("__dc")), col("__dc")).as("drift_cos"))
   }
 
   /** SemDeDup-style semantic dedup (Abbas et al. 2023): cluster the

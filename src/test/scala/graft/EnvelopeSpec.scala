@@ -98,6 +98,44 @@ class EnvelopeSpec extends SparkTestBase {
       "null required field -> null; null OPTIONAL field still encodes")
   }
 
+  test("dead-letter is TOTAL: a null nested INSIDE a required complex field packs/encodes to null") {
+    // the top-level required-ordinal scan cannot see these — a null meta
+    // ELEMENT (containsNull=false in the envelope type) or a null element
+    // of a required array in the writer schema previously reached the
+    // Avro writer and threw the per-row NPE the contract claims to
+    // eliminate (r12 ADVICE)
+    val rows = Seq(
+      Row(Array.fill[Byte](16)(1), "create", 1, Array[Byte](1), null,
+        Seq(null), null, 1700000000),                 // null meta ELEMENT
+      Row(Array.fill[Byte](16)(2), "create", 2, Array[Byte](2), null,
+        Seq(Row(7, Array[Byte](9))), null, 1700000001)) // valid meta
+    val metaNullable = org.apache.spark.sql.types.StructType(
+      Envelope.sparkType.fields.map {
+        case f if f.name == "meta" =>
+          f.copy(dataType = org.apache.spark.sql.types.ArrayType(
+            f.dataType.asInstanceOf[org.apache.spark.sql.types.ArrayType]
+              .elementType, containsNull = true))
+        case f => f.copy(nullable = true)
+      })
+    val packed = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 2), metaNullable)
+      .select(pack_envelope(struct(col("*"))).as("v")).collect()
+      .sortBy(_.isNullAt(0))
+    assert(!packed(0).isNullAt(0) && packed(1).isNullAt(0),
+      "null nested meta element must dead-letter to null, valid row must pack")
+    // encode side: required array of long with a null element
+    val schema =
+      """{"type":"record","name":"n","namespace":"g","fields":[
+           {"name":"xs","type":{"type":"array","items":"long"}}]}"""
+    import spark.implicits._
+    val enc = Seq(Seq[java.lang.Long](1L, null), Seq[java.lang.Long](2L, 3L))
+      .toDF("xs")
+      .select(encode_payload(struct($"xs"), schema).as("v")).collect()
+      .sortBy(_.isNullAt(0))
+    assert(!enc(0).isNullAt(0) && enc(1).isNullAt(0),
+      "null element of a writer-required array must dead-letter to null")
+  }
+
   test("unpack dead-letters corrupt bytes: unknown magic and truncated envelopes null, never kill the task") {
     // the dead-letter contract: at corpus scale one poisoned message must
     // route to the dead-letter split, not fail the job after retries
