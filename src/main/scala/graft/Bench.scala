@@ -593,18 +593,32 @@ object Bench {
     // the creep, not just its existence; suppressed when contended like
     // the round-over-round flags (an environment-shifted pass would
     // flag half the suite against its best-ever anchor).
+    val bestTimes: Map[String, Double] =
+      try cleanBaselines
+        .flatMap(c => parseQueryMedians(c).toSeq)
+        .filter(_._2 > 0)
+        .groupBy(_._1).map { case (n, vs) => n -> vs.map(_._2).min }
+      catch { case _: Throwable => Map.empty }
+    // flag = relative AND absolute: a 0.1 s query reads +50% over its
+    // best-ever on pure scheduler noise (observed: env_roundtrip +53% =
+    // 0.06 s), so the 30% relative line alone would keep sub-second
+    // noise in the flag list forever — require the creep to also be
+    // ≥ 0.1 s of wall time before it names a query
     val driftVsBest: Seq[(String, Double, Double)] =
-      try {
-        val bestTimes: Map[String, Double] = cleanBaselines
-          .flatMap(c => parseQueryMedians(c).toSeq)
-          .filter(_._2 > 0)
-          .groupBy(_._1).map { case (n, vs) => n -> vs.map(_._2).min }
-        results.collect {
-          case (name, median, _) if median > 0 && bestTimes.get(name).exists { b =>
-            b > 0 && (median - b) / b > 0.30
-          } => (name, bestTimes(name), 100.0 * (median - bestTimes(name)) / bestTimes(name))
-        }
-      } catch { case _: Throwable => Seq.empty }
+      results.collect {
+        case (name, median, _) if median > 0 && bestTimes.get(name).exists { b =>
+          b > 0 && (median - b) / b > 0.30 && median - b > 0.10
+        } => (name, bestTimes(name), 100.0 * (median - bestTimes(name)) / bestTimes(name))
+      }
+    // the full over-best map (every comparable query, any sign) rides in
+    // the details line: the 30% flag is one threshold, but slow creep is
+    // visible at ANY threshold only if the whole curve is published —
+    // d_minhash_lsh's +19%-over-two-rounds sat below every single-round
+    // gate and below this flag line too
+    val overBestPct: Seq[(String, Double)] = results.collect {
+      case (name, median, _) if median > 0 && bestTimes.get(name).exists(_ > 0) =>
+        name -> (100.0 * (median - bestTimes(name)) / bestTimes(name))
+    }
 
     // every throughput metric below is a multi-run median with min→max
     // spread, exactly like the queries: BENCH r04→r05 showed a 2× swing
@@ -1316,9 +1330,12 @@ object Bench {
       .map { case (n, b, pct) =>
         "\"" + n + f"""\":{"best_sec":$b%.4f,"over_best_pct":$pct%.1f}""" }
       .mkString("{", ",", "}")
+    val overBestJson = overBestPct
+      .map { case (n, pct) => "\"" + n + f"""\":$pct%.1f""" }
+      .mkString("{", ",", "}")
     val failedJson = failedQueries.map(q => "\"" + q + "\"").mkString("[", ",", "]")
     val json =
-      f"""{"metric":"total","value":$total%.4f,"unit":"sec","runs_per_query":$runsPerQuery,"queries":$qs,"query_spread_pct":$spreads,"drift_gt20pct_vs_prev":$drift,"drift_comparable":$driftComparable,"drift_vs_best":$driftVsBestJson,"failed_queries":$failedJson,$serdeRatesJson,"uuid_rows_per_sec_core":$uuidPerCore%.0f,"serde_spread_pct":$serdeSpreads,"serde_drift_gt20pct_vs_prev":$serdeDrift,"baseline_gate_rows_per_sec_core":90000,"serde_uuid_vs_gate":$gateRatio%.2f,$microRatesJson,"recall_at_k":$recallK,"recall":$recallJson,"recall_notes":"recall_diag_* are diagnostic curve points, not shipped configs; shipped rerank paths are recall_ivfpq_res_rerank and recall_opq_ivfpq_res_rerank. recall_ivfpq_rerank was renamed recall_diag_ivfpq_rerank in r11 (dual-keyed r12, old key dropped r13) — longitudinal readers join the series there. recall_opq_m8k32_rerank < recall_pq_m8k32_rerank is expected on this near-isotropic fixture (rotation cannot help an isotropic spectrum; the 0.9 floor holds and the anisotropic gain is spec-pinned in CurationSpec)","scale_slope_exponents":$slopesJson,"scale_slope_exponents_small":$slopesSmallJson,"scale_slope_curvature":$curvatureJson,"scale_slope_flags":$slopeFlagsJson,"calibration_ref_sec":$CalibrationRefSec%.2f,"calibration_start_sec":$calStartSec%.3f,"calibration_end_sec":$calEndSec%.3f,"calibration_par_ref_sec":$calibrationParRefSec%.2f,"calibration_par_start_sec":$calParStartSec%.3f,"calibration_par_end_sec":$calParEndSec%.3f,"contended":$contended,"mass_drift_suspected":$massDrift,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.4f,"unit":"sec","runs_per_query":$runsPerQuery,"queries":$qs,"query_spread_pct":$spreads,"drift_gt20pct_vs_prev":$drift,"drift_comparable":$driftComparable,"drift_vs_best":$driftVsBestJson,"over_best_pct":$overBestJson,"drift_vs_best_notes":"anchor = per-query min over all prior CLEAN same-sf records; hybrid-chain entries vs their r10 anchors are the adjudicated 1.2x-of-r10 fast-path trade (ab_probe_r12.jsonl); sim_bm25_multi's r12 record reading was probe-settled as machine-inflated (probe medians 0.59-0.65)","failed_queries":$failedJson,$serdeRatesJson,"uuid_rows_per_sec_core":$uuidPerCore%.0f,"serde_spread_pct":$serdeSpreads,"serde_drift_gt20pct_vs_prev":$serdeDrift,"baseline_gate_rows_per_sec_core":90000,"serde_uuid_vs_gate":$gateRatio%.2f,$microRatesJson,"recall_at_k":$recallK,"recall":$recallJson,"recall_notes":"recall_diag_* are diagnostic curve points, not shipped configs; shipped rerank paths are recall_ivfpq_res_rerank and recall_opq_ivfpq_res_rerank. recall_ivfpq_rerank was renamed recall_diag_ivfpq_rerank in r11 (dual-keyed r12, old key dropped r13) — longitudinal readers join the series there. recall_opq_m8k32_rerank < recall_pq_m8k32_rerank is expected on this near-isotropic fixture (rotation cannot help an isotropic spectrum; the 0.9 floor holds and the anisotropic gain is spec-pinned in CurationSpec)","scale_slope_exponents":$slopesJson,"scale_slope_exponents_small":$slopesSmallJson,"scale_slope_curvature":$curvatureJson,"scale_slope_flags":$slopeFlagsJson,"calibration_ref_sec":$CalibrationRefSec%.2f,"calibration_start_sec":$calStartSec%.3f,"calibration_end_sec":$calEndSec%.3f,"calibration_par_ref_sec":$calibrationParRefSec%.2f,"calibration_par_start_sec":$calParStartSec%.3f,"calibration_par_end_sec":$calParEndSec%.3f,"contended":$contended,"mass_drift_suspected":$massDrift,"sf":"$sfDir"}"""
     // compact contract line — MUST stay well under the harness's ~2k-char
     // stdout tail window (see [[publish]]); everything here is either a
     // driver-contract field or a headline number the judge compares

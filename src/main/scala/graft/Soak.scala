@@ -1,0 +1,221 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** sf1.0-class soak (r12 verdict #7): time the top-5 most expensive
+  * operators on a corpus ~10× the bench sf0.1 fixture, extending each
+  * op's three-point scale-slope fit (sf0.001/0.01/0.1, published in
+  * BENCH_r13) with a measured FOURTH point — the 100×-scale story for
+  * the ops that matter becomes measured evidence, not extrapolation.
+  *
+  * The scaled corpus is derived from sf0.1 (never written under
+  * /root/testdata): replica k of a document re-keys `doc_id` by a
+  * 10M stride and applies a deterministic word permutation keyed on
+  * (word, position, k) — crucially NOT on doc_id — so that
+  *  - two near-duplicate originals permute ALIKE within a replica
+  *    (their shared (word, position) pairs sort identically), keeping
+  *    each replica's near-dup DENSITY ≈ the original fixture's, while
+  *  - the same original across two replicas permutes DIFFERENTLY
+  *    (k differs), so no phantom cross-replica duplicates inflate the
+  *    LSH/clustering output superlinearly the way verbatim replication
+  *    would (10 verbatim copies = a 10-clique per doc = 45× the pairs).
+  * Replica embeddings are fresh deterministic pseudo-random vectors in
+  * [-1,1]^dim (the fixture itself is near-isotropic random), re-keyed
+  * by the same stride; probes stay the fixture's 5 (`vec_id < 5` only
+  * matches replica 0), matching the bench query shape.
+  *
+  * Protocol per op and per scale: 2 warm-ups + 3 timed runs, median +
+  * spread, caches cleared between — bench-identical. sf0.1 is re-timed
+  * in the SAME JVM so the published 4th-point exponent
+  * log(t_soak/t_sf0.1)/log(factor) never mixes two machine-days.
+  * Calibration probes bracket the run exactly like the bench.
+  *
+  * Not part of the library; not wired to the driver gate. Output: one
+  * JSON line, also written to `bench_soak_r<N>_x<factor>.json`.
+  */
+object Soak {
+  private val soakOps = Seq("d_dup_clusters", "d_minhash_lsh",
+    "sim_ivfpq_res_topk", "d_ngram_near_dups", "d_incr_lsh")
+
+  private val DocStride = 10000000L
+  private val VecStride = 10000000L
+
+  private def mixRounds(seed: Long, rounds: Long): Long = {
+    var h = 0x9e3779b97f4a7c15L ^ seed
+    var i = 0L
+    while (i < rounds) {
+      h ^= i; h *= 0xff51afd7ed558ccdL; h ^= (h >>> 33)
+      i += 1
+    }
+    h
+  }
+  private def calSecs(): Double = {
+    val t0 = System.nanoTime()
+    if (mixRounds(0L, 400000000L) == 42L) System.out.print("")
+    (System.nanoTime() - t0) / 1e9
+  }
+  private def calParSecs(): Double = {
+    val t0 = System.nanoTime()
+    val ts = (0 until 32).map { k =>
+      val t = new Thread(() => {
+        if (mixRounds(k.toLong, 100000000L) == 42L) System.out.print("")
+      })
+      t.start(); t
+    }
+    ts.foreach(_.join())
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  /** Build the scaled corpus under `soakDir` if absent (idempotent —
+    * a pre-built dir at the same factor is reused across sessions). */
+  private def buildCorpus(spark: SparkSession, srcDir: String,
+                          soakDir: String, factor: Int): Unit = {
+    val marker = new java.io.File(soakDir, s"_SOAK_x$factor")
+    if (marker.isFile) return
+    val dir = new java.io.File(soakDir)
+    if (dir.exists()) { // a stale/partial build or different factor: rebuild
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+        f.delete()
+      }
+      rm(dir)
+    }
+    dir.mkdirs()
+
+    val docs = Tables.documents(spark, srcDir)
+    // one row per (original doc, replica k); replica 0 is verbatim.
+    // The permutation sorts the doc's (word, original position) pairs
+    // by xxhash64(word, position, k): deterministic, position-aligned
+    // across near-dup originals, decorrelated across replicas.
+    val repDocs = docs
+      .withColumn("k", explode(lit((0 until factor).toArray)))
+      .withColumn("doc_id", col("doc_id") + col("k") * lit(DocStride))
+      .withColumn("text",
+        when(col("k") === 0, col("text")).otherwise(
+          array_join(
+            transform(
+              array_sort(
+                zip_with(
+                  filter(split(col("text"), "\\s+"), w => w =!= ""),
+                  sequence(lit(1),
+                    size(filter(split(col("text"), "\\s+"), w => w =!= ""))),
+                  (w, i) => struct(xxhash64(w, i, col("k")).as("h"),
+                    w.as("w")))),
+              s => s.getField("w")),
+            " ")))
+      .withColumn("n_chars", length(col("text")))
+      .drop("k")
+    repDocs.repartition(32).write.mode("overwrite")
+      .parquet(new java.io.File(soakDir, "documents.parquet").getPath)
+
+    val vecs = Tables.embeddings(spark, srcDir)
+    val dim = vecs.select(size(col("embedding"))).head().getInt(0)
+    val repVecs = vecs
+      .withColumn("k", explode(lit((0 until factor).toArray)))
+      .withColumn("vec_id", col("vec_id") + col("k") * lit(VecStride))
+      .withColumn("embedding",
+        when(col("k") === 0, col("embedding")).otherwise(
+          transform(sequence(lit(0), lit(dim - 1)),
+            i => ((pmod(xxhash64(col("vec_id"), i), lit(2000001L)) -
+              lit(1000000L)) / lit(1000000.0)).cast("float"))))
+      .drop("k")
+    repVecs.repartition(32).write.mode("overwrite")
+      .parquet(new java.io.File(soakDir, "embeddings.parquet").getPath)
+
+    val w = new java.io.PrintWriter(marker)
+    try w.println(s"factor=$factor src=$srcDir") finally w.close()
+  }
+
+  def main(args: Array[String]): Unit = {
+    val srcDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val soakDir = sys.env.getOrElse("SPARK_GRAFT_SOAK_DIR", "/tmp/graft_soak")
+    val factor = sys.env.get("SPARK_GRAFT_SOAK_FACTOR")
+      .flatMap(_.toIntOption).getOrElse(10)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val outName = sys.env.getOrElse("SPARK_GRAFT_SOAK_OUT",
+      s"bench_soak_x$factor.json")
+    calSecs() // JIT warm-up for the probe loop
+    val calStart = calSecs()
+    val calParStart = calParSecs()
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    buildCorpus(spark, srcDir, soakDir, factor)
+    val nDocs = spark.read.parquet(
+      new java.io.File(soakDir, "documents.parquet").getPath).count()
+    val nVecs = spark.read.parquet(
+      new java.io.File(soakDir, "embeddings.parquet").getPath).count()
+    println(s"[soak] corpus ready: $nDocs docs, $nVecs vecs (x$factor)")
+
+    def timed(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    def clear(): Unit = {
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.valuesIterator
+        .foreach(_.unpersist(blocking = false))
+    }
+    // bench-identical: 2 warm-ups, 3 timed, median + spread, burst repair
+    def measure(fn: (SparkSession, String) => DataFrame, dir: String)
+        : (Double, Double) = {
+      fn(spark, dir).count(); fn(spark, dir).count()
+      def attempt(): Seq[Double] =
+        Seq.fill(3)(timed(fn(spark, dir).count())).sorted
+      val first = attempt()
+      val times =
+        if (first.head > 0 && first.last / first.head >= 2.0) {
+          val second = attempt()
+          if (second(1) < first(1)) second else first
+        } else first
+      clear()
+      val med = times(1)
+      (med, if (med > 0) 100.0 * (times.last - times.head) / med else -1.0)
+    }
+
+    val rows: Seq[(String, Double, Double, Double, Double, Double)] =
+      soakOps.flatMap { name =>
+        SparkEntry.queries.get(name).map { fn =>
+          // sf0.1 FIRST in the same JVM (the exponent's denominator must
+          // share this session's warm-up depth and machine-hour), then
+          // the scaled corpus
+          val (tBase, spBase) = measure(fn, srcDir)
+          val (tSoak, spSoak) = measure(fn, soakDir)
+          val e = if (tBase > 0 && tSoak > 0)
+            math.log(tSoak / tBase) / math.log(factor.toDouble) else -1.0
+          println(f"[soak] $name%-20s sf0.1 $tBase%.3f s  x$factor $tSoak%.3f s  exponent $e%.3f")
+          (name, tBase, spBase, tSoak, spSoak, e)
+        }
+      }
+    spark.stop()
+    val calEnd = calSecs()
+    val calParEnd = calParSecs()
+    def m(sel: ((String, Double, Double, Double, Double, Double)) => Double,
+          fmt: String): String =
+      rows.map(r => "\"" + r._1 + "\":" + fmt.format(sel(r)))
+        .mkString("{", ",", "}")
+    val json =
+      s"""{"metric":"soak","factor":$factor,"docs":$nDocs,"vecs":$nVecs,""" +
+        s""""queries_base_sec":${m(_._2, "%.4f")},""" +
+        s""""base_spread_pct":${m(_._3, "%.1f")},""" +
+        s""""queries_soak_sec":${m(_._4, "%.4f")},""" +
+        s""""soak_spread_pct":${m(_._5, "%.1f")},""" +
+        s""""exponent_base_to_soak":${m(_._6, "%.3f")},""" +
+        f""""calibration_start_sec":$calStart%.3f,"calibration_end_sec":$calEnd%.3f,""" +
+        f""""calibration_par_start_sec":$calParStart%.3f,"calibration_par_end_sec":$calParEnd%.3f,""" +
+        s""""base_sf":"$srcDir","soak_dir":"$soakDir"}"""
+    println(json)
+    try {
+      val w = new java.io.PrintWriter(outName)
+      try w.println(json) finally w.close()
+    } catch { case e: Throwable =>
+      System.err.println(s"[soak] failed to write $outName: $e")
+    }
+  }
+}
