@@ -35,8 +35,18 @@ import org.apache.spark.sql.functions._
   * JSON line, also written to `bench_soak_r<N>_x<factor>.json`.
   */
 object Soak {
+  // the verdict's top-5 most expensive ops, plus two adjudicators the
+  // first soak pass motivated: d_ngram_capped rides beside
+  // d_ngram_near_dups because the EXHAUSTIVE trigram-Jaccard op is
+  // definitionally quadratic in shingle doc-frequency (its 4th-point
+  // exponent measured 1.15 — pairs per shared shingle grow as df²; no
+  // formulation fixes that, the OUTPUT is quadratic) and the capped
+  // variant is the designated 100 TB path whose flatness this measures;
+  // d_fuzzy_pairs because PassJoin's segment-key blocking is the other
+  // pair-emitting op whose scale behavior two-point fits kept disputing
   private val soakOps = Seq("d_dup_clusters", "d_minhash_lsh",
-    "sim_ivfpq_res_topk", "d_ngram_near_dups", "d_incr_lsh")
+    "sim_ivfpq_res_topk", "d_ngram_near_dups", "d_ngram_capped",
+    "d_fuzzy_pairs", "d_incr_lsh")
 
   private val DocStride = 10000000L
   private val VecStride = 10000000L
@@ -162,10 +172,16 @@ object Soak {
       spark.sparkContext.getPersistentRDDs.valuesIterator
         .foreach(_.unpersist(blocking = false))
     }
-    // bench-identical: 2 warm-ups, 3 timed, median + spread, burst repair
+    // bench-identical: 2 warm-ups, 3 timed, median + spread, burst
+    // repair. Output rows ride along: a super-linear TIME exponent is
+    // only meaningful next to the OUTPUT exponent — a pair-emitting op
+    // whose result set itself grows ~quadratically (saturating blocking
+    // keys) can show time 14× at rows 97× and still be getting CHEAPER
+    // per output row.
     def measure(fn: (SparkSession, String) => DataFrame, dir: String)
-        : (Double, Double) = {
-      fn(spark, dir).count(); fn(spark, dir).count()
+        : (Double, Double, Long) = {
+      fn(spark, dir).count()
+      val rows = fn(spark, dir).count()
       def attempt(): Seq[Double] =
         Seq.fill(3)(timed(fn(spark, dir).count())).sorted
       val first = attempt()
@@ -176,37 +192,49 @@ object Soak {
         } else first
       clear()
       val med = times(1)
-      (med, if (med > 0) 100.0 * (times.last - times.head) / med else -1.0)
+      (med, if (med > 0) 100.0 * (times.last - times.head) / med else -1.0, rows)
     }
 
-    val rows: Seq[(String, Double, Double, Double, Double, Double)] =
+    case class SoakRow(name: String, tBase: Double, spBase: Double,
+      rowsBase: Long, tSoak: Double, spSoak: Double, rowsSoak: Long,
+      e: Double, eRows: Double)
+    val rows: Seq[SoakRow] =
       soakOps.flatMap { name =>
-        SparkEntry.queries.get(name).map { fn =>
+        SparkEntry.queries.get(name).flatMap { fn =>
           // sf0.1 FIRST in the same JVM (the exponent's denominator must
           // share this session's warm-up depth and machine-hour), then
-          // the scaled corpus
-          val (tBase, spBase) = measure(fn, srcDir)
-          val (tSoak, spSoak) = measure(fn, soakDir)
-          val e = if (tBase > 0 && tSoak > 0)
-            math.log(tSoak / tBase) / math.log(factor.toDouble) else -1.0
-          println(f"[soak] $name%-20s sf0.1 $tBase%.3f s  x$factor $tSoak%.3f s  exponent $e%.3f")
-          (name, tBase, spBase, tSoak, spSoak, e)
+          // the scaled corpus; one op throwing must not discard the
+          // measured rows before it
+          try {
+            val (tBase, spBase, rBase) = measure(fn, srcDir)
+            val (tSoak, spSoak, rSoak) = measure(fn, soakDir)
+            val e = if (tBase > 0 && tSoak > 0)
+              math.log(tSoak / tBase) / math.log(factor.toDouble) else -1.0
+            val eRows = if (rBase > 0 && rSoak > 0)
+              math.log(rSoak.toDouble / rBase) / math.log(factor.toDouble) else -1.0
+            println(f"[soak] $name%-20s sf0.1 $tBase%.3f s/$rBase rows  x$factor $tSoak%.3f s/$rSoak rows  exp $e%.3f rows-exp $eRows%.3f")
+            Some(SoakRow(name, tBase, spBase, rBase, tSoak, spSoak, rSoak, e, eRows))
+          } catch { case e: Throwable =>
+            System.err.println(s"[soak] $name failed: $e"); clear(); None
+          }
         }
       }
     spark.stop()
     val calEnd = calSecs()
     val calParEnd = calParSecs()
-    def m(sel: ((String, Double, Double, Double, Double, Double)) => Double,
-          fmt: String): String =
-      rows.map(r => "\"" + r._1 + "\":" + fmt.format(sel(r)))
+    def m(sel: SoakRow => Double, fmt: String): String =
+      rows.map(r => "\"" + r.name + "\":" + fmt.format(sel(r)))
         .mkString("{", ",", "}")
     val json =
       s"""{"metric":"soak","factor":$factor,"docs":$nDocs,"vecs":$nVecs,""" +
-        s""""queries_base_sec":${m(_._2, "%.4f")},""" +
-        s""""base_spread_pct":${m(_._3, "%.1f")},""" +
-        s""""queries_soak_sec":${m(_._4, "%.4f")},""" +
-        s""""soak_spread_pct":${m(_._5, "%.1f")},""" +
-        s""""exponent_base_to_soak":${m(_._6, "%.3f")},""" +
+        s""""queries_base_sec":${m(_.tBase, "%.4f")},""" +
+        s""""base_spread_pct":${m(_.spBase, "%.1f")},""" +
+        s""""queries_soak_sec":${m(_.tSoak, "%.4f")},""" +
+        s""""soak_spread_pct":${m(_.spSoak, "%.1f")},""" +
+        s""""rows_base":${m(_.rowsBase.toDouble, "%.0f")},""" +
+        s""""rows_soak":${m(_.rowsSoak.toDouble, "%.0f")},""" +
+        s""""exponent_base_to_soak":${m(_.e, "%.3f")},""" +
+        s""""rows_exponent_base_to_soak":${m(_.eRows, "%.3f")},""" +
         f""""calibration_start_sec":$calStart%.3f,"calibration_end_sec":$calEnd%.3f,""" +
         f""""calibration_par_start_sec":$calParStart%.3f,"calibration_par_end_sec":$calParEnd%.3f,""" +
         s""""base_sf":"$srcDir","soak_dir":"$soakDir"}"""
