@@ -119,44 +119,13 @@ object Bench {
   private val ParContentionFactor = 2.0
   private val ParProbeThreads = 32
 
-  private def mixRounds(seed: Long, rounds: Long): Long = {
-    var h = 0x9e3779b97f4a7c15L ^ seed
-    var i = 0L
-    while (i < rounds) {
-      h ^= i; h *= 0xff51afd7ed558ccdL; h ^= (h >>> 33)
-      i += 1
-    }
-    h
-  }
-
-  /** Fixed single-thread CPU-bound calibration probe (400M rounds of the
-    * splitmix64 mixing function — pure register arithmetic, no
-    * allocation, no memory traffic to speak of). Timed before AND after
-    * the bench: on a quiet machine it reproduces [[CalibrationRefSec]]
-    * within noise; when something else holds the SAME core class it
-    * stretches. Senses single-core pressure and cgroup throttling. */
-  private def calibrationSecs(): Double = {
-    val t0 = System.nanoTime()
-    if (mixRounds(0L, 400000000L) == 42L) System.out.print("") // defeat DCE
-    (System.nanoTime() - t0) / 1e9
-  }
-
-  /** All-cores calibration probe: [[ParProbeThreads]] threads × 100M
-    * rounds of the same mixing loop (fixed thread count — it measures
-    * the MACHINE's aggregate capacity, not the session's cpu setting).
-    * Stretches whenever total compute throughput is down — the failure
-    * mode the single-thread probe cannot see. */
-  private def calibrationParallelSecs(): Double = {
-    val t0 = System.nanoTime()
-    val ts = (0 until ParProbeThreads).map { k =>
-      val t = new Thread(() => {
-        if (mixRounds(k.toLong, 100000000L) == 42L) System.out.print("")
-      })
-      t.start(); t
-    }
-    ts.foreach(_.join())
-    (System.nanoTime() - t0) / 1e9
-  }
+  // probes shared with Soak via [[Calibration]] (one definition — the
+  // idle references above are pinned to those exact loop shapes);
+  // timed before AND after the bench so contention arriving mid-run
+  // shows in at least one reading
+  private def calibrationSecs(): Double = Calibration.calibrationSecs()
+  private def calibrationParallelSecs(): Double =
+    Calibration.calibrationParallelSecs(ParProbeThreads)
 
   /** Driver per-round BENCH record names; shared by the round counter
     * and the drift-baseline candidate scan so the two can never
@@ -407,20 +376,25 @@ object Bench {
     // corpus-proportional work — the question the r11 regression left open
 
     // r13 (verdict #1): THREE-point fits. A single sf0.01→sf0.1 exponent
-    // cannot distinguish a fixed-cost offset from genuine curvature — a
+    // cannot distinguish a fixed-cost offset from genuine growth — a
     // superlinear operator hiding under a large fixed cost reads as
     // sublinear on one segment. The sf0.001 fixture (10× fewer rows
     // again) adds a second decade: the published record carries BOTH
     // per-decade exponents (scale_slope_exponents = the 0.01→0.1 segment,
     // series-continuous with r10–r12; scale_slope_exponents_small = the
-    // 0.001→0.01 segment) plus their difference as curvature
-    // (scale_slope_curvature > 0 = the exponent GROWS with scale —
-    // the asymptotic complexity exceeds what either single segment
-    // shows). Flags: the big segment keeps the 1.3 super-linear line;
-    // additionally an op whose big-segment exponent exceeds 1.0 while
-    // ACCELERATING (curvature > 0.3) is flagged — at-least-linear growth
-    // that is still steepening is exactly the shape that does not
-    // survive a 100× scale-up, even if it has not crossed 1.3 yet.
+    // 0.001→0.01 segment) plus their difference as curvature.
+    // READ THE SIGN CAREFULLY: positive curvature alone is the NORMAL
+    // fixed-cost signature at these sizes (t = c + a·n^k has a
+    // near-zero small-decade exponent, so e_big − e_small > 0 for
+    // every healthy op too — the r13 record shows exactly that). What
+    // positive curvature DOES certify is that the big-segment exponent
+    // is a LOWER bound still rising toward the true asymptote — so the
+    // flag pairs it with level: an op that is already super-linear on
+    // the big decade (e > 1.0) AND still steepening (curvature > 0.3)
+    // cannot be excused as amortizing fixed cost, and is flagged below
+    // the 1.3 line. Negative curvature = the exponent is falling with
+    // scale (amortization complete, asymptote approached from above).
+    // The big segment keeps the unconditional 1.3 super-linear line.
     def probeAt(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
                 dir: String): Option[Double] =
       try {
@@ -1314,10 +1288,11 @@ object Bench {
       .map { case (k, v, _) => "\"" + k + f"""\":$v%.3f""" }
       .mkString("{", ",", "}")
     // the 0.001→0.01 decade + per-op curvature (big − small exponent):
-    // curvature ≈ 0 = straight power law across both decades; < 0 =
-    // fixed costs still amortizing (typical here); > 0 = the exponent
-    // grows with scale and the big-segment reading UNDERSTATES the
-    // asymptotic complexity
+    // ≈ 0 = straight power law across both decades; > 0 = the exponent
+    // grows with scale, which at these fixture sizes is USUALLY
+    // fixed-cost amortization (small decade suppressed toward 0) and
+    // only signals accelerating complexity when the big-segment level
+    // is itself ≥ linear — see the flag rationale at the probe site
     val slopesSmallJson = scaleSlopes
       .collect { case (k, _, Some(v)) => "\"" + k + f"""\":$v%.3f""" }
       .mkString("{", ",", "}")
@@ -1335,7 +1310,7 @@ object Bench {
       .mkString("{", ",", "}")
     val failedJson = failedQueries.map(q => "\"" + q + "\"").mkString("[", ",", "]")
     val json =
-      f"""{"metric":"total","value":$total%.4f,"unit":"sec","runs_per_query":$runsPerQuery,"queries":$qs,"query_spread_pct":$spreads,"drift_gt20pct_vs_prev":$drift,"drift_comparable":$driftComparable,"drift_vs_best":$driftVsBestJson,"over_best_pct":$overBestJson,"drift_vs_best_notes":"anchor = per-query min over all prior CLEAN same-sf records; hybrid-chain entries vs their r10 anchors are the adjudicated 1.2x-of-r10 fast-path trade (ab_probe_r12.jsonl); sim_bm25_multi's r12 record reading was probe-settled as machine-inflated (probe medians 0.59-0.65)","failed_queries":$failedJson,$serdeRatesJson,"uuid_rows_per_sec_core":$uuidPerCore%.0f,"serde_spread_pct":$serdeSpreads,"serde_drift_gt20pct_vs_prev":$serdeDrift,"baseline_gate_rows_per_sec_core":90000,"serde_uuid_vs_gate":$gateRatio%.2f,$microRatesJson,"recall_at_k":$recallK,"recall":$recallJson,"recall_notes":"recall_diag_* are diagnostic curve points, not shipped configs; shipped rerank paths are recall_ivfpq_res_rerank and recall_opq_ivfpq_res_rerank. recall_ivfpq_rerank was renamed recall_diag_ivfpq_rerank in r11 (dual-keyed r12, old key dropped r13) — longitudinal readers join the series there. recall_opq_m8k32_rerank < recall_pq_m8k32_rerank is expected on this near-isotropic fixture (rotation cannot help an isotropic spectrum; the 0.9 floor holds and the anisotropic gain is spec-pinned in CurationSpec)","scale_slope_exponents":$slopesJson,"scale_slope_exponents_small":$slopesSmallJson,"scale_slope_curvature":$curvatureJson,"scale_slope_flags":$slopeFlagsJson,"calibration_ref_sec":$CalibrationRefSec%.2f,"calibration_start_sec":$calStartSec%.3f,"calibration_end_sec":$calEndSec%.3f,"calibration_par_ref_sec":$calibrationParRefSec%.2f,"calibration_par_start_sec":$calParStartSec%.3f,"calibration_par_end_sec":$calParEndSec%.3f,"contended":$contended,"mass_drift_suspected":$massDrift,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.4f,"unit":"sec","runs_per_query":$runsPerQuery,"queries":$qs,"query_spread_pct":$spreads,"drift_gt20pct_vs_prev":$drift,"drift_comparable":$driftComparable,"drift_vs_best":$driftVsBestJson,"over_best_pct":$overBestJson,"drift_vs_best_notes":"anchor = per-query min over all prior CLEAN same-sf records; a flag means never-reanchored cumulative creep, not necessarily code — adjudications live in the committed ab_probe_*.jsonl records and SURVEY, not here","failed_queries":$failedJson,$serdeRatesJson,"uuid_rows_per_sec_core":$uuidPerCore%.0f,"serde_spread_pct":$serdeSpreads,"serde_drift_gt20pct_vs_prev":$serdeDrift,"baseline_gate_rows_per_sec_core":90000,"serde_uuid_vs_gate":$gateRatio%.2f,$microRatesJson,"recall_at_k":$recallK,"recall":$recallJson,"recall_notes":"recall_diag_* are diagnostic curve points, not shipped configs; shipped rerank paths are recall_ivfpq_res_rerank and recall_opq_ivfpq_res_rerank. recall_ivfpq_rerank was renamed recall_diag_ivfpq_rerank in r11 (dual-keyed r12, old key dropped r13) — longitudinal readers join the series there. recall_opq_m8k32_rerank < recall_pq_m8k32_rerank is expected on this near-isotropic fixture (rotation cannot help an isotropic spectrum; the 0.9 floor holds and the anisotropic gain is spec-pinned in CurationSpec)","scale_slope_exponents":$slopesJson,"scale_slope_exponents_small":$slopesSmallJson,"scale_slope_curvature":$curvatureJson,"scale_slope_flags":$slopeFlagsJson,"calibration_ref_sec":$CalibrationRefSec%.2f,"calibration_start_sec":$calStartSec%.3f,"calibration_end_sec":$calEndSec%.3f,"calibration_par_ref_sec":$calibrationParRefSec%.2f,"calibration_par_start_sec":$calParStartSec%.3f,"calibration_par_end_sec":$calParEndSec%.3f,"contended":$contended,"mass_drift_suspected":$massDrift,"sf":"$sfDir"}"""
     // compact contract line — MUST stay well under the harness's ~2k-char
     // stdout tail window (see [[publish]]); everything here is either a
     // driver-contract field or a headline number the judge compares

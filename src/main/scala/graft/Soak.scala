@@ -51,40 +51,34 @@ object Soak {
   private val DocStride = 10000000L
   private val VecStride = 10000000L
 
-  private def mixRounds(seed: Long, rounds: Long): Long = {
-    var h = 0x9e3779b97f4a7c15L ^ seed
-    var i = 0L
-    while (i < rounds) {
-      h ^= i; h *= 0xff51afd7ed558ccdL; h ^= (h >>> 33)
-      i += 1
-    }
-    h
-  }
-  private def calSecs(): Double = {
-    val t0 = System.nanoTime()
-    if (mixRounds(0L, 400000000L) == 42L) System.out.print("")
-    (System.nanoTime() - t0) / 1e9
-  }
-  private def calParSecs(): Double = {
-    val t0 = System.nanoTime()
-    val ts = (0 until 32).map { k =>
-      val t = new Thread(() => {
-        if (mixRounds(k.toLong, 100000000L) == 42L) System.out.print("")
-      })
-      t.start(); t
-    }
-    ts.foreach(_.join())
-    (System.nanoTime() - t0) / 1e9
-  }
+  // bench-identical machine-health probes — shared via [[Calibration]]
+  private def calSecs(): Double = Calibration.calibrationSecs()
+  private def calParSecs(): Double = Calibration.calibrationParallelSecs()
 
   /** Build the scaled corpus under `soakDir` if absent (idempotent —
-    * a pre-built dir at the same factor is reused across sessions). */
+    * a pre-built dir at the same factor AND source fixture is reused
+    * across sessions; the marker records both, and a mismatch on either
+    * rebuilds — reusing an sf0.1-derived corpus against an sf0.01
+    * tBase would publish an exponent over a mislabeled scale gap). */
   private def buildCorpus(spark: SparkSession, srcDir: String,
                           soakDir: String, factor: Int): Unit = {
     val marker = new java.io.File(soakDir, s"_SOAK_x$factor")
-    if (marker.isFile) return
+    val provenance = s"factor=$factor src=$srcDir"
+    if (marker.isFile) {
+      val src = scala.io.Source.fromFile(marker)
+      val content = try src.mkString.trim finally src.close()
+      if (content == provenance) return
+    }
     val dir = new java.io.File(soakDir)
-    if (dir.exists()) { // a stale/partial build or different factor: rebuild
+    if (dir.exists()) { // a stale/partial build or different factor/src: rebuild
+      // destructive-delete guard: a soak dir is recognizable by its
+      // _SOAK_x* marker (any factor). A non-empty dir WITHOUT one is
+      // whatever a typo'd SPARK_GRAFT_SOAK_DIR pointed at — refuse to
+      // recursively delete it.
+      val entries = Option(dir.listFiles()).getOrElse(Array.empty)
+      require(entries.isEmpty || entries.exists(_.getName.startsWith("_SOAK_x")),
+        s"refusing to clear $soakDir: non-empty and not a soak corpus " +
+          "(no _SOAK_x* marker) — check SPARK_GRAFT_SOAK_DIR")
       def rm(f: java.io.File): Unit = {
         if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
         f.delete()
@@ -134,7 +128,7 @@ object Soak {
       .parquet(new java.io.File(soakDir, "embeddings.parquet").getPath)
 
     val w = new java.io.PrintWriter(marker)
-    try w.println(s"factor=$factor src=$srcDir") finally w.close()
+    try w.println(provenance) finally w.close()
   }
 
   def main(args: Array[String]): Unit = {

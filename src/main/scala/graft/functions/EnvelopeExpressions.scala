@@ -78,13 +78,24 @@ case class PackEnvelope(child: Expression, ascii: Boolean)
       if (row.isNullAt(requiredOrdinals(i))) return null
       i += 1
     }
+    // the catch is NARROW by design: NPE ("null of X in field Y") and
+    // UnresolvedUnionException are what the Avro writer throws for
+    // null DATA in required positions — per-row, dead-letterable. A
+    // deterministic config error (type-transposed struct →
+    // ClassCastException, wrong shape → AvroTypeException) must still
+    // fail the job LOUDLY on row one: a blanket NonFatal catch would
+    // encode an entire mis-configured corpus to 100% nulls and present
+    // total data loss as "dead-lettered rows".
     try {
       val record = AvroConversions
         .toAvro(row, Envelope.sparkType, envelopeSchema)
         .asInstanceOf[GenericRecord]
       val avroBytes = AvroCodec.encode(record, envelopeSchema)
       if (ascii) AvroCodec.frameAscii(avroBytes) else AvroCodec.frameBinary(avroBytes)
-    } catch { case scala.util.control.NonFatal(_) => null }
+    } catch {
+      case _: NullPointerException => null
+      case _: org.apache.avro.UnresolvedUnionException => null
+    }
   }
 
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
@@ -183,7 +194,10 @@ case class EncodePayload(child: Expression, schemaJson: String)
   // same totality catch as [[PackEnvelope.pack]]: the ordinal scan only
   // sees TOP-LEVEL writer-required nulls; a null nested inside a
   // required complex field (array element, nested record field) still
-  // reached the Avro writer's per-row NPE — dead-letter those too
+  // reached the Avro writer's per-row NPE — dead-letter those too.
+  // Narrow like pack(): only the writer's null-DATA signals (NPE,
+  // unresolved union) dead-letter; a deterministic schema/struct
+  // mismatch fails loudly instead of nulling the whole corpus.
   def encode(row: InternalRow): Array[Byte] = {
     var i = 0
     while (i < requiredOrdinals.length) {
@@ -195,7 +209,10 @@ case class EncodePayload(child: Expression, schemaJson: String)
         .toAvro(row, child.dataType.asInstanceOf[StructType], schema)
         .asInstanceOf[GenericRecord]
       AvroCodec.encode(record, schema)
-    } catch { case scala.util.control.NonFatal(_) => null }
+    } catch {
+      case _: NullPointerException => null
+      case _: org.apache.avro.UnresolvedUnionException => null
+    }
   }
 
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {

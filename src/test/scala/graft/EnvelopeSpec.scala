@@ -136,6 +136,22 @@ class EnvelopeSpec extends SparkTestBase {
       "null element of a writer-required array must dead-letter to null")
   }
 
+  test("a deterministic schema/struct mismatch fails loudly — dead-letter is for null DATA only") {
+    // the catch in pack/encode is narrowed to the Avro writer's
+    // null-data signals: a struct whose TYPE does not match the writer
+    // schema is a config bug that must fail on row one, not encode an
+    // entire corpus to 100% nulls presented as "dead-lettered rows"
+    val schema =
+      """{"type":"record","name":"m","namespace":"g","fields":[
+           {"name":"a","type":"long"}]}"""
+    import spark.implicits._
+    val bad = Seq("not-a-long").toDF("a")
+    val thrown = intercept[Exception] {
+      bad.select(encode_payload(struct($"a"), schema).as("v")).collect()
+    }
+    assert(thrown != null)
+  }
+
   test("unpack dead-letters corrupt bytes: unknown magic and truncated envelopes null, never kill the task") {
     // the dead-letter contract: at corpus scale one poisoned message must
     // route to the dead-letter split, not fail the job after retries
