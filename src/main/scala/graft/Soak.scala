@@ -139,6 +139,16 @@ object Soak {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val outName = sys.env.getOrElse("SPARK_GRAFT_SOAK_OUT",
       s"bench_soak_x$factor.json")
+    // subset override for higher-factor runs (e.g. x30 of the flat
+    // scale paths only — re-soaking the ops already adjudicated as
+    // output-quadratic just burns the hour)
+    val ops = sys.env.get("SPARK_GRAFT_SOAK_OPS")
+      .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
+      .getOrElse(soakOps)
+    locally {
+      val unknown = ops.filterNot(SparkEntry.queries.contains)
+      require(unknown.isEmpty, s"unknown soak ops: ${unknown.mkString(", ")}")
+    }
     calSecs() // JIT warm-up for the probe loop
     val calStart = calSecs()
     val calParStart = calParSecs()
@@ -193,7 +203,7 @@ object Soak {
       rowsBase: Long, tSoak: Double, spSoak: Double, rowsSoak: Long,
       e: Double, eRows: Double)
     val rows: Seq[SoakRow] =
-      soakOps.flatMap { name =>
+      ops.flatMap { name =>
         SparkEntry.queries.get(name).flatMap { fn =>
           // sf0.1 FIRST in the same JVM (the exponent's denominator must
           // share this session's warm-up depth and machine-hour), then
