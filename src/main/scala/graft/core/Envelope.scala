@@ -15,6 +15,21 @@ object Envelope {
   val MagicByteBinary: Byte = 0x00
   val MagicByteAscii: Byte = 'a'.toByte
 
+  /** unix-seconds → the envelope's Avro `int` timestamp, NULL when the
+    * value falls outside the int range (the envelope schema is
+    * Y2038-bounded by construction — reference envelope_v1.avsc types
+    * `timestamp` as plain `int`). The NULL flows into the required
+    * ordinal and the row DEAD-LETTERS via pack_envelope's contract.
+    * Without this guard the bare `.cast("int")` threw CAST_OVERFLOW
+    * under ANSI for a single post-2038/pre-1902 source timestamp and
+    * killed the whole producer pass — the exact job-killing class the
+    * dead-letter contract exists to eliminate (found by the r13
+    * hostile-events wave with a year-2200 row). */
+  def timestampInt(unixSeconds: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    org.apache.spark.sql.functions.when(
+      unixSeconds.between(Int.MinValue.toLong, Int.MaxValue.toLong),
+      unixSeconds.cast("int"))
+
   /** Avro schema of the envelope record (authored from the documented field
     * list in SURVEY.md §1.2; envelope.py packs/unpacks exactly these eight
     * fields).

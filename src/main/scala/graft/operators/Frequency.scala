@@ -115,7 +115,14 @@ object Frequency {
       .localCheckpoint(eager = false)
     val totals = counts.agg(sum(col("n")).as("__total"),
       count(lit(1)).as("__nkeys"))
-    val order = col("n").desc +: keyCols.map(col(_).asc)
+    // tie-break NULLS LAST explicitly: Spark's bare .asc sorts NULL
+    // FIRST while a SQL replay (DuckDB ASC default) sorts it LAST, so
+    // at the topN rank cut the NULL key group (unattributed rows — a
+    // legitimate slice) survived in one engine and not the other
+    // (found by the r13 hostile-events wave). NULLS LAST is also the
+    // defensible semantics: at equal frequency, attributed keys
+    // outrank the unattributed bucket.
+    val order = col("n").desc +: keyCols.map(col(_).asc_nulls_last)
     val w1 = org.apache.spark.sql.expressions.Window
       .partitionBy(pmod(xxhash64(keyCols.map(col): _*), lit(nSalts.toLong)))
       .orderBy(order: _*)

@@ -169,7 +169,7 @@ object CurationOps {
       .groupBy($"user_id", $"session_id")
       .agg(
         count(lit(1)).as("n_events"),
-        sum(floor($"value" * 1000000L)).as("total_value_micros"),
+        sum(Micros.micros($"value")).as("total_value_micros"),
         (unix_millis(max($"ts")) - unix_millis(min($"ts"))).as("duration_ms"))
       .orderBy($"user_id", $"session_id")
   }
@@ -468,7 +468,7 @@ object CurationOps {
          r AS (SELECT user_id, n,
                       1000000 * n // total AS share_ppm,
                       round(n * nkeys / total, 6) AS skew_x,
-                      row_number() OVER (ORDER BY n DESC, user_id ASC) AS rank
+                      row_number() OVER (ORDER BY n DESC, user_id ASC NULLS LAST) AS rank
                FROM c, t)
          SELECT user_id, n, share_ppm, skew_x, rank
          FROM r WHERE rank <= 20 ORDER BY rank""",
@@ -697,7 +697,7 @@ object CurationOps {
          FROM d LEFT JOIN agg a ON d.doc_id = a.doc_id
          ORDER BY d.doc_id""",
     "q_sessionize" ->
-      """WITH ordered AS (
+      s"""WITH ordered AS (
            -- ts IS NOT NULL mirrors the operator: a timeless event drops
            -- (engines disagree on null sort position, so left in it either
            -- seeded a phantom NULL session or silently joined the last one)
@@ -719,7 +719,7 @@ object CurationOps {
                     AS session_id
            FROM flagged)
          SELECT user_id, session_id, count(*) AS n_events,
-                CAST(sum(CAST(floor(value * 1000000) AS BIGINT)) AS BIGINT)
+                CAST(sum(${Micros.sql("value")}) AS BIGINT)
                   AS total_value_micros,
                 epoch_ms(max(ts)) - epoch_ms(min(ts)) AS duration_ms
          FROM numbered GROUP BY 1, 2 ORDER BY user_id, session_id""",

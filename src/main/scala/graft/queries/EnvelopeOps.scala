@@ -57,7 +57,7 @@ object EnvelopeOps {
       lit(null).cast("binary").as("previous_payload"),
       lit(null).cast(metaType).as("meta"),
       lit(null).cast("string").as("encryption_type"),
-      unix_timestamp(col("ts")).cast("int").as("timestamp"))
+      graft.core.Envelope.timestampInt(unix_timestamp(col("ts"))).as("timestamp"))
   }
 
   /** The canonical v1 payload encoding of an events row. */
@@ -78,7 +78,12 @@ object EnvelopeOps {
     import spark.implicits._
     Tables.events(spark, dir).filter(
       $"event_id".isNotNull && $"user_id".isNotNull &&
-        $"event_type".isNotNull && $"value".isNotNull && $"ts".isNotNull)
+        $"event_type".isNotNull && $"value".isNotNull && $"ts".isNotNull &&
+        // the envelope timestamp is Avro int (Y2038-bounded): a source
+        // row outside the int range cannot produce a message — it
+        // dead-letters at pack (Envelope.timestampInt nulls the
+        // required ordinal), so the identity oracles exclude it too
+        unix_timestamp($"ts").between(Int.MinValue.toLong, Int.MaxValue.toLong))
   }
 
   private def packEvents(spark: SparkSession, dir: String, schemaId: Int,
@@ -191,12 +196,12 @@ object EnvelopeOps {
   val oracles: Map[String, String] = Map(
     "env_roundtrip" ->
       """SELECT event_id, user_id, event_type, value FROM events
-         WHERE event_id IS NOT NULL AND user_id IS NOT NULL AND event_type IS NOT NULL AND value IS NOT NULL AND ts IS NOT NULL ORDER BY event_id""",
+         WHERE event_id IS NOT NULL AND user_id IS NOT NULL AND event_type IS NOT NULL AND value IS NOT NULL AND ts IS NOT NULL AND floor(epoch(ts)) BETWEEN -2147483648 AND 2147483647 ORDER BY event_id""",
     "env_evolution" ->
       """SELECT event_id, user_id, event_type, value,
                 'unknown' AS channel
          FROM events
-         WHERE event_id IS NOT NULL AND user_id IS NOT NULL AND event_type IS NOT NULL AND value IS NOT NULL AND ts IS NOT NULL ORDER BY event_id""",
+         WHERE event_id IS NOT NULL AND user_id IS NOT NULL AND event_type IS NOT NULL AND value IS NOT NULL AND ts IS NOT NULL AND floor(epoch(ts)) BETWEEN -2147483648 AND 2147483647 ORDER BY event_id""",
     "env_encrypt_roundtrip" ->
       """SELECT doc_id, text AS decrypted, true AS matches
          FROM documents ORDER BY doc_id""",
@@ -210,7 +215,7 @@ object EnvelopeOps {
     "env_dead_letter" ->
       """WITH cls AS (SELECT event_id,
                              ((event_id % 10) + 10) % 10 AS c FROM events
-                      WHERE event_id IS NOT NULL AND user_id IS NOT NULL AND event_type IS NOT NULL AND value IS NOT NULL AND ts IS NOT NULL)
+                      WHERE event_id IS NOT NULL AND user_id IS NOT NULL AND event_type IS NOT NULL AND value IS NOT NULL AND ts IS NOT NULL AND floor(epoch(ts)) BETWEEN -2147483648 AND 2147483647)
          SELECT 'ok' AS bucket, COUNT(*) AS n, CAST(0 AS BIGINT) AS n_raw,
                 CAST(SUM(event_id) AS BIGINT) AS event_id_sum
          FROM cls WHERE c > 2

@@ -38,9 +38,9 @@ object Relational {
       .filter($"l_shipdate" <= lit("1995-09-02").cast("timestamp"))
       .groupBy($"l_returnflag", $"l_linestatus")
       .agg(
-        sum(floor($"l_quantity" * 1000000L)).as("sum_qty_micros"),
-        sum(floor($"l_extendedprice" * 1000000L)).as("sum_base_price_micros"),
-        sum(floor($"l_extendedprice" * (lit(1.0) - $"l_discount") * 1000000L))
+        sum(Micros.micros($"l_quantity")).as("sum_qty_micros"),
+        sum(Micros.micros($"l_extendedprice")).as("sum_base_price_micros"),
+        sum(Micros.micros($"l_extendedprice" * (lit(1.0) - $"l_discount")))
           .as("sum_disc_price_micros"),
         count(lit(1)).as("count_order"))
       .withColumn("avg_qty_micros", expr("sum_qty_micros div count_order"))
@@ -80,7 +80,7 @@ object Relational {
       .join(broadcast(reg), $"n_regionkey" === $"r_regionkey")
       .groupBy($"r_name", $"n_name")
       // exact integer micros: long sums are aggregation-order-independent
-      .agg(sum(floor($"l_extendedprice" * (lit(1.0) - $"l_discount") * 1000000L))
+      .agg(sum(Micros.micros($"l_extendedprice" * (lit(1.0) - $"l_discount")))
              .as("revenue_micros"),
            count(lit(1)).as("n_items"))
       .orderBy($"r_name", $"n_name")
@@ -155,7 +155,7 @@ object Relational {
         "l_orderkey", "o_orderkey")
       .groupBy($"o_orderpriority")
       .agg(
-        sum(floor($"l_extendedprice" * (lit(1.0) - $"l_discount") * 1000000L))
+        sum(Micros.micros($"l_extendedprice" * (lit(1.0) - $"l_discount")))
           .as("revenue_micros"),
         count(lit(1)).as("n_items"))
       .orderBy($"o_orderpriority")
@@ -186,12 +186,12 @@ object Relational {
     import spark.implicits._
     val snapshot = Tables.customer(spark, dir)
       .select($"c_custkey", $"c_name",
-        floor($"c_acctbal" * 1000000L).cast("long").as("acctbal_micros"))
+        Micros.micros($"c_acctbal").as("acctbal_micros"))
     val changes = Tables.orders(spark, dir).select(
       $"o_custkey".as("c_custkey"),
       when($"o_orderpriority" === "1-URGENT", "d").otherwise("u").as("op"),
       concat(lit("upd-"), $"o_orderkey").as("c_name"),
-      floor($"o_totalprice" * 1000000L).cast("long").as("acctbal_micros"),
+      Micros.micros($"o_totalprice").as("acctbal_micros"),
       $"o_orderdate", $"o_orderkey")
     graft.refresh.CdcMerge.applyCdc(snapshot, changes, "c_custkey",
         seqCols = Seq("o_orderdate", "o_orderkey"), opCol = "op",
@@ -225,7 +225,7 @@ object Relational {
       .agg(count(lit(1)).as("message_count"),
            // exact integer micro-units: double sums are aggregation-order-
            // dependent, so they drift across engines/parallelism; longs don't
-           sum(floor($"value" * 1000000L)).as("total_value_micros"))
+           sum(Micros.micros($"value")).as("total_value_micros"))
       .orderBy($"window_start", $"event_type")
   }
 
@@ -308,7 +308,7 @@ object Relational {
     li.join(ord, $"l_orderkey" === $"o_orderkey")
       .groupBy($"o_custkey")
       // exact integer micros: long sums are aggregation-order-independent
-      .agg(sum(floor($"l_extendedprice" * (lit(1.0) - $"l_discount") * 1000000L))
+      .agg(sum(Micros.micros($"l_extendedprice" * (lit(1.0) - $"l_discount")))
         .as("revenue_micros"))
       .orderBy($"revenue_micros".desc, $"o_custkey".asc)
       .limit(10)
@@ -489,7 +489,7 @@ object Relational {
     graft.operators.JoinPrune.saltedJoin(li, pt, Seq("l_partkey"),
         saltOn = "l_orderkey", nSalts = 8)
       .groupBy($"p_brand")
-      .agg(sum(floor($"l_extendedprice" * (lit(1.0) - $"l_discount") * 1000000L))
+      .agg(sum(Micros.micros($"l_extendedprice" * (lit(1.0) - $"l_discount")))
              .as("revenue_micros"),
            count(lit(1)).as("n_items"))
       .orderBy($"p_brand")
@@ -526,8 +526,8 @@ object Relational {
 
   val oracles: Map[String, String] = Map(
     "q_salted_join" ->
-      """SELECT p.p_brand,
-                CAST(sum(CAST(floor(l.l_extendedprice * (1.0 - l.l_discount) * 1000000) AS BIGINT)) AS BIGINT)
+      s"""SELECT p.p_brand,
+                CAST(sum(${Micros.sql("l.l_extendedprice * (1.0 - l.l_discount)")}) AS BIGINT)
                   AS revenue_micros,
                 count(*) AS n_items
          FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
@@ -558,14 +558,14 @@ object Relational {
                 'yelp.tbl_' || (user_id % 5) AS table_name
          FROM carried ORDER BY line_no""",
     "q1_pricing_summary" ->
-      """SELECT l_returnflag, l_linestatus,
-         CAST(sum(CAST(floor(l_quantity * 1000000) AS BIGINT)) AS BIGINT)
+      s"""SELECT l_returnflag, l_linestatus,
+         CAST(sum(${Micros.sql("l_quantity")}) AS BIGINT)
            AS sum_qty_micros,
-         CAST(sum(CAST(floor(l_extendedprice * 1000000) AS BIGINT)) AS BIGINT)
+         CAST(sum(${Micros.sql("l_extendedprice")}) AS BIGINT)
            AS sum_base_price_micros,
-         CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 1000000) AS BIGINT)) AS BIGINT)
+         CAST(sum(${Micros.sql("l_extendedprice * (1.0 - l_discount)")}) AS BIGINT)
            AS sum_disc_price_micros,
-         CAST(CAST(sum(CAST(floor(l_quantity * 1000000) AS BIGINT)) AS BIGINT)
+         CAST(CAST(sum(${Micros.sql("l_quantity")}) AS BIGINT)
               // count(*) AS BIGINT) AS avg_qty_micros,
          count(*) AS count_order
          FROM lineitem
@@ -577,8 +577,8 @@ object Relational {
          WHERE o_orderkey > 1000 AND o_orderkey <= 2000
          ORDER BY o_orderkey""",
     "q_region_revenue" ->
-      """SELECT r_name, n_name,
-         CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 1000000) AS BIGINT)) AS BIGINT)
+      s"""SELECT r_name, n_name,
+         CAST(sum(${Micros.sql("l_extendedprice * (1.0 - l_discount)")}) AS BIGINT)
            AS revenue_micros,
          count(*) AS n_items
          FROM lineitem
@@ -621,15 +621,15 @@ object Relational {
                       (y | (y << 1)) & 1431655765 AS y FROM c)
          SELECT event_id, x | (y << 1) AS zval FROM d ORDER BY event_id""",
     "q_cdc_apply" ->
-      """WITH snap AS (
+      s"""WITH snap AS (
            SELECT c_custkey, c_name,
-                  CAST(floor(c_acctbal * 1000000) AS BIGINT) AS acctbal_micros
+                  ${Micros.sql("c_acctbal")} AS acctbal_micros
            FROM customer),
          ch AS (
            SELECT o_custkey AS k,
                   CASE WHEN o_orderpriority = '1-URGENT' THEN 'd' ELSE 'u' END AS op,
                   'upd-' || o_orderkey AS c_name,
-                  CAST(floor(o_totalprice * 1000000) AS BIGINT) AS acctbal_micros,
+                  ${Micros.sql("o_totalprice")} AS acctbal_micros,
                   row_number() OVER (PARTITION BY o_custkey
                                      ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
            FROM orders),
@@ -642,17 +642,16 @@ object Relational {
          WHERE l.op IS NULL OR l.op <> 'd'
          ORDER BY c_custkey""",
     "q_bucketed_join" ->
-      """SELECT o_orderpriority,
-                CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 1000000)
-                         AS BIGINT)) AS BIGINT) AS revenue_micros,
+      s"""SELECT o_orderpriority,
+                CAST(sum(${Micros.sql("l_extendedprice * (1.0 - l_discount)")}) AS BIGINT) AS revenue_micros,
                 count(*) AS n_items
          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          GROUP BY o_orderpriority ORDER BY o_orderpriority""",
     "q_monitor_windows" ->
-      """SELECT CAST(floor(epoch(ts) / 600) * 600 AS BIGINT) AS window_start,
+      s"""SELECT CAST(floor(epoch(ts) / 600) * 600 AS BIGINT) AS window_start,
          event_type,
          count(*) AS message_count,
-         CAST(sum(CAST(floor(value * 1000000) AS BIGINT)) AS BIGINT)
+         CAST(sum(${Micros.sql("value")}) AS BIGINT)
            AS total_value_micros
          FROM events
          GROUP BY 1, 2
@@ -697,8 +696,8 @@ object Relational {
            FROM orders) t
          WHERE rn = 1 ORDER BY o_custkey""",
     "q_top_revenue" ->
-      """SELECT o_custkey,
-         CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 1000000) AS BIGINT)) AS BIGINT)
+      s"""SELECT o_custkey,
+         CAST(sum(${Micros.sql("l_extendedprice * (1.0 - l_discount)")}) AS BIGINT)
            AS revenue_micros
          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          GROUP BY o_custkey

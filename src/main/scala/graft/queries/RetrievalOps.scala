@@ -276,7 +276,7 @@ object RetrievalOps {
       .select($"event_id".as("purchase_id"), $"user_id", $"ts".as("pts"))
     val clicks = ev.filter($"event_type" === "click")
       .select($"user_id", $"ts", $"event_id",
-        floor($"value" * 1000000L).cast("long").as("value_micros"))
+        Micros.micros($"value").as("value_micros"))
     Temporal.asofJoin(purchases, clicks,
       leftKey = "user_id", rightKey = "user_id",
       leftTs = "pts", rightTs = "ts",
@@ -299,7 +299,7 @@ object RetrievalOps {
     import spark.implicits._
     val ev = Tables.events(spark, dir)
       .select($"event_id", $"user_id", unix_millis($"ts").as("ms"),
-        floor($"value" * 1000000L).cast("long").as("value_micros"),
+        Micros.micros($"value").as("value_micros"),
         $"event_type")
     val windows = ev.filter($"event_type" === "error")
       .select($"event_id".as("iid"), $"user_id",
@@ -657,11 +657,11 @@ object RetrievalOps {
                 md5(string_agg(doc_id::VARCHAR, ',' ORDER BY sk, doc_id)) AS perm_md5
          FROM b GROUP BY 1 ORDER BY shard_id""",
     "q_asof_join" ->
-      """WITH m AS (
+      s"""WITH m AS (
            SELECT p.event_id AS purchase_id, p.user_id,
                   epoch_ms(p.ts) AS purchase_ms,
                   c.event_id AS click_id, epoch_ms(c.ts) AS click_ms,
-                  CAST(floor(c.value * 1000000) AS BIGINT) AS cvm,
+                  ${Micros.sql("c.value")} AS cvm,
                   row_number() OVER (PARTITION BY p.event_id
                                      ORDER BY c.ts DESC, c.event_id DESC) AS rn
            FROM (SELECT * FROM events WHERE event_type = 'purchase') p
@@ -672,9 +672,9 @@ object RetrievalOps {
                 cvm AS click_value_micros
          FROM m WHERE rn = 1 ORDER BY purchase_id""",
     "q_range_join" ->
-      """WITH e AS (
+      s"""WITH e AS (
            SELECT event_id, user_id, epoch_ms(ts) AS ms,
-                  CAST(floor(value * 1000000) AS BIGINT) AS value_micros
+                  ${Micros.sql("value")} AS value_micros
            FROM events),
          win AS (
            SELECT event_id AS iid, user_id,

@@ -53,7 +53,7 @@ object Pipeline {
         .getOrElse(lit(null).cast("binary")).as("previous_payload"),
       lit(null).cast(metaType).as("meta"),
       lit(null).cast("string").as("encryption_type"),
-      timestamp.cast("int").as("timestamp"))
+      graft.core.Envelope.timestampInt(timestamp).as("timestamp"))
     if (ascii) pack_envelope_ascii(env) else pack_envelope(env)
   }
 
@@ -83,7 +83,7 @@ object Pipeline {
       lit(null).cast("binary").as("previous_payload"),
       meta.getOrElse(lit(null).cast(metaType)).as("meta"),
       encryptionType.getOrElse(lit(null).cast("string")).as("encryption_type"),
-      timestamp.cast("int").as("timestamp"))
+      graft.core.Envelope.timestampInt(timestamp).as("timestamp"))
     if (ascii) pack_envelope_ascii(env) else pack_envelope(env)
   }
 
