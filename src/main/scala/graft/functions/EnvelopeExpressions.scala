@@ -78,14 +78,16 @@ case class PackEnvelope(child: Expression, ascii: Boolean)
       if (row.isNullAt(requiredOrdinals(i))) return null
       i += 1
     }
-    // the catch is NARROW by design: NPE ("null of X in field Y") and
-    // UnresolvedUnionException are what the Avro writer throws for
-    // null DATA in required positions — per-row, dead-letterable. A
-    // deterministic config error (type-transposed struct →
-    // ClassCastException, wrong shape → AvroTypeException) must still
-    // fail the job LOUDLY on row one: a blanket NonFatal catch would
-    // encode an entire mis-configured corpus to 100% nulls and present
-    // total data loss as "dead-lettered rows".
+    // the catch is NARROW by design: the writer's null-DATA NPE
+    // ("null value for (non-nullable) T at path", gated by
+    // AvroCodec.isNullDataNpe) and UnresolvedUnionException are what the
+    // Avro writer throws for null DATA in required positions — per-row,
+    // dead-letterable. Everything else — a deterministic config error
+    // (type-transposed struct → ClassCastException, wrong shape →
+    // AvroTypeException) or a transient NPE under load — must still
+    // fail the job LOUDLY: a blanket catch would encode a mis-configured
+    // corpus to 100% nulls, and absorbing a transient fault presents
+    // lost data as "dead-lettered rows" (the r14 flake class).
     try {
       val record = AvroConversions
         .toAvro(row, Envelope.sparkType, envelopeSchema)
@@ -93,7 +95,7 @@ case class PackEnvelope(child: Expression, ascii: Boolean)
       val avroBytes = AvroCodec.encode(record, envelopeSchema)
       if (ascii) AvroCodec.frameAscii(avroBytes) else AvroCodec.frameBinary(avroBytes)
     } catch {
-      case _: NullPointerException => null
+      case e: NullPointerException if AvroCodec.isNullDataNpe(e) => null
       case _: org.apache.avro.UnresolvedUnionException => null
     }
   }
@@ -195,9 +197,10 @@ case class EncodePayload(child: Expression, schemaJson: String)
   // sees TOP-LEVEL writer-required nulls; a null nested inside a
   // required complex field (array element, nested record field) still
   // reached the Avro writer's per-row NPE — dead-letter those too.
-  // Narrow like pack(): only the writer's null-DATA signals (NPE,
-  // unresolved union) dead-letter; a deterministic schema/struct
-  // mismatch fails loudly instead of nulling the whole corpus.
+  // Narrow like pack(): only the writer's null-DATA signals (the
+  // isNullDataNpe-gated NPE, unresolved union) dead-letter; a
+  // deterministic schema/struct mismatch — or a transient NPE from any
+  // other cause — fails loudly instead of nulling rows silently.
   def encode(row: InternalRow): Array[Byte] = {
     var i = 0
     while (i < requiredOrdinals.length) {
@@ -210,7 +213,7 @@ case class EncodePayload(child: Expression, schemaJson: String)
         .asInstanceOf[GenericRecord]
       AvroCodec.encode(record, schema)
     } catch {
-      case _: NullPointerException => null
+      case e: NullPointerException if AvroCodec.isNullDataNpe(e) => null
       case _: org.apache.avro.UnresolvedUnionException => null
     }
   }
