@@ -112,7 +112,12 @@ object AbProbe {
       // health — a load burst arriving mid-run shows in the per-query
       // probe, not only in the closing line below.
       val calQuery = calSecs()
-      val line = s"""{"query":"$name","tree":"$tree","sf":"${
+      // schema_version marks the r13 key renames (calibration_single_sec →
+      // calibration_start_sec etc., r13 ADVICE low): longitudinal joins
+      // across ab_probe_r*.jsonl files key on it instead of guessing
+      // which vintage a line is from. v2 = bench-matching *_start_* names
+      // + per-query probe; v1 lines (r12 and earlier) carry no version.
+      val line = s"""{"schema_version":2,"query":"$name","tree":"$tree","sf":"${
           new java.io.File(sfDir).getName
         }","median":$med,"session_medians":[${medians.mkString(",")}],""" +
         s""""calibration_query_sec":$calQuery,""" +
@@ -126,7 +131,7 @@ object AbProbe {
     // sessions moves the end reading): one closing machine-health line
     val calEnd = calSecs()
     val calParEnd = calParSecs()
-    val closing = s"""{"tree":"$tree","calibration_end_sec":$calEnd,""" +
+    val closing = s"""{"schema_version":2,"tree":"$tree","calibration_end_sec":$calEnd,""" +
       s""""calibration_par_end_sec":$calParEnd}"""
     println(closing)
     append(closing)

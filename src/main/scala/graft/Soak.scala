@@ -86,6 +86,18 @@ object Soak {
       rm(dir)
     }
     dir.mkdirs()
+    // provisional marker BEFORE the parquet writes (r13 ADVICE low): a
+    // build that crashes mid-write otherwise leaves a non-empty dir with
+    // NO _SOAK_x* marker, and the destructive-delete guard above then
+    // refuses to clear it forever — the crashed build locks out its own
+    // rebuild. The provisional content never equals the final provenance,
+    // so a restart recognizes the dir as a (partial) soak corpus, clears
+    // it, and rebuilds; the real marker overwrites this one only after
+    // both tables land.
+    locally {
+      val w = new java.io.PrintWriter(marker)
+      try w.println(s"BUILDING $provenance") finally w.close()
+    }
 
     val docs = Tables.documents(spark, srcDir)
     // one row per (original doc, replica k); replica 0 is verbatim.
@@ -176,27 +188,39 @@ object Soak {
       spark.sparkContext.getPersistentRDDs.valuesIterator
         .foreach(_.unpersist(blocking = false))
     }
-    // bench-identical: 2 warm-ups, 3 timed, median + spread, burst
-    // repair. Output rows ride along: a super-linear TIME exponent is
-    // only meaningful next to the OUTPUT exponent — a pair-emitting op
-    // whose result set itself grows ~quadratically (saturating blocking
-    // keys) can show time 14× at rows 97× and still be getting CHEAPER
-    // per output row.
+    // bench-identical: 2 warm-ups, N timed (default 3; the r13 verdict's
+    // noisy-exponent re-runs use SPARK_GRAFT_SOAK_RUNS=5..7), median +
+    // spread, spread-bounded retries matching the bench's tight-first
+    // policy (any attempt wider than 20% re-measures, bounded at 3
+    // attempts; among tight attempts the LOWEST median wins — noise only
+    // drags times up). Output rows ride along: a super-linear TIME
+    // exponent is only meaningful next to the OUTPUT exponent — a
+    // pair-emitting op whose result set itself grows ~quadratically
+    // (saturating blocking keys) can show time 14× at rows 97× and still
+    // be getting CHEAPER per output row.
+    val timedRuns = sys.env.get("SPARK_GRAFT_SOAK_RUNS")
+      .flatMap(_.toIntOption).filter(_ >= 3).getOrElse(3)
     def measure(fn: (SparkSession, String) => DataFrame, dir: String)
         : (Double, Double, Long) = {
       fn(spark, dir).count()
       val rows = fn(spark, dir).count()
       def attempt(): Seq[Double] =
-        Seq.fill(3)(timed(fn(spark, dir).count())).sorted
-      val first = attempt()
-      val times =
-        if (first.head > 0 && first.last / first.head >= 2.0) {
-          val second = attempt()
-          if (second(1) < first(1)) second else first
-        } else first
+        Seq.fill(timedRuns)(timed(fn(spark, dir).count())).sorted
+      def spreadOf(ts: Seq[Double]): Double = {
+        val med = ts(ts.size / 2)
+        if (med > 0) 100.0 * (ts.last - ts.head) / med else -1.0
+      }
+      var attempts = List(attempt())
+      while (spreadOf(attempts.head) > 20.0 && attempts.size < 3)
+        attempts = attempt() :: attempts
+      val tight = attempts.filter(a => {
+        val sp = spreadOf(a); sp >= 0 && sp <= 20.0
+      })
+      val pool = if (tight.nonEmpty) tight else attempts
+      val times = pool.minBy(a => a(a.size / 2))
       clear()
-      val med = times(1)
-      (med, if (med > 0) 100.0 * (times.last - times.head) / med else -1.0, rows)
+      val med = times(times.size / 2)
+      (med, spreadOf(times), rows)
     }
 
     case class SoakRow(name: String, tBase: Double, spBase: Double,
