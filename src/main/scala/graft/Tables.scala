@@ -49,4 +49,57 @@ object Tables {
   }
   def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
+
+  /** Embedding ingest guard — the validated frame every similarity/ANN
+    * query consumes. A 100 TB embedding corpus contains NULL vectors,
+    * empty arrays, NaN/±Inf components, and wrong-dimension strays (an
+    * upstream model change, a truncated row); unguarded they either kill
+    * the job (k-means requires uniform dims; ANSI casts overflow on NaN)
+    * or — worse — silently poison trained codebooks. This is the
+    * validate-at-ingest pass a production pipeline runs before indexing:
+    * keep rows whose vector is non-null, matches the corpus's MODAL
+    * dimensionality (ties → smaller dim, deterministic), is fully
+    * finite, and is NOT zero-norm — a zero embedding carries no
+    * direction, its cosine to everything is undefined (NaN), and its
+    * residual against a 6-dp-rounded centroid is an EXACT 6-dp decimal
+    * that parks k-means assignment distances on rounding half-boundaries
+    * where engines legitimately differ by 1 ulp (production vector
+    * stores reject zero vectors for cosine/IP metrics for the same
+    * reason); then resolve DUPLICATE vec_ids to one deterministic winner
+    * (smallest vector lexicographically, then smallest label, NULLS
+    * LAST) — an id is a key, and two different payloads under one key
+    * otherwise make every id-ordered step (k-means seed selection,
+    * rank tie-breaks, sampling) ill-defined across engines and runs.
+    * The DuckDB twin is `LlmOps.ValidVecsSub` — the two must stay in
+    * lockstep, the hostile-VECTORS fixture wave gates them.
+    *
+    * Cost: one tiny aggregation job for the modal dim (pruned
+    * single-column scan) and one hash shuffle on vec_id for the key
+    * dedup — the validate-once-at-ingest pass; at cluster scale this
+    * runs once and persists, not per query.
+    */
+  def validEmbeddings(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val raw = embeddings(spark, dir)
+    val dims = raw
+      .filter(col("embedding").isNotNull && size(col("embedding")) > 0)
+      .groupBy(size(col("embedding")).as("d")).count()
+      .orderBy(col("count").desc, col("d").asc)
+      .take(1)
+    if (dims.isEmpty) raw.filter(lit(false))
+    else {
+      val modal = dims(0).getInt(0)
+      val w = Window.partitionBy(col("vec_id"))
+        .orderBy(col("embedding").asc, col("label").asc_nulls_last)
+      raw.filter(col("embedding").isNotNull &&
+          size(col("embedding")) === modal &&
+          !exists(col("embedding"), x =>
+            x.isNull || isnan(x) ||
+              x < lit(Float.MinValue) || x > lit(Float.MaxValue)) &&
+          exists(col("embedding"), x => x =!= 0.0f))
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1).drop("__rn")
+    }
+  }
 }

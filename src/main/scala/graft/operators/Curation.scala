@@ -506,7 +506,15 @@ object Curation {
   def dedupChunks(docs: DataFrame, idCol: String, textCol: String,
                   chunkWords: Int): DataFrame = {
     require(chunkWords >= 1, "chunkWords must be positive")
-    val ws = split(trim(col(textCol)), "\\s+")
+    // single-evaluation token-array discipline (same as Dedup.tokenWindows):
+    // the split MUST materialize as a column before entering the transform
+    // lambda — an inlined `split(...)` expression re-tokenizes the ENTIRE
+    // text once per chunk, O(words × chunks) per doc. Invisible on
+    // 128-char fixture docs; on the hostile multi-MB doc (400k words,
+    // ~6k chunks) one task burned 20+ min of CPU re-splitting a 2.3 MB
+    // string per chunk — at 100 TB a handful of long web docs would pin
+    // whole executors.
+    val ws = col("__ws")
     // split() never returns an empty array (empty text → [""]), so
     // nChunks ≥ 1 and the sequence below is always ascending
     val nChunks = ceil(size(ws) / lit(chunkWords.toDouble)).cast("int")
@@ -517,6 +525,7 @@ object Curation {
     val w = Window.partitionBy(md5(lower(col("chunk"))))
       .orderBy(col(idCol), col("chunk_idx"))
     docs
+      .select(col(idCol), split(trim(col(textCol)), "\\s+").as("__ws"))
       .select(col(idCol), explode(chunks).as("u"))
       .select(col(idCol), col("u.idx").as("chunk_idx"), col("u.c").as("chunk"))
       .withColumn("kept", row_number().over(w) === 1)

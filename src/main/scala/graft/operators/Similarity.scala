@@ -978,8 +978,15 @@ object Similarity {
       .select(col("vec_id"), col("cluster"),
         round(graft.functions.CosineSim.cosine_sim(col("v"),
           element_at(centMap, col("cluster"))), 6).as("__c6"))
+      // NaN-guard BEFORE the ANSI cast (hostile-VECTORS wave): a
+      // zero-norm vector's cosine is NaN by CosineSim's documented
+      // contract, and CAST(NaN AS BIGINT) kills the whole job under
+      // ANSI — one corrupt vector must not take down the outlier pass.
+      // NULL cos_ppm rows then drop in topKByPartition's score filter,
+      // and the oracle filters `cos_ppm IS NOT NULL` in lockstep.
       .select(col("vec_id"), col("cluster"),
-        expr("CAST(round(__c6 * 1000000, 0) AS BIGINT)").as("cos_ppm"))
+        when(!isnan(col("__c6")),
+          expr("CAST(round(__c6 * 1000000, 0) AS BIGINT)")).as("cos_ppm"))
     // same salted two-phase machinery as the per-probe rankers, via the
     // shared helper (partitioned by cluster instead of probe_id) — one
     // implementation carries the null/NaN guard for all of them

@@ -89,9 +89,15 @@ object TextAnalysis {
     * Stepwise mod keeps every intermediate below 2⁶³; mathematically it
     * equals the big-integer polynomial mod M, which is how the DuckDB
     * oracle computes it — an explicit cross-engine identity check on the
-    * modular arithmetic. Pure column expression, shuffle-free; O(len·w)
-    * per doc, the textbook trade for w this small. Docs shorter than `w`
-    * yield an empty hash array.
+    * modular arithmetic. Pure column expression, shuffle-free. NOT a
+    * scale path: the inner `codes` expression is inlined into the outer
+    * lambda, so Catalyst re-derives the full per-char code array once per
+    * window position — O(len²) per doc as evaluated, which on a multi-MB
+    * doc never finishes. This HOF exists ONLY as the cross-engine
+    * identity reference for the shipped O(len) native expressions
+    * ([[graft.functions.RollingHash]], RollingFingerprint64), which every
+    * query path uses; specs pin `rolling_min_hash == array_min(this)` on
+    * short fixture docs. Docs shorter than `w` yield an empty hash array.
     */
   def rollingHashes(text: Column, w: Int = 8): Column = {
     val B = 257L

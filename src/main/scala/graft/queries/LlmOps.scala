@@ -134,7 +134,7 @@ object LlmOps {
     * and banding, checking algorithmic parity end to end. */
   def qEmbeddingCosineNearDups(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val vecs = Tables.embeddings(spark, dir)
+    val vecs = Tables.validEmbeddings(spark, dir)
       .select($"vec_id", $"embedding".cast("array<double>").as("v"))
     graft.operators.Similarity.cosineNearDups(vecs, threshold = 0.4, dim = 64)
       .orderBy($"v1", $"v2")
@@ -198,7 +198,7 @@ object LlmOps {
     * the ordered fold. */
   def qJlProject(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val vecs = Tables.embeddings(spark, dir)
+    val vecs = Tables.validEmbeddings(spark, dir)
       .select($"vec_id", $"embedding".cast("array<double>").as("v"))
     graft.operators.Similarity.jlProject(vecs, inDim = 64, outDim = 16, seed = "r8")
       .select($"vec_id", posexplode($"y").as(Seq("j", "yj")))
@@ -209,7 +209,7 @@ object LlmOps {
     * vs full-dimension cosine is published by the Bench harness). */
   def qJlTopK(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val vecs = Tables.embeddings(spark, dir)
+    val vecs = Tables.validEmbeddings(spark, dir)
       .select($"vec_id", $"embedding".cast("array<double>").as("v"))
     val probes = vecs.filter($"vec_id" < 5)
       .select($"vec_id".as("probe_id"), $"v".as("p"))
@@ -225,7 +225,7 @@ object LlmOps {
     * so ordering is reproducible across engines. */
   def qKnnCosine(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val vecs = Tables.embeddings(spark, dir)
+    val vecs = Tables.validEmbeddings(spark, dir)
       .select($"vec_id", $"embedding".cast("array<double>").as("v"))
     val probes = vecs.filter($"vec_id" < 5)
       .select($"vec_id".as("probe_id"), $"v".as("p"))
@@ -243,7 +243,7 @@ object LlmOps {
     * scoring, and the per-cell ascending rank step for step. */
   def qClusterOutliers(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val vecs = Tables.embeddings(spark, dir)
+    val vecs = Tables.validEmbeddings(spark, dir)
       .select($"vec_id", $"embedding".cast("array<double>").as("v")).cache()
     val cents = graft.operators.Similarity
       .kmeansFit(vecs.filter($"vec_id" % 4 === 0), k = 8, iters = 2)
@@ -262,7 +262,7 @@ object LlmOps {
     * recursive CTE step for step. */
   def qMmrSelect(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val vecs = Tables.embeddings(spark, dir)
+    val vecs = Tables.validEmbeddings(spark, dir)
       .select($"vec_id", $"embedding".cast("array<double>").as("v")).cache()
     val probes = vecs.filter($"vec_id" < 3)
       .select($"vec_id".as("probe_id"), $"v".as("p"))
@@ -288,7 +288,7 @@ object LlmOps {
     // cached: k-means references the vector table once per iteration
     // (assignment) plus the final centroid/search passes — at cluster
     // scale this is persist(DISK_ONLY) or train-on-sample
-    val vecs = Tables.embeddings(spark, dir)
+    val vecs = Tables.validEmbeddings(spark, dir)
       .select($"vec_id", $"embedding".cast("array<double>").as("v")).cache()
     val probes = vecs.filter($"vec_id" < 5)
       .select($"vec_id".as("probe_id"), $"v".as("p"))
@@ -309,7 +309,7 @@ object LlmOps {
     * step. */
   def qIvfSampleTopK(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val vecs = Tables.embeddings(spark, dir)
+    val vecs = Tables.validEmbeddings(spark, dir)
       .select($"vec_id", $"embedding".cast("array<double>").as("v")).cache()
     val cents = graft.operators.Similarity
       .kmeansFit(vecs.filter($"vec_id" % 4 === 0), k = 8, iters = 2)
@@ -331,7 +331,7 @@ object LlmOps {
     * step for step. */
   def qPqTopK(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val vecs = Tables.embeddings(spark, dir)
+    val vecs = Tables.validEmbeddings(spark, dir)
       .select($"vec_id", $"embedding".cast("array<double>").as("v")).cache()
     val cb = graft.operators.Similarity.pqFit(
       vecs.filter($"vec_id" % 4 === 0), m = 4, subDim = 16, ksub = 8, iters = 2)
@@ -357,7 +357,7 @@ object LlmOps {
     * row gates the full rotated search pipeline those rotations ride. */
   def qOpqTopK(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val vecs = Tables.embeddings(spark, dir)
+    val vecs = Tables.validEmbeddings(spark, dir)
       .select($"vec_id",
         expr("slice(CAST(embedding AS array<double>), 1, 16)").as("v")).cache()
     val rot = graft.operators.Similarity.hadamardRotation(16)
@@ -384,7 +384,7 @@ object LlmOps {
     * ADC candidate cut, and the exact re-rank step for step. */
   def qPqRerank(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val vecs = Tables.embeddings(spark, dir)
+    val vecs = Tables.validEmbeddings(spark, dir)
       .select($"vec_id", $"embedding".cast("array<double>").as("v")).cache()
     val cb = graft.operators.Similarity.pqFit(
       vecs.filter($"vec_id" % 4 === 0), m = 4, subDim = 16, ksub = 8, iters = 2)
@@ -408,7 +408,7 @@ object LlmOps {
     * cluster-pruned ADC sums step for step. */
   def qIvfPqTopK(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val vecs = Tables.embeddings(spark, dir)
+    val vecs = Tables.validEmbeddings(spark, dir)
       .select($"vec_id", $"embedding".cast("array<double>").as("v")).cache()
     val sample = vecs.filter($"vec_id" % 4 === 0)
     val cents = graft.operators.Similarity.kmeansFit(sample, k = 8, iters = 2)
@@ -434,7 +434,7 @@ object LlmOps {
     * sums step for step. */
   def qIvfPqResTopK(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val vecs = Tables.embeddings(spark, dir)
+    val vecs = Tables.validEmbeddings(spark, dir)
       .select($"vec_id", $"embedding".cast("array<double>").as("v")).cache()
     val sample = vecs.filter($"vec_id" % 4 === 0)
     val cents = graft.operators.Similarity.kmeansFit(sample, k = 8, iters = 2)
@@ -458,7 +458,7 @@ object LlmOps {
     * agrees to the last bit before the one rounded division. */
   def qInt8TopK(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val vecs = Tables.embeddings(spark, dir)
+    val vecs = Tables.validEmbeddings(spark, dir)
       .select($"vec_id", $"embedding".cast("array<double>").as("v"))
     val quant = graft.operators.Similarity.quantizeInt8(vecs).cache()
     val probes = quant.filter($"vec_id" < 5)
@@ -617,7 +617,7 @@ object LlmOps {
     * and the within-cluster removal rule. */
   def qSemanticDedup(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val vecs = Tables.embeddings(spark, dir)
+    val vecs = Tables.validEmbeddings(spark, dir)
       .select($"vec_id", $"embedding".cast("array<double>").as("v"))
     val planted = vecs.filter($"vec_id" % 10 === 0)
       .select(($"vec_id" + 100000L).as("vec_id"),
@@ -636,7 +636,7 @@ object LlmOps {
     * within-cluster removal rule. */
   def qSemanticSample(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val vecs = Tables.embeddings(spark, dir)
+    val vecs = Tables.validEmbeddings(spark, dir)
       .select($"vec_id", $"embedding".cast("array<double>").as("v"))
     val planted = vecs.filter($"vec_id" % 10 === 0)
       .select(($"vec_id" + 100000L).as("vec_id"),
@@ -757,7 +757,7 @@ object LlmOps {
     * [[qJlProject]]. */
   def qMeanPool(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val chunks = Tables.embeddings(spark, dir)
+    val chunks = Tables.validEmbeddings(spark, dir)
       .select(expr("vec_id div 4").as("doc_id"), $"embedding".as("v"))
     graft.operators.Similarity.l2Normalize(
       graft.operators.Similarity.meanPool(chunks, "doc_id"))
@@ -771,7 +771,7 @@ object LlmOps {
     * per-release distribution-shift monitor. */
   def qEmbeddingDrift(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val em = Tables.embeddings(spark, dir)
+    val em = Tables.validEmbeddings(spark, dir)
       .select($"vec_id", $"label", $"embedding".cast("array<double>").as("v"))
     graft.operators.Similarity.embeddingDrift(
       em.filter($"vec_id" % 2 === 0).select($"label", $"v"),
@@ -1032,7 +1032,33 @@ object LlmOps {
                   * power(16, 6 - i)::BIGINT
                   for i in range(1, 7)])::BIGINT"""
 
-  val oracles: Map[String, String] = Map(
+  /** DuckDB twin of [[graft.Tables.validEmbeddings]] — the embedding
+    * ingest guard, substituted for every `FROM embeddings` in the oracle
+    * map below so BOTH engines score the identical valid set. The
+    * hostile-VECTORS fixture wave gates the lockstep: unguarded, NULL /
+    * NaN / ±Inf / wrong-dim strays crashed the SQL replays (NaN→BIGINT
+    * casts), killed Spark-side k-means (mixed dims), and silently
+    * diverged every trained codebook. Modal-dim rule (ties → smaller)
+    * matches the Spark side exactly. */
+  private[queries] val ValidVecsSub: String =
+    """(SELECT vec_id, embedding, label FROM embeddings
+        WHERE embedding IS NOT NULL
+          AND len(embedding) = (SELECT len(embedding) FROM embeddings
+                                WHERE embedding IS NOT NULL AND len(embedding) > 0
+                                GROUP BY len(embedding)
+                                ORDER BY count(*) DESC, len(embedding) ASC LIMIT 1)
+          AND len(list_filter(embedding,
+                              x -> x IS NULL OR isnan(x) OR NOT isfinite(x))) = 0
+          AND len(list_filter(embedding, x -> x <> 0)) > 0
+        QUALIFY row_number() OVER (PARTITION BY vec_id
+                                   ORDER BY embedding ASC, label ASC NULLS LAST) = 1)"""
+
+  private[queries] def guardVecs(oracles: Map[String, String]): Map[String, String] =
+    oracles.map { case (k, sql) =>
+      k -> sql.replace("FROM embeddings", "FROM " + ValidVecsSub + " __vv")
+    }
+
+  val oracles: Map[String, String] = guardVecs(Map(
     "sim_drift" ->
       """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
          om AS (SELECT label, i, round(avg(v[i]), 6) AS m
@@ -1662,18 +1688,21 @@ object LlmOps {
           $ivfCoarseCtes,
           osc AS (
             SELECT ka2.cluster, ka2.vec_id,
-                   CAST(round(round(
+                   CASE WHEN list_sum([v.e[i] * v.e[i] for i in range(1, 65)]) = 0
+                          OR list_sum([kc.cv[i] * kc.cv[i] for i in range(1, 65)]) = 0
+                        THEN NULL
+                        ELSE CAST(round(round(
                      list_sum([v.e[i] * kc.cv[i] for i in range(1, 65)]) /
                      (sqrt(list_sum([v.e[i] * v.e[i] for i in range(1, 65)])) *
                       sqrt(list_sum([kc.cv[i] * kc.cv[i] for i in range(1, 65)]))),
-                     6) * 1000000, 0) AS BIGINT) AS cos_ppm
+                     6) * 1000000, 0) AS BIGINT) END AS cos_ppm
             FROM ka2 JOIN v USING (vec_id)
                      JOIN kc1 kc ON kc.cluster = ka2.cluster),
           oranked AS (
             SELECT cluster, vec_id, cos_ppm,
                    row_number() OVER (PARTITION BY cluster
                                       ORDER BY cos_ppm ASC, vec_id ASC) AS rank
-            FROM osc)
+            FROM osc WHERE cos_ppm IS NOT NULL)
           SELECT cluster, vec_id, cos_ppm, rank
           FROM oranked WHERE rank <= 5
           ORDER BY cluster, rank""",
@@ -1923,5 +1952,5 @@ object LlmOps {
                  count(*) AS n_bigrams,
                  CAST(sum(ppm) // count(*) AS BIGINT) AS avg_bigram_ppm
           FROM sc GROUP BY 1 ORDER BY doc_id"""
-  )
+  ))
 }

@@ -63,7 +63,7 @@ object RetrievalOps {
     val lex = Retrieval.bm25TopKMultiLocal(Tables.documents(spark, dir),
         "doc_id", "text", queries, "query_id", k = Bm25K)
       .select($"query_id", $"doc_id", $"rank")
-    val vecs = Tables.embeddings(spark, dir)
+    val vecs = Tables.validEmbeddings(spark, dir)
       .select($"vec_id", $"embedding".cast("array<double>").as("v"))
     val probeIds = queries.map(_._1 - 1L).distinct.sorted
     val probes = vecs.filter($"vec_id".isin(probeIds: _*))
@@ -539,7 +539,9 @@ object RetrievalOps {
                   JOIN mx ON mx.query_id = c.query_id),""" +
       MmrGreedyReplaySql
 
-  val oracles: Map[String, String] = Map(
+  // the hybrid-chain oracles read embeddings too: route them through the
+  // same valid-vector guard as the LlmOps family (one definition)
+  val oracles: Map[String, String] = LlmOps.guardVecs(Map(
     "sim_bm25_topk" ->
       """WITH d AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ws
                     FROM documents),
@@ -685,5 +687,5 @@ object RetrievalOps {
          FROM win JOIN e
            ON e.user_id = win.user_id AND e.ms >= win.t0 AND e.ms < win.t1
          GROUP BY 1 ORDER BY iid"""
-  )
+  ))
 }

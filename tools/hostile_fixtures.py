@@ -84,7 +84,13 @@ def hostile_vecs(base, out):
         f"'{base}/embeddings.parquet' ORDER BY vec_id").fetchall()
     dim = len(orig[0][1])
     vec7 = orig[7][1]
-    base_v = [0.1 * ((i % 7) - 3) for i in range(dim)]
+    # irregular components: a 0.1-step grid made centroid sums land exactly
+    # on 6-dp half boundaries, where Spark's BigDecimal HALF_UP and DuckDB's
+    # float-multiply round() legitimately differ by 1 ppm — that is inherent
+    # cross-engine noise at measure-zero inputs, not a robustness class;
+    # the planted vector's job is dims/finiteness/duplicates
+    base_v = [0.0137 * ((i * 7) % 13) - 0.05 * ((i * 3) % 5) + 0.2113
+              for i in range(dim)]
     nanv = list(base_v); nanv[3] = float("nan")
     pinf = list(base_v); pinf[0] = float("inf")
     ninf = list(base_v); ninf[dim - 1] = float("-inf")
