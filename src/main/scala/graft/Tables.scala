@@ -73,10 +73,13 @@ object Tables {
     * The DuckDB twin is `LlmOps.ValidVecsSub` — the two must stay in
     * lockstep, the hostile-VECTORS fixture wave gates them.
     *
-    * Cost: one tiny aggregation job for the modal dim (pruned
-    * single-column scan) and one hash shuffle on vec_id for the key
-    * dedup — the validate-once-at-ingest pass; at cluster scale this
-    * runs once and persists, not per query.
+    * Cost: two tiny aggregation jobs (modal dim over a pruned
+    * single-column scan; id-uniqueness over ids only — hashes shuffle,
+    * vectors NEVER do on the clean path, which PlanSpec pins). Only a
+    * corpus that actually contains key collisions pays the vector-wide
+    * dedup shuffle — the corrupted-corpus case, where correctness buys
+    * the exchange. At cluster scale this runs once at ingest and
+    * persists, not per query.
     */
   def validEmbeddings(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions._
@@ -90,16 +93,22 @@ object Tables {
     if (dims.isEmpty) raw.filter(lit(false))
     else {
       val modal = dims(0).getInt(0)
-      val w = Window.partitionBy(col("vec_id"))
-        .orderBy(col("embedding").asc, col("label").asc_nulls_last)
-      raw.filter(col("embedding").isNotNull &&
-          size(col("embedding")) === modal &&
-          !exists(col("embedding"), x =>
-            x.isNull || isnan(x) ||
-              x < lit(Float.MinValue) || x > lit(Float.MaxValue)) &&
-          exists(col("embedding"), x => x =!= 0.0f))
-        .withColumn("__rn", row_number().over(w))
-        .filter(col("__rn") === 1).drop("__rn")
+      val filtered = raw.filter(col("embedding").isNotNull &&
+        size(col("embedding")) === modal &&
+        !exists(col("embedding"), x =>
+          x.isNull || isnan(x) ||
+            x < lit(Float.MinValue) || x > lit(Float.MaxValue)) &&
+        exists(col("embedding"), x => x =!= 0.0f))
+      val hasDupIds = filtered
+        .agg((count(lit(1)) - count_distinct(col("vec_id"))).as("d"))
+        .head().getLong(0) > 0
+      if (!hasDupIds) filtered
+      else {
+        val w = Window.partitionBy(col("vec_id"))
+          .orderBy(col("embedding").asc, col("label").asc_nulls_last)
+        filtered.withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1).drop("__rn")
+      }
     }
   }
 }

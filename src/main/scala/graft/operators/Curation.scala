@@ -242,7 +242,12 @@ object Curation {
     */
   def stripBoilerplate(docs: DataFrame, idCol: String, textCol: String,
                        dfRatio: Double, maxStoplistLiteral: Int = 65536): DataFrame = {
-    val ws = split(trim(col(textCol)), "\\s+")
+    // non-empty tokens ONLY, everywhere (n_tokens, kept, df marker): an
+    // empty/whitespace-only doc splits to [""] and previously reported
+    // n_tokens = 1-2 phantom tokens with clean_text " " (hostile-DOCS
+    // wave) — the r12 phantom-empty-token rule, applied to this operator.
+    // A null text stays null through every column (unknown, not zero).
+    val ws = filter(split(trim(col(textCol)), "\\s+"), w => w =!= "")
     // single job, single scan: the grouped count carries a per-doc marker
     // row ("") whose df IS the corpus size, so the threshold comparison
     // stays distributed — only the tiny stoplist ever reaches the driver,
@@ -304,9 +309,13 @@ object Curation {
             " ").as("clean_text"))
       docs.select(col(idCol), size(ws).cast("long").as("n_tokens"))
         .join(rebuilt, Seq(idCol), "left")
+        // null-text docs stay null through every column (unknown, not
+        // zero) — branch parity with the literal path above
         .select(col(idCol), col("n_tokens"),
-          coalesce(col("n_kept"), lit(0L)).as("n_kept"),
-          coalesce(col("clean_text"), lit("")).as("clean_text"))
+          when(col("n_tokens").isNotNull,
+            coalesce(col("n_kept"), lit(0L))).as("n_kept"),
+          when(col("n_tokens").isNotNull,
+            coalesce(col("clean_text"), lit(""))).as("clean_text"))
     }
   }
 

@@ -272,7 +272,14 @@ object Retrieval {
     * with the smallest rank until no pair is ranked. Pure function, used
     * once per DISTINCT word (see [[bpeTokenCounts]]). */
   def bpeEncodeWord(word: String, ranks: Map[(String, String), Int]): Vector[String] = {
-    var syms = word.map(_.toString).toVector :+ "</w>"
+    // split by CODE POINTS, not Java chars: `word.map(_.toString)` iterates
+    // UTF-16 code units, so an astral-plane char (emoji, math letters —
+    // real web-corpus content) became two lone-surrogate symbols and this
+    // JVM fast path silently counted 2 tokens where the Catalyst substr
+    // split and the SQL replay (both codepoint-based) count 1
+    // (hostile-DOCS wave find).
+    var syms = word.codePoints().toArray
+      .map(cp => new String(Character.toChars(cp))).toVector :+ "</w>"
     var done = syms.size < 2
     while (!done) {
       val best = syms.indices.dropRight(1)

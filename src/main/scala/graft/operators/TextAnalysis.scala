@@ -145,7 +145,12 @@ object TextAnalysis {
     struct(
       n.cast("long").as("n_words"),
       (n >= minWords && n <= maxWords).as("ok_word_count"),
-      (wchars >= n * 3 && wchars <= n * 10).as("ok_mean_word_len"),
+      // a zero-word doc has no mean word length — the rule is not
+      // evaluable and reports NULL (hostile-DOCS lockstep: the SQL
+      // replay's list_sum([]) is NULL, so `BETWEEN` is NULL there; a
+      // silent `true` here mislabeled empty docs as length-OK). keep
+      // still ANDs to false through ok_word_count.
+      when(n > 0, wchars >= n * 3 && wchars <= n * 10).as("ok_mean_word_len"),
       (nAlpha * 5 >= n * 4).as("ok_alpha_ratio"),
       (nSym * 10 <= n).as("ok_symbol_ratio"),
       (nStop >= 2).as("ok_stopwords"))

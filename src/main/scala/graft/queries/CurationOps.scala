@@ -673,28 +673,42 @@ object CurationOps {
                   AS top_ngram_ppm
          FROM counts GROUP BY doc_id ORDER BY doc_id""",
     "t_boilerplate" ->
-      """WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+      """WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws,
+                           row_number() OVER (PARTITION BY doc_id
+                                              ORDER BY text) AS sub
                     FROM documents),
-         toks AS (SELECT doc_id, unnest(ws) AS tok,
-                         generate_subscripts(ws, 1) AS pos FROM d),
-         -- tok <> '': the operator's stoplist is built from non-empty tokens
-         -- only, so the empty-doc marker token can never be stoplisted —
-         -- without this an ''-heavy corpus (> dfRatio empty docs) stoplists
-         -- '' here and diverges on every empty doc's n_kept
-         dfreq AS (SELECT tok, count(DISTINCT doc_id) AS df FROM toks
-                   WHERE tok <> '' GROUP BY 1),
+         toks0 AS (SELECT doc_id, sub, unnest(ws) AS tok,
+                          generate_subscripts(ws, 1) AS pos FROM d),
+         -- tok <> '': phantom empty tokens (an empty/ws-only doc splits to
+         -- ['']) are not tokens — excluded from n_tokens, df, and output,
+         -- matching the operator's non-empty-token discipline.
+         toks AS (SELECT doc_id, sub, tok, pos FROM toks0 WHERE tok <> ''),
+         -- df is ROW-based ((doc_id, sub), not DISTINCT doc_id): a document
+         -- is a corpus row — duplicate doc_ids are two documents — and the
+         -- denominator is rows WITH text (a null-text row contributes no
+         -- tokens and no corpus mass), matching the operator's marker-row
+         -- count exactly; at df exactly on the floor(ratio*n) boundary a
+         -- one-row denominator skew flipped the whole stoplist (hostile-DOCS
+         -- wave: token at df 403 vs floors 402/403)
+         dfreq AS (SELECT tok, count(*) AS df FROM
+                     (SELECT DISTINCT doc_id, sub, tok FROM toks) GROUP BY 1),
          hot AS (SELECT tok FROM dfreq
-                 WHERE df > floor(0.79 * (SELECT count(*) FROM d))),
-         kept AS (SELECT t.doc_id, t.pos, t.tok
+                 WHERE df > floor(0.79 * (SELECT count(*) FROM d
+                                          WHERE ws IS NOT NULL))),
+         kept AS (SELECT t.doc_id, t.sub, t.pos, t.tok
                   FROM toks t ANTI JOIN hot h ON t.tok = h.tok),
-         agg AS (SELECT doc_id, count(*) AS n_kept,
+         agg AS (SELECT doc_id, sub, count(*) AS n_kept,
                         string_agg(tok, ' ' ORDER BY pos) AS clean_text
-                 FROM kept GROUP BY 1)
+                 FROM kept GROUP BY 1, 2)
          SELECT d.doc_id,
-                CAST(len(d.ws) AS BIGINT) AS n_tokens,
-                CAST(coalesce(a.n_kept, 0) AS BIGINT) AS n_kept,
-                coalesce(a.clean_text, '') AS clean_text
-         FROM d LEFT JOIN agg a ON d.doc_id = a.doc_id
+                CASE WHEN d.ws IS NULL THEN NULL
+                     ELSE CAST(len(list_filter(d.ws, x -> x <> '')) AS BIGINT)
+                END AS n_tokens,
+                CASE WHEN d.ws IS NULL THEN NULL
+                     ELSE CAST(coalesce(a.n_kept, 0) AS BIGINT) END AS n_kept,
+                CASE WHEN d.ws IS NULL THEN NULL
+                     ELSE coalesce(a.clean_text, '') END AS clean_text
+         FROM d LEFT JOIN agg a ON d.doc_id = a.doc_id AND d.sub = a.sub
          ORDER BY d.doc_id""",
     "q_sessionize" ->
       s"""WITH ordered AS (
@@ -725,7 +739,7 @@ object CurationOps {
          FROM numbered GROUP BY 1, 2 ORDER BY user_id, session_id""",
     "d_fuzzy_pairs" ->
       """WITH k AS (SELECT doc_id, substr(text, 1, 12) AS k FROM documents)
-         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
                 levenshtein(a.k, b.k) AS dist
          FROM k a, k b
          WHERE a.doc_id < b.doc_id AND levenshtein(a.k, b.k) <= 2

@@ -1148,19 +1148,26 @@ object LlmOps {
           SELECT cluster_rep, doc_id AS kept_doc_id, n_members, best_q
           FROM sel WHERE rn = 1 ORDER BY cluster_rep""",
     "t_linear_score" ->
-      s"""WITH d AS (
-           SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws
-           FROM documents WHERE trim(text) <> ''),
-         t AS (SELECT doc_id, len(ws)::BIGINT AS n_tokens, unnest(ws) AS tok FROM d),
-         b AS (SELECT doc_id, n_tokens,
+      s"""WITH d0 AS (
+           SELECT doc_id, text,
+                  row_number() OVER (PARTITION BY doc_id ORDER BY text) AS sub
+           FROM documents WHERE text IS NOT NULL),
+         d AS (
+           SELECT doc_id, sub,
+                  list_filter(string_split_regex(trim(text), '\\s+'),
+                              x -> x <> '') AS ws
+           FROM d0),
+         t AS (SELECT doc_id, sub, len(ws)::BIGINT AS n_tokens, unnest(ws) AS tok
+               FROM d WHERE len(ws) > 0),
+         b AS (SELECT doc_id, sub, n_tokens,
                       (${u24Sql("'fh8:' || tok")}) % 4096 AS bk
                FROM t),
-         w AS (SELECT doc_id, n_tokens,
+         w AS (SELECT doc_id, sub, n_tokens,
                       (${u24Sql("'lw8:' || bk")}) % 2001 - 1000 AS wt
                FROM b),
-         s AS (SELECT doc_id, min(n_tokens) AS n_tokens,
+         s AS (SELECT doc_id, sub, min(n_tokens) AS n_tokens,
                       CAST(sum(wt) AS BIGINT) AS sum_w
-               FROM w GROUP BY doc_id)
+               FROM w GROUP BY doc_id, sub)
          SELECT doc_id, n_tokens, sum_w,
                 CAST(sum_w >= 0 AS INTEGER) AS label
          FROM s ORDER BY doc_id""",

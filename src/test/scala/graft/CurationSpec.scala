@@ -249,9 +249,10 @@ class CurationSpec extends SparkTestBase {
       .stripBoilerplate(docs, "doc_id", "text", dfRatio = 0.0)
       .as[(Long, Long, Long, String)].collect().toSet
     assert(viaJoin == viaLiteral)
-    // every real token stripped; the empty doc's [""] pseudo-token survives
+    // every real token stripped; the empty doc has ZERO tokens (phantom
+    // [""] pseudo-tokens are not tokens — hostile-DOCS lockstep rule)
     assert(viaJoin == Set(
-      (1L, 3L, 0L, ""), (2L, 2L, 0L, ""), (3L, 4L, 0L, ""), (4L, 1L, 1L, "")))
+      (1L, 3L, 0L, ""), (2L, 2L, 0L, ""), (3L, 4L, 0L, ""), (4L, 0L, 0L, "")))
     // partial strip through the join path: only 'the' is near-universal
     val docs2 = Seq(
       (1L, "the cat sat"), (2L, "the dog ran"), (3L, "the end")).toDF("doc_id", "text")

@@ -46,8 +46,15 @@ def hostile_docs(base, out):
     clone_base(base, out, "documents")
     con = duckdb.connect()
     rng = random.Random(1234)
+    # 60k words (~350 KB): ~500x the fixture's doc length — enough to catch
+    # O(words x chunks)-class operator quadratics as multi-second slowdowns —
+    # while the DuckDB oracle replays (list comprehensions that slice the
+    # token list per window) stay tractable; at the original 400k words the
+    # SQL side burned 45+ CPU-minutes on one query. The 400k-word variant
+    # remains worth running Spark-only when touching the chunking family
+    # (it is what caught the dedupChunks re-split as a 20-min hang).
     big = " ".join(rng.choice(["alpha", "beta", "gamma", "delta", "epsi",
-                               "zeta", "eta", "theta"]) for _ in range(400_000))
+                               "zeta", "eta", "theta"]) for _ in range(60_000))
     orig = con.execute(
         f"SELECT doc_id, text, lang, source, n_chars FROM "
         f"'{base}/documents.parquet' ORDER BY doc_id").fetchall()

@@ -11,6 +11,7 @@ tables, and compares: row count, column names (sorted), and values
 import json
 import math
 import sys
+import time
 
 import duckdb
 
@@ -43,6 +44,7 @@ def main(sf_dir, out_dir, only=None):
         oracles = {k: v for k, v in oracles.items() if k in only}
     n_pass = n_fail = 0
     for name, sql in sorted(oracles.items()):
+        t0 = time.time()
         try:
             got = con.execute(
                 f"SELECT * FROM '{out_dir}/{name}/*.parquet'").fetchall()
@@ -50,18 +52,18 @@ def main(sf_dir, out_dir, only=None):
             exp = con.execute(sql).fetchall()
             exp_cols = [d[0] for d in con.description]
         except Exception as e:
-            print(f"FAIL {name}: exception {e}")
+            print(f"FAIL {name}: exception {e}", flush=True)
             n_fail += 1
             continue
         # driver sorts columns by name before hashing
         g_ix = sorted(range(len(got_cols)), key=lambda i: got_cols[i])
         e_ix = sorted(range(len(exp_cols)), key=lambda i: exp_cols[i])
         if sorted(got_cols) != sorted(exp_cols):
-            print(f"FAIL {name}: cols {sorted(got_cols)} != {sorted(exp_cols)}")
+            print(f"FAIL {name}: cols {sorted(got_cols)} != {sorted(exp_cols)}", flush=True)
             n_fail += 1
             continue
         if len(got) != len(exp):
-            print(f"FAIL {name}: rows {len(got)} != {len(exp)}")
+            print(f"FAIL {name}: rows {len(got)} != {len(exp)}", flush=True)
             n_fail += 1
             continue
         g = sorted(tuple(norm(r[i]) for i in g_ix) for r in got)
@@ -72,7 +74,7 @@ def main(sf_dir, out_dir, only=None):
                   f"got={bad[0][0]} exp={bad[0][1]}")
             n_fail += 1
         else:
-            print(f"PASS {name} ({len(g)} rows)")
+            print(f"PASS {name} ({len(g)} rows, {time.time()-t0:.1f}s)", flush=True)
             n_pass += 1
     print(f"== {n_pass} pass, {n_fail} fail ==")
     return 1 if n_fail else 0
