@@ -531,8 +531,13 @@ object Curation {
       transform(sequence(lit(0), nChunks - 1),
         i => struct(i.as("idx"),
           array_join(slice(ws, i * chunkWords + 1, lit(chunkWords)), " ").as("c")))
+    // chunk text as the final tie-break: duplicate ids (two corpus rows
+    // sharing an id) can collide on (id, chunk_idx), and a tie inside the
+    // keep-window makes the surviving row — and any case-variant chunk
+    // text it carries into the hash group — nondeterministic across
+    // engines/runs (hostile-DOCS wave, duplicate-id fixture row)
     val w = Window.partitionBy(md5(lower(col("chunk"))))
-      .orderBy(col(idCol), col("chunk_idx"))
+      .orderBy(col(idCol), col("chunk_idx"), col("chunk"))
     docs
       .select(col(idCol), split(trim(col(textCol)), "\\s+").as("__ws"))
       .select(col(idCol), explode(chunks).as("u"))

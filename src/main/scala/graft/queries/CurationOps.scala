@@ -118,7 +118,9 @@ object CurationOps {
     * (Greenwald–Khanna summary, here at accuracy 10⁴) instead of the exact
     * sort-based percentile. Below the accuracy bound the GK summary never
     * compresses, so it is provably exact and returns the element at
-    * 1-based rank ⌈p·n⌉ of the sorted group — the oracle reproduces that
+    * 1-based rank ⌈p·n⌉ of the sorted group, where n counts the NON-NULL
+    * inputs (aggregates skip NULLs — a null-text row contributes to
+    * n_docs but not to the rank denominator) — the oracle reproduces that
     * rank arithmetic with a window function, gating the sketch path's
     * semantics (an actual corpus element, no interpolation), not just its
     * row shape. */
@@ -644,12 +646,20 @@ object CurationOps {
                FROM documents)
          GROUP BY lang ORDER BY lang""",
     "t_length_quantiles_approx" ->
+      // rank arithmetic over NON-NULL token counts only: approx_percentile
+      // (like every SQL aggregate) skips NULL inputs, so a null-text row
+      // (n_tokens NULL, hostile-DOCS fixture) must not inflate the rank
+      // denominator n — it still counts in n_docs, matching Spark's
+      // count(lit(1))
       """WITH d AS (SELECT lang,
                     CAST(len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) AS BIGINT) AS n_tokens
                     FROM documents),
          r AS (SELECT lang, n_tokens,
-                      row_number() OVER (PARTITION BY lang ORDER BY n_tokens) AS rn,
-                      count(*) OVER (PARTITION BY lang) AS n
+                      CASE WHEN n_tokens IS NULL THEN NULL
+                           ELSE row_number() OVER (
+                                  PARTITION BY lang, n_tokens IS NULL
+                                  ORDER BY n_tokens) END AS rn,
+                      count(n_tokens) OVER (PARTITION BY lang) AS n
                FROM d)
          SELECT lang, count(*) AS n_docs,
                 max(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT)
@@ -797,12 +807,13 @@ object CurationOps {
                   FROM toks)),
          k AS (SELECT doc_id, chunk_idx, chunk,
                       row_number() OVER (PARTITION BY md5(lower(chunk))
-                                         ORDER BY doc_id, chunk_idx) AS rn
+                                         ORDER BY doc_id, chunk_idx, chunk) AS rn
                FROM ch)
          SELECT doc_id, count(*) AS n_chunks,
                 count(*) FILTER (WHERE rn = 1) AS n_kept,
                 md5(coalesce(
-                  array_to_string(list(chunk ORDER BY chunk_idx) FILTER (WHERE rn = 1),
+                  array_to_string(list(chunk ORDER BY chunk_idx, chunk)
+                                    FILTER (WHERE rn = 1),
                                   ' '), '')) AS clean_md5
          FROM k GROUP BY 1 ORDER BY doc_id""",
     "d_substring_dedup" ->

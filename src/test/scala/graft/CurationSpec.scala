@@ -1451,6 +1451,37 @@ class CurationSpec extends SparkTestBase {
     assert(ch.find(r => r._1 == 3L && r._2 == 0).get._3 == "iota kappa lambda mu")
   }
 
+  test("dedupChunks keep-winner is deterministic under duplicate-id ties") {
+    import spark.implicits._
+    // two corpus rows share doc_id 7 with case-variant single chunks that
+    // collide in the case-insensitive hash group AND tie on
+    // (doc_id, chunk_idx) — without the chunk-text tie-break the surviving
+    // case variant is nondeterministic (hostile-DOCS duplicate-id class)
+    val docs = Seq(
+      (7L, "ALPHA BETA GAMMA DELTA"),
+      (7L, "alpha beta gamma delta")
+    ).toDF("doc_id", "text")
+    val kept = (1 to 5).map { _ =>
+      Curation.dedupChunks(docs, "doc_id", "text", chunkWords = 4)
+        .as[(Long, Int, String, Boolean)].collect()
+        .filter(_._4).map(_._3).toSeq
+    }
+    // exactly one of the two case variants survives, and it is the SAME
+    // one (the lexicographically-smaller chunk text) on every evaluation
+    assert(kept.forall(_ == Seq("ALPHA BETA GAMMA DELTA")), kept.toString)
+  }
+
+  test("approx_percentile rank denominator excludes null token counts") {
+    import spark.implicits._
+    // 9 non-null counts + 2 nulls: the sketch ranks over the 9 non-null
+    // inputs (ceil(0.5*9)=5th element = 50), NOT over 11 rows (ceil(0.5*11)
+    // =6th = 60) — the oracle's window arithmetic mirrors this
+    val vals = (1 to 9).map(i => Some(i * 10L)) ++ Seq(None, None)
+    val df = vals.toDF("n")
+    val got = df.agg(expr("approx_percentile(n, 0.5, 10000)")).head().getLong(0)
+    assert(got == 50L, s"p50 over non-nulls should be 50, got $got")
+  }
+
   // --- product quantization -------------------------------------------
 
   test("PQ: codebook vectors encode to their own codes; a planted twin is the ADC nearest neighbor") {
