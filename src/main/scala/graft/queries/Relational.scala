@@ -420,8 +420,18 @@ object Relational {
     * rows from the same events directly. */
   def qBinlogScan(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // one row per event_id before transcript synthesis: line numbers are
+    // derived from event_id (3i..3i+2), so two corpus rows claiming the
+    // same id would collide on line_no and make the parser's
+    // SET-TIMESTAMP carry-forward order — and thus which statement gets
+    // which timestamp — undefined (hostile-events duplicate-id class).
+    // Deterministic winner: smallest (ts, user_id), mirrored in the oracle.
+    val dedupW = Window.partitionBy($"event_id")
+      .orderBy($"ts".asc_nulls_last, $"user_id".asc_nulls_last)
     val ev = Tables.events(spark, dir).filter($"event_id" < 300)
       .select($"event_id", $"ts", $"user_id")
+      .withColumn("__rn", row_number().over(dedupW))
+      .filter($"__rn" === 1).drop("__rn")
     val kind = $"event_id" % 3
     val verb = when(kind === 0, "INSERT INTO").when(kind === 1, "UPDATE")
       .otherwise("DELETE FROM")
@@ -542,9 +552,14 @@ object Relational {
          FROM events WHERE event_id < 500 ORDER BY event_id""",
     "q_binlog_scan" ->
       """WITH ev AS (
-           SELECT event_id, user_id,
-                  CAST(floor(epoch(ts)) AS BIGINT) AS hts
-           FROM events WHERE event_id < 300),
+           SELECT event_id, user_id, hts FROM (
+             SELECT event_id, user_id,
+                    CAST(floor(epoch(ts)) AS BIGINT) AS hts,
+                    row_number() OVER (PARTITION BY event_id
+                                       ORDER BY ts ASC NULLS LAST,
+                                                user_id ASC NULLS LAST) AS dup_rn
+             FROM events WHERE event_id < 300)
+           WHERE dup_rn = 1),
          carried AS (
            SELECT event_id, user_id,
                   last_value(CASE WHEN event_id % 4 <> 0 THEN hts END IGNORE NULLS)

@@ -22,6 +22,7 @@ import os
 import random
 import shutil
 import sys
+from datetime import datetime
 
 import duckdb
 
@@ -31,11 +32,12 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 
 
 def clone_base(base, out, skip):
+    skip = {skip} if isinstance(skip, str) else set(skip)
     os.makedirs(out, exist_ok=True)
     for t in TABLES:
         src = f"{base}/{t}.parquet"
         dst = f"{out}/{t}.parquet"
-        if t == skip or not os.path.exists(src):
+        if t in skip or not os.path.exists(src):
             continue
         if os.path.exists(dst):
             os.remove(dst)
@@ -120,7 +122,106 @@ def hostile_vecs(base, out):
     print(f"hostile_vecs: {len(rows)} rows -> {out}/embeddings.parquet")
 
 
+def hostile_events(base, out):
+    """The r13 hostile-events wave's fixture, reproducible: NaN/±Inf
+    values, post-2038 + epoch-edge timestamps, null keys/types/values/ts,
+    duplicate event_ids (same AND different payload), exact (user, ts)
+    ties. q_monitor_catchup FAILS LOUDLY on the 230-year span by design —
+    exclude it from the oracle subset and assert the failure instead."""
+    clone_base(base, out, "events")
+    con = duckdb.connect()
+    orig = con.execute(
+        f"SELECT event_id, ts, user_id, event_type, value, props FROM "
+        f"'{base}/events.parquet' ORDER BY event_id").fetchall()
+    e5 = orig[5]
+    tie_ts = datetime(2024, 1, 2, 0, 30, 0)
+    rows = list(orig) + [
+        (9000, datetime(2024, 1, 2, 0, 0, 0), 8, "click", float("nan"), '{"k": 1}'),
+        (9001, datetime(2024, 1, 2, 0, 0, 1), 8, "view", float("inf"), '{"k": 2}'),
+        (9002, datetime(2024, 1, 2, 0, 0, 2), 9, "view", float("-inf"), '{"k": 3}'),
+        (9003, datetime(2200, 1, 1, 0, 0, 0), 10, "click", 1.0, '{"k": 4}'),
+        (9004, datetime(1970, 1, 1, 0, 0, 0), 10, "view", 2.0, '{"k": 5}'),
+        (9005, None, 11, "click", 3.0, '{"k": 6}'),           # null ts
+        (9006, datetime(2024, 1, 2, 0, 1, 0), None, "click", 4.0, '{"k": 7}'),
+        (9007, datetime(2024, 1, 2, 0, 2, 0), 12, None, 5.0, None),
+        (9008, datetime(2024, 1, 2, 0, 3, 0), 12, "error", None, '{"k": 8}'),
+        (5, e5[1], e5[2], e5[3], e5[4], e5[5]),               # dup id, same row
+        (6, datetime(2024, 1, 2, 0, 4, 0), 14, "purchase", 9.75,
+         '{"k": 999}'),                                       # dup id, diff row
+        (9009, tie_ts, 13, "click", 1.5, '{"k": 9}'),         # (user, ts) tie
+        (9010, tie_ts, 13, "view", 2.5, '{"k": 10}'),
+    ]
+    con.execute("""CREATE TABLE ev (event_id BIGINT, ts TIMESTAMP,
+                   user_id BIGINT, event_type VARCHAR, value DOUBLE,
+                   props VARCHAR)""")
+    con.executemany("INSERT INTO ev VALUES (?,?,?,?,?,?)", rows)
+    con.execute(f"COPY ev TO '{out}/events.parquet' (FORMAT parquet)")
+    print(f"hostile_events: {len(rows)} rows -> {out}/events.parquet")
+
+
+def hostile_tpch(base, out):
+    """The r13 hostile TPC-H fixture, reproducible: null join keys, null
+    group keys, NaN/±Inf prices, duplicate o_orderkey/c_custkey, null
+    dates across lineitem/orders/customer."""
+    clone_base(base, out, {"lineitem", "orders", "customer"})
+    con = duckdb.connect()
+
+    li = con.execute(
+        f"SELECT * FROM '{base}/lineitem.parquet' ORDER BY l_orderkey, "
+        f"l_linenumber").fetchall()
+    li0 = li[0]
+    d = datetime(2024, 3, 1)
+    li_rows = list(li) + [
+        (None, 1, 1, 901, 1.0, 100.0, 0.0, 0.0, "N", "O", d),   # null join key
+        (li0[0], 1, 1, 902, 1.0, 100.0, 0.0, 0.0, None, None, d),  # null group keys
+        (li0[0], 1, 1, 903, 1.0, float("nan"), 0.05, 0.01, "A", "F", d),
+        (li0[0], 1, 1, 904, 1.0, float("inf"), 0.05, 0.01, "A", "F", d),
+        (li0[0], 1, 1, 905, 1.0, float("-inf"), 0.05, 0.01, "A", "F", d),
+        (li0[0], 1, 1, 906, 2.0, 50.0, 0.0, 0.0, "N", "O", None),  # null date
+        tuple(li0),                                              # exact dup row
+    ]
+    con.execute("""CREATE TABLE li (l_orderkey BIGINT, l_partkey BIGINT,
+        l_suppkey BIGINT, l_linenumber INTEGER, l_quantity DOUBLE,
+        l_extendedprice DOUBLE, l_discount DOUBLE, l_tax DOUBLE,
+        l_returnflag VARCHAR, l_linestatus VARCHAR, l_shipdate TIMESTAMP)""")
+    con.executemany("INSERT INTO li VALUES (?,?,?,?,?,?,?,?,?,?,?)", li_rows)
+    con.execute(f"COPY li TO '{out}/lineitem.parquet' (FORMAT parquet)")
+
+    od = con.execute(
+        f"SELECT * FROM '{base}/orders.parquet' ORDER BY o_orderkey").fetchall()
+    od0 = od[0]
+    od_rows = list(od) + [
+        tuple(od0),                                              # dup key, same row
+        (od0[0], 77, "H", 123.45, datetime(2024, 4, 1), "1-URGENT"),  # dup key, diff
+        (9000001, None, "O", 50.0, datetime(2024, 4, 2), "3-MEDIUM"),  # null custkey
+        (9000002, 1, "O", float("nan"), datetime(2024, 4, 3), "3-MEDIUM"),
+        (9000003, 1, None, 60.0, None, None),                    # null status/date
+    ]
+    con.execute("""CREATE TABLE od (o_orderkey BIGINT, o_custkey BIGINT,
+        o_orderstatus VARCHAR, o_totalprice DOUBLE, o_orderdate TIMESTAMP,
+        o_orderpriority VARCHAR)""")
+    con.executemany("INSERT INTO od VALUES (?,?,?,?,?,?)", od_rows)
+    con.execute(f"COPY od TO '{out}/orders.parquet' (FORMAT parquet)")
+
+    cu = con.execute(
+        f"SELECT * FROM '{base}/customer.parquet' ORDER BY c_custkey").fetchall()
+    cu0 = cu[0]
+    cu_rows = list(cu) + [
+        (9000001, "Hostile Null Nation", None, 10.0, "BUILDING"),
+        (9000002, "Hostile Null Segment", 1, float("nan"), None),
+        tuple(cu0),                                              # dup custkey
+    ]
+    con.execute("""CREATE TABLE cu (c_custkey BIGINT, c_name VARCHAR,
+        c_nationkey INTEGER, c_acctbal DOUBLE, c_mktsegment VARCHAR)""")
+    con.executemany("INSERT INTO cu VALUES (?,?,?,?,?)", cu_rows)
+    con.execute(f"COPY cu TO '{out}/customer.parquet' (FORMAT parquet)")
+    print(f"hostile_tpch: li {len(li_rows)} / od {len(od_rows)} / "
+          f"cu {len(cu_rows)} rows -> {out}")
+
+
 if __name__ == "__main__":
     base, out_root = sys.argv[1], sys.argv[2]
     hostile_docs(base, f"{out_root}/hostile_docs")
     hostile_vecs(base, f"{out_root}/hostile_vecs")
+    hostile_events(base, f"{out_root}/hostile_events")
+    hostile_tpch(base, f"{out_root}/hostile_tpch")
