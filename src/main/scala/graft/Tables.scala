@@ -78,10 +78,28 @@ object Tables {
     * vectors NEVER do on the clean path, which PlanSpec pins). Only a
     * corpus that actually contains key collisions pays the vector-wide
     * dedup shuffle — the corrupted-corpus case, where correctness buys
-    * the exchange. At cluster scale this runs once at ingest and
-    * persists, not per query.
+    * the exchange. The validated frame is MEMOIZED per (session, dir):
+    * the probes run once per corpus per JVM, not once per query — the
+    * in-process analogue of the validate-once-at-ingest-and-persist
+    * pass a cluster deployment runs (cf. the reference's registry
+    * entity cache, `schematizer.py:52-76` — compute once, reuse). A
+    * caller that rewrites a corpus dir in place mid-session must call
+    * [[invalidateValidEmbeddings]] first.
     */
-  def validEmbeddings(spark: SparkSession, dir: String): DataFrame = {
+  def validEmbeddings(spark: SparkSession, dir: String): DataFrame =
+    validEmbCache.computeIfAbsent((spark, dir),
+      _ => buildValidEmbeddings(spark, dir))
+
+  private val validEmbCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  /** Drop every memoized validated-embeddings frame (tests / in-place
+    * fixture rewrites). Cheap — the memo holds lazy plans, not data. */
+  def invalidateValidEmbeddings(): Unit = validEmbCache.clear()
+
+  /** The uncached builder behind [[validEmbeddings]] — exposed for the
+    * plan specs that pin its scale properties per corpus shape. */
+  private[graft] def buildValidEmbeddings(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.expressions.Window
     val raw = embeddings(spark, dir)
@@ -99,9 +117,7 @@ object Tables {
           x.isNull || isnan(x) ||
             x < lit(Float.MinValue) || x > lit(Float.MaxValue)) &&
         exists(col("embedding"), x => x =!= 0.0f))
-      val hasDupIds = filtered
-        .agg((count(lit(1)) - count_distinct(col("vec_id"))).as("d"))
-        .head().getLong(0) > 0
+      val hasDupIds = dupIdProbe(filtered).head().getLong(0) > 0
       if (!hasDupIds) filtered
       else {
         val w = Window.partitionBy(col("vec_id"))
@@ -110,5 +126,14 @@ object Tables {
           .filter(col("__rn") === 1).drop("__rn")
       }
     }
+  }
+
+  /** The id-uniqueness pre-check of [[buildValidEmbeddings]]: counts key
+    * collisions over ids ONLY — its exchange carries aggregate buffers,
+    * never the vector column (PlanSpec pins this), so the clean path's
+    * cost is an ids-plus-filter-columns scan, not a vector-wide shuffle. */
+  private[graft] def dupIdProbe(filtered: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    filtered.agg((count(lit(1)) - count_distinct(col("vec_id"))).as("d"))
   }
 }

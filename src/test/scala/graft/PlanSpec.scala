@@ -378,6 +378,58 @@ class PlanSpec extends SparkTestBase {
       spark.conf.unset("spark.sql.sources.bucketing.autoBucketedScan.enabled")
   }
 
+  test("validEmbeddings: ids-only dup pre-check; vector-wide dedup shuffle paid only on collisions; memoized per (session, dir)") {
+    // the ingest guard's scale contract (Tables.scala): the id-uniqueness
+    // probe may shuffle aggregate buffers keyed on vec_id but NEVER the
+    // vector column; a collision-free corpus plans scan+filter only (no
+    // window, no exchange); only a corpus with real key collisions pays
+    // the vector-wide dedup window; and the validated frame memoizes per
+    // (session, dir) so the two eager probes run once per corpus per JVM,
+    // not once per query invocation
+    import spark.implicits._
+    val clean = Seq(
+      (0L, Seq(1.0f, 0.0f), 1), (1L, Seq(0.0f, 1.0f), 2),
+      (2L, Seq(0.5f, 0.5f), 3), (3L, Seq(0.2f, 0.8f), 4))
+      .toDF("vec_id", "embedding", "label")
+    val cleanDir = java.nio.file.Files.createTempDirectory("emb_clean").toString
+    clean.write.mode("overwrite").parquet(s"$cleanDir/embeddings.parquet")
+    val dupDir = java.nio.file.Files.createTempDirectory("emb_dup").toString
+    clean.union(Seq((1L, Seq(0.9f, 0.1f), 5)).toDF("vec_id", "embedding", "label"))
+      .write.mode("overwrite").parquet(s"$dupDir/embeddings.parquet")
+    try {
+      // (a) collision-free corpus: the published plan is scan + filter —
+      // no window, no exchange of any kind
+      val cleanPlan = Tables.buildValidEmbeddings(spark, cleanDir)
+        .queryExecution.explainString(FormattedMode)
+      assert(!cleanPlan.contains("Window") &&
+        !cleanPlan.linesIterator.exists(_.matches("\\(\\d+\\) Exchange.*")),
+        s"clean corpus must not pay a dedup window/shuffle:\n$cleanPlan")
+      // (b) a planted duplicate id buys the dedup window — and only then
+      val dupPlan = Tables.buildValidEmbeddings(spark, dupDir)
+        .queryExecution.explainString(FormattedMode)
+      assert(dupPlan.contains("Window"),
+        s"dup-id corpus must dedup through the keep-winner window:\n$dupPlan")
+      // (c) the id-uniqueness pre-check is an ids-only aggregation: every
+      // exchange in its plan (the vec_id-keyed partial and the final
+      // single-partition merge) carries counters, never the vector
+      val probePlan = Tables.dupIdProbe(Tables.buildValidEmbeddings(spark, cleanDir))
+        .queryExecution.explainString(FormattedMode)
+      val probeLines = probePlan.linesIterator.toVector
+      val exchangeInputs = probeLines.zipWithIndex
+        .collect { case (l, i) if l.matches("\\(\\d+\\) Exchange.*") =>
+          probeLines.drop(i + 1).takeWhile(_.trim.nonEmpty)
+            .find(_.trim.startsWith("Input")).getOrElse("")
+        }
+      assert(exchangeInputs.nonEmpty, s"expected exchanges in the probe plan:\n$probePlan")
+      exchangeInputs.foreach(in => assert(!in.contains("embedding#"),
+        s"the dup pre-check shuffles the vector column:\n$in"))
+      // (d) memoized per (session, dir): same instance back, probes not re-run
+      val first = Tables.validEmbeddings(spark, cleanDir)
+      assert(first eq Tables.validEmbeddings(spark, cleanDir),
+        "validEmbeddings must memoize per (session, dir)")
+    } finally Tables.invalidateValidEmbeddings()
+  }
+
   test("t_top_tokens aggregates sketches map-side before one exchange") {
     val p = planOf("t_top_tokens")
     assert(p.contains("partial_approx_top_k") || p.contains("ObjectHashAggregate"),
