@@ -537,8 +537,15 @@ object LlmOps {
     Tables.documents(spark, dir)
       .select($"doc_id", content.as("content"))
       .select($"doc_id", posexplode(Multimodal.frameSlices($"content", 4)))
+      // digest = md5(hex(bytes)): frame extraction slices the payload's
+      // BYTES (a media payload is a byte stream — on a multi-byte char a
+      // slice boundary may split a code point, by design), and DuckDB 1.0
+      // can neither slice nor md5 a BLOB, so both engines hash the
+      // uppercase hex of the byte slice — same information, oracle-
+      // expressible (hostile-MEDIA wave, r16)
       .select($"doc_id", $"pos".cast("int").as("frame_ix"),
-        length($"col").cast("long").as("frame_len"), md5($"col").as("frame_md5"))
+        length($"col").cast("long").as("frame_len"),
+        md5(hex($"col")).as("frame_md5"))
       .orderBy($"doc_id", $"frame_ix")
   }
 
@@ -554,8 +561,9 @@ object LlmOps {
     val resized = Multimodal.resizeStub(content, lit(320), lit(240))
     Tables.documents(spark, dir)
       .select($"doc_id", resized.as("content"))
+      // md5(hex(bytes)) digest convention — see qFrameSample
       .select($"doc_id", Multimodal.extractMeta($"content", "image").as("m"),
-        md5(substring($"content", 13, Int.MaxValue)).as("payload_md5"))
+        md5(hex(substring($"content", 13, Int.MaxValue))).as("payload_md5"))
       .select($"doc_id", $"m.width", $"m.height", $"m.n_bytes", $"payload_md5")
       .orderBy($"doc_id")
   }
@@ -580,9 +588,12 @@ object LlmOps {
       "content", bins = 16)
     withHist
       .select($"doc_id", $"__len", posexplode($"hist"))
+      // freq is NULL on a zero-code-point payload: 0/0 has no frequency
+      // semantics, and the engines' native reads differ (Spark double NaN
+      // vs DuckDB NULL) — pinned NULL on both sides (hostile-MEDIA wave)
       .select($"doc_id", $"pos".cast("int").as("bin"),
         $"col".as("bin_count"),
-        round($"col" / $"__len", 6).as("freq"))
+        when($"__len" > 0, round($"col" / $"__len", 6)).as("freq"))
       .orderBy($"doc_id", $"bin")
   }
 
@@ -1278,17 +1289,31 @@ object LlmOps {
          SELECT v1, v2, cosine FROM verified
          WHERE cosine >= 0.4 AND NOT isnan(cosine) ORDER BY v1, v2""",
     "m_media_resize" ->
+      // byte semantics + md5(hex(bytes)) digest, lockstep with the
+      // operator (see m_frame_sample). A null-text row synthesizes NULL
+      // content, so every output field of that row is NULL — including
+      // the constant target dims (hostile-MEDIA wave)
+      // h is NULL exactly when content construction fails (null text OR
+      // null n_chars) and gates every output: DuckDB's greatest/least
+      // IGNORE NULL arguments, so the ungated arithmetic would invent
+      // k=1 / n_bytes=13 for a row Spark nulls wholesale
       """WITH m AS (
-           SELECT doc_id, n_chars % 1920 AS ow, strlen(text) AS plen, text
+           SELECT doc_id, n_chars % 1920 AS ow,
+                  CASE WHEN n_chars IS NOT NULL THEN hex(encode(text)) END AS h,
+                  octet_length(encode(text)) AS plen
            FROM documents),
          calc AS (
-           SELECT doc_id, text, plen,
-                  greatest(1, CAST(floor((plen * 320.0) / greatest(ow, 1)) AS BIGINT)) AS k
+           SELECT doc_id, h, plen,
+                  CASE WHEN h IS NOT NULL THEN
+                    greatest(1, CAST(floor((plen * 320.0) / greatest(ow, 1)) AS BIGINT))
+                  END AS k
            FROM m)
          SELECT doc_id,
-                CAST(320 AS INTEGER) AS width, CAST(240 AS INTEGER) AS height,
-                CAST(12 + least(k, plen) AS BIGINT) AS n_bytes,
-                md5(substr(text, 1, CAST(k AS INT))) AS payload_md5
+                CAST(CASE WHEN k IS NOT NULL THEN 320 END AS INTEGER) AS width,
+                CAST(CASE WHEN k IS NOT NULL THEN 240 END AS INTEGER) AS height,
+                CAST(CASE WHEN k IS NOT NULL
+                          THEN 12 + least(k, plen) END AS BIGINT) AS n_bytes,
+                md5(substr(h, 1, CAST(2 * k AS INT))) AS payload_md5
          FROM calc ORDER BY doc_id""",
     "t_doc_stats" ->
       """SELECT doc_id,
@@ -1358,32 +1383,65 @@ object LlmOps {
                   '[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS redacted
          FROM pii ORDER BY doc_id""",
     "m_media_meta" ->
+      // a null text or null n_chars synthesizes NULL content, so every
+      // header-derived field of that row is NULL — including dims whose
+      // formula would otherwise still evaluate (hostile-MEDIA wave);
+      // kind stays 'image': it is caller-supplied, not content-derived
       """SELECT doc_id,
                 'image' AS kind,
-                CAST(n_chars % 1920 AS INTEGER) AS width,
-                CAST((doc_id * 7) % 1080 AS INTEGER) AS height,
-                CAST(12 + strlen(text) AS BIGINT) AS n_bytes
+                CAST(CASE WHEN text IS NOT NULL THEN n_chars % 1920 END
+                     AS INTEGER) AS width,
+                CAST(CASE WHEN text IS NOT NULL AND n_chars IS NOT NULL
+                          THEN (doc_id * 7) % 1080 END AS INTEGER) AS height,
+                CAST(CASE WHEN n_chars IS NOT NULL
+                          THEN 12 + strlen(text) END AS BIGINT) AS n_bytes
          FROM documents ORDER BY doc_id""",
     "m_frame_sample" ->
-      """WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents)
+      // BYTE semantics in lockstep with the operator (hostile-MEDIA wave):
+      // frames slice the payload's bytes, not characters — n counts UTF-8
+      // bytes and the slice is taken on the hex string at 2x byte offsets
+      // (DuckDB 1.0 cannot slice/md5 BLOBs); digest = md5(hex(bytes)) on
+      // both sides
+      """WITH d AS (SELECT doc_id, hex(encode(text)) AS h,
+                           octet_length(encode(text)) AS n
+                    FROM documents)
          SELECT doc_id,
                 CAST(i AS INTEGER) AS frame_ix,
                 CAST(n // 4 AS BIGINT) AS frame_len,
-                md5(substr(text, 1 + (n * i) // 4, n // 4)) AS frame_md5
+                md5(substr(h, CAST(1 + 2 * ((n * i) // 4) AS INT),
+                           CAST(2 * (n // 4) AS INT))) AS frame_md5
          FROM d, range(0, 4) r(i)
          ORDER BY doc_id, frame_ix""",
     "m_media_embed" ->
-      """WITH cnt AS (
-           SELECT doc_id, ascii(c) % 16 AS bin, count(*) AS n
-           FROM (SELECT doc_id, unnest(string_split(text, '')) AS c FROM documents)
-           GROUP BY 1, 2),
-         d AS (SELECT doc_id, length(text) AS len FROM documents)
-         SELECT d.doc_id,
-                CAST(r.bin AS INTEGER) AS bin,
+      // only rows whose content CONSTRUCTION succeeds emit bins: a null
+      // text or null n_chars synthesizes NULL content, whose histogram is
+      // a poisoned row (no bins), not a zero vector; freq is NULL on a
+      // zero-code-point payload — 0/0 has no frequency semantics
+      // (hostile-MEDIA wave, lockstep with the Spark side)
+      // c <> '': string_split('', '') yields [''] — a phantom empty char
+      // (ascii 0) that Spark's codePoints() of an empty payload does not
+      // contain (same phantom-empty-token rule as the boilerplate oracle).
+      // Per-ROW histograms keyed on (doc_id, sub): a document is a corpus
+      // row — duplicate doc_ids are two documents, each with its own
+      // histogram, never a merged per-id count (same rule as t_linear_score)
+      """WITH rws AS (
+           SELECT doc_id, text, length(text) AS len,
+                  row_number() OVER (PARTITION BY doc_id ORDER BY text) AS sub
+           FROM documents
+           WHERE text IS NOT NULL AND n_chars IS NOT NULL),
+         cnt AS (
+           SELECT doc_id, sub, ascii(c) % 16 AS bin, count(*) AS n
+           FROM (SELECT doc_id, sub, unnest(string_split(text, '')) AS c FROM rws)
+           WHERE c <> ''
+           GROUP BY 1, 2, 3)
+         SELECT r.doc_id,
+                CAST(b.bin AS INTEGER) AS bin,
                 CAST(coalesce(cnt.n, 0) AS BIGINT) AS bin_count,
-                round(coalesce(cnt.n, 0) * 1.0 / d.len, 6) AS freq
-         FROM d CROSS JOIN range(0, 16) r(bin)
-         LEFT JOIN cnt ON cnt.doc_id = d.doc_id AND cnt.bin = r.bin
+                CASE WHEN r.len > 0
+                     THEN round(coalesce(cnt.n, 0) * 1.0 / r.len, 6) END AS freq
+         FROM rws r CROSS JOIN range(0, 16) b(bin)
+         LEFT JOIN cnt ON cnt.doc_id = r.doc_id AND cnt.sub = r.sub
+                      AND cnt.bin = b.bin
          ORDER BY 1, 2""",
     "sim_hamming_topk" ->
       """WITH toks AS (

@@ -364,6 +364,95 @@ class ToolsSpec extends SparkTestBase {
     assert(badOut.isNullAt(2) && badOut.isNullAt(3))
   }
 
+  test("multimodal: hostile media bytes poison their row, never the task (hostile-MEDIA wave)") {
+    // the r15 verdict's hostile-MEDIA list, fed DIRECTLY to every
+    // multimodal entry point as crafted bytes (the m_* queries synthesize
+    // valid GMM1 from documents, so wrong-magic/truncated/lying headers
+    // can only be exercised at the operator seam): each hostile object
+    // must yield a null-poisoned row — a 100 TB media column always
+    // contains a few of each, and one of them failing the task kills the
+    // whole job after 4 retries
+    import spark.implicits._
+    def gmm1(w: Int, h: Int, payload: Array[Byte]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(12 + payload.length)
+      bb.put(Multimodal.Magic).putInt(w).putInt(h).put(payload)
+      bb.array()
+    }
+    val bigPayload = Array.fill[Byte](4 * 1024 * 1024)('a'.toByte)
+    // a real PNG whose IHDR dims are patched to lie (50000×50000) without
+    // fixing the CRC — the real-codec path must reject it (CRC check or
+    // decompression-bomb guard), not allocate a 10 GB raster or kill the task
+    val lyingPng = {
+      val img = new java.awt.image.BufferedImage(
+        2, 2, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      val b = bos.toByteArray
+      val bb = java.nio.ByteBuffer.wrap(b)
+      bb.putInt(16, 50000); bb.putInt(20, 50000) // IHDR width/height
+      b
+    }
+    val rows = Seq(
+      (1L, gmm1(8, 4, "good payload".getBytes("UTF-8"))), // control
+      (2L, Multimodal.Magic ++ Array[Byte](0, 0)),        // truncated header
+      (3L, "ZZZZ      pay"
+        .getBytes("ISO-8859-1")),                         // wrong magic
+      (4L, gmm1(0, 0, "zero dims".getBytes("UTF-8"))),    // zero-dimension
+      (5L, null.asInstanceOf[Array[Byte]]),               // null content
+      (6L, gmm1(1920, 1080, bigPayload)),                 // multi-MB blob
+      (7L, gmm1(2, 2, "first".getBytes("UTF-8"))),        // dup media id ...
+      (7L, gmm1(3, 3, "second".getBytes("UTF-8"))),       // ... both kept
+      (8L, lyingPng),                                     // lying real header
+      (9L, gmm1(Int.MaxValue, Int.MaxValue,
+        "tiny".getBytes("UTF-8"))))                       // lying GMM1 header
+    val df = rows.toDF("id", "content")
+
+    // header-only meta: pure column ops — reports DECLARED dims (its
+    // contract), null content → null fields, truncated header → partial
+    val meta = df.select($"id", Multimodal.extractMeta($"content", "image").as("m"))
+      .select($"id", $"m.width", $"m.height", $"m.n_bytes").collect()
+    assert(meta.length == rows.size)
+    val metaById = meta.groupBy(_.getLong(0))
+    assert(metaById(4L).head.getInt(1) == 0 && metaById(4L).head.getInt(2) == 0)
+    assert(metaById(5L).head.isNullAt(1) && metaById(5L).head.isNullAt(3))
+    assert(metaById(6L).head.getLong(3) == 12L + bigPayload.length)
+
+    // batched decode: control + big blob decode; every hostile row → nulls
+    val dec = Multimodal.decodePartitioned(df, "content", batchSize = 3)
+      .select($"id", $"decoded_width", $"decoded_height", $"payload_checksum")
+      .collect()
+    assert(dec.length == rows.size, "a hostile row must not drop or fail the task")
+    val decById = dec.groupBy(_.getLong(0))
+    assert(decById(1L).head.getInt(1) == 8 &&
+      decById(1L).head.getLong(3) == "good payload".getBytes("UTF-8").map(_ & 0xff).sum.toLong)
+    assert(decById(6L).head.getLong(3) == bigPayload.map(_ & 0xff).map(_.toLong).sum)
+    Seq(2L, 3L, 5L, 8L).foreach(id => assert(decById(id).head.isNullAt(3),
+      s"hostile id=$id must decode to a null row"))
+    // lying GMM1 header: the synthetic path trusts declared dims only as
+    // reported metadata — the checksum still sums the ACTUAL payload
+    assert(decById(9L).head.getLong(3) == "tiny".getBytes("UTF-8").map(_ & 0xff).sum.toLong)
+    assert(decById(7L).map(_.getLong(3)).toSet.size == 2,
+      "duplicate media ids are two rows, both decoded")
+
+    // frame slices + resize: column arithmetic over hostile lengths must
+    // not throw (negative payload lengths, zero widths)
+    val sliced = df.select($"id",
+      Multimodal.frameSlices($"content", 4).as("fr"),
+      Multimodal.resizeStub($"content", lit(320), lit(240)).as("rz"))
+      .collect()
+    assert(sliced.length == rows.size)
+    val r5 = sliced.find(_.getLong(0) == 5L).get
+    assert(r5.isNullAt(2), "resize of null content must be null")
+    assert(r5.getSeq[AnyRef](1) == null || r5.getSeq[AnyRef](1).forall(_ == null),
+      "frame slices of null content must all be null")
+
+    // histogram seam: non-GMM1/null → null hist, control intact
+    val hists = Multimodal.byteHistogram(df, "content", bins = 16)
+      .select($"id", $"hist").collect().groupBy(_.getLong(0))
+    assert(!hists(1L).head.isNullAt(1))
+    Seq(2L, 3L, 5L, 8L).foreach(id => assert(hists(id).head.isNullAt(1)))
+  }
+
   test("pii redaction replaces emails and phone-like numbers, counts match") {
     import spark.implicits._
     import graft.operators.TextAnalysis
