@@ -650,15 +650,15 @@ object CurationOps {
       // (like every SQL aggregate) skips NULL inputs, so a null-text row
       // (n_tokens NULL, hostile-DOCS fixture) must not inflate the rank
       // denominator n — it still counts in n_docs, matching Spark's
-      // count(lit(1))
+      // count(lit(1)). NULLS LAST parks null rows at ranks > n =
+      // count(n_tokens), so they can never match ceil(p*n) — no extra
+      // null guard needed (r15 ADVICE)
       """WITH d AS (SELECT lang,
                     CAST(len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) AS BIGINT) AS n_tokens
                     FROM documents),
          r AS (SELECT lang, n_tokens,
-                      CASE WHEN n_tokens IS NULL THEN NULL
-                           ELSE row_number() OVER (
-                                  PARTITION BY lang, n_tokens IS NULL
-                                  ORDER BY n_tokens) END AS rn,
+                      row_number() OVER (PARTITION BY lang
+                                         ORDER BY n_tokens NULLS LAST) AS rn,
                       count(n_tokens) OVER (PARTITION BY lang) AS n
                FROM d)
          SELECT lang, count(*) AS n_docs,

@@ -112,6 +112,17 @@ class PayloadCodecSpec extends SparkTestBase {
     val nullData = intercept[NullPointerException] { AvroCodec.encode(bad, schema) }
     assert(AvroCodec.isNullDataNpe(nullData),
       s"writer null-data NPE must dead-letter: ${nullData.getMessage}")
+    // upgrade canary (r15 verdict nit): isNullDataNpe matches on message
+    // prefixes, so an Avro bump that rewords the writer's signal would
+    // silently narrow the dead-letter gate (null-data rows start failing
+    // tasks) with no test catching it — the gate assertion above would
+    // still pass via whichever arm survived. Pin the live writer's ACTUAL
+    // signal shape: if this fails after a dependency change, re-audit the
+    // prefixes in AvroCodec.isNullDataNpe against the new wording.
+    assert(nullData.getMessage != null &&
+      nullData.getMessage.startsWith("null value for (non-nullable)"),
+      s"avro writer's null-data wording changed — re-audit isNullDataNpe " +
+        s"prefixes: ${nullData.getMessage}")
     // any OTHER NPE — a code bug, a transient fault under load — must
     // NOT be absorbed as a dead letter (the r14 flake class)
     val foreign = new NullPointerException("some transient fault")

@@ -92,7 +92,12 @@ def hostile_vecs(base, out):
         f"SELECT vec_id, embedding, label FROM "
         f"'{base}/embeddings.parquet' ORDER BY vec_id").fetchall()
     dim = len(orig[0][1])
-    vec7 = orig[7][1]
+    # look planted-duplicate donors up BY ID (r15 ADVICE: ids may be sparse
+    # or non-zero-based in a future base — a positional orig[i] would then
+    # silently stop planting the 'dup id' class); fall back to mid-table
+    # rows so the plant still lands on SOME existing id
+    e7 = next((r for r in orig if r[0] == 7), orig[len(orig) // 2])
+    e8 = next((r for r in orig if r[0] == 8), orig[len(orig) // 2 + 1])
     # irregular components: a 0.1-step grid made centroid sums land exactly
     # on 6-dp half boundaries, where Spark's BigDecimal HALF_UP and DuckDB's
     # float-multiply round() legitimately differ by 1 ppm — that is inherent
@@ -112,8 +117,8 @@ def hostile_vecs(base, out):
         (9005, [0.5] * (dim + 16), 2),     # wrong dim: long
         (9006, None, 0),                   # null embedding
         (9007, [], 1),                     # empty array
-        (7, vec7, orig[7][2]),             # dup vec_id, same vector
-        (8, [9.9] * dim, 2),               # dup vec_id, different vector
+        (e7[0], e7[1], e7[2]),             # dup vec_id, same vector
+        (e8[0], [9.9] * dim, 2),           # dup vec_id, different vector
         (9008, base_v, None),              # null label
     ]
     con.execute("CREATE TABLE e (vec_id BIGINT, embedding FLOAT[], label INTEGER)")
@@ -133,7 +138,11 @@ def hostile_events(base, out):
     orig = con.execute(
         f"SELECT event_id, ts, user_id, event_type, value, props FROM "
         f"'{base}/events.parquet' ORDER BY event_id").fetchall()
-    e5 = orig[5]
+    # by-id lookup, not positional (r15 ADVICE: sparse/non-zero-based ids
+    # would otherwise silently demote the 'dup id' plants), with mid-table
+    # fallbacks so the plant still duplicates SOME existing id
+    e5 = next((r for r in orig if r[0] == 5), orig[len(orig) // 2])
+    e6 = next((r for r in orig if r[0] == 6), orig[len(orig) // 2 + 1])
     tie_ts = datetime(2024, 1, 2, 0, 30, 0)
     rows = list(orig) + [
         (9000, datetime(2024, 1, 2, 0, 0, 0), 8, "click", float("nan"), '{"k": 1}'),
@@ -145,8 +154,8 @@ def hostile_events(base, out):
         (9006, datetime(2024, 1, 2, 0, 1, 0), None, "click", 4.0, '{"k": 7}'),
         (9007, datetime(2024, 1, 2, 0, 2, 0), 12, None, 5.0, None),
         (9008, datetime(2024, 1, 2, 0, 3, 0), 12, "error", None, '{"k": 8}'),
-        (5, e5[1], e5[2], e5[3], e5[4], e5[5]),               # dup id, same row
-        (6, datetime(2024, 1, 2, 0, 4, 0), 14, "purchase", 9.75,
+        tuple(e5),                                            # dup id, same row
+        (e6[0], datetime(2024, 1, 2, 0, 4, 0), 14, "purchase", 9.75,
          '{"k": 999}'),                                       # dup id, diff row
         (9009, tie_ts, 13, "click", 1.5, '{"k": 9}'),         # (user, ts) tie
         (9010, tie_ts, 13, "view", 2.5, '{"k": 10}'),
