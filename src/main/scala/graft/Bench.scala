@@ -580,20 +580,17 @@ object Bench {
       try {
         prevBench.map { content =>
           val prevTimes = parseQueryMedians(content)
-          val flags = results.collect {
-            case (name, median, _) if median > 0 && prevTimes.get(name).exists { p =>
-              p > 0 && math.abs(median - p) / p > 0.20
-            } => name
+          // one delta pass derives BOTH lists so the published flag list
+          // and the mass-drift trigger can never desynchronize on a
+          // threshold/guard edit applied to only one of them
+          val deltas = results.flatMap { case (name, median, _) =>
+            prevTimes.get(name).collect {
+              case p if median > 0 && p > 0 => name -> (median - p) / p
+            }
           }
-          val slow = results.collect {
-            case (name, median, _) if median > 0 && prevTimes.get(name).exists { p =>
-              p > 0 && (median - p) / p > 0.20
-            } => name
-          }
-          val comparable = results.count { case (name, median, _) =>
-            median > 0 && prevTimes.get(name).exists(_ > 0)
-          }
-          (flags, slow, comparable)
+          val flags = deltas.collect { case (n, d) if math.abs(d) > 0.20 => n }
+          val slow = deltas.collect { case (n, d) if d > 0.20 => n }
+          (flags, slow, deltas.size)
         }.getOrElse((Seq.empty[String], Seq.empty[String], 0))
       } catch { case _: Throwable => (Seq.empty[String], Seq.empty[String], 0) }
 

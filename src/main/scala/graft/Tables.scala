@@ -86,15 +86,27 @@ object Tables {
     * caller that rewrites a corpus dir in place mid-session must call
     * [[invalidateValidEmbeddings]] first.
     */
-  def validEmbeddings(spark: SparkSession, dir: String): DataFrame =
+  def validEmbeddings(spark: SparkSession, dir: String): DataFrame = {
+    // bound the memo: each entry's plan references its SparkSession, so a
+    // driver sweeping many corpora (or cycling sessions) must not retain
+    // stopped sessions forever. A full flush merely re-runs two tiny
+    // probe jobs per corpus on next touch, so the crude eviction is fine.
+    if (validEmbCache.size > ValidEmbCacheMax) validEmbCache.clear()
     validEmbCache.computeIfAbsent((spark, dir),
       _ => buildValidEmbeddings(spark, dir))
+  }
 
+  private val ValidEmbCacheMax = 64
   private val validEmbCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
 
-  /** Drop every memoized validated-embeddings frame (tests / in-place
-    * fixture rewrites). Cheap — the memo holds lazy plans, not data. */
+  /** Drop the memoized frame for ONE (session, dir) — the in-place
+    * corpus-rewrite hook; other sessions/corpora keep their entries. */
+  def invalidateValidEmbeddings(spark: SparkSession, dir: String): Unit =
+    validEmbCache.remove((spark, dir))
+
+  /** Drop every memoized validated-embeddings frame (tests / teardown).
+    * Cheap — the memo holds lazy plans, not data. */
   def invalidateValidEmbeddings(): Unit = validEmbCache.clear()
 
   /** The uncached builder behind [[validEmbeddings]] — exposed for the

@@ -1402,8 +1402,14 @@ object LlmOps {
       // bytes and the slice is taken on the hex string at 2x byte offsets
       // (DuckDB 1.0 cannot slice/md5 BLOBs); digest = md5(hex(bytes)) on
       // both sides
-      """WITH d AS (SELECT doc_id, hex(encode(text)) AS h,
-                           octet_length(encode(text)) AS n
+      // h/n gated on n_chars like every sibling media oracle: a null
+      // n_chars synthesizes NULL content even when text is present, so
+      // the row's frames are NULL on both sides
+      """WITH d AS (SELECT doc_id,
+                           CASE WHEN n_chars IS NOT NULL
+                                THEN hex(encode(text)) END AS h,
+                           CASE WHEN n_chars IS NOT NULL
+                                THEN octet_length(encode(text)) END AS n
                     FROM documents)
          SELECT doc_id,
                 CAST(i AS INTEGER) AS frame_ix,

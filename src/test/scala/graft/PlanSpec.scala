@@ -415,10 +415,14 @@ class PlanSpec extends SparkTestBase {
       val probePlan = Tables.dupIdProbe(Tables.buildValidEmbeddings(spark, cleanDir))
         .queryExecution.explainString(FormattedMode)
       val probeLines = probePlan.linesIterator.toVector
+      // a missing Input line is a FAILURE, not a vacuous pass: if a Spark
+      // upgrade reformats the Exchange detail block, this pin must go red
+      // rather than keep passing while checking nothing
       val exchangeInputs = probeLines.zipWithIndex
         .collect { case (l, i) if l.matches("\\(\\d+\\) Exchange.*") =>
           probeLines.drop(i + 1).takeWhile(_.trim.nonEmpty)
-            .find(_.trim.startsWith("Input")).getOrElse("")
+            .find(_.trim.startsWith("Input"))
+            .getOrElse(fail(s"Exchange block without an Input line in:\n$probePlan"))
         }
       assert(exchangeInputs.nonEmpty, s"expected exchanges in the probe plan:\n$probePlan")
       exchangeInputs.foreach(in => assert(!in.contains("embedding#"),

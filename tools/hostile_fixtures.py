@@ -31,6 +31,19 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
+def donor_row(orig, want_id, avoid_id=None):
+    """Duplicate-plant donor: the row with the given id, else a mid-table
+    fallback. Never returns avoid_id (the two dup plants must land on two
+    DISTINCT ids or the 'same payload' and 'different payload' classes
+    merge) and never indexes out of range (a 2-row base made the old
+    len//2+1 fallback crash)."""
+    r = next((r for r in orig if r[0] == want_id), None)
+    if r is not None and (avoid_id is None or r[0] != avoid_id):
+        return r
+    pool = [r for r in orig if avoid_id is None or r[0] != avoid_id]
+    return pool[len(pool) // 2]
+
+
 def clone_base(base, out, skip):
     skip = {skip} if isinstance(skip, str) else set(skip)
     os.makedirs(out, exist_ok=True)
@@ -76,6 +89,8 @@ def hostile_docs(base, out):
          "en", "src_h", 44),                                # dup id, diff text
         (9006, "null metadata text body here", None, None, 28),
         (9007, "short body", "en", "src_h", 999_999),       # lying n_chars
+        (9009, "text present but n_chars null", "en", "src_h",
+         None),                                             # null n_chars
         (9008, doc0_text, "es", "src_h", len(doc0_text)),   # content dup of 0
     ]
     con.execute("""CREATE TABLE d (doc_id BIGINT, text VARCHAR, lang VARCHAR,
@@ -92,12 +107,10 @@ def hostile_vecs(base, out):
         f"SELECT vec_id, embedding, label FROM "
         f"'{base}/embeddings.parquet' ORDER BY vec_id").fetchall()
     dim = len(orig[0][1])
-    # look planted-duplicate donors up BY ID (r15 ADVICE: ids may be sparse
-    # or non-zero-based in a future base — a positional orig[i] would then
-    # silently stop planting the 'dup id' class); fall back to mid-table
-    # rows so the plant still lands on SOME existing id
-    e7 = next((r for r in orig if r[0] == 7), orig[len(orig) // 2])
-    e8 = next((r for r in orig if r[0] == 8), orig[len(orig) // 2 + 1])
+    # planted-duplicate donors BY ID (r15 ADVICE: ids may be sparse or
+    # non-zero-based in a future base), distinct and bounds-safe
+    e7 = donor_row(orig, 7)
+    e8 = donor_row(orig, 8, avoid_id=e7[0])
     # irregular components: a 0.1-step grid made centroid sums land exactly
     # on 6-dp half boundaries, where Spark's BigDecimal HALF_UP and DuckDB's
     # float-multiply round() legitimately differ by 1 ppm — that is inherent
@@ -139,10 +152,10 @@ def hostile_events(base, out):
         f"SELECT event_id, ts, user_id, event_type, value, props FROM "
         f"'{base}/events.parquet' ORDER BY event_id").fetchall()
     # by-id lookup, not positional (r15 ADVICE: sparse/non-zero-based ids
-    # would otherwise silently demote the 'dup id' plants), with mid-table
-    # fallbacks so the plant still duplicates SOME existing id
-    e5 = next((r for r in orig if r[0] == 5), orig[len(orig) // 2])
-    e6 = next((r for r in orig if r[0] == 6), orig[len(orig) // 2 + 1])
+    # would otherwise silently demote the 'dup id' plants), distinct and
+    # bounds-safe via donor_row
+    e5 = donor_row(orig, 5)
+    e6 = donor_row(orig, 6, avoid_id=e5[0])
     tie_ts = datetime(2024, 1, 2, 0, 30, 0)
     rows = list(orig) + [
         (9000, datetime(2024, 1, 2, 0, 0, 0), 8, "click", float("nan"), '{"k": 1}'),
