@@ -82,7 +82,9 @@ object Tables {
     * the probes run once per corpus per JVM, not once per query — the
     * in-process analogue of the validate-once-at-ingest-and-persist
     * pass a cluster deployment runs (cf. the reference's registry
-    * entity cache, `schematizer.py:52-76` — compute once, reuse). A
+    * entity cache, `schematizer.py:52-76` — compute once, reuse); the
+    * CROSS-session path is [[persistValidEmbeddings]], which
+    * materializes the validated table so later jobs pay a bare scan. A
     * caller that rewrites a corpus dir in place mid-session must call
     * [[invalidateValidEmbeddings]] first.
     */
@@ -109,9 +111,41 @@ object Tables {
     * Cheap — the memo holds lazy plans, not data. */
   def invalidateValidEmbeddings(): Unit = validEmbCache.clear()
 
+  /** Basename of the materialized validated-embeddings table inside a
+    * corpus dir — written by [[persistValidEmbeddings]], preferred by
+    * every later load. */
+  val ValidEmbeddingsTable = "embeddings_valid.parquet"
+
+  /** Materialize the validated frame as `$dir/embeddings_valid.parquet`
+    * — the at-scale ingest path: run ONCE after ingest, and every later
+    * session (or cluster job) loads the validated table directly with
+    * zero probe jobs and zero re-filtering. Always validates from the
+    * RAW embeddings table (never from a stale persisted copy) and drops
+    * this session's memo entry so the next [[validEmbeddings]] call
+    * picks the materialized table up. Like any materialized view, a
+    * corpus rewritten after persisting must re-persist — the table is
+    * trusted as-is on load. */
+  def persistValidEmbeddings(spark: SparkSession, dir: String): String = {
+    val out = s"$dir/$ValidEmbeddingsTable"
+    validateRawEmbeddings(spark, dir).write.mode("overwrite").parquet(out)
+    invalidateValidEmbeddings(spark, dir)
+    out
+  }
+
   /** The uncached builder behind [[validEmbeddings]] — exposed for the
-    * plan specs that pin its scale properties per corpus shape. */
+    * plan specs that pin its scale properties per corpus shape. Prefers
+    * a table materialized by [[persistValidEmbeddings]] (a bare scan, no
+    * probes, no filter); otherwise validates the raw table. */
   private[graft] def buildValidEmbeddings(spark: SparkSession, dir: String): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/$ValidEmbeddingsTable")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(p)) spark.read.parquet(p.toString)
+    else validateRawEmbeddings(spark, dir)
+  }
+
+  /** Validation from the raw embeddings table (see [[validEmbeddings]]
+    * for the rules). */
+  private def validateRawEmbeddings(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.expressions.Window
     val raw = embeddings(spark, dir)

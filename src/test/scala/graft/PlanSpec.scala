@@ -431,6 +431,22 @@ class PlanSpec extends SparkTestBase {
       val first = Tables.validEmbeddings(spark, cleanDir)
       assert(first eq Tables.validEmbeddings(spark, cleanDir),
         "validEmbeddings must memoize per (session, dir)")
+      // (e) the ingest-persist path: materializing the validated table
+      // makes every later load a BARE SCAN of it — no probes, no filter,
+      // no window — with the dedup already baked in
+      val prePersist = Tables.buildValidEmbeddings(spark, dupDir)
+        .orderBy("vec_id").collect().map(_.toSeq)
+      val out = Tables.persistValidEmbeddings(spark, dupDir)
+      val loaded = Tables.validEmbeddings(spark, dupDir)
+      val loadedPlan = loaded.queryExecution.explainString(FormattedMode)
+      assert(loadedPlan.contains("embeddings_valid") &&
+        !loadedPlan.contains("Window") && !loadedPlan.contains("Filter"),
+        s"post-persist load must be a bare scan of $out:\n$loadedPlan")
+      assert(loaded.orderBy("vec_id").collect().map(_.toSeq).toSeq ==
+        prePersist.toSeq,
+        "persisted table must hold exactly the validated rows")
+      assert(loaded.count() == clean.count(),
+        "the planted duplicate id must be resolved in the persisted table")
     } finally Tables.invalidateValidEmbeddings()
   }
 
