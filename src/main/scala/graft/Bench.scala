@@ -487,12 +487,15 @@ object Bench {
     // BENCH_r*.json in the working directory (the driver writes one per
     // round) and flag queries whose median moved > 20% — the gate the
     // single-run bench could not provide.
-    val (prevBench: Option[String], cleanBaselines: Seq[String]) =
+    val sfName = new java.io.File(sfDir).getName
+    // clean baselines carry their ROUND alongside the content: the
+    // adjudication ledger below supersedes records up to a named round,
+    // so the anchor derivation must know which round each record is from
+    val (prevBench: Option[String], cleanBaselines: Seq[(Int, String)]) =
       try {
         val dir = new java.io.File(".")
         val files = Option(dir.listFiles()).getOrElse(Array.empty)
         val round = roundInProgress(files)
-        val sfName = new java.io.File(sfDir).getName
         // candidate baselines ordered oldest→best, so the clean-filtered
         // lastOption below lands on the newest completed round's best
         // record: per round, the driver's BENCH file (2k-char stdout
@@ -507,21 +510,23 @@ object Bench {
         // iteration run never poisons the sf0.1 drift baseline.
         val detailsRe = ("^bench_details_r(\\d+)_" +
           java.util.regex.Pattern.quote(sfName) + "\\.json$").r
-        val ordered: Seq[java.io.File] = files.toSeq.flatMap { f =>
+        val ordered: Seq[(Int, java.io.File)] = files.toSeq.flatMap { f =>
           f.getName match {
             case BenchFileRe(n, clean) =>
               Some((n.toInt, if (clean == null) 0 else 1, f))
             case detailsRe(n) if n.toInt < round => Some((n.toInt, 2, f))
             case _ => None
           }
-        }.sortBy { case (n, pref, _) => (n, pref) }.map(_._3)
-        val contents = ordered.flatMap { f =>
+        }.sortBy { case (n, pref, _) => (n, pref) }
+          .map { case (n, _, f) => (n, f) }
+        val contents = ordered.flatMap { case (n, f) =>
             try {
               val text = scala.io.Source.fromFile(f)
               // the driver wraps our JSON line escaped inside its own
               // record ("tail": "...{\"metric\":...}") — unescape before
               // locating the metric blocks
-              Some((try text.mkString finally text.close()).replace("\\\"", "\""))
+              Some((n, (try text.mkString finally text.close())
+                .replace("\\\"", "\"")))
             } catch { case _: Throwable => None }
           }
           // a baseline is only comparable at the SAME scale factor: the
@@ -530,9 +535,9 @@ object Bench {
           // mass-drift detector trips, and main() silently burns a full
           // re-run). Every record carries its "sf" field — keep only
           // records whose sf basename matches this run's.
-          .filter(c => ("\"sf\":\"[^\"]*" +
+          .filter { case (_, c) => ("\"sf\":\"[^\"]*" +
             java.util.regex.Pattern.quote(sfName) + "\"").r
-            .findFirstIn(c).isDefined)
+            .findFirstIn(c).isDefined }
         // drift must compare against the newest CLEAN round: a
         // contention-flagged file's medians are environment, and
         // diffing against them flags phantom moves for a full round
@@ -544,55 +549,70 @@ object Bench {
         // attempt, and both the clean-file filter and the block parsers
         // below (which locate the LAST "queries":{ occurrence) must see
         // only the published retry
-        val stripped = contents
-          .map(_.replaceAll("\"contended_first_attempt\":\\{.*", ""))
+        val stripped = contents.map { case (n, c) =>
+          (n, c.replaceAll("\"contended_first_attempt\":\\{.*", "")) }
         // a clean baseline is neither contended NOR mass-drift-flagged:
         // a published retry carrying mass_drift_suspected=true has
         // environment-poisoned medians even when the contention probes
         // stayed quiet, and diffing against it builds the phantom-drift
         // wall the r7 lesson documents
-        val clean = stripped.filterNot(c => c.contains("\"contended\":true") ||
-            c.contains("\"mass_drift_suspected\":true"))
-        (clean.lastOption.orElse(stripped.lastOption), clean)
-      } catch { case _: Throwable => (None, Seq.empty[String]) }
-
-    // the LAST "queries":{ block of a record line is the published
-    // medians map (an attached contended first attempt was stripped
-    // above); one parser serves the round-over-round diff and the
-    // best-ever anchor so the two can never read a record differently
-    def parseQueryMedians(content: String): Map[String, Double] = {
-      val marker = "\"queries\":{"
-      val qIdx = content.lastIndexOf(marker)
-      if (qIdx < 0) Map.empty
-      else {
-        val entry = "\"([a-z0-9_]+)\":(-?[0-9.]+)".r
-        val block = content.substring(qIdx + marker.length).takeWhile(_ != '}')
-        entry.findAllMatchIn(block)
-          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+        val clean = stripped.filterNot { case (_, c) =>
+          c.contains("\"contended\":true") ||
+            c.contains("\"mass_drift_suspected\":true") }
+        (clean.lastOption.map(_._2).orElse(stripped.lastOption.map(_._2)),
+          clean)
+      } catch { case scala.util.control.NonFatal(e) =>
+        // a baseline-scan failure must not kill the bench, but it must
+        // be LOUD: with no prevBench the drift lists go vacuous, and the
+        // published drift_warning field (below) marks the record as such
+        System.err.println(s"[bench] drift baseline scan failed: $e")
+        (None, Seq.empty[(Int, String)])
       }
-    }
+
+    // the parsing/delta/anchor math lives in [[BenchDrift]] (pure,
+    // unit-tested without a bench run); one parser serves the
+    // round-over-round diff and the best-ever anchor so the two can
+    // never read a record differently
+    def parseQueryMedians(content: String): Map[String, Double] =
+      BenchDrift.parseQueryMedians(content)
 
     // (flagged names any direction, slowdown-only names, count of
     // queries the baseline could compare at all) — the slowdown-only
-    // list feeds the mass-drift trigger below; the full list publishes
+    // list feeds the mass-drift trigger below; the full list publishes.
+    // NonFatal only (r16 review): a Throwable catch here once swallowed
+    // any baseline read bug into silently-empty flag lists
     val (driftFlags: Seq[String], driftSlowdowns: Seq[String],
          driftComparable: Int) =
+      try BenchDrift.driftDeltas(
+        results.map { case (n, m, _) => (n, m) }, prevBench)
+      catch { case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[bench] drift-delta pass failed: $e")
+        (Seq.empty[String], Seq.empty[String], 0)
+      }
+    // loud-vacuity marker: a prior record exists but nothing compared —
+    // a parse bug would otherwise read exactly like a drift-free round
+    val driftWarning: Option[String] =
+      BenchDrift.driftWarning(prevBench.nonEmpty, driftComparable)
+    driftWarning.foreach(w => System.err.println(s"[bench] WARNING: $w"))
+
+    // probe-adjudicated anchor re-dates (r16 verdict #3): a committed
+    // ledger line re-dates a machine-era ghost anchor to the same-day
+    // probe-measured floor; see [[BenchDrift.anchorTimes]] for the
+    // supersede-then-roll policy and the ledger's note field for the
+    // evidence chain. Read per run so an sf without entries is a no-op.
+    val adjudications: Map[String, BenchDrift.Adjudication] =
       try {
-        prevBench.map { content =>
-          val prevTimes = parseQueryMedians(content)
-          // one delta pass derives BOTH lists so the published flag list
-          // and the mass-drift trigger can never desynchronize on a
-          // threshold/guard edit applied to only one of them
-          val deltas = results.flatMap { case (name, median, _) =>
-            prevTimes.get(name).collect {
-              case p if median > 0 && p > 0 => name -> (median - p) / p
-            }
-          }
-          val flags = deltas.collect { case (n, d) if math.abs(d) > 0.20 => n }
-          val slow = deltas.collect { case (n, d) if d > 0.20 => n }
-          (flags, slow, deltas.size)
-        }.getOrElse((Seq.empty[String], Seq.empty[String], 0))
-      } catch { case _: Throwable => (Seq.empty[String], Seq.empty[String], 0) }
+        val f = new java.io.File("bench_anchor_adjudications.jsonl")
+        if (!f.isFile) Map.empty
+        else {
+          val src = scala.io.Source.fromFile(f)
+          val lines = try src.getLines().toList finally src.close()
+          BenchDrift.parseAdjudications(lines, sfName)
+        }
+      } catch { case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[bench] adjudication ledger read failed: $e")
+        Map.empty
+      }
 
     // cumulative drift anchor (r12 verdict #3): the round-over-round
     // diff is blind to slow creep — d_minhash_lsh gained +19% over TWO
@@ -604,12 +624,20 @@ object Bench {
     // the creep, not just its existence; suppressed when contended like
     // the round-over-round flags (an environment-shifted pass would
     // flag half the suite against its best-ever anchor).
+    // Re-anchoring (r16 verdict #3): anchors from machine-eras the
+    // hardware no longer reproduces are re-dated by the committed
+    // adjudication ledger — [[BenchDrift.anchorTimes]] — so a flag in
+    // drift_vs_best is actionable without a same-day A/B probe.
     val bestTimes: Map[String, Double] =
-      try cleanBaselines
-        .flatMap(c => parseQueryMedians(c).toSeq)
-        .filter(_._2 > 0)
-        .groupBy(_._1).map { case (n, vs) => n -> vs.map(_._2).min }
-      catch { case _: Throwable => Map.empty }
+      try BenchDrift.anchorTimes(
+        cleanBaselines.flatMap { case (rnd, c) =>
+          parseQueryMedians(c).toSeq.collect {
+            case (n, v) if v > 0 => (n, rnd, v) } },
+        adjudications, _.floorSec)
+      catch { case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[bench] best-anchor derivation failed: $e")
+        Map.empty
+      }
     // flag = relative AND absolute: a 0.1 s query reads +50% over its
     // best-ever on pure scheduler noise (observed: env_roundtrip +53% =
     // 0.06 s), so the 30% relative line alone would keep sub-second
@@ -1322,12 +1350,15 @@ object Bench {
     val driftNormFlags: Seq[String] = normNow.collect {
       case (n, v) if prevNorm.get(n).exists(p => p > 0 && math.abs(v - p) / p > 0.20) => n
     }.toSeq.sorted
-    val bestNorm: Map[String, Double] = cleanBaselines
-      .flatMap { c =>
+    // same supersede-then-roll re-anchoring as the raw read, with the
+    // ledger's calibration-normalized floor
+    val bestNorm: Map[String, Double] = BenchDrift.anchorTimes(
+      cleanBaselines.flatMap { case (rnd, c) =>
         val s = parseSlowness(c)
-        parseQueryMedians(c).toSeq.collect { case (n, v) if v > 0 => (n, v / s) }
-      }
-      .groupBy(_._1).map { case (n, vs) => n -> vs.map(_._2).min }
+        parseQueryMedians(c).toSeq.collect {
+          case (n, v) if v > 0 => (n, rnd, v / s) }
+      },
+      adjudications, _.floorNormSec)
     // same flag rule as the raw read: >30% over the normalized best AND
     // ≥0.1 s of normalized wall time
     val driftVsBestNorm: Seq[(String, Double, Double)] = normNow.toSeq.collect {
@@ -1422,8 +1453,15 @@ object Bench {
       .map { case (n, pct) => "\"" + n + f"""\":$pct%.1f""" }
       .mkString("{", ",", "}")
     val failedJson = failedQueries.map(q => "\"" + q + "\"").mkString("[", ",", "]")
+    val driftWarningJson =
+      driftWarning.map(w => "\"" + w + "\"").getOrElse("null")
+    // self-describing record: which anchors this run's drift_vs_best
+    // compared against were ledger-re-dated, and on what evidence
+    val adjJson = adjudications.toSeq.sortBy(_._1).map { case (n, a) =>
+      "\"" + n + f"""\":{"floor_sec":${a.floorSec}%.4f,"floor_norm_sec":${a.floorNormSec}%.4f,"supersedes_rounds_through":${a.round},"evidence":"${a.evidence}"}"""
+    }.mkString("{", ",", "}")
     val json =
-      f"""{"metric":"total","value":$total%.4f,"unit":"sec","runs_per_query":$runsPerQuery,"queries":$qs,"query_spread_pct":$spreads,"drift_gt20pct_vs_prev":$drift,"drift_comparable":$driftComparable,"drift_vs_best":$driftVsBestJson,"over_best_pct":$overBestJson,"drift_vs_best_notes":"anchor = per-query min over all prior CLEAN same-sf records; a flag means never-reanchored cumulative creep, not necessarily code — adjudications live in the committed ab_probe_*.jsonl records and SURVEY, not here","calibration_slowness":$slownessNow%.3f,"queries_normalized":$qsNorm,"drift_gt20pct_vs_prev_normalized":$driftNormJson,"drift_vs_best_normalized":$driftVsBestNormJson,"over_best_pct_normalized":$overBestNormJson,"normalization_notes":"normalized = median / (record's mean single-thread calibration / calibration_ref_sec), applied to THIS record and every baseline record alike (pre-calibration records compare raw). Validated on the r13/r14 zero-diff pair: it explains the CPU-bound drift class; sub-0.4 s fixed-overhead queries do not track CPU speed and are instead covered by the session warm-up. A query flagged on BOTH raw and normalized reads is a real adjudication candidate","failed_queries":$failedJson,$serdeRatesJson,"uuid_rows_per_sec_core":$uuidPerCore%.0f,"serde_spread_pct":$serdeSpreads,"serde_drift_gt20pct_vs_prev":$serdeDrift,"baseline_gate_rows_per_sec_core":90000,"serde_uuid_vs_gate":$gateRatio%.2f,$microRatesJson,"recall_at_k":$recallK,"recall":$recallJson,"recall_notes":"recall_diag_* are diagnostic curve points, not shipped configs; shipped rerank paths are recall_ivfpq_res_rerank and recall_opq_ivfpq_res_rerank. recall_ivfpq_rerank was renamed recall_diag_ivfpq_rerank in r11 (dual-keyed r12, old key dropped r13) — longitudinal readers join the series there. recall_opq_m8k32_rerank < recall_pq_m8k32_rerank is expected on this near-isotropic fixture (rotation cannot help an isotropic spectrum; the 0.9 floor holds and the anisotropic gain is spec-pinned in CurationSpec)","scale_slope_exponents":$slopesJson,"scale_slope_exponents_small":$slopesSmallJson,"scale_slope_curvature":$curvatureJson,"scale_slope_flags":$slopeFlagsJson,"calibration_ref_sec":$CalibrationRefSec%.2f,"calibration_start_sec":$calStartSec%.3f,"calibration_end_sec":$calEndSec%.3f,"calibration_par_ref_sec":$calibrationParRefSec%.2f,"calibration_par_start_sec":$calParStartSec%.3f,"calibration_par_end_sec":$calParEndSec%.3f,"contended":$contended,"mass_drift_suspected":$massDrift,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.4f,"unit":"sec","runs_per_query":$runsPerQuery,"queries":$qs,"query_spread_pct":$spreads,"drift_gt20pct_vs_prev":$drift,"drift_comparable":$driftComparable,"drift_vs_best":$driftVsBestJson,"over_best_pct":$overBestJson,"drift_vs_best_notes":"anchor = per-query min over prior CLEAN same-sf records, with probe-adjudicated machine-era ghosts re-dated by the committed bench_anchor_adjudications.jsonl ledger (records up to the entry's round contribute max(min, floor); later records roll the anchor down as usual) — a flag is actionable as-is: same-era creep, no A/B probe needed","anchor_adjudications":$adjJson,"drift_warning":$driftWarningJson,"calibration_slowness":$slownessNow%.3f,"queries_normalized":$qsNorm,"drift_gt20pct_vs_prev_normalized":$driftNormJson,"drift_vs_best_normalized":$driftVsBestNormJson,"over_best_pct_normalized":$overBestNormJson,"normalization_notes":"normalized = median / (record's mean single-thread calibration / calibration_ref_sec), applied to THIS record and every baseline record alike (pre-calibration records compare raw). Validated on the r13/r14 zero-diff pair: it explains the CPU-bound drift class; sub-0.4 s fixed-overhead queries do not track CPU speed and are instead covered by the session warm-up. A query flagged on BOTH raw and normalized reads is a real adjudication candidate","failed_queries":$failedJson,$serdeRatesJson,"uuid_rows_per_sec_core":$uuidPerCore%.0f,"serde_spread_pct":$serdeSpreads,"serde_drift_gt20pct_vs_prev":$serdeDrift,"baseline_gate_rows_per_sec_core":90000,"serde_uuid_vs_gate":$gateRatio%.2f,$microRatesJson,"recall_at_k":$recallK,"recall":$recallJson,"recall_notes":"recall_diag_* are diagnostic curve points, not shipped configs; shipped rerank paths are recall_ivfpq_res_rerank and recall_opq_ivfpq_res_rerank. recall_ivfpq_rerank was renamed recall_diag_ivfpq_rerank in r11 (dual-keyed r12, old key dropped r13) — longitudinal readers join the series there. recall_opq_m8k32_rerank < recall_pq_m8k32_rerank is expected on this near-isotropic fixture (rotation cannot help an isotropic spectrum; the 0.9 floor holds and the anisotropic gain is spec-pinned in CurationSpec)","scale_slope_exponents":$slopesJson,"scale_slope_exponents_small":$slopesSmallJson,"scale_slope_curvature":$curvatureJson,"scale_slope_flags":$slopeFlagsJson,"calibration_ref_sec":$CalibrationRefSec%.2f,"calibration_start_sec":$calStartSec%.3f,"calibration_end_sec":$calEndSec%.3f,"calibration_par_ref_sec":$calibrationParRefSec%.2f,"calibration_par_start_sec":$calParStartSec%.3f,"calibration_par_end_sec":$calParEndSec%.3f,"contended":$contended,"mass_drift_suspected":$massDrift,"sf":"$sfDir"}"""
     // compact contract line — MUST stay well under the harness's ~2k-char
     // stdout tail window (see [[publish]]); everything here is either a
     // driver-contract field or a headline number the judge compares

@@ -180,6 +180,20 @@ object Soak {
       new java.io.File(soakDir, "embeddings.parquet").getPath).count()
     println(s"[soak] corpus ready: $nDocs docs, $nVecs vecs (x$factor)")
 
+    // ingest-persist (bare-scan) soak mode (r16 verdict #1): materialize
+    // the validated embeddings table at BOTH scales so the published
+    // exponent compares like against like — the 100 TB deployment shape,
+    // where validation runs once at ingest and every query pays a bare
+    // scan. Requires a WRITABLE srcDir (a fixture copy under /tmp, never
+    // /root/testdata — persist writes into the corpus dir).
+    val persistValid =
+      sys.env.get("SPARK_GRAFT_SOAK_PERSIST_VALID").contains("1")
+    if (persistValid) {
+      Tables.persistValidEmbeddings(spark, srcDir)
+      Tables.persistValidEmbeddings(spark, soakDir)
+      println("[soak] embeddings_valid.parquet persisted at both scales")
+    }
+
     def timed(f: => Unit): Double = {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }
@@ -265,6 +279,7 @@ object Soak {
         s""""rows_exponent_base_to_soak":${m(_.eRows, "%.3f")},""" +
         f""""calibration_start_sec":$calStart%.3f,"calibration_end_sec":$calEnd%.3f,""" +
         f""""calibration_par_start_sec":$calParStart%.3f,"calibration_par_end_sec":$calParEnd%.3f,""" +
+        s""""persist_valid":$persistValid,""" +
         s""""base_sf":"$srcDir","soak_dir":"$soakDir"}"""
     println(json)
     try {

@@ -94,8 +94,22 @@ object Tables {
     // stopped sessions forever. A full flush merely re-runs two tiny
     // probe jobs per corpus on next touch, so the crude eviction is fine.
     if (validEmbCache.size > ValidEmbCacheMax) validEmbCache.clear()
-    validEmbCache.computeIfAbsent((spark, dir),
-      _ => buildValidEmbeddings(spark, dir))
+    val key = (spark, dir)
+    val cached = validEmbCache.get(key)
+    if (cached != null) cached
+    else {
+      // build OUTSIDE the map lock (r16 ADVICE): the builder runs eager
+      // Spark probe jobs, and computeIfAbsent would hold the bin lock
+      // for their whole multi-second duration — blocking unrelated
+      // hash-colliding callers and throwing IllegalStateException on any
+      // re-entrant validEmbeddings call from inside the builder. A
+      // concurrent duplicate build costs two tiny probe jobs; putIfAbsent
+      // keeps the memo single-instance per key (the FIRST finisher wins
+      // and every caller gets that one frame back).
+      val built = buildValidEmbeddings(spark, dir)
+      val prev = validEmbCache.putIfAbsent(key, built)
+      if (prev != null) prev else built
+    }
   }
 
   private val ValidEmbCacheMax = 64
@@ -122,25 +136,92 @@ object Tables {
     * zero probe jobs and zero re-filtering. Always validates from the
     * RAW embeddings table (never from a stale persisted copy) and drops
     * this session's memo entry so the next [[validEmbeddings]] call
-    * picks the materialized table up. Like any materialized view, a
-    * corpus rewritten after persisting must re-persist — the table is
-    * trusted as-is on load. */
+    * picks the materialized table up. A fingerprint of the raw table's
+    * file listing is stored inside the materialized table (an
+    * underscore-prefixed file, invisible to parquet readers) so a later
+    * load can DETECT an in-place raw rewrite instead of silently serving
+    * stale validated rows — see [[buildValidEmbeddings]]. */
   def persistValidEmbeddings(spark: SparkSession, dir: String): String = {
     val out = s"$dir/$ValidEmbeddingsTable"
     validateRawEmbeddings(spark, dir).write.mode("overwrite").parquet(out)
+    val fpPath = new org.apache.hadoop.fs.Path(s"$out/$RawFingerprintFile")
+    val fs = fpPath.getFileSystem(spark.sessionState.newHadoopConf())
+    val os = fs.create(fpPath, true)
+    try os.write(rawFingerprint(spark, dir).getBytes("UTF-8"))
+    finally os.close()
     invalidateValidEmbeddings(spark, dir)
     out
+  }
+
+  /** Staleness-guard sidecar inside the materialized table: the raw
+    * embeddings table's file listing at persist time. Underscore prefix
+    * = hidden to Spark's parquet reader, travels with the table. */
+  private[graft] val RawFingerprintFile = "_raw_fingerprint"
+
+  /** Fingerprint of the raw embeddings table: sorted data-file
+    * (name, length) pairs. Names, not paths, so a corpus dir copied
+    * wholesale still matches; a parquet REWRITE always mints fresh
+    * part-UUID file names, so an in-place raw rewrite always
+    * mismatches. Driver-side FS listing only — no Spark job. */
+  private def rawFingerprint(spark: SparkSession, dir: String): String = {
+    val raw = new org.apache.hadoop.fs.Path(s"$dir/embeddings.parquet")
+    val fs = raw.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(raw)) "absent"
+    else if (fs.getFileStatus(raw).isFile)
+      s"${raw.getName}:${fs.getFileStatus(raw).getLen}"
+    else {
+      def ls(p: org.apache.hadoop.fs.Path)
+          : Seq[org.apache.hadoop.fs.FileStatus] =
+        fs.listStatus(p).toSeq.flatMap(s =>
+          if (s.isDirectory) ls(s.getPath) else Seq(s))
+      ls(raw)
+        .filterNot(s => s.getPath.getName.startsWith("_") ||
+          s.getPath.getName.startsWith("."))
+        .map(s => s"${s.getPath.getName}:${s.getLen}")
+        .sorted.mkString("|")
+    }
   }
 
   /** The uncached builder behind [[validEmbeddings]] — exposed for the
     * plan specs that pin its scale properties per corpus shape. Prefers
     * a table materialized by [[persistValidEmbeddings]] (a bare scan, no
-    * probes, no filter); otherwise validates the raw table. */
+    * probes, no filter) ONLY while its persist-time fingerprint still
+    * matches the raw table's current file listing; a mismatch — or a
+    * missing fingerprint (a hand-copied table) — logs loudly and
+    * REVALIDATES from raw, so an in-place raw rewrite can never silently
+    * serve stale validated rows (r16 review). Otherwise validates raw. */
   private[graft] def buildValidEmbeddings(spark: SparkSession, dir: String): DataFrame = {
     val p = new org.apache.hadoop.fs.Path(s"$dir/$ValidEmbeddingsTable")
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    if (fs.exists(p)) spark.read.parquet(p.toString)
+    if (fs.exists(p) && persistedFresh(spark, fs, p, dir))
+      spark.read.parquet(p.toString)
     else validateRawEmbeddings(spark, dir)
+  }
+
+  private def persistedFresh(spark: SparkSession,
+                             fs: org.apache.hadoop.fs.FileSystem,
+                             table: org.apache.hadoop.fs.Path,
+                             dir: String): Boolean = {
+    val fpPath = new org.apache.hadoop.fs.Path(table, RawFingerprintFile)
+    if (!fs.exists(fpPath)) {
+      System.err.println(s"[tables] WARNING: $table has no " +
+        s"$RawFingerprintFile sidecar (not written by " +
+        "persistValidEmbeddings?) - ignoring it and revalidating raw")
+      false
+    } else {
+      val in = fs.open(fpPath)
+      val stored =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      val now = rawFingerprint(spark, dir)
+      if (stored == now) true
+      else {
+        System.err.println(s"[tables] WARNING: $table is STALE (raw " +
+          "embeddings table rewritten since persist) - ignoring it and " +
+          "revalidating raw; re-run persistValidEmbeddings to refresh")
+        false
+      }
+    }
   }
 
   /** Validation from the raw embeddings table (see [[validEmbeddings]]

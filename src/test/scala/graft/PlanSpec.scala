@@ -450,6 +450,49 @@ class PlanSpec extends SparkTestBase {
     } finally Tables.invalidateValidEmbeddings()
   }
 
+  test("persisted embeddings_valid: an in-place raw rewrite is DETECTED, never served stale") {
+    // the staleness guard (r16 review): persistValidEmbeddings stores a
+    // fingerprint of the raw table's file listing inside the materialized
+    // table; a later load trusts the table only while the fingerprint
+    // still matches. A raw rewrite after persisting must fall back to
+    // revalidating raw (correctness over the saved probe jobs), and a
+    // hand-copied table with NO fingerprint sidecar is never trusted.
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("emb_stale").toString
+    def write(rows: Seq[(Long, Seq[Float], Int)]): Unit =
+      rows.toDF("vec_id", "embedding", "label")
+        .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    try {
+      write(Seq((0L, Seq(1.0f, 0.0f), 1), (1L, Seq(0.0f, 1.0f), 2)))
+      Tables.persistValidEmbeddings(spark, dir)
+      // fresh: bare scan of the materialized table
+      val freshPlan = Tables.buildValidEmbeddings(spark, dir)
+        .queryExecution.explainString(FormattedMode)
+      assert(freshPlan.contains("embeddings_valid"),
+        s"fingerprint-fresh persisted table must be preferred:\n$freshPlan")
+      // rewrite the RAW table in place (3 rows now) without re-persisting
+      write(Seq((0L, Seq(1.0f, 0.0f), 1), (1L, Seq(0.0f, 1.0f), 2),
+        (2L, Seq(0.5f, 0.5f), 3)))
+      Tables.invalidateValidEmbeddings(spark, dir)
+      val reloaded = Tables.buildValidEmbeddings(spark, dir)
+      assert(reloaded.count() == 3,
+        "a stale persisted table must be ignored in favor of raw revalidation")
+      assert(!reloaded.queryExecution.explainString(FormattedMode)
+        .contains("embeddings_valid"),
+        "the stale materialized table must not appear in the plan")
+      // a fingerprintless table (hand-copied) is never trusted either
+      Tables.persistValidEmbeddings(spark, dir)
+      val fp = new java.io.File(
+        s"$dir/${Tables.ValidEmbeddingsTable}/${Tables.RawFingerprintFile}")
+      assert(fp.isFile, "persist must write the fingerprint sidecar")
+      assert(fp.delete())
+      Tables.invalidateValidEmbeddings(spark, dir)
+      assert(!Tables.buildValidEmbeddings(spark, dir).queryExecution
+        .explainString(FormattedMode).contains("embeddings_valid"),
+        "a table without the fingerprint sidecar must not be trusted")
+    } finally Tables.invalidateValidEmbeddings()
+  }
+
   test("t_top_tokens aggregates sketches map-side before one exchange") {
     val p = planOf("t_top_tokens")
     assert(p.contains("partial_approx_top_k") || p.contains("ObjectHashAggregate"),

@@ -41,7 +41,20 @@ def donor_row(orig, want_id, avoid_id=None):
     if r is not None and (avoid_id is None or r[0] != avoid_id):
         return r
     pool = [r for r in orig if avoid_id is None or r[0] != avoid_id]
-    return pool[len(pool) // 2]
+    # an empty pool means every base row carries avoid_id (a
+    # single-distinct-id base) — there is NO way to plant two distinct
+    # dup ids, so fail loudly rather than let the class silently merge
+    assert pool, (
+        f"donor_row: no candidate row with id != {avoid_id} - the base "
+        "table has a single distinct id; dup-id plant classes cannot be "
+        "kept distinct")
+    fb = pool[len(pool) // 2]
+    if fb[0] != want_id:
+        # visible signal (r16 ADVICE): a base change that demotes the
+        # intended dup-id plant to a different id must not pass silently
+        print(f"[hostile_fixtures] donor_row fallback: wanted id "
+              f"{want_id}, planting id {fb[0]} instead", file=sys.stderr)
+    return fb
 
 
 def clone_base(base, out, skip):
