@@ -91,9 +91,16 @@ object Tables {
   def validEmbeddings(spark: SparkSession, dir: String): DataFrame = {
     // bound the memo: each entry's plan references its SparkSession, so a
     // driver sweeping many corpora (or cycling sessions) must not retain
-    // stopped sessions forever. A full flush merely re-runs two tiny
-    // probe jobs per corpus on next touch, so the crude eviction is fine.
-    if (validEmbCache.size > ValidEmbCacheMax) validEmbCache.clear()
+    // stopped sessions forever. Eviction is two-stage (r16 review: the
+    // old full clear dropped LIVE entries whenever >64 short-lived
+    // sessions had cycled): first drop entries whose session's context
+    // is stopped — their plans are unusable anyway — and only if the
+    // bound is still exceeded fall back to the full flush, which merely
+    // re-runs two tiny probe jobs per corpus on next touch.
+    if (validEmbCache.size > ValidEmbCacheMax) {
+      validEmbCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
+      if (validEmbCache.size > ValidEmbCacheMax) validEmbCache.clear()
+    }
     val key = (spark, dir)
     val cached = validEmbCache.get(key)
     if (cached != null) cached
