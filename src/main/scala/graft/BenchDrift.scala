@@ -26,16 +26,80 @@ private[graft] object BenchDrift {
     * by the caller); one parser serves the round-over-round diff and
     * the best-ever anchor so the two can never read a record
     * differently. Corrupt content parses to an empty map — the caller
-    * surfaces that loudly via [[driftWarning]], never silently. */
+    * surfaces that loudly via [[driftWarning]], never silently.
+    *
+    * Hardened against format drift (r17 review): the block is extracted
+    * by BRACE BALANCE, not a naive scan-to-first-`}`, and every
+    * top-level entry must parse as a bare number — a future
+    * record-format change to struct-valued entries therefore parses to
+    * the empty map (→ loud VACUOUS drift_warning), never to a silent
+    * subset of whatever entries happened to precede the first nested
+    * brace. The one sanctioned partial parse is a record physically
+    * TRUNCATED mid-block (the driver's BENCH files are a bounded stdout
+    * tail): there the surviving flat numeric prefix is all that exists,
+    * and it is parsed as before. */
   def parseQueryMedians(content: String): Map[String, Double] = {
     val marker = "\"queries\":{"
     val qIdx = content.lastIndexOf(marker)
     if (qIdx < 0) Map.empty
     else {
-      val entry = "\"([a-z0-9_]+)\":(-?[0-9.]+)".r
-      val block = content.substring(qIdx + marker.length).takeWhile(_ != '}')
-      entry.findAllMatchIn(block)
-        .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      // brace-balanced extraction of the block body (exclusive of the
+      // outer braces); end < 0 = record truncated mid-block
+      val start = qIdx + marker.length
+      var i = start
+      var depth = 1
+      var end = -1
+      var inStr = false
+      var esc = false
+      while (i < content.length && end < 0) {
+        val c = content.charAt(i)
+        if (esc) esc = false
+        else if (inStr) {
+          if (c == '\\') esc = true else if (c == '"') inStr = false
+        } else c match {
+          case '"' => inStr = true
+          case '{' => depth += 1
+          case '}' => depth -= 1; if (depth == 0) end = i
+          case _ => ()
+        }
+        i += 1
+      }
+      val truncated = end < 0
+      val block = content.substring(start, if (truncated) content.length else end)
+      // top-level entries only: split at depth-0 commas, require every
+      // complete entry to be "name":number
+      val entry = "^\\s*\"([a-z0-9_]+)\"\\s*:\\s*(-?[0-9.]+)\\s*$".r
+      var d = 0
+      var inS = false
+      var es = false
+      val pieces = scala.collection.mutable.ArrayBuffer.empty[StringBuilder]
+      pieces += new StringBuilder
+      block.foreach { c =>
+        if (es) { es = false; pieces.last.append(c) }
+        else if (inS) {
+          if (c == '\\') es = true else if (c == '"') inS = false
+          pieces.last.append(c)
+        } else c match {
+          case ',' if d == 0 => pieces += new StringBuilder
+          case other =>
+            other match {
+              case '"' => inS = true
+              case '{' | '[' => d += 1
+              case '}' | ']' => d -= 1
+              case _ => ()
+            }
+            pieces.last.append(other)
+        }
+      }
+      val entries = pieces.map(_.toString).filter(_.trim.nonEmpty)
+      // on a truncated tail the LAST piece may be a cut-off entry — drop
+      // it; everything before it must still be flat numeric
+      val complete = if (truncated && entries.nonEmpty) entries.init else entries
+      val parsed = complete.flatMap {
+        case entry(n, v) => v.toDoubleOption.map(n -> _)
+        case _ => None
+      }
+      if (parsed.size != complete.size) Map.empty else parsed.toMap
     }
   }
 
@@ -107,8 +171,14 @@ private[graft] object BenchDrift {
     * showing the OLD tree itself can no longer reproduce its old
     * number on current hardware) proved unreachable; any later record
     * that genuinely beats the floor lowers the anchor again, so a real
-    * future optimization is never clamped. `perRecord` rows are
-    * (query, round, value); non-positive values are ignored. */
+    * future optimization is never clamped. The floor acts ONLY as a
+    * supersede for records from rounds ≤ `adj.round` — with no such
+    * records present it contributes nothing (r17 review: it would
+    * otherwise PULL the anchor below every real post-adjudication
+    * record, minting phantom headroom); a query with NO clean record at
+    * all still anchors at its probe-measured floor via the floor-only
+    * path below. `perRecord` rows are (query, round, value);
+    * non-positive values are ignored. */
   def anchorTimes(perRecord: Seq[(String, Int, Double)],
                   adj: Map[String, Adjudication],
                   floorOf: Adjudication => Double): Map[String, Double] = {
@@ -119,8 +189,9 @@ private[graft] object BenchDrift {
           val floor = floorOf(a)
           val older = vs.collect { case (_, r, v) if r <= a.round => v }
           val newer = vs.collect { case (_, r, v) if r > a.round => v }
-          val lifted = if (older.nonEmpty) math.max(older.min, floor) else floor
-          (lifted +: newer).min
+          val lifted =
+            if (older.nonEmpty) Seq(math.max(older.min, floor)) else Seq.empty
+          (lifted ++ newer).min
         case None => vs.map(_._3).min
       })
     }

@@ -189,6 +189,14 @@ object Soak {
     val persistValid =
       sys.env.get("SPARK_GRAFT_SOAK_PERSIST_VALID").contains("1")
     if (persistValid) {
+      // same refusal as PersistValid.main (r17 review): pointed at the
+      // read-only shared fixture this would fail mid-soak, and pointed
+      // at a shared writable base it would silently mutate the fixture
+      // for every later run — a code comment is not a guard
+      require(!srcDir.startsWith("/root/testdata"),
+        "refusing to persist embeddings_valid.parquet into /root/testdata - " +
+          "run the persist-valid soak on a fixture copy " +
+          "(SPARK_GRAFT_SF_DIR=<writable copy>)")
       Tables.persistValidEmbeddings(spark, srcDir)
       Tables.persistValidEmbeddings(spark, soakDir)
       println("[soak] embeddings_valid.parquet persisted at both scales")

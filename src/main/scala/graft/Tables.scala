@@ -97,14 +97,18 @@ object Tables {
     // is stopped — their plans are unusable anyway — and only if the
     // bound is still exceeded fall back to the full flush, which merely
     // re-runs two tiny probe jobs per corpus on next touch.
-    if (validEmbCache.size > ValidEmbCacheMax) {
-      validEmbCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
-      if (validEmbCache.size > ValidEmbCacheMax) validEmbCache.clear()
-    }
     val key = (spark, dir)
     val cached = validEmbCache.get(key)
     if (cached != null) cached
     else {
+      // every MISS sweeps stopped sessions first (r17 verdict: don't
+      // retain a stopped session's unusable plans until the 64 bound
+      // happens to trip — isStopped is a volatile read and the map is
+      // ≤64 entries, so the sweep is O(bound) cheap); the full flush
+      // stays as the backstop when live entries alone exceed the bound.
+      // The HIT path above stays sweep-free — a hit is one map get.
+      validEmbCache.keySet.removeIf(k => validEmbStoppedProbe(k._1))
+      if (validEmbCache.size > ValidEmbCacheMax) validEmbCache.clear()
       // build OUTSIDE the map lock (r16 ADVICE): the builder runs eager
       // Spark probe jobs, and computeIfAbsent would hold the bin lock
       // for their whole multi-second duration — blocking unrelated
@@ -122,6 +126,19 @@ object Tables {
   private val ValidEmbCacheMax = 64
   private val validEmbCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  /** Stopped-session predicate behind the miss-path sweep. A `var` ONLY
+    * so PlanSpec can simulate a stopped session through the REAL miss
+    * path — one JVM holds one SparkContext, so a test cannot stop a
+    * session without killing the shared context every other spec needs.
+    * Production code never reassigns it. */
+  private[graft] var validEmbStoppedProbe: SparkSession => Boolean =
+    _.sparkContext.isStopped
+
+  /** Memo membership probe for the eviction specs — never used by
+    * production paths. */
+  private[graft] def validEmbMemoContains(spark: SparkSession, dir: String): Boolean =
+    validEmbCache.containsKey((spark, dir))
 
   /** Drop the memoized frame for ONE (session, dir) — the in-place
     * corpus-rewrite hook; other sessions/corpora keep their entries. */
@@ -150,11 +167,28 @@ object Tables {
     * stale validated rows — see [[buildValidEmbeddings]]. */
   def persistValidEmbeddings(spark: SparkSession, dir: String): String = {
     val out = s"$dir/$ValidEmbeddingsTable"
+    // fingerprint the raw listing BEFORE the (long) validate+write
+    // window (r17 review): stamping a listing taken AFTER the write
+    // would record the NEW raw over rows validated from the OLD raw if
+    // the corpus is rewritten mid-window — the exact staleness the
+    // sidecar exists to catch.
+    val fpBefore = rawFingerprint(spark, dir)
     validateRawEmbeddings(spark, dir).write.mode("overwrite").parquet(out)
+    // re-list after the write: a mid-window raw rewrite leaves the
+    // materialized table suspect, so REFUSE to stamp it — the sidecarless
+    // table reads as untrusted (persistedFresh warns + revalidates raw,
+    // never serves it) and the thrown error tells the operator to re-run.
+    val fpAfter = rawFingerprint(spark, dir)
+    if (fpAfter != fpBefore)
+      throw new IllegalStateException(
+        s"raw embeddings under $dir changed during persist (listing " +
+          "mismatch across the validate+write window) - the materialized " +
+          s"table at $out is unstamped and will NOT be served; re-run " +
+          "persistValidEmbeddings once the corpus is quiescent")
     val fpPath = new org.apache.hadoop.fs.Path(s"$out/$RawFingerprintFile")
     val fs = fpPath.getFileSystem(spark.sessionState.newHadoopConf())
     val os = fs.create(fpPath, true)
-    try os.write(rawFingerprint(spark, dir).getBytes("UTF-8"))
+    try os.write(fpBefore.getBytes("UTF-8"))
     finally os.close()
     invalidateValidEmbeddings(spark, dir)
     out
@@ -166,17 +200,25 @@ object Tables {
   private[graft] val RawFingerprintFile = "_raw_fingerprint"
 
   /** Fingerprint of the raw embeddings table: sorted data-file
-    * (name, length) pairs. Names, not paths, so a corpus dir copied
-    * wholesale still matches; a parquet REWRITE always mints fresh
-    * part-UUID file names, so an in-place raw rewrite always
-    * mismatches. Driver-side FS listing only — no Spark job. */
+    * (name, length, modificationTime) triples. Names, not paths, so the
+    * fingerprint is location-independent; a parquet REWRITE always mints
+    * fresh part-UUID file names, and the mtime closes the remaining
+    * same-name-same-size hole (r17 review: a NON-Spark tool editing
+    * bytes in place, or a different same-shape corpus copied over the
+    * same part names, preserved name:length and passed as fresh). The
+    * cost: a wholesale dir copy that does not preserve mtimes now reads
+    * STALE — which fails SAFE (loud warn + revalidate from raw, correct
+    * rows, two extra probe jobs; re-run persistValidEmbeddings in the
+    * new location to re-stamp). Driver-side FS listing only — no Spark
+    * job. */
   private def rawFingerprint(spark: SparkSession, dir: String): String = {
     val raw = new org.apache.hadoop.fs.Path(s"$dir/embeddings.parquet")
     val fs = raw.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(raw)) "absent"
-    else if (fs.getFileStatus(raw).isFile)
-      s"${raw.getName}:${fs.getFileStatus(raw).getLen}"
-    else {
+    else if (fs.getFileStatus(raw).isFile) {
+      val st = fs.getFileStatus(raw)
+      s"${raw.getName}:${st.getLen}:${st.getModificationTime}"
+    } else {
       def ls(p: org.apache.hadoop.fs.Path)
           : Seq[org.apache.hadoop.fs.FileStatus] =
         fs.listStatus(p).toSeq.flatMap(s =>
@@ -184,7 +226,7 @@ object Tables {
       ls(raw)
         .filterNot(s => s.getPath.getName.startsWith("_") ||
           s.getPath.getName.startsWith("."))
-        .map(s => s"${s.getPath.getName}:${s.getLen}")
+        .map(s => s"${s.getPath.getName}:${s.getLen}:${s.getModificationTime}")
         .sorted.mkString("|")
     }
   }

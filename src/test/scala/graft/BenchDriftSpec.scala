@@ -45,6 +45,37 @@ class BenchDriftSpec extends AnyFunSuite {
     assert(BenchDrift.parseQueryMedians(c) == Map("a" -> 1.25, "b" -> 0.5))
   }
 
+  test("parseQueryMedians: struct-valued entry -> loud empty parse, never a silent subset") {
+    // a future record-format change (nested object inside the queries
+    // block) must not silently truncate to the entries before the first
+    // nested brace (r17 review) — empty map → VACUOUS drift_warning
+    val nested =
+      """{"queries":{"a":1.0,"b":{"median":2.0,"spread":0.1},"c":3.0},"sf":"x"}"""
+    assert(BenchDrift.parseQueryMedians(nested).isEmpty,
+      "a nested-brace queries block must parse to empty (loud), not a subset")
+    val w = BenchDrift.driftWarning(priorPresent = true, comparable = 0)
+    assert(w.isDefined, "the empty parse surfaces as the VACUOUS warning")
+  }
+
+  test("parseQueryMedians: nested braces inside the block do not spill entries") {
+    // entries nested INSIDE a struct must not leak into the medians map
+    val nested = """{"queries":{"a":{"x":9.0}},"sf":"x"}"""
+    assert(BenchDrift.parseQueryMedians(nested).isEmpty)
+  }
+
+  test("parseQueryMedians: record truncated mid-block keeps the surviving flat prefix") {
+    // the driver's BENCH files are a bounded stdout tail — a physically
+    // cut-off record parses the complete entries before the cut, with
+    // the severed final entry dropped, as the pre-hardening parser did
+    val truncated = """{"metric":"total","queries":{"a":1.25,"b":0.5,"c":7."""
+    assert(BenchDrift.parseQueryMedians(truncated) == Map("a" -> 1.25, "b" -> 0.5))
+  }
+
+  test("parseQueryMedians: braces inside string values neither close nor open the block") {
+    val c = """{"queries":{"a":1.0,"b":2.0},"note":"a } inside { a string"}"""
+    assert(BenchDrift.parseQueryMedians(c) == Map("a" -> 1.0, "b" -> 2.0))
+  }
+
   test("parseAdjudications: same-sf lines parse, other-sf and malformed lines skip") {
     val lines = Seq(
       """{"sf": "sf0.1", "query": "q_ghost", "floor_sec": 1.941, "floor_norm_sec": 1.8189, "round": 15, "evidence": "ab_probe_r16.jsonl", "note": "x"}""",
@@ -93,6 +124,18 @@ class BenchDriftSpec extends AnyFunSuite {
       adj, _.floorSec)
     assert(math.abs(anchors("plain") - 1.0) < 1e-9)
     assert(math.abs(anchors("only_floor") - 0.5) < 1e-9)
+  }
+
+  test("anchorTimes: floor never pulls the anchor below post-adjudication records") {
+    // r17 review: with ONLY post-adjudication records present, the floor
+    // must not act as an anchor candidate of its own — min(floor, newer)
+    // with floor < newer.min would mint phantom headroom no real record
+    // ever measured
+    val adj = Map("q" -> BenchDrift.Adjudication(0.8, 0.75, 15, "e"))
+    val anchors = BenchDrift.anchorTimes(
+      Seq(("q", 16, 1.2), ("q", 17, 1.3)), adj, _.floorSec)
+    assert(math.abs(anchors("q") - 1.2) < 1e-9,
+      s"with no superseded records the newer min alone anchors, got ${anchors("q")}")
   }
 
   test("anchorTimes ignores non-positive sentinels") {

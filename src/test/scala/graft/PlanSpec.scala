@@ -450,6 +450,47 @@ class PlanSpec extends SparkTestBase {
     } finally Tables.invalidateValidEmbeddings()
   }
 
+  test("guard memo: a stopped session's entry is swept on the NEXT MISS, live entries survive") {
+    // r17 verdict: eviction must not wait for the 64 bound — any miss
+    // drops stopped sessions' (unusable) plans immediately. One JVM =
+    // one SparkContext, so "stopped" is simulated by swapping the
+    // injectable predicate the real miss path consults; the production
+    // default is sparkContext.isStopped.
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("emb_evict").toString
+    val dir2 = java.nio.file.Files.createTempDirectory("emb_evict2").toString
+    Seq((0L, Seq(1.0f, 0.0f), 1), (1L, Seq(0.0f, 1.0f), 2))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    Seq((7L, Seq(0.3f, 0.7f), 1))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir2/embeddings.parquet")
+    val sessDead = spark.newSession()
+    val sessLive = spark.newSession()
+    try {
+      Tables.validEmbeddings(sessDead, dir)
+      val liveFrame = Tables.validEmbeddings(sessLive, dir)
+      assert(Tables.validEmbMemoContains(sessDead, dir) &&
+        Tables.validEmbMemoContains(sessLive, dir))
+      Tables.validEmbStoppedProbe = s => s eq sessDead
+      // a HIT does not sweep (one map get) — the dead entry lingers…
+      assert(Tables.validEmbeddings(sessLive, dir) eq liveFrame)
+      assert(Tables.validEmbMemoContains(sessDead, dir),
+        "the hit path must stay sweep-free")
+      // …until the next MISS (any new key) sweeps it out
+      Tables.validEmbeddings(sessLive, dir2)
+      assert(!Tables.validEmbMemoContains(sessDead, dir),
+        "a stopped session's entry must be gone after the next miss")
+      assert(Tables.validEmbMemoContains(sessLive, dir),
+        "live sessions' entries must survive the opportunistic sweep")
+      assert(Tables.validEmbeddings(sessLive, dir) eq liveFrame,
+        "the survivor must still memo-hit with the same instance")
+    } finally {
+      Tables.validEmbStoppedProbe = _.sparkContext.isStopped
+      Tables.invalidateValidEmbeddings()
+    }
+  }
+
   test("persisted embeddings_valid: an in-place raw rewrite is DETECTED, never served stale") {
     // the staleness guard (r16 review): persistValidEmbeddings stores a
     // fingerprint of the raw table's file listing inside the materialized
