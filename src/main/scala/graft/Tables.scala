@@ -50,6 +50,32 @@ object Tables {
   def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
 
+  /** Scale-adaptive input spread (optimization guide §2.5 "input skew":
+    * one small/unsplittable file → repartition immediately after the
+    * read). A single-digit-MB parquet table arrives as ONE scan split, so
+    * every per-row expression pipelined with the scan (md5 minhash
+    * families, Avro serde, token explodes) runs on one core of the
+    * cluster until the first Exchange. Spread the rows round-robin across
+    * the session's parallelism BEFORE the heavy projection — and ONLY
+    * when the scan is actually narrower than the cluster: at corpus scale
+    * the input has ≥ cores splits and this is the identity, so no extra
+    * exchange is ever paid where the scan already parallelizes. The
+    * round-robin repartition is deterministic under retry (Spark sorts
+    * before round-robin — SPARK-23207), and callers apply it only where
+    * downstream aggregation is partition-order-insensitive (string/int
+    * min/max/count — the md5/LSH/serde family), never across a
+    * float-mean path (k-means avg), so results are bit-identical.
+    * Streaming frames pass through untouched (`.rdd` is illegal there;
+    * a micro-batch's parallelism is the source's business).
+    */
+  def fanOut(df: DataFrame): DataFrame = {
+    if (df.isStreaming) df
+    else {
+      val target = df.sparkSession.sparkContext.defaultParallelism
+      if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    }
+  }
+
   /** Embedding ingest guard — the validated frame every similarity/ANN
     * query consumes. A 100 TB embedding corpus contains NULL vectors,
     * empty arrays, NaN/±Inf components, and wrong-dimension strays (an

@@ -248,6 +248,7 @@ object Curation {
     // wave) — the r12 phantom-empty-token rule, applied to this operator.
     // A null text stays null through every column (unknown, not zero).
     val ws = filter(split(trim(col(textCol)), "\\s+"), w => w =!= "")
+    val spread = docs.select(col(idCol), col(textCol))
     // single job, single scan: the grouped count carries a per-doc marker
     // row ("") whose df IS the corpus size, so the threshold comparison
     // stays distributed — only the tiny stoplist ever reaches the driver,
@@ -255,7 +256,7 @@ object Curation {
     // filtered to non-"" first: splitting an empty/whitespace-only document
     // yields [""], which would otherwise inflate the marker count above the
     // true corpus size and skew the df threshold.
-    val counts = docs
+    val counts = spread
       .select(explode(concat(
         array(lit("")),
         filter(array_distinct(ws), w => w =!= ""))).as("t"))
@@ -282,7 +283,7 @@ object Curation {
       val kept =
         if (stop.isEmpty) ws
         else filter(ws, w => !w.isInCollection(stop))
-      docs.select(
+      spread.select(
         col(idCol),
         size(ws).cast("long").as("n_tokens"),
         size(kept).cast("long").as("n_kept"),
@@ -294,7 +295,7 @@ object Curation {
       // in token order. Docs whose every token was stripped (or that had
       // none) fall out of the groupBy and come back as 0/"" via the left
       // join — same contract as the literal path.
-      val toks = docs
+      val toks = spread
         .select(col(idCol), posexplode(ws))
         .withColumnRenamed("pos", "__pos").withColumnRenamed("col", "__tok")
       val rebuilt = toks
@@ -307,7 +308,7 @@ object Curation {
               array_sort(collect_list(struct(col("__pos"), col("__tok")))),
               p => p("__tok")),
             " ").as("clean_text"))
-      docs.select(col(idCol), size(ws).cast("long").as("n_tokens"))
+      spread.select(col(idCol), size(ws).cast("long").as("n_tokens"))
         .join(rebuilt, Seq(idCol), "left")
         // null-text docs stay null through every column (unknown, not
         // zero) — branch parity with the literal path above

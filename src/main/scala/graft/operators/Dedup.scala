@@ -37,13 +37,16 @@ object Dedup {
     val positions = sequence(lit(1), size(ws) - (n - 1))
     val grams = transform(positions, i =>
       concat_ws(" ", (0 until n).map(o => element_at(ws, i + o)): _*))
-    docs
+    // spread a one-split scan across the cluster before the tokenize +
+    // explode (and the minhash md5 families pipelined on top of it)
+    // evaluate — identity at corpus scale, see [[graft.Tables.fanOut]]
+    graft.Tables.fanOut(docs.select(col(idCol).as("id"), col(textCol).as("__t")))
       // drop empty tokens before windowing: trim strips only spaces, so a
       // leading tab/newline splits to a "" head token and every shingle
       // containing it is a PHANTOM gram (a 4-word doc grows a 5-gram) —
       // the class Frequency.ngrams already guards against
-      .select(col(idCol).as("id"),
-        filter(split(trim(col(textCol)), "\\s+"), w => w =!= "").as("__ws"))
+      .select(col("id"),
+        filter(split(trim(col("__t")), "\\s+"), w => w =!= "").as("__ws"))
       .filter(size(ws) >= n)
       .select(col("id"), explode(array_distinct(grams)).as("g"))
   }
@@ -60,8 +63,9 @@ object Dedup {
     val grams = transform(positions, i => struct(
       (i - 1).cast("long").as("idx"),
       concat_ws(" ", (0 until w).map(o => element_at(ws, i + o)): _*).as("g")))
-    docs
-      .select(col(idCol).as("id"), split(trim(col(textCol)), "\\s+").as("__ws"))
+    // same one-split-scan spread as [[wordShingles]]
+    graft.Tables.fanOut(docs.select(col(idCol).as("id"), col(textCol).as("__t")))
+      .select(col("id"), split(trim(col("__t")), "\\s+").as("__ws"))
       .filter(size(ws) >= w)
       .select(col("id"), explode(grams).as("u"))
       .select(col("id"), col("u.idx").as("idx"), col("u.g").as("g"))
@@ -307,9 +311,12 @@ object Dedup {
     * shuffle volume is docs × 256 bytes regardless of doc length.
     */
   def simhashFingerprints(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = docs
-      .select(col(idCol).as("id"),
-        explode(split(trim(lower(col(textCol))), "\\s+")).as("t"))
+    // same one-split-scan spread as [[wordShingles]]; the integer vote
+    // sums are partition-order-exact
+    val toks = graft.Tables
+      .fanOut(docs.select(col(idCol).as("id"), col(textCol).as("__t")))
+      .select(col("id"),
+        explode(split(trim(lower(col("__t"))), "\\s+")).as("t"))
       .select(col("id"), substring(md5(col("t")), 1, 16).as("h16"))
     val votes = (0 until 64).map { b =>
       val digit = s"(instr('0123456789abcdef', substring(h16, ${1 + b / 4}, 1)) - 1)"
@@ -380,7 +387,16 @@ object Dedup {
         struct(col("d1").as("a"), col("d2").as("b")),
         struct(col("d2").as("a"), col("d1").as("b")))).as("e"))
       .select(col("e.a").as("a"), col("e.b").as("b")))
-    var labels = chk(edges.select(col("a").as("id")).distinct()
+    // lazy checkpoints + ONE action per round: the convergence check
+    // itself materializes the round's checkpoint blocks (Spark completes
+    // a lazily-checkpointed RDD's missing partitions at the end of the
+    // same action), so each round schedules one job instead of two —
+    // the eager-chk-then-isEmpty form doubled the loop's fixed job cost
+    // for zero extra information. Same math, same checkpointed lineage
+    // truncation, same loud non-convergence contract.
+    def lazyChk(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint(eager = false) else df.localCheckpoint(eager = false)
+    var labels = lazyChk(edges.select(col("a").as("id")).distinct()
       .select(col("id"), col("id").as("rep")))
     var converged = false
     var iter = 0
@@ -388,7 +404,7 @@ object Dedup {
       val neighborMin = edges
         .join(labels.select(col("id").as("b"), col("rep").as("nrep")), "b")
         .groupBy(col("a").as("id")).agg(min(col("nrep")).as("nmin"))
-      val updated = chk(labels
+      val updated = lazyChk(labels
         .join(neighborMin, Seq("id"), "left")
         .select(col("id"), col("rep"),
           least(col("rep"), coalesce(col("nmin"), col("rep"))).as("next")))

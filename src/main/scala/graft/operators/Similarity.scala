@@ -30,16 +30,18 @@ object Similarity {
   private val cosineExpr: Column =
     graft.functions.CosineSim.cosine_sim(col("v"), col("p"))
 
-  /** Two-phase salted per-probe top-k over a (probe_id, vec_id, cosine)
-    * frame — the same pattern as `Retrieval.bm25TopKMulti`'s per-query
-    * ranking. A single per-probe window would sort EVERY candidate of a
-    * probe in one task (for brute force that is the whole corpus; for IVF,
-    * nprobe·n/k rows — the classic per-group top-k bottleneck at corpus
-    * scale). Phase 1 ranks within (probe, salt-of-vec) buckets — parallel,
-    * and a bucket's k-th score bounds anything it could contribute —
-    * phase 2 ranks the ≤ k×nSalts survivors per probe. Identical results:
-    * the global top-k is contained in the union of per-bucket top-ks, and
-    * both phases order by (cosine desc, vec_id). */
+  /** Per-probe top-k over a (probe_id, vec_id, cosine) frame via ONE
+    * keyed window whose rank filter plans as WindowGroupLimit (the
+    * `Retrieval.rankPerQuery` pattern): every task keeps only its local
+    * top-k per probe BEFORE the exchange, so ≤ k·n_map_partitions rows
+    * per probe ever shuffle or sort in the final task — the same
+    * per-task bound the former explicit salted two-phase gave, with one
+    * Exchange and one full sort fewer (that variant measured +32% at
+    * bench scale on the BM25 ranker for exactly this reason; PlanSpec
+    * pins the map-side WindowGroupLimit below the rank exchange so a
+    * config/version change that silently drops the partial limit fails
+    * loudly). Identical results: same (score, vec_id) total order, same
+    * null/NaN drop. */
   private def topKPerProbe(scored: DataFrame, k: Int, nSalts: Int = 32): DataFrame =
     topKPerProbeBy(scored, k, col("cosine"), ascending = false, nSalts)
 
@@ -257,21 +259,43 @@ object Similarity {
   def kmeansFit(sample: DataFrame, k: Int, iters: Int,
                 reliable: Boolean = false): DataFrame = {
     require(iters >= 1, "k-means needs at least one assignment round")
-    def chk(df: DataFrame): DataFrame =
-      if (reliable) df.checkpoint() else df.localCheckpoint()
-    var cents = chk(sample.orderBy(col("vec_id")).limit(k)
-      .withColumn("cluster", row_number().over(Window.orderBy(col("vec_id"))) - 1)
-      .select(col("cluster"), col("v").as("c")))
+    val spark = sample.sparkSession
+    import spark.implicits._
+    // centroids live as DRIVER arrays through the whole loop (the pqFit
+    // discipline, applied here): every consumer of the centroid frame —
+    // assignClusters, probe routing — collects it to k·dim doubles
+    // anyway, so checkpointing each round's k-row frame only to collect
+    // it later paid one materialization job per round (plus one per
+    // seed) for rows the driver was about to hold regardless. Seeds
+    // collect in ONE job (the k lowest-id sample vectors — identical to
+    // the former orderBy/limit/row_number frame: rank i = cluster i);
+    // each training round is ONE job (the same assign → (cluster, dim)
+    // round(avg, 6) aggregation over the same partitioning, collected
+    // instead of checkpointed — row-identical maths, job count
+    // iters instead of 2·iters+consumer collects). The returned frame is
+    // a LOCAL relation: downstream collectCents/broadcasts read it
+    // without launching jobs. `reliable` kept for signature stability —
+    // with no mid-loop checkpoints there is nothing left to make
+    // fault-tolerant (each round reads `sample` directly, whose own
+    // persistence is the caller's contract, unchanged).
+    val _ = reliable
+    val seedRows = sample.orderBy(col("vec_id")).limit(k)
+      .select(col("v")).collect().map(_.getSeq[Double](0))
+    var cents: Array[(Int, Seq[Double])] =
+      seedRows.zipWithIndex.map { case (v, i) => (i, v) }
     for (_ <- 1 until iters) {
-      cents = chk(assignClusters(sample, cents)
+      cents = assignClusters(sample, cents)
         .select(col("cluster"), posexplode(col("v")).as(Seq("dim", "x")))
         .groupBy(col("cluster"), col("dim"))
         .agg(round(avg(col("x")), 6).as("m"))
         .groupBy(col("cluster"))
         .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("pairs"))
-        .select(col("cluster"), expr("transform(pairs, q -> q.m)").as("c")))
+        .select(col("cluster").cast("int"), expr("transform(pairs, q -> q.m)").as("c"))
+        .collect()
+        .map(r => (r.getInt(0), r.getSeq[Double](1)))
+        .sortBy(_._1)
     }
-    cents
+    cents.toSeq.toDF("cluster", "c")
   }
 
   /** The k-row centroid frame collected to ascending-cluster-id driver
@@ -472,7 +496,13 @@ object Similarity {
     // downstream reads the pin, and [[opqFit]] calls this once per
     // alternation round (an unreleased pin per round accumulated
     // sample-sized block-manager copies for the life of the session)
-    val pinned = sample.select(col("vec_id"), col("v")).localCheckpoint()
+    // lazy pin: the seed collect below is the first action and
+    // materializes the checkpoint blocks itself (Spark completes a
+    // lazily-checkpointed RDD's missing partitions at the end of that
+    // action), so the former eager pin's dedicated materialization job
+    // disappears — one job per pqFit saved, same blocks, same release
+    val pinned = sample.select(col("vec_id"), col("v"))
+      .localCheckpoint(eager = false)
     try {
       // seed: the first ksub vectors by id seed EVERY subspace's codebook
       // — ONE collect, each sub slices its dims locally (bit-identical to
@@ -1122,16 +1152,15 @@ object Similarity {
   private def topKByPartition(scored: DataFrame, k: Int, score: Column,
                               ascending: Boolean, parts: Seq[Column],
                               nSalts: Int = 32): DataFrame = {
+    // nSalts retained for signature stability: the partial cut now comes
+    // from WindowGroupLimit's map-side limit (k per partition per task)
+    // instead of an explicit salt bucket — see [[topKPerProbe]]
+    val _ = nSalts
     val primary = if (ascending) score.asc else score.desc
-    val w1 = Window
-      .partitionBy(parts :+ pmod(xxhash64(col("vec_id")), lit(nSalts.toLong)): _*)
-      .orderBy(primary, col("vec_id").asc)
-    val w2 = Window.partitionBy(parts: _*)
+    val w = Window.partitionBy(parts: _*)
       .orderBy(primary, col("vec_id").asc)
     scored.filter(score.isNotNull && !isnan(score.cast("double")))
-      .withColumn("__brank", row_number().over(w1)).filter(col("__brank") <= k)
-      .withColumn("rank", row_number().over(w2)).filter(col("rank") <= k)
-      .drop("__brank")
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
   /** Symmetric per-vector int8 scalar quantization — the embedding

@@ -76,14 +76,14 @@ object EnvelopeOps {
     * every envelope fixture agrees on the survivor set. */
   private def validEvents(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    Tables.events(spark, dir).filter(
+    (Tables.events(spark, dir).filter(
       $"event_id".isNotNull && $"user_id".isNotNull &&
         $"event_type".isNotNull && $"value".isNotNull && $"ts".isNotNull &&
         // the envelope timestamp is Avro int (Y2038-bounded): a source
         // row outside the int range cannot produce a message — it
         // dead-letters at pack (Envelope.timestampInt nulls the
         // required ordinal), so the identity oracles exclude it too
-        unix_timestamp($"ts").between(Int.MinValue.toLong, Int.MaxValue.toLong))
+        unix_timestamp($"ts").between(Int.MinValue.toLong, Int.MaxValue.toLong)))
   }
 
   private def packEvents(spark: SparkSession, dir: String, schemaId: Int,
@@ -163,7 +163,16 @@ object EnvelopeOps {
       schemaId = when(cls === 2, lit(9999)).otherwise(lit(v1)),
       payload = when(cls === 1, lit(Array(0xFF.toByte)))
         .otherwise(eventPayload(spark)))
-    val transport = validEvents(spark, dir).select(
+    // fanOut HERE (not in the shared validEvents): this is the one
+    // envelope query whose timed action cannot prune the serde — both
+    // split halves Avro-decode every row — so the one-split fixture scan
+    // otherwise serializes the whole chain on one core (guide §2.5).
+    // The identity queries' count()-style actions never run the serde,
+    // so for them the spread would be a pure extra exchange (measured
+    // +40-70% on env_roundtrip); identity at corpus scale either way.
+    // All aggregates below are integer-exact, so the partitioning
+    // change cannot move a result bit.
+    val transport = Tables.fanOut(validEvents(spark, dir)).select(
       when(cls === 0, lit(Array.fill(3)(0xFF.toByte)))
         .otherwise(pack_envelope(env)).as("value"))
     val (good, dead) = graft.streaming.Pipeline

@@ -192,7 +192,10 @@ object Pipeline {
       consumed.filter(col("payload").isNull))
   }
 
-  private def consumeDecrypted(
+  // private[graft]: PlanSpec pins the generator-barrier plan shape (one
+  // unpack, one decode per row) on the un-truncated frame — the public
+  // split checkpoints it, which hides the chain from explain output
+  private[graft] def consumeDecrypted(
       transport: DataFrame,
       registry: SchemaRegistry,
       readerSchemaId: Int,
@@ -210,9 +213,24 @@ object Pipeline {
         when(env.getField("encryption_type").isNotNull,
           lit(null).cast("binary")).otherwise(raw)
     }
+    // Both projections ride behind explode/inline GENERATE barriers: a
+    // generator's output is a real attribute computed once per row, which
+    // is what stops (a) CollapseProject from re-inlining unpack_envelope
+    // into every `env.field` extraction (~8 evaluations of the full
+    // unpack — and, when the transport column is itself a pack_envelope
+    // fixture, of the pack too — per row), and (b) predicate pushdown
+    // from substituting the decode_payload tree into a Filter BELOW the
+    // projection, where it would evaluate a second time per row for
+    // every consumer that filters on `payload` (the dead-letter split
+    // does exactly that — its before-plan carried the whole
+    // pack→unpack→decode chain inside the scan Filter AND the Project).
+    // explode(array(e)) / inline(array(struct(...))) are row-preserving:
+    // a 1-element array always yields exactly one output row, even when
+    // `e` is null. Optimization guide §4.4 (duplicated evaluation), §1.2
+    // (per-task work).
     transport
-      .withColumn("env", unpack_envelope(col(valueCol)))
-      .select(
+      .select(col(valueCol), explode(array(unpack_envelope(col(valueCol)))).as("env"))
+      .select(inline(array(struct(
         col(valueCol).as("raw_envelope"),
         col("env.uuid").as("uuid"),
         col("env.message_type").as("message_type"),
@@ -225,7 +243,7 @@ object Pipeline {
         when(col("env.previous_payload").isNotNull,
           decode_payload(payloadBytes(col("env.previous_payload")),
             col("env.schema_id"), registry, readerSchemaId))
-          .as("previous_payload"))
+          .as("previous_payload")))))
   }
 
   /** Multi-topic consume with per-topic reader schemas (reference:
@@ -255,8 +273,22 @@ object Pipeline {
       registry: SchemaRegistry,
       readerSchemaId: Int,
       valueCol: String = "value"): (DataFrame, DataFrame) = {
-    val consumed = consumeDecrypted(transport, registry, readerSchemaId,
+    val decoded = consumeDecrypted(transport, registry, readerSchemaId,
       valueCol, decryptPayload = None)
+    // a dead-letter split BY DEFINITION consumes both halves, so on the
+    // batch path the unpack+decode pass materializes once (lazy local
+    // checkpoint — blocks appear with the first action) instead of
+    // re-running per branch: Spark has no cross-branch common-subplan
+    // reuse, and Avro-decoding the corpus twice is the dominant cost of
+    // the split at any scale (guide §5: persist when reused and
+    // recompute is expensive). Lazy, so composing/explaining never runs
+    // the scan; the pin is released by the session's usual
+    // checkpoint-block cleanup (same contract as connectedComponents').
+    // Streaming frames can't checkpoint — they keep the two-branch
+    // lineage (each micro-batch is small; the sink pair shares the
+    // exchange-free scan).
+    val consumed =
+      if (transport.isStreaming) decoded else decoded.localCheckpoint(eager = false)
     (consumed.filter(col("payload").isNotNull).drop("raw_envelope"),
       // the dead-letter frame KEEPS the raw transport bytes: after a
       // registry fix the letters re-consume from raw_envelope — without

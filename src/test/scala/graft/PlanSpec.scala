@@ -106,18 +106,85 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct"), s"pairwise work must stay within clusters:\n$p")
   }
 
-  test("ivf/brute-force top-k ranks in two salted phases, never one per-probe window") {
-    // phase 1 must partition on (probe_id, salt) — a single per-probe
-    // window would sort every routed candidate of a probe in one task
+  test("ivf/brute-force top-k group-limits map-side, never a bare per-probe window") {
+    // the per-probe rank filter must plan as WindowGroupLimit with a
+    // Partial node BELOW the rank exchange (lower node id = deeper):
+    // each task keeps ≤ k rows per probe before anything moves, so the
+    // final per-probe sort sees ≤ k·n_map_partitions rows — the same
+    // per-task bound the former explicit salted two-phase gave, with one
+    // Exchange and one full sort fewer. A config/version change that
+    // silently drops the partial limit (re-sorting every candidate of a
+    // probe in one task) fails here.
     Seq("sim_ivf_topk", "sim_knn_cosine").foreach { name =>
       val p = planOf(name)
-      // the pmod salt is projected to a `_w<N>` attribute by the window
-      // planner, so the phase-1 Exchange partitions on (probe_id, _w<N>)
-      val saltedParts = p.linesIterator
-        .filter(_.matches(".*hashpartitioning\\(probe_id[^)]*_w\\d.*")).toSeq
-      assert(saltedParts.nonEmpty,
-        s"$name lacks the salted phase-1 top-k partitioning:\n$p")
+      def nodeIds(op: String): Seq[Int] =
+        s"""$op \\((\\d+)\\)""".r.findAllMatchIn(p).map(_.group(1).toInt).toSeq
+      val wgl = nodeIds("WindowGroupLimit")
+      val ex = nodeIds("Exchange")
+      // formatted-mode ids are preorder, so the Partial limit that feeds
+      // an Exchange is exactly id(Exchange) − 1 (other subtrees — probe
+      // routing, cache builds — carry their own exchanges, so global
+      // id ordering proves nothing)
+      assert(wgl.nonEmpty && ex.exists(e => wgl.contains(e - 1)),
+        s"$name: no map-side WindowGroupLimit feeding the rank exchange:\n$p")
     }
+  }
+
+  test("envelope consume evaluates unpack once and decode once per row (generator barriers)") {
+    // the flattened `env.field` form let CollapseProject re-inline
+    // unpack_envelope per extracted field (~8 evaluations of the full
+    // unpack per row) and predicate pushdown copied the decode_payload
+    // tree into a Filter below the projection — the r18 before-plan of
+    // env_dead_letter carries the whole pack→unpack→decode chain inside
+    // the scan Filter AND the Project. The generator barriers pin both:
+    // unpack_envelope must appear exactly once (the explode generator),
+    // decode_payload exactly twice (payload + previous_payload inside
+    // the inline generator), and never inside a Filter condition.
+    import org.apache.spark.sql.functions._
+    val reg = new graft.schema.SchemaRegistry
+    val v1 = reg.registerSchema("plan", "event",
+      queries.EnvelopeOps.eventSchemaJson).schemaId
+    import spark.implicits._
+    val env = struct(
+      unhex(md5($"id".cast("string"))).as("uuid"),
+      lit("create").as("message_type"),
+      lit(v1).as("schema_id"),
+      graft.functions.encode_payload(
+        struct($"id".as("event_id"), $"id".as("user_id"),
+          lit("t").as("event_type"), lit(1.0).as("value")),
+        queries.EnvelopeOps.eventSchemaJson).as("payload"),
+      lit(null).cast("binary").as("previous_payload"),
+      lit(null).cast(graft.core.Envelope.sparkType("meta").dataType).as("meta"),
+      lit(null).cast("string").as("encryption_type"),
+      lit(0).as("timestamp"))
+    val transport = spark.range(8).toDF("id")
+      .select(graft.functions.pack_envelope(env).as("value"))
+    val consumed = graft.streaming.Pipeline
+      .consumeDecrypted(transport, reg, v1, "value", None)
+      // a consumer filter on the decoded column must NOT push the decode
+      // below the projection — the barrier property under test
+      .filter(col("payload").isNotNull)
+    val p = consumed.queryExecution.explainString(FormattedMode)
+    def count(token: String): Int = token.r.findAllIn(p).length
+    assert(count("unpack_envelope\\(") == 1,
+      s"unpack_envelope must evaluate once per row:\n$p")
+    assert(count("decode_payload\\(") == 2,
+      s"decode_payload must evaluate once per decoded column:\n$p")
+    val filterConds = p.linesIterator.filter(_.startsWith("Condition")).mkString("\n")
+    assert(!filterConds.contains("decode_payload") &&
+      !filterConds.contains("unpack_envelope"),
+      s"the serde chain re-evaluates inside a Filter:\n$filterConds")
+  }
+
+  test("env_dead_letter: no serde expression survives into a pushed filter") {
+    // the split materializes the consume pass once (localCheckpoint), so
+    // the query plan must carry NO serde expressions at all — a decode
+    // in a Filter here means the barrier or the shared pass regressed
+    val p = planOf("env_dead_letter")
+    val filterConds = p.linesIterator.filter(_.startsWith("Condition")).mkString("\n")
+    assert(!filterConds.contains("decode_payload") &&
+      !filterConds.contains("unpack_envelope"),
+      s"the serde chain evaluates inside a Filter:\n$filterConds")
   }
 
   test("sim_ivf_sample routes probes with the pre-fit centroids, never re-derived means") {
