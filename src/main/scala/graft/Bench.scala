@@ -81,7 +81,38 @@ object Bench {
     // at 2 queries — the scaling claim the keyed-window work was made
     // for — and the dead-letter split, the newest oracle gates
     "sim_hybrid_mmr_multi",
-    "env_dead_letter")
+    "env_dead_letter",
+    // r19 additions (r18 verdict #3, additions-only): the heaviest
+    // queries that had oracle coverage but no timing series — the
+    // optimization rounds were steering by a 36% sample of the surface.
+    // Purely additive: every pre-r19 key and its drift series is
+    // untouched; these names have no baseline until r19's record exists,
+    // so the drift logic simply skips them this round and they join the
+    // series from the next record on. `total` grows by their sum —
+    // round-over-round total comparisons must use the common-key set
+    // (the drift machinery already does).
+    "d_semantic_dedup",
+    "sim_ivfpq_topk",
+    "sim_opq_topk",
+    "t_bpe_train",
+    "t_pack_batches",
+    "q_skew_stats",
+    "q_latest_per_user",
+    "m_media_embed")
+
+  /** count()-pruned queries ALSO timed under the noop sink (guide §1.4;
+    * r18 verdict #4): a count() lets the optimizer prune pure-projection
+    * subtrees, so env_roundtrip's serde chain and t_linear_score's
+    * scoring never execute under the count()-timed column — those
+    * medians measure a count, not the operator. Each entry here
+    * publishes a SECOND timed key `<name>_noop` whose action is
+    * `df.write.format("noop")` (computes every column of every row)
+    * ALONGSIDE — never replacing — the count() column; the drift series
+    * and every historical comparison stay keyed on the old columns. */
+  private val noopDualOf = Map(
+    "env_roundtrip_noop" -> "env_roundtrip",
+    "t_linear_score_noop" -> "t_linear_score",
+    "t_doc_stats_noop" -> "t_doc_stats")
 
   private val slopeQueries = Seq("sim_ivfpq_res_topk", "d_dup_clusters",
     "d_minhash_lsh", "sim_pq_topk", "d_fuzzy_pairs",
@@ -279,7 +310,8 @@ object Bench {
     // vanish from the suite (flatMap over queries.get dropped it, total
     // read as a round-over-round speedup, and failed_queries stayed empty)
     locally {
-      val unknown = (headline ++ slopeQueries).filterNot(SparkEntry.queries.contains)
+      val unknown = (headline ++ slopeQueries ++ noopDualOf.values)
+        .filterNot(SparkEntry.queries.contains)
       require(unknown.isEmpty,
         s"bench names not in SparkEntry.queries: " + unknown.mkString(", "))
     }
@@ -326,13 +358,25 @@ object Bench {
          fn <- SparkEntry.queries.get(n); _ <- 1 to 3)
       try fn(spark, sfDir).count() catch { case _: Throwable => () }
 
-    val results = headline.filter(n => only.forall(_.contains(n))).flatMap { name =>
-      SparkEntry.queries.get(name).map { fn =>
+    // the noop-dual keys run LAST so the shared headline prefix keeps its
+    // historical within-run ordering (the drift baselines were measured
+    // in that order)
+    val timedNames = headline ++ noopDualOf.keys.toSeq.sorted
+    val results = timedNames.filter(n => only.forall(_.contains(n))).flatMap { name =>
+      SparkEntry.queries.get(noopDualOf.getOrElse(name, name)).map { fn =>
+        // the timed action: count() for the historical keys (series
+        // continuity — see the r18-verdict note at [[noopDualOf]]),
+        // the noop sink for the `_noop` duals
+        val act: () => Unit =
+          if (noopDualOf.contains(name))
+            () => fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          else
+            () => { fn(spark, sfDir).count(); () }
         val r = try {
-          fn(spark, sfDir).count() // warm-up 1: codegen + JIT + classload
-          fn(spark, sfDir).count() // warm-up 2: steady-state caches
+          act() // warm-up 1: codegen + JIT + classload
+          act() // warm-up 2: steady-state caches
           def attempt(): Seq[Double] =
-            Seq.fill(runsPerQuery)(timed(() => fn(spark, sfDir).count())).sorted
+            Seq.fill(runsPerQuery)(timed(act)).sorted
           def spreadOf(ts: Seq[Double]): Double = {
             val med = ts(ts.size / 2)
             if (med > 0) 100.0 * (ts.last - ts.head) / med else -1.0

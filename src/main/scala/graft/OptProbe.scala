@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Stage-level timing probe for the optimization rounds: decomposes the
@@ -252,6 +252,96 @@ object OptProbe {
       })
       stage(spark, p, "valid_embeddings_scan")(() =>
         Tables.validEmbeddings(spark, dir))
+    }
+
+    // ---- connected-components round-1 loop plan (reproduces the edge/
+    // label join shape connectedComponents builds internally, so the
+    // per-round exchange placement is visible — the loop's own plans
+    // never appear in a query's static explain) ----
+    if (want("ccplan")) {
+      import graft.operators.Dedup
+      val sh = Dedup.wordShingles(Tables.documents(spark, dir), "doc_id", "text", 3).cache()
+      val sigs = Dedup.minhashSignatures(sh, 12)
+      val bands = Dedup.lshBands(sigs, 12, 4)
+      val pairs = Dedup.verifyJaccard(Dedup.lshCandidatePairs(bands), sh, 0.6)
+        .select(col("d1"), col("d2")).cache()
+      pairs.count()
+      val nParts = spark.sessionState.conf.numShufflePartitions
+      val edges = pairs
+        .select(explode(array(
+          struct(col("d1").as("a"), col("d2").as("b")),
+          struct(col("d2").as("a"), col("d1").as("b")))).as("e"))
+        .select(col("e.a").as("a"), col("e.b").as("b"))
+        .repartition(nParts, col("b"))
+        .sortWithinPartitions(col("b"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // the pre-r19 shape (eagerly checkpointed edges, no layout) for
+      // the before/after pair — same pairs, same loop join
+      val edgesOld = pairs
+        .select(explode(array(
+          struct(col("d1").as("a"), col("d2").as("b")),
+          struct(col("d2").as("a"), col("d1").as("b")))).as("e"))
+        .select(col("e.a").as("a"), col("e.b").as("b"))
+        .localCheckpoint()
+      // fresh frames per explain — a Dataset's queryExecution is cached,
+      // so the broadcast-disabled (scale/SMJ) pass below must rebuild
+      def round1(e: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+        val labels = e.select(col("a").as("id")).distinct()
+          .select(col("id"), col("id").as("rep"))
+          .localCheckpoint(eager = false)
+        e.join(labels.select(col("id").as("b"), col("rep").as("nrep")), "b")
+          .groupBy(col("a").as("id")).agg(min(col("nrep")).as("nmin"))
+      }
+      def show(title: String, df: org.apache.spark.sql.DataFrame): Unit = {
+        println(s"========== $title ==========")
+        println(df.queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode))
+      }
+      show("cc round-1 neighborMin plan (r19 cached layout)", round1(edges))
+      show("cc round-1 neighborMin plan (r18 checkpoint shape)", round1(edgesOld))
+      // at corpus scale the label side outgrows the broadcast threshold
+      // and the loop join becomes sort-merge — print the SMJ shapes too
+      // (broadcast disabled), which is where the edge layout's
+      // no-exchange/no-sort property actually pays
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        show("cc round-1 SMJ (scale) plan — r19 cached layout", round1(edges))
+        show("cc round-1 SMJ (scale) plan — r18 checkpoint shape", round1(edgesOld))
+      } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      edges.unpersist(blocking = false)
+      pairs.unpersist(); sh.unpersist()
+    }
+
+    // ---- d_fuzzy_pairs / PassJoin block-size distribution (r18 verdict
+    // #7): the blocked candidate join is quadratic WITHIN a block — a
+    // hot segment key (mass common-affix keys, the OCR'd-code shape)
+    // concentrates |idx_bk|·|prb_bk| candidate work in one task. This
+    // probe measures the per-block cost distribution on a uniform vs a
+    // skewed synthetic fixture so the "salt the hot block?" decision is
+    // evidence, not guesswork. ----
+    if (want("fuzzy")) {
+      val p = "fuzzy"
+      import graft.operators.Dedup
+      stage(spark, p, "d_fuzzy_pairs_full")(() =>
+        SparkEntry.queries("d_fuzzy_pairs")(spark, dir))
+      def keysOf(mk: Column): DataFrame =
+        spark.range(20000).toDF("i").select(mk.as("k")).distinct()
+      val uniform = keysOf(substring(md5($"i".cast("string")), 1, 10))
+      val skewed = keysOf(concat(lit("ITEM-"),
+        lpad($"i".cast("string"), 5, "0")))
+      for ((nm, keys) <- Seq(("uniform20k", uniform), ("skewprefix20k", skewed))) {
+        val cached = keys.cache(); cached.count()
+        // block-size distribution of the index side: the top block's
+        // size² is the single-task candidate bound
+        val top = cached.select($"k",
+            explode(graft.functions.PassJoinKeys.pass_join_index($"k", 2)).as("bk"))
+          .groupBy($"bk").count().orderBy($"count".desc).limit(5)
+          .collect().map(_.getLong(1))
+        println(s"[opt] $p $nm top index-block sizes: ${top.mkString(", ")}")
+        stage(spark, p, s"key_pairs_$nm")(() =>
+          Dedup.editDistanceKeyPairs(cached, 2))
+        cached.unpersist(blocking = false)
+      }
     }
 
     // ---- hybrid retrieval decomposition ----

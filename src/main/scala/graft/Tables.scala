@@ -67,6 +67,15 @@ object Tables {
     * float-mean path (k-means avg), so results are bit-identical.
     * Streaming frames pass through untouched (`.rdd` is illegal there;
     * a micro-batch's parallelism is the source's business).
+    *
+    * PRECONDITION — apply to SCANS (or scan+narrow-projection frames)
+    * ONLY, never downstream of an Exchange: the split-count probe reads
+    * `df.rdd.getNumPartitions`, which forces full physical planning of
+    * `df` per call and, under AQE, eagerly MATERIALIZES any upstream
+    * shuffle stages (runs real jobs) at plan-composition time. Every
+    * call site in this repo is scan-adjacent, where the probe is a pure
+    * metadata read; a future post-shuffle caller would silently execute
+    * part of its query while still composing it.
     */
   def fanOut(df: DataFrame): DataFrame = {
     if (df.isStreaming) df

@@ -248,7 +248,10 @@ object Curation {
     // wave) — the r12 phantom-empty-token rule, applied to this operator.
     // A null text stays null through every column (unknown, not zero).
     val ws = filter(split(trim(col(textCol)), "\\s+"), w => w =!= "")
-    val spread = docs.select(col(idCol), col(textCol))
+    // column pruning only — NOT a fan-out: Tables.fanOut was measured
+    // here in r18 (+110% on t_boilerplate: tokenize is too cheap to pay
+    // an extra exchange at bench scale) and deliberately reverted
+    val pruned = docs.select(col(idCol), col(textCol))
     // single job, single scan: the grouped count carries a per-doc marker
     // row ("") whose df IS the corpus size, so the threshold comparison
     // stays distributed — only the tiny stoplist ever reaches the driver,
@@ -256,7 +259,7 @@ object Curation {
     // filtered to non-"" first: splitting an empty/whitespace-only document
     // yields [""], which would otherwise inflate the marker count above the
     // true corpus size and skew the df threshold.
-    val counts = spread
+    val counts = pruned
       .select(explode(concat(
         array(lit("")),
         filter(array_distinct(ws), w => w =!= ""))).as("t"))
@@ -283,7 +286,7 @@ object Curation {
       val kept =
         if (stop.isEmpty) ws
         else filter(ws, w => !w.isInCollection(stop))
-      spread.select(
+      pruned.select(
         col(idCol),
         size(ws).cast("long").as("n_tokens"),
         size(kept).cast("long").as("n_kept"),
@@ -295,7 +298,7 @@ object Curation {
       // in token order. Docs whose every token was stripped (or that had
       // none) fall out of the groupBy and come back as 0/"" via the left
       // join — same contract as the literal path.
-      val toks = spread
+      val toks = pruned
         .select(col(idCol), posexplode(ws))
         .withColumnRenamed("pos", "__pos").withColumnRenamed("col", "__tok")
       val rebuilt = toks
@@ -308,7 +311,7 @@ object Curation {
               array_sort(collect_list(struct(col("__pos"), col("__tok")))),
               p => p("__tok")),
             " ").as("clean_text"))
-      spread.select(col(idCol), size(ws).cast("long").as("n_tokens"))
+      pruned.select(col(idCol), size(ws).cast("long").as("n_tokens"))
         .join(rebuilt, Seq(idCol), "left")
         // null-text docs stay null through every column (unknown, not
         // zero) — branch parity with the literal path above

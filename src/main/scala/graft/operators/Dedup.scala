@@ -369,24 +369,50 @@ object Dedup {
     * rows; checkpointing truncates the growing lineage so round N doesn't
     * re-run rounds 1..N-1.
     *
-    * `reliable = false` uses `localCheckpoint` (executor-local blocks:
-    * fastest, but an executor loss mid-computation kills the job because
-    * the truncated lineage can't recompute). On a cluster, set the
-    * session's checkpoint dir (`sc.setCheckpointDir`, an HDFS/object-store
-    * path) and pass `reliable = true` for fault-tolerant checkpoints.
+    * `reliable` governs the LOOP's per-round label checkpoints (the
+    * growing lineage): `reliable = false` uses `localCheckpoint`
+    * (executor-local blocks: fastest, but an executor loss
+    * mid-computation kills the job because the truncated lineage can't
+    * recompute). On a cluster, set the session's checkpoint dir
+    * (`sc.setCheckpointDir`, an HDFS/object-store path) and pass
+    * `reliable = true` for fault-tolerant checkpoints. The edge frame is
+    * not checkpointed in either mode — it persists with FULL lineage
+    * (recoverable by recompute in both modes), pre-partitioned on the
+    * loop's join key; see the layout note in the body.
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20,
                           reliable: Boolean = false): DataFrame = {
-    def chk(df: DataFrame): DataFrame =
-      if (reliable) df.checkpoint() else df.localCheckpoint()
     // both edge directions via explode, not union — a union of two
     // branches would evaluate the pair frame's whole lineage (for LSH
-    // clusters: the signature + verify pipeline) twice
-    val edges = chk(pairs
+    // clusters: the signature + verify pipeline) twice.
+    // Edges persist ALREADY partitioned and sorted on the loop's join
+    // key (guide §2.4 "two operations keyed the same way can share one
+    // exchange"): an InMemoryRelation preserves the cached plan's
+    // outputPartitioning/outputOrdering — a checkpoint does NOT (under
+    // AQE its LogicalRDD records UnknownPartitioning; PlanSpec pins the
+    // distinction) — so every label-propagation round's edges-side join
+    // reads the cache co-partitioned and pre-sorted: no per-round
+    // Exchange and no per-round Sort on the BIG side of the iteration,
+    // which previously re-shuffled 2·|pairs| rows once per round. The
+    // persist also replaces the former eager checkpoint: lineage stays
+    // INTACT (an executor loss recomputes lost blocks from the source —
+    // strictly safer than localCheckpoint's truncated lineage, with no
+    // checkpoint dir needed), MEMORY_AND_DISK spills instead of OOMing,
+    // and the entry is released before return, so no state leaks across
+    // invocations. The partition count is pinned to the session's
+    // shuffle parallelism (scale-adaptive conf, not a constant) because
+    // an explicit count keeps AQE from coalescing the one-off layout
+    // shuffle into a partitioning the loop's EnsureRequirements-inserted
+    // labels-side exchanges couldn't match.
+    val nParts = pairs.sparkSession.sessionState.conf.numShufflePartitions
+    val edges = pairs
       .select(explode(array(
         struct(col("d1").as("a"), col("d2").as("b")),
         struct(col("d2").as("a"), col("d1").as("b")))).as("e"))
-      .select(col("e.a").as("a"), col("e.b").as("b")))
+      .select(col("e.a").as("a"), col("e.b").as("b"))
+      .repartition(nParts, col("b"))
+      .sortWithinPartitions(col("b"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // lazy checkpoints + ONE action per round: the convergence check
     // itself materializes the round's checkpoint blocks (Spark completes
     // a lazily-checkpointed RDD's missing partitions at the end of the
@@ -420,6 +446,11 @@ object Dedup {
     require(converged,
       s"connectedComponents did not converge within maxIter=$maxIter " +
         "iterations (labels would be wrong); raise maxIter")
+    // the returned labels read the final round's (already-materialized)
+    // checkpoint blocks, never edges — release the cache entry now so
+    // nothing persists across invocations (a fresh call re-caches from
+    // its own inputs; within-one-call reuse only, not cross-run state)
+    edges.unpersist(blocking = false)
     labels.select(col("id").as("doc_id"), col("rep").as("cluster_rep"))
   }
 
@@ -612,6 +643,23 @@ object Dedup {
     * stable proxy — the key STRING itself (distinct keys are unequal, so
     * `<` totally orders every pair). Package-private so the hot-key spec
     * can pin that candidate work is distinct-key-bounded. */
+  /** SKEW NOTE (r19, measured — do not "fix" this again without new
+    * evidence): a mass common-affix key distribution (serial codes
+    * "ITEM-00001"…, same length, shared segments) lands every key in ONE
+    * segment block, and the candidate join is quadratic within a block —
+    * 29× the uniform-key runtime on a 20k-key synthetic (OptProbe
+    * `fuzzy`). An adaptive hot-block salt (census → per-block sub-
+    * buckets → probe replication, explicit pinned repartition so AQE
+    * cannot re-coalesce the tiny pre-blowup inputs) was implemented and
+    * measured NET-NEGATIVE on BOTH fixtures: +~60% on uniform keys (the
+    * census aggregate + broadcast joins) and 4.4× WORSE on the skewed
+    * fixture itself — the cost is the quadratic candidate VOLUME feeding
+    * the downstream distinct (concurrent partial-aggregate memory
+    * pressure once spread over salt buckets), not the single task it
+    * lands on. The class is contract-bounded like d_ngram_near_dups'
+    * exhaustive pair explosion: the 100 TB mitigation is rejecting or
+    * capping degenerate blocks upstream (a different output contract),
+    * not redistributing them. */
   private[graft] def editDistanceKeyPairs(keys: DataFrame,
                                           maxDist: Int): DataFrame = {
     val idx = keys.select(col("k"),

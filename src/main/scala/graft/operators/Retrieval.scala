@@ -583,7 +583,18 @@ object Retrieval {
     val tagged = runs.map(_.select(col(queryCol).as("__q"),
       col(idCol).as("__id"), col(rankCol).cast("long").as("__r"))
       .filter(col("__r") >= 1L))
+    // ONE exchange for the whole fusion tail (guide §2.4): hash on __q
+    // alone satisfies BOTH the (__q, __id) aggregate's clustered
+    // distribution (partitioning keys ⊆ grouping keys) and the rank
+    // window's per-query distribution, so the groupBy and the window
+    // below share this shuffle instead of each planning their own —
+    // 2 Exchanges → 1 in every hybrid chain. Rows per query at this
+    // point are bounded by Σ_runs k (each run emits a top-k), so a
+    // per-query partition cannot be skewed; sums/counts are exact
+    // integers and the rank order is a total order per query —
+    // partitioning cannot move a result bit.
     val fused = tagged.reduce(_ unionByName _)
+      .repartition(col("__q"))
       .groupBy(col("__q"), col("__id"))
       .agg(count(lit(1)).as("n_runs"),
         sum(expr(s"1000000L div (${c}L + __r)")).as("rrf_ppm"))

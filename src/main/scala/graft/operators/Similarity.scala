@@ -42,8 +42,8 @@ object Similarity {
     * config/version change that silently drops the partial limit fails
     * loudly). Identical results: same (score, vec_id) total order, same
     * null/NaN drop. */
-  private def topKPerProbe(scored: DataFrame, k: Int, nSalts: Int = 32): DataFrame =
-    topKPerProbeBy(scored, k, col("cosine"), ascending = false, nSalts)
+  private def topKPerProbe(scored: DataFrame, k: Int): DataFrame =
+    topKPerProbeBy(scored, k, col("cosine"), ascending = false)
 
   /** Exact top-k neighbors per probe. `vectors`: (vec_id, v:array<double>);
     * `probes`: (probe_id, p:array<double>). */
@@ -142,8 +142,8 @@ object Similarity {
     * (probe_id, pf: long). Scale shape: the corpus side carries ONLY
     * (vec_id, 8-byte code) — a 64× compression of a 64-dim double
     * vector — the distance is one xor + popcount inside whole-stage
-    * codegen, probes broadcast, and the global cut reuses the salted
-    * two-phase ranking (ties to the lower vec_id, fully deterministic
+    * codegen, probes broadcast, and the global cut reuses the map-side
+    * group-limited ranking (ties to the lower vec_id, fully deterministic
     * integer math — the oracle replays it digit for digit). */
   def hammingTopK(codes: DataFrame, probes: DataFrame, k: Int): DataFrame = {
     val scored = codes.crossJoin(broadcast(probes))
@@ -247,8 +247,15 @@ object Similarity {
   /** The fit half of the fit/assign split: train the deterministic Lloyd
     * loop of [[kmeansLabels]] on `sample` and return the centroid frame
     * (cluster, c:array<double>) the final assignment would use —
-    * initial lowest-id seeds refined by `iters − 1`
-    * assign-and-recompute rounds, every refinement checkpointed.
+    * initial lowest-id seeds refined by `iters − 1` assign-and-recompute
+    * rounds, centroids held as driver arrays through the loop (k·dim
+    * doubles — every consumer collects them anyway).
+    *
+    * `reliable` is CONTRACT-FROZEN and ignored: since r18 the loop keeps
+    * no mid-loop distributed state (no per-round checkpoints exist to
+    * make fault-tolerant — each round reads `sample` directly, whose own
+    * persistence is the caller's contract). The parameter stays only so
+    * existing callers keep compiling; it has no effect.
     *
     * THIS is the 100 TB path: pass a bounded sample (`full.sample(…)` or
     * a hash-filtered slice) so the `iters` training scans touch only the
@@ -584,7 +591,7 @@ object Similarity {
     * candidate's approximate distance is the sum of its m table lookups —
     * m element_at's per (probe, vector) pair instead of dim multiply-adds,
     * and the corpus side carries only (vec_id, codes), never vectors.
-    * Ranking uses the salted two-phase top-k (ascending distance, ties to
+    * Ranking uses the map-side group-limited top-k (ascending distance, ties to
     * the lower vec_id). The final sum re-rounds to 6 dp so both engines
     * recover the identical decimal (each term is a 6-dp multiple; the sum
     * is mathematically a 6-dp multiple, so rounding absorbs
@@ -693,8 +700,8 @@ object Similarity {
     * clusters — the scan prunes to nprobe/k of the index AND reads
     * 8–128× less per row (codes, not vectors). The routed frame carries
     * each probe's distance table, so the join fans a probe's table out
-    * to exactly its routed clusters; ranking is the salted two-phase
-    * top-k on ascending ADC distance. Compose with [[pqTopKRerank]]'s
+    * to exactly its routed clusters; ranking is the map-side
+    * group-limited top-k on ascending ADC distance. Compose with [[pqTopKRerank]]'s
     * exact stage by feeding its output ids for rank-resolution recovery.
     *
     * With nprobe ≥ the cluster count this is exactly [[pqTopK]] over the
@@ -796,7 +803,7 @@ object Similarity {
     * their bits on within-cell offsets, raw-ADC ranking resolution rises
     * sharply over raw-vector PQ at the same code budget (bench:
     * recall_ivfpq_* vs recall_ivfpq_res_*); everything else — cluster
-    * pruning, code-validity-fused lookups, salted top-k, null-drop
+    * pruning, code-validity-fused lookups, group-limited top-k, null-drop
     * semantics — is the shared machinery. Compose with [[rerankExact]]
     * for the exact final ranking. */
   def ivfPqResidualTopK(index: DataFrame, cents: DataFrame, probes: DataFrame,
@@ -989,17 +996,24 @@ object Similarity {
     * budget (k per cell), not a fragile σ dial.
     *
     * One shuffle-free scoring projection (native argmax label + cosine
-    * to the centroid map literal — no join), then the salted two-phase
-    * per-cluster cut, so no single task ever sorts a whole cell even
+    * to the centroid map literal — no join), then the map-side
+    * group-limited per-cluster cut, so no single task ever sorts a whole cell even
     * when a mega-cell holds half the corpus. Zero-norm / stale-labeled
     * vectors score null and DROP before ranking (never crown an
     * "outlier" on an undefined cosine).
     *
     * Returns (cluster, vec_id, cos_ppm, rank ≤ k), rank 1 = least
     * similar; ties to the lower vec_id.
+    *
+    * `nSalts` is CONTRACT-FROZEN and ignored: the per-cluster cut ranks
+    * through the map-side WindowGroupLimit (see [[topKPerProbe]]) since
+    * r18, which gives the same per-task bound the explicit salt buckets
+    * did with one Exchange and one sort fewer. The parameter stays only
+    * so existing callers keep compiling; it has no effect.
     */
   def clusterOutliers(vectors: DataFrame, cents: DataFrame, k: Int,
                       nSalts: Int = 32): DataFrame = {
+    val _ = nSalts
     require(k > 0)
     val centRows = collectCents(cents)
     val centMap = map(centRows.flatMap { case (id, c) =>
@@ -1017,11 +1031,11 @@ object Similarity {
       .select(col("vec_id"), col("cluster"),
         when(!isnan(col("__c6")),
           expr("CAST(round(__c6 * 1000000, 0) AS BIGINT)")).as("cos_ppm"))
-    // same salted two-phase machinery as the per-probe rankers, via the
-    // shared helper (partitioned by cluster instead of probe_id) — one
-    // implementation carries the null/NaN guard for all of them
+    // same map-side group-limited ranking as the per-probe rankers, via
+    // the shared helper (partitioned by cluster instead of probe_id) —
+    // one implementation carries the null/NaN guard for all of them
     topKByPartition(scored, k, col("cos_ppm"), ascending = true,
-        parts = Seq(col("cluster")), nSalts = nSalts)
+        parts = Seq(col("cluster")))
       .select(col("cluster"), col("vec_id"), col("cos_ppm"), col("rank"))
   }
 
@@ -1132,8 +1146,8 @@ object Similarity {
     topKPerProbe(scored, k)
   }
 
-  /** The [[topKPerProbe]] two-phase salted pattern under an arbitrary
-    * score ordering (ties always break on ascending vec_id). A null OR
+  /** The [[topKPerProbe]] map-side group-limited ranking under an
+    * arbitrary score ordering (ties always break on ascending vec_id). A null OR
     * NaN score can only arise from out-of-contract input (a null probe
     * code, mismatched array widths null-padding a fold, a zero-norm
     * vector whose cosine is 0/0) — those rows DROP before ranking:
@@ -1143,19 +1157,17 @@ object Similarity {
     * (a single all-zero corpus vector would become the rank-1
     * "neighbor" of every probe). */
   private def topKPerProbeBy(scored: DataFrame, k: Int, score: Column,
-                             ascending: Boolean, nSalts: Int = 32): DataFrame =
-    topKByPartition(scored, k, score, ascending, Seq(col("probe_id")), nSalts)
+                             ascending: Boolean): DataFrame =
+    topKByPartition(scored, k, score, ascending, Seq(col("probe_id")))
 
   /** [[topKPerProbeBy]] under an arbitrary partition key — shared by the
     * per-probe rankers and [[clusterOutliers]]' per-cluster cut so the
-    * salted two-phase machinery (and its null/NaN guard) exists once. */
+    * group-limit ranking machinery (and its null/NaN guard) exists once.
+    * The partial cut comes from WindowGroupLimit's map-side limit (k per
+    * partition key per task) — see [[topKPerProbe]]. */
   private def topKByPartition(scored: DataFrame, k: Int, score: Column,
-                              ascending: Boolean, parts: Seq[Column],
-                              nSalts: Int = 32): DataFrame = {
-    // nSalts retained for signature stability: the partial cut now comes
-    // from WindowGroupLimit's map-side limit (k per partition per task)
-    // instead of an explicit salt bucket — see [[topKPerProbe]]
-    val _ = nSalts
+                              ascending: Boolean,
+                              parts: Seq[Column]): DataFrame = {
     val primary = if (ascending) score.asc else score.desc
     val w = Window.partitionBy(parts: _*)
       .orderBy(primary, col("vec_id").asc)
@@ -1194,7 +1206,7 @@ object Similarity {
     * Approximation error vs the float cosine is bounded by the
     * per-component quantization error (spec-pinned); ranking follows the
     * same rounded-cosine + vec_id contract as [[bruteForceTopK]], cut by
-    * the salted two-phase top-k.
+    * the map-side group-limited top-k.
     */
   def int8TopK(quantized: DataFrame, probes: DataFrame, k: Int,
                roundTo: Int = 4): DataFrame = {

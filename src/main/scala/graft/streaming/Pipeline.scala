@@ -183,11 +183,13 @@ object Pipeline {
       readerSchemaId: Int,
       keys: Map[Int, String],
       ivSchemaId: Int,
-      valueCol: String = "value"): (DataFrame, DataFrame) = {
-    val consumed = consumeDecrypted(transport, registry, readerSchemaId,
-      valueCol, decryptPayload = Some((bytes, env) =>
-        Encryption.decrypt(bytes, env.getField("encryption_type"),
-          env.getField("meta"), ivSchemaId, keys)))
+      valueCol: String = "value",
+      reliable: Boolean = false): (DataFrame, DataFrame) = {
+    val consumed = sharedDecodePass(
+      consumeDecrypted(transport, registry, readerSchemaId,
+        valueCol, decryptPayload = Some((bytes, env) =>
+          Encryption.decrypt(bytes, env.getField("encryption_type"),
+            env.getField("meta"), ivSchemaId, keys))), reliable)
     (consumed.filter(col("payload").isNotNull).drop("raw_envelope"),
       consumed.filter(col("payload").isNull))
   }
@@ -267,34 +269,50 @@ object Pipeline {
     * side-output): rows whose payload failed to decode (unknown schema_id,
     * corrupt bytes → null) route to the second frame with the raw envelope
     * intact for replay, instead of silently vanishing or killing the task.
+    * Both frames read ONE shared decode pass — see [[sharedDecodePass]]
+    * for the materialization contract and the `reliable` cluster flag.
     */
   def consumeWithDeadLetters(
       transport: DataFrame,
       registry: SchemaRegistry,
       readerSchemaId: Int,
-      valueCol: String = "value"): (DataFrame, DataFrame) = {
-    val decoded = consumeDecrypted(transport, registry, readerSchemaId,
-      valueCol, decryptPayload = None)
-    // a dead-letter split BY DEFINITION consumes both halves, so on the
-    // batch path the unpack+decode pass materializes once (lazy local
-    // checkpoint — blocks appear with the first action) instead of
-    // re-running per branch: Spark has no cross-branch common-subplan
-    // reuse, and Avro-decoding the corpus twice is the dominant cost of
-    // the split at any scale (guide §5: persist when reused and
-    // recompute is expensive). Lazy, so composing/explaining never runs
-    // the scan; the pin is released by the session's usual
-    // checkpoint-block cleanup (same contract as connectedComponents').
-    // Streaming frames can't checkpoint — they keep the two-branch
-    // lineage (each micro-batch is small; the sink pair shares the
-    // exchange-free scan).
-    val consumed =
-      if (transport.isStreaming) decoded else decoded.localCheckpoint(eager = false)
+      valueCol: String = "value",
+      reliable: Boolean = false): (DataFrame, DataFrame) = {
+    val consumed = sharedDecodePass(
+      consumeDecrypted(transport, registry, readerSchemaId,
+        valueCol, decryptPayload = None), reliable)
     (consumed.filter(col("payload").isNotNull).drop("raw_envelope"),
       // the dead-letter frame KEEPS the raw transport bytes: after a
       // registry fix the letters re-consume from raw_envelope — without
       // it the original envelope is unrecoverable and replay impossible
       consumed.filter(col("payload").isNull))
   }
+
+  /** One shared decode pass for a two-branch split. A dead-letter split
+    * BY DEFINITION consumes both halves, and Spark has no cross-branch
+    * common-subplan reuse, so without materialization the unpack+decode
+    * chain Avro-decodes the corpus once PER BRANCH — the dominant cost of
+    * the split at any scale (guide §5: persist what is reused and
+    * expensive to recompute). Lazy in both modes, so composing/explaining
+    * never runs the scan; blocks appear with the first action and are
+    * released by the session's usual checkpoint-block cleanup (the same
+    * contract as connectedComponents').
+    *
+    * `reliable = false` (the default) uses `localCheckpoint`: fastest,
+    * but its blocks live non-replicated on executors with TRUNCATED
+    * lineage — on a real cluster an executor loss mid-query makes the
+    * lost partitions unrecomputable and kills the job. At 100 TB set the
+    * session's checkpoint dir (`sc.setCheckpointDir`, an HDFS/object-
+    * store path) and pass `reliable = true` for a fault-tolerant
+    * reliable checkpoint, exactly mirroring
+    * [[graft.operators.Dedup.connectedComponents]]'s flag. Streaming
+    * frames can't checkpoint — they keep the two-branch lineage (each
+    * micro-batch is small; the sink pair shares the exchange-free scan).
+    */
+  private def sharedDecodePass(decoded: DataFrame, reliable: Boolean): DataFrame =
+    if (decoded.isStreaming) decoded
+    else if (reliable) decoded.checkpoint(eager = false)
+    else decoded.localCheckpoint(eager = false)
 
   /** Effectively-once delivery on an at-least-once transport (SURVEY §2.7
     * ST1/ST2 consumer side): drop redelivered messages by envelope uuid,

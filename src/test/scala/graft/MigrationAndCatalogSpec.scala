@@ -332,6 +332,49 @@ class MigrationAndCatalogSpec extends SparkTestBase {
       dead2.select($"raw_envelope").head().getAs[Array[Byte]](0).length == 3)
   }
 
+  test("dead-letter split: reliable=true routes the shared decode pass to the session checkpoint dir; rows identical to the local default") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val reg = new SchemaRegistry
+    val entry = reg.registerSchema("s", "ev", graft.queries.EnvelopeOps.eventSchemaJson)
+    val good = Seq((1L, 10L, "click", 1.5), (2L, 20L, "view", 2.0))
+      .toDF("event_id", "user_id", "event_type", "value")
+      .select(graft.streaming.Pipeline.envelopeFor(
+        struct($"event_id", $"user_id", $"event_type", $"value"), "create", entry,
+        lit(1700000000L), unhex(md5($"event_id".cast("string")))).as("value"))
+    val corrupt = Seq(1).toDF("x")
+      .select(graft.streaming.Pipeline.envelopeForBytes(
+        lit(Array[Byte](0x7f, 0x33, 0x01)), "create", entry.schemaId,
+        lit(1700000002L), unhex(md5(lit("c")))).as("value"))
+    val transport = good.union(corrupt)
+    // the cluster path: a configured checkpoint dir + reliable=true must
+    // place the shared pass's blocks in that dir (a RELIABLE checkpoint —
+    // recomputable-from-storage after executor loss, unlike
+    // localCheckpoint's truncated-lineage executor-local blocks)
+    val chkDir = java.nio.file.Files.createTempDirectory("dl_chk").toFile
+    val sc = spark.sparkContext
+    val prevDir = sc.getCheckpointDir
+    sc.setCheckpointDir(chkDir.getAbsolutePath)
+    try {
+      val (okR, deadR) = graft.streaming.Pipeline.consumeWithDeadLetters(
+        transport, reg, entry.schemaId, reliable = true)
+      val okRows = okR.select($"payload.event_id").collect().map(_.getLong(0)).sorted.toSeq
+      assert(okRows == Seq(1L, 2L) && deadR.count() == 1)
+      def rddDirs(d: java.io.File): Seq[java.io.File] =
+        Option(d.listFiles()).getOrElse(Array.empty).toSeq
+          .flatMap(f => if (f.isDirectory) f +: rddDirs(f) else Seq(f))
+          .filter(_.getName.startsWith("rdd-"))
+      assert(rddDirs(chkDir).nonEmpty,
+        "reliable=true must checkpoint the shared decode pass into the " +
+          s"session checkpoint dir, found none under $chkDir")
+      // the local default computes the identical split
+      val (okL, deadL) = graft.streaming.Pipeline.consumeWithDeadLetters(
+        transport, reg, entry.schemaId)
+      assert(okL.select($"payload.event_id").collect().map(_.getLong(0)).sorted.toSeq
+        == okRows && deadL.count() == 1)
+    } finally prevDir.foreach(sc.setCheckpointDir)
+  }
+
   test("heartbeats fan out per topic as REAL enveloped transport rows") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col

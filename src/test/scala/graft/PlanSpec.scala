@@ -601,6 +601,70 @@ class PlanSpec extends SparkTestBase {
     } finally Tables.invalidateValidEmbeddings()
   }
 
+  test("a key-repartitioned persisted frame joins with no fresh exchange or sort on its side (the connectedComponents edge layout)") {
+    // the r19 connectedComponents optimization rests on exactly this
+    // mechanism: an InMemoryRelation preserves the cached plan's
+    // outputPartitioning and outputOrdering (a checkpoint does NOT —
+    // under AQE its LogicalRDD records UnknownPartitioning, measured in
+    // this repo), so edges repartitioned+sorted on the loop's join key
+    // BEFORE the persist join every subsequent round with no Exchange
+    // and no Sort on their side. If a Spark upgrade stops propagating
+    // either property through the cache, every label-propagation round
+    // would silently re-shuffle the big edge side — this pin goes red
+    // instead.
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val n = spark.sessionState.conf.numShufflePartitions
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("a", "b")
+      .repartition(n, col("b")).sortWithinPartitions(col("b"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val labels = Seq((2L, 2L), (3L, 3L)).toDF("b", "rep")
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+    try {
+      edges.count() // materialize the cache
+      val p = edges.join(labels, "b")
+        .queryExecution.explainString(FormattedMode)
+      // tree section only (the details blocks re-print the cached plan's
+      // own exchange/sort, which sit INSIDE the one-off cache build)
+      val tree = p.linesIterator
+        .takeWhile(!_.matches("^\\(\\d+\\) .*")).toVector
+      val smjIdx = tree.indexWhere(_.contains("SortMergeJoin"))
+      assert(smjIdx >= 0, s"expected a sort-merge join:\n$p")
+      assert(tree(smjIdx + 1).contains("InMemoryTableScan"),
+        "edges must feed the join straight from the cache — no Exchange " +
+          s"and no Sort on the pre-partitioned pre-sorted side:\n$p")
+    } finally {
+      edges.unpersist(blocking = false)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+    }
+  }
+
+  test("rrfFuse: the fusion aggregate and the rank window share ONE exchange keyed on the query") {
+    // the whole fuse→rank tail runs behind a single hash(__q) shuffle:
+    // partitioning on a subset of the grouping keys satisfies the
+    // (query, id) aggregate AND the per-query rank window, so neither
+    // plans its own Exchange (guide §2.4). Two hash exchanges here mean
+    // the shared repartition regressed.
+    val p = planOf("sim_hybrid_rrf")
+    val lines = p.linesIterator.toVector
+    // count hash exchanges ABOVE the union (lower node id = deeper;
+    // the retrieval runs below the union carry their own)
+    val unionId = """Union \((\d+)\)""".r.findFirstMatchIn(p)
+      .map(_.group(1).toInt).getOrElse(fail(s"no Union in:\n$p"))
+    val fusionExchanges = """Exchange \((\d+)\)""".r.findAllMatchIn(p)
+      .map(_.group(1).toInt).filter(_ > unionId).toSeq
+      .filter { id =>
+        // hash exchanges only — the final orderBy's range exchange is the
+        // query's own output contract
+        val detail = lines.dropWhile(!_.startsWith(s"($id) Exchange"))
+          .take(4).mkString("\n")
+        detail.contains("hashpartitioning")
+      }
+    assert(fusionExchanges.size == 1,
+      s"fusion tail must share one hash exchange, got ${fusionExchanges.size}:\n$p")
+  }
+
   test("t_top_tokens aggregates sketches map-side before one exchange") {
     val p = planOf("t_top_tokens")
     assert(p.contains("partial_approx_top_k") || p.contains("ObjectHashAggregate"),
