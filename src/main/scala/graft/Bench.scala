@@ -314,6 +314,14 @@ object Bench {
         .filterNot(SparkEntry.queries.contains)
       require(unknown.isEmpty,
         s"bench names not in SparkEntry.queries: " + unknown.mkString(", "))
+      // a _noop key colliding with a real query or headline name would
+      // time the same JSON key twice under two different actions and the
+      // duplicate would silently shadow one of them on parse — the same
+      // silent-vanish class this guard exists to fail loudly on
+      val collide = noopDualOf.keySet.filter(k =>
+        SparkEntry.queries.contains(k) || headline.contains(k))
+      require(collide.isEmpty,
+        s"noop-dual keys collide with real query names: " + collide.mkString(", "))
     }
     val calStartSec = calibrationSecs()
     val calParStartSec = calibrationParallelSecs()

@@ -266,15 +266,9 @@ object OptProbe {
       val pairs = Dedup.verifyJaccard(Dedup.lshCandidatePairs(bands), sh, 0.6)
         .select(col("d1"), col("d2")).cache()
       pairs.count()
-      val nParts = spark.sessionState.conf.numShufflePartitions
-      val edges = pairs
-        .select(explode(array(
-          struct(col("d1").as("a"), col("d2").as("b")),
-          struct(col("d2").as("a"), col("d1").as("b")))).as("e"))
-        .select(col("e.a").as("a"), col("e.b").as("b"))
-        .repartition(nParts, col("b"))
-        .sortWithinPartitions(col("b"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // the SHIPPED layout, via the operator's own package-private
+      // helper — the probe can never drift from what the loop runs
+      val edges = Dedup.ccEdgeLayout(pairs)
       // the pre-r19 shape (eagerly checkpointed edges, no layout) for
       // the before/after pair — same pairs, same loop join
       val edgesOld = pairs

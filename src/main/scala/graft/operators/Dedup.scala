@@ -382,30 +382,44 @@ object Dedup {
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20,
                           reliable: Boolean = false): DataFrame = {
-    // both edge directions via explode, not union — a union of two
-    // branches would evaluate the pair frame's whole lineage (for LSH
-    // clusters: the signature + verify pipeline) twice.
-    // Edges persist ALREADY partitioned and sorted on the loop's join
-    // key (guide §2.4 "two operations keyed the same way can share one
-    // exchange"): an InMemoryRelation preserves the cached plan's
-    // outputPartitioning/outputOrdering — a checkpoint does NOT (under
-    // AQE its LogicalRDD records UnknownPartitioning; PlanSpec pins the
-    // distinction) — so every label-propagation round's edges-side join
-    // reads the cache co-partitioned and pre-sorted: no per-round
-    // Exchange and no per-round Sort on the BIG side of the iteration,
-    // which previously re-shuffled 2·|pairs| rows once per round. The
-    // persist also replaces the former eager checkpoint: lineage stays
-    // INTACT (an executor loss recomputes lost blocks from the source —
-    // strictly safer than localCheckpoint's truncated lineage, with no
-    // checkpoint dir needed), MEMORY_AND_DISK spills instead of OOMing,
-    // and the entry is released before return, so no state leaks across
-    // invocations. The partition count is pinned to the session's
-    // shuffle parallelism (scale-adaptive conf, not a constant) because
-    // an explicit count keeps AQE from coalescing the one-off layout
-    // shuffle into a partitioning the loop's EnsureRequirements-inserted
-    // labels-side exchanges couldn't match.
+    val edges = ccEdgeLayout(pairs)
+    try connectedComponentsLoop(edges, maxIter, reliable)
+    // release the cache entry on EVERY exit — including the loud
+    // non-convergence require and any mid-loop job failure — so nothing
+    // persists across invocations (a fresh call re-caches from its own
+    // inputs; within-one-call reuse only, not cross-run state). The
+    // returned labels read the final round's already-materialized
+    // checkpoint blocks, never edges, so the release is safe even
+    // though the frame escapes this scope.
+    finally edges.unpersist(blocking = false)
+  }
+
+  /** The loop's edge frame: both directions via explode (not union — a
+    * union of two branches would evaluate the pair frame's whole
+    * lineage, for LSH clusters the signature + verify pipeline, twice),
+    * persisted ALREADY partitioned and sorted on the loop's join key
+    * (guide §2.4 "two operations keyed the same way can share one
+    * exchange"). An InMemoryRelation preserves the cached plan's
+    * outputPartitioning/outputOrdering — a checkpoint does NOT (under
+    * AQE its LogicalRDD records UnknownPartitioning; PlanSpec pins the
+    * distinction) — so every label-propagation round's edges-side join
+    * reads the cache co-partitioned and pre-sorted: no per-round
+    * Exchange and no per-round Sort on the BIG side of the iteration,
+    * which previously re-shuffled 2·|pairs| rows once per round. The
+    * persist also replaces the former eager checkpoint: lineage stays
+    * INTACT (an executor loss recomputes lost blocks from the source —
+    * strictly safer than localCheckpoint's truncated lineage, with no
+    * checkpoint dir needed) and MEMORY_AND_DISK spills instead of
+    * OOMing. The partition count is pinned to the session's shuffle
+    * parallelism (scale-adaptive conf, not a constant) because an
+    * explicit count keeps AQE from coalescing the one-off layout
+    * shuffle into a partitioning the loop's EnsureRequirements-inserted
+    * labels-side exchanges couldn't match. Package-private so OptProbe's
+    * ccplan evidence probe provably measures the SHIPPED layout. Callers
+    * own the unpersist. */
+  private[graft] def ccEdgeLayout(pairs: DataFrame): DataFrame = {
     val nParts = pairs.sparkSession.sessionState.conf.numShufflePartitions
-    val edges = pairs
+    pairs
       .select(explode(array(
         struct(col("d1").as("a"), col("d2").as("b")),
         struct(col("d2").as("a"), col("d1").as("b")))).as("e"))
@@ -413,6 +427,10 @@ object Dedup {
       .repartition(nParts, col("b"))
       .sortWithinPartitions(col("b"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  }
+
+  private def connectedComponentsLoop(edges: DataFrame, maxIter: Int,
+                                      reliable: Boolean): DataFrame = {
     // lazy checkpoints + ONE action per round: the convergence check
     // itself materializes the round's checkpoint blocks (Spark completes
     // a lazily-checkpointed RDD's missing partitions at the end of the
@@ -446,11 +464,6 @@ object Dedup {
     require(converged,
       s"connectedComponents did not converge within maxIter=$maxIter " +
         "iterations (labels would be wrong); raise maxIter")
-    // the returned labels read the final round's (already-materialized)
-    // checkpoint blocks, never edges — release the cache entry now so
-    // nothing persists across invocations (a fresh call re-caches from
-    // its own inputs; within-one-call reuse only, not cross-run state)
-    edges.unpersist(blocking = false)
     labels.select(col("id").as("doc_id"), col("rep").as("cluster_rep"))
   }
 
@@ -642,8 +655,9 @@ object Dedup {
     * (ka, kb, dist ≤ maxDist) with ka/kb ordered by their hash-free
     * stable proxy — the key STRING itself (distinct keys are unequal, so
     * `<` totally orders every pair). Package-private so the hot-key spec
-    * can pin that candidate work is distinct-key-bounded. */
-  /** SKEW NOTE (r19, measured — do not "fix" this again without new
+    * can pin that candidate work is distinct-key-bounded.
+    *
+    * SKEW NOTE (r19, measured — do not "fix" this again without new
     * evidence): a mass common-affix key distribution (serial codes
     * "ITEM-00001"…, same length, shared segments) lands every key in ONE
     * segment block, and the candidate join is quadratic within a block —

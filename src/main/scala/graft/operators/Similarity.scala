@@ -233,12 +233,11 @@ object Similarity {
     *
     * Returns (vec_id, v, cluster) after `iters` assignment rounds.
     *
-    * Each recomputed centroid frame is checkpointed (same `reliable`
-    * contract as [[Dedup.connectedComponents]]): the assignment collects
-    * the k-row centroid frame per round, so without the checkpoint every
-    * round's collect would recompute the whole training chain from the
-    * source; with it each collect reads k stored rows of k·dim doubles —
-    * free.
+    * `reliable` is CONTRACT-FROZEN and ignored (forwarded to
+    * [[kmeansFit]], which documents the freeze): centroids live as
+    * driver arrays through the loop since r18 — there are no per-round
+    * checkpoints left to make fault-tolerant, and each round reads
+    * `vectors` directly, whose own persistence is the caller's contract.
     */
   def kmeansLabels(vectors: DataFrame, k: Int, iters: Int,
                    reliable: Boolean = false): DataFrame =

@@ -293,25 +293,39 @@ object Pipeline {
     * common-subplan reuse, so without materialization the unpack+decode
     * chain Avro-decodes the corpus once PER BRANCH — the dominant cost of
     * the split at any scale (guide §5: persist what is reused and
-    * expensive to recompute). Lazy in both modes, so composing/explaining
-    * never runs the scan; blocks appear with the first action and are
-    * released by the session's usual checkpoint-block cleanup (the same
-    * contract as connectedComponents').
+    * expensive to recompute). The default path is lazy, so composing/
+    * explaining never runs the scan; blocks appear with the first action
+    * and are released by the session's usual checkpoint-block cleanup
+    * (the same contract as connectedComponents'). The reliable path is
+    * EAGER — see below for why.
     *
-    * `reliable = false` (the default) uses `localCheckpoint`: fastest,
-    * but its blocks live non-replicated on executors with TRUNCATED
-    * lineage — on a real cluster an executor loss mid-query makes the
-    * lost partitions unrecomputable and kills the job. At 100 TB set the
-    * session's checkpoint dir (`sc.setCheckpointDir`, an HDFS/object-
-    * store path) and pass `reliable = true` for a fault-tolerant
-    * reliable checkpoint, exactly mirroring
-    * [[graft.operators.Dedup.connectedComponents]]'s flag. Streaming
-    * frames can't checkpoint — they keep the two-branch lineage (each
-    * micro-batch is small; the sink pair shares the exchange-free scan).
+    * `reliable = false` (the default) uses a lazy `localCheckpoint`:
+    * fastest, but its blocks live non-replicated on executors with
+    * TRUNCATED lineage — on a real cluster an executor loss mid-query
+    * makes the lost partitions unrecomputable and kills the job. At
+    * 100 TB set the session's checkpoint dir (`sc.setCheckpointDir`, an
+    * HDFS/object-store path) and pass `reliable = true` for a
+    * fault-tolerant reliable checkpoint, mirroring
+    * [[graft.operators.Dedup.connectedComponents]]'s flag. The reliable
+    * path materializes EAGERLY through a transient cache: a bare
+    * reliable checkpoint recomputes its RDD from scratch in the
+    * checkpoint-write job (the double-decode the RDD.checkpoint docs
+    * warn about), so the frame persists first, the eager checkpoint's
+    * materialization action fills the cache and the write job reads it
+    * back — ONE decode pass — and the cache entry is released before
+    * returning (the checkpointed frame reads its files, not the cache).
+    * Streaming frames can't checkpoint — they keep the two-branch
+    * lineage (each micro-batch is small; the sink pair shares the
+    * exchange-free scan).
     */
   private def sharedDecodePass(decoded: DataFrame, reliable: Boolean): DataFrame =
     if (decoded.isStreaming) decoded
-    else if (reliable) decoded.checkpoint(eager = false)
+    else if (reliable) {
+      val pinned = decoded.persist(
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try pinned.checkpoint()
+      finally pinned.unpersist(blocking = false)
+    }
     else decoded.localCheckpoint(eager = false)
 
   /** Effectively-once delivery on an at-least-once transport (SURVEY §2.7

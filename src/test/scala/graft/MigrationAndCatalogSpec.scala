@@ -372,7 +372,18 @@ class MigrationAndCatalogSpec extends SparkTestBase {
         transport, reg, entry.schemaId)
       assert(okL.select($"payload.event_id").collect().map(_.getLong(0)).sorted.toSeq
         == okRows && deadL.count() == 1)
-    } finally prevDir.foreach(sc.setCheckpointDir)
+    } finally {
+      // restore EXPLICITLY even when no dir was set before (orNull →
+      // Option(null) = None inside setCheckpointDir, i.e. unset): the
+      // session is shared across suites, and a leftover temp checkpoint
+      // dir would silently change later tests' reliable-path behavior
+      sc.setCheckpointDir(prevDir.orNull)
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+        f.delete(); ()
+      }
+      rm(chkDir)
+    }
   }
 
   test("heartbeats fan out per topic as REAL enveloped transport rows") {
